@@ -1,0 +1,64 @@
+"""Table catalog over the driver-generated parquet test data.
+
+Normalizes physical irregularities at load time (the reference does the
+same with ``_as_list``-style normalization at ingest — SURVEY.md §1.1):
+here the only irregularity is ``events.ts`` being parquet
+TIMESTAMP(NANOS), which Spark reads as a long when
+``spark.sql.legacy.parquet.nanosAsLong`` is set; we convert to a proper
+timestamp once, at the scan, so no downstream operator pays for it.
+
+At 100 TB these tables would be partitioned/bucketed parquet or Delta;
+the loader keeps the scan declarative (``spark.read.parquet``) so
+predicate pushdown / column pruning / partition pruning stay free.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Small dimension tables that should always be broadcast when joined
+# against a fact table (region: 5 rows, nation: 25 rows, supplier:
+# O(100) rows at sf1 scale-equivalents).
+BROADCAST_DIMS = frozenset({"region", "nation", "supplier", "part", "customer"})
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; one of {TABLES}")
+    if name == "events":
+        # events.ts is parquet TIMESTAMP(NANOS): unreadable unless nanos
+        # are surfaced as longs. Runtime-settable, so enforce it here so
+        # the engine works on externally-created sessions too.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        # TIMESTAMP(NANOS,false) parquet read as long nanos; integer-div
+        # to micros (no double round-trip: 1.7e18 ns exceeds 2^53).
+        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return df
+
+
+def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {t: load_table(spark, sf_dir, t) for t in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str, suffix: str = "") -> None:
+    """Register every table as a temp view (``spark.sql`` entry path)."""
+    for t in TABLES:
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t + suffix)

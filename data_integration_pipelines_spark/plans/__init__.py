@@ -1,0 +1,9 @@
+"""Query plan registry. Importing this package registers all queries."""
+
+from __future__ import annotations
+
+from .base import REGISTRY, Query, register
+
+from . import queries_relational  # noqa: E402,F401
+
+__all__ = ["REGISTRY", "Query", "register"]

@@ -1,0 +1,44 @@
+"""Differential check: every registered query vs its DuckDB oracle.
+
+Replicates the driver's comparison (row count + order-insensitive
+value compare with columns sorted by name) so mismatches are caught
+before the round gate. Usage:
+
+    python scripts/check_oracle.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+from data_integration_pipelines_spark.plans import REGISTRY  # noqa: E402
+from data_integration_pipelines_spark.session import get_spark  # noqa: E402
+from tests.oracle_compare import compare_query  # noqa: E402
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    spark = get_spark("check-oracle")
+    failures = []
+    for name, q in REGISTRY.items():
+        t0 = time.time()
+        try:
+            ok, msg = compare_query(spark, q, sf_dir)
+        except Exception as e:  # noqa: BLE001
+            ok, msg = False, f"EXCEPTION {type(e).__name__}: {e}"
+        dt = time.time() - t0
+        status = "OK  " if ok else "FAIL"
+        print(f"{status} {name:28s} {dt:6.2f}s  {msg}")
+        if not ok:
+            failures.append(name)
+    print(f"\n{len(REGISTRY) - len(failures)}/{len(REGISTRY)} queries match")
+    if failures:
+        print("failures:", ", ".join(failures))
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
