@@ -1,0 +1,242 @@
+"""Domain-operator coverage: filter-DSL over nested documents,
+hierarchy closures, merge/upsert classification (SURVEY.md §2.1 S3/S17,
+§2.2 P2/P3, §2.3 J6/J7/J8).
+
+The nested-document queries first BUILD a resources-like nested table
+from the flat star schema (struct + array-of-struct columns), then run
+the operator under test on the nested shape — mirroring the
+reference's JSON-LD documents while staying oracle-checkable (the
+oracle expresses the same predicate relationally).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..operators.closure import siblings, transitive_closure
+from ..operators.filter_dsl import Filter, search
+from ..operators.merge import merge_classify
+from .base import register
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+def _nested_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resources-like nested table: one row per order with a ``customer``
+    struct and a ``lines`` array<struct> (JSON-LD document shape, §1.1)."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    li = _t(spark, sf_dir, "lineitem")
+    lines = li.groupBy("l_orderkey").agg(
+        F.collect_list(
+            F.struct(
+                F.col("l_linenumber").alias("linenumber"),
+                F.col("l_returnflag").alias("returnflag"),
+                F.col("l_linestatus").alias("linestatus"),
+                F.col("l_quantity").alias("quantity"),
+            )
+        ).alias("lines")
+    )
+    return (
+        orders.join(
+            F.broadcast(
+                cust.select(
+                    "c_custkey",
+                    F.struct(
+                        F.col("c_name").alias("name"),
+                        F.col("c_mktsegment").alias("mktsegment"),
+                        F.col("c_acctbal").alias("acctbal"),
+                    ).alias("customer"),
+                )
+            ),
+            orders.o_custkey == F.col("c_custkey"),
+        )
+        .join(lines, orders.o_orderkey == lines.l_orderkey, "left")
+        .select("o_orderkey", "o_orderstatus", "customer", F.coalesce("lines", F.array()).alias("lines"))
+    )
+
+
+@register(
+    "filter_dsl_search",
+    """
+    SELECT o.o_orderkey
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND c.c_acctbal >= 0
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+      AND NOT EXISTS (SELECT 1 FROM lineitem l
+                      WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 49)
+    ORDER BY o.o_orderkey
+    """,
+    doc="S3/P2/P3 filter-DSL scan compiled to nested-path exists()/not-exists() "
+    "Columns; ref src/neuron_morphology/query_data.py:18-48 (Filter(EQUAL, "
+    "path=[annotation,hasBody,label])), src/e_model/querying.py:102-110. "
+    "Arrays quantify existentially; 'ne' = no element matches.",
+)
+def filter_dsl_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nested = _nested_orders(spark, sf_dir)
+    out = search(
+        nested,
+        [
+            Filter("eq", ["customer", "mktsegment"], "BUILDING"),
+            Filter("ge", ["customer", "acctbal"], 0),
+            Filter("eq", ["lines", "returnflag"], "R"),
+            # negated quantifier: NO line with quantity > 49 ('ne'-family)
+            Filter("ne", ["lines", "quantity"], 50),
+        ],
+    )
+    out = out.filter(~F.exists(F.col("lines"), lambda x: x.getField("quantity") > 49))
+    return out.select("o_orderkey").orderBy("o_orderkey")
+
+
+@register(
+    "hierarchy_closure",
+    """
+    WITH RECURSIVE edges AS (
+        SELECT p_partkey AS child, CAST(FLOOR((p_partkey - 1) / 2) AS BIGINT) AS parent
+        FROM part WHERE p_partkey > 0
+    ),
+    anc AS (
+        SELECT child AS node, parent AS ancestor, 1 AS depth FROM edges
+        UNION ALL
+        SELECT a.node, e.parent, a.depth + 1
+        FROM anc a JOIN edges e ON e.child = a.ancestor
+    )
+    SELECT node, ancestor, depth FROM anc
+    WHERE node < 50
+    ORDER BY node, depth
+    """,
+    doc="J7 transitive closure (rdfs:subClassOf+/hasPart*/RegionMap ascendants) "
+    "via semi-naive iterative self-join to fixpoint; ref src/neuron_morphology/"
+    "validation/region_comparison.py:108-131, src/trace/"
+    "stimulus_type_ontology_querying.py:22-27. Tree derived from part keys "
+    "(binary-heap parent pointers) so the oracle is WITH RECURSIVE.",
+)
+def hierarchy_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = _t(spark, sf_dir, "part")
+    edges = part.filter(F.col("p_partkey") > 0).select(
+        F.col("p_partkey").alias("child"),
+        F.floor((F.col("p_partkey") - 1) / 2).alias("parent"),
+    )
+    closure = transitive_closure(edges)
+    return (
+        closure.filter(F.col("node") < 50)
+        .select("node", "ancestor", "depth")
+        .orderBy("node", "depth")
+    )
+
+
+@register(
+    "closure_descendant_counts",
+    """
+    WITH RECURSIVE edges AS (
+        SELECT p_partkey AS child, CAST(FLOOR((p_partkey - 1) / 2) AS BIGINT) AS parent
+        FROM part WHERE p_partkey > 0
+    ),
+    anc AS (
+        SELECT child AS node, parent AS ancestor, 1 AS depth FROM edges
+        UNION ALL
+        SELECT a.node, e.parent, a.depth + 1
+        FROM anc a JOIN edges e ON e.child = a.ancestor
+    )
+    SELECT ancestor, CAST(COUNT(*) AS BIGINT) AS n_descendants,
+           CAST(MAX(depth) AS INT) AS max_depth
+    FROM anc
+    WHERE ancestor < 10
+    GROUP BY ancestor
+    ORDER BY ancestor
+    """,
+    doc="J8 ontology-membership join over the closure (descendant counts per "
+    "ancestor); ref src/trace/stimulus_type_ontology_querying.py:16-48",
+)
+def closure_descendant_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = _t(spark, sf_dir, "part")
+    edges = part.filter(F.col("p_partkey") > 0).select(
+        F.col("p_partkey").alias("child"),
+        F.floor((F.col("p_partkey") - 1) / 2).alias("parent"),
+    )
+    closure = transitive_closure(edges)
+    return (
+        closure.filter(F.col("ancestor") < 10)
+        .groupBy("ancestor")
+        .agg(
+            F.count("*").alias("n_descendants"),
+            F.max("depth").cast("int").alias("max_depth"),
+        )
+        .orderBy("ancestor")
+    )
+
+
+@register(
+    "sibling_pairs",
+    """
+    SELECT r_name AS region_name, a.n_name AS nation_a, b.n_name AS nation_b
+    FROM nation a
+    JOIN nation b ON a.n_regionkey = b.n_regionkey AND a.n_name < b.n_name
+    JOIN region ON a.n_regionkey = r_regionkey
+    ORDER BY region_name, nation_a, nation_b
+    """,
+    doc="J7 sibling rule (same isPartOf parent -> sibling pairs via self-join); "
+    "ref src/neuron_morphology/validation/region_comparison.py:296-299",
+)
+def sibling_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    edges = nation.select(F.col("n_name").alias("child"), F.col("n_regionkey").alias("parent"))
+    pairs = siblings(edges)
+    return (
+        pairs.join(F.broadcast(region), pairs.parent == region.r_regionkey)
+        .select(
+            F.col("r_name").alias("region_name"),
+            F.col("a").alias("nation_a"),
+            F.col("b").alias("nation_b"),
+        )
+        .orderBy("region_name", "nation_a", "nation_b")
+    )
+
+
+@register(
+    "upsert_classify",
+    """
+    WITH existing AS (
+        SELECT c_custkey AS key, ROUND(c_acctbal, 2) AS val
+        FROM customer WHERE c_custkey < 1000
+    ),
+    computed AS (
+        SELECT o_custkey AS key, ROUND(SUM(o_totalprice), 2) AS val
+        FROM orders WHERE o_custkey < 1200
+        GROUP BY o_custkey
+    )
+    SELECT CASE WHEN e.key IS NULL THEN 'create'
+                WHEN c.key IS NULL THEN 'deprecate'
+                WHEN e.val IS DISTINCT FROM c.val THEN 'update'
+                ELSE 'keep' END AS action,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM existing e FULL OUTER JOIN computed c ON e.key = c.key
+    GROUP BY action
+    ORDER BY action
+    """,
+    doc="S17/J6 upsert merge classification (register/update/deprecate split, "
+    "full-outer merge on compartment); ref src/neuron_morphology/validation/"
+    "quality_metric_resource.py:107-135, src/neuron_morphology/"
+    "feature_annotations/create_update_annotations.py:110-142. "
+    "Feeds Delta MERGE INTO on a lakehouse deployment.",
+)
+def upsert_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    existing = cust.filter(F.col("c_custkey") < 1000).select(
+        F.col("c_custkey").alias("key"), F.round("c_acctbal", 2).alias("val")
+    )
+    computed = (
+        orders.filter(F.col("o_custkey") < 1200)
+        .groupBy(F.col("o_custkey").alias("key"))
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("val"))
+    )
+    classified = merge_classify(existing, computed, key_cols=["key"], compare_cols=["val"])
+    return classified.groupBy("action").agg(F.count("*").alias("n")).orderBy("action")

@@ -1,0 +1,282 @@
+"""Scalar-function coverage (SURVEY.md §2.8 F1-F13, §2.2 P4/P5/P9).
+
+All expressions are built-in Column functions — JVM-side, inside
+whole-stage codegen; no Python UDFs. Each oracle reproduces the exact
+same scalar semantics in DuckDB SQL (functions chosen to exist with
+identical behavior in both engines).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from .base import register
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+@register(
+    "string_predicates",
+    """
+    SELECT p_partkey,
+           p_name,
+           SPLIT_PART(p_name, ' ', -1)       AS last_word,
+           CONTAINS(p_name, 'red')           AS has_red,
+           STARTS_WITH(p_type, 'ECON')       AS is_econ,
+           SPLIT_PART(p_brand, '#', -1)      AS brand_num
+    FROM part
+    WHERE CONTAINS(p_name, 'red') OR ENDS_WITH(p_name, 'bolt')
+    ORDER BY p_partkey
+    """,
+    doc="P4 string predicates (contains/strStarts/suffix) + F1 split-last-segment; "
+    "ref src/trace/thumbnail.py:69-74, src/helpers.py:297, "
+    "src/trace/validation/validation.py:104-109",
+)
+def string_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = _t(spark, sf_dir, "part")
+    return (
+        part.filter(F.col("p_name").contains("red") | F.col("p_name").endswith("bolt"))
+        .select(
+            "p_partkey",
+            "p_name",
+            F.element_at(F.split("p_name", " "), -1).alias("last_word"),
+            F.col("p_name").contains("red").alias("has_red"),
+            F.col("p_type").startswith("ECON").alias("is_econ"),
+            F.element_at(F.split("p_brand", "#"), -1).alias("brand_num"),
+        )
+        .orderBy("p_partkey")
+    )
+
+
+@register(
+    "in_list_filter",
+    """
+    SELECT n_nationkey, n_name
+    FROM nation
+    WHERE n_name IN ('FRANCE', 'GERMANY', 'JAPAN', 'KENYA')
+       OR n_regionkey IN (3)
+    ORDER BY n_nationkey
+    """,
+    doc="P5 VALUES/IN-list predicate (ES terms); "
+    "ref src/search_index/search_index_discrepancy.py:67-70",
+)
+def in_list_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = _t(spark, sf_dir, "nation")
+    return (
+        nation.filter(
+            F.col("n_name").isin("FRANCE", "GERMANY", "JAPAN", "KENYA")
+            | F.col("n_regionkey").isin(3)
+        )
+        .select("n_nationkey", "n_name")
+        .orderBy("n_nationkey")
+    )
+
+
+@register(
+    "regex_extract",
+    """
+    SELECT c_custkey,
+           CAST(REGEXP_EXTRACT(c_name, 'Customer#(\\d+)', 1) AS BIGINT) AS name_num,
+           REGEXP_REPLACE(c_name, '^Customer#0*', '')                   AS short_name
+    FROM customer
+    WHERE c_custkey < 100
+    ORDER BY c_custkey
+    """,
+    doc="F2 regex extract/replace (month-year extraction, ANSI-escape strip); "
+    "ref src/neuron_morphology/morphology_registration.py:149, "
+    "src/neuron_morphology/feature_annotations/create_update_annotations.py:34-50",
+)
+def regex_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_custkey") < 100)
+    return cust.select(
+        "c_custkey",
+        F.regexp_extract("c_name", r"Customer#(\d+)", 1).cast("bigint").alias("name_num"),
+        F.regexp_replace("c_name", r"^Customer#0*", "").alias("short_name"),
+    ).orderBy("c_custkey")
+
+
+@register(
+    "case_convert",
+    """
+    SELECT DISTINCT p_type,
+           UPPER(SUBSTR(LOWER(p_type), 1, 1)) || SUBSTR(LOWER(p_type), 2) AS title_type,
+           LOWER(p_type)  AS lower_type,
+           UPPER(p_type)  AS upper_type
+    FROM part
+    ORDER BY p_type
+    """,
+    doc="F3 case conversion (snake->camel/title u2c/u2l); "
+    "ref src/neuron_morphology/feature_annotations/morph_metrics_neurom.py:131-137",
+)
+def case_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = _t(spark, sf_dir, "part")
+    low = F.lower(F.col("p_type"))
+    return (
+        part.select(
+            "p_type",
+            F.concat(F.upper(F.substring(low, 1, 1)), F.expr("substr(lower(p_type), 2)")).alias(
+                "title_type"
+            ),
+            low.alias("lower_type"),
+            F.upper("p_type").alias("upper_type"),
+        )
+        .distinct()
+        .orderBy("p_type")
+    )
+
+
+@register(
+    "date_functions",
+    """
+    SELECT STRFTIME(o_orderdate, '%Y-%m')                    AS order_month,
+           CAST(QUARTER(o_orderdate) AS INT)                 AS order_quarter,
+           CAST(COUNT(*) AS BIGINT)                          AS n_orders,
+           STRFTIME(MIN(o_orderdate), '%Y-%m-%d %H:%M:%S')   AS first_order,
+           STRFTIME(MAX(o_orderdate + INTERVAL 30 DAY), '%Y-%m-%d') AS max_due_date
+    FROM orders
+    GROUP BY order_month, order_quarter
+    ORDER BY order_month
+    """,
+    doc="F5 date parse/format/arithmetic; ref src/common_metadata.py:73-81, "
+    "src/neuron_morphology/morphology_registration.py:149-153",
+)
+def date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(
+            F.date_format("o_orderdate", "yyyy-MM").alias("order_month"),
+            F.quarter("o_orderdate").alias("order_quarter"),
+        )
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.date_format(F.min("o_orderdate"), "yyyy-MM-dd HH:mm:ss").alias("first_order"),
+            F.date_format(F.max(F.col("o_orderdate") + F.expr("INTERVAL 30 DAY")), "yyyy-MM-dd").alias(
+                "max_due_date"
+            ),
+        )
+        .orderBy("order_month")
+    )
+
+
+@register(
+    "json_extract",
+    """
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT)                            AS n_events,
+           ROUND(AVG(CAST(props->>'k' AS INT)), 4)             AS avg_k,
+           CAST(MAX(CAST(props->>'k' AS INT)) AS INT)          AS max_k
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    doc="F9 JSON encode/decode of open payloads; ref src/helpers.py:88-99. "
+    "Spark side uses get_json_object (codegen'd JSON path, no UDF).",
+)
+def json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.avg(k), 4).alias("avg_k"),
+            F.max(k).alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "sparse_bool_render",
+    """
+    SELECT o_orderkey,
+           CASE WHEN o_orderstatus = 'F' THEN '' ELSE o_orderstatus END AS status_cell,
+           CASE WHEN o_totalprice >= 1000 THEN '' ELSE 'LOW:' || CAST(ROUND(o_totalprice, 2) AS VARCHAR) END AS price_flag
+    FROM orders
+    WHERE o_orderkey < 500
+    ORDER BY o_orderkey
+    """,
+    doc="F7/S14 sparse boolean render (expected values as empty cells) for the "
+    "TSV quality-report sink; ref src/helpers.py:228-229, "
+    "src/neuron_morphology/validation/quality_metric.py:99-125",
+)
+def sparse_bool_render(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 500)
+    return orders.select(
+        "o_orderkey",
+        F.when(F.col("o_orderstatus") == "F", "").otherwise(F.col("o_orderstatus")).alias(
+            "status_cell"
+        ),
+        F.when(F.col("o_totalprice") >= 1000, "")
+        .otherwise(F.concat(F.lit("LOW:"), F.round("o_totalprice", 2).cast("string")))
+        .alias("price_flag"),
+    ).orderBy("o_orderkey")
+
+
+@register(
+    "substring_heuristics",
+    """
+    SELECT CASE WHEN CONTAINS(p_type, 'ECONOMY') THEN 'economy'
+                WHEN CONTAINS(p_type, 'PROMO')   THEN 'promotional'
+                WHEN CONTAINS(p_type, 'STANDARD') THEN 'standard'
+                ELSE 'other' END AS type_class,
+           CAST(COUNT(*) AS BIGINT) AS n_parts,
+           ROUND(AVG(p_retailprice), 4) AS avg_price
+    FROM part
+    GROUP BY type_class
+    ORDER BY type_class
+    """,
+    doc="F4 substring heuristics (unit inference from metric-name keywords); "
+    "ref src/neuron_morphology/feature_annotations/morph_metrics_neurom.py:102-144",
+)
+def substring_heuristics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = _t(spark, sf_dir, "part")
+    type_class = (
+        F.when(F.col("p_type").contains("ECONOMY"), "economy")
+        .when(F.col("p_type").contains("PROMO"), "promotional")
+        .when(F.col("p_type").contains("STANDARD"), "standard")
+        .otherwise("other")
+    )
+    return (
+        part.groupBy(type_class.alias("type_class"))
+        .agg(
+            F.count("*").alias("n_parts"),
+            F.round(F.avg("p_retailprice"), 4).alias("avg_price"),
+        )
+        .orderBy("type_class")
+    )
+
+
+@register(
+    "numeric_functions",
+    """
+    SELECT p_partkey,
+           ROUND(p_retailprice, 1)                         AS price_r1,
+           CAST(FLOOR(p_retailprice) AS BIGINT)            AS price_floor,
+           CAST(CEIL(p_retailprice) AS BIGINT)             AS price_ceil,
+           ABS(p_size - 25)                                AS size_dist,
+           ROUND(SQRT(p_retailprice), 4)                   AS price_sqrt,
+           CAST(p_size % 7 AS INT)                         AS size_mod
+    FROM part
+    WHERE p_partkey < 200
+    ORDER BY p_partkey
+    """,
+    doc="F6 numeric round/abs/norm arithmetic; "
+    "ref src/neuron_morphology/validation/region_comparison.py:380-385, "
+    "src/neuron_morphology/validation/custom_validation.py:41-59",
+)
+def numeric_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = _t(spark, sf_dir, "part").filter(F.col("p_partkey") < 200)
+    return part.select(
+        "p_partkey",
+        F.round("p_retailprice", 1).alias("price_r1"),
+        F.floor("p_retailprice").alias("price_floor"),
+        F.ceil("p_retailprice").alias("price_ceil"),
+        F.abs(F.col("p_size") - 25).alias("size_dist"),
+        F.round(F.sqrt("p_retailprice"), 4).alias("price_sqrt"),
+        (F.col("p_size") % 7).alias("size_mod"),
+    ).orderBy("p_partkey")

@@ -1,0 +1,128 @@
+"""Unit tests for the domain operator library on tiny in-memory data."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from data_integration_pipelines_spark.operators.closure import siblings, transitive_closure
+from data_integration_pipelines_spark.operators.filter_dsl import Filter, compile_filter, search
+from data_integration_pipelines_spark.operators.merge import apply_merge, keep_latest, merge_classify
+
+
+@pytest.fixture(scope="module")
+def resources(spark):
+    rows = [
+        Row(
+            id="r1",
+            annotation=[
+                Row(hasBody=Row(label="Curated"), note="a"),
+                Row(hasBody=Row(label="Other"), note="b"),
+            ],
+            subject=Row(species=Row(label="Mouse")),
+        ),
+        Row(
+            id="r2",
+            annotation=[Row(hasBody=Row(label="Unassessed"), note=None)],
+            subject=Row(species=Row(label="Rat")),
+        ),
+        Row(id="r3", annotation=[], subject=Row(species=Row(label="Mouse"))),
+    ]
+    return spark.createDataFrame(rows)
+
+
+class TestFilterDSL:
+    def test_nested_array_exists(self, resources):
+        got = search(resources, [Filter("eq", ["annotation", "hasBody", "label"], "Curated")])
+        assert [r.id for r in got.select("id").collect()] == ["r1"]
+
+    def test_struct_path(self, resources):
+        got = search(resources, [Filter("eq", ["subject", "species", "label"], "Mouse")])
+        assert sorted(r.id for r in got.select("id").collect()) == ["r1", "r3"]
+
+    def test_ne_means_no_element_matches(self, resources):
+        got = search(resources, [Filter("ne", ["annotation", "hasBody", "label"], "Curated")])
+        # r2: no Curated element; r3: empty array (vacuously true)
+        assert sorted(r.id for r in got.select("id").collect()) == ["r2", "r3"]
+
+    def test_conjunction_and_limit(self, resources):
+        got = search(
+            resources,
+            [
+                Filter("eq", ["subject", "species", "label"], "Mouse"),
+                Filter("eq", ["annotation", "hasBody", "label"], "Curated"),
+            ],
+        )
+        assert [r.id for r in got.select("id").collect()] == ["r1"]
+
+    def test_bad_path_raises(self, resources):
+        with pytest.raises(ValueError, match="no field"):
+            compile_filter(resources, Filter("eq", ["nope"], 1))
+
+    def test_bad_op_raises(self):
+        with pytest.raises(ValueError, match="unsupported operator"):
+            Filter("weird", ["a"], 1)
+
+
+class TestClosure:
+    def test_chain(self, spark):
+        edges = spark.createDataFrame(
+            [(2, 1), (3, 2), (4, 3)], ["child", "parent"]
+        )
+        got = {
+            (r.node, r.ancestor): r.depth
+            for r in transitive_closure(edges).collect()
+        }
+        assert got == {
+            (2, 1): 1, (3, 2): 1, (4, 3): 1,
+            (3, 1): 2, (4, 2): 2, (4, 1): 3,
+        }
+
+    def test_forest_with_nulls(self, spark):
+        edges = spark.createDataFrame(
+            [(2, 1), (3, 1), (5, None), (10, 9)], "child int, parent int"
+        )
+        got = transitive_closure(edges)
+        assert got.count() == 3  # null-parent roots excluded
+
+    def test_cycle_raises(self, spark):
+        edges = spark.createDataFrame([(1, 2), (2, 1)], ["child", "parent"])
+        with pytest.raises(RuntimeError, match="did not converge"):
+            transitive_closure(edges, max_iterations=5)
+
+    def test_siblings(self, spark):
+        edges = spark.createDataFrame([(1, 0), (2, 0), (3, 0), (4, 9)], ["child", "parent"])
+        pairs = {(r.a, r.b) for r in siblings(edges).collect()}
+        assert pairs == {(1, 2), (1, 3), (2, 3)}
+
+
+class TestMerge:
+    def test_keep_latest(self, spark):
+        df = spark.createDataFrame(
+            [("t1", 1, "old"), ("t1", 2, "new"), ("t2", 5, "only")],
+            ["target", "created_at", "payload"],
+        )
+        got = keep_latest(df, ["target"], "created_at").orderBy("target").collect()
+        assert [(r.target, r.payload) for r in got] == [("t1", "new"), ("t2", "only")]
+
+    def test_merge_classify(self, spark):
+        existing = spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], ["key", "val"])
+        computed = spark.createDataFrame([(2, "b"), (3, "X"), (4, "d")], ["key", "val"])
+        got = {
+            r.key: r.action
+            for r in merge_classify(existing, computed, ["key"], ["val"]).collect()
+        }
+        assert got == {1: "deprecate", 2: "keep", 3: "update", 4: "create"}
+
+    def test_apply_merge_rev_bump(self, spark):
+        existing = spark.createDataFrame(
+            [(1, "a", 3, False), (2, "b", 1, False)],
+            ["key", "val", "_rev", "_deprecated"],
+        )
+        computed = spark.createDataFrame([(1, "a2"), (9, "new")], ["key", "val"])
+        got = {r.key: (r.val, r._rev, r._deprecated) for r in
+               apply_merge(existing.select("key", "val", "_rev"), computed, ["key"]).collect()}
+        assert got[1] == ("a2", 4, False)   # updated: rev bumped
+        assert got[9] == ("new", 1, False)  # created: rev 1
+        assert got[2][2] is True            # stale row deprecated
