@@ -1,0 +1,123 @@
+"""Text-analysis Column builders for large-scale training-data curation.
+
+Everything here is built-in Column expressions (split / transform /
+aggregate / md5) — JVM-side, Arrow-free, no Python in the hot path —
+so the same operators run unchanged over 100 TB of documents. Hashes
+are md5-hex (identical across engines) rather than engine-private hash
+functions, which keeps every operator differential-testable against a
+SQL oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# A tiny embedded stopword list (language-marker sets for the lang-ID
+# heuristic and the stopword-ratio quality metric).
+STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "on")
+
+# BPE-ish pre-tokenizer: letter runs, digit runs, single punctuation.
+BPE_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def ws_tokens(text: Column) -> Column:
+    """Whitespace tokenization (array<string>)."""
+    return F.split(F.trim(text), r"\s+")
+
+
+def bpe_token_count(text: Column) -> Column:
+    """Token count under a BPE-ish regex pre-tokenizer."""
+    return F.size(F.regexp_extract_all(text, F.lit(BPE_PATTERN), F.lit(0)))
+
+
+def normalized(text: Column) -> Column:
+    """Dedup normalization: lowercase + collapse whitespace + trim."""
+    return F.lower(F.regexp_replace(F.trim(text), r"\s+", " "))
+
+
+def fingerprint(text: Column) -> Column:
+    """Deterministic document fingerprint = md5 of normalized text
+    (the rolling-hash document fingerprint of the curation pipeline)."""
+    return F.md5(normalized(text))
+
+
+def word_shingles(tokens: Column, n: int) -> Column:
+    """n-word shingles as an array<string> (space-joined windows)."""
+    if n < 1:
+        raise ValueError("n must be >= 1")
+    if n == 1:
+        return tokens
+
+    def shingle(i: Column) -> Column:
+        parts = [F.element_at(tokens, i + j) for j in range(n)]
+        joined = parts[0]
+        for p in parts[1:]:
+            joined = F.concat(joined, F.lit(" "), p)
+        return joined
+
+    # valid start positions: 1 .. size-n+1 (element_at is 1-based)
+    return F.when(F.size(tokens) >= n, F.transform(
+        F.sequence(F.lit(1), F.size(tokens) - (n - 1)), shingle
+    )).otherwise(F.array())
+
+
+def minhash_signature(shingles: Column, k: int) -> list[Column]:
+    """k MinHash components; component i = lexicographic min of
+    md5('<i>:' || shingle) over the shingle set. Using the hex string
+    as the ordered domain avoids engine-specific int hashing, so the
+    signature is reproducible in any engine with md5."""
+    def hasher(i: int):
+        def h(s):
+            return F.md5(F.concat(F.lit(f"{i}:"), s))
+
+        return h
+
+    return [
+        F.array_min(F.transform(shingles, hasher(i))).alias(f"mh{i}") for i in range(k)
+    ]
+
+
+# Hex chars whose high nibble bit is set (>= 8): bit extraction for simhash.
+_HIGH_HEX = ("8", "9", "a", "b", "c", "d", "e", "f")
+
+
+def simhash_bits(tokens: Column, nbits: int = 16) -> Column:
+    """SimHash over whitespace tokens, returned as an nbits-char '0'/'1'
+    string. Bit i = majority vote of bit i of md5(token) across tokens,
+    where bit i is the high bit of the i-th hex nibble — a cross-engine
+    bit extraction (char in [89abcdef])."""
+    if not 1 <= nbits <= 32:
+        raise ValueError("nbits must be in [1, 32]")
+    def make_vote(i: int):
+        # factory keeps the lambda binary — PySpark dispatches higher-
+        # order-function lambdas on arity, so default-arg closures break
+        def fold(acc, t):
+            return acc + F.when(
+                F.substring(F.md5(t), i + 1, 1).isin(*_HIGH_HEX), 1
+            ).otherwise(-1)
+
+        return fold
+
+    bit_cols = []
+    for i in range(nbits):
+        vote = F.aggregate(tokens, F.lit(0), make_vote(i))
+        bit_cols.append(F.when(vote > 0, "1").otherwise("0"))
+    return F.concat(*bit_cols)
+
+
+def punct_ratio(text: Column) -> Column:
+    """Fraction of characters that are punctuation."""
+    n_punct = F.length(text) - F.length(F.regexp_replace(text, r"[.,!?;:'\"]", ""))
+    return F.when(F.length(text) > 0, n_punct / F.length(text)).otherwise(F.lit(0.0))
+
+
+def stopword_ratio(tokens: Column) -> Column:
+    """Fraction of tokens that are stopwords."""
+    hits = F.size(F.filter(tokens, lambda t: t.isin(*STOPWORDS)))
+    return F.when(F.size(tokens) > 0, hits / F.size(tokens)).otherwise(F.lit(0.0))
+
+
+def avg_token_len(tokens: Column) -> Column:
+    total = F.aggregate(tokens, F.lit(0), lambda acc, t: acc + F.length(t))
+    return F.when(F.size(tokens) > 0, total / F.size(tokens)).otherwise(F.lit(0.0))

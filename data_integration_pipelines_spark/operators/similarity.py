@@ -1,0 +1,193 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two implementations with identical semantics:
+
+1. **Relational formulation** (`brute_force_topk`): posexplode both
+   sides to (id, pos, val) and join on pos — fully declarative, oracle-
+   checkable, and Catalyst-optimized. Good for correctness and small
+   query sets.
+2. **Vectorized scale path** (`topk_pandas`): Arrow-batched
+   ``mapInPandas`` doing a numpy matrix multiply per batch against a
+   broadcast query matrix. This is the 100 TB path: the corpus streams
+   through executors (one matmul per Arrow batch, no shuffle), only
+   per-partition top-k rows (k * n_queries per partition) return to be
+   reduced globally. IVF (`ivf_topk`) cuts the scanned fraction by
+   restricting the search to the query's coarse-quantizer bucket.
+
+Embeddings in the fixture are unit-normalized, so cosine == dot.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def explode_vectors(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    """(id, pos, val double) long form of an embedding column."""
+    return df.select(
+        F.col(id_col).alias("id"), F.posexplode(vec_col).alias("pos", "val")
+    ).withColumn("val", F.col("val").cast("double"))
+
+
+def dot_products(queries_long: DataFrame, corpus_long: DataFrame) -> DataFrame:
+    """(query_id, corpus_id, dot) for every query x corpus pair via a
+    position join + sum — map-side combine keeps the shuffle small."""
+    q = queries_long.select(
+        F.col("id").alias("query_id"), "pos", F.col("val").alias("qval")
+    )
+    c = corpus_long.select(
+        F.col("id").alias("corpus_id"), "pos", F.col("val").alias("cval")
+    )
+    return (
+        q.join(c, "pos")
+        .groupBy("query_id", "corpus_id")
+        .agg(F.sum(F.col("qval") * F.col("cval")).alias("dot"))
+    )
+
+
+def brute_force_topk(
+    df: DataFrame,
+    query_df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+) -> DataFrame:
+    """Exact top-k cosine neighbors (excluding self) per query vector.
+    Returns (query_id, neighbor_id, cosine, rank)."""
+    dots = dot_products(
+        explode_vectors(query_df, id_col, vec_col),
+        explode_vectors(df, id_col, vec_col),
+    ).filter(F.col("query_id") != F.col("corpus_id")).withColumn(
+        "cos_r", F.round("dot", 4)
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_r"), F.asc("corpus_id"))
+    return (
+        dots.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            F.col("corpus_id").alias("neighbor_id"),
+            F.round("dot", 4).alias("cosine"),
+            "rank",
+        )
+    )
+
+
+def topk_pandas(
+    df: DataFrame,
+    query_df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+) -> DataFrame:
+    """Vectorized top-k: numpy matmul per Arrow batch against the
+    (small, collected) query matrix; per-partition top-k then a global
+    window reduce. Semantics identical to ``brute_force_topk``."""
+    import numpy as np
+
+    queries = query_df.select(id_col, vec_col).collect()
+    q_ids = np.array([r[0] for r in queries])
+    q_mat = np.array([r[1] for r in queries], dtype=np.float64)  # (Q, D)
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            c_ids = pdf[id_col].to_numpy()
+            c_mat = np.array(list(pdf[vec_col]), dtype=np.float64)  # (B, D)
+            sims = q_mat @ c_mat.T  # (Q, B)
+            out = []
+            for qi, qid in enumerate(q_ids):
+                row = sims[qi]
+                mask = c_ids != qid
+                ids, vals = c_ids[mask], row[mask]
+                take = min(k, len(ids))
+                if take == 0:
+                    continue
+                idx = np.argpartition(-vals, take - 1)[:take]
+                out.append(
+                    pd.DataFrame(
+                        {"query_id": qid, "corpus_id": ids[idx], "dot": vals[idx]}
+                    )
+                )
+            if out:
+                yield pd.concat(out)
+
+    partial = df.select(id_col, vec_col).mapInPandas(
+        score, schema="query_id long, corpus_id long, dot double"
+    ).withColumn("cos_r", F.round("dot", 4))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_r"), F.asc("corpus_id"))
+    return (
+        partial.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            F.col("corpus_id").alias("neighbor_id"),
+            F.round("dot", 4).alias("cosine"),
+            "rank",
+        )
+    )
+
+
+def assign_buckets(
+    df: DataFrame,
+    pivots: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF coarse quantizer: assign each vector to its nearest pivot
+    (max dot; ties -> lowest pivot id). Returns (id, bucket)."""
+    dots = dot_products(
+        explode_vectors(df, id_col, vec_col).withColumnRenamed("id", "id"),
+        explode_vectors(pivots, id_col, vec_col),
+    ).withColumnRenamed("query_id", "id").withColumnRenamed("corpus_id", "pivot_id")
+    # round to 6 before argmax: deterministic across engines, ties -> pivot id
+    w = Window.partitionBy("id").orderBy(F.desc(F.round("dot", 6)), F.asc("pivot_id"))
+    return (
+        dots.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("id", F.col("pivot_id").alias("bucket"))
+    )
+
+
+def ivf_topk(
+    df: DataFrame,
+    query_df: DataFrame,
+    pivots: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """ANN: search only within the query's coarse bucket.
+    Returns (query_id, neighbor_id, cosine, rank)."""
+    buckets = assign_buckets(df, pivots, id_col, vec_col)
+    q_buckets = assign_buckets(query_df, pivots, id_col, vec_col)
+    dots = dot_products(
+        explode_vectors(query_df, id_col, vec_col),
+        explode_vectors(df, id_col, vec_col),
+    ).filter(F.col("query_id") != F.col("corpus_id"))
+    qb = q_buckets.select(F.col("id").alias("query_id"), F.col("bucket").alias("qb"))
+    cb = buckets.select(F.col("id").alias("corpus_id"), F.col("bucket").alias("cb"))
+    in_bucket = (
+        dots.join(F.broadcast(qb), "query_id")
+        .join(cb, "corpus_id")
+        .filter(F.col("qb") == F.col("cb"))
+        .withColumn("cos_r", F.round("dot", 4))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_r"), F.asc("corpus_id"))
+    return (
+        in_bucket.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            F.col("corpus_id").alias("neighbor_id"),
+            F.round("dot", 4).alias("cosine"),
+            "rank",
+        )
+    )

@@ -7,5 +7,7 @@ from .base import REGISTRY, Query, register
 from . import queries_relational  # noqa: E402,F401
 from . import queries_scalar  # noqa: E402,F401
 from . import queries_domain  # noqa: E402,F401
+from . import queries_text  # noqa: E402,F401
+from . import queries_vector  # noqa: E402,F401
 
 __all__ = ["REGISTRY", "Query", "register"]

@@ -1,0 +1,303 @@
+"""Training-data text-curation queries over the ``documents`` table:
+quality scoring, language-ID heuristic, fingerprinting, exact dedup,
+n-gram Jaccard near-dup, MinHash+LSH, SimHash.
+
+These extend the reference's per-row validation pattern (quality
+columns per document — cf. the trace/morphology check batteries,
+SURVEY §2.9) to web-scale corpus curation. All Spark expressions are
+built-ins; the md5-hex hash domain makes every sketch reproducible in
+the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..functions.text import (
+    STOPWORDS,
+    avg_token_len,
+    bpe_token_count,
+    fingerprint,
+    punct_ratio,
+    stopword_ratio,
+    ws_tokens,
+)
+from ..operators.dedup import (
+    jaccard_pairs,
+    minhash_lsh_candidates,
+    simhash_bucket_pairs,
+)
+from .base import register
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+_SW_SQL = ", ".join(f"'{w}'" for w in STOPWORDS)
+
+
+@register(
+    "text_quality",
+    f"""
+    WITH t AS (
+        SELECT doc_id, text, regexp_split_to_array(trim(text), '\\s+') AS toks
+        FROM documents WHERE doc_id < 100
+    )
+    SELECT doc_id,
+           CAST(len(toks) AS INT) AS n_tokens,
+           CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS INT) AS n_bpe_tokens,
+           ROUND((length(text) - length(regexp_replace(text, '[.,!?;:''"]', '', 'g'))) / length(text), 4) AS punct_ratio,
+           ROUND(len(list_filter(toks, x -> x IN ({_SW_SQL}))) / len(toks), 4) AS stopword_ratio,
+           ROUND(list_sum(list_transform(toks, x -> length(x))) / len(toks), 4) AS avg_token_len
+    FROM t
+    ORDER BY doc_id
+    """,
+    doc="Document quality scoring (length/punct/stopword ratios, token counts "
+    "via whitespace + BPE-ish regex) — per-row check battery pattern of "
+    "ref src/trace/validation/validation.py:208-376, vectorized as Columns.",
+    headline=True,
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 100)
+    toks = ws_tokens(F.col("text"))
+    return docs.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        bpe_token_count(F.col("text")).alias("n_bpe_tokens"),
+        F.round(punct_ratio(F.col("text")), 4).alias("punct_ratio"),
+        F.round(stopword_ratio(toks), 4).alias("stopword_ratio"),
+        F.round(avg_token_len(toks), 4).alias("avg_token_len"),
+    ).orderBy("doc_id")
+
+
+# Marker sets for the n-gram/stopword language-ID heuristic. The fixture
+# corpus shares one synthetic vocabulary, so the profiles are drawn from
+# it — the operator shape (per-profile hit scores + deterministic argmax)
+# is what carries to real corpora.
+_PROFILES = {
+    "dataish": ("data", "table", "column", "row", "value"),
+    "queryish": ("query", "join", "filter", "agg", "group"),
+    "sparkish": ("spark", "batch", "stream", "window", "part"),
+}
+
+
+@register(
+    "lang_id",
+    """
+    WITH t AS (
+        SELECT doc_id, lang, regexp_split_to_array(trim(text), '\\s+') AS toks
+        FROM documents WHERE doc_id < 200
+    ), scored AS (
+        SELECT doc_id, lang,
+               CAST(len(list_filter(toks, x -> x IN ('data','table','column','row','value'))) AS INT) AS s_dataish,
+               CAST(len(list_filter(toks, x -> x IN ('query','join','filter','agg','group'))) AS INT) AS s_queryish,
+               CAST(len(list_filter(toks, x -> x IN ('spark','batch','stream','window','part'))) AS INT) AS s_sparkish
+        FROM t
+    )
+    SELECT doc_id, lang, s_dataish, s_queryish, s_sparkish,
+           CASE WHEN s_dataish >= s_queryish AND s_dataish >= s_sparkish THEN 'dataish'
+                WHEN s_queryish >= s_sparkish THEN 'queryish'
+                ELSE 'sparkish' END AS predicted
+    FROM scored
+    ORDER BY doc_id
+    """,
+    doc="Language-ID heuristic: per-profile token-hit scores + deterministic "
+    "argmax (alphabetical preference on ties) — the n-gram language "
+    "classification stage of a curation pipeline.",
+)
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 200)
+    toks = ws_tokens(F.col("text"))
+    def hit_count(words: tuple[str, ...]):
+        return F.size(F.filter(toks, lambda t: t.isin(*words)))
+
+    scores = {name: hit_count(words) for name, words in _PROFILES.items()}
+    scored = docs.select(
+        "doc_id",
+        "lang",
+        *[c.alias(f"s_{name}") for name, c in scores.items()],
+    )
+    predicted = (
+        F.when(
+            (F.col("s_dataish") >= F.col("s_queryish"))
+            & (F.col("s_dataish") >= F.col("s_sparkish")),
+            "dataish",
+        )
+        .when(F.col("s_queryish") >= F.col("s_sparkish"), "queryish")
+        .otherwise("sparkish")
+    )
+    return scored.withColumn("predicted", predicted).orderBy("doc_id")
+
+
+@register(
+    "exact_dedup",
+    """
+    WITH fp AS (
+        SELECT doc_id, source,
+               md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp
+        FROM documents
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT fp) AS BIGINT) AS n_unique,
+           CAST(COUNT(*) - COUNT(DISTINCT fp) AS BIGINT) AS n_dupes
+    FROM fp
+    GROUP BY source
+    ORDER BY source
+    """,
+    doc="Exact deduplication by normalized-text md5 fingerprint (hash-groupBy; "
+    "one shuffle on a uniform 32-hex key — skew-free at any scale).",
+)
+def exact_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    return (
+        docs.select("source", fingerprint(F.col("text")).alias("fp"))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("fp").alias("n_unique"),
+            (F.count("*") - F.countDistinct("fp")).alias("n_dupes"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "doc_fingerprint",
+    """
+    SELECT doc_id,
+           md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp
+    FROM documents WHERE doc_id < 50
+    ORDER BY doc_id
+    """,
+    doc="Deterministic per-document fingerprint column (rolling-hash stand-in).",
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 50)
+    return docs.select("doc_id", fingerprint(F.col("text")).alias("fp")).orderBy("doc_id")
+
+
+_JACCARD_ORACLE = """
+    WITH sh AS (
+        SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+        FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents),
+             LATERAL (SELECT unnest(range(1, len(t) - 1)) AS i)
+    ),
+    inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(COUNT(*) AS BIGINT) AS n_common
+        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id)
+    SELECT id_a, id_b,
+           ROUND(n_common / (sa.sz + sb.sz - n_common), 4) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE n_common / (sa.sz + sb.sz - n_common) >= 0.8
+    ORDER BY id_a, id_b
+"""
+
+
+@register(
+    "ngram_jaccard_pairs",
+    _JACCARD_ORACLE,
+    doc="3-gram Jaccard near-duplicate pairs (threshold 0.8): distinct-shingle "
+    "explode -> shingle equi-join -> |intersection| / |union|. At scale the "
+    "shingle join is df-capped (max_doc_freq) + AQE skew-split; here the "
+    "full join is exact and finds the generator's planted near-dup pairs.",
+    headline=True,
+)
+def ngram_jaccard_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    pairs = jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.8)
+    return pairs.select(
+        "id_a", "id_b", F.round("jaccard", 4).alias("jaccard")
+    ).orderBy("id_a", "id_b")
+
+
+def _minhash_oracle(num_hashes: int = 12, bands: int = 4) -> str:
+    r = num_hashes // bands
+    mins = ",\n               ".join(
+        f"MIN(md5('{i}:' || s)) AS mh{i}" for i in range(num_hashes)
+    )
+    band_selects = "\n        UNION ALL\n".join(
+        "        SELECT doc_id, {b} AS band, md5({expr}) AS band_hash FROM sig".format(
+            b=b,
+            expr=" || '|' || ".join(f"mh{b * r + j}" for j in range(r)),
+        )
+        for b in range(bands)
+    )
+    return f"""
+    WITH sh AS (
+        SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+        FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents),
+             LATERAL (SELECT unnest(range(1, len(t) - 1)) AS i)
+    ),
+    sig AS (
+        SELECT doc_id,
+               {mins}
+        FROM sh GROUP BY doc_id
+    ),
+    bands AS (
+{band_selects}
+    )
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+    ORDER BY id_a, id_b
+    """
+
+
+@register(
+    "minhash_lsh_pairs",
+    _minhash_oracle(12, 4),
+    doc="MinHash(12)+LSH(4 bands x 3 rows) candidate near-dup pairs: "
+    "shingle -> per-hash-seed md5 min -> band hash -> bucket self-join. "
+    "Never compares all N^2 docs — only bucket collisions join, which is "
+    "what makes near-dedup tractable at 100 TB.",
+)
+def minhash_lsh_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    return minhash_lsh_candidates(
+        docs, "text", "doc_id", n=3, num_hashes=12, bands=4
+    ).orderBy("id_a", "id_b")
+
+
+def _simhash_oracle(nbits: int = 16) -> str:
+    high = "('8','9','a','b','c','d','e','f')"
+    sums = ",\n               ".join(
+        f"SUM(CASE WHEN substr(md5(tok), {i + 1}, 1) IN {high} THEN 1 ELSE -1 END) AS v{i}"
+        for i in range(nbits)
+    )
+    bits = " || ".join(f"CASE WHEN v{i} > 0 THEN '1' ELSE '0' END" for i in range(nbits))
+    return f"""
+    WITH toks AS (
+        SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+        FROM documents
+    ),
+    votes AS (
+        SELECT doc_id,
+               {sums}
+        FROM toks GROUP BY doc_id
+    ),
+    sk AS (SELECT doc_id, {bits} AS simhash FROM votes)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.simhash
+    FROM sk a JOIN sk b ON a.simhash = b.simhash AND a.doc_id < b.doc_id
+    ORDER BY id_a, id_b
+    """
+
+
+@register(
+    "simhash_pairs",
+    _simhash_oracle(16),
+    doc="SimHash(16-bit) near-dup candidates: per-bit majority vote of token "
+    "md5 nibble-high-bits, pairs sharing an identical sketch. One shuffle "
+    "on the sketch; per-bucket self-joins are tiny.",
+)
+def simhash_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    return simhash_bucket_pairs(docs, "text", "doc_id", nbits=16).orderBy("id_a", "id_b")

@@ -1,0 +1,112 @@
+"""Similarity-search queries over the ``embeddings`` table
+(array<float> column): brute-force cosine top-k (exact baseline) and
+IVF-bucketed ANN (scale path).
+
+The oracle mirrors the relational formulation (lockstep unnest +
+position join + sum); ordering keys are ROUNDED cosines with id
+tie-breaks so ranks are reproducible across engines despite
+floating-point summation order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..operators.similarity import brute_force_topk, ivf_topk
+from .base import register
+
+_LONG_CTE = """
+    long AS (
+        SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+               CAST(unnest(embedding) AS DOUBLE) AS val
+        FROM embeddings
+    )
+"""
+
+
+@register(
+    "ann_bruteforce",
+    f"""
+    WITH {_LONG_CTE},
+    dots AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS corpus_id, SUM(q.val * c.val) AS dot
+        FROM long q JOIN long c ON q.pos = c.pos AND q.vec_id <> c.vec_id
+        WHERE q.vec_id < 5
+        GROUP BY 1, 2
+    ),
+    ranked AS (
+        SELECT query_id, corpus_id AS neighbor_id, ROUND(dot, 4) AS cosine,
+               CAST(ROW_NUMBER() OVER (
+                    PARTITION BY query_id
+                    ORDER BY ROUND(dot, 4) DESC, corpus_id) AS INT) AS rank
+        FROM dots
+    )
+    SELECT query_id, neighbor_id, cosine, rank
+    FROM ranked WHERE rank <= 10
+    ORDER BY query_id, rank
+    """,
+    doc="Brute-force cosine top-10 per query vector (exact ANN baseline). "
+    "Relational formulation: posexplode -> position join -> partial-agg sum; "
+    "the vectorized 100TB path (numpy matmul per Arrow batch via mapInPandas) "
+    "is operators/similarity.topk_pandas, pytest-verified equivalent.",
+    headline=True,
+)
+def ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return brute_force_topk(emb, queries, k=10).orderBy("query_id", "rank")
+
+
+@register(
+    "ann_ivf",
+    f"""
+    WITH {_LONG_CTE},
+    pivot_dots AS (
+        SELECT v.vec_id AS id, p.vec_id AS pivot_id, SUM(v.val * p.val) AS dot
+        FROM long v JOIN long p ON v.pos = p.pos
+        WHERE p.vec_id < 8
+        GROUP BY 1, 2
+    ),
+    buckets AS (
+        SELECT id, pivot_id AS bucket FROM (
+            SELECT id, pivot_id,
+                   ROW_NUMBER() OVER (PARTITION BY id
+                                      ORDER BY ROUND(dot, 6) DESC, pivot_id) AS rn
+            FROM pivot_dots
+        ) WHERE rn = 1
+    ),
+    dots AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS corpus_id, SUM(q.val * c.val) AS dot
+        FROM long q JOIN long c ON q.pos = c.pos AND q.vec_id <> c.vec_id
+        WHERE q.vec_id >= 100 AND q.vec_id < 105
+        GROUP BY 1, 2
+    ),
+    in_bucket AS (
+        SELECT d.query_id, d.corpus_id, d.dot
+        FROM dots d
+        JOIN buckets qb ON qb.id = d.query_id
+        JOIN buckets cb ON cb.id = d.corpus_id
+        WHERE qb.bucket = cb.bucket
+    ),
+    ranked AS (
+        SELECT query_id, corpus_id AS neighbor_id, ROUND(dot, 4) AS cosine,
+               CAST(ROW_NUMBER() OVER (
+                    PARTITION BY query_id
+                    ORDER BY ROUND(dot, 4) DESC, corpus_id) AS INT) AS rank
+        FROM in_bucket
+    )
+    SELECT query_id, neighbor_id, cosine, rank
+    FROM ranked WHERE rank <= 5
+    ORDER BY query_id, rank
+    """,
+    doc="IVF-bucketed ANN top-5: coarse quantizer = argmax cosine over 8 pivot "
+    "vectors; search restricted to the query's bucket. At 100 TB the bucket "
+    "assignment partitions the corpus so each query scans ~1/n_pivots of it.",
+)
+def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    pivots = emb.filter(F.col("vec_id") < 8)
+    queries = emb.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 105))
+    return ivf_topk(emb, queries, pivots, k=5).orderBy("query_id", "rank")

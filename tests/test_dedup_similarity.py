@@ -1,0 +1,82 @@
+"""Operator-level tests for dedup and similarity on real fixture data
+plus planted synthetic cases."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_integration_pipelines_spark.catalog import load_table
+from data_integration_pipelines_spark.operators.dedup import (
+    exact_dedup,
+    jaccard_pairs,
+    minhash_lsh_candidates,
+)
+from data_integration_pipelines_spark.operators.similarity import (
+    brute_force_topk,
+    topk_pandas,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_small):
+    return load_table(spark, sf_small, "documents")
+
+
+class TestDedup:
+    def test_exact_dedup_finds_planted_copies(self, spark):
+        df = spark.createDataFrame(
+            [(1, "Hello   World"), (2, "hello world"), (3, "other text")],
+            ["doc_id", "text"],
+        )
+        got = {r.survivor_id: r.n_copies for r in exact_dedup(df, "text", "doc_id").collect()}
+        # normalization (case + whitespace) folds 1 and 2 together
+        assert got == {1: 2, 3: 1}
+
+    def test_minhash_recall_vs_jaccard_ground_truth(self, docs):
+        truth = {
+            (r.id_a, r.id_b)
+            for r in jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.8).collect()
+        }
+        candidates = {
+            (r.id_a, r.id_b)
+            for r in minhash_lsh_candidates(
+                docs, "text", "doc_id", n=3, num_hashes=12, bands=4
+            ).collect()
+        }
+        assert truth, "fixture should contain planted near-dup pairs"
+        recall = len(truth & candidates) / len(truth)
+        assert recall >= 0.9, f"LSH recall too low: {recall} ({len(truth)} true pairs)"
+
+    def test_df_capping_keeps_high_jaccard_pairs(self, docs):
+        uncapped = {
+            (r.id_a, r.id_b)
+            for r in jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.8).collect()
+        }
+        # df-capped variant must not lose planted near-dups: with a doc-freq
+        # cap of 50, near-identical docs still share plenty of rare shingles,
+        # though jaccard denominators change -> compare candidate coverage
+        capped = jaccard_pairs(
+            docs, "text", "doc_id", n=3, threshold=0.5, max_doc_freq=50
+        )
+        capped_pairs = {(r.id_a, r.id_b) for r in capped.collect()}
+        assert uncapped <= capped_pairs
+
+
+class TestSimilarity:
+    def test_pandas_topk_matches_relational(self, spark, sf_small):
+        emb = load_table(spark, sf_small, "embeddings")
+        queries = emb.filter(F.col("vec_id") < 5)
+        exact = brute_force_topk(emb, queries, k=10).collect()
+        fast = topk_pandas(emb, queries, k=10).collect()
+        key = lambda r: (r.query_id, r.rank)  # noqa: E731
+        exact_m = {key(r): (r.neighbor_id, r.cosine) for r in exact}
+        fast_m = {key(r): (r.neighbor_id, r.cosine) for r in fast}
+        assert exact_m == fast_m
+
+    def test_self_excluded(self, spark, sf_small):
+        emb = load_table(spark, sf_small, "embeddings")
+        queries = emb.filter(F.col("vec_id") == 0)
+        got = brute_force_topk(emb, queries, k=5).collect()
+        assert all(r.neighbor_id != 0 for r in got)
+        assert [r.rank for r in got] == [1, 2, 3, 4, 5]
