@@ -1,0 +1,156 @@
+"""Driver-gate coverage for the morphology kernels (SURVEY §2.9, A4-A6):
+a deterministic ``swc_points``-shaped table is synthesized from
+``lineitem`` (chain topology per file), then the REAL operators run on
+it — ``morphology_flags`` (relational battery) and ``tree_metrics``
+(applyInPandas traversal kernel) — both checked against SQL oracles
+that re-derive the same numbers arithmetically.
+
+This mirrors the reference's differential-testing habit (SURVEY §5
+item 3): one computation, two independent engines, exact match.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..catalog import load_table
+from ..operators.morphology import morphology_flags, tree_metrics
+from .base import register
+
+# Shared synthesis: one "file" per (l_orderkey % 50), points chained in
+# (l_orderkey, l_linenumber) order; type 1 (soma) for the chain head,
+# then 2/3/4 from the part key; coordinates/radii from line measures.
+_SYNTH_SQL = """
+    pts AS (
+        SELECT file, n,
+               CASE WHEN n = 1 THEN 1 ELSE 2 + pk % 3 END AS type,
+               x, y, z, radius,
+               CASE WHEN n = 1 THEN -1 ELSE n - 1 END AS parent
+        FROM (
+            SELECT 'f' || CAST(l_orderkey % 50 AS VARCHAR) AS file,
+                   CAST(ROW_NUMBER() OVER (
+                        PARTITION BY l_orderkey % 50
+                        ORDER BY l_orderkey, l_linenumber) AS INT) AS n,
+                   l_partkey AS pk,
+                   l_quantity AS x,
+                   l_discount * 100 AS y,
+                   l_tax * 1000 AS z,
+                   ROUND(l_extendedprice % 10, 2) AS radius
+            FROM lineitem WHERE l_orderkey < 300
+        )
+    )
+"""
+
+
+def synth_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 300)
+    w = Window.partitionBy(F.col("l_orderkey") % 50).orderBy("l_orderkey", "l_linenumber")
+    base = li.select(
+        F.concat(F.lit("f"), (F.col("l_orderkey") % 50).cast("string")).alias("file"),
+        F.row_number().over(w).alias("n"),
+        F.col("l_partkey").alias("pk"),
+        F.col("l_quantity").alias("x"),
+        (F.col("l_discount") * 100).alias("y"),
+        (F.col("l_tax") * 1000).alias("z"),
+        F.round(F.col("l_extendedprice") % 10, 2).alias("radius"),
+    )
+    return base.select(
+        "file",
+        "n",
+        F.when(F.col("n") == 1, 1).otherwise(2 + F.col("pk") % 3).cast("int").alias("type"),
+        "x",
+        "y",
+        "z",
+        "radius",
+        F.when(F.col("n") == 1, -1).otherwise(F.col("n") - 1).cast("int").alias("parent"),
+    )
+
+
+@register(
+    "morphology_battery",
+    f"""
+    WITH {_SYNTH_SQL},
+    segs AS (
+        SELECT c.file, c.n, c.type, c.radius, c.z,
+               p.type AS ptype, p.z AS pz,
+               SQRT((c.x - p.x)^2 + (c.y - p.y)^2 + (c.z - p.z)^2) AS seg_len
+        FROM pts c JOIN pts p ON c.file = p.file AND c.parent = p.n
+    ),
+    per_point AS (
+        SELECT file,
+               CAST(COUNT(*) AS BIGINT) AS n_points,
+               CAST(SUM(CASE WHEN parent < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_roots,
+               CAST(SUM(CASE WHEN type <> 1 AND radius <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero_radius,
+               CAST(COUNT(DISTINCT radius) AS BIGINT) AS n_distinct_radii,
+               SUM(CASE WHEN type = 2 THEN 1 ELSE 0 END) > 0 AS has_axon,
+               SUM(CASE WHEN type = 3 THEN 1 ELSE 0 END) > 0 AS has_basal_dendrite
+        FROM pts GROUP BY file
+    ),
+    per_seg AS (
+        SELECT file,
+               CAST(SUM(CASE WHEN seg_len <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero_len_segments,
+               CAST(SUM(CASE WHEN type <> 1 AND ABS(z - pz) > 10.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_z_jumps,
+               ROUND(SUM(seg_len), 2) AS total_length,
+               ROUND(MAX(seg_len), 2) AS max_seg_len
+        FROM segs GROUP BY file
+    )
+    SELECT p.file, n_points, n_roots, n_zero_radius, n_distinct_radii,
+           has_axon, has_basal_dendrite,
+           n_zero_len_segments, n_z_jumps, total_length, max_seg_len
+    FROM per_point p JOIN per_seg s ON p.file = s.file
+    ORDER BY p.file
+    """,
+    doc="Morphology relational check battery (§2.9 geometric checks as Column "
+    "exprs; A6 scalar metric aggregates) on a synthesized points table, "
+    "running the real operators/morphology.morphology_flags code path.",
+)
+def morphology_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    flags = morphology_flags(synth_points(spark, sf_dir))
+    return flags.select(
+        "file",
+        "n_points",
+        "n_roots",
+        F.col("n_zero_radius").cast("bigint").alias("n_zero_radius"),
+        "n_distinct_radii",
+        "has_axon",
+        "has_basal_dendrite",
+        F.col("n_zero_len_segments").cast("bigint").alias("n_zero_len_segments"),
+        F.col("n_z_jumps").cast("bigint").alias("n_z_jumps"),
+        F.round("total_length", 2).alias("total_length"),
+        F.round("max_seg_len", 2).alias("max_seg_len"),
+    ).orderBy("file")
+
+
+@register(
+    "morphology_tree_metrics",
+    f"""
+    WITH {_SYNTH_SQL},
+    segs AS (
+        SELECT c.file, c.type, p.type AS ptype,
+               SQRT((c.x - p.x)^2 + (c.y - p.y)^2 + (c.z - p.z)^2) AS seg_len
+        FROM pts c JOIN pts p ON c.file = p.file AND c.parent = p.n
+    )
+    SELECT file,
+           CAST(1 AS INT) AS n_components,          -- chain topology
+           CAST(0 AS INT) AS max_branch_order,
+           ROUND(SUM(seg_len), 2) AS max_path_length,
+           CAST(SUM(CASE WHEN type <> ptype AND ptype <> 1 THEN 1 ELSE 0 END) AS INT)
+               AS n_type_changes
+    FROM segs GROUP BY file
+    ORDER BY file
+    """,
+    doc="W2 per-tree traversal kernel (applyInPandas path accumulation) "
+    "differentially validated: on chain topology the oracle can re-derive "
+    "components/branch order/path length arithmetically.",
+)
+def morphology_tree_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    metrics = tree_metrics(synth_points(spark, sf_dir))
+    return metrics.select(
+        "file",
+        "n_components",
+        "max_branch_order",
+        F.round("max_path_length", 2).alias("max_path_length"),
+        "n_type_changes",
+    ).orderBy("file")

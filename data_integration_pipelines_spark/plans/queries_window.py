@@ -1,0 +1,236 @@
+"""Window-function, statistics and time-bucket coverage
+(SURVEY §2.4 A4/A5/A9/A10, §2.5 W2-analog frames, §2.10 extension).
+
+The reference has no analytic frames (§2.5 note), but the engine
+provides them as first-class: running accumulations, lag/lead deltas,
+ranking, exact percentiles, event-time bucketing — the batch twins of
+the Structured Streaming plans in ``streaming/events.py``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..catalog import load_table
+from ..streaming.events import windowed_counts
+from .base import register
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+@register(
+    "windowed_event_counts",
+    """
+    SELECT STRFTIME(time_bucket(INTERVAL 1 HOUR, ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(SUM(value), 2) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY window_start, event_type
+    """,
+    doc="Event-time windowed aggregation — the batch twin of the Structured "
+    "Streaming ingest (streaming/events.py, availableNow-drained, "
+    "watermarked); stream/batch equivalence is pytest-verified.",
+    headline=True,
+)
+def windowed_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return windowed_counts(ev, "1 hour").orderBy("window_start", "event_type")
+
+
+@register(
+    "running_total",
+    """
+    SELECT user_id,
+           event_id,
+           ROUND(SUM(value) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_value,
+           CAST(ROW_NUMBER() OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS INT) AS seq
+    FROM events
+    WHERE user_id < 10
+    ORDER BY user_id, seq
+    """,
+    doc="W2 running accumulation (cumulative path-length analog) as a frame "
+    "window; ref src/neuron_morphology/validation/custom_validation.py:11-29",
+)
+def running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") < 10)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    frame = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        ev.select(
+            "user_id",
+            "event_id",
+            F.round(F.sum("value").over(frame), 2).alias("running_value"),
+            F.row_number().over(w).alias("seq"),
+        )
+        .orderBy("user_id", "seq")
+    )
+
+
+@register(
+    "lag_lead_deltas",
+    """
+    SELECT user_id, event_id,
+           CAST(COALESCE(date_diff('second', LAG(ts) OVER w, ts), -1) AS BIGINT) AS secs_since_prev,
+           ROUND(value - COALESCE(LAG(value) OVER w, 0), 2) AS value_delta,
+           LEAD(event_type) OVER w AS next_event_type
+    FROM events
+    WHERE user_id < 5
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ORDER BY user_id, event_id
+    """,
+    doc="lag/lead analytic functions (sessionization building block).",
+)
+def lag_lead_deltas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") < 5)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    secs = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.coalesce(secs, F.lit(-1)).alias("secs_since_prev"),
+        F.round(F.col("value") - F.coalesce(F.lag("value").over(w), F.lit(0)), 2).alias(
+            "value_delta"
+        ),
+        F.lead("event_type").over(w).alias("next_event_type"),
+    ).orderBy("user_id", "event_id")
+
+
+@register(
+    "rank_battery",
+    """
+    SELECT c_custkey, c_mktsegment,
+           CAST(RANK() OVER w AS INT) AS bal_rank,
+           CAST(DENSE_RANK() OVER w AS INT) AS bal_dense_rank,
+           CAST(NTILE(4) OVER w AS INT) AS bal_quartile
+    FROM customer
+    WHERE c_custkey < 300
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)
+    ORDER BY c_custkey
+    """,
+    doc="rank/dense_rank/ntile ranking battery per group.",
+)
+def rank_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_custkey") < 300)
+    w = Window.partitionBy("c_mktsegment").orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+    return cust.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.rank().over(w).alias("bal_rank"),
+        F.dense_rank().over(w).alias("bal_dense_rank"),
+        F.ntile(4).over(w).alias("bal_quartile"),
+    ).orderBy("c_custkey")
+
+
+@register(
+    "stats_battery",
+    """
+    SELECT l_returnflag,
+           ROUND(MIN(l_extendedprice), 4) AS min_price,
+           ROUND(MAX(l_extendedprice), 4) AS max_price,
+           ROUND(AVG(l_extendedprice), 4) AS mean_price,
+           ROUND(STDDEV_SAMP(l_extendedprice), 4) AS std_price,
+           ROUND(QUANTILE_CONT(l_extendedprice, 0.5), 4) AS median_price,
+           ROUND(SUM(l_extendedprice), 2) AS sum_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    doc="A5 morphometric stats battery (min/max/mean/std/median per group); "
+    "ref src/neuron_morphology/feature_annotations/morph_metrics_neurom.py:272-288. "
+    "Median is the EXACT interpolated percentile (Spark percentile == DuckDB "
+    "quantile_cont); approx_percentile is the knob for 100TB scale.",
+)
+def stats_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.min("l_extendedprice"), 4).alias("min_price"),
+            F.round(F.max("l_extendedprice"), 4).alias("max_price"),
+            F.round(F.avg("l_extendedprice"), 4).alias("mean_price"),
+            F.round(F.stddev_samp("l_extendedprice"), 4).alias("std_price"),
+            F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("median_price"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "value_histogram",
+    """
+    SELECT event_type,
+           CAST(FLOOR(value / 5) AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM events
+    GROUP BY event_type, bucket
+    ORDER BY event_type, bucket
+    """,
+    doc="A4 per-type histograms (region-point histogram shape); "
+    "ref src/neuron_morphology/feature_annotations/morph_metrics_dke.py:84-105",
+)
+def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type", F.floor(F.col("value") / 5).alias("bucket"))
+        .agg(F.count("*").alias("n"))
+        .orderBy("event_type", "bucket")
+    )
+
+
+@register(
+    "drop_duplicates",
+    """
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_distinct_users
+    FROM (SELECT DISTINCT user_id, event_type FROM events)
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    doc="A9 point-dedup before expensive downstream work (dropDuplicates); "
+    "ref src/neuron_morphology/feature_annotations/morph_metrics_dke.py:183-200",
+)
+def drop_duplicates_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.select("user_id", "event_type")
+        .dropDuplicates()
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n_distinct_users"))
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "count_compare",
+    """
+    WITH a AS (SELECT o_custkey AS id, CAST(COUNT(*) AS BIGINT) AS n
+               FROM orders GROUP BY o_custkey),
+         b AS (SELECT c_custkey AS id, CAST(COUNT(o_orderkey) AS BIGINT) AS n
+               FROM customer JOIN orders ON o_custkey = c_custkey
+               GROUP BY c_custkey)
+    SELECT id, n FROM (SELECT * FROM a EXCEPT ALL SELECT * FROM b)
+    ORDER BY id
+    """,
+    doc="A10 differential count-compare across two formulations (must be "
+    "empty); ref src/schemas/getters.py:226-252 — the reference's own "
+    "cross-engine verification habit, kept as a first-class operator.",
+)
+def count_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    a = orders.groupBy(F.col("o_custkey").alias("id")).agg(F.count("*").alias("n"))
+    b = (
+        cust.join(orders, orders.o_custkey == cust.c_custkey)
+        .groupBy(F.col("c_custkey").alias("id"))
+        .agg(F.count("o_orderkey").alias("n"))
+    )
+    return a.exceptAll(b).orderBy("id")

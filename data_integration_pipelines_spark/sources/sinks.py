@@ -1,0 +1,130 @@
+"""Report sinks (S13-S16, S18): CSV, sparse-boolean TSV, JSON, XLSX.
+
+The reference writes small reports from pandas (ref
+src/trace/validation/validation.py:426-460, src/neuron_morphology/
+validation/quality_metric.py:99-125). Here big outputs use the
+distributed writers; report-sized outputs (sheet-per-bucket XLSX)
+collect to the driver — reports are by construction small, and the
+31-char sheet-name truncation / column autofit match the reference's
+observable behavior.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from collections.abc import Mapping, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def write_csv(df: DataFrame, path: str, single_file: bool = False) -> None:
+    """CSV sink (S13). ``single_file`` coalesces for report-sized data."""
+    out = df.coalesce(1) if single_file else df
+    out.write.mode("overwrite").option("header", "true").csv(path)
+
+
+def sparse_bool(ok: Column, detail: Column) -> Column:
+    """Render expected/OK values as empty cells (S14 TSV convention;
+    ref src/helpers.py:228-229)."""
+    return F.when(ok, F.lit("")).otherwise(detail.cast("string"))
+
+
+def write_tsv(df: DataFrame, path: str, single_file: bool = True) -> None:
+    """TSV sink (S14)."""
+    out = df.coalesce(1) if single_file else df
+    out.write.mode("overwrite").option("header", "true").option("sep", "\t").csv(path)
+
+
+def write_json(df: DataFrame, path: str, single_file: bool = False) -> None:
+    """JSON-lines sink (S16)."""
+    out = df.coalesce(1) if single_file else df
+    out.write.mode("overwrite").json(path)
+
+
+def write_json_report(obj, path: str) -> None:
+    """Driver-side JSON report with numpy-safe encoding
+    (ref src/helpers.py:88-99 NumpyTypeEncoder)."""
+
+    class _Encoder(json.JSONEncoder):
+        def default(self, o):
+            for attr in ("item",):  # numpy scalars expose .item()
+                if hasattr(o, attr):
+                    return o.item()
+            if hasattr(o, "tolist"):
+                return o.tolist()
+            return super().default(o)
+
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    with open(path, "w") as f:
+        json.dump(obj, f, indent=2, cls=_Encoder)
+
+
+def truncate_sheet_name(name: str, limit: int = 31) -> str:
+    """Excel's 31-char sheet-name cap (ref src/trace/validation/
+    validation.py:445-447)."""
+    return name[:limit]
+
+
+def write_xlsx(
+    sheets: Mapping[str, DataFrame],
+    path: str,
+    autofit: bool = True,
+    max_rows_per_sheet: int = 100_000,
+) -> None:
+    """XLSX sink with sheet-per-bucket + column autofit (S15).
+
+    Requires ``openpyxl`` (optional dependency); raises ImportError
+    with guidance when absent. Each sheet's DataFrame is collected —
+    guarded by ``max_rows_per_sheet`` since XLSX is a report format,
+    not a data format.
+    """
+    try:
+        import openpyxl  # noqa: F401
+    except ImportError as e:
+        raise ImportError(
+            "write_xlsx requires openpyxl; install it or use write_csv/write_tsv"
+        ) from e
+    import pandas as pd
+
+    with pd.ExcelWriter(path, engine="openpyxl") as writer:
+        for name, df in sheets.items():
+            n = df.count()
+            if n > max_rows_per_sheet:
+                raise ValueError(
+                    f"sheet {name!r} has {n} rows (> {max_rows_per_sheet}); "
+                    "XLSX is for report-sized outputs"
+                )
+            pdf = df.toPandas()
+            sheet = truncate_sheet_name(name)
+            pdf.to_excel(writer, sheet_name=sheet, index=False)
+            if autofit:
+                ws = writer.sheets[sheet]
+                for idx, col in enumerate(pdf.columns):
+                    width = max(
+                        [len(str(col))] + [len(str(v)) for v in pdf[col].head(1000)]
+                    )
+                    ws.column_dimensions[
+                        ws.cell(row=1, column=idx + 1).column_letter
+                    ].width = min(width + 2, 80)
+
+
+def attach_distribution(
+    resources: DataFrame,
+    files: DataFrame,
+    resource_id: str = "id",
+    file_cols: Sequence[str] = ("name", "encodingFormat", "contentUrl", "contentSize"),
+) -> DataFrame:
+    """Attachment sink semantics (S18): append file rows to a resource's
+    ``distribution`` array (ref src/neuron_morphology/validation/
+    quality_metric_resource.py:73-76)."""
+    new_dist = files.groupBy(F.col(resource_id).alias("__rid")).agg(
+        F.collect_list(F.struct(*[F.col(c) for c in file_cols])).alias("__new")
+    )
+    joined = resources.join(new_dist, resources[resource_id] == F.col("__rid"), "left")
+    merged = F.when(
+        F.col("__new").isNotNull(),
+        F.concat(F.coalesce(F.col("distribution"), F.array()), F.col("__new")),
+    ).otherwise(F.col("distribution"))
+    return joined.withColumn("distribution", merged).drop("__rid", "__new")

@@ -1,0 +1,71 @@
+"""Structured Streaming ingest of the events table (SURVEY §2.10).
+
+The reference is batch-only (paginated scans); this is the
+Spark-native extension: the same declarative aggregation runs bounded
+(batch) or unbounded (stream) — watermarked event-time windows handle
+late data, ``availableNow`` drains a backlog exactly once.
+
+Scale notes: streaming aggregation state is keyed by (window,
+event_type); the watermark bounds state size. At 100 TB/day the same
+plan runs with kafka sources + checkpointing — nothing here is
+fixture-specific except the parquet source.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+EVENTS_SCHEMA = (
+    "event_id bigint, ts bigint, user_id bigint, event_type string, "
+    "value double, props string"
+)
+
+
+def windowed_counts(events: DataFrame, window: str = "1 hour") -> DataFrame:
+    """Event-time windowed aggregation — identical plan for batch and
+    streaming inputs."""
+    return (
+        events.groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def read_events_stream(
+    spark: SparkSession, sf_dir: str, watermark: str = "2 hours"
+) -> DataFrame:
+    """Streaming scan of the events parquet (nanos ts normalized at load,
+    same as the batch catalog)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")  # file source wants a dir
+        .parquet(sf_dir)
+        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    )
+    return raw.withWatermark("ts", watermark)
+
+
+def run_stream_once(spark: SparkSession, sf_dir: str, window: str = "1 hour") -> DataFrame:
+    """Drain the backlog with availableNow into an in-memory table and
+    return the result as a batch DataFrame (used by tests to prove
+    stream/batch equivalence)."""
+    stream = windowed_counts(read_events_stream(spark, sf_dir), window)
+    query = (
+        stream.writeStream.format("memory")
+        .queryName("events_windowed")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return spark.table("events_windowed")

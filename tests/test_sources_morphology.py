@@ -1,0 +1,242 @@
+"""Named-failure SWC fixtures (reference test-strategy SURVEY §5 item 1:
+file names encode the expected failing check), source readers, sinks."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_integration_pipelines_spark.operators.morphology import (
+    morphology_flags,
+    quality_report,
+    tree_metrics,
+)
+from data_integration_pipelines_spark.sources.binary_files import (
+    binary_metadata,
+    extract_sweeps,
+    read_binary_files,
+)
+from data_integration_pipelines_spark.sources.resources import (
+    normalize_resources,
+    read_resources,
+    split_store_metadata,
+)
+from data_integration_pipelines_spark.sources.sinks import sparse_bool, write_tsv
+from data_integration_pipelines_spark.sources.swc import normalize_header, read_swc_points
+
+# --- named-failure SWC fixtures -------------------------------------------
+# n type x y z radius parent ; type: 1=soma 2=axon 3=basal 4=apical
+
+_SOMA = "1 1 0 0 0 5 -1"
+
+SWC_FIXTURES = {
+    "ok_neuron": f"""# ok
+{_SOMA}
+2 2 5 0 0 4.8 1
+3 2 10 0 0 4.5 2
+4 2 15 5 0 4.5 3
+5 2 15 -5 0 4.5 3
+6 3 -5 0 0 4.9 1
+7 3 -10 0 0 4.0 6
+8 4 0 5 0 4.8 1
+9 4 0 10 0 4.0 8
+""",
+    "zero_radius": f"""{_SOMA}
+2 2 5 0 0 0 1
+3 2 10 0 0 4 2
+""",
+    "zero_soma_radius": """1 1 0 0 0 0 -1
+2 2 5 0 0 4.9 1
+""",
+    "z_jump": f"""{_SOMA}
+2 2 5 0 0 4.9 1
+3 2 6 0 50 4.8 2
+""",
+    "root_node_jump": f"""{_SOMA}
+2 2 50 0 0 4.9 1
+3 2 55 0 0 4.8 2
+""",
+    "dangling_axon": f"""{_SOMA}
+2 3 5 0 0 4.9 1
+3 2 100 100 100 4.8 -1
+4 2 105 100 100 4.7 3
+""",
+    "zero_length_segments": f"""{_SOMA}
+2 2 5 0 0 4.9 1
+3 2 5 0 0 4.8 2
+""",
+    "single_axon": f"""{_SOMA}
+2 2 5 0 0 4.9 1
+3 2 10 0 0 4.8 2
+""",
+    "single_basal": f"""{_SOMA}
+2 3 5 0 0 4.9 1
+3 3 10 0 0 4.8 2
+""",
+    "multifurcation": f"""{_SOMA}
+2 2 5 0 0 4.9 1
+3 2 10 0 0 4.8 2
+4 2 15 5 0 4.7 3
+5 2 15 -5 0 4.7 3
+6 2 15 0 5 4.7 3
+""",
+    "fat_end": f"""{_SOMA}
+2 2 5 0 0 2 1
+3 2 10 0 0 2 2
+4 2 15 0 0 9 3
+""",
+    "narrow_start": f"""{_SOMA}
+2 2 5 0 0 0.5 1
+3 2 10 0 0 0.5 2
+""",
+    "hetero_near_soma": f"""{_SOMA}
+2 2 5 0 0 4.9 1
+3 3 10 0 0 4.8 2
+""",
+}
+
+
+@pytest.fixture(scope="module")
+def swc_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("swc")
+    for name, content in SWC_FIXTURES.items():
+        (d / f"{name}.swc").write_text(content)
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def report(spark, swc_dir):
+    points = read_swc_points(spark, swc_dir + "/*.swc")
+    rep = quality_report(points)
+    return {
+        os.path.basename(r.file).removesuffix(".swc"): r.asDict()
+        for r in rep.collect()
+    }
+
+
+class TestSWCBattery:
+    def test_all_fixtures_read(self, report):
+        assert set(report) == set(SWC_FIXTURES)
+
+    def test_ok_neuron_passes_everything(self, report):
+        ok = report["ok_neuron"]
+        assert ok["n_zero_radius"] == 0
+        assert ok["n_zero_soma_radius"] == 0
+        assert ok["n_zero_len_segments"] == 0
+        assert ok["n_z_jumps"] == 0
+        assert ok["n_root_jumps"] == 0
+        assert ok["n_multifurcations"] == 0
+        assert ok["n_fat_ends"] == 0
+        assert ok["n_narrow_starts"] == 0
+        assert ok["n_hetero_near_soma"] == 0
+        assert ok["has_axon"] and ok["has_basal_dendrite"] and ok["has_apical_dendrite"]
+        assert not ok["has_dangling_branch"] and not ok["has_multiple_components"]
+
+    @pytest.mark.parametrize(
+        ("fixture", "column", "predicate"),
+        [
+            ("zero_radius", "n_zero_radius", lambda v: v >= 1),
+            ("zero_soma_radius", "n_zero_soma_radius", lambda v: v >= 1),
+            ("z_jump", "n_z_jumps", lambda v: v >= 1),
+            ("root_node_jump", "n_root_jumps", lambda v: v >= 1),
+            ("dangling_axon", "has_dangling_branch", bool),
+            ("dangling_axon", "has_multiple_components", bool),
+            ("zero_length_segments", "n_zero_len_segments", lambda v: v >= 1),
+            ("single_axon", "has_basal_dendrite", lambda v: not v),
+            ("single_basal", "has_axon", lambda v: not v),
+            ("multifurcation", "n_multifurcations", lambda v: v == 1),
+            ("fat_end", "n_fat_ends", lambda v: v >= 1),
+            ("narrow_start", "n_narrow_starts", lambda v: v >= 1),
+            ("hetero_near_soma", "n_hetero_near_soma", lambda v: v >= 1),
+        ],
+    )
+    def test_named_failure(self, report, fixture, column, predicate):
+        assert predicate(report[fixture][column]), (fixture, column, report[fixture][column])
+
+    def test_tree_metrics_components(self, spark, swc_dir):
+        points = read_swc_points(spark, swc_dir + "/dangling_axon.swc")
+        row = tree_metrics(points).collect()[0]
+        assert row.n_components == 2
+
+    def test_header_synonyms(self):
+        assert normalize_header(["n", "T", "x", "y", "z", "r", "PID"]) == [
+            "n", "type", "x", "y", "z", "radius", "parent",
+        ]
+        with pytest.raises(ValueError, match="unknown SWC column"):
+            normalize_header(["wat"])
+
+
+class TestResources:
+    def test_normalize_scalar_or_array_and_value_unwrap(self, spark, tmp_path):
+        docs = [
+            {"id": "r1", "type": "Trace", "coord": {"@value": 1.5}, "_rev": 2,
+             "_deprecated": False},
+            {"id": "r2", "type": ["Trace", "Dataset"], "coord": 2.5, "_rev": 1,
+             "_deprecated": True},
+            {"id": "r3", "_rev": 1, "_deprecated": False},
+        ]
+        p = tmp_path / "res.jsonl"
+        p.write_text("\n".join(json.dumps(d) for d in docs))
+        df = read_resources(
+            spark, str(p), array_fields=("type",), value_fields={"coord": "double"}
+        )
+        rows = {r.id: r for r in df.collect()}
+        assert rows["r1"].type == ["Trace"]
+        assert sorted(rows["r2"].type) == ["Dataset", "Trace"]
+        assert rows["r3"].type == []
+        assert rows["r1"].coord == 1.5  # {"@value": 1.5} unwrapped
+        assert rows["r2"].coord == 2.5  # bare scalar cast
+        assert rows["r3"].coord is None
+
+    def test_split_store_metadata(self, spark):
+        df = spark.createDataFrame(
+            [("r1", "x", 1, False)], ["id", "name", "_rev", "_deprecated"]
+        )
+        user, meta = split_store_metadata(df)
+        assert set(user.columns) == {"id", "name"}
+        assert set(meta.columns) == {"id", "_rev", "_deprecated"}
+
+    def test_normalize_is_noop_on_regular_columns(self, spark):
+        df = spark.createDataFrame([(1, "a")], ["n", "s"])
+        got = normalize_resources(df).collect()
+        assert got == [(1, "a")] or [(r.n, r.s) for r in got] == [(1, "a")]
+
+
+class TestBinaryAndSinks:
+    def test_binary_metadata_and_fake_sweeps(self, spark, tmp_path):
+        png = b"\x89PNG\r\n\x1a\n" + b"fakepayload"
+        blob = b"justbytes"
+        (tmp_path / "a.png").write_bytes(png)
+        (tmp_path / "b.bin").write_bytes(blob)
+        bdf = read_binary_files(spark, str(tmp_path) + "/*")
+        meta = {os.path.basename(r.path): r for r in binary_metadata(bdf).collect()}
+        assert meta["a.png"].detected_format == "image/png"
+        assert meta["b.bin"].detected_format is None
+        assert meta["b.bin"].content_size == len(blob)
+
+        sweeps = extract_sweeps(bdf, use_fake=True)
+        pdf = sweeps.toPandas()
+        assert set(pdf.columns) == {
+            "file", "stimulus_type", "repetition", "sweep_id",
+            "channel", "rate", "conversion", "t", "value",
+        }
+        assert len(pdf) > 0
+        # deterministic: same bytes -> same sweeps
+        pdf2 = extract_sweeps(bdf, use_fake=True).toPandas()
+        assert pdf.sort_values(list(pdf.columns)).equals(
+            pdf2.sort_values(list(pdf.columns))
+        )
+
+    def test_sparse_bool_tsv(self, spark, tmp_path):
+        df = spark.createDataFrame([(1, True), (2, False)], ["id", "ok"])
+        rendered = df.select(
+            "id", sparse_bool(F.col("ok"), F.lit("FAILED")).alias("cell")
+        )
+        out = str(tmp_path / "report")
+        write_tsv(rendered, out)
+        files = [f for f in os.listdir(out) if f.endswith(".csv")]
+        content = open(os.path.join(out, files[0])).read()
+        assert "FAILED" in content
