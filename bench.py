@@ -30,8 +30,13 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     bench_queries = {n: q for n, q in REGISTRY.items() if q.headline}
-    # warm-up: JVM/codegen/parquet footer caches on a trivial action
-    next(iter(bench_queries.values())).fn(spark, sf_dir).limit(1).collect()
+    # Warm-up: run every headline query once (same SF, so AQE picks the
+    # same physical plans and the codegen cache hits) — excludes JIT /
+    # whole-stage-codegen compilation, a fixed several-second first-run
+    # JVM cost independent of data size, from the timed pass. The timed
+    # numbers then measure steady-state throughput.
+    for q in bench_queries.values():
+        q.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
     for name, q in bench_queries.items():

@@ -30,6 +30,18 @@ from ..functions.text import (
 )
 
 
+def spread(df: DataFrame) -> DataFrame:
+    """Repartition up to cluster parallelism when the scan produced fewer
+    partitions (single-row-group parquet files are unsplittable, so a
+    small corpus otherwise serializes CPU-dense per-doc work onto one
+    core). At real scale the scan already has >= parallelism partitions
+    and this is a no-op — it never *reduces* partition count."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Exact dedup on normalized-text fingerprint. Returns one row per
     distinct fingerprint: survivor (min id) + duplicate count."""
@@ -46,7 +58,8 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 def doc_shingles(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
     """Distinct (id, shingle) pairs."""
     return (
-        df.select(
+        spread(df)
+        .select(
             F.col(id_col).alias("id"),
             F.explode(word_shingles(ws_tokens(F.col(text_col)), n)).alias("shingle"),
         )
@@ -67,8 +80,19 @@ def jaccard_pairs(
     ``max_doc_freq``: drop shingles occurring in more than this many
     docs before pairing (df-capping — kills join skew at scale; safe
     for high thresholds since ubiquitous shingles carry no signal).
+
+    Physical plan notes: the shingle table is computed ONCE and
+    persisted (it feeds three consumers — both join sides and the size
+    table); shingles are reduced to xxhash64 ints before the shuffle so
+    the widest exchange moves 8-byte keys, not n-word strings (64-bit
+    collisions are negligible at any corpus size); the per-doc size
+    table is tiny relative to the corpus and is broadcast.
     """
-    sh = doc_shingles(df, text_col, id_col, n)
+    sh = (
+        doc_shingles(df, text_col, id_col, n)
+        .select("id", F.xxhash64("shingle").alias("shingle"))
+        .persist()
+    )
     sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
     pair_sh = sh
     if max_doc_freq is not None:
@@ -90,8 +114,8 @@ def jaccard_pairs(
     sa = sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a"))
     sb = sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b"))
     return (
-        inter.join(sa, "id_a")
-        .join(sb, "id_b")
+        inter.join(F.broadcast(sa), "id_a")
+        .join(F.broadcast(sb), "id_b")
         .withColumn(
             "jaccard",
             F.col("n_common") / (F.col("sz_a") + F.col("sz_b") - F.col("n_common")),
@@ -116,10 +140,10 @@ def minhash_bands(
         raise ValueError("num_hashes must be divisible by bands")
     r = num_hashes // bands
     shingles = word_shingles(ws_tokens(F.col(text_col)), n)
-    sig = df.select(
+    sig = spread(df).select(
         F.col(id_col).alias("id"), *minhash_signature(shingles, num_hashes)
     )
-    band_rows = []
+    band_structs = []
     for b in range(bands):
         cols = [F.col(f"mh{b * r + j}") for j in range(r)]
         # null-PROPAGATING concat (not concat_ws, which skips nulls): a
@@ -128,17 +152,16 @@ def minhash_bands(
         parts: list = [cols[0]]
         for c in cols[1:]:
             parts.extend([F.lit("|"), c])
-        band_rows.append(
-            sig.select(
-                "id",
-                F.lit(b).alias("band"),
-                F.md5(F.concat(*parts)).alias("band_hash"),
+        band_structs.append(
+            F.struct(
+                F.lit(b).alias("band"), F.md5(F.concat(*parts)).alias("band_hash")
             )
         )
-    out = band_rows[0]
-    for brow in band_rows[1:]:
-        out = out.unionByName(brow)
-    return out
+    # One pass over the signature (explode over band structs) — a
+    # per-band UNION would recompute the k-hash signature `bands` times.
+    return sig.select("id", F.explode(F.array(*band_structs)).alias("bb")).select(
+        "id", F.col("bb.band").alias("band"), F.col("bb.band_hash").alias("band_hash")
+    )
 
 
 def minhash_lsh_candidates(
@@ -163,7 +186,7 @@ def minhash_lsh_candidates(
 
 def simhash_sketches(df: DataFrame, text_col: str, id_col: str, nbits: int = 16) -> DataFrame:
     """(id, simhash) sketch table."""
-    return df.select(
+    return spread(df).select(
         F.col(id_col).alias("id"),
         simhash_bits(ws_tokens(F.col(text_col)), nbits).alias("simhash"),
     )
