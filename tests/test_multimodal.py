@@ -1,0 +1,98 @@
+"""Multimodal binary-column operators: schema/batch-shape contracts,
+determinism of the fake decode kernels, JVM-side metadata parsing."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_integration_pipelines_spark.operators.multimodal import (
+    AUDIO_FEATURES_SCHEMA,
+    FRAME_SCHEMA,
+    IMAGE_FEATURES_SCHEMA,
+    extract_audio_features,
+    extract_image_features,
+    image_header_meta,
+    resize_images,
+    sample_frames,
+    synth_asset,
+)
+
+
+@pytest.fixture(scope="module")
+def assets(spark):
+    rows = [(i, f"document number {i} with some text payload") for i in range(20)]
+    df = spark.createDataFrame(rows, "id bigint, text string")
+    return df.select(
+        "id", synth_asset(F.col("text"), (F.col("id") % 5 + 1).cast("int")).alias("content")
+    )
+
+
+def test_synth_asset_payload_is_md5_hex_bytes(assets):
+    row = assets.filter(F.col("id") == 3).select("content").first()
+    expected_hex = hashlib.md5(b"document number 3 with some text payload").hexdigest() * 4
+    assert bytes(row[0]).hex() == expected_hex
+
+
+def test_image_header_meta_is_jvm_side(assets):
+    meta = image_header_meta(assets)
+    # no Python stages in the plan: metadata parsing must stay JVM-side
+    plan = meta._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan and "ArrowEval" not in plan
+    row = meta.filter(F.col("id") == 0).first()
+    content = bytes(row["content"])
+    assert row["content_size"] == len(content)
+    assert row["content_md5"] == hashlib.md5(content).hexdigest()
+    first_nibble = content.hex()[0]
+    assert row["width"] == 16 * ("0123456789abcdef".index(first_nibble) + 1)
+
+
+def test_image_features_schema_and_determinism(assets):
+    feats = extract_image_features(assets)
+    assert [f.name for f in feats.schema.fields] == [
+        "id", "width", "height", "n_channels", "mean_intensity", "feature_crc"
+    ]
+    a = {r["id"]: r.asDict() for r in feats.collect()}
+    b = {r["id"]: r.asDict() for r in extract_image_features(assets).collect()}
+    assert a == b
+    assert set(a) == set(range(20))
+    r = a[0]
+    assert r["width"] % 16 == 0 and 1 <= r["n_channels"] <= 3
+    assert 0.0 <= r["mean_intensity"] <= 255.0
+
+
+def test_resize_deterministic_and_target_sensitive(assets):
+    t32 = {r["id"]: r["thumb_md5"] for r in resize_images(assets, (32, 32)).collect()}
+    t64 = {r["id"]: r["thumb_md5"] for r in resize_images(assets, (64, 64)).collect()}
+    assert set(t32) == set(range(20))
+    assert all(t32[i] != t64[i] for i in t32)  # digest depends on target box
+
+
+def test_frame_sample_fanout_shape(assets):
+    frames = sample_frames(assets, every_n_bytes=4, max_frames=8)
+    assert [f.name for f in frames.schema.fields] == ["id", "frame_idx", "frame_md5"]
+    pdf = frames.toPandas()
+    # id k has 16*(k%5+1) payload bytes -> min(8, 4*(k%5+1)) frames
+    counts = pdf.groupby("id").size().to_dict()
+    assert counts == {i: min(8, 4 * (i % 5 + 1)) for i in range(20)}
+    per_doc = pdf[pdf["id"] == 2].sort_values("frame_idx")
+    assert list(per_doc["frame_idx"]) == list(range(counts[2]))
+
+
+def test_audio_features_rms_matches_bytes(assets):
+    feats = {r["id"]: r.asDict() for r in extract_audio_features(assets).collect()}
+    content = bytes(assets.filter(F.col("id") == 7).first()["content"])
+    expected = round((sum(b * b for b in content) / len(content)) ** 0.5, 4)
+    assert feats[7]["rms"] == expected
+    assert feats[7]["n_samples"] == len(content)
+    assert feats[7]["sample_rate"] == 16000
+
+
+def test_frame_schema_strings():
+    # schema constants stay parseable DDL (used directly by mapInPandas)
+    from pyspark.sql.types import StructType
+
+    for ddl in (IMAGE_FEATURES_SCHEMA, FRAME_SCHEMA, AUDIO_FEATURES_SCHEMA):
+        assert len(StructType.fromDDL(ddl).fields) >= 3
