@@ -280,3 +280,49 @@ def numeric_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sqrt("p_retailprice"), 4).alias("price_sqrt"),
         (F.col("p_size") % 7).alias("size_mod"),
     ).orderBy("p_partkey")
+
+
+@register(
+    "encode_normalize",
+    r"""
+    SELECT c_custkey,
+           base64(c_name::BLOB) AS name_b64,
+           replace(c_mktsegment, ' ', '+') AS segment_urlenc,
+           CAST(regexp_extract(c_name, '#0*(\d+)$', 1) AS INT) AS name_num,
+           'postnatal' AS age_period,
+           'days' AS age_unit,
+           CAST(regexp_extract('PN' || CAST(c_custkey % 30 AS VARCHAR), 'PN(\d+)', 1) AS INT) AS age_days,
+           CASE c_mktsegment
+                WHEN 'BUILDING' THEN 'seg:0001' WHEN 'AUTOMOBILE' THEN 'seg:0002'
+                WHEN 'MACHINERY' THEN 'seg:0003' WHEN 'HOUSEHOLD' THEN 'seg:0004'
+                ELSE 'seg:other' END AS segment_id
+    FROM customer
+    WHERE c_custkey < 300
+    ORDER BY c_custkey
+    """,
+    doc="F10 base64 + url-encode, F12 label->id dictionary normalization "
+    "and 'PN14'-style code parsing into typed fields (ref "
+    "src/common_metadata.py:98-126, src/helpers.py:263-265). url_encode "
+    "is Spark's builtin; the oracle can spell it as replace() because "
+    "the fixture segment charset is [A-Z ].",
+)
+def encode_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_custkey") < 300)
+    age_code = F.concat(F.lit("PN"), (F.col("c_custkey") % 30).cast("string"))
+    seg_map = (
+        F.when(F.col("c_mktsegment") == "BUILDING", "seg:0001")
+        .when(F.col("c_mktsegment") == "AUTOMOBILE", "seg:0002")
+        .when(F.col("c_mktsegment") == "MACHINERY", "seg:0003")
+        .when(F.col("c_mktsegment") == "HOUSEHOLD", "seg:0004")
+        .otherwise("seg:other")
+    )
+    return cust.select(
+        "c_custkey",
+        F.base64(F.col("c_name").cast("binary")).alias("name_b64"),
+        F.url_encode("c_mktsegment").alias("segment_urlenc"),
+        F.regexp_extract("c_name", r"#0*(\d+)$", 1).cast("int").alias("name_num"),
+        F.lit("postnatal").alias("age_period"),
+        F.lit("days").alias("age_unit"),
+        F.regexp_extract(age_code, r"PN(\d+)", 1).cast("int").alias("age_days"),
+        seg_map.alias("segment_id"),
+    ).orderBy("c_custkey")
