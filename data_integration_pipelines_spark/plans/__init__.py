@@ -12,6 +12,7 @@ from . import queries_vector  # noqa: E402,F401
 from . import queries_morphology  # noqa: E402,F401
 from . import queries_multimodal  # noqa: E402,F401
 from . import queries_joins  # noqa: E402,F401
+from . import queries_voxel  # noqa: E402,F401
 from . import queries_window  # noqa: E402,F401
 
 __all__ = ["REGISTRY", "Query", "register"]
