@@ -234,3 +234,76 @@ def count_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("o_orderkey").alias("n"))
     )
     return a.exceptAll(b).orderBy("id")
+
+
+@register(
+    "session_stats",
+    """
+    WITH seq AS (
+        SELECT user_id, event_id, epoch_us(ts) AS us,
+               lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+        FROM events
+    ), marked AS (
+        SELECT user_id, event_id, us,
+               CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000 THEN 1 ELSE 0 END AS boundary
+        FROM seq
+    ), sess AS (
+        SELECT user_id, us,
+               SUM(boundary) OVER (PARTITION BY user_id ORDER BY us, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM marked
+    ), per_sess AS (
+        SELECT user_id, session_id, COUNT(*) AS n_events, MAX(us) - MIN(us) AS dwell_us
+        FROM sess GROUP BY user_id, session_id
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           CAST(SUM(n_events) AS BIGINT) AS n_events,
+           CAST(MAX(n_events) AS BIGINT) AS max_session_events,
+           CAST(SUM(dwell_us) AS BIGINT) AS total_dwell_us
+    FROM per_sess GROUP BY user_id ORDER BY user_id
+    """,
+    doc="Batch sessionization (30-min gap) via analytic windows: lag -> "
+    "boundary flag -> running-sum session id -> two-level rollup. Exact "
+    "integer microsecond domain. One shuffle on user_id for the whole "
+    "pipeline — the windows and both groupBys reuse the partitioning.",
+)
+def session_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.sessions import session_stats
+
+    return session_stats(_t(spark, sf_dir, "events")).orderBy("user_id")
+
+
+@register(
+    "session_window_counts",
+    """
+    WITH seq AS (
+        SELECT user_id, event_id, epoch_us(ts) AS us,
+               lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+        FROM events
+    ), marked AS (
+        SELECT user_id, event_id, us,
+               CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000 THEN 1 ELSE 0 END AS boundary
+        FROM seq
+    ), sess AS (
+        SELECT user_id, us,
+               SUM(boundary) OVER (PARTITION BY user_id ORDER BY us, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM marked
+    )
+    SELECT user_id,
+           CAST(MIN(us) AS BIGINT) AS session_start_us,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM sess GROUP BY user_id, session_id
+    ORDER BY user_id, session_start_us
+    """,
+    doc="Spark's built-in session_window gap-merge aggregation (the "
+    "streaming-native sessionizer, run in batch mode); oracle rebuilds "
+    "the same sessions analytically.",
+)
+def session_window_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.sessions import session_window_counts
+
+    return session_window_counts(_t(spark, sf_dir, "events")).orderBy(
+        "user_id", "session_start_us"
+    )
