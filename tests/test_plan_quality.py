@@ -1,0 +1,100 @@
+"""Physical-plan quality gates: every registered query must compile to
+a plan that scales — no cartesian/nested-loop joins, no row-at-a-time
+Python in the hot path, pushdown and broadcasts where the plan shape
+calls for them. This is the ".explain and iterate" loop frozen into a
+test."""
+
+from __future__ import annotations
+
+import pytest
+
+from data_integration_pipelines_spark.plans import REGISTRY
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(spark, name: str) -> str:
+    df = REGISTRY[name].fn(spark, SF)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def plans(spark):
+    return {name: _plan(spark, name) for name in REGISTRY}
+
+
+def test_no_cartesian_or_nested_loop_joins(plans):
+    offenders = {
+        n: p
+        for n, p in plans.items()
+        if "CartesianProduct" in p or "BroadcastNestedLoopJoin" in p
+    }
+    assert not offenders, f"non-scalable joins in: {sorted(offenders)}"
+
+
+def test_no_row_at_a_time_python(plans):
+    # Arrow-batched exchange (MapInPandas / FlatMapGroupsInPandas /
+    # ArrowEvalPython for pandas UDFs) is allowed; legacy pickled
+    # row-at-a-time BatchEvalPython is not.
+    offenders = [n for n, p in plans.items() if "BatchEvalPython" in p]
+    assert not offenders, f"row-at-a-time Python UDFs in: {offenders}"
+
+
+def test_python_stages_only_where_declared(plans):
+    # Python may appear ONLY in queries whose operator is genuinely a
+    # per-file/per-batch kernel (morphology tree walk, multimodal
+    # decode, voxel gather).
+    allowed = {
+        "morphology_battery",
+        "morphology_tree_metrics",
+        "image_decode_features",
+        "image_resize",
+        "frame_sample",
+        "audio_features",
+        "voxel_region_lookup",
+        "voxel_region_histogram",
+    }
+    pythonic = {
+        n
+        for n, p in plans.items()
+        if "MapInPandas" in p or "FlatMapGroupsInPandas" in p or "ArrowEval" in p
+    }
+    unexpected = pythonic - allowed
+    assert not unexpected, f"undeclared Python stages in: {sorted(unexpected)}"
+
+
+def test_filter_pushdown_reaches_scan(plans):
+    # queries filtering a fact-table key must show pushed filters at
+    # the parquet scan
+    for name in ("string_predicates", "numeric_functions", "text_quality"):
+        plan = plans[name]
+        assert "PushedFilters: [" in plan, name
+        pushed = plan.split("PushedFilters: [", 1)[1]
+        assert not pushed.startswith("]"), f"{name}: empty PushedFilters"
+
+
+def test_column_pruning_reaches_scan(plans):
+    # pricing_summary needs 7 of lineitem's 16 columns; the scan's
+    # ReadSchema must not include untouched wide columns
+    plan = plans["pricing_summary"]
+    read = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert read and all("l_comment" not in ln for ln in read), read
+
+
+def test_dimension_joins_broadcast(plans):
+    for name in ("join_enrich", "part_of_expansion", "two_hop_follow"):
+        assert "BroadcastHashJoin" in plans[name], f"{name}: no broadcast join"
+
+
+def test_whole_stage_codegen_present(spark):
+    # relational queries must stay inside whole-stage codegen; AQE only
+    # shows codegen spans on the FINAL plan, so execute first
+    for name in ("pricing_summary", "two_hop_follow", "keep_latest", "top_k"):
+        df = REGISTRY[name].fn(spark, SF)
+        df.collect()  # finalize AQE on THIS queryExecution
+        final = df._jdf.queryExecution().executedPlan().toString()
+        # AQE's final-plan tree marks whole-stage-codegen spans "*(n)"
+        assert "WholeStageCodegen" in final or "*(" in final, name
+        # partial (map-side) aggregation must precede the shuffle
+        if name == "pricing_summary":
+            assert "partial_sum" in final
