@@ -191,3 +191,68 @@ def ivf_topk(
             "rank",
         )
     )
+
+
+def hyperplane_signatures(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 8,
+) -> DataFrame:
+    """Random-hyperplane LSH signature per vector: bit j = sign of the
+    dot product with a fixed pseudo-random integer hyperplane
+    w[j][d] = ((31*j + 7*d) % 11) - 5. Deterministic, engine-neutral
+    (integer weights), and entirely JVM-side: one array fold per plane,
+    no shuffle. Vectors with equal signatures are near-dup candidates
+    (SimHash for embeddings)."""
+    def make_weight(j: int):
+        # factory keeps the lambda binary — PySpark dispatches higher-
+        # order-function lambdas on arity, so default-arg closures break
+        def w(x, i):
+            return x.cast("double") * (((F.lit(j) * 31 + i * 7) % 11) - 5).cast(
+                "double"
+            )
+
+        return w
+
+    bits = []
+    for j in range(n_planes):
+        weighted = F.transform(F.col(vec_col), make_weight(j))
+        dot_j = F.aggregate(weighted, F.lit(0.0), lambda acc, v: acc + v)
+        bits.append(F.when(dot_j > 0, "1").otherwise("0"))
+    return df.select(F.col(id_col).alias("id"), F.concat(*bits).alias("signature"))
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 8,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: LSH-signature bucketing
+    (candidate generation — only same-bucket vectors pair, never the
+    full N^2) followed by an exact cosine verify on the candidates.
+    Returns (id_a, id_b, cosine) with cosine rounded to 4 decimals and
+    >= threshold. At scale the verify joins fetch only candidate
+    vectors; bucket sizes are ~N/2^n_planes."""
+    sig = hyperplane_signatures(df, id_col, vec_col, n_planes)
+    a = sig.select(F.col("id").alias("id_a"), "signature")
+    b = sig.select(F.col("id").alias("id_b"), "signature")
+    cand = a.join(b, "signature").filter(F.col("id_a") < F.col("id_b"))
+    vecs = df.select(
+        F.col(id_col).alias("vid"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+    )
+    va = vecs.select(F.col("vid").alias("id_a"), F.col("v").alias("va"))
+    vb = vecs.select(F.col("vid").alias("id_b"), F.col("v").alias("vb"))
+    dot = F.aggregate(
+        F.zip_with("va", "vb", lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .withColumn("cosine", F.round(dot, 4))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )

@@ -110,3 +110,43 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     pivots = emb.filter(F.col("vec_id") < 8)
     queries = emb.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 105))
     return ivf_topk(emb, queries, pivots, k=5).orderBy("query_id", "rank")
+
+
+@register(
+    "embedding_near_dup",
+    f"""
+    WITH {_LONG_CTE},
+    sig AS (
+        SELECT vec_id,
+               string_agg(CASE WHEN dotj > 0 THEN '1' ELSE '0' END, '' ORDER BY j) AS signature
+        FROM (
+            SELECT vec_id, j, SUM(val * (((j*31 + (pos-1)*7) % 11) - 5)) AS dotj
+            FROM long, UNNEST(range(8)) AS t(j)
+            GROUP BY vec_id, j
+        ) GROUP BY vec_id
+    ),
+    cand AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM sig a JOIN sig b ON a.signature = b.signature AND a.vec_id < b.vec_id
+    ),
+    dots AS (
+        SELECT id_a, id_b, ROUND(SUM(qa.val * qb.val), 4) AS cosine
+        FROM cand
+        JOIN long qa ON qa.vec_id = id_a
+        JOIN long qb ON qb.vec_id = id_b AND qb.pos = qa.pos
+        GROUP BY id_a, id_b
+    )
+    SELECT id_a, id_b, cosine FROM dots
+    WHERE cosine >= 0.35
+    ORDER BY id_a, id_b
+    """,
+    doc="Embedding-cosine near-duplicate pairs: random-hyperplane LSH "
+    "signatures (integer hyperplanes, JVM-side array folds) bucket the "
+    "corpus; exact cosine verifies only same-bucket candidates — never "
+    "the full N^2. The near-dup leg of the dedup suite over vectors.",
+)
+def embedding_near_dup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import embedding_near_dup_pairs
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return embedding_near_dup_pairs(emb, threshold=0.35).orderBy("id_a", "id_b")
