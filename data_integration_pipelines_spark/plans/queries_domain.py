@@ -240,3 +240,75 @@ def upsert_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     classified = merge_classify(existing, computed, key_cols=["key"], compare_cols=["val"])
     return classified.groupBy("action").agg(F.count("*").alias("n")).orderBy("action")
+
+
+@register(
+    "completeness_check",
+    """
+    WITH lines AS (
+        SELECT l_orderkey, COUNT(*) AS n_lines
+        FROM lineitem GROUP BY l_orderkey
+    ), checked AS (
+        SELECT o.o_orderkey,
+               (c.c_custkey IS NOT NULL) AS has_customer,
+               (COALESCE(l.n_lines, 0) > 0) AS has_lines,
+               (o.o_orderstatus IN ('O','F','P')) AS valid_status,
+               (o.o_totalprice > 0) AS valid_price
+        FROM orders o
+        LEFT JOIN customer c ON c.c_custkey = o.o_custkey
+        LEFT JOIN lines l ON l.l_orderkey = o.o_orderkey
+    )
+    SELECT has_customer AND has_lines AND valid_status AND valid_price AS complete,
+           CAST(COUNT(*) AS BIGINT) AS n_resources,
+           CAST(COUNT(*) FILTER (WHERE NOT has_customer) AS BIGINT) AS missing_customer,
+           CAST(COUNT(*) FILTER (WHERE NOT has_lines) AS BIGINT) AS missing_lines,
+           CAST(COUNT(*) FILTER (WHERE NOT valid_status) AS BIGINT) AS bad_status,
+           CAST(COUNT(*) FILTER (WHERE NOT valid_price) AS BIGINT) AS bad_price
+    FROM checked
+    GROUP BY 1 ORDER BY complete
+    """,
+    doc="Declarative per-type completeness rule set — the SHACL-observable "
+    "subset (required links present, members non-empty, enum membership, "
+    "value range) as Column predicates, rolled up into per-rule failure "
+    "counts (ref MINDS completeness src/trace/validation/validation.py:90-91, "
+    "create_update_curation_annotation.py:32-40; output shape of "
+    "src/schemas/schema_validation.py:30-49).",
+)
+def completeness_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey", F.lit(True).alias("_cust_ok")
+    )
+    lines = (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.count("*").alias("n_lines"))
+    )
+    checked = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey, "left")
+        .join(lines, orders.o_orderkey == lines.l_orderkey, "left")
+        .select(
+            F.coalesce(F.col("_cust_ok"), F.lit(False)).alias("has_customer"),
+            (F.coalesce(F.col("n_lines"), F.lit(0)) > 0).alias("has_lines"),
+            F.col("o_orderstatus").isin("O", "F", "P").alias("valid_status"),
+            (F.col("o_totalprice") > 0).alias("valid_price"),
+        )
+    )
+    return (
+        checked.groupBy(
+            (
+                F.col("has_customer")
+                & F.col("has_lines")
+                & F.col("valid_status")
+                & F.col("valid_price")
+            ).alias("complete")
+        )
+        .agg(
+            F.count("*").alias("n_resources"),
+            F.count(F.when(~F.col("has_customer"), 1)).alias("missing_customer"),
+            F.count(F.when(~F.col("has_lines"), 1)).alias("missing_lines"),
+            F.count(F.when(~F.col("valid_status"), 1)).alias("bad_status"),
+            F.count(F.when(~F.col("valid_price"), 1)).alias("bad_price"),
+        )
+        .orderBy("complete")
+    )

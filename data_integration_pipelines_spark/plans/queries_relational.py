@@ -493,3 +493,72 @@ def union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = orders.filter(F.col("o_orderstatus") == "P").select(F.col("o_custkey").alias("id"))
     b = cust.filter(F.col("c_acctbal") < 0).select(F.col("c_custkey").alias("id"))
     return a.union(b).distinct().orderBy("id")
+
+
+@register(
+    "census_rollup",
+    """
+    SELECT r_name, n_name,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           ROUND(SUM(c_acctbal), 2) AS total_acctbal
+    FROM customer
+    JOIN nation ON n_nationkey = c_nationkey
+    JOIN region ON r_regionkey = n_regionkey
+    GROUP BY ROLLUP(r_name, n_name)
+    ORDER BY r_name NULLS FIRST, n_name NULLS FIRST
+    """,
+    doc="Native ROLLUP (region -> nation -> grand total) replacing the "
+    "reference's hand-rolled two-level bucket->global census rollup "
+    "(A3, ref src/schemas/getters.py:143-167). Subtotals come from ONE "
+    "pass + partial aggregation instead of two client-side loops; both "
+    "dimension joins broadcast.",
+)
+def census_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    return (
+        cust.join(F.broadcast(nation), nation.n_nationkey == cust.c_nationkey)
+        .join(F.broadcast(region), region.r_regionkey == nation.n_regionkey)
+        .rollup("r_name", "n_name")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_acctbal"),
+        )
+        .orderBy(F.col("r_name").asc_nulls_first(), F.col("n_name").asc_nulls_first())
+    )
+
+
+@register(
+    "approx_distinct_check",
+    """
+    SELECT o_orderpriority,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS exact_custs,
+           TRUE AS approx_within_5pct
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    doc="Scale-path sketch aggregate: approx_count_distinct (HLL++) next "
+    "to the exact count, asserting <=5% relative error. At 100 TB the "
+    "sketch replaces the exact distinct's full shuffle of the key "
+    "column with fixed-size mergeable state (SURVEY §2.4 note).",
+)
+def approx_distinct_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderpriority")
+        .agg(
+            F.countDistinct("o_custkey").alias("exact_custs"),
+            F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx"),
+        )
+        .select(
+            "o_orderpriority",
+            "exact_custs",
+            (
+                F.abs(F.col("approx") - F.col("exact_custs"))
+                <= 0.05 * F.col("exact_custs")
+            ).alias("approx_within_5pct"),
+        )
+        .orderBy("o_orderpriority")
+    )
