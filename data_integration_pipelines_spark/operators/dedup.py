@@ -172,8 +172,13 @@ def minhash_lsh_candidates(
     num_hashes: int = 12,
     bands: int = 4,
 ) -> DataFrame:
-    """Distinct candidate near-dup pairs (id_a < id_b) from LSH banding."""
-    bands_df = minhash_bands(df, text_col, id_col, n, num_hashes, bands)
+    """Distinct candidate near-dup pairs (id_a < id_b) from LSH banding.
+
+    The band table feeds both sides of the bucket self-join, so it is
+    persisted — otherwise the md5-heavy signature subtree executes
+    twice (at corpus scale this table IS the dedup index and would be
+    written to storage once and joined many times)."""
+    bands_df = minhash_bands(df, text_col, id_col, n, num_hashes, bands).persist()
     a = bands_df.select(F.col("id").alias("id_a"), "band", "band_hash")
     b = bands_df.select(F.col("id").alias("id_b"), "band", "band_hash")
     return (
@@ -195,8 +200,9 @@ def simhash_sketches(df: DataFrame, text_col: str, id_col: str, nbits: int = 16)
 def simhash_bucket_pairs(
     df: DataFrame, text_col: str, id_col: str, nbits: int = 16
 ) -> DataFrame:
-    """Candidate pairs sharing an identical simhash sketch."""
-    sk = simhash_sketches(df, text_col, id_col, nbits)
+    """Candidate pairs sharing an identical simhash sketch. The sketch
+    table feeds both join sides -> persisted (see minhash note)."""
+    sk = simhash_sketches(df, text_col, id_col, nbits).persist()
     a = sk.select(F.col("id").alias("id_a"), "simhash")
     b = sk.select(F.col("id").alias("id_b"), "simhash")
     return (

@@ -86,6 +86,7 @@ def part_of_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY c_mktsegment
     ORDER BY c_mktsegment
     """,
+    headline=True,
     doc="J10 two-hop follow join: resource -> workflow -> workflow parts "
     "(ref src/e_model/expected_fields.py:95-165) as customer -> orders -> "
     "lineitem with per-hop predicates pushed below each join.",

@@ -255,6 +255,7 @@ def _minhash_oracle(num_hashes: int = 12, bands: int = 4) -> str:
 @register(
     "minhash_lsh_pairs",
     _minhash_oracle(12, 4),
+    headline=True,
     doc="MinHash(12)+LSH(4 bands x 3 rows) candidate near-dup pairs: "
     "shingle -> per-hash-seed md5 min -> band hash -> bucket self-join. "
     "Never compares all N^2 docs — only bucket collisions join, which is "

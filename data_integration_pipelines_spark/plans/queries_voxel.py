@@ -80,6 +80,7 @@ def voxel_region_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT region_id, CAST(COUNT(*) AS BIGINT) AS n_points
     FROM pts GROUP BY region_id ORDER BY region_id
     """,
+    headline=True,
     doc="A4 per-region point histogram over the voxel lookup: the "
     "morphology-points-per-brain-region rollup of "
     "ref morph_metrics_dke.py:84-105,165-271.",

@@ -263,6 +263,7 @@ def count_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(SUM(dwell_us) AS BIGINT) AS total_dwell_us
     FROM per_sess GROUP BY user_id ORDER BY user_id
     """,
+    headline=True,
     doc="Batch sessionization (30-min gap) via analytic windows: lag -> "
     "boundary flag -> running-sum session id -> two-level rollup. Exact "
     "integer microsecond domain. One shuffle on user_id for the whole "
