@@ -34,7 +34,11 @@ def sparse_bool(ok: Column, detail: Column) -> Column:
 def write_tsv(df: DataFrame, path: str, single_file: bool = True) -> None:
     """TSV sink (S14)."""
     out = df.coalesce(1) if single_file else df
-    out.write.mode("overwrite").option("header", "true").option("sep", "\t").csv(path)
+    # emptyValue: sparse booleans must render as truly EMPTY cells (the
+    # reference's TSV convention), not quoted ""
+    out.write.mode("overwrite").option("header", "true").option("sep", "\t").option(
+        "emptyValue", ""
+    ).csv(path)
 
 
 def write_json(df: DataFrame, path: str, single_file: bool = False) -> None:
@@ -49,11 +53,12 @@ def write_json_report(obj, path: str) -> None:
 
     class _Encoder(json.JSONEncoder):
         def default(self, o):
-            for attr in ("item",):  # numpy scalars expose .item()
-                if hasattr(o, attr):
-                    return o.item()
-            if hasattr(o, "tolist"):
+            # arrays first — numpy arrays also expose .item(), which
+            # raises for size != 1
+            if getattr(o, "ndim", 0) > 0 and hasattr(o, "tolist"):
                 return o.tolist()
+            if hasattr(o, "item"):  # numpy scalars
+                return o.item()
             return super().default(o)
 
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)

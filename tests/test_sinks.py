@@ -1,0 +1,106 @@
+"""Report sinks: CSV/TSV/JSON writers, XLSX gating, attachment sink."""
+
+from __future__ import annotations
+
+import glob
+import json
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from data_integration_pipelines_spark.sources.sinks import (
+    attach_distribution,
+    sparse_bool,
+    truncate_sheet_name,
+    write_csv,
+    write_json,
+    write_json_report,
+    write_tsv,
+    write_xlsx,
+)
+
+
+@pytest.fixture()
+def small_df(spark):
+    return spark.createDataFrame(
+        [(1, "a", True), (2, "b", False)], "id int, name string, ok boolean"
+    )
+
+
+def _read_single(path: str, pattern: str) -> list[str]:
+    files = glob.glob(f"{path}/{pattern}")
+    assert len(files) == 1, files
+    return open(files[0]).read().splitlines()
+
+
+def test_write_csv_single_file(small_df, tmp_path):
+    out = str(tmp_path / "csv")
+    write_csv(small_df, out, single_file=True)
+    lines = _read_single(out, "part-*.csv")
+    assert lines[0] == "id,name,ok"
+    assert sorted(lines[1:]) == ["1,a,true", "2,b,false"]
+
+
+def test_write_tsv_sparse_bool(small_df, tmp_path):
+    out = str(tmp_path / "tsv")
+    df = small_df.select(
+        "id", sparse_bool(F.col("ok"), F.col("name")).alias("check")
+    )
+    write_tsv(df, out)
+    lines = _read_single(out, "part-*.csv")
+    assert lines[0] == "id\tcheck"
+    # expected/ok rows render as EMPTY cells, failures carry the detail
+    assert sorted(lines[1:]) == ["1\t", "2\tb"]
+
+
+def test_write_json_lines(small_df, tmp_path):
+    out = str(tmp_path / "json")
+    write_json(small_df, out, single_file=True)
+    rows = [json.loads(ln) for ln in _read_single(out, "part-*.json")]
+    assert {r["id"]: r["name"] for r in rows} == {1: "a", 2: "b"}
+
+
+def test_write_json_report_numpy_safe(tmp_path):
+    path = str(tmp_path / "rep" / "report.json")
+    write_json_report(
+        {"n": np.int64(3), "vals": np.array([1.5, 2.5]), "name": "x"}, path
+    )
+    obj = json.load(open(path))
+    assert obj == {"n": 3, "vals": [1.5, 2.5], "name": "x"}
+
+
+def test_truncate_sheet_name():
+    assert truncate_sheet_name("x" * 40) == "x" * 31
+    assert truncate_sheet_name("short") == "short"
+
+
+def test_write_xlsx_gated(small_df, tmp_path):
+    try:
+        import openpyxl  # noqa: F401
+
+        pytest.skip("openpyxl installed; gating path not reachable")
+    except ImportError:
+        pass
+    with pytest.raises(ImportError, match="write_csv"):
+        write_xlsx({"sheet": small_df}, str(tmp_path / "r.xlsx"))
+
+
+def test_attach_distribution(spark):
+    resources = spark.createDataFrame(
+        [
+            ("r1", [{"name": "old.swc", "encodingFormat": "swc",
+                     "contentUrl": "u0", "contentSize": 1}]),
+            ("r2", None),
+        ],
+        "id string, distribution array<struct<name:string,encodingFormat:string,contentUrl:string,contentSize:int>>",
+    )
+    files = spark.createDataFrame(
+        [("r1", "new.h5", "h5", "u1", 10), ("r2", "a.swc", "swc", "u2", 5)],
+        "id string, name string, encodingFormat string, contentUrl string, contentSize int",
+    )
+    out = {
+        r["id"]: [d["name"] for d in (r["distribution"] or [])]
+        for r in attach_distribution(resources, files).collect()
+    }
+    assert out == {"r1": ["old.swc", "new.h5"], "r2": ["a.swc"]}
