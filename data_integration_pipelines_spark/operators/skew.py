@@ -1,0 +1,88 @@
+"""Skew-mitigation operators: two-phase salted aggregation and salted
+broadcast-side explosion for skewed joins.
+
+AQE's skew-join splitting handles most shuffle skew at runtime
+(enabled in session.py); these operators are for the cases AQE cannot
+fix: a groupBy where one key holds a large share of all rows (the
+partial aggregate helps but the final reduce of that key still lands
+on one task when per-key state is large, e.g. collect_list/distinct),
+and map-side-exploded broadcast joins against a hot key.
+
+The salted aggregate is algebraic re-association: any aggregate with
+a merge function (count/sum/min/max, approx sketches) can aggregate
+(key, salt) first — spreading the hot key over S tasks — then merge
+the S partials per key.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# (partial_expr, merge_fn) per supported aggregate
+_MERGEABLE = {
+    "count": (lambda c: F.count(c), F.sum),
+    "sum": (lambda c: F.sum(c), F.sum),
+    "min": (lambda c: F.min(c), F.min),
+    "max": (lambda c: F.max(c), F.max),
+}
+
+
+def salted_agg(
+    df: DataFrame,
+    key_cols: list[str],
+    aggs: Mapping[str, tuple[str, str]],
+    n_salts: int = 16,
+    salt_source: Column | None = None,
+) -> DataFrame:
+    """Two-phase aggregation over (key, salt) then key.
+
+    ``aggs`` maps output column -> (agg_name, input_col) with agg_name
+    in {count, sum, min, max}. ``salt_source`` defaults to a
+    deterministic per-row hash (never rand(): resumable/retryable
+    tasks must salt identically on re-execution)."""
+    for out, (name, _col) in aggs.items():
+        if name not in _MERGEABLE:
+            raise ValueError(f"{out}: {name!r} is not a mergeable aggregate")
+    salt = (
+        F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(n_salts))
+        if salt_source is None
+        else salt_source
+    )
+    partial = (
+        df.withColumn("__salt", salt)
+        .groupBy(*key_cols, "__salt")
+        .agg(
+            *[
+                _MERGEABLE[name][0](col).alias(out)
+                for out, (name, col) in aggs.items()
+            ]
+        )
+    )
+    return partial.groupBy(*key_cols).agg(
+        *[
+            _MERGEABLE[name][1](out).alias(out)
+            for out, (name, _col) in aggs.items()
+        ]
+    )
+
+
+def salted_broadcast_join(
+    big: DataFrame,
+    small: DataFrame,
+    key: str,
+    n_salts: int = 16,
+) -> DataFrame:
+    """Hot-key broadcast join: the small side is exploded n_salts times
+    with a salt column; the big side salts deterministically, so each
+    hot-key row matches exactly one replica and the hot key's rows
+    spread over n_salts tasks."""
+    replicas = small.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    )
+    salted_big = big.withColumn(
+        "__salt", F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(n_salts))
+    )
+    return salted_big.join(F.broadcast(replicas), [key, "__salt"]).drop("__salt")

@@ -562,3 +562,39 @@ def approx_distinct_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+@register(
+    "salted_aggregation",
+    """
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           ROUND(SUM(l_quantity), 2) AS total_qty
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    doc="Two-phase salted aggregation for skewed/low-cardinality keys: "
+    "aggregate (key, salt) to spread each hot key over n_salts tasks, "
+    "then merge the partials per key (operators/skew.py). Algebraic "
+    "re-association — results identical to the direct groupBy, which "
+    "is what the oracle checks.",
+)
+def salted_aggregation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.skew import salted_agg
+
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        salted_agg(
+            li,
+            ["l_returnflag"],
+            {"n_rows": ("count", "*"), "total_qty_raw": ("sum", "l_quantity")},
+            n_salts=16,
+        )
+        .select(
+            "l_returnflag",
+            "n_rows",
+            F.round("total_qty_raw", 2).alias("total_qty"),
+        )
+        .orderBy("l_returnflag")
+    )
