@@ -1,0 +1,139 @@
+"""EP1/EP2/EP3 pipeline compositions on small nested fixtures."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import Row
+
+from data_integration_pipelines_spark.operators.voxel import make_affine
+from data_integration_pipelines_spark.pipelines import (
+    bucket_error_report,
+    morphology_quality,
+    schema_audit,
+    trace_audit,
+)
+
+
+def _dist(name, url="u"):
+    return Row(name=name, encodingFormat="x", contentUrl=url)
+
+
+@pytest.fixture(scope="module")
+def traces(spark):
+    rows = [
+        Row(
+            id="t1", bucket="org/a", _deprecated=False,
+            description="ok",
+            annotation=[Row(hasBody=Row(label="Curated"))],
+            subject=Row(species="Mouse"),
+            distribution=[_dist("t1.nwb")],
+        ),
+        Row(
+            id="t2", bucket="org/a", _deprecated=False,
+            description=None,
+            annotation=[Row(hasBody=Row(label="Unassessed"))],
+            subject=None,
+            distribution=[_dist("t2.abf", url=None)],
+        ),
+        Row(
+            id="t3", bucket="org/b", _deprecated=False,
+            description="fine",
+            annotation=[Row(hasBody=Row(label="Curated"))],
+            subject=Row(species="Rat"),
+            distribution=None,
+        ),
+        Row(
+            id="t4", bucket="org/b", _deprecated=True,  # dropped
+            description="x",
+            annotation=[Row(hasBody=Row(label="Curated"))],
+            subject=Row(species="Rat"),
+            distribution=[_dist("t4.nwb")],
+        ),
+    ]
+    return spark.createDataFrame(rows)
+
+
+class TestTraceAudit:
+    def test_all_resources(self, traces):
+        out = {r["id"]: r.asDict() for r in trace_audit(traces).collect()}
+        assert set(out) == {"t1", "t2", "t3"}  # deprecated dropped
+        assert out["t1"]["passed"] and out["t1"]["errors"] == []
+        assert set(out["t2"]["errors"]) == {
+            "has_description", "has_subject", "has_nwb", "urls_ok"
+        }
+        assert set(out["t3"]["errors"]) == {"has_distribution", "has_nwb"}
+
+    def test_curated_switch(self, traces):
+        assert {r["id"] for r in trace_audit(traces, curated=True).collect()} == {"t1", "t3"}
+        assert {r["id"] for r in trace_audit(traces, curated=False).collect()} == {"t2"}
+
+    def test_bucket_error_report(self, traces):
+        rep = {
+            r["bucket"]: (r["n_errors"], r["distinct_errors"])
+            for r in bucket_error_report(trace_audit(traces)).collect()
+        }
+        assert rep["org/a"] == (4, ["has_description", "has_nwb", "has_subject", "urls_ok"])
+        assert rep["org/b"] == (2, ["has_distribution", "has_nwb"])
+
+
+class TestMorphologyQuality:
+    @pytest.fixture(scope="class")
+    def points(self, spark):
+        # one tiny 2-point neuron at origin; soma root + one axon point
+        rows = [
+            Row(file="m1.swc", n=1, type=1, x=1.0, y=1.0, z=1.0, radius=2.0, parent=-1),
+            Row(file="m1.swc", n=2, type=2, x=3.0, y=1.0, z=1.0, radius=0.5, parent=1),
+        ]
+        return spark.createDataFrame(rows)
+
+    def test_report_with_region(self, points):
+        vol = np.arange(4 * 4 * 4, dtype=np.int32).reshape(4, 4, 4)
+        report, plan = morphology_quality(
+            points, volume=vol, affine=make_affine((2, 2, 2), (0, 0, 0))
+        )
+        assert plan is None
+        row = report.collect()[0]
+        assert row["n_points"] == 2
+        assert row["soma_region_id"] == vol[0, 0, 0]
+
+    def test_merge_plan(self, spark, points):
+        existing = spark.createDataFrame(
+            [
+                Row(target_id="m1.swc", n_points=1, total_length=9.9, _createdAt=1),
+                Row(target_id="gone.swc", n_points=5, total_length=1.0, _createdAt=2),
+            ]
+        )
+        _report, plan = morphology_quality(points, existing_annotations=existing)
+        acts = {r["target_id"]: r["action"] for r in plan.collect()}
+        assert acts["m1.swc"] == "update"  # metrics changed
+        assert acts["gone.swc"] == "deprecate"  # no longer computed
+
+
+class TestSchemaAudit:
+    def test_census(self, spark):
+        resources = spark.createDataFrame(
+            [
+                Row(id="r1", bucket="org/a", type="Trace", _deprecated=False,
+                    _constrainedBy="schema:trace"),
+                Row(id="r2", bucket="org/a", type="Trace", _deprecated=True,
+                    _constrainedBy="schema:trace"),
+                Row(id="r3", bucket="org/a", type="Trace", _deprecated=False,
+                    _constrainedBy="unconstrained"),
+                Row(id="r4", bucket="org/a", type="Trace", _deprecated=False,
+                    _constrainedBy="schema:WRONG"),
+                Row(id="r5", bucket="org/b", type="Morph", _deprecated=False,
+                    _constrainedBy=None),
+            ]
+        )
+        schema_map = spark.createDataFrame(
+            [Row(type="Trace", schema="schema:trace")]
+        )
+        out = {
+            (r["bucket"], r["type"]): r.asDict()
+            for r in schema_audit(resources, schema_map).collect()
+        }
+        a = out[("org/a", "Trace")]
+        assert (a["n_resources"], a["n_deprecated"], a["n_unconstrained"], a["n_wrong_schema"]) == (4, 1, 1, 1)
+        b = out[("org/b", "Morph")]
+        assert (b["n_resources"], b["n_unconstrained"], b["n_wrong_schema"]) == (1, 1, 0)
