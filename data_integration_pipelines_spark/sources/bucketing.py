@@ -39,3 +39,17 @@ def write_bucketed(
 
 def read_table(spark: SparkSession, table: str) -> DataFrame:
     return spark.table(table)
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_cols: list[str],
+) -> None:
+    """Hive-style partitioned parquet layout. Filters on the partition
+    columns prune directories at planning time (PartitionFilters in the
+    scan) — the engine never opens non-matching files. This is the
+    at-rest twin of the reference's bucket = org/project partitioning
+    (SURVEY §1.1): one directory tree per bucket/type, scans touch only
+    the buckets they query."""
+    df.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)

@@ -45,3 +45,23 @@ def test_cobucketed_join_has_no_shuffle(spark, bucketed):
 def test_bucketed_counts_match_source(spark, sf_small, bucketed):
     li = load_table(spark, sf_small, "lineitem")
     assert read_table(spark, "lineitem_b").count() == li.count()
+
+
+def test_partition_pruning(spark, sf_small, tmp_path):
+    from data_integration_pipelines_spark.sources.bucketing import (
+        write_partitioned,
+    )
+
+    orders = load_table(spark, sf_small, "orders")
+    out = str(tmp_path / "orders_part")
+    write_partitioned(orders, out, ["o_orderstatus"])
+
+    pruned = spark.read.parquet(out).filter(F.col("o_orderstatus") == "F")
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    # the partition predicate must be IN the partition filters (pruned at
+    # planning time), not a post-scan data filter
+    pf = plan.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
+    assert "o_orderstatus" in pf, plan
+    expected = orders.filter(F.col("o_orderstatus") == "F").count()
+    assert pruned.count() == expected

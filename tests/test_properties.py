@@ -1,0 +1,103 @@
+"""Property-based tests (hypothesis): Spark operators vs pure-Python
+reference implementations on randomized inputs. Derandomized so runs
+are reproducible."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from hypothesis import given, settings, strategies as st
+
+# --- sessionize -----------------------------------------------------------
+
+GAP_US = 30 * 60 * 1_000_000
+BASE = dt.datetime(2024, 1, 1)
+
+
+def _py_sessions(events: list[tuple[int, int]]) -> dict[int, int]:
+    """events = [(user_id, offset_us)]; returns user -> n_sessions."""
+    by_user: dict[int, list[int]] = {}
+    for u, t in events:
+        by_user.setdefault(u, []).append(t)
+    out = {}
+    for u, ts in by_user.items():
+        ts.sort()
+        n = 1
+        for a, b in zip(ts, ts[1:]):
+            if b - a > GAP_US:
+                n += 1
+        out[u] = n
+    return out
+
+
+event_lists = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=4),  # user_id
+        st.integers(min_value=0, max_value=6 * 3600 * 1_000_000),  # offset_us
+    ),
+    min_size=1,
+    max_size=60,
+)
+
+
+@settings(max_examples=25, deadline=None, derandomize=True)
+@given(event_lists)
+def test_sessionize_matches_python(spark, events):
+    expected = _py_sessions(events)
+    rows = [
+        (i, int(u), BASE + dt.timedelta(microseconds=t))
+        for i, (u, t) in enumerate(events)
+    ]
+    df = spark.createDataFrame(rows, "event_id long, user_id long, ts timestamp")
+    from data_integration_pipelines_spark.streaming.sessions import session_stats
+
+    got = {
+        r["user_id"]: r["n_sessions"] for r in session_stats(df).collect()
+    }
+    assert got == expected
+
+
+# --- transitive closure ---------------------------------------------------
+
+
+def _py_closure(edges: list[tuple[int, int]]) -> set[tuple[int, int]]:
+    """edges = [(child, parent)] forming a forest; returns
+    (ancestor, descendant) pairs (excluding self)."""
+    parent = dict(edges)
+    out = set()
+    for child in parent:
+        anc = parent.get(child)
+        while anc is not None:
+            out.add((anc, child))
+            anc = parent.get(anc)
+    return out
+
+
+@st.composite
+def forests(draw):
+    """Random forest as child->parent edges: node i's parent is drawn
+    from nodes < i (acyclic by construction) or None (root)."""
+    n = draw(st.integers(min_value=2, max_value=20))
+    edges = []
+    for child in range(1, n):
+        parent = draw(st.one_of(st.none(), st.integers(0, child - 1)))
+        if parent is not None:
+            edges.append((child, parent))
+    return edges
+
+
+@settings(max_examples=25, deadline=None, derandomize=True)
+@given(forests())
+def test_transitive_closure_matches_python(spark, edges):
+    from data_integration_pipelines_spark.operators.closure import (
+        transitive_closure,
+    )
+
+    expected = _py_closure(edges)
+    if not edges:
+        return
+    df = spark.createDataFrame(edges, "child int, parent int")
+    got = {
+        (r["ancestor"], r["node"]) for r in transitive_closure(df).collect()
+    }
+    assert got == expected
