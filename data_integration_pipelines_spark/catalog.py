@@ -41,6 +41,11 @@ BROADCAST_DIMS = frozenset({"region", "nation", "supplier", "part", "customer"})
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; one of {TABLES}")
+    # Timestamp semantics must not depend on who built the session: pin
+    # UTC here (runtime-settable) so date_format/window results are
+    # stable and match the oracle's naive timestamps even when the
+    # engine runs in an externally-created session with a local TZ.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
         # events.ts is parquet TIMESTAMP(NANOS): unreadable unless nanos
         # are surfaced as longs. Runtime-settable, so enforce it here so
