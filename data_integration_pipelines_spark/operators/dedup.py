@@ -81,19 +81,25 @@ def jaccard_pairs(
     docs before pairing (df-capping — kills join skew at scale; safe
     for high thresholds since ubiquitous shingles carry no signal).
 
-    Physical plan notes: the shingle table is computed ONCE and
-    persisted (it feeds three consumers — both join sides and the size
-    table); shingles are reduced to xxhash64 ints before the shuffle so
-    the widest exchange moves 8-byte keys, not n-word strings (64-bit
-    collisions are negligible at any corpus size); the per-doc size
-    table is tiny relative to the corpus and is broadcast.
+    Physical plan notes: shingles are hashed to xxhash64 ints and
+    deduped per-doc with ``array_distinct`` BEFORE the explode — per-doc
+    distinctness needs no shuffle (the naive ``explode().distinct()``
+    pays a full exchange of n-word strings), and the per-doc size table
+    is then just ``size(array)``: zero aggregation. 64-bit collisions
+    are negligible at any corpus size. The compact per-doc array table
+    is persisted once; the size table and both join sides derive from
+    it with narrow ops only (size / explode).
     """
-    sh = (
-        doc_shingles(df, text_col, id_col, n)
-        .select("id", F.xxhash64("shingle").alias("shingle"))
-        .persist()
+    hashed = F.array_distinct(
+        F.transform(
+            word_shingles(ws_tokens(F.col(text_col)), n), lambda s: F.xxhash64(s)
+        )
     )
-    sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
+    base = spread(df).select(
+        F.col(id_col).alias("id"), hashed.alias("shingles")
+    ).persist()
+    sh = base.select("id", F.explode("shingles").alias("shingle"))
+    sizes = base.select("id", F.size("shingles").alias("sz"))
     pair_sh = sh
     if max_doc_freq is not None:
         rare = (

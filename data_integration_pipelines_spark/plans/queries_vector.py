@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
-from ..operators.similarity import brute_force_topk, ivf_topk
+from ..operators.similarity import ivf_topk, topk_pandas
 from .base import register
 
 _LONG_CTE = """
@@ -47,16 +47,18 @@ _LONG_CTE = """
     FROM ranked WHERE rank <= 10
     ORDER BY query_id, rank
     """,
-    doc="Brute-force cosine top-10 per query vector (exact ANN baseline). "
-    "Relational formulation: posexplode -> position join -> partial-agg sum; "
-    "the vectorized 100TB path (numpy matmul per Arrow batch via mapInPandas) "
-    "is operators/similarity.topk_pandas, pytest-verified equivalent.",
+    doc="Brute-force cosine top-10 per query vector (exact ANN baseline), "
+    "executed on the vectorized 100TB path: numpy matmul per Arrow batch via "
+    "mapInPandas (no shuffle until the k*Q-row partial top-k reduce). The "
+    "declarative posexplode formulation (operators/similarity."
+    "brute_force_topk) is the pytest-verified equivalent and mirrors the "
+    "oracle SQL; the oracle hash-match covers both.",
     headline=True,
 )
 def ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
-    return brute_force_topk(emb, queries, k=10).orderBy("query_id", "rank")
+    return topk_pandas(emb, queries, k=10).orderBy("query_id", "rank")
 
 
 @register(
