@@ -146,6 +146,50 @@ def read_resources(
     return normalize_resources(spark.read.json(path), array_fields, value_fields)
 
 
+def flatten_dotted(df: DataFrame, sep: str = ".") -> DataFrame:
+    """Flatten nested structs to dotted leaf columns — the reference's
+    ``forge.as_dataframe`` (ref src/neuron_morphology/validation/
+    check_links.py:26-28). Arrays are kept as array cells (as_dataframe
+    keeps lists); only struct nesting is flattened. Pure projection:
+    column pruning still reaches the scan for any subset of leaves."""
+
+    def leaves(col: Column, dtype: DataType, name: str):
+        if isinstance(dtype, StructType):
+            for f in dtype.fields:
+                yield from leaves(col.getField(f.name), f.dataType, name + sep + f.name)
+        else:
+            yield col.alias(name)
+
+    out: list[Column] = []
+    for f in df.schema.fields:
+        out.extend(leaves(F.col(f"`{f.name}`"), f.dataType, f.name))
+    return df.select(*out)
+
+
+def unflatten_dotted(df: DataFrame, sep: str = ".") -> DataFrame:
+    """Rebuild nested structs from dotted column names — the reference's
+    ``forge.from_dataframe(df, nesting=".")`` (ref src/neuron_morphology/
+    morphology_registration.py:370). A struct whose leaves are all NULL
+    in a row becomes NULL (round-trips flatten_dotted on sparse data)."""
+    tree: dict = {}
+    for name in df.columns:
+        node = tree
+        parts = name.split(sep)
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = name
+
+    def build(node: dict | str) -> Column:
+        if isinstance(node, str):
+            return F.col(f"`{node}`")
+        children = [build(v).alias(k) for k, v in node.items()]
+        struct = F.struct(*children)
+        any_set = F.greatest(*[c.isNotNull() for c in children]) if len(children) > 1 else children[0].isNotNull()
+        return F.when(any_set, struct)
+
+    return df.select(*[build(v).alias(k) for k, v in tree.items()])
+
+
 def split_store_metadata(df: DataFrame) -> tuple[DataFrame, DataFrame]:
     """(user_data, store_metadata) views; both keep ``id`` for joins."""
     meta_cols = [c for c in df.columns if c in STORE_METADATA_KEYS]

@@ -204,6 +204,41 @@ class TestResources:
         got = normalize_resources(df).collect()
         assert got == [(1, "a")] or [(r.n, r.s) for r in got] == [(1, "a")]
 
+    def test_flatten_unflatten_dotted_roundtrip(self, spark):
+        from data_integration_pipelines_spark.sources.resources import (
+            flatten_dotted,
+            unflatten_dotted,
+        )
+
+        df = spark.createDataFrame(
+            [
+                ("r1", {"brainRegion": {"id": "mba/8", "label": "roots"},
+                        "layer": "L5"}, ["a", "b"]),
+                ("r2", None, []),
+            ],
+            "id string, "
+            "brainLocation struct<brainRegion:struct<id:string,label:string>,"
+            "layer:string>, tags array<string>",
+        )
+        flat = flatten_dotted(df)
+        assert flat.columns == [
+            "id",
+            "brainLocation.brainRegion.id",
+            "brainLocation.brainRegion.label",
+            "brainLocation.layer",
+            "tags",
+        ]
+        rows = {r["id"]: r for r in flat.collect()}
+        assert rows["r1"]["brainLocation.brainRegion.label"] == "roots"
+        assert rows["r2"]["brainLocation.layer"] is None
+
+        back = unflatten_dotted(flat)
+        assert back.schema == df.schema
+        orig = {r.id: r for r in df.collect()}
+        got = {r.id: r for r in back.collect()}
+        assert got["r1"] == orig["r1"]
+        assert got["r2"].brainLocation is None  # all-null struct -> NULL
+
 
 class TestBinaryAndSinks:
     def test_binary_metadata_and_fake_sweeps(self, spark, tmp_path):
