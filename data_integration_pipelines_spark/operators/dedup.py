@@ -4,10 +4,13 @@ exact, n-gram-Jaccard, MinHash+LSH, SimHash.
 Scale design (100 TB of documents):
 - **exact**: one shuffle on a 32-hex fingerprint — uniformly
   distributed keys, no skew; map-side partial aggregation applies.
-- **jaccard_pairs**: the shingle join is the classic skew trap — a
-  stop-shingle appearing in 1M docs creates a 10^12-row join island.
-  ``max_doc_freq`` drops high-document-frequency shingles before
-  pairing (standard df-capping); AQE skew-join splits what remains.
+- **jaccard_pairs**: exact scores with LOSSLESS prefix filtering —
+  only each doc's first ~(1-t)|X|+1 globally-ordered shingles enter
+  the self-join, verification is array_intersect on compact arrays.
+  The shingle join is still the classic skew trap — a stop-shingle
+  appearing in 1M docs creates a 10^12-row join island — so
+  ``max_doc_freq`` additionally drops high-document-frequency shingles
+  from the prefixes (df-capping); AQE skew-join splits what remains.
 - **minhash_lsh**: pair generation never compares all N^2 docs — only
   docs sharing a band bucket join, and bucket sizes are bounded by the
   band width. This is THE scale path; jaccard_pairs is the verifier
@@ -76,58 +79,84 @@ def jaccard_pairs(
     max_doc_freq: int | None = None,
 ) -> DataFrame:
     """All pairs (id_a < id_b) with n-gram Jaccard >= threshold.
+    Jaccard scores are always EXACT (full shingle sets); the knobs below
+    only prune candidate generation.
 
-    ``max_doc_freq``: drop shingles occurring in more than this many
-    docs before pairing (df-capping — kills join skew at scale; safe
-    for high thresholds since ubiquitous shingles carry no signal).
+    Physical plan — lossless prefix filtering (Bayardo et al., "Scaling
+    Up All Pairs Similarity Search", WWW'07):
 
-    Physical plan notes: shingles are hashed to xxhash64 ints and
-    deduped per-doc with ``array_distinct`` BEFORE the explode — per-doc
-    distinctness needs no shuffle (the naive ``explode().distinct()``
-    pays a full exchange of n-word strings), and the per-doc size table
-    is then just ``size(array)``: zero aggregation. 64-bit collisions
-    are negligible at any corpus size. The compact per-doc array table
-    is persisted once; the size table and both join sides derive from
-    it with narrow ops only (size / explode).
+    1. Per-doc shingle sets as sorted arrays of xxhash64 ints —
+       ``array_distinct``/``array_sort`` are narrow ops, so "distinct"
+       and "size" cost no exchange (the naive ``explode().distinct()``
+       pays a full shuffle of n-word strings). 64-bit collisions are
+       negligible at any corpus size.
+    2. Candidate pairs must share a shingle in their PREFIXES: with the
+       global (integer) order, if J(A,B) >= t then the smallest common
+       shingle has rank <= |X| - ceil(t|X|) + 1 in BOTH sets, so only
+       the first ~(1-t)|X|+1 shingles of each doc enter the self-join.
+       At t=0.8 that is ~1/5 of the rows and ~1/25 of the join output
+       of the full all-pairs shingle join.
+    3. Verify INLINE: the compact shingle arrays ride through the
+       prefix join (the "kernel" layout of Vernica et al., "Efficient
+       Parallel Set-Similarity Joins Using MapReduce", SIGMOD'10), so
+       ``size(array_intersect(..))`` scores each candidate right after
+       the join — no giant per-pair count aggregation, no size table,
+       no candidate-distinct shuffle, no re-fetch joins; only the tiny
+       above-threshold result is deduped. The shuffled bytes are
+       ~prefix_len copies of each doc's array — the trade accepted for
+       collapsing three exchanges into one.
+
+    ``max_doc_freq``: additionally drop shingles occurring in more than
+    this many docs from the candidate prefixes (df-capping — kills the
+    stop-shingle join islands at corpus scale; scores stay exact, only
+    pairs whose every shared prefix shingle is ubiquitous can be
+    missed). The compact array table is persisted once; both prefix
+    sides derive from it with narrow ops.
     """
-    hashed = F.array_distinct(
-        F.transform(
-            word_shingles(ws_tokens(F.col(text_col)), n), lambda s: F.xxhash64(s)
+    hashed = F.array_sort(
+        F.array_distinct(
+            F.transform(
+                word_shingles(ws_tokens(F.col(text_col)), n), lambda s: F.xxhash64(s)
+            )
         )
     )
     base = spread(df).select(
         F.col(id_col).alias("id"), hashed.alias("shingles")
     ).persist()
-    sh = base.select("id", F.explode("shingles").alias("shingle"))
-    sizes = base.select("id", F.size("shingles").alias("sz"))
-    pair_sh = sh
+    # lossless prefix length |X| - ceil(t*|X|) + 1; the 1e-9 nudge keeps
+    # binary-float t from rounding ceil UP past the exact rational value
+    # (a too-short prefix would drop true pairs)
+    sz = F.size("shingles")
+    plen = (sz - F.ceil(sz * threshold - 1e-9) + 1).cast("int")
+    pref = base.select(
+        "id", "shingles", F.explode(F.slice("shingles", F.lit(1), plen)).alias("shingle")
+    )
     if max_doc_freq is not None:
         rare = (
-            sh.groupBy("shingle")
+            base.select(F.explode("shingles").alias("shingle"))
+            .groupBy("shingle")
             .agg(F.count("*").alias("df"))
             .filter(F.col("df") <= max_doc_freq)
             .select("shingle")
         )
-        pair_sh = sh.join(rare, "shingle")
-    a = pair_sh.select(F.col("id").alias("id_a"), "shingle")
-    b = pair_sh.select(F.col("id").alias("id_b"), "shingle")
-    inter = (
-        a.join(b, ["shingle"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count("*").alias("n_common"))
+        pref = pref.join(rare, "shingle")
+    a = pref.select(
+        F.col("id").alias("id_a"), F.col("shingles").alias("sh_a"), "shingle"
     )
-    sa = sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a"))
-    sb = sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b"))
+    b = pref.select(
+        F.col("id").alias("id_b"), F.col("shingles").alias("sh_b"), "shingle"
+    )
+    n_common = F.size(F.array_intersect("sh_a", "sh_b"))
     return (
-        inter.join(F.broadcast(sa), "id_a")
-        .join(F.broadcast(sb), "id_b")
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
         .withColumn(
             "jaccard",
-            F.col("n_common") / (F.col("sz_a") + F.col("sz_b") - F.col("n_common")),
+            n_common / (F.size("sh_a") + F.size("sh_b") - n_common),
         )
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
+        .distinct()
     )
 
 
