@@ -245,3 +245,64 @@ def simhash_bucket_pairs(
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", "simhash")
     )
+
+
+def simhash_blocks(nbits: int, n_blocks: int) -> list[tuple[int, int]]:
+    """(start, length) of ``n_blocks`` as-even-as-possible contiguous
+    bit blocks over an nbits sketch (1-based starts for substring)."""
+    if not 1 <= n_blocks <= nbits:
+        raise ValueError("need 1 <= n_blocks <= nbits")
+    base, rem = divmod(nbits, n_blocks)
+    bounds, start = [], 1
+    for b in range(n_blocks):
+        length = base + (1 if b < rem else 0)
+        bounds.append((start, length))
+        start += length
+    return bounds
+
+
+def simhash_hamming_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    nbits: int = 16,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs whose SimHash sketches are within ``max_hamming``
+    bits (Manku, Jain & Das Sarma, "Detecting Near-Duplicates for Web
+    Crawling", WWW'07). Exact-bucket pairing misses sketches that
+    differ by a bit; the pigeonhole block trick recovers them without
+    N^2: split the sketch into max_hamming+1 contiguous blocks — two
+    sketches within the distance must agree EXACTLY on >= 1 block — so
+    candidates come from n_blocks bounded bucket self-joins, then exact
+    Hamming (bit_count of the XOR of the sketches as ints, JVM-side)
+    verifies. Candidate volume ~ (max_hamming+1) x the exact-bucket
+    join; still never the full cross product."""
+    n_blocks = max_hamming + 1
+    sk = simhash_sketches(df, text_col, id_col, nbits).persist()
+    probe_structs = [
+        F.struct(
+            F.lit(b).alias("block"), F.substring("simhash", start, length).alias("bits")
+        )
+        for b, (start, length) in enumerate(simhash_blocks(nbits, n_blocks))
+    ]
+    probes = sk.select(
+        "id", "simhash", F.explode(F.array(*probe_structs)).alias("p")
+    ).select("id", "simhash", F.col("p.block").alias("block"), F.col("p.bits").alias("bits"))
+    a = probes.select(
+        F.col("id").alias("id_a"), F.col("simhash").alias("sk_a"), "block", "bits"
+    )
+    b = probes.select(
+        F.col("id").alias("id_b"), F.col("simhash").alias("sk_b"), "block", "bits"
+    )
+    hamming = F.bit_count(
+        F.conv("sk_a", 2, 10).cast("long").bitwiseXOR(F.conv("sk_b", 2, 10).cast("long"))
+    ).cast("int")
+    return (
+        a.join(b, ["block", "bits"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+        .distinct()
+    )

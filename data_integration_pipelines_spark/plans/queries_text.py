@@ -28,6 +28,7 @@ from ..operators.dedup import (
     jaccard_pairs,
     minhash_lsh_candidates,
     simhash_bucket_pairs,
+    simhash_hamming_pairs,
 )
 from .base import register
 
@@ -302,3 +303,64 @@ def _simhash_oracle(nbits: int = 16) -> str:
 def simhash_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     return simhash_bucket_pairs(docs, "text", "doc_id", nbits=16).orderBy("id_a", "id_b")
+
+
+def _simhash_hamming_oracle(nbits: int = 16, max_hamming: int = 3) -> str:
+    from ..operators.dedup import simhash_blocks
+
+    high = "('8','9','a','b','c','d','e','f')"
+    sums = ",\n               ".join(
+        f"SUM(CASE WHEN substr(md5(tok), {i + 1}, 1) IN {high} THEN 1 ELSE -1 END) AS v{i}"
+        for i in range(nbits)
+    )
+    bits = " || ".join(f"CASE WHEN v{i} > 0 THEN '1' ELSE '0' END" for i in range(nbits))
+    probe_selects = "\n        UNION ALL\n".join(
+        f"        SELECT doc_id, simhash, {b} AS block,"
+        f" substr(simhash, {start}, {length}) AS bits FROM sk"
+        for b, (start, length) in enumerate(simhash_blocks(nbits, max_hamming + 1))
+    )
+    return f"""
+    WITH toks AS (
+        SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+        FROM documents
+    ),
+    votes AS (
+        SELECT doc_id,
+               {sums}
+        FROM toks GROUP BY doc_id
+    ),
+    sk AS (SELECT doc_id, {bits} AS simhash FROM votes),
+    probes AS (
+{probe_selects}
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+               a.simhash AS sk_a, b.simhash AS sk_b
+        FROM probes a JOIN probes b
+          ON a.block = b.block AND a.bits = b.bits AND a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b,
+           CAST(len([i FOR i IN range(1, {nbits + 1})
+                     IF substr(sk_a, CAST(i AS INT), 1) <> substr(sk_b, CAST(i AS INT), 1)])
+                AS INT) AS hamming
+    FROM cand
+    WHERE len([i FOR i IN range(1, {nbits + 1})
+               IF substr(sk_a, CAST(i AS INT), 1) <> substr(sk_b, CAST(i AS INT), 1)])
+          <= {max_hamming}
+    ORDER BY id_a, id_b
+    """
+
+
+@register(
+    "simhash_hamming_pairs",
+    _simhash_hamming_oracle(32, 3),
+    doc="Hamming-tolerant SimHash near-dup pairs (Manku et al. WWW'07): "
+    "32-bit sketches within Hamming distance 3 must agree exactly on one of "
+    "4 contiguous bit blocks (pigeonhole), so candidates come from 4 bounded "
+    "bucket self-joins; exact Hamming = bit_count(xor) verifies JVM-side.",
+)
+def simhash_hamming_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    return simhash_hamming_pairs(
+        docs, "text", "doc_id", nbits=32, max_hamming=3
+    ).orderBy("id_a", "id_b")

@@ -11,6 +11,9 @@ from data_integration_pipelines_spark.operators.dedup import (
     exact_dedup,
     jaccard_pairs,
     minhash_lsh_candidates,
+    simhash_blocks,
+    simhash_bucket_pairs,
+    simhash_hamming_pairs,
 )
 from data_integration_pipelines_spark.operators.similarity import (
     brute_force_topk,
@@ -61,6 +64,48 @@ class TestDedup:
         )
         capped_pairs = {(r.id_a, r.id_b) for r in capped.collect()}
         assert uncapped <= capped_pairs
+
+    def test_simhash_blocks_partition_the_sketch(self):
+        assert simhash_blocks(16, 4) == [(1, 4), (5, 4), (9, 4), (13, 4)]
+        assert simhash_blocks(32, 3) == [(1, 11), (12, 11), (23, 10)]
+        with pytest.raises(ValueError):
+            simhash_blocks(8, 9)
+
+    def test_hamming_pairs_superset_of_exact_buckets(self, docs):
+        exact = {
+            (r.id_a, r.id_b)
+            for r in simhash_bucket_pairs(docs, "text", "doc_id", nbits=32).collect()
+        }
+        tolerant = {
+            (r.id_a, r.id_b): r.hamming
+            for r in simhash_hamming_pairs(
+                docs, "text", "doc_id", nbits=32, max_hamming=3
+            ).collect()
+        }
+        # identical sketches are Hamming 0 -> always recovered
+        assert exact <= set(tolerant)
+        assert all(h == 0 for p, h in tolerant.items() if p in exact)
+        assert all(0 <= h <= 3 for h in tolerant.values())
+
+    def test_hamming_pairs_find_planted_one_bit_neighbor(self, spark):
+        # two docs differing in ONE word have sketches a few bits apart:
+        # missed by exact buckets, found by the pigeonhole block join
+        a = "the quick brown fox jumps over the lazy dog near the old river bank today"
+        b = a.replace("today", "tonight")
+        df = spark.createDataFrame([(1, a), (2, b), (3, "완전히 다른 내용의 문서")], ["doc_id", "text"])
+        tolerant = {
+            (r.id_a, r.id_b)
+            for r in simhash_hamming_pairs(
+                df, "text", "doc_id", nbits=32, max_hamming=3
+            ).collect()
+        }
+        exact = {
+            (r.id_a, r.id_b)
+            for r in simhash_bucket_pairs(df, "text", "doc_id", nbits=32).collect()
+        }
+        assert (1, 2) in tolerant
+        assert (1, 3) not in tolerant and (2, 3) not in tolerant
+        assert (1, 2) not in exact  # the pair exact bucketing misses
 
 
 class TestSimilarity:
