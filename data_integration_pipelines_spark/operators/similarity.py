@@ -223,6 +223,69 @@ def hyperplane_signatures(
     return df.select(F.col(id_col).alias("id"), F.concat(*bits).alias("signature"))
 
 
+def embedding_near_dup_multiprobe(
+    df: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 8,
+    max_hamming: int = 1,
+) -> DataFrame:
+    """Like ``embedding_near_dup_pairs`` but tolerant of signature
+    near-misses: hyperplane LSH drops a true near-dup whenever ONE
+    hyperplane splits the pair, so candidates here are pairs whose
+    signatures are within ``max_hamming`` bits (pigeonhole block join —
+    see dedup.simhash_hamming_pairs / Manku et al. WWW'07), then exact
+    cosine verifies. Recall rises from p^k to ~p^k + k(1-p)p^(k-1) per
+    pair at the cost of (max_hamming+1) bounded bucket joins."""
+    from .dedup import simhash_blocks
+
+    sig = hyperplane_signatures(df, id_col, vec_col, n_planes).persist()
+    probe_structs = [
+        F.struct(
+            F.lit(b).alias("block"),
+            F.substring("signature", start, length).alias("bits"),
+        )
+        for b, (start, length) in enumerate(
+            simhash_blocks(n_planes, max_hamming + 1)
+        )
+    ]
+    probes = sig.select(
+        "id", "signature", F.explode(F.array(*probe_structs)).alias("p")
+    ).select("id", "signature", F.col("p.block").alias("block"), F.col("p.bits").alias("bits"))
+    a = probes.select(
+        F.col("id").alias("id_a"), F.col("signature").alias("sig_a"), "block", "bits"
+    )
+    b = probes.select(
+        F.col("id").alias("id_b"), F.col("signature").alias("sig_b"), "block", "bits"
+    )
+    hamming = F.bit_count(
+        F.conv("sig_a", 2, 10).cast("long").bitwiseXOR(F.conv("sig_b", 2, 10).cast("long"))
+    )
+    cand = (
+        a.join(b, ["block", "bits"])
+        .filter((F.col("id_a") < F.col("id_b")) & (hamming <= max_hamming))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    vecs = df.select(
+        F.col(id_col).alias("vid"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+    )
+    va = vecs.select(F.col("vid").alias("id_a"), F.col("v").alias("va"))
+    vb = vecs.select(F.col("vid").alias("id_b"), F.col("v").alias("vb"))
+    dot = F.aggregate(
+        F.zip_with("va", "vb", lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .withColumn("cosine", F.round(dot, 4))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     threshold: float,

@@ -152,3 +152,67 @@ def embedding_near_dup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return embedding_near_dup_pairs(emb, threshold=0.35).orderBy("id_a", "id_b")
+
+
+def _multiprobe_oracle(n_planes: int = 8, max_hamming: int = 1) -> str:
+    from ..operators.dedup import simhash_blocks
+
+    probe_selects = "\n        UNION ALL\n".join(
+        f"        SELECT vec_id, signature, {b} AS block,"
+        f" substr(signature, {start}, {length}) AS bits FROM sig"
+        for b, (start, length) in enumerate(
+            simhash_blocks(n_planes, max_hamming + 1)
+        )
+    )
+    ham = (
+        f"len([i FOR i IN range(1, {n_planes + 1}) "
+        "IF substr(sig_a, CAST(i AS INT), 1) <> substr(sig_b, CAST(i AS INT), 1)])"
+    )
+    return f"""
+    WITH {_LONG_CTE},
+    sig AS (
+        SELECT vec_id,
+               string_agg(CASE WHEN dotj > 0 THEN '1' ELSE '0' END, '' ORDER BY j) AS signature
+        FROM (
+            SELECT vec_id, j, SUM(val * (((j*31 + (pos-1)*7) % 11) - 5)) AS dotj
+            FROM long, UNNEST(range({n_planes})) AS t(j)
+            GROUP BY vec_id, j
+        ) GROUP BY vec_id
+    ),
+    probes AS (
+{probe_selects}
+    ),
+    cand AS (
+        SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM probes a JOIN probes b
+          ON a.block = b.block AND a.bits = b.bits AND a.vec_id < b.vec_id
+        WHERE {ham.replace("sig_a", "a.signature").replace("sig_b", "b.signature")} <= {max_hamming}
+    ),
+    dots AS (
+        SELECT id_a, id_b, ROUND(SUM(qa.val * qb.val), 4) AS cosine
+        FROM cand
+        JOIN long qa ON qa.vec_id = id_a
+        JOIN long qb ON qb.vec_id = id_b AND qb.pos = qa.pos
+        GROUP BY id_a, id_b
+    )
+    SELECT id_a, id_b, cosine FROM dots
+    WHERE cosine >= 0.35
+    ORDER BY id_a, id_b
+    """
+
+
+@register(
+    "embedding_near_dup_multiprobe",
+    _multiprobe_oracle(8, 1),
+    doc="Hamming-tolerant embedding near-dup: hyperplane-LSH signatures "
+    "within 1 bit pair via pigeonhole block joins (a single splitting "
+    "hyperplane no longer hides a true near-dup), exact cosine verifies. "
+    "Superset of embedding_near_dup's exact-signature candidates.",
+)
+def embedding_near_dup_multiprobe_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import embedding_near_dup_multiprobe
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return embedding_near_dup_multiprobe(
+        emb, threshold=0.35, n_planes=8, max_hamming=1
+    ).orderBy("id_a", "id_b")

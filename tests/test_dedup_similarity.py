@@ -125,3 +125,25 @@ class TestSimilarity:
         got = brute_force_topk(emb, queries, k=5).collect()
         assert all(r.neighbor_id != 0 for r in got)
         assert [r.rank for r in got] == [1, 2, 3, 4, 5]
+
+    def test_multiprobe_supersets_exact_signature_pairs(self, spark, sf_small):
+        from data_integration_pipelines_spark.operators.similarity import (
+            embedding_near_dup_multiprobe,
+            embedding_near_dup_pairs,
+        )
+
+        emb = load_table(spark, sf_small, "embeddings")
+        exact = {
+            (r.id_a, r.id_b): r.cosine
+            for r in embedding_near_dup_pairs(emb, threshold=0.35).collect()
+        }
+        probed = {
+            (r.id_a, r.id_b): r.cosine
+            for r in embedding_near_dup_multiprobe(
+                emb, threshold=0.35, max_hamming=1
+            ).collect()
+        }
+        # Hamming 0 (identical signatures) is within Hamming <= 1, and the
+        # cosine verify is shared -> strict superset with equal scores
+        assert set(exact) <= set(probed)
+        assert all(probed[p] == c for p, c in exact.items())
