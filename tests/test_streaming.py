@@ -87,3 +87,19 @@ def test_apply_in_pandas_with_state_running_totals(spark, sf_small, tmp_path):
         u: (n, t) for u, (n, t) in final.items()
     }
     assert totals_match == expected
+
+
+def test_streaming_dedup_drops_redelivered_events(spark, sf_small, tmp_path):
+    from data_integration_pipelines_spark.streaming.dedup import run_dedup_once
+
+    events = load_table(spark, sf_small, "events")
+    staging = str(tmp_path / "staged")
+    # simulate at-least-once delivery: the full feed plus a re-delivered
+    # sample land as separate files in the staged directory
+    events.write.mode("overwrite").parquet(staging)
+    events.orderBy("event_id").limit(500).write.mode("append").parquet(staging)
+
+    deduped = run_dedup_once(spark, staging)
+    got_ids = [r.event_id for r in deduped.collect()]
+    expected_n = events.select("event_id").distinct().count()
+    assert len(got_ids) == len(set(got_ids)) == expected_n
