@@ -306,3 +306,87 @@ def simhash_hamming_pairs(
         .select("id_a", "id_b", "hamming")
         .distinct()
     )
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Connected components over near-duplicate candidate pairs ->
+    ``(id, cluster_id)`` with ``cluster_id`` = the component's minimum
+    member id. The canonical "resolve dup pairs into clusters, keep one
+    doc per cluster" step that follows any candidate generator (exact
+    fingerprint, MinHash/LSH, SimHash, Jaccard).
+
+    Algorithm: alternating large-star / small-star (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", SoCC'14) — converges
+    in O(log^2 n) rounds on any graph, each round two shuffles
+    (a groupBy-min and a join), no driver-side graph state. This is the
+    scale path: naive min-label propagation needs diameter rounds, and
+    duplicate chains in web corpora can be long.
+
+    - large-star: every node links its larger neighbors to its minimum
+      neighbor (or itself if smaller).
+    - small-star: every node links its smaller-or-equal neighbors and
+      itself to their minimum.
+
+    Each round materializes via ``localCheckpoint`` to truncate lineage
+    (iterative self-joins otherwise stack an unbounded plan).
+    Convergence = edge set unchanged (count + xxhash64 bit_xor checksum,
+    one cheap action per round). Nodes with no edges are absent from the
+    output — union singletons back at the call site if needed.
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+
+    def _signature(e: DataFrame) -> tuple[int, int]:
+        row = e.agg(
+            F.count("*").alias("n"),
+            F.coalesce(F.bit_xor(F.xxhash64("u", "v")), F.lit(0)).alias("h"),
+        ).collect()[0]
+        return row["n"], row["h"]
+
+    def _large_star(e: DataFrame) -> DataFrame:
+        sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        mins = sym.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
+        return (
+            sym.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .distinct()
+        )
+
+    def _small_star(e: DataFrame) -> DataFrame:
+        oriented = e.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        ).distinct()
+        mins = oriented.groupBy("u").agg(F.min("v").alias("m"))
+        relink = (
+            oriented.join(mins, "u")
+            .filter(F.col("v") != F.col("m"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        )
+        own = mins.select("u", F.col("m").alias("v"))
+        return relink.union(own).distinct()
+
+    sig = _signature(edges)
+    for _ in range(max_iter):
+        edges = _small_star(_large_star(edges)).localCheckpoint()
+        new_sig = _signature(edges)
+        if new_sig == sig:
+            break
+        sig = new_sig
+
+    # converged: every edge is (member, root); roots name themselves
+    members = edges.select(F.col("u").alias("id"), F.col("v").alias("cluster_id"))
+    roots = (
+        edges.select(F.col("v").alias("id")).distinct()
+        .select("id", F.col("id").alias("cluster_id"))
+    )
+    return members.union(roots).distinct()

@@ -8,6 +8,7 @@ from . import queries_relational  # noqa: E402,F401
 from . import queries_scalar  # noqa: E402,F401
 from . import queries_domain  # noqa: E402,F401
 from . import queries_text  # noqa: E402,F401
+from . import queries_curation  # noqa: E402,F401
 from . import queries_vector  # noqa: E402,F401
 from . import queries_morphology  # noqa: E402,F401
 from . import queries_multimodal  # noqa: E402,F401

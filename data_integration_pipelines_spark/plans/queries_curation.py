@@ -1,0 +1,233 @@
+"""Corpus-curation pipeline queries over ``documents``: duplicate-
+cluster resolution (connected components), train/eval decontamination,
+deterministic hash sampling with per-source mixing rates, and
+stratified quality sampling.
+
+These are the steps that turn near-dup PAIRS (queries_text.py) into an
+actual curated corpus: pairs -> clusters -> keep one per cluster;
+eval-overlap removal; reproducible sampling. The md5 hash domain is
+shared with DuckDB so every query is oracle-checked end-to-end.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..functions.text import bpe_token_count, word_shingles, ws_tokens
+from ..operators.dedup import connected_components, jaccard_pairs
+from .base import register
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+_CLUSTER_EDGE_ORACLE = """
+        sh AS (
+            SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+            FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents),
+                 LATERAL (SELECT unnest(range(1, len(t) - 1)) AS i)
+        ),
+        inter AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+            FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        ),
+        sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+        pairs AS (
+            SELECT id_a, id_b
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = id_a
+            JOIN sizes sb ON sb.doc_id = id_b
+            WHERE n_common / (sa.sz + sb.sz - n_common) >= 0.5
+        )
+"""
+
+
+@register(
+    "dup_clusters",
+    f"""
+    WITH RECURSIVE
+    {_CLUSTER_EDGE_ORACLE.strip()},
+    edges AS (
+        SELECT id_a AS u, id_b AS v FROM pairs
+        UNION
+        SELECT id_b, id_a FROM pairs
+    ),
+    reach(src, node) AS (
+        SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+        UNION
+        SELECT r.src, e.v FROM reach r JOIN edges e ON e.u = r.node
+    ),
+    labels AS (SELECT src AS doc_id, MIN(node) AS cluster_id FROM reach GROUP BY src)
+    SELECT doc_id, CAST(cluster_id AS BIGINT) AS cluster_id,
+           CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size
+    FROM labels
+    ORDER BY doc_id
+    """,
+    doc="Duplicate-cluster resolution: 3-gram Jaccard>=0.5 pairs -> connected "
+    "components (alternating large-star/small-star, Kiveris SoCC'14, "
+    "O(log^2 n) rounds) -> (doc, cluster=min member, cluster size). The "
+    "pairs->clusters->survivor step every dedup pipeline needs; oracle is a "
+    "recursive-CTE reachability closure.",
+)
+def dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    pairs = jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.5)
+    cc = connected_components(pairs, "id_a", "id_b")
+    return (
+        cc.select(F.col("id").alias("doc_id"), "cluster_id")
+        .withColumn("cluster_size", F.count("*").over(Window.partitionBy("cluster_id")))
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "decontaminate",
+    """
+    WITH sh AS (
+        SELECT DISTINCT doc_id, source,
+               t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] AS s
+        FROM (SELECT doc_id, source, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents),
+             LATERAL (SELECT unnest(range(1, len(t) - 2)) AS i)
+    ),
+    hits AS (
+        SELECT a.doc_id, a.s, b.doc_id AS eval_id
+        FROM sh a JOIN sh b ON a.s = b.s
+        WHERE b.source = 'src0' AND a.source <> 'src0'
+    )
+    SELECT doc_id,
+           CAST(COUNT(DISTINCT s) AS BIGINT) AS n_shared_ngrams,
+           CAST(COUNT(DISTINCT eval_id) AS BIGINT) AS n_eval_docs,
+           CAST(MIN(eval_id) AS BIGINT) AS first_eval_id
+    FROM hits
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+    doc="Train/eval decontamination: flag training docs sharing any 4-gram "
+    "with the held-out eval source (src0). Eval shingle set is tiny vs the "
+    "corpus -> broadcast join, no shuffle of the training side; the group-by "
+    "is on the (small) contaminated subset only.",
+    headline=True,
+)
+def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    sh = docs.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.array_distinct(word_shingles(ws_tokens(F.col("text")), 4))
+        ).alias("s"),
+    )
+    train = sh.filter(F.col("source") != "src0").drop("source")
+    holdout = sh.filter(F.col("source") == "src0").select(
+        "s", F.col("doc_id").alias("eval_id")
+    )
+    return (
+        train.join(F.broadcast(holdout), "s")
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("s").alias("n_shared_ngrams"),
+            F.countDistinct("eval_id").alias("n_eval_docs"),
+            F.min("eval_id").alias("first_eval_id"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "corpus_sample_mix",
+    """
+    WITH s AS (
+        SELECT source, n_chars,
+               CASE source WHEN 'src0' THEN '0000'
+                           WHEN 'src1' THEN 'g'
+                           WHEN 'src2' THEN '4000'
+                           ELSE '8000' END AS thr,
+               substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS h
+        FROM documents
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN h < thr THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(SUM(CASE WHEN h < thr THEN n_chars ELSE 0 END) AS BIGINT) AS chars_kept
+    FROM s
+    GROUP BY source
+    ORDER BY source
+    """,
+    doc="Deterministic dataset mixing: per-source Bernoulli sampling keyed on "
+    "md5(doc_id) hex prefix (eval src0 excluded, src1 kept whole, src2 "
+    "quartered, rest halved) + per-source kept-docs/kept-chars report. "
+    "Hash-keyed sampling is reproducible across engines and re-runs — no "
+    "RNG state — and is a pure map + partial agg: zero wide dependencies "
+    "beyond the final tiny group-by.",
+)
+def corpus_sample_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    thr = (
+        F.when(F.col("source") == "src0", "0000")
+        .when(F.col("source") == "src1", "g")
+        .when(F.col("source") == "src2", "4000")
+        .otherwise("8000")
+    )
+    h = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4)
+    kept = F.col("h") < F.col("thr")
+    return (
+        docs.select("source", "n_chars", thr.alias("thr"), h.alias("h"))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.when(kept, 1).otherwise(0)).alias("n_kept"),
+            F.sum(F.when(kept, F.col("n_chars")).otherwise(0)).alias("chars_kept"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "quality_stratified_sample",
+    """
+    WITH scored AS (
+        SELECT doc_id, lang,
+               CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS INT) AS quality
+        FROM documents
+    ),
+    ranked AS (
+        SELECT doc_id, lang, quality,
+               ROW_NUMBER() OVER (PARTITION BY lang ORDER BY quality DESC, doc_id) AS rn,
+               COUNT(*) OVER (PARTITION BY lang) AS cnt
+        FROM scored
+    )
+    SELECT doc_id, lang, quality
+    FROM ranked
+    WHERE rn * 5 <= cnt * 2
+    ORDER BY doc_id
+    """,
+    doc="Stratified quality sampling: keep the top 40% of docs per language "
+    "stratum by BPE-ish token count, deterministic tie-break on doc_id, "
+    "integer-exact 40% cut (rn*5 <= cnt*2 — no float threshold drift). One "
+    "shuffle on lang; skewed strata are the AQE skew-join/salting case "
+    "documented in SCALE.md.",
+)
+def quality_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    scored = docs.select(
+        "doc_id", "lang", bpe_token_count(F.col("text")).alias("quality")
+    )
+    w = Window.partitionBy("lang")
+    ranked = scored.select(
+        "doc_id",
+        "lang",
+        "quality",
+        F.row_number()
+        .over(w.orderBy(F.desc("quality"), F.asc("doc_id")))
+        .alias("rn"),
+        F.count("*").over(w).alias("cnt"),
+    )
+    return (
+        ranked.filter(F.col("rn") * 5 <= F.col("cnt") * 2)
+        .select("doc_id", "lang", "quality")
+        .orderBy("doc_id")
+    )

@@ -147,3 +147,68 @@ class TestSimilarity:
         # cosine verify is shared -> strict superset with equal scores
         assert set(exact) <= set(probed)
         assert all(probed[p] == c for p, c in exact.items())
+
+
+def _union_find_clusters(pairs: list[tuple[int, int]]) -> dict[int, int]:
+    """Reference union-find: node -> min member of its component."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        parent[find(a)] = find(b)
+    members: dict[int, list[int]] = {}
+    for x in list(parent):
+        members.setdefault(find(x), []).append(x)
+    return {x: min(xs) for xs in members.values() for x in xs}
+
+
+class TestConnectedComponents:
+    def _run(self, spark, pairs):
+        from data_integration_pipelines_spark.operators.dedup import (
+            connected_components,
+        )
+
+        df = spark.createDataFrame(pairs, "id_a long, id_b long")
+        return {
+            r["id"]: r["cluster_id"] for r in connected_components(df).collect()
+        }
+
+    def test_chain_transitivity(self, spark):
+        # A-B, B-C, C-D: one cluster even though A,D never paired directly
+        got = self._run(spark, [(1, 2), (2, 3), (3, 4)])
+        assert got == {1: 1, 2: 1, 3: 1, 4: 1}
+
+    def test_long_chain_converges_in_log_rounds(self, spark):
+        # diameter 40 — naive min-propagation would need 40 rounds;
+        # star-contraction must still finish within the max_iter cap
+        pairs = [(i, i + 1) for i in range(40)]
+        got = self._run(spark, pairs)
+        assert set(got.values()) == {0}
+        assert len(got) == 41
+
+    def test_disjoint_components_and_hub(self, spark):
+        got = self._run(spark, [(10, 1), (10, 2), (10, 3), (7, 8)])
+        assert got == {1: 1, 2: 1, 3: 1, 10: 1, 7: 7, 8: 7}
+
+    def test_duplicate_and_reversed_edges(self, spark):
+        got = self._run(spark, [(2, 1), (1, 2), (2, 3), (3, 2)])
+        assert got == {1: 1, 2: 1, 3: 1}
+
+    def test_random_graphs_match_union_find(self, spark):
+        import random
+
+        rng = random.Random(42)
+        for _ in range(3):
+            n = rng.randint(5, 40)
+            pairs = [
+                (rng.randint(0, n), rng.randint(0, n)) for _ in range(rng.randint(1, 60))
+            ]
+            pairs = [(a, b) for a, b in pairs if a != b]
+            if not pairs:
+                continue
+            assert self._run(spark, pairs) == _union_find_clusters(pairs)
