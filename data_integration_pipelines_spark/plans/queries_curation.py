@@ -231,3 +231,52 @@ def quality_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "lang", "quality")
         .orderBy("doc_id")
     )
+
+
+@register(
+    "dedup_survivors",
+    f"""
+    WITH RECURSIVE
+    {_CLUSTER_EDGE_ORACLE.strip()},
+    edges AS (
+        SELECT id_a AS u, id_b AS v FROM pairs
+        UNION
+        SELECT id_b, id_a FROM pairs
+    ),
+    reach(src, node) AS (
+        SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+        UNION
+        SELECT r.src, e.v FROM reach r JOIN edges e ON e.u = r.node
+    ),
+    labels AS (SELECT src AS doc_id, MIN(node) AS cluster_id FROM reach GROUP BY src),
+    losers AS (SELECT doc_id FROM labels WHERE doc_id <> cluster_id)
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_kept,
+           CAST(SUM(n_chars) AS BIGINT) AS chars_kept
+    FROM documents
+    WHERE doc_id NOT IN (SELECT doc_id FROM losers)
+    GROUP BY source
+    ORDER BY source
+    """,
+    doc="End-to-end near-dedup: Jaccard pairs -> connected components -> keep "
+    "the minimum doc per cluster, pass singletons through untouched -> "
+    "per-source kept report. The anti-join against the LOSER set (clustered "
+    "non-survivors) is the scale shape: losers are a small fraction of the "
+    "corpus and broadcast; the corpus itself never shuffles.",
+)
+def dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    pairs = jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.5)
+    cc = connected_components(pairs, "id_a", "id_b")
+    losers = cc.filter(F.col("id") != F.col("cluster_id")).select(
+        F.col("id").alias("doc_id")
+    )
+    return (
+        docs.join(F.broadcast(losers), "doc_id", "left_anti")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_kept"),
+            F.sum("n_chars").alias("chars_kept"),
+        )
+        .orderBy("source")
+    )
