@@ -27,11 +27,19 @@ STAGED_EVENTS_SCHEMA = (
 
 
 def read_staged_events_stream(
-    spark: SparkSession, path: str, watermark: str = "2 hours"
+    spark: SparkSession,
+    path: str,
+    watermark: str = "2 hours",
+    max_files_per_trigger: int | None = None,
 ) -> DataFrame:
     """Streaming scan of a staged directory of event parquet files
-    (normalized timestamps, e.g. written by the batch catalog)."""
-    raw = spark.readStream.schema(STAGED_EVENTS_SCHEMA).parquet(path)
+    (normalized timestamps, e.g. written by the batch catalog).
+    ``max_files_per_trigger`` bounds micro-batch size (and with
+    availableNow splits a backlog into several micro-batches)."""
+    reader = spark.readStream.schema(STAGED_EVENTS_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    raw = reader.parquet(path)
     return raw.withWatermark("ts", watermark)
 
 

@@ -4,6 +4,8 @@ engine's extension beyond the batch-only reference — SURVEY §2.10)."""
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from data_integration_pipelines_spark.catalog import load_table
 from data_integration_pipelines_spark.streaming.events import (
     run_stream_once,
@@ -103,3 +105,82 @@ def test_streaming_dedup_drops_redelivered_events(spark, sf_small, tmp_path):
     got_ids = [r.event_id for r in deduped.collect()]
     expected_n = events.select("event_id").distinct().count()
     assert len(got_ids) == len(set(got_ids)) == expected_n
+
+
+def test_streaming_upsert_converges_to_batch_keep_latest(spark, sf_small, tmp_path):
+    """foreachBatch upsert: final store == batch latest-per-user, for a
+    feed delivered as multiple files (multiple micro-batches) with a
+    re-delivered (duplicate) slice mixed in."""
+    from data_integration_pipelines_spark.operators.merge import keep_latest
+    from data_integration_pipelines_spark.streaming.dedup import (
+        read_staged_events_stream,
+    )
+    from data_integration_pipelines_spark.streaming.upsert import (
+        read_store,
+        streaming_upsert,
+    )
+
+    events = load_table(spark, sf_small, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    median_us = events.selectExpr("percentile(unix_micros(ts), 0.5) AS m").collect()[0].m
+    staging = str(tmp_path / "staged")
+    store = str(tmp_path / "store")
+
+    def drain():
+        q = streaming_upsert(
+            read_staged_events_stream(spark, staging).select(
+                "event_id", "ts", "user_id", "event_type", "value"
+            ),
+            store_path=store,
+            checkpoint_path=str(tmp_path / "ckpt"),
+            key_cols=["user_id"],
+            ts_col="ts",
+        )
+        q.awaitTermination(120)
+
+    # drain 1: the older half of the feed
+    old_half = events.filter(F.unix_micros("ts") <= median_us)
+    old_half.write.mode("overwrite").parquet(staging)
+    drain()
+    # drain 2 (same checkpoint — resumes from the file-source offset):
+    # the newer half plus a re-delivered slice of the old half
+    events.filter(F.unix_micros("ts") > median_us).write.mode("append").parquet(staging)
+    old_half.orderBy("event_id").limit(100).write.mode("append").parquet(staging)
+    drain()
+
+    got = read_store(spark, store)
+    assert got is not None
+    batch_latest = keep_latest(
+        events, ["user_id"], "ts", tiebreak_cols=["event_id", "event_type", "value"]
+    )
+    got_rows = {
+        r.user_id: (r.ts, r.event_type, r.value) for r in got.collect()
+    }
+    want_rows = {
+        r.user_id: (r.ts, r.event_type, r.value) for r in batch_latest.collect()
+    }
+    assert got_rows == want_rows
+    # every revision >= 1; at least one user saw an update across batches
+    revs = {r.user_id: r._rev for r in got.select("user_id", "_rev").collect()}
+    assert all(v >= 1 for v in revs.values())
+    assert max(revs.values()) >= 2
+
+
+def test_upsert_batch_late_rows_never_regress(spark):
+    """A batch older than the store leaves values and revisions alone."""
+    from data_integration_pipelines_spark.streaming.upsert import upsert_batch
+
+    existing = spark.createDataFrame(
+        [(1, "2024-01-02 00:00:00", "new", 5.0, 3)],
+        "user_id long, ts string, event_type string, value double, _rev int",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    late = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00", "old", 1.0), (2, "2024-01-01 00:00:00", "o2", 2.0)],
+        "user_id long, ts string, event_type string, value double",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+
+    merged = upsert_batch(existing, late, ["user_id"], "ts")
+    rows = {r.user_id: (r.event_type, r.value, r._rev) for r in merged.collect()}
+    assert rows[1] == ("new", 5.0, 3)  # untouched by the stale row
+    assert rows[2] == ("o2", 2.0, 1)  # genuinely new key inserted
