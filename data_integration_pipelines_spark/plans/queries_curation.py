@@ -280,3 +280,107 @@ def dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "token_pack_bins",
+    """
+    WITH t AS (
+        SELECT doc_id, source,
+               CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tokens
+        FROM documents
+    ),
+    placed AS (
+        SELECT source, n_tokens,
+               CAST(FLOOR((SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                                               ROWS UNBOUNDED PRECEDING) - n_tokens)
+                          / 256.0) AS BIGINT) AS bin
+        FROM t
+    )
+    SELECT source, bin,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens
+    FROM placed
+    GROUP BY source, bin
+    ORDER BY source, bin
+    """,
+    doc="Sequence packing for training batches: greedy assignment of docs to "
+    "256-token bins by running token offset WITHIN each source shard — the "
+    "window partitions by source, so no global (single-partition) running "
+    "sum; bins are shard-local, which is how packing parallelizes at "
+    "corpus scale.",
+)
+def token_pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    t = docs.select(
+        "doc_id", "source", F.size(ws_tokens(F.col("text"))).cast("long").alias("n_tokens")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    placed = t.select(
+        "source",
+        "n_tokens",
+        F.floor((F.sum("n_tokens").over(w) - F.col("n_tokens")) / 256.0).alias("bin"),
+    )
+    return (
+        placed.groupBy("source", "bin")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("bin_tokens"),
+        )
+        .orderBy("source", "bin")
+    )
+
+
+@register(
+    "tfidf_top_terms",
+    """
+    WITH toks AS (
+        SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+        FROM documents
+    ),
+    tf AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf FROM toks GROUP BY 1, 2),
+    df AS (SELECT tok, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+    n AS (SELECT COUNT(*) AS n FROM documents),
+    scored AS (
+        SELECT doc_id, tok, tf, ROUND(tf * ln(n / df), 4) AS tfidf
+        FROM tf JOIN df USING (tok) CROSS JOIN n
+    ),
+    ranked AS (
+        SELECT doc_id, tok, tf, tfidf,
+               ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, tok) AS rnk
+        FROM scored
+    )
+    SELECT doc_id, tok, tf, tfidf, CAST(rnk AS INT) AS rnk
+    FROM ranked
+    WHERE rnk <= 3 AND doc_id < 40
+    ORDER BY doc_id, rnk
+    """,
+    doc="Per-document top-3 terms by tf-idf: token explode -> tf groupBy, "
+    "document-frequency groupBy, broadcast df join (vocab << corpus), "
+    "window top-k per doc. The df table is the classic broadcast dimension; "
+    "the only big shuffle is the (doc, token) tf aggregation, map-side "
+    "combined.",
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    toks = docs.select("doc_id", F.explode(ws_tokens(F.col("text"))).alias("tok"))
+    tf = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
+    df = toks.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
+    n = docs.count()
+    scored = tf.join(F.broadcast(df), "tok").select(
+        "doc_id",
+        "tok",
+        "tf",
+        F.round(F.col("tf") * F.log(F.lit(n) / F.col("df")), 4).alias("tfidf"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("tok"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter((F.col("rnk") <= 3) & (F.col("doc_id") < 40))
+        .select("doc_id", "tok", "tf", "tfidf", "rnk")
+        .orderBy("doc_id", "rnk")
+    )
