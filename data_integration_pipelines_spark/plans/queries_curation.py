@@ -109,18 +109,20 @@ def dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Train/eval decontamination: flag training docs sharing any 4-gram "
     "with the held-out eval source (src0). Eval shingle set is tiny vs the "
     "corpus -> broadcast join, no shuffle of the training side; the group-by "
-    "is on the (small) contaminated subset only.",
+    "is on the (small) contaminated subset only. Shingles are xxhash64'd "
+    "before the join — 8-byte keys instead of 4-word strings, both for the "
+    "broadcast table size and the probe-side equality (the distinct counts "
+    "are over hashes; 64-bit collisions are negligible at any corpus size).",
     headline=True,
 )
 def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
-    sh = docs.select(
-        "doc_id",
-        "source",
-        F.explode(
-            F.array_distinct(word_shingles(ws_tokens(F.col("text")), 4))
-        ).alias("s"),
+    hashed = F.array_distinct(
+        F.transform(
+            word_shingles(ws_tokens(F.col("text")), 4), lambda s: F.xxhash64(s)
+        )
     )
+    sh = docs.select("doc_id", "source", F.explode(hashed).alias("s"))
     train = sh.filter(F.col("source") != "src0").drop("source")
     holdout = sh.filter(F.col("source") == "src0").select(
         "s", F.col("doc_id").alias("eval_id")
