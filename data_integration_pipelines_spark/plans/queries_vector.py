@@ -216,3 +216,67 @@ def embedding_near_dup_multiprobe_q(spark: SparkSession, sf_dir: str) -> DataFra
     return embedding_near_dup_multiprobe(
         emb, threshold=0.35, n_planes=8, max_hamming=1
     ).orderBy("id_a", "id_b")
+
+
+@register(
+    "embedding_dup_clusters",
+    f"""
+    WITH RECURSIVE {_LONG_CTE.strip()},
+    sig AS (
+        SELECT vec_id,
+               string_agg(CASE WHEN dotj > 0 THEN '1' ELSE '0' END, '' ORDER BY j) AS signature
+        FROM (
+            SELECT vec_id, j, SUM(val * (((j*31 + (pos-1)*7) % 11) - 5)) AS dotj
+            FROM long, UNNEST(range(8)) AS t(j)
+            GROUP BY vec_id, j
+        ) GROUP BY vec_id
+    ),
+    cand AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM sig a JOIN sig b ON a.signature = b.signature AND a.vec_id < b.vec_id
+    ),
+    dots AS (
+        SELECT id_a, id_b, ROUND(SUM(qa.val * qb.val), 4) AS cosine
+        FROM cand
+        JOIN long qa ON qa.vec_id = id_a
+        JOIN long qb ON qb.vec_id = id_b AND qb.pos = qa.pos
+        GROUP BY id_a, id_b
+    ),
+    pairs AS (SELECT id_a, id_b FROM dots WHERE cosine >= 0.35),
+    edges AS (
+        SELECT id_a AS u, id_b AS v FROM pairs
+        UNION
+        SELECT id_b, id_a FROM pairs
+    ),
+    reach(src, node) AS (
+        SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+        UNION
+        SELECT r.src, e.v FROM reach r JOIN edges e ON e.u = r.node
+    ),
+    labels AS (SELECT src AS vec_id, MIN(node) AS cluster_id FROM reach GROUP BY src)
+    SELECT vec_id, CAST(cluster_id AS BIGINT) AS cluster_id,
+           CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size
+    FROM labels
+    ORDER BY vec_id
+    """,
+    doc="Embedding-side duplicate clustering: hyperplane-LSH cosine pairs "
+    "(>= 0.35) -> connected components -> (vector, cluster, size). The same "
+    "pairs->clusters resolution as the text side (dup_clusters), proving the "
+    "component operator composes across candidate generators.",
+)
+def embedding_dup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..operators.dedup import connected_components
+    from ..operators.similarity import embedding_near_dup_pairs
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = embedding_near_dup_pairs(emb, threshold=0.35)
+    cc = connected_components(pairs, "id_a", "id_b")
+    return (
+        cc.select(F.col("id").alias("vec_id"), "cluster_id")
+        .withColumn(
+            "cluster_size", F.count("*").over(Window.partitionBy("cluster_id"))
+        )
+        .orderBy("vec_id")
+    )
