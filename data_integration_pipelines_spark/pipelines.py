@@ -7,6 +7,11 @@ EP1  trace_audit              ref src/trace/validation/validation.py
 EP2  morphology_quality       ref src/neuron_morphology/validation/
                                   quality_metric_resource.py
 EP3  schema_audit             ref src/schemas/check_schema_validation.py
+EP4  registration_mapping     ref src/neuron_morphology/
+                                  morphology_registration.py:92-250
+EP5  emodel_completeness      ref src/e_model/expected_fields.py:95-165
+EP6  index_discrepancy        ref src/search_index/
+                                  search_index_discrepancy.py:161-239
 
 Where the reference fans out with multiprocessing pools + async HTTP
 (SURVEY §3 EP1 steps 4-5), these plans fan out with executor
@@ -156,3 +161,141 @@ def schema_audit(resources: DataFrame, schema_map: DataFrame) -> DataFrame:
         )
         .orderBy("bucket", "type")
     )
+
+
+def registration_mapping(
+    metadata: DataFrame,
+    files: DataFrame,
+    species_map: DataFrame,
+    sex_map: DataFrame,
+) -> DataFrame:
+    """EP4: metadata-sheet registration — Excel rows + staged SWC files
+    -> nested resource rows ready for the upsert sink
+    (ref src/neuron_morphology/morphology_registration.py:92-250).
+
+    - inner join on ``name`` (J1; morphology_registration.py:51-76) —
+      callers assert 1:1 coverage with ``registration_coverage``
+    - resolver joins: species/strain label -> ontology id (F12,
+      common_metadata.py:84-134) as broadcast dims (the reference's
+      LRU-cached ``forge.resolve`` point lookups)
+    - sex label -> PATO id when-chain; "PN14"-style age code ->
+      {period, unitCode, value} struct (common_metadata.py:98-126)
+    - "%B %Y" generation date -> date + one-day shift sentinel
+      (morphology_registration.py:149-153)
+    - nested ``brainLocation``/``subject`` structs built with struct()
+      — the inverse of flatten_dotted (SURVEY §1.2)
+    """
+    m = metadata.join(files, "name")
+    m = m.join(F.broadcast(species_map), m["species_label"] == species_map["label"], "left").drop(
+        species_map["label"]
+    )
+    m = m.join(F.broadcast(sex_map), m["sex_label"] == sex_map["label"], "left").drop(
+        sex_map["label"]
+    )
+    age_value = F.regexp_extract(F.col("age_code"), r"^PN(\d+)$", 1)
+    return m.select(
+        "name",
+        "path",
+        F.struct(
+            F.struct(
+                F.col("region_id").alias("id"), F.col("region_label").alias("label")
+            ).alias("brainRegion"),
+            F.struct(
+                F.col("x").cast("double").alias("valueX"),
+                F.col("y").cast("double").alias("valueY"),
+                F.col("z").cast("double").alias("valueZ"),
+            ).alias("coordinatesInBrainAtlas"),
+        ).alias("brainLocation"),
+        F.struct(
+            F.struct(
+                F.col("species_id").alias("id"), F.col("species_label").alias("label")
+            ).alias("species"),
+            F.struct(
+                F.col("sex_id").alias("id"), F.col("sex_label").alias("label")
+            ).alias("sex"),
+            F.when(
+                age_value != "",
+                F.struct(
+                    F.lit("Post-natal").alias("period"),
+                    F.lit("days").alias("unitCode"),
+                    age_value.cast("int").alias("value"),
+                ),
+            ).alias("age"),
+        ).alias("subject"),
+        F.date_add(F.to_date(F.col("capture_month"), "MMMM yyyy"), 1).alias(
+            "generation_date"
+        ),
+    )
+
+
+def registration_coverage(metadata: DataFrame, files: DataFrame) -> tuple[int, int]:
+    """The reference's 1:1 assertion (morphology_registration.py:347):
+    returns (metadata rows without a file, files without metadata) —
+    both must be 0 before registration proceeds."""
+    meta_only = metadata.join(files, "name", "left_anti").count()
+    file_only = files.join(metadata, "name", "left_anti").count()
+    return meta_only, file_only
+
+
+def emodel_completeness(
+    emodels: DataFrame,
+    workflows: DataFrame,
+    expected_part_types: list[str],
+) -> DataFrame:
+    """EP5: e-model expected-fields report (ref
+    src/e_model/expected_fields.py:95-165, querying.py:102-176).
+
+    Follows generation.activity.followedWorkflow (two-hop J10), explodes
+    the workflow's hasPart, and reports one row per e-model with a
+    boolean column per expected part type plus the full found-type set.
+    Workflows are a small dimension -> broadcast; the explode keeps the
+    fan-out on the workflow side only."""
+    wf = workflows.select(
+        F.col("id").alias("workflow_id"),
+        F.explode_outer("hasPart").alias("part"),
+    ).select("workflow_id", F.col("part.type").alias("part_type"))
+    linked = emodels.select(
+        F.col("id").alias("emodel_id"),
+        F.col("generation.activity.followedWorkflow").alias("workflow_id"),
+    )
+    found = (
+        linked.join(F.broadcast(wf), "workflow_id", "left")
+        .groupBy("emodel_id")
+        .agg(F.collect_set("part_type").alias("found_types"))
+    )
+    flags = [
+        F.array_contains(F.col("found_types"), t).alias(
+            f"has_{t.lower()}"
+        )
+        for t in expected_part_types
+    ]
+    complete = F.lit(True)
+    for t in expected_part_types:
+        complete = complete & F.array_contains(F.col("found_types"), t)
+    return found.select(
+        "emodel_id", *flags, complete.alias("complete"), "found_types"
+    ).orderBy("emodel_id")
+
+
+def index_discrepancy(indices: dict[str, DataFrame]) -> DataFrame:
+    """EP6: cross-index id-set audit (SO1, ref
+    src/search_index/search_index_discrepancy.py:161-239).
+
+    ``indices``: name -> single-column id DataFrame (the same scan
+    through different indices). Returns one row per ordered pair with
+    the count and a bounded sample of ids present in ``a`` but not
+    ``b`` — the reference's both-direction set-difference diagnostics."""
+    out = None
+    for name_a, df_a in indices.items():
+        for name_b, df_b in indices.items():
+            if name_a == name_b:
+                continue
+            only_a = df_a.join(df_b, "id", "left_anti")
+            row = only_a.agg(
+                F.lit(name_a).alias("index_a"),
+                F.lit(name_b).alias("index_b"),
+                F.count("*").alias("only_in_a"),
+                F.slice(F.sort_array(F.collect_list("id")), 1, 5).alias("sample_ids"),
+            )
+            out = row if out is None else out.unionByName(row)
+    return out

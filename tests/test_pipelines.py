@@ -137,3 +137,96 @@ class TestSchemaAudit:
         assert (a["n_resources"], a["n_deprecated"], a["n_unconstrained"], a["n_wrong_schema"]) == (4, 1, 1, 1)
         b = out[("org/b", "Morph")]
         assert (b["n_resources"], b["n_unconstrained"], b["n_wrong_schema"]) == (1, 1, 0)
+
+
+class TestRegistrationMapping:
+    def _inputs(self, spark):
+        from data_integration_pipelines_spark.pipelines import registration_mapping
+
+        metadata = spark.createDataFrame(
+            [
+                ("m1", "Mus musculus", "female", "PN14", "CA1", "r1", 1.0, 2.0, 3.0, "March 2024"),
+                ("m2", "Rattus norvegicus", "male", "adult", "SSp", "r2", 4.0, 5.0, 6.0, "January 2023"),
+            ],
+            "name string, species_label string, sex_label string, age_code string, "
+            "region_label string, region_id string, x double, y double, z double, "
+            "capture_month string",
+        )
+        files = spark.createDataFrame(
+            [("m1", "/staged/m1.swc"), ("m2", "/staged/m2.swc")], "name string, path string"
+        )
+        species_map = spark.createDataFrame(
+            [("Mus musculus", "NCBITaxon:10090"), ("Rattus norvegicus", "NCBITaxon:10116")],
+            "label string, species_id string",
+        )
+        sex_map = spark.createDataFrame(
+            [("female", "PATO:0000383"), ("male", "PATO:0000384")],
+            "label string, sex_id string",
+        )
+        return registration_mapping(metadata, files, species_map, sex_map)
+
+    def test_nested_structs_and_resolvers(self, spark):
+        rows = {r["name"]: r for r in self._inputs(spark).collect()}
+        m1 = rows["m1"]
+        assert m1.brainLocation.brainRegion.label == "CA1"
+        assert m1.brainLocation.coordinatesInBrainAtlas.valueX == 1.0
+        assert m1.subject.species.id == "NCBITaxon:10090"
+        assert m1.subject.sex.id == "PATO:0000383"
+        # PN14 -> structured post-natal age; non-PN code -> null age
+        assert m1.subject.age.value == 14 and m1.subject.age.period == "Post-natal"
+        assert rows["m2"].subject.age is None
+        # "%B %Y" + one day, as the reference does
+        assert str(m1.generation_date) == "2024-03-02"
+
+    def test_coverage_assertion(self, spark):
+        from data_integration_pipelines_spark.pipelines import registration_coverage
+
+        metadata = spark.createDataFrame([("a",), ("b",)], "name string")
+        files = spark.createDataFrame([("b",), ("c",)], "name string")
+        assert registration_coverage(metadata, files) == (1, 1)
+
+
+def test_emodel_completeness(spark):
+    from data_integration_pipelines_spark.pipelines import emodel_completeness
+
+    emodels = spark.createDataFrame(
+        [
+            ("e1", {"activity": {"followedWorkflow": "w1"}}),
+            ("e2", {"activity": {"followedWorkflow": "w2"}}),
+            ("e3", {"activity": {"followedWorkflow": None}}),
+        ],
+        "id string, generation struct<activity: struct<followedWorkflow: string>>",
+    )
+    workflows = spark.createDataFrame(
+        [
+            ("w1", [{"type": "Morphology"}, {"type": "Script"}]),
+            ("w2", [{"type": "Script"}]),
+        ],
+        "id string, hasPart array<struct<type: string>>",
+    )
+    got = {
+        r.emodel_id: (r.has_morphology, r.has_script, r.complete)
+        for r in emodel_completeness(emodels, workflows, ["Morphology", "Script"]).collect()
+    }
+    assert got == {
+        "e1": (True, True, True),
+        "e2": (False, True, False),
+        "e3": (False, False, False),
+    }
+
+
+def test_index_discrepancy_directions(spark):
+    from data_integration_pipelines_spark.pipelines import index_discrepancy
+
+    sparql = spark.createDataFrame([("a",), ("b",), ("c",)], "id string")
+    es = spark.createDataFrame([("b",), ("c",), ("d",)], "id string")
+    search = spark.createDataFrame([("b",), ("c",)], "id string")
+    rows = {
+        (r.index_a, r.index_b): (r.only_in_a, list(r.sample_ids))
+        for r in index_discrepancy({"sparql": sparql, "es": es, "search": search}).collect()
+    }
+    assert rows[("sparql", "es")] == (1, ["a"])
+    assert rows[("es", "sparql")] == (1, ["d"])
+    assert rows[("sparql", "search")] == (1, ["a"])
+    assert rows[("search", "sparql")] == (0, [])
+    assert rows[("es", "search")] == (1, ["d"])
