@@ -386,3 +386,51 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "tok", "tf", "tfidf", "rnk")
         .orderBy("doc_id", "rnk")
     )
+
+
+@register(
+    "weighted_sample",
+    """
+    WITH k AS (
+        SELECT doc_id, source,
+               POW(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                       / 4294967296.0,
+                   1.0 / n_chars) AS key
+        FROM documents
+        WHERE n_chars > 0
+    ),
+    r AS (
+        SELECT doc_id, source, key,
+               ROW_NUMBER() OVER (PARTITION BY source ORDER BY key DESC, doc_id) AS rnk
+        FROM k
+    )
+    SELECT doc_id, source, ROUND(key, 6) AS weight_key, CAST(rnk AS INT) AS rnk
+    FROM r
+    WHERE rnk <= 5
+    ORDER BY source, rnk
+    """,
+    doc="Weighted sampling without replacement (Efraimidis-Spirakis A-ES): "
+    "key = u^(1/w) with u a DETERMINISTIC md5-derived uniform and w = "
+    "n_chars; top-5 keys per source = a 5-doc weighted sample per stratum. "
+    "No RNG state, reproducible across engines/retries; the window "
+    "partitions by source so there is no global single-partition sort.",
+)
+def weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir).filter(F.col("n_chars") > 0)
+    u = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast(
+        "double"
+    ) / F.lit(4294967296.0)
+    key = F.pow(u, F.lit(1.0) / F.col("n_chars"))
+    w = Window.partitionBy("source").orderBy(F.desc("key"), F.asc("doc_id"))
+    return (
+        docs.select("doc_id", "source", key.alias("key"))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+        .select(
+            "doc_id",
+            "source",
+            F.round("key", 6).alias("weight_key"),
+            F.col("rnk").cast("int").alias("rnk"),
+        )
+        .orderBy("source", "rnk")
+    )
