@@ -122,7 +122,10 @@ def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
             word_shingles(ws_tokens(F.col("text")), 4), lambda s: F.xxhash64(s)
         )
     )
-    sh = docs.select("doc_id", "source", F.explode(hashed).alias("s"))
+    # one shingle table feeds BOTH join sides — persist so the regexp
+    # tokenize + hash runs once (the multi-consumer persist pattern of
+    # operators/dedup.py); at production scale this is a staged table
+    sh = docs.select("doc_id", "source", F.explode(hashed).alias("s")).persist()
     train = sh.filter(F.col("source") != "src0").drop("source")
     holdout = sh.filter(F.col("source") == "src0").select(
         "s", F.col("doc_id").alias("eval_id")
