@@ -212,3 +212,52 @@ class TestConnectedComponents:
             if not pairs:
                 continue
             assert self._run(spark, pairs) == _union_find_clusters(pairs)
+
+
+class TestEdgeCases:
+    """Degenerate inputs the fixtures never produce: empty corpora,
+    null/empty/whitespace text, single-token docs."""
+
+    def _docs(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string, n_chars long"
+        )
+
+    def test_empty_corpus_all_dedup_ops(self, spark):
+        from data_integration_pipelines_spark.operators.dedup import (
+            connected_components,
+            exact_dedup,
+            jaccard_pairs,
+            minhash_lsh_candidates,
+            simhash_hamming_pairs,
+        )
+
+        empty = self._docs(spark, [])
+        assert exact_dedup(empty, "text", "doc_id").count() == 0
+        assert jaccard_pairs(empty, "text", "doc_id").count() == 0
+        assert minhash_lsh_candidates(empty, "text", "doc_id").count() == 0
+        assert simhash_hamming_pairs(empty, "text", "doc_id").count() == 0
+        no_pairs = spark.createDataFrame([], "id_a long, id_b long")
+        assert connected_components(no_pairs).count() == 0
+
+    def test_null_empty_and_short_text(self, spark):
+        from data_integration_pipelines_spark.operators.dedup import (
+            jaccard_pairs,
+            minhash_lsh_candidates,
+        )
+
+        docs = self._docs(
+            spark,
+            [
+                (1, None, "en", "s", 0),
+                (2, "", "en", "s", 0),
+                (3, "   ", "en", "s", 3),
+                (4, "one two", "en", "s", 7),  # shorter than the 3-gram window
+                (5, "a b c d e f", "en", "s", 11),
+                (6, "a b c d e f", "en", "s", 11),  # exact near-dup of 5
+            ],
+        )
+        pairs = jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.8).collect()
+        assert [(r.id_a, r.id_b) for r in pairs] == [(5, 6)]
+        cand = minhash_lsh_candidates(docs, "text", "doc_id", n=3).collect()
+        assert [(r.id_a, r.id_b) for r in cand] == [(5, 6)]
