@@ -437,3 +437,38 @@ def weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source", "rnk")
     )
+
+
+@register(
+    "skyline_docs",
+    """
+    WITH scored AS (
+        SELECT doc_id, n_chars,
+               CAST(len(list_distinct(regexp_split_to_array(trim(text), '\\s+'))) AS BIGINT) AS vocab
+        FROM documents
+    )
+    SELECT p.doc_id, p.n_chars, p.vocab
+    FROM scored p
+    WHERE NOT EXISTS (
+        SELECT 1 FROM scored q
+        WHERE q.n_chars <= p.n_chars AND q.vocab >= p.vocab
+          AND (q.n_chars < p.n_chars OR q.vocab > p.vocab)
+    )
+    ORDER BY p.doc_id
+    """,
+    doc="Skyline / Pareto-front document selection (min n_chars, max "
+    "distinct-token vocabulary): multi-criteria curation pick. The oracle "
+    "is the textbook NOT-EXISTS dominance self-join; the Spark plan is the "
+    "shuffle-light bucket + prefix-max + range-frame formulation "
+    "(operators/skyline.py) — no nested-loop join at any scale.",
+)
+def skyline_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.skyline import skyline_2d
+
+    docs = _docs(spark, sf_dir)
+    scored = docs.select(
+        "doc_id",
+        "n_chars",
+        F.size(F.array_distinct(ws_tokens(F.col("text")))).cast("long").alias("vocab"),
+    )
+    return skyline_2d(scored, minimize="n_chars", maximize="vocab").orderBy("doc_id")

@@ -126,3 +126,41 @@ class TestMerge:
         assert got[1] == ("a2", 4, False)   # updated: rev bumped
         assert got[9] == ("new", 1, False)  # created: rev 1
         assert got[2][2] is True            # stale row deprecated
+
+
+class TestSkyline:
+    def test_matches_bruteforce_on_random_points(self, spark):
+        import random
+
+        from data_integration_pipelines_spark.operators.skyline import skyline_2d
+
+        rng = random.Random(11)
+        for trial in range(3):
+            pts = [
+                (i, rng.randint(0, 60), rng.randint(0, 40))
+                for i in range(rng.randint(1, 120))
+            ]
+            df = spark.createDataFrame(pts, "id long, cost long, gain long")
+            got = sorted(
+                r.id for r in skyline_2d(df, minimize="cost", maximize="gain").collect()
+            )
+            want = sorted(
+                p[0]
+                for p in pts
+                if not any(
+                    q[1] <= p[1]
+                    and q[2] >= p[2]
+                    and (q[1] < p[1] or q[2] > p[2])
+                    for q in pts
+                )
+            )
+            assert got == want, f"trial {trial}"
+
+    def test_duplicate_points_both_survive(self, spark):
+        from data_integration_pipelines_spark.operators.skyline import skyline_2d
+
+        df = spark.createDataFrame(
+            [(1, 10, 5), (2, 10, 5), (3, 20, 4)], "id long, cost long, gain long"
+        )
+        got = sorted(r.id for r in skyline_2d(df, "cost", "gain").collect())
+        assert got == [1, 2]  # identical points are mutually non-dominated
