@@ -472,3 +472,107 @@ def skyline_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.array_distinct(ws_tokens(F.col("text")))).cast("long").alias("vocab"),
     )
     return skyline_2d(scored, minimize="n_chars", maximize="vocab").orderBy("doc_id")
+
+
+@register(
+    "repetition_score",
+    """
+    WITH t AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+        FROM documents WHERE doc_id < 150
+    ),
+    sh AS (
+        SELECT doc_id,
+               len(toks) - 2 AS n_grams,
+               len(list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                                  FOR i IN range(1, len(toks) - 1)])) AS n_distinct
+        FROM t
+        WHERE len(toks) >= 3
+    )
+    SELECT doc_id,
+           CAST(n_grams AS INT) AS n_grams,
+           CAST(n_distinct AS INT) AS n_distinct,
+           ROUND(1.0 - n_distinct / n_grams, 4) AS rep_ratio
+    FROM sh
+    ORDER BY doc_id
+    """,
+    doc="Intra-document repetition score: 1 - distinct/total 3-grams per doc "
+    "(the duplicate-n-gram-fraction family of quality rules, cf. Gopher "
+    "repetition filters). Pure narrow array ops — shingle, distinct, size — "
+    "zero shuffles before the presentation sort.",
+)
+def repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 150)
+    grams = word_shingles(ws_tokens(F.col("text")), 3)
+    scored = docs.select(
+        "doc_id",
+        F.size(grams).alias("n_grams"),
+        F.size(F.array_distinct(grams)).alias("n_distinct"),
+    ).filter(F.col("n_grams") >= 1)
+    return scored.select(
+        "doc_id",
+        "n_grams",
+        "n_distinct",
+        F.round(1.0 - F.col("n_distinct") / F.col("n_grams"), 4).alias("rep_ratio"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "quality_rule_battery",
+    """
+    WITH t AS (
+        SELECT doc_id, text, n_chars,
+               regexp_split_to_array(trim(text), '\\s+') AS toks
+        FROM documents WHERE doc_id < 150
+    ),
+    m AS (
+        SELECT doc_id,
+               len(toks) AS n_words,
+               list_sum(list_transform(toks, x -> length(x))) / len(toks) AS mean_word_len,
+               (length(text) - length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')))
+                   / len(toks) AS symbol_word_ratio
+        FROM t
+    )
+    SELECT doc_id,
+           n_words >= 10 AND n_words <= 1000 AS ok_word_count,
+           mean_word_len >= 2 AND mean_word_len <= 12 AS ok_mean_word_len,
+           symbol_word_ratio <= 0.5 AS ok_symbol_ratio,
+           (n_words >= 10 AND n_words <= 1000)
+               AND (mean_word_len >= 2 AND mean_word_len <= 12)
+               AND symbol_word_ratio <= 0.5 AS passes_all
+    FROM m
+    ORDER BY doc_id
+    """,
+    doc="Corpus quality-rule battery (Gopher-style bounds): word-count range, "
+    "mean word length range, symbol-to-word ratio cap, plus the all-rules "
+    "conjunction — the same per-row boolean-battery shape as the reference's "
+    "trace checks (src/trace/validation/validation.py:208-376), as pure "
+    "Column expressions.",
+)
+def quality_rule_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 150)
+    toks = ws_tokens(F.col("text"))
+    n_words = F.size(toks)
+    mean_word_len = F.aggregate(
+        toks, F.lit(0), lambda acc, x: acc + F.length(x)
+    ) / n_words
+    symbols = F.length("text") - F.length(
+        F.regexp_replace("text", r"[^A-Za-z0-9\s]", "")
+    )
+    symbol_word_ratio = symbols / n_words
+    m = docs.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        mean_word_len.alias("mean_word_len"),
+        symbol_word_ratio.alias("symbol_word_ratio"),
+    )
+    ok_wc = (F.col("n_words") >= 10) & (F.col("n_words") <= 1000)
+    ok_mwl = (F.col("mean_word_len") >= 2) & (F.col("mean_word_len") <= 12)
+    ok_sym = F.col("symbol_word_ratio") <= 0.5
+    return m.select(
+        "doc_id",
+        ok_wc.alias("ok_word_count"),
+        ok_mwl.alias("ok_mean_word_len"),
+        ok_sym.alias("ok_symbol_ratio"),
+        (ok_wc & ok_mwl & ok_sym).alias("passes_all"),
+    ).orderBy("doc_id")
