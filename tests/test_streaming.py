@@ -184,3 +184,50 @@ def test_upsert_batch_late_rows_never_regress(spark):
     rows = {r.user_id: (r.event_type, r.value, r._rev) for r in merged.collect()}
     assert rows[1] == ("new", 5.0, 3)  # untouched by the stale row
     assert rows[2] == ("o2", 2.0, 1)  # genuinely new key inserted
+
+
+def test_stream_static_enrichment_matches_batch(spark, sf_small, tmp_path):
+    """Events stream joined to a broadcast dimension, windowed per
+    cohort: drained availableNow result == same plan on the batch frame."""
+    from data_integration_pipelines_spark.streaming.dedup import (
+        read_staged_events_stream,
+    )
+    from data_integration_pipelines_spark.streaming.enrich import (
+        enrich_events,
+        windowed_enriched_stats,
+    )
+
+    events = load_table(spark, sf_small, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    dim = (
+        events.select("user_id")
+        .distinct()
+        .withColumn("cohort", (F.col("user_id") % 3).cast("int"))
+    )
+    staging = str(tmp_path / "staged")
+    events.write.mode("overwrite").parquet(staging)
+
+    stream = read_staged_events_stream(spark, staging).select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    out = windowed_enriched_stats(enrich_events(stream, dim), "cohort")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("enriched_counts")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {
+        (str(r.window_start), r.cohort): (r.n_events, r.value_sum)
+        for r in spark.sql("SELECT * FROM enriched_counts").collect()
+    }
+    want = {
+        (str(r.window_start), r.cohort): (r.n_events, r.value_sum)
+        for r in windowed_enriched_stats(enrich_events(events, dim), "cohort").collect()
+    }
+    assert got == want and len(got) > 3
