@@ -261,3 +261,37 @@ class TestEdgeCases:
         assert [(r.id_a, r.id_b) for r in pairs] == [(5, 6)]
         cand = minhash_lsh_candidates(docs, "text", "doc_id", n=3).collect()
         assert [(r.id_a, r.id_b) for r in cand] == [(5, 6)]
+
+
+def test_ivf_recall_against_bruteforce(spark, sf_small):
+    """IVF (single-probe, 8 pivots) must keep most of the exact top-3
+    neighborhood for most queries — the recall/latency trade is the
+    point of IVF; this pins that the bucketing isn't degenerate
+    (recall would be ~0 if pivot assignment or bucket search broke)."""
+    from data_integration_pipelines_spark.catalog import load_table
+    from data_integration_pipelines_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_topk,
+    )
+
+    emb = load_table(spark, sf_small, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+    pivots = emb.filter(F.col("vec_id") < 8)
+    k = 3
+
+    exact = {}
+    for r in brute_force_topk(emb, queries, k=k).collect():
+        exact.setdefault(r.query_id, set()).add(r.neighbor_id)
+    approx = {}
+    for r in ivf_topk(emb, queries, pivots, k=k).collect():
+        approx.setdefault(r.query_id, set()).add(r.neighbor_id)
+
+    recalls = [
+        len(exact[q] & approx.get(q, set())) / len(exact[q]) for q in exact
+    ]
+    mean_recall = sum(recalls) / len(recalls)
+    # single-probe IVF on 64-d gaussian data: far from perfect by
+    # design, but must beat random bucketing by a wide margin
+    assert mean_recall >= 0.5, f"mean recall {mean_recall:.2f}"
+    # ivf results are a subset of the corpus and never contain self
+    assert all(q not in ns for q, ns in approx.items())
