@@ -140,9 +140,11 @@ def assign_buckets(
     pivots: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    nprobe: int = 1,
 ) -> DataFrame:
-    """IVF coarse quantizer: assign each vector to its nearest pivot
-    (max dot; ties -> lowest pivot id). Returns (id, bucket)."""
+    """IVF coarse quantizer: assign each vector to its ``nprobe``
+    nearest pivots (max dot; ties -> lowest pivot id). Returns
+    (id, bucket), one row per (vector, probed bucket)."""
     dots = dot_products(
         explode_vectors(df, id_col, vec_col).withColumnRenamed("id", "id"),
         explode_vectors(pivots, id_col, vec_col),
@@ -151,8 +153,17 @@ def assign_buckets(
     w = Window.partitionBy("id").orderBy(F.desc(F.round("dot", 6)), F.asc("pivot_id"))
     return (
         dots.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
+        .filter(F.col("rn") <= nprobe)
         .select("id", F.col("pivot_id").alias("bucket"))
+    )
+
+
+def _zip_dot(a, b):
+    """JVM-side dot product of two float arrays (no explode, no join)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
     )
 
 
@@ -163,33 +174,45 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 5,
+    nprobe: int = 1,
 ) -> DataFrame:
-    """ANN: search only within the query's coarse bucket.
-    Returns (query_id, neighbor_id, cosine, rank)."""
-    buckets = assign_buckets(df, pivots, id_col, vec_col)
-    q_buckets = assign_buckets(query_df, pivots, id_col, vec_col)
-    dots = dot_products(
-        explode_vectors(query_df, id_col, vec_col),
-        explode_vectors(df, id_col, vec_col),
-    ).filter(F.col("query_id") != F.col("corpus_id"))
-    qb = q_buckets.select(F.col("id").alias("query_id"), F.col("bucket").alias("qb"))
-    cb = buckets.select(F.col("id").alias("corpus_id"), F.col("bucket").alias("cb"))
-    in_bucket = (
-        dots.join(F.broadcast(qb), "query_id")
-        .join(cb, "corpus_id")
-        .filter(F.col("qb") == F.col("cb"))
-        .withColumn("cos_r", F.round("dot", 4))
+    """ANN: search only the query's ``nprobe`` nearest coarse buckets.
+    Returns (query_id, neighbor_id, cosine, rank).
+
+    The candidate join is keyed ON THE BUCKET — the corpus never meets
+    queries outside their probed cells, so scanned pairs shrink by
+    ~n_pivots/nprobe vs brute force (this is what makes IVF the scale
+    path, not just a post-filter). Dots are computed with
+    ``zip_with``/``aggregate`` on the carried arrays: one codegen'd
+    expression per candidate, no position explode, no per-pair
+    aggregation shuffle. Multi-probe (nprobe > 1) buys recall for a
+    proportional candidate increase (same trade as IVF nprobe in Faiss
+    or multi-probe LSH, Lv et al. VLDB'07)."""
+    cb = assign_buckets(df, pivots, id_col, vec_col).select(
+        F.col("id").alias("corpus_id"), "bucket"
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cos_r"), F.asc("corpus_id"))
+    qb = assign_buckets(query_df, pivots, id_col, vec_col, nprobe=nprobe).select(
+        F.col("id").alias("query_id"), "bucket"
+    )
+    corpus = df.select(
+        F.col(id_col).alias("corpus_id"), F.col(vec_col).alias("__cvec")
+    ).join(cb, "corpus_id")
+    queries = query_df.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qvec")
+    ).join(F.broadcast(qb), "query_id")
+    cand = corpus.join(F.broadcast(queries), "bucket").filter(
+        F.col("query_id") != F.col("corpus_id")
+    )
+    scored = cand.select(
+        "query_id",
+        "corpus_id",
+        F.round(_zip_dot(F.col("__qvec"), F.col("__cvec")), 4).alias("cosine"),
+    ).distinct()  # multi-probe can reach a corpus vector via two buckets
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("corpus_id"))
     return (
-        in_bucket.withColumn("rank", F.row_number().over(w))
+        scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
-        .select(
-            "query_id",
-            F.col("corpus_id").alias("neighbor_id"),
-            F.round("dot", 4).alias("cosine"),
-            "rank",
-        )
+        .select("query_id", F.col("corpus_id").alias("neighbor_id"), "cosine", "rank")
     )
 
 

@@ -280,3 +280,57 @@ def embedding_dup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vec_id")
     )
+
+
+@register(
+    "ann_ivf_multiprobe",
+    f"""
+    WITH {_LONG_CTE},
+    pivot_dots AS (
+        SELECT v.vec_id AS id, p.vec_id AS pivot_id, SUM(v.val * p.val) AS dot
+        FROM long v JOIN long p ON v.pos = p.pos
+        WHERE p.vec_id < 8
+        GROUP BY 1, 2
+    ),
+    ranked_buckets AS (
+        SELECT id, pivot_id AS bucket,
+               ROW_NUMBER() OVER (PARTITION BY id
+                                  ORDER BY ROUND(dot, 6) DESC, pivot_id) AS rn
+        FROM pivot_dots
+    ),
+    cbuckets AS (SELECT id, bucket FROM ranked_buckets WHERE rn = 1),
+    qbuckets AS (SELECT id, bucket FROM ranked_buckets WHERE rn <= 2),
+    dots AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS corpus_id, SUM(q.val * c.val) AS dot
+        FROM long q JOIN long c ON q.pos = c.pos AND q.vec_id <> c.vec_id
+        WHERE q.vec_id >= 100 AND q.vec_id < 105
+        GROUP BY 1, 2
+    ),
+    in_bucket AS (
+        SELECT DISTINCT d.query_id, d.corpus_id, d.dot
+        FROM dots d
+        JOIN qbuckets qb ON qb.id = d.query_id
+        JOIN cbuckets cb ON cb.id = d.corpus_id
+        WHERE qb.bucket = cb.bucket
+    ),
+    ranked AS (
+        SELECT query_id, corpus_id AS neighbor_id, ROUND(dot, 4) AS cosine,
+               CAST(ROW_NUMBER() OVER (
+                    PARTITION BY query_id
+                    ORDER BY ROUND(dot, 4) DESC, corpus_id) AS INT) AS rank
+        FROM in_bucket
+    )
+    SELECT query_id, neighbor_id, cosine, rank
+    FROM ranked WHERE rank <= 5
+    ORDER BY query_id, rank
+    """,
+    doc="Multi-probe IVF ANN top-5 (nprobe=2): each query searches its TWO "
+    "nearest coarse cells — the standard recall/candidate-count trade "
+    "(Faiss nprobe; multi-probe LSH, Lv et al. VLDB'07). The candidate "
+    "join stays bucket-keyed, so cost is ~2/n_pivots of brute force.",
+)
+def ann_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    pivots = emb.filter(F.col("vec_id") < 8)
+    queries = emb.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 105))
+    return ivf_topk(emb, queries, pivots, k=5, nprobe=2).orderBy("query_id", "rank")

@@ -295,3 +295,34 @@ def test_ivf_recall_against_bruteforce(spark, sf_small):
     assert mean_recall >= 0.5, f"mean recall {mean_recall:.2f}"
     # ivf results are a subset of the corpus and never contain self
     assert all(q not in ns for q, ns in approx.items())
+
+
+def test_multiprobe_ivf_recall_dominates_single_probe(spark, sf_small):
+    from data_integration_pipelines_spark.catalog import load_table
+    from data_integration_pipelines_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_topk,
+    )
+
+    emb = load_table(spark, sf_small, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+    pivots = emb.filter(F.col("vec_id") < 8)
+    k = 3
+
+    def topk_sets(df):
+        out = {}
+        for r in df.collect():
+            out.setdefault(r.query_id, set()).add(r.neighbor_id)
+        return out
+
+    exact = topk_sets(brute_force_topk(emb, queries, k=k))
+
+    def mean_recall(nprobe):
+        approx = topk_sets(ivf_topk(emb, queries, pivots, k=k, nprobe=nprobe))
+        return sum(
+            len(exact[q] & approx.get(q, set())) / len(exact[q]) for q in exact
+        ) / len(exact)
+
+    r1, r2 = mean_recall(1), mean_recall(2)
+    assert r2 >= r1, f"nprobe=2 recall {r2:.2f} < nprobe=1 {r1:.2f}"
+    assert r2 >= 0.6
