@@ -576,3 +576,141 @@ def quality_rule_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         ok_sym.alias("ok_symbol_ratio"),
         (ok_wc & ok_mwl & ok_sym).alias("passes_all"),
     ).orderBy("doc_id")
+
+
+@register(
+    "curation_funnel",
+    f"""
+    WITH RECURSIVE
+    {_CLUSTER_EDGE_ORACLE.strip()},
+    edges AS (
+        SELECT id_a AS u, id_b AS v FROM pairs
+        UNION
+        SELECT id_b, id_a FROM pairs
+    ),
+    reach(src, node) AS (
+        SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+        UNION
+        SELECT r.src, e.v FROM reach r JOIN edges e ON e.u = r.node
+    ),
+    losers AS (
+        SELECT src AS doc_id FROM reach GROUP BY src
+        HAVING src <> MIN(node)
+    ),
+    sh4 AS (
+        SELECT DISTINCT doc_id, source,
+               t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] AS s
+        FROM (SELECT doc_id, source, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents),
+             LATERAL (SELECT unnest(range(1, len(t) - 2)) AS i)
+    ),
+    contaminated AS (
+        SELECT DISTINCT a.doc_id
+        FROM sh4 a JOIN sh4 b ON a.s = b.s
+        WHERE b.source = 'src0' AND a.source <> 'src0'
+    ),
+    flags AS (
+        SELECT doc_id, source, n_chars,
+               len(toks) >= 10 AND len(toks) <= 1000
+                   AND list_sum(list_transform(toks, x -> length(x))) / len(toks) BETWEEN 2 AND 12
+                   AS ok_quality,
+               doc_id NOT IN (SELECT doc_id FROM losers) AS ok_dedup,
+               source <> 'src0' AND doc_id NOT IN (SELECT doc_id FROM contaminated)
+                   AS ok_decontam,
+               substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '8000' AS ok_sample
+        FROM (SELECT *, regexp_split_to_array(trim(text), '\\s+') AS toks FROM documents)
+    )
+    SELECT stage,
+           CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(chars_total AS BIGINT) AS chars_total
+    FROM (
+        SELECT '0_raw' AS stage, COUNT(*) AS n_docs, SUM(n_chars) AS chars_total FROM flags
+        UNION ALL
+        SELECT '1_quality', COUNT(*), SUM(n_chars) FROM flags WHERE ok_quality
+        UNION ALL
+        SELECT '2_dedup', COUNT(*), SUM(n_chars) FROM flags WHERE ok_quality AND ok_dedup
+        UNION ALL
+        SELECT '3_decontam', COUNT(*), SUM(n_chars) FROM flags
+        WHERE ok_quality AND ok_dedup AND ok_decontam
+        UNION ALL
+        SELECT '4_sampled', COUNT(*), SUM(n_chars) FROM flags
+        WHERE ok_quality AND ok_dedup AND ok_decontam AND ok_sample
+    )
+    ORDER BY stage
+    """,
+    doc="The full curation funnel as ONE plan: quality rules -> near-dedup "
+    "survivors (Jaccard pairs -> connected components, keep min) -> "
+    "eval-set decontamination -> deterministic 50% sample, reporting "
+    "docs/chars surviving each stage. Every stage is a boolean Column on "
+    "one frame — the funnel costs one pass over the corpus plus the "
+    "(edge-set-sized) clustering and (eval-sized) contamination joins.",
+)
+def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    toks = ws_tokens(F.col("text"))
+    mean_wl = F.aggregate(toks, F.lit(0), lambda a, x: a + F.length(x)) / F.size(toks)
+    ok_quality = (
+        (F.size(toks) >= 10)
+        & (F.size(toks) <= 1000)
+        & (mean_wl >= 2)
+        & (mean_wl <= 12)
+    )
+
+    pairs = jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.5)
+    cc = connected_components(pairs, "id_a", "id_b")
+    losers = cc.filter(F.col("id") != F.col("cluster_id")).select(
+        F.col("id").alias("doc_id"), F.lit(True).alias("__loser")
+    )
+
+    hashed4 = F.array_distinct(
+        F.transform(word_shingles(toks, 4), lambda s: F.xxhash64(s))
+    )
+    sh = docs.select("doc_id", "source", F.explode(hashed4).alias("s"))
+    contaminated = (
+        sh.filter(F.col("source") != "src0")
+        .join(
+            F.broadcast(sh.filter(F.col("source") == "src0").select("s")), "s"
+        )
+        .select("doc_id")
+        .distinct()
+        .withColumn("__contam", F.lit(True))
+    )
+
+    flags = (
+        docs.select("doc_id", "source", "n_chars", ok_quality.alias("ok_quality"))
+        .join(F.broadcast(losers), "doc_id", "left")
+        .join(F.broadcast(contaminated), "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_chars",
+            "ok_quality",
+            F.col("__loser").isNull().alias("ok_dedup"),
+            ((F.col("source") != "src0") & F.col("__contam").isNull()).alias(
+                "ok_decontam"
+            ),
+            (
+                F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4) < "8000"
+            ).alias("ok_sample"),
+        )
+    )
+    stages = [
+        ("0_raw", F.lit(True)),
+        ("1_quality", F.col("ok_quality")),
+        ("2_dedup", F.col("ok_quality") & F.col("ok_dedup")),
+        ("3_decontam", F.col("ok_quality") & F.col("ok_dedup") & F.col("ok_decontam")),
+        (
+            "4_sampled",
+            F.col("ok_quality")
+            & F.col("ok_dedup")
+            & F.col("ok_decontam")
+            & F.col("ok_sample"),
+        ),
+    ]
+    out = None
+    for name, cond in stages:
+        row = flags.filter(cond).agg(
+            F.lit(name).alias("stage"),
+            F.count("*").alias("n_docs"),
+            F.coalesce(F.sum("n_chars"), F.lit(0)).alias("chars_total"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("stage")
