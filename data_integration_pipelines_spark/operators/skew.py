@@ -86,3 +86,26 @@ def salted_broadcast_join(
         "__salt", F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(n_salts))
     )
     return salted_big.join(F.broadcast(replicas), [key, "__salt"]).drop("__salt")
+
+
+def skew_proof_count_distinct(
+    df: DataFrame,
+    key_cols: list[str],
+    value_col: str,
+    out_col: str = "n_distinct",
+) -> DataFrame:
+    """Exact COUNT(DISTINCT value) per key that survives a hot key.
+
+    ``groupBy(key).agg(countDistinct(value))`` ships every (key, value)
+    of the hot key to ONE reducer holding its whole distinct set. This
+    re-association dedups on the composite (key, value) first — the
+    value spreads the hot key across the cluster and the dedup is
+    map-side combined — then counts per key, where the surviving
+    per-key rows are only as many as there are distinct values.
+    Same result, no single-task state proportional to the hot key."""
+    return (
+        df.select(*key_cols, value_col)
+        .distinct()
+        .groupBy(*key_cols)
+        .agg(F.count("*").alias(out_col))
+    )

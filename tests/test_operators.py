@@ -164,3 +164,24 @@ class TestSkyline:
         )
         got = sorted(r.id for r in skyline_2d(df, "cost", "gain").collect())
         assert got == [1, 2]  # identical points are mutually non-dominated
+
+
+def test_skew_proof_count_distinct_matches_naive(spark):
+    from data_integration_pipelines_spark.operators.skew import (
+        skew_proof_count_distinct,
+    )
+
+    # hot key 0 holds 90% of rows with repeating values
+    df = spark.range(20000).select(
+        F.when(F.col("id") % 10 != 0, 0).otherwise(F.col("id") % 50).alias("k"),
+        (F.col("id") % 137).alias("v"),
+    )
+    got = {
+        r.k: r.n_distinct
+        for r in skew_proof_count_distinct(df, ["k"], "v").collect()
+    }
+    want = {
+        r.k: r.nd
+        for r in df.groupBy("k").agg(F.countDistinct("v").alias("nd")).collect()
+    }
+    assert got == want
