@@ -364,3 +364,72 @@ def simhash_hamming_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_hamming_pairs(
         docs, "text", "doc_id", nbits=32, max_hamming=3
     ).orderBy("id_a", "id_b")
+
+
+# Char-trigram marker profiles (fixture corpus shares one vocabulary;
+# the operator shape — char-level shingling + per-profile hit scores +
+# deterministic argmax — is what carries to real corpora, where the
+# profiles come from trained per-language frequency tables).
+_CHAR_PROFILES = {
+    "dataish": ("dat", "tab", "col", "row", "val"),
+    "queryish": ("que", "joi", "fil", "agg", "gro"),
+    "sparkish": ("spa", "bat", "str", "win", "par"),
+}
+
+
+def _char_profile_sql(name: str, tris: tuple[str, ...]) -> str:
+    inlist = ", ".join(f"'{t}'" for t in tris)
+    return (
+        f"CAST(len(list_filter(tri, x -> x IN ({inlist}))) AS INT) AS s_{name}"
+    )
+
+
+@register(
+    "char_ngram_lang_id",
+    f"""
+    WITH t AS (
+        SELECT doc_id, lang,
+               [substr(text, CAST(i AS INT), 3) FOR i IN range(1, length(text) - 1)] AS tri
+        FROM documents WHERE doc_id < 200
+    ),
+    scored AS (
+        SELECT doc_id, lang,
+               {_char_profile_sql("dataish", _CHAR_PROFILES["dataish"])},
+               {_char_profile_sql("queryish", _CHAR_PROFILES["queryish"])},
+               {_char_profile_sql("sparkish", _CHAR_PROFILES["sparkish"])}
+        FROM t
+    )
+    SELECT doc_id, lang, s_dataish, s_queryish, s_sparkish,
+           CASE WHEN s_dataish >= s_queryish AND s_dataish >= s_sparkish THEN 'dataish'
+                WHEN s_queryish >= s_sparkish THEN 'queryish'
+                ELSE 'sparkish' END AS predicted
+    FROM scored
+    ORDER BY doc_id
+    """,
+    doc="Character-trigram language ID: char-level shingling (substring over "
+    "a position sequence — no tokenizer dependency, robust to scripts "
+    "without whitespace) + per-profile hit counts + deterministic argmax. "
+    "Char n-grams are the standard langid features (cf. n-gram-based text "
+    "categorization, Cavnar & Trenkle '94); all narrow JVM array ops.",
+)
+def char_ngram_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 200)
+    tri = F.expr("transform(sequence(1, length(text) - 2), i -> substring(text, i, 3))")
+    scored = docs.select(
+        "doc_id",
+        "lang",
+        *[
+            F.size(F.filter(tri, lambda x: x.isin(*tris))).alias(f"s_{name}")
+            for name, tris in _CHAR_PROFILES.items()
+        ],
+    )
+    predicted = (
+        F.when(
+            (F.col("s_dataish") >= F.col("s_queryish"))
+            & (F.col("s_dataish") >= F.col("s_sparkish")),
+            "dataish",
+        )
+        .when(F.col("s_queryish") >= F.col("s_sparkish"), "queryish")
+        .otherwise("sparkish")
+    )
+    return scored.withColumn("predicted", predicted).orderBy("doc_id")
