@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..catalog import load_table
+from ..functions.time import epoch_sec
 from ..streaming.events import windowed_counts
 from .base import register
 
@@ -92,7 +93,10 @@ def running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
 def lag_lead_deltas(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events").filter(F.col("user_id") < 5)
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    secs = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    # Truncate each timestamp to seconds before differencing (matches
+    # DuckDB date_diff('second', ...) boundary-crossing semantics).
+    sec = epoch_sec(ev, "ts")
+    secs = sec - F.lag(sec).over(w)
     return ev.select(
         "user_id",
         "event_id",

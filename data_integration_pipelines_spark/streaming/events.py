@@ -16,7 +16,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-EVENTS_SCHEMA = (
+# Legacy layout: events.ts physically TIMESTAMP(NANOS), surfaced as a
+# long under spark.sql.legacy.parquet.nanosAsLong.
+EVENTS_SCHEMA_NANOS = (
     "event_id bigint, ts bigint, user_id bigint, event_type string, "
     "value double, props string"
 )
@@ -43,15 +45,33 @@ def windowed_counts(events: DataFrame, window: str = "1 hour") -> DataFrame:
 def read_events_stream(
     spark: SparkSession, sf_dir: str, watermark: str = "2 hours"
 ) -> DataFrame:
-    """Streaming scan of the events parquet (nanos ts normalized at load,
-    same as the batch catalog)."""
+    """Streaming scan of the events parquet, normalizing ``ts`` the same
+    way the batch catalog does: a schema-only batch probe decides whether
+    the file stores TIMESTAMP(NANOS) (legacy long path) or a real
+    timestamp type (used verbatim)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw = (
-        spark.readStream.schema(EVENTS_SCHEMA)
-        .option("pathGlobFilter", "events.parquet")  # file source wants a dir
-        .parquet(sf_dir)
-        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    probe = (
+        spark.read.option("pathGlobFilter", "events.parquet").parquet(sf_dir)
     )
+    if dict(probe.dtypes).get("ts") == "bigint":
+        raw = (
+            spark.readStream.schema(EVENTS_SCHEMA_NANOS)
+            .option("pathGlobFilter", "events.parquet")  # file source wants a dir
+            .parquet(sf_dir)
+            .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        )
+    else:
+        raw = (
+            spark.readStream.schema(probe.schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+        )
+        if dict(raw.dtypes).get("ts") == "timestamp_ntz":
+            # Watermarks require TIMESTAMP. Pin the session to UTC so the
+            # NTZ->LTZ cast preserves the wall-clock instant exactly and
+            # stream output matches the batch (NTZ) formatting.
+            spark.conf.set("spark.sql.session.timeZone", "UTC")
+            raw = raw.withColumn("ts", F.col("ts").cast("timestamp"))
     return raw.withWatermark("ts", watermark)
 
 

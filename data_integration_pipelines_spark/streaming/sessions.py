@@ -21,6 +21,8 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions.time import epoch_us, epoch_us_expr, ts_dtype
+
 SESSION_GAP = "30 minutes"
 _GAP_US = 30 * 60 * 1_000_000
 
@@ -30,7 +32,7 @@ def sessionize(events: DataFrame, gap_us: int = _GAP_US) -> DataFrame:
     since the previous event exceeds ``gap_us``. Pure analytic windows
     (lag -> boundary flag -> running sum), one shuffle on user_id."""
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    us = F.unix_micros(F.col("ts"))
+    us = epoch_us(events, "ts")
     prev_us = F.lag(us).over(w)
     boundary = F.when(
         prev_us.isNull() | ((us - prev_us) > gap_us), 1
@@ -46,7 +48,7 @@ def session_stats(events: DataFrame, gap_us: int = _GAP_US) -> DataFrame:
     in-session dwell time in microseconds (exact integer domain —
     reproducible in any engine with epoch-microsecond extraction)."""
     sess = sessionize(events, gap_us)
-    us = F.unix_micros(F.col("ts"))
+    us = epoch_us(events, "ts")
     per_session = sess.groupBy("user_id", "session_id").agg(
         F.count("*").alias("n_events"),
         (F.max(us) - F.min(us)).alias("dwell_us"),
@@ -62,12 +64,14 @@ def session_stats(events: DataFrame, gap_us: int = _GAP_US) -> DataFrame:
 def session_window_counts(events: DataFrame, gap: str = SESSION_GAP) -> DataFrame:
     """Built-in ``session_window`` aggregation — identical plan batch or
     streaming (with a watermark upstream in the streaming case)."""
+    # session_window preserves the input timestamp type in w.start.
+    dtype = ts_dtype(events, "ts")
     return (
         events.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
         .agg(F.count("*").alias("n_events"))
         .select(
             "user_id",
-            F.unix_micros(F.col("w.start")).alias("session_start_us"),
+            epoch_us_expr("w.start", dtype).alias("session_start_us"),
             "n_events",
         )
     )

@@ -120,10 +120,13 @@ def test_streaming_upsert_converges_to_batch_keep_latest(spark, sf_small, tmp_pa
         streaming_upsert,
     )
 
+    from data_integration_pipelines_spark.functions.time import epoch_us
+
     events = load_table(spark, sf_small, "events").select(
         "event_id", "ts", "user_id", "event_type", "value"
     )
-    median_us = events.selectExpr("percentile(unix_micros(ts), 0.5) AS m").collect()[0].m
+    us = epoch_us(events, "ts")
+    median_us = events.select(F.percentile(us, F.lit(0.5)).alias("m")).collect()[0].m
     staging = str(tmp_path / "staged")
     store = str(tmp_path / "store")
 
@@ -140,12 +143,12 @@ def test_streaming_upsert_converges_to_batch_keep_latest(spark, sf_small, tmp_pa
         q.awaitTermination(120)
 
     # drain 1: the older half of the feed
-    old_half = events.filter(F.unix_micros("ts") <= median_us)
+    old_half = events.filter(us <= median_us)
     old_half.write.mode("overwrite").parquet(staging)
     drain()
     # drain 2 (same checkpoint — resumes from the file-source offset):
     # the newer half plus a re-delivered slice of the old half
-    events.filter(F.unix_micros("ts") > median_us).write.mode("append").parquet(staging)
+    events.filter(us > median_us).write.mode("append").parquet(staging)
     old_half.orderBy("event_id").limit(100).write.mode("append").parquet(staging)
     drain()
 
