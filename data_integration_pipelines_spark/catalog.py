@@ -46,6 +46,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # stable and match the oracle's naive timestamps even when the
     # engine runs in an externally-created session with a local TZ.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # Right-size shuffle parallelism when the session still carries the
+    # stock 200 (an externally-created vanilla session): 2-3x total
+    # cores is the cluster guidance, and AQE coalescing makes over-
+    # provisioning cheap. A user-tuned value is left alone.
+    if spark.conf.get("spark.sql.shuffle.partitions", "200") == "200":
+        cores = spark.sparkContext.defaultParallelism
+        spark.conf.set("spark.sql.shuffle.partitions", str(max(2 * cores, 16)))
     if name == "events":
         # events.ts is parquet TIMESTAMP(NANOS): unreadable unless nanos
         # are surfaced as longs. Runtime-settable, so enforce it here so

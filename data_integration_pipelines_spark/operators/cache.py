@@ -1,0 +1,47 @@
+"""Bounded persist pool.
+
+Operators that feed one intermediate table into both sides of a
+self-join (``jaccard_pairs``, LSH band/sketch tables, hyperplane
+signatures) persist it so the expensive subtree runs once. A bare
+``.persist()`` leaks in long-lived sessions: every invocation in a
+bench loop / repeated oracle sweep / notebook stacks another cached
+table and relies on LRU eviction under memory pressure.
+
+``bounded_persist`` keeps a FIFO pool of live handles and unpersists
+the oldest beyond a cap — cache growth is bounded by the cap instead
+of the session lifetime. Unpersisting a table an in-flight plan still
+references is safe (Spark recomputes the subtree); the pool only
+bounds memory, never correctness. ``release_cached`` drops everything
+(for tests and session teardown).
+"""
+
+from __future__ import annotations
+
+from collections import deque
+
+from pyspark.sql import DataFrame
+
+_POOL: deque[DataFrame] = deque()
+_DEFAULT_CAP = 8
+
+
+def bounded_persist(df: DataFrame, cap: int = _DEFAULT_CAP) -> DataFrame:
+    """Persist ``df``, evicting the oldest pooled table beyond ``cap``."""
+    handle = df.persist()
+    _POOL.append(handle)
+    while len(_POOL) > cap:
+        _POOL.popleft().unpersist(blocking=False)
+    return handle
+
+
+def release_cached() -> int:
+    """Unpersist every pooled table; returns how many were released."""
+    n = 0
+    while _POOL:
+        _POOL.popleft().unpersist(blocking=False)
+        n += 1
+    return n
+
+
+def pool_size() -> int:
+    return len(_POOL)

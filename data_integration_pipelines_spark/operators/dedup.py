@@ -31,6 +31,15 @@ from ..functions.text import (
     word_shingles,
     ws_tokens,
 )
+from .cache import bounded_persist
+
+
+def relative_doc_freq_cap(n_docs: int, fraction: float = 0.01, floor: int = 64) -> int:
+    """Stop-shingle df cap that scales with the corpus: a shingle
+    appearing in more than ``fraction`` of documents (floored so tiny
+    test corpora are never capped) is a join island at scale — 1M docs
+    sharing one shingle is a 10^12-row join bucket."""
+    return max(floor, int(n_docs * fraction))
 
 
 def spread(df: DataFrame) -> DataFrame:
@@ -120,9 +129,9 @@ def jaccard_pairs(
             )
         )
     )
-    base = spread(df).select(
-        F.col(id_col).alias("id"), hashed.alias("shingles")
-    ).persist()
+    base = bounded_persist(
+        spread(df).select(F.col(id_col).alias("id"), hashed.alias("shingles"))
+    )
     # lossless prefix length |X| - ceil(t*|X|) + 1; the 1e-9 nudge keeps
     # binary-float t from rounding ceil UP past the exact rational value
     # (a too-short prefix would drop true pairs)
@@ -213,7 +222,7 @@ def minhash_lsh_candidates(
     persisted — otherwise the md5-heavy signature subtree executes
     twice (at corpus scale this table IS the dedup index and would be
     written to storage once and joined many times)."""
-    bands_df = minhash_bands(df, text_col, id_col, n, num_hashes, bands).persist()
+    bands_df = bounded_persist(minhash_bands(df, text_col, id_col, n, num_hashes, bands))
     a = bands_df.select(F.col("id").alias("id_a"), "band", "band_hash")
     b = bands_df.select(F.col("id").alias("id_b"), "band", "band_hash")
     return (
@@ -237,7 +246,7 @@ def simhash_bucket_pairs(
 ) -> DataFrame:
     """Candidate pairs sharing an identical simhash sketch. The sketch
     table feeds both join sides -> persisted (see minhash note)."""
-    sk = simhash_sketches(df, text_col, id_col, nbits).persist()
+    sk = bounded_persist(simhash_sketches(df, text_col, id_col, nbits))
     a = sk.select(F.col("id").alias("id_a"), "simhash")
     b = sk.select(F.col("id").alias("id_b"), "simhash")
     return (
@@ -279,7 +288,7 @@ def simhash_hamming_pairs(
     verifies. Candidate volume ~ (max_hamming+1) x the exact-bucket
     join; still never the full cross product."""
     n_blocks = max_hamming + 1
-    sk = simhash_sketches(df, text_col, id_col, nbits).persist()
+    sk = bounded_persist(simhash_sketches(df, text_col, id_col, nbits))
     probe_structs = [
         F.struct(
             F.lit(b).alias("block"), F.substring("simhash", start, length).alias("bits")
@@ -355,11 +364,14 @@ def connected_components(
     def _large_star(e: DataFrame) -> DataFrame:
         sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
         mins = sym.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
+        # No trailing distinct: _small_star's oriented distinct dedupes
+        # the same rows one narrow map later, and its map-side partial
+        # aggregation combines duplicates before they shuffle — a
+        # distinct here would be a whole extra exchange per round.
         return (
             sym.join(mins, "u")
             .filter(F.col("v") > F.col("u"))
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
-            .distinct()
         )
 
     def _small_star(e: DataFrame) -> DataFrame:

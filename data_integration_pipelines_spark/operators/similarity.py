@@ -27,6 +27,14 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from .cache import bounded_persist
+
+# topk_pandas collects the query set to the driver (the bounded-Q
+# scale contract: queries are a probe set, the CORPUS is the big
+# side). Guarded so a caller passing a corpus as query_df fails loudly
+# instead of OOMing the driver.
+MAX_COLLECTED_QUERIES = 100_000
+
 
 def explode_vectors(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
     """(id, pos, val double) long form of an embedding column."""
@@ -85,12 +93,28 @@ def topk_pandas(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 10,
+    max_queries: int = MAX_COLLECTED_QUERIES,
 ) -> DataFrame:
     """Vectorized top-k: numpy matmul per Arrow batch against the
     (small, collected) query matrix; per-partition top-k then a global
-    window reduce. Semantics identical to ``brute_force_topk``."""
+    window reduce. Semantics identical to ``brute_force_topk``: the
+    per-batch selection uses the SAME total order as the global reduce
+    (4-decimal-rounded dot desc, corpus_id asc), so a candidate tied at
+    the rounded value at a batch's k-boundary is kept or dropped exactly
+    as the global tiebreak would decide.
+
+    The query set is collected to the driver (bounded-Q contract);
+    ``max_queries`` fails loudly before the collect when violated —
+    use ``brute_force_topk`` / ``ivf_topk`` for corpus-vs-corpus."""
     import numpy as np
 
+    n_queries = query_df.count()
+    if n_queries > max_queries:
+        raise ValueError(
+            f"topk_pandas collects the query set to the driver: got "
+            f"{n_queries} queries > max_queries={max_queries}; use "
+            f"brute_force_topk/ivf_topk for large query sets"
+        )
     queries = query_df.select(id_col, vec_col).collect()
     q_ids = np.array([r[0] for r in queries])
     q_mat = np.array([r[1] for r in queries], dtype=np.float64)  # (Q, D)
@@ -110,10 +134,13 @@ def topk_pandas(
                 take = min(k, len(ids))
                 if take == 0:
                     continue
-                idx = np.argpartition(-vals, take - 1)[:take]
+                # Global-order-consistent selection: sort by rounded
+                # dot desc then id asc (np.lexsort: last key primary),
+                # matching the window's (cos_r desc, corpus_id asc).
+                order = np.lexsort((ids, -np.round(vals, 4)))[:take]
                 out.append(
                     pd.DataFrame(
-                        {"query_id": qid, "corpus_id": ids[idx], "dot": vals[idx]}
+                        {"query_id": qid, "corpus_id": ids[order], "dot": vals[order]}
                     )
                 )
             if out:
@@ -216,6 +243,36 @@ def ivf_topk(
     )
 
 
+def recommended_n_planes(n_vectors: int, target_bucket: int = 256) -> int:
+    """Planes needed so the MEAN bucket population ~ ``target_bucket``:
+    bucket count is 2^planes, so planes = ceil(log2(N / target)).
+    At fixed planes candidate pairs grow ~N^2/2^planes — scaling planes
+    with the corpus keeps per-bucket work flat (floored at 8)."""
+    import math
+
+    if n_vectors <= target_bucket:
+        return 8
+    return max(8, math.ceil(math.log2(n_vectors / target_bucket)) + 8)
+
+
+def _cap_buckets(cand_keys: DataFrame, key_cols: list[str], max_bucket: int | None) -> DataFrame:
+    """Drop candidate-generation buckets with population > max_bucket
+    (mirrors dedup.jaccard_pairs max_doc_freq df-capping): a degenerate
+    bucket — mass-duplicate embeddings, a failed normalization — turns
+    the bounded per-bucket self-join into an N^2 island. Capped buckets
+    lose those candidates by design; run exact dedup first for
+    mass-duplicate handling."""
+    if max_bucket is None:
+        return cand_keys
+    small = (
+        cand_keys.groupBy(*key_cols)
+        .agg(F.count("*").alias("__pop"))
+        .filter(F.col("__pop") <= max_bucket)
+        .select(*key_cols)
+    )
+    return cand_keys.join(small, key_cols)
+
+
 def hyperplane_signatures(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -253,6 +310,7 @@ def embedding_near_dup_multiprobe(
     vec_col: str = "embedding",
     n_planes: int = 8,
     max_hamming: int = 1,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Like ``embedding_near_dup_pairs`` but tolerant of signature
     near-misses: hyperplane LSH drops a true near-dup whenever ONE
@@ -263,7 +321,7 @@ def embedding_near_dup_multiprobe(
     pair at the cost of (max_hamming+1) bounded bucket joins."""
     from .dedup import simhash_blocks
 
-    sig = hyperplane_signatures(df, id_col, vec_col, n_planes).persist()
+    sig = bounded_persist(hyperplane_signatures(df, id_col, vec_col, n_planes))
     probe_structs = [
         F.struct(
             F.lit(b).alias("block"),
@@ -276,6 +334,7 @@ def embedding_near_dup_multiprobe(
     probes = sig.select(
         "id", "signature", F.explode(F.array(*probe_structs)).alias("p")
     ).select("id", "signature", F.col("p.block").alias("block"), F.col("p.bits").alias("bits"))
+    probes = _cap_buckets(probes, ["block", "bits"], max_bucket)
     a = probes.select(
         F.col("id").alias("id_a"), F.col("signature").alias("sig_a"), "block", "bits"
     )
@@ -315,14 +374,20 @@ def embedding_near_dup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_planes: int = 8,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: LSH-signature bucketing
     (candidate generation — only same-bucket vectors pair, never the
     full N^2) followed by an exact cosine verify on the candidates.
     Returns (id_a, id_b, cosine) with cosine rounded to 4 decimals and
     >= threshold. At scale the verify joins fetch only candidate
-    vectors; bucket sizes are ~N/2^n_planes."""
+    vectors; bucket sizes are ~N/2^n_planes — size ``n_planes`` with
+    ``recommended_n_planes(N)`` so that ratio stays flat as the corpus
+    grows, and/or set ``max_bucket`` to hard-cap degenerate buckets
+    (mass-duplicate embeddings) the way jaccard_pairs caps stop
+    shingles."""
     sig = hyperplane_signatures(df, id_col, vec_col, n_planes)
+    sig = _cap_buckets(sig, ["signature"], max_bucket)
     a = sig.select(F.col("id").alias("id_a"), "signature")
     b = sig.select(F.col("id").alias("id_b"), "signature")
     cand = a.join(b, "signature").filter(F.col("id_a") < F.col("id_b"))

@@ -16,7 +16,11 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from ..functions.text import bpe_token_count, word_shingles, ws_tokens
-from ..operators.dedup import connected_components, jaccard_pairs
+from ..operators.dedup import (
+    connected_components,
+    jaccard_pairs,
+    relative_doc_freq_cap,
+)
 from .base import register
 
 
@@ -75,7 +79,10 @@ _CLUSTER_EDGE_ORACLE = """
 )
 def dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
-    pairs = jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.5)
+    pairs = jaccard_pairs(
+        docs, "text", "doc_id", n=3, threshold=0.5,
+        max_doc_freq=relative_doc_freq_cap(docs.count()),
+    )
     cc = connected_components(pairs, "id_a", "id_b")
     return (
         cc.select(F.col("id").alias("doc_id"), "cluster_id")
@@ -265,19 +272,26 @@ def quality_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="End-to-end near-dedup: Jaccard pairs -> connected components -> keep "
     "the minimum doc per cluster, pass singletons through untouched -> "
-    "per-source kept report. The anti-join against the LOSER set (clustered "
-    "non-survivors) is the scale shape: losers are a small fraction of the "
-    "corpus and broadcast; the corpus itself never shuffles.",
+    "per-source kept report. The loser-set anti-join carries NO broadcast "
+    "hint: web-corpus dup rates run 30-50%, so the loser set scales with "
+    "the corpus, and a forced broadcast bypasses AQE's size check (OOM "
+    "instead of degrading). Unhinted, AQE still broadcasts when the set "
+    "is genuinely small and falls back to a shuffle anti-join when not. "
+    "Candidate generation is df-capped (stop shingles can't island the "
+    "prefix join).",
 )
 def dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
-    pairs = jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.5)
+    pairs = jaccard_pairs(
+        docs, "text", "doc_id", n=3, threshold=0.5,
+        max_doc_freq=relative_doc_freq_cap(docs.count()),
+    )
     cc = connected_components(pairs, "id_a", "id_b")
     losers = cc.filter(F.col("id") != F.col("cluster_id")).select(
         F.col("id").alias("doc_id")
     )
     return (
-        docs.join(F.broadcast(losers), "doc_id", "left_anti")
+        docs.join(losers, "doc_id", "left_anti")
         .groupBy("source")
         .agg(
             F.count("*").alias("n_kept"),
@@ -655,7 +669,10 @@ def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (mean_wl <= 12)
     )
 
-    pairs = jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.5)
+    pairs = jaccard_pairs(
+        docs, "text", "doc_id", n=3, threshold=0.5,
+        max_doc_freq=relative_doc_freq_cap(docs.count()),
+    )
     cc = connected_components(pairs, "id_a", "id_b")
     losers = cc.filter(F.col("id") != F.col("cluster_id")).select(
         F.col("id").alias("doc_id"), F.lit(True).alias("__loser")
@@ -677,8 +694,12 @@ def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     flags = (
         docs.select("doc_id", "source", "n_chars", ok_quality.alias("ok_quality"))
-        .join(F.broadcast(losers), "doc_id", "left")
-        .join(F.broadcast(contaminated), "doc_id", "left")
+        # No broadcast hints: the loser set scales with corpus dup rate
+        # and the contaminated set with eval x corpus overlap — neither
+        # is boundedly small at 100x. AQE picks broadcast when actual
+        # sizes allow and degrades to shuffle joins when they don't.
+        .join(losers, "doc_id", "left")
+        .join(contaminated, "doc_id", "left")
         .select(
             "doc_id",
             "n_chars",
@@ -705,12 +726,20 @@ def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             & F.col("ok_sample"),
         ),
     ]
-    out = None
-    for name, cond in stages:
-        row = flags.filter(cond).agg(
-            F.lit(name).alias("stage"),
-            F.count("*").alias("n_docs"),
-            F.coalesce(F.sum("n_chars"), F.lit(0)).alias("chars_total"),
+    # ONE conditional-aggregation pass over the flags frame (a 5-way
+    # filtered-agg union would recompute the whole flags subtree —
+    # shingles, contamination join, quality rules — once per stage),
+    # then stack the single row back to (stage, n_docs, chars_total).
+    aggs = []
+    for i, (_, cond) in enumerate(stages):
+        aggs.append(F.count(F.when(cond, F.lit(1))).alias(f"n{i}"))
+        aggs.append(
+            F.coalesce(F.sum(F.when(cond, F.col("n_chars"))), F.lit(0)).alias(f"c{i}")
         )
-        out = row if out is None else out.unionByName(row)
+    stack_expr = (
+        f"stack({len(stages)}, "
+        + ", ".join(f"'{name}', n{i}, c{i}" for i, (name, _) in enumerate(stages))
+        + ") AS (stage, n_docs, chars_total)"
+    )
+    out = flags.agg(*aggs).selectExpr(stack_expr)
     return out.orderBy("stage")

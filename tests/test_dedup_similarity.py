@@ -326,3 +326,94 @@ def test_multiprobe_ivf_recall_dominates_single_probe(spark, sf_small):
     r1, r2 = mean_recall(1), mean_recall(2)
     assert r2 >= r1, f"nprobe=2 recall {r2:.2f} < nprobe=1 {r1:.2f}"
     assert r2 >= 0.6
+
+
+class TestScaleSafetyCaps:
+    """Caps that keep candidate generation bounded on degenerate data:
+    stop-shingle df-capping, LSH bucket-population capping, and the
+    driver-collect guard on topk_pandas."""
+
+    def test_max_doc_freq_bounds_stop_shingle_candidates(self, spark):
+        # 60 docs sharing one ubiquitous shingle ("the quick brown fox"
+        # prefix) + 2 genuine near-dups. Uncapped, the stop shingle
+        # creates ~60^2/2 candidate pairs; capped, candidates collapse
+        # to the genuine pair (scores stay exact for surviving pairs).
+        rows = [(i, f"the quick brown fox unique{i} a b c d e f") for i in range(60)]
+        rows += [(100, "x y z w v u t s r q"), (101, "x y z w v u t s r q")]
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+
+        capped = jaccard_pairs(
+            df, "text", "doc_id", n=3, threshold=0.5, max_doc_freq=10
+        ).collect()
+        got = {(r.id_a, r.id_b) for r in capped}
+        assert got == {(100, 101)}
+
+        # and the planted pair's score is exact
+        assert all(abs(r.jaccard - 1.0) < 1e-9 for r in capped)
+
+    def test_embedding_bucket_cap_bounds_candidates(self, spark):
+        from data_integration_pipelines_spark.operators.similarity import (
+            embedding_near_dup_pairs,
+        )
+
+        # 50 identical vectors land in ONE signature bucket (the
+        # mass-duplicate degenerate case) + one distinct near-dup pair
+        # in another bucket. max_bucket=10 drops the degenerate bucket
+        # but keeps the well-behaved one.
+        rows = [(i, [1.0, 0.0, 0.0, 0.0]) for i in range(50)]
+        rows += [(100, [0.0, 1.0, 0.0, 0.0]), (101, [0.0, 0.995, 0.0998, 0.0])]
+        df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+        uncapped = embedding_near_dup_pairs(df, threshold=0.9)
+        capped = embedding_near_dup_pairs(df, threshold=0.9, max_bucket=10)
+        got_capped = {(r.id_a, r.id_b) for r in capped.collect()}
+        assert (100, 101) in got_capped
+        assert len(got_capped) < uncapped.count()
+        # no pair from the degenerate (capped) bucket survives
+        assert not any(a < 50 and b < 50 for a, b in got_capped)
+
+    def test_multiprobe_bucket_cap(self, spark):
+        from data_integration_pipelines_spark.operators.similarity import (
+            embedding_near_dup_multiprobe,
+        )
+
+        rows = [(i, [1.0, 0.0, 0.0, 0.0]) for i in range(50)]
+        rows += [(100, [0.0, 1.0, 0.0, 0.0]), (101, [0.0, 0.995, 0.0998, 0.0])]
+        df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+        capped = embedding_near_dup_multiprobe(df, threshold=0.9, max_bucket=10)
+        got = {(r.id_a, r.id_b) for r in capped.collect()}
+        assert (100, 101) in got
+        assert not any(a < 50 and b < 50 for a, b in got)
+
+    def test_topk_pandas_rejects_oversized_query_set(self, spark, sf_small):
+        emb = load_table(spark, sf_small, "embeddings")
+        with pytest.raises(ValueError, match="max_queries"):
+            topk_pandas(emb, emb, k=3, max_queries=5)
+
+    def test_recommended_n_planes_scales(self):
+        from data_integration_pipelines_spark.operators.similarity import (
+            recommended_n_planes,
+        )
+
+        assert recommended_n_planes(1_000) == 10
+        assert recommended_n_planes(1_000_000) == 20
+        # monotone, floored at 8
+        assert recommended_n_planes(10) == 8
+
+
+class TestBoundedPersistPool:
+    def test_pool_caps_cached_tables(self, spark, sf_small):
+        from data_integration_pipelines_spark.operators.cache import (
+            pool_size,
+            release_cached,
+        )
+
+        release_cached()
+        docs = load_table(spark, sf_small, "documents").limit(50)
+        for _ in range(12):
+            # each call persists one intermediate via bounded_persist
+            jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.9).count()
+        assert pool_size() <= 8
+        released = release_cached()
+        assert released <= 8
+        assert pool_size() == 0

@@ -99,3 +99,20 @@ def test_whole_stage_codegen_present(spark):
         # partial (map-side) aggregation must precede the shuffle
         if name == "pricing_summary":
             assert "partial_sum" in final
+
+
+def test_no_corpus_sized_broadcast_hints(spark):
+    # The loser/contaminated sets scale with the corpus (dup rate,
+    # eval-overlap rate) — an explicit broadcast hint bypasses AQE's
+    # size check and OOMs at scale instead of degrading to a shuffle
+    # join. Assert the ANALYZED plan (where ResolvedHint nodes live)
+    # carries hints only where the build side is boundedly small: the
+    # eval-shingle set in curation_funnel (1 hint), none at all in
+    # dedup_survivors.
+    for name, allowed_hints in (("dedup_survivors", 0), ("curation_funnel", 1)):
+        df = REGISTRY[name].fn(spark, SF)
+        analyzed = df._jdf.queryExecution().analyzed().toString()
+        n_hints = analyzed.count("ResolvedHint")
+        assert n_hints == allowed_hints, (
+            f"{name}: {n_hints} broadcast hints (expected {allowed_hints})"
+        )
