@@ -74,13 +74,22 @@ def _compile(col: Column, dtype: DataType, path: tuple[str, ...], leaf) -> Colum
 
 
 def compile_filter(df: DataFrame, flt: Filter) -> Column:
-    """Compile one Filter against ``df``'s schema into a boolean Column."""
+    """Compile one Filter against ``df``'s schema into a boolean Column.
+
+    The compiled condition is three-valued-logic-proofed with
+    ``coalesce(cond, false)`` BEFORE any negation: a NULL array (or a
+    NULL scalar leaf) makes ``exists()`` NULL, and a bare ``~NULL`` is
+    still NULL — silently excluding no-annotation rows from negated
+    filters, where SPARQL FILTER NOT EXISTS (the reference semantics,
+    validation.py:405-411) includes them."""
     if not flt.path:
         raise ValueError("empty path")
     head, rest = flt.path[0], flt.path[1:]
     root_type = _field_type(df.schema, head)
     leaf = lambda c: _OPS[flt.op](c, flt.value)  # noqa: E731
-    cond = _compile(F.col(head), root_type, rest, leaf)
+    cond = F.coalesce(
+        _compile(F.col(head), root_type, rest, leaf), F.lit(False)
+    )
     return ~cond if flt.op in NEGATED_OPS else cond
 
 

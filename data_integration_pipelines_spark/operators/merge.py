@@ -87,21 +87,41 @@ def apply_merge(
     key_cols: Sequence[str],
     rev_col: str = "_rev",
 ) -> DataFrame:
-    """Materialized merge result: computed rows win, ``_rev`` bumped on
-    update, existing-only rows kept with ``_deprecated`` set — the
-    engine-local equivalent of the reference's register/update/deprecate
-    write-back (S17)."""
+    """Materialized merge result: computed rows win, ``_rev`` bumped
+    only when a value column actually changed (null-safe compare —
+    matching the reference's update-only-on-change write-back),
+    existing-only rows kept with ``_deprecated`` set (S17).
+
+    Presence of a computed row is tracked with an explicit ``__co``
+    flag, never value-column nullness: a computed row whose values are
+    all NULL still upserts (it is a real row carrying NULLs)."""
     value_cols = [c for c in computed.columns if c not in key_cols]
-    ex_rev = existing.select(
-        *key_cols, F.col(rev_col).alias("__old_rev"), F.lit(True).alias("__ex")
+    cmp_cols = [c for c in value_cols if c in existing.columns]
+    co = computed.select(*key_cols, *value_cols, F.lit(True).alias("__co"))
+    ex = existing.select(
+        *key_cols,
+        *[F.col(c).alias(f"__ex_{c}") for c in cmp_cols],
+        F.col(rev_col).alias("__old_rev"),
+        F.lit(True).alias("__ex"),
     )
-    merged = computed.join(ex_rev, on=list(key_cols), how="full_outer")
-    new_rev = F.when(F.col("__ex").isNull(), F.lit(1)).otherwise(F.col("__old_rev") + 1)
+    merged = co.join(ex, on=list(key_cols), how="full_outer")
+    if cmp_cols:
+        changed = F.lit(False)
+        for c in cmp_cols:
+            changed = changed | ~F.col(c).eqNullSafe(F.col(f"__ex_{c}"))
+    else:
+        # no comparable columns -> any match counts as an update
+        changed = F.lit(True)
+    new_rev = (
+        F.when(F.col("__ex").isNull(), F.lit(1))
+        .when(changed, F.col("__old_rev") + 1)
+        .otherwise(F.col("__old_rev"))
+    )
     upserts = (
-        merged.filter(F.col(value_cols[0]).isNotNull() | F.col("__ex").isNull())
+        merged.filter(F.col("__co").isNotNull())
         .withColumn(rev_col, new_rev)
         .withColumn("_deprecated", F.lit(False))
-        .drop("__old_rev", "__ex")
+        .drop("__old_rev", "__co", "__ex", *[f"__ex_{c}" for c in cmp_cols])
     )
     dep_keys = existing.join(computed.select(*key_cols), on=list(key_cols), how="left_anti")
     deprecated = dep_keys.withColumn("_deprecated", F.lit(True))

@@ -102,10 +102,15 @@ def skew_proof_count_distinct(
     value spreads the hot key across the cluster and the dedup is
     map-side combined — then counts per key, where the surviving
     per-key rows are only as many as there are distinct values.
-    Same result, no single-task state proportional to the hot key."""
+    Same result, no single-task state proportional to the hot key.
+
+    The final count is ``count(value)`` (NULL-skipping), not
+    ``count(*)``: COUNT(DISTINCT value) ignores NULLs, and a key whose
+    values are ALL NULL must still report 0 — the NULL composite row
+    survives the distinct and keeps the key in the output."""
     return (
         df.select(*key_cols, value_col)
         .distinct()
         .groupBy(*key_cols)
-        .agg(F.count("*").alias(out_col))
+        .agg(F.count(value_col).alias(out_col))
     )

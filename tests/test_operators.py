@@ -127,6 +127,26 @@ class TestMerge:
         assert got[9] == ("new", 1, False)  # created: rev 1
         assert got[2][2] is True            # stale row deprecated
 
+    def test_apply_merge_unchanged_keeps_rev(self, spark):
+        # identical values -> NO rev bump (update-only-on-change)
+        existing = spark.createDataFrame([(1, "a", 3)], ["key", "val", "_rev"])
+        computed = spark.createDataFrame([(1, "a")], ["key", "val"])
+        got = {r.key: r._rev for r in apply_merge(existing, computed, ["key"]).collect()}
+        assert got == {1: 3}
+
+    def test_apply_merge_null_valued_computed_row_upserts(self, spark):
+        # a computed row whose value columns are all NULL is still a
+        # real row: it must upsert (and bump rev vs a non-null value),
+        # not vanish from the output
+        existing = spark.createDataFrame([(1, "a", 3)], ["key", "val", "_rev"])
+        computed = spark.createDataFrame(
+            [(1, None), (2, None)], "key int, val string"
+        )
+        got = {r.key: (r.val, r._rev, r._deprecated) for r in
+               apply_merge(existing, computed, ["key"]).collect()}
+        assert got[1] == (None, 4, False)  # matched, value changed a->NULL
+        assert got[2] == (None, 1, False)  # created with NULL value
+
 
 class TestSkyline:
     def test_matches_bruteforce_on_random_points(self, spark):
@@ -185,3 +205,24 @@ def test_skew_proof_count_distinct_matches_naive(spark):
         for r in df.groupBy("k").agg(F.countDistinct("v").alias("nd")).collect()
     }
     assert got == want
+
+
+def test_skew_proof_count_distinct_null_semantics(spark):
+    from data_integration_pipelines_spark.operators.skew import (
+        skew_proof_count_distinct,
+    )
+
+    # COUNT(DISTINCT v) ignores NULLs; a key with only NULLs reports 0
+    df = spark.createDataFrame(
+        [(1, "a"), (1, "a"), (1, None), (2, None), (2, None)],
+        "k int, v string",
+    )
+    got = {
+        r.k: r.n_distinct
+        for r in skew_proof_count_distinct(df, ["k"], "v").collect()
+    }
+    want = {
+        r.k: r.nd
+        for r in df.groupBy("k").agg(F.countDistinct("v").alias("nd")).collect()
+    }
+    assert got == want == {1: 1, 2: 0}

@@ -68,6 +68,25 @@ class TestTraceAudit:
         assert {r["id"] for r in trace_audit(traces, curated=True).collect()} == {"t1", "t3"}
         assert {r["id"] for r in trace_audit(traces, curated=False).collect()} == {"t2"}
 
+    def test_uncurated_includes_null_annotation(self, spark, traces):
+        # SPARQL FILTER NOT EXISTS includes resources with NO annotation
+        # at all (validation.py:405-411) — a NULL annotation array must
+        # not silently drop the row from the uncurated audit.
+        extra = spark.createDataFrame(
+            [("t5", "org/a", False, "ok", None, None, None)],
+            traces.schema,
+        )
+        both = traces.unionByName(extra)
+        assert {r["id"] for r in trace_audit(both, curated=False).collect()} == {
+            "t2",
+            "t5",
+        }
+        # and the curated side still excludes it
+        assert {r["id"] for r in trace_audit(both, curated=True).collect()} == {
+            "t1",
+            "t3",
+        }
+
     def test_bucket_error_report(self, traces):
         rep = {
             r["bucket"]: (r["n_errors"], r["distinct_errors"])
