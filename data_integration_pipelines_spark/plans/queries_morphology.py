@@ -123,6 +123,141 @@ def morphology_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("file")
 
 
+# The reference's two canonical ASC defect fixtures (inline literals at
+# src/neuron_morphology/validation/load_test_data.py:37-75 — the
+# unifurcation/multifurcation cases validator.py:286,295 exercises).
+_ASC_UNIFURCATION = """
+((CellBody) (-1 0 0 2) (1 0 0 2))
+
+ ((Dendrite)
+  (0 0 0 2)
+  (0 5 0 2)
+  (
+   (-5 5 0 3)
+   (
+    (-10 5 0 3)
+   )
+   |
+   (6 5 0 3)
+   )
+  )
+"""
+
+_ASC_MULTIFURCATION = """
+((CellBody) (-1 0 0 2) (1 0 0 2))
+( (Color Blue)
+  (Axon)
+  (0 5 0 2)
+  (2 9 0 2)
+  (0 13 0 2)
+  (
+    (0 13 0 2)
+    (4 13 0 2)
+    |
+    (0 13 0 2)
+    (4 13 0 2)
+    |
+    (0 13 0 2)
+    (4 13 0 2)
+    |
+    (0 13 0 2)
+    (4 13 0 2)
+  )
+)
+"""
+
+# Hand-derived expected parse of the fixtures above (n, type, x, y, z,
+# radius=diameter/2, parent; each top-level form roots at -1). The
+# oracle battery is computed from THESE rows — if the distributed
+# parser deviates from the grammar, the hash mismatches.
+_ASC_EXPECTED_POINTS = """
+    pts(file, n, type, x, y, z, radius, parent) AS (VALUES
+        ('multi', 1, 1, -1.0, 0.0, 0.0, 1.0, -1),
+        ('multi', 2, 1, 1.0, 0.0, 0.0, 1.0, 1),
+        ('multi', 3, 2, 0.0, 5.0, 0.0, 1.0, -1),
+        ('multi', 4, 2, 2.0, 9.0, 0.0, 1.0, 3),
+        ('multi', 5, 2, 0.0, 13.0, 0.0, 1.0, 4),
+        ('multi', 6, 2, 0.0, 13.0, 0.0, 1.0, 5),
+        ('multi', 7, 2, 4.0, 13.0, 0.0, 1.0, 6),
+        ('multi', 8, 2, 0.0, 13.0, 0.0, 1.0, 5),
+        ('multi', 9, 2, 4.0, 13.0, 0.0, 1.0, 8),
+        ('multi', 10, 2, 0.0, 13.0, 0.0, 1.0, 5),
+        ('multi', 11, 2, 4.0, 13.0, 0.0, 1.0, 10),
+        ('multi', 12, 2, 0.0, 13.0, 0.0, 1.0, 5),
+        ('multi', 13, 2, 4.0, 13.0, 0.0, 1.0, 12),
+        ('uni', 1, 1, -1.0, 0.0, 0.0, 1.0, -1),
+        ('uni', 2, 1, 1.0, 0.0, 0.0, 1.0, 1),
+        ('uni', 3, 3, 0.0, 0.0, 0.0, 1.0, -1),
+        ('uni', 4, 3, 0.0, 5.0, 0.0, 1.0, 3),
+        ('uni', 5, 3, -5.0, 5.0, 0.0, 1.5, 4),
+        ('uni', 6, 3, -10.0, 5.0, 0.0, 1.5, 5),
+        ('uni', 7, 3, 6.0, 5.0, 0.0, 1.5, 4))
+"""
+
+
+@register(
+    "asc_morphology_battery",
+    f"""
+    WITH {_ASC_EXPECTED_POINTS},
+    segs AS (
+        SELECT c.file, c.n, c.type, c.radius, c.z,
+               p.type AS ptype, p.z AS pz,
+               SQRT((c.x - p.x)^2 + (c.y - p.y)^2 + (c.z - p.z)^2) AS seg_len
+        FROM pts c JOIN pts p ON c.file = p.file AND c.parent = p.n
+    ),
+    per_point AS (
+        SELECT file,
+               CAST(COUNT(*) AS BIGINT) AS n_points,
+               CAST(SUM(CASE WHEN parent < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_roots,
+               CAST(SUM(CASE WHEN type <> 1 AND radius <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero_radius,
+               CAST(COUNT(DISTINCT radius) AS BIGINT) AS n_distinct_radii,
+               SUM(CASE WHEN type = 2 THEN 1 ELSE 0 END) > 0 AS has_axon,
+               SUM(CASE WHEN type = 3 THEN 1 ELSE 0 END) > 0 AS has_basal_dendrite
+        FROM pts GROUP BY file
+    ),
+    per_seg AS (
+        SELECT file,
+               CAST(SUM(CASE WHEN seg_len <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero_len_segments,
+               CAST(SUM(CASE WHEN type <> 1 AND ABS(z - pz) > 10.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_z_jumps,
+               ROUND(SUM(seg_len), 2) AS total_length,
+               ROUND(MAX(seg_len), 2) AS max_seg_len
+        FROM segs GROUP BY file
+    )
+    SELECT p.file, n_points, n_roots, n_zero_radius, n_distinct_radii,
+           has_axon, has_basal_dendrite,
+           n_zero_len_segments, n_z_jumps, total_length, max_seg_len
+    FROM per_point p JOIN per_seg s ON p.file = s.file
+    ORDER BY p.file
+    """,
+    doc="S9 ASC/Neurolucida source: the reference's inline unifurcation/"
+    "multifurcation ASC fixtures (load_test_data.py:37-75) parsed by the "
+    "distributed s-expression parser (sources/asc.py), then the SAME "
+    "morphology battery as the SWC path; the oracle re-derives the battery "
+    "from a hand-parsed VALUES table, so parser drift hash-mismatches.",
+)
+def asc_morphology_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.asc import parse_asc_frame
+
+    fixtures = spark.createDataFrame(
+        [("uni", _ASC_UNIFURCATION), ("multi", _ASC_MULTIFURCATION)],
+        ["file", "text"],
+    )
+    flags = morphology_flags(parse_asc_frame(fixtures))
+    return flags.select(
+        "file",
+        "n_points",
+        "n_roots",
+        F.col("n_zero_radius").cast("bigint").alias("n_zero_radius"),
+        "n_distinct_radii",
+        "has_axon",
+        "has_basal_dendrite",
+        F.col("n_zero_len_segments").cast("bigint").alias("n_zero_len_segments"),
+        F.col("n_z_jumps").cast("bigint").alias("n_z_jumps"),
+        F.round("total_length", 2).alias("total_length"),
+        F.round("max_seg_len", 2).alias("max_seg_len"),
+    ).orderBy("file")
+
+
 @register(
     "morphology_tree_metrics",
     f"""

@@ -50,15 +50,22 @@ def normalize_header(tokens: list[str]) -> list[str]:
     return out
 
 
-def read_swc_points(spark: SparkSession, path_glob: str) -> DataFrame:
+def read_swc_points(
+    spark: SparkSession, path_glob: str, glob_filter: str | None = None
+) -> DataFrame:
     """Read SWC file(s) into the points table
     ``(file, n, type, x, y, z, radius, parent)``.
 
     Uses the canonical SWC column order (the overwhelming convention);
     ``normalize_header`` is provided for callers that sniff an explicit
-    header comment and need to reorder first.
+    header comment and need to reorder first. ``glob_filter`` (e.g.
+    ``*.swc``) scopes a directory read without erroring when nothing
+    matches.
     """
-    lines = spark.read.text(path_glob).select(
+    reader = spark.read
+    if glob_filter is not None:
+        reader = reader.option("pathGlobFilter", glob_filter)
+    lines = reader.text(path_glob).select(
         F.input_file_name().alias("file"), F.trim(F.col("value")).alias("line")
     )
     data = lines.filter((F.col("line") != "") & ~F.col("line").startswith("#"))

@@ -275,3 +275,127 @@ class TestBinaryAndSinks:
         files = [f for f in os.listdir(out) if f.endswith(".csv")]
         content = open(os.path.join(out, files[0])).read()
         assert "FAILED" in content
+
+
+# --- ASC / Neurolucida source ---------------------------------------------
+
+ASC_UNI = """
+((CellBody) (-1 0 0 2) (1 0 0 2))
+
+ ((Dendrite)
+  (0 0 0 2)
+  (0 5 0 2)
+  (
+   (-5 5 0 3)
+   (
+    (-10 5 0 3)
+   )
+   |
+   (6 5 0 3)
+   )
+  )
+"""
+
+ASC_MULTI = """
+((CellBody) (-1 0 0 2) (1 0 0 2))
+( (Color Blue)
+  (Axon)
+  (0 5 0 2)
+  (2 9 0 2)
+  (0 13 0 2)
+  (
+    (0 13 0 2)
+    (4 13 0 2)
+    |
+    (0 13 0 2)
+    (4 13 0 2)
+    |
+    (0 13 0 2)
+    (4 13 0 2)
+    |
+    (0 13 0 2)
+    (4 13 0 2)
+  )
+)
+"""
+
+
+class TestASCSource:
+    def test_parse_unifurcation_grammar(self):
+        from data_integration_pipelines_spark.sources.asc import parse_asc_text
+
+        rows = parse_asc_text(ASC_UNI)
+        # 2 soma contour points + 5 dendrite points
+        assert [(n, t, p) for n, t, _, _, _, _, p in rows] == [
+            (1, 1, -1), (2, 1, 1),                      # CellBody chain
+            (3, 3, -1), (4, 3, 3),                      # dendrite trunk
+            (5, 3, 4), (6, 3, 5),                       # branch A + unifurcation
+            (7, 3, 4),                                  # branch B
+        ]
+        # diameter -> radius halving
+        assert rows[0][5] == 1.0 and rows[4][5] == 1.5
+
+    def test_parse_multifurcation_counts_children(self):
+        from data_integration_pipelines_spark.sources.asc import parse_asc_text
+
+        rows = parse_asc_text(ASC_MULTI)
+        assert len(rows) == 13
+        # the Axon header (after a Color attribute) sets type 2
+        assert {t for _, t, _, _, _, _, _ in rows[2:]} == {2}
+        # node 5 has four children (the multifurcation)
+        parents = [p for *_, p in rows]
+        assert parents.count(5) == 4
+
+    def test_comments_and_spines_stripped(self):
+        from data_integration_pipelines_spark.sources.asc import parse_asc_text
+
+        txt = """
+        ((Axon) ; trailing comment
+         (0 0 0 2) <(99 99 99 1)>
+         (1 0 0 2))
+        """
+        rows = parse_asc_text(txt)
+        assert [(r[2], r[6]) for r in rows] == [(0.0, -1), (1.0, 1)]
+
+    def test_read_asc_points_distributed(self, spark, tmp_path):
+        from data_integration_pipelines_spark.sources.asc import read_asc_points
+
+        d = tmp_path / "asc"
+        d.mkdir()
+        (d / "uni.asc").write_text(ASC_UNI)
+        (d / "multi.asc").write_text(ASC_MULTI)
+        pts = read_asc_points(spark, str(d) + "/*.asc")
+        got = {
+            os.path.basename(r.file): r.n
+            for r in pts.groupBy("file").agg(F.max("n").alias("n")).collect()
+        }
+        assert got == {"uni.asc": 7, "multi.asc": 13}
+
+    def test_mixed_dir_battery(self, spark, tmp_path):
+        # SWC and ASC in ONE directory -> one points table -> the same
+        # battery; n_roots distinguishes multi-form ASC trees
+        from data_integration_pipelines_spark.sources.asc import (
+            read_morphology_points,
+        )
+
+        d = tmp_path / "mixed"
+        d.mkdir()
+        (d / "uni.asc").write_text(ASC_UNI)
+        (d / "chain.swc").write_text("1 1 0 0 0 5 -1\n2 2 5 0 0 4 1\n3 2 9 0 0 4 2\n")
+        pts = read_morphology_points(spark, str(d))
+        flags = morphology_flags(pts)
+        got = {
+            os.path.basename(r.file): (r.n_points, r.n_roots, r.has_axon)
+            for r in flags.collect()
+        }
+        assert got == {"uni.asc": (7, 2, False), "chain.swc": (3, 1, True)}
+
+    def test_mixed_dir_missing_format_ok(self, spark, tmp_path):
+        from data_integration_pipelines_spark.sources.asc import (
+            read_morphology_points,
+        )
+
+        d = tmp_path / "only_swc"
+        d.mkdir()
+        (d / "chain.swc").write_text("1 1 0 0 0 5 -1\n2 2 5 0 0 4 1\n")
+        assert read_morphology_points(spark, str(d)).count() == 2
