@@ -166,18 +166,47 @@ def resize_images(
     target: tuple[int, int] = (32, 32),
     id_col: str = "id",
     content_col: str = "content",
+    deterministic: bool = False,
 ) -> DataFrame:
-    """Resize stage: (id, width, height, thumb_md5). Real path needs PIL;
-    the fake path hashes the payload with the target box so output is
-    deterministic and distinct per target size."""
+    """Resize stage: (id, width, height, thumb_md5).
+
+    With PIL importable the payload is decoded and resized for real
+    (thumb_md5 = md5 of the resized RGB pixel buffer); bytes PIL cannot
+    decode — and every row when PIL is absent or ``deterministic=True``
+    — fall back to the fake digest (payload hex + target box), which is
+    what the SQL oracle recomputes. Oracle-checked callers pass
+    ``deterministic=True`` so their hashes never depend on the
+    container's codec set."""
     tw, th = target
+    if deterministic:
+        have_pil = False
+    else:
+        try:
+            from PIL import Image  # noqa: F401
+
+            have_pil = True
+        except ImportError:
+            have_pil = False
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+
         for pdf in batches:
             rows = []
             for i, c in zip(pdf[id_col], pdf[content_col]):
                 c = bytes(c)
-                thumb = _hexdigest_of_hex(c, f":{tw}x{th}")
+                thumb = None
+                if have_pil:
+                    from PIL import Image
+
+                    try:
+                        img = Image.open(io.BytesIO(c)).convert("RGB")
+                        img = img.resize((tw, th))
+                        thumb = hashlib.md5(img.tobytes()).hexdigest()
+                    except Exception:
+                        thumb = None
+                if thumb is None:
+                    thumb = _hexdigest_of_hex(c, f":{tw}x{th}")
                 rows.append({"id": int(i), "width": tw, "height": th, "thumb_md5": thumb})
             yield pd.DataFrame(rows, columns=["id", "width", "height", "thumb_md5"])
 
@@ -223,36 +252,61 @@ def sample_frames(
 
 
 def extract_audio_features(
-    df: DataFrame, id_col: str = "id", content_col: str = "content"
+    df: DataFrame,
+    id_col: str = "id",
+    content_col: str = "content",
+    deterministic: bool = False,
 ) -> DataFrame:
-    """Audio decode stub: (id, sample_rate, n_samples, rms). Real path
-    requires soundfile (absent here); fake interprets payload bytes as
-    unsigned 8-bit samples at a fixed rate."""
-    try:
-        import soundfile  # noqa: F401
+    """Audio decode: (id, sample_rate, n_samples, rms).
 
-        raise NotImplementedError(
-            "soundfile present but real audio decode not implemented; "
-            "remove the fake path once wired"
-        )
-    except ImportError:
-        pass
+    With soundfile importable the payload is decoded for real (native
+    sample rate, per-sample RMS over the first channel); undecodable
+    bytes — and every row when soundfile is absent or
+    ``deterministic=True`` — fall back to the fake (payload bytes as
+    u8 samples at 16 kHz), which the SQL oracle recomputes."""
+    if deterministic:
+        have_sf = False
+    else:
+        try:
+            import soundfile  # noqa: F401
+
+            have_sf = True
+        except ImportError:
+            have_sf = False
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+
         for pdf in batches:
             rows = []
             for i, c in zip(pdf[id_col], pdf[content_col]):
                 c = bytes(c)
-                if c:
-                    mean_sq = sum(b * b for b in c) / len(c)
-                    rms = mean_sq ** 0.5
-                else:
-                    rms = 0.0
+                decoded = None
+                if have_sf:
+                    import soundfile as sf
+
+                    try:
+                        data, rate = sf.read(io.BytesIO(c))
+                        if data.ndim > 1:
+                            data = data[:, 0]
+                        n = int(data.shape[0])
+                        rms = float((data.astype("float64") ** 2).mean() ** 0.5) if n else 0.0
+                        decoded = (int(rate), n, rms)
+                    except Exception:
+                        decoded = None
+                if decoded is None:
+                    if c:
+                        mean_sq = sum(b * b for b in c) / len(c)
+                        rms = mean_sq ** 0.5
+                    else:
+                        rms = 0.0
+                    decoded = (16000, len(c), rms)
+                rate, n, rms = decoded
                 rows.append(
                     {
                         "id": int(i),
-                        "sample_rate": 16000,
-                        "n_samples": len(c),
+                        "sample_rate": rate,
+                        "n_samples": n,
                         "rms": round(rms, 4),
                     }
                 )

@@ -127,7 +127,9 @@ def frame_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def image_resize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     assets = _assets(spark, sf_dir, 200)
-    return resize_images(assets, target=(32, 32)).orderBy("id")
+    # deterministic=True: the oracle recomputes the FAKE digest, so the
+    # hash must not depend on whether the container has PIL
+    return resize_images(assets, target=(32, 32), deterministic=True).orderBy("id")
 
 
 @register(
@@ -151,7 +153,7 @@ def image_resize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def audio_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     assets = _assets(spark, sf_dir, 200)
-    return extract_audio_features(assets).orderBy("id")
+    return extract_audio_features(assets, deterministic=True).orderBy("id")
 
 
 @register(

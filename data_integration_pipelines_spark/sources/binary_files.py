@@ -162,15 +162,6 @@ def extract_sweeps(binary_df: DataFrame, use_fake: bool | None = None) -> DataFr
     return binary_df.select("path", "content").mapInPandas(parse, schema=SWEEP_SCHEMA)
 
 
-def decode_image(df: DataFrame, content_col: str = "content") -> DataFrame:
-    """Multimodal decode step — STUB. Real implementation needs PIL
-    (not available in this container); the Spark plumbing (schema,
-    Arrow batching) is exercised by ``binary_metadata`` and
-    ``extract_sweeps``."""
-    try:
-        import PIL  # noqa: F401
-    except ImportError as e:
-        raise NotImplementedError(
-            "image decode requires PIL; plumbing is tested via binary_metadata"
-        ) from e
-    raise NotImplementedError("PIL present but decoder not implemented yet")
+# Image decoding lives in operators/multimodal.extract_image_features
+# (real PIL branch when importable, deterministic fake otherwise) — a
+# duplicate stub here was removed.
