@@ -88,6 +88,41 @@ def salted_broadcast_join(
     return salted_big.join(F.broadcast(replicas), [key, "__salt"]).drop("__salt")
 
 
+def keep_latest_salted(
+    df: DataFrame,
+    key_cols: list[str],
+    order_col: str,
+    tiebreak_cols: list[str] | tuple[str, ...] = (),
+    n_salts: int = 16,
+) -> DataFrame:
+    """Skew-proof keep-latest-per-key: same result as
+    ``operators.merge.keep_latest`` when (order, tiebreaks) totally
+    order each key's rows, without the hot key's entire row set landing
+    on one window task.
+
+    ``keep_latest`` windows on the key — a Zipfian key (the reference's
+    annotation targets) serializes its whole partition through one
+    task. max-of-struct is algebraic, so this re-associates: phase 1
+    takes the per-(key, salt) max of struct(order, tiebreaks..., rest)
+    — the hot key spreads over ``n_salts`` tasks with map-side partial
+    aggregation — phase 2 merges the ``n_salts`` partials per key.
+    Struct comparison is lexicographic by field position, which equals
+    the window's (order DESC, tiebreaks DESC) ranking."""
+    ordered = [order_col, *tiebreak_cols]
+    rest = [c for c in df.columns if c not in key_cols and c not in ordered]
+    packed = F.struct(*[F.col(c) for c in ordered + rest])
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(n_salts))
+    partial = (
+        df.withColumn("__salt", salt)
+        .groupBy(*key_cols, "__salt")
+        .agg(F.max(packed).alias("__top"))
+    )
+    final = partial.groupBy(*key_cols).agg(F.max("__top").alias("__top"))
+    return final.select(
+        *key_cols, *[F.col(f"__top.{c}").alias(c) for c in ordered + rest]
+    ).select(*df.columns)
+
+
 def skew_proof_count_distinct(
     df: DataFrame,
     key_cols: list[str],

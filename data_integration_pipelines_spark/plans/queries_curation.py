@@ -132,7 +132,11 @@ def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     # one shingle table feeds BOTH join sides — persist so the regexp
     # tokenize + hash runs once (the multi-consumer persist pattern of
     # operators/dedup.py); at production scale this is a staged table
-    sh = docs.select("doc_id", "source", F.explode(hashed).alias("s")).persist()
+    from ..operators.cache import bounded_persist
+
+    sh = bounded_persist(
+        docs.select("doc_id", "source", F.explode(hashed).alias("s"))
+    )
     train = sh.filter(F.col("source") != "src0").drop("source")
     holdout = sh.filter(F.col("source") == "src0").select(
         "s", F.col("doc_id").alias("eval_id")
@@ -270,6 +274,7 @@ def quality_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY source
     ORDER BY source
     """,
+    headline=True,
     doc="End-to-end near-dedup: Jaccard pairs -> connected components -> keep "
     "the minimum doc per cluster, pass singletons through untouched -> "
     "per-source kept report. The loser-set anti-join carries NO broadcast "
@@ -651,6 +656,7 @@ def quality_rule_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ORDER BY stage
     """,
+    headline=True,
     doc="The full curation funnel as ONE plan: quality rules -> near-dedup "
     "survivors (Jaccard pairs -> connected components, keep min) -> "
     "eval-set decontamination -> deterministic 50% sample, reporting "

@@ -111,6 +111,52 @@ def two_hop_follow(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "two_hop_follow_bucketed",
+    """
+    SELECT c_mktsegment,
+           CAST(COUNT(DISTINCT c_custkey) AS BIGINT) AS n_customers,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM customer
+    JOIN orders ON o_custkey = c_custkey AND o_orderstatus = 'O'
+    JOIN lineitem ON l_orderkey = o_orderkey AND l_returnflag = 'N'
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+    headline=True,
+    doc="J10 two-hop follow on the CO-BUCKETED fact layout "
+    "(sources/bucketing.ensure_cobucketed_facts): the orders-lineitem "
+    "hop joins bucket-to-bucket with no Exchange — the default "
+    "fact-fact path at scale (2.1x on the probe) — then the customer "
+    "dimension broadcasts. Same oracle as two_hop_follow: layout must "
+    "never change answers.",
+)
+def two_hop_follow_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.bucketing import ensure_cobucketed_facts, read_table
+
+    orders_t, lineitem_t = ensure_cobucketed_facts(spark, sf_dir)
+    orders = read_table(spark, orders_t).filter(F.col("o_orderstatus") == "O")
+    li = read_table(spark, lineitem_t).filter(F.col("l_returnflag") == "N")
+    cust = _t(spark, sf_dir, "customer")
+    # fact-fact first (bucket-aligned, Exchange-free), then the
+    # broadcast dimension hop; inner joins commute so results match
+    # two_hop_follow exactly
+    facts = orders.join(li, "o_orderkey")
+    return (
+        facts.join(F.broadcast(cust), facts.o_custkey == cust.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.countDistinct("c_custkey").alias("n_customers"),
+            F.count("*").alias("n_lines"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+@register(
     "relationship_assign",
     """
     SELECT o_orderkey,

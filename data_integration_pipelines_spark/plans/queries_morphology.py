@@ -102,6 +102,7 @@ def synth_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM per_point p JOIN per_seg s ON p.file = s.file
     ORDER BY p.file
     """,
+    headline=True,
     doc="Morphology relational check battery (§2.9 geometric checks as Column "
     "exprs; A6 scalar metric aggregates) on a synthesized points table, "
     "running the real operators/morphology.morphology_flags code path.",
@@ -276,6 +277,7 @@ def asc_morphology_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM segs GROUP BY file
     ORDER BY file
     """,
+    headline=True,
     doc="W2 per-tree traversal kernel (applyInPandas path accumulation) "
     "differentially validated: on chain topology the oracle can re-derive "
     "components/branch order/path length arithmetically.",

@@ -393,6 +393,37 @@ def keep_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "keep_latest_salted",
+    """
+    SELECT user_id, event_id AS latest_event_id, event_type AS latest_event_type
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (
+                   PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+    )
+    WHERE rn = 1
+    ORDER BY user_id
+    """,
+    doc="W1 keep-latest under key skew: the salted two-phase max-of-struct "
+    "variant (operators/skew.keep_latest_salted) — per-(key, salt) partial "
+    "max then per-key merge, so a Zipfian hot key (the reference's "
+    "annotation targets) spreads over n_salts tasks instead of one window "
+    "partition. Same oracle as keep_latest: salting must never change "
+    "answers.",
+)
+def keep_latest_salted_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.skew import keep_latest_salted
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts", "event_id", "event_type")
+    latest = keep_latest_salted(ev, ["user_id"], "ts", ("event_id",))
+    return latest.select(
+        "user_id",
+        F.col("event_id").alias("latest_event_id"),
+        F.col("event_type").alias("latest_event_type"),
+    ).orderBy("user_id")
+
+
+@register(
     "top_k",
     """
     SELECT o_orderkey, o_custkey, ROUND(o_totalprice, 2) AS total_price

@@ -16,6 +16,9 @@ target partition size), and keep it IDENTICAL across tables that join
 
 from __future__ import annotations
 
+import os
+import re
+
 from pyspark.sql import DataFrame, SparkSession
 
 
@@ -39,6 +42,55 @@ def write_bucketed(
 
 def read_table(spark: SparkSession, table: str) -> DataFrame:
     return spark.table(table)
+
+
+def sf_tag(sf_dir: str) -> str:
+    """Table-name-safe tag for a scale-factor directory."""
+    return re.sub(r"[^0-9A-Za-z]", "_", os.path.basename(sf_dir.rstrip("/")))
+
+
+def ensure_cobucketed_facts(
+    spark: SparkSession, sf_dir: str, n_buckets: int = 16
+) -> tuple[str, str]:
+    """Idempotently materialize the orders/lineitem fact pair co-bucketed
+    by the join key (lineitem's key renamed to ``o_orderkey`` so both
+    sides bucket AND join on the same column name). Returns the two
+    table names.
+
+    This is the default fact-fact layout: pay the bucketed write once,
+    and every subsequent join/aggregation on the key plans without an
+    Exchange (measured 2.1x on the probe — scripts/bucketing_probe.py).
+    With an in-memory catalog the metadata dies with the session, so a
+    new session re-lays the tables; a real deployment keeps them in a
+    persistent metastore and the check is a pure metadata hit."""
+    from ..catalog import load_table
+
+    tag = sf_tag(sf_dir)
+    orders_t, lineitem_t = f"orders_bkt_{tag}", f"lineitem_bkt_{tag}"
+    if not (spark.catalog.tableExists(orders_t) and spark.catalog.tableExists(lineitem_t)):
+        # With an in-memory catalog a previous session's table DIRECTORY
+        # can outlive its metadata; the layout is a derived cache, so
+        # clear the stale location rather than failing saveAsTable with
+        # LOCATION_ALREADY_EXISTS.
+        import shutil
+
+        warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+        warehouse = re.sub(r"^file:/{0,2}", "/", warehouse).replace("//", "/")
+        for t in (orders_t, lineitem_t):
+            if not spark.catalog.tableExists(t):
+                shutil.rmtree(os.path.join(warehouse, t), ignore_errors=True)
+        write_bucketed(
+            load_table(spark, sf_dir, "orders"), orders_t, "o_orderkey", n_buckets
+        )
+        write_bucketed(
+            load_table(spark, sf_dir, "lineitem").withColumnRenamed(
+                "l_orderkey", "o_orderkey"
+            ),
+            lineitem_t,
+            "o_orderkey",
+            n_buckets,
+        )
+    return orders_t, lineitem_t
 
 
 def write_partitioned(

@@ -65,3 +65,27 @@ def test_partition_pruning(spark, sf_small, tmp_path):
     assert "o_orderstatus" in pf, plan
     expected = orders.filter(F.col("o_orderstatus") == "F").count()
     assert pruned.count() == expected
+
+
+def test_ensure_cobucketed_facts_join_shuffle_free(spark, sf_small):
+    from data_integration_pipelines_spark.sources.bucketing import (
+        ensure_cobucketed_facts,
+        read_table,
+    )
+
+    ot, lt = ensure_cobucketed_facts(spark, sf_small, n_buckets=8)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = read_table(spark, ot).join(read_table(spark, lt), "o_orderkey")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        # bucket alignment satisfies the join's distribution requirement:
+        # no shuffle exchange anywhere between the two scans
+        assert "Exchange hashpartitioning" not in plan, plan
+        # idempotent: second call reuses the tables (same names returned)
+        assert ensure_cobucketed_facts(spark, sf_small, n_buckets=8) == (ot, lt)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql(f"DROP TABLE IF EXISTS {ot}")
+        spark.sql(f"DROP TABLE IF EXISTS {lt}")

@@ -226,3 +226,25 @@ def test_skew_proof_count_distinct_null_semantics(spark):
         for r in df.groupBy("k").agg(F.countDistinct("v").alias("nd")).collect()
     }
     assert got == want == {1: 1, 2: 0}
+
+
+def test_keep_latest_salted_matches_plain_on_skew(spark):
+    from data_integration_pipelines_spark.operators.skew import keep_latest_salted
+
+    # Zipf-ish: key 0 holds ~90% of 20k rows; unique order column
+    df = spark.range(20000).select(
+        F.when(F.col("id") % 10 != 0, 0).otherwise(F.col("id") % 100).alias("k"),
+        F.col("id").alias("ord"),
+        (F.col("id") % 7).cast("string").alias("payload"),
+    )
+    plain = {
+        (r.k, r.ord, r.payload)
+        for r in keep_latest(df, ["k"], "ord", tiebreak_cols=["payload"]).collect()
+    }
+    salted = {
+        (r.k, r.ord, r.payload)
+        for r in keep_latest_salted(df, ["k"], "ord", ("payload",)).collect()
+    }
+    assert plain == salted
+    # keys: 0 (the hot key) plus 10,20,...,90 -> 10 distinct
+    assert len(salted) == 10

@@ -47,6 +47,7 @@ def test_python_stages_only_where_declared(plans):
     allowed = {
         "morphology_battery",
         "morphology_tree_metrics",
+        "asc_morphology_battery",  # distributed ASC grammar parse kernel
         "ann_bruteforce",  # vectorized matmul scale path (topk_pandas)
         "image_decode_features",
         "image_resize",
