@@ -361,6 +361,18 @@ def connected_components(
         ).collect()[0]
         return row["n"], row["h"]
 
+    def _rightsized(e: DataFrame, n_edges: int) -> DataFrame:
+        """Coalesce the checkpointed edge set to ~1M edges/partition
+        (min 1): the edge set SHRINKS every round, and dragging the
+        original partition count through 4 jobs/round makes tiny dedup
+        graphs pay scheduler overhead instead of work. coalesce() is a
+        narrow op on the already-materialized checkpoint; at real scale
+        (>= partitions x 1M edges) it is a no-op."""
+        target = max(1, min(e.rdd.getNumPartitions(), n_edges // 1_000_000 + 1))
+        if target < e.rdd.getNumPartitions():
+            return e.coalesce(target)
+        return e
+
     def _large_star(e: DataFrame) -> DataFrame:
         sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
         mins = sym.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
@@ -388,12 +400,14 @@ def connected_components(
         return relink.union(own).distinct()
 
     sig = _signature(edges)
+    edges = _rightsized(edges, sig[0])
     for _ in range(max_iter):
         edges = _small_star(_large_star(edges)).localCheckpoint()
         new_sig = _signature(edges)
         if new_sig == sig:
             break
         sig = new_sig
+        edges = _rightsized(edges, sig[0])
 
     # converged: every edge is (member, root); roots name themselves
     members = edges.select(F.col("u").alias("id"), F.col("v").alias("cluster_id"))

@@ -239,10 +239,14 @@ _ASC_EXPECTED_POINTS = """
 def asc_morphology_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources.asc import parse_asc_frame
 
+    # repartition(1): two literal documents across the session's default
+    # parallelism would spawn one Python worker per EMPTY partition.
+    # (repartition, not coalesce: coalesce(1) over a local relation hits
+    # a multi-second scheduler locality stall on tuned sessions)
     fixtures = spark.createDataFrame(
         [("uni", _ASC_UNIFURCATION), ("multi", _ASC_MULTIFURCATION)],
         ["file", "text"],
-    )
+    ).repartition(1)
     flags = morphology_flags(parse_asc_frame(fixtures))
     return flags.select(
         "file",

@@ -49,4 +49,9 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
     )
+    if master.startswith("local"):
+        # single-JVM: every task is process-local by construction, so a
+        # locality wait only ever adds latency (coalesce()d plans on
+        # in-memory relations can otherwise stall seconds per job)
+        builder = builder.config("spark.locality.wait", "0s")
     return builder.getOrCreate()
