@@ -1,0 +1,163 @@
+"""Temporal join operators Spark lacks natively: as-of join and
+binned range join.
+
+Both avoid the naive formulations that die at scale:
+
+- **as-of join**: the textbook formulation is an inequality join
+  (``l.ts >= r.ts``) + per-left-row max — a BroadcastNestedLoopJoin /
+  cross product in Spark. This implementation is the union+window
+  re-association used by time-series stores: tag both sides, union,
+  ONE shuffle on the key, and ``last(..., ignorenulls)`` over the
+  event-time order carries each right row forward to the left rows it
+  matches. Cost is a sort within key partitions — no join node at all,
+  and per-key data never concentrates on one task beyond what the
+  window needs.
+- **range join**: point-in-interval matching as an equi-join on
+  integer bins — each interval registers on every bin it covers
+  (bounded fan-out = interval width / bin size), each point probes its
+  single bin, and an exact predicate verifies after the equi-join.
+  Catalyst plans a hash join on the bin key instead of a nested loop.
+
+The reference's pipelines are snapshot-batch (no temporal joins), so
+these are engine extensions (SURVEY §2.10 spirit) — the operations a
+training-data pipeline needs for point-in-time-correct feature
+lookups ("the label must only see features known BEFORE the event").
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    by: Sequence[str],
+    ts_col: str = "ts",
+    payload_cols: Sequence[str] | None = None,
+    tolerance_us: int | None = None,
+) -> DataFrame:
+    """Backward as-of join: for every left row, attach the payload of
+    the LATEST right row with ``right.ts <= left.ts`` within the same
+    ``by`` group (NULLs when none). Ties on ts match the right row
+    (<=, ASOF semantics).
+
+    ``right`` must be unique per (by, ts) — pre-aggregate if not.
+    ``tolerance_us``: optionally NULL the payload when the matched
+    right row is older than this many microseconds (requires the
+    engine's tz-robust epoch helper; left and right must share the
+    timestamp dtype).
+
+    Returns all left columns + payload columns + ``__matched_ts``
+    (the matched right timestamp, NULL when unmatched).
+    """
+    from ..functions.time import epoch_us_expr, ts_dtype
+
+    by = list(by)
+    if payload_cols is None:
+        payload_cols = [c for c in right.columns if c not in by and c != ts_col]
+    payload_cols = list(payload_cols)
+
+    l_tag = left.select(
+        *by,
+        F.col(ts_col).alias("__ts"),
+        F.lit(1).alias("__is_left"),
+        *[F.col(c) for c in left.columns if c not in by and c != ts_col],
+        *[F.lit(None).alias(f"__p_{c}") for c in payload_cols],
+        F.lit(None).cast(right.schema[ts_col].dataType).alias("__r_ts"),
+    )
+    r_tag = right.select(
+        *by,
+        F.col(ts_col).alias("__ts"),
+        F.lit(0).alias("__is_left"),
+        *[
+            F.lit(None).cast(left.schema[c].dataType).alias(c)
+            for c in left.columns
+            if c not in by and c != ts_col
+        ],
+        *[F.col(c).alias(f"__p_{c}") for c in payload_cols],
+        F.col(ts_col).alias("__r_ts"),
+    )
+    unioned = l_tag.unionByName(r_tag)
+
+    # right rows sort BEFORE left rows at equal ts (__is_left asc), so
+    # a tie matches; the running last(ignorenulls) is the as-of lookup
+    w = (
+        Window.partitionBy(*by)
+        .orderBy(F.col("__ts").asc(), F.col("__is_left").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = unioned.select(
+        "*",
+        *[
+            F.last(F.col(f"__p_{c}"), ignorenulls=True).over(w).alias(f"__c_{c}")
+            for c in payload_cols
+        ],
+        F.last(F.col("__r_ts"), ignorenulls=True).over(w).alias("__matched_ts"),
+    )
+    out = carried.filter(F.col("__is_left") == 1)
+
+    if tolerance_us is not None:
+        dtype = ts_dtype(left, ts_col)
+        age = epoch_us_expr("__ts", dtype) - epoch_us_expr("__matched_ts", dtype)
+        in_tol = F.col("__matched_ts").isNotNull() & (age <= tolerance_us)
+        out = out.select(
+            "*",
+            *[
+                F.when(in_tol, F.col(f"__c_{c}")).alias(f"__t_{c}")
+                for c in payload_cols
+            ],
+            F.when(in_tol, F.col("__matched_ts")).alias("__t_ts"),
+        )
+        keep_payload = [F.col(f"__t_{c}").alias(c) for c in payload_cols]
+        matched_ts = F.col("__t_ts").alias("__matched_ts")
+    else:
+        keep_payload = [F.col(f"__c_{c}").alias(c) for c in payload_cols]
+        matched_ts = F.col("__matched_ts")
+
+    left_cols = [c for c in left.columns if c not in by and c != ts_col]
+    return out.select(
+        *by,
+        F.col("__ts").alias(ts_col),
+        *left_cols,
+        *keep_payload,
+        matched_ts,
+    )
+
+
+def range_join_binned(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_col: str,
+    lo_col: str,
+    hi_col: str,
+    bin_width: float,
+    how: str = "inner",
+) -> DataFrame:
+    """Point-in-interval join (``lo <= point < hi``) as a binned
+    equi-join: every interval explodes onto the integer bins it covers
+    (fan-out bounded by interval width / bin_width), every point maps
+    to one bin, the equi-join on the bin key replaces the nested loop,
+    and the exact range predicate verifies after the match.
+
+    Pick ``bin_width`` near the typical interval width: fan-out stays
+    O(1) per interval and each point probes exactly one hash bucket.
+    ``how='left'`` keeps unmatched points (payload NULLs)."""
+    lo_bin = F.floor(F.col(lo_col) / bin_width).cast("long")
+    hi_bin = F.floor((F.col(hi_col) - 1e-12) / bin_width).cast("long")
+    binned_ivals = intervals.withColumn(
+        "__bin", F.explode(F.sequence(lo_bin, hi_bin))
+    )
+    binned_pts = points.withColumn(
+        "__bin", F.floor(F.col(point_col) / bin_width).cast("long")
+    )
+    cond = (
+        (binned_pts["__bin"] == binned_ivals["__bin"])
+        & (binned_pts[point_col] >= binned_ivals[lo_col])
+        & (binned_pts[point_col] < binned_ivals[hi_col])
+    )
+    joined = binned_pts.join(binned_ivals, cond, how)
+    return joined.drop(binned_pts["__bin"]).drop(binned_ivals["__bin"])

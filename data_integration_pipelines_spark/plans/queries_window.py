@@ -312,3 +312,99 @@ def session_window_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return session_window_counts(_t(spark, sf_dir, "events")).orderBy(
         "user_id", "session_start_us"
     )
+
+
+@register(
+    "asof_join_events",
+    """
+    WITH v AS (
+        SELECT user_id, ts, MAX(value) AS view_value
+        FROM events WHERE event_type = 'view' GROUP BY user_id, ts
+    ),
+    p AS (
+        SELECT user_id, ts, event_id, value FROM events
+        WHERE event_type = 'purchase'
+    )
+    SELECT p.user_id, p.event_id,
+           ROUND(p.value, 2) AS purchase_value,
+           ROUND(v.view_value, 2) AS last_view_value,
+           CAST(COALESCE(date_diff('second', v.ts, p.ts), -1) AS BIGINT) AS secs_since_view
+    FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND v.ts <= p.ts
+    ORDER BY p.user_id, p.event_id
+    """,
+    doc="Backward as-of join (point-in-time-correct feature lookup: each "
+    "purchase sees the LATEST prior view, never a future one) via the "
+    "union+window formulation in operators/temporal.py — one shuffle on "
+    "the key, no join node, no inequality-join nested loop. Oracle is "
+    "DuckDB's native ASOF LEFT JOIN.",
+)
+def asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.time import epoch_us_expr, ts_dtype
+    from ..operators.temporal import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("view_value"))
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    joined = asof_join(purchases, views, ["user_id"], "ts", ["view_value"])
+    dtype = ts_dtype(ev, "ts")
+    sec = F.floor(epoch_us_expr("ts", dtype) / 1_000_000)
+    msec = F.floor(epoch_us_expr("__matched_ts", dtype) / 1_000_000)
+    return joined.select(
+        "user_id",
+        "event_id",
+        F.round("value", 2).alias("purchase_value"),
+        F.round("view_value", 2).alias("last_view_value"),
+        F.coalesce(sec - msec, F.lit(-1)).cast("bigint").alias("secs_since_view"),
+    ).orderBy("user_id", "event_id")
+
+
+@register(
+    "range_join_binned",
+    """
+    WITH bands(band, lo, hi) AS (VALUES
+        ('q1_small', 0.0, 10.0),
+        ('q2_mid', 10.0, 20.0),
+        ('q3_large', 20.0, 35.0),
+        ('q4_bulk', 35.0, 51.0)
+    )
+    SELECT band,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           ROUND(SUM(l_extendedprice), 2) AS total_price
+    FROM lineitem JOIN bands ON l_quantity >= lo AND l_quantity < hi
+    GROUP BY band
+    ORDER BY band
+    """,
+    doc="Point-in-interval range join as a BINNED equi-join "
+    "(operators/temporal.range_join_binned): intervals explode onto the "
+    "integer bins they cover, points probe one bin, the exact predicate "
+    "verifies post-join — a hash join where the naive inequality join "
+    "plans a BroadcastNestedLoopJoin. Oracle is the plain inequality join.",
+)
+def range_join_binned_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.temporal import range_join_binned
+
+    li = _t(spark, sf_dir, "lineitem").select("l_quantity", "l_extendedprice")
+    bands = spark.createDataFrame(
+        [
+            ("q1_small", 0.0, 10.0),
+            ("q2_mid", 10.0, 20.0),
+            ("q3_large", 20.0, 35.0),
+            ("q4_bulk", 35.0, 51.0),
+        ],
+        ["band", "lo", "hi"],
+    ).repartition(1)
+    joined = range_join_binned(li, bands, "l_quantity", "lo", "hi", bin_width=5.0)
+    return (
+        joined.groupBy("band")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.round(F.sum("l_extendedprice"), 2).alias("total_price"),
+        )
+        .orderBy("band")
+    )

@@ -248,3 +248,81 @@ def test_keep_latest_salted_matches_plain_on_skew(spark):
     assert plain == salted
     # keys: 0 (the hot key) plus 10,20,...,90 -> 10 distinct
     assert len(salted) == 10
+
+
+class TestTemporalJoins:
+    def test_asof_backward_and_ties(self, spark):
+        from data_integration_pipelines_spark.operators.temporal import asof_join
+
+        left = spark.createDataFrame(
+            [(1, 10, "a"), (1, 20, "b"), (1, 15, "t"), (2, 5, "c")],
+            "k int, ts int, tag string",
+        )
+        right = spark.createDataFrame(
+            [(1, 8, 100.0), (1, 15, 200.0), (2, 99, 300.0)],
+            "k int, ts int, payload double",
+        )
+        got = {
+            (r.k, r.ts): (r.payload, r["__matched_ts"])
+            for r in asof_join(left, right, ["k"], "ts", ["payload"]).collect()
+        }
+        assert got[(1, 10)] == (100.0, 8)
+        assert got[(1, 15)] == (200.0, 15)  # tie matches (<=)
+        assert got[(1, 20)] == (200.0, 15)
+        assert got[(2, 5)] == (None, None)  # nothing before -> NULLs
+
+    def test_asof_tolerance(self, spark):
+        from data_integration_pipelines_spark.operators.temporal import asof_join
+
+        mk = lambda s: f"2024-01-01 00:00:{s:02d}"
+        left = spark.createDataFrame(
+            [(1, mk(30), "x")], "k int, ts string, tag string"
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+        right = spark.createDataFrame(
+            [(1, mk(5), 1.0)], "k int, ts string, v double"
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+        loose = asof_join(left, right, ["k"], "ts", ["v"], tolerance_us=60_000_000)
+        tight = asof_join(left, right, ["k"], "ts", ["v"], tolerance_us=10_000_000)
+        assert loose.collect()[0].v == 1.0
+        row = tight.collect()[0]
+        assert row.v is None and row["__matched_ts"] is None  # 25s > 10s tolerance
+
+    def test_range_join_binned_matches_naive(self, spark):
+        import random
+
+        from data_integration_pipelines_spark.operators.temporal import (
+            range_join_binned,
+        )
+
+        rng = random.Random(7)
+        pts = [(i, rng.uniform(0, 100)) for i in range(300)]
+        ivals = []
+        for j in range(20):
+            lo = rng.uniform(0, 95)
+            ivals.append((f"b{j}", lo, lo + rng.uniform(0.5, 20)))
+        pdf = spark.createDataFrame(pts, "pid long, v double")
+        idf = spark.createDataFrame(ivals, "band string, lo double, hi double")
+        got = {
+            (r.pid, r.band)
+            for r in range_join_binned(pdf, idf, "v", "lo", "hi", bin_width=7.0).collect()
+        }
+        want = {
+            (pid, band)
+            for pid, v in pts
+            for band, lo, hi in ivals
+            if lo <= v < hi
+        }
+        assert got == want
+
+    def test_range_join_binned_plans_hash_join(self, spark):
+        from data_integration_pipelines_spark.operators.temporal import (
+            range_join_binned,
+        )
+
+        pdf = spark.createDataFrame([(1, 5.0)], "pid long, v double")
+        idf = spark.createDataFrame([("b", 0.0, 10.0)], "band string, lo double, hi double")
+        plan = (
+            range_join_binned(pdf, idf, "v", "lo", "hi", bin_width=5.0)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
