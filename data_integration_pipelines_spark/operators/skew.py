@@ -123,6 +123,36 @@ def keep_latest_salted(
     ).select(*df.columns)
 
 
+def grouped_topk_salted(
+    df: DataFrame,
+    key_cols: list[str],
+    order_by: list[Column],
+    k: int,
+    n_salts: int = 16,
+) -> DataFrame:
+    """Top-k rows per key that survives a hot key.
+
+    A single ``row_number`` window sorts the hot key's ENTIRE row set
+    on one task. Top-k is re-associable: phase 1 ranks within
+    (key, salt) — the hot key spreads over ``n_salts`` sort tasks —
+    and keeps k rows per salt; phase 2 ranks the <= n_salts*k
+    survivors per key. ``order_by`` must totally order rows within a
+    key (include a unique tiebreak) for deterministic output."""
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(n_salts))
+    from pyspark.sql.window import Window as W
+
+    w1 = W.partitionBy(*key_cols, "__salt").orderBy(*order_by)
+    w2 = W.partitionBy(*key_cols).orderBy(*order_by)
+    return (
+        df.withColumn("__salt", salt)
+        .withColumn("__rn", F.row_number().over(w1))
+        .filter(F.col("__rn") <= k)
+        .withColumn("__rn2", F.row_number().over(w2))
+        .filter(F.col("__rn2") <= k)
+        .drop("__salt", "__rn", "__rn2")
+    )
+
+
 def skew_proof_count_distinct(
     df: DataFrame,
     key_cols: list[str],

@@ -408,3 +408,93 @@ def range_join_binned_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("band")
     )
+
+
+@register(
+    "grouped_topk",
+    """
+    SELECT user_id, event_id, ROUND(value, 2) AS value
+    FROM (
+        SELECT user_id, event_id, value,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY value DESC, event_id) AS rn
+        FROM events
+    )
+    WHERE rn <= 3
+    ORDER BY user_id, value DESC, event_id
+    """,
+    doc="Skew-proof grouped top-k (operators/skew.grouped_topk_salted): "
+    "per-(key, salt) partial rank keeps k rows per salt, then the "
+    "per-key rank runs over <= n_salts*k survivors — a Zipfian hot key "
+    "never sorts its whole row set on one task. Oracle is the plain "
+    "per-key ROW_NUMBER; salting must never change answers.",
+)
+def grouped_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.skew import grouped_topk_salted
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_id", "value")
+    top = grouped_topk_salted(
+        ev, ["user_id"], [F.desc("value"), F.asc("event_id")], k=3
+    )
+    return top.select(
+        "user_id", "event_id", F.round("value", 2).alias("value")
+    ).orderBy("user_id", F.desc("value"), "event_id")
+
+
+@register(
+    "event_funnel",
+    """
+    WITH fv AS (
+        SELECT user_id, MIN(CASE WHEN event_type = 'view' THEN ts END) AS first_view
+        FROM events GROUP BY user_id
+    ),
+    per_user AS (
+        SELECT e.user_id,
+               MAX(fv.first_view IS NOT NULL) AS viewed,
+               MAX(fv.first_view IS NOT NULL AND e.event_type = 'purchase'
+                   AND e.ts >= fv.first_view) AS purchased_after_view
+        FROM events e JOIN fv ON e.user_id = fv.user_id
+        GROUP BY e.user_id
+    )
+    SELECT stage, CAST(n_users AS BIGINT) AS n_users
+    FROM (
+        SELECT '0_any' AS stage, COUNT(*) AS n_users FROM per_user
+        UNION ALL
+        SELECT '1_viewed', COUNT(*) FILTER (WHERE viewed) FROM per_user
+        UNION ALL
+        SELECT '2_purchased_after_view', COUNT(*) FILTER (WHERE purchased_after_view)
+        FROM per_user
+    )
+    ORDER BY stage
+    """,
+    doc="Ordered event-sequence funnel (view -> later purchase), the "
+    "sequential-pattern rollup product analytics needs: first-view via a "
+    "per-key analytic window (one shuffle on user_id, reused by the "
+    "per-user flags), then a single conditional-aggregation stack — no "
+    "self-join of the event log against itself.",
+)
+def event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id")
+    first_view = F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w)
+    flags = (
+        ev.withColumn("__fv", first_view)
+        .groupBy("user_id")
+        .agg(
+            F.max(F.col("__fv").isNotNull()).alias("viewed"),
+            F.max(
+                F.col("__fv").isNotNull()
+                & (F.col("event_type") == "purchase")
+                & (F.col("ts") >= F.col("__fv"))
+            ).alias("purchased_after_view"),
+        )
+    )
+    agg = flags.agg(
+        F.count("*").alias("n0"),
+        F.count(F.when(F.col("viewed"), 1)).alias("n1"),
+        F.count(F.when(F.col("purchased_after_view"), 1)).alias("n2"),
+    )
+    return agg.selectExpr(
+        "stack(3, '0_any', n0, '1_viewed', n1, '2_purchased_after_view', n2) "
+        "AS (stage, n_users)"
+    ).orderBy("stage")

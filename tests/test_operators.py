@@ -326,3 +326,27 @@ class TestTemporalJoins:
             ._jdf.queryExecution().executedPlan().toString()
         )
         assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_grouped_topk_salted_matches_window_on_skew(spark):
+    from data_integration_pipelines_spark.operators.skew import grouped_topk_salted
+    from pyspark.sql.window import Window
+
+    df = spark.range(20000).select(
+        F.when(F.col("id") % 10 != 0, 0).otherwise(F.col("id") % 100).alias("k"),
+        F.col("id").alias("ord"),
+        (F.col("id") * 7 % 1000).alias("score"),
+    )
+    order = [F.desc("score"), F.asc("ord")]
+    got = {
+        (r.k, r.ord)
+        for r in grouped_topk_salted(df, ["k"], order, k=5).collect()
+    }
+    w = Window.partitionBy("k").orderBy(*order)
+    want = {
+        (r.k, r.ord)
+        for r in df.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .collect()
+    }
+    assert got == want and len(want) == 50
