@@ -498,3 +498,121 @@ def event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         "stack(3, '0_any', n0, '1_viewed', n1, '2_purchased_after_view', n2) "
         "AS (stage, n_users)"
     ).orderBy("stage")
+
+
+@register(
+    "pivot_event_matrix",
+    """
+    SELECT user_id % 10 AS user_bucket,
+           CAST(COUNT(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS click,
+           CAST(COUNT(*) FILTER (WHERE event_type = 'error') AS BIGINT) AS error,
+           CAST(COUNT(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS purchase,
+           CAST(COUNT(*) FILTER (WHERE event_type = 'signup') AS BIGINT) AS signup,
+           CAST(COUNT(*) FILTER (WHERE event_type = 'view') AS BIGINT) AS view
+    FROM events
+    GROUP BY user_bucket
+    ORDER BY user_bucket
+    """,
+    doc="PIVOT (long->wide counts matrix) with the pivot values given "
+    "EXPLICITLY — the two-pass 'discover values then pivot' form needs a "
+    "collect of the distinct values to the driver; fixing the column set "
+    "keeps the plan a single partial-agg'd groupBy, which is the shape "
+    "to use at scale. Oracle is conditional aggregation.",
+)
+def pivot_event_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    types = ["click", "error", "purchase", "signup", "view"]
+    return (
+        ev.groupBy((F.col("user_id") % 10).alias("user_bucket"))
+        .pivot("event_type", types)
+        .count()
+        .na.fill(0, types)
+        .orderBy("user_bucket")
+    )
+
+
+@register(
+    "cube_census",
+    """
+    SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+           COALESCE(o_orderpriority, 'ALL') AS priority,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority) AS INT)
+               AS grouping_level
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    ORDER BY grouping_level, status, priority
+    """,
+    doc="CUBE census over (status, priority) with grouping_id — all four "
+    "aggregation granularities in ONE pass (the expand operator emits one "
+    "row per grouping set per input row, partial aggregation combines "
+    "map-side), vs four separate scans. The A1-A3 census family's "
+    "multi-granularity form.",
+)
+def cube_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count("*").alias("n"),
+            F.grouping_id().cast("int").alias("grouping_level"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "n",
+            "grouping_level",
+        )
+        .orderBy("grouping_level", "status", "priority")
+    )
+
+
+@register(
+    "quantile_bins",
+    """
+    WITH q AS (
+        SELECT QUANTILE_CONT(l_extendedprice, 0.25) AS q1,
+               QUANTILE_CONT(l_extendedprice, 0.50) AS q2,
+               QUANTILE_CONT(l_extendedprice, 0.75) AS q3
+        FROM lineitem
+    )
+    SELECT CASE WHEN l_extendedprice < q1 THEN 'p00_25'
+                WHEN l_extendedprice < q2 THEN 'p25_50'
+                WHEN l_extendedprice < q3 THEN 'p50_75'
+                ELSE 'p75_100' END AS bin,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(l_extendedprice), 2) AS total
+    FROM lineitem, q
+    GROUP BY bin
+    ORDER BY bin
+    """,
+    doc="Equi-depth (quantile) binning: pass 1 computes exact quartiles "
+    "(Spark percentile == DuckDB quantile_cont, a single-row broadcast), "
+    "pass 2 bins every row against them — the histogram whose buckets "
+    "hold equal mass. At 100 TB pass 1 switches to approx_percentile "
+    "(t-digest sketch, mergeable map-side) with identical plan shape.",
+)
+def quantile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # scalar subquery, not a crossJoin against the 1-row aggregate: the
+    # subquery runs once as its own job and its result substitutes into
+    # the main plan as literals -- no join node (a broadcast crossJoin
+    # would plan a BroadcastNestedLoopJoin, which the plan gate forbids)
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_qb")
+    return spark.sql(
+        """
+        SELECT CASE WHEN l_extendedprice < q.q1 THEN 'p00_25'
+                    WHEN l_extendedprice < q.q2 THEN 'p25_50'
+                    WHEN l_extendedprice < q.q3 THEN 'p50_75'
+                    ELSE 'p75_100' END AS bin,
+               COUNT(*) AS n,
+               ROUND(SUM(l_extendedprice), 2) AS total
+        FROM lineitem_qb,
+             LATERAL (SELECT (SELECT struct(
+                        percentile(l_extendedprice, 0.25) AS q1,
+                        percentile(l_extendedprice, 0.50) AS q2,
+                        percentile(l_extendedprice, 0.75) AS q3)
+                      FROM lineitem_qb) AS q)
+        GROUP BY bin
+        ORDER BY bin
+        """
+    )
