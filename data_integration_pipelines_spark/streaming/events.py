@@ -43,12 +43,15 @@ def windowed_counts(events: DataFrame, window: str = "1 hour") -> DataFrame:
 
 
 def read_events_stream(
-    spark: SparkSession, sf_dir: str, watermark: str = "2 hours"
+    spark: SparkSession, sf_dir: str, watermark: str | None = "2 hours"
 ) -> DataFrame:
     """Streaming scan of the events parquet, normalizing ``ts`` the same
     way the batch catalog does: a schema-only batch probe decides whether
     the file stores TIMESTAMP(NANOS) (legacy long path) or a real
-    timestamp type (used verbatim)."""
+    timestamp type (used verbatim). ``watermark=None`` skips the
+    watermark so downstream operators that rename the event-time column
+    (stream-stream joins) can set their own — Spark forbids redefining
+    one."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     probe = (
         spark.read.option("pathGlobFilter", "events.parquet").parquet(sf_dir)
@@ -72,6 +75,8 @@ def read_events_stream(
             # stream output matches the batch (NTZ) formatting.
             spark.conf.set("spark.sql.session.timeZone", "UTC")
             raw = raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    if watermark is None:
+        return raw
     return raw.withWatermark("ts", watermark)
 
 

@@ -234,3 +234,27 @@ def test_stream_static_enrichment_matches_batch(spark, sf_small, tmp_path):
         for r in windowed_enriched_stats(enrich_events(events, dim), "cohort").collect()
     }
     assert got == want and len(got) > 3
+
+
+def test_stream_stream_attribution_matches_batch(spark, sf_small):
+    """Watermarked stream-stream join (view -> purchase within the
+    horizon) over the drained backlog == the same range join in batch."""
+    from data_integration_pipelines_spark.streaming.joins import (
+        run_attribution_once,
+        view_purchase_attribution,
+    )
+
+    streamed = {
+        (r.user_id, r.view_id, r.purchase_id, r.usecs_between)
+        for r in run_attribution_once(spark, sf_small, horizon="1 hour").collect()
+    }
+    batch = {
+        (r.user_id, r.view_id, r.purchase_id, r.usecs_between)
+        for r in view_purchase_attribution(
+            load_table(spark, sf_small, "events"), horizon="1 hour"
+        ).collect()
+    }
+    assert streamed == batch
+    assert len(batch) > 0
+    # every pair respects the horizon
+    assert all(0 <= us <= 3_600_000_000 for *_, us in batch)
