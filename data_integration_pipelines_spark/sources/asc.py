@@ -195,6 +195,93 @@ def read_asc_points(
     return parse_asc_frame(raw, "file", "text")
 
 
+_TYPE_NAMES = {1: "CellBody", 2: "Axon", 3: "Dendrite", 4: "Apical"}
+
+
+def render_asc_text(points: list[tuple[int, int, float, float, float, float, int]]) -> str:
+    """Inverse of ``parse_asc_text``: (n, type, x, y, z, radius, parent)
+    rows -> Neurolucida ASC text (the reference's swc->asc conversion,
+    check_swc_on_resource.py:56-166, as a pure function).
+
+    Soma (type 1) points become one ``(CellBody)`` contour form; every
+    other root (parent -1 or parent is a soma point) roots its own
+    typed form. Chains render as consecutive points; a point with
+    multiple children opens a branch group with ``|`` separators;
+    diameters are 2x radius. ``parse_asc_text(render_asc_text(p))``
+    reproduces the tree (ids renumber in document order).
+
+    Format limitation, inherent to ASC: a form carries ONE structure
+    type, so per-point type changes inside a neurite (SWC allows them;
+    the validator flags them as heterogeneous) render with the root's
+    type — exactly what any swc->asc converter must do."""
+    by_n = {p[0]: p for p in points}
+    children: dict[int, list[int]] = {}
+    for n, _t, _x, _y, _z, _r, parent in points:
+        children.setdefault(parent, []).append(n)
+    for v in children.values():
+        v.sort()
+
+    def fmt(v: float) -> str:
+        return f"{v:g}"
+
+    def point_str(n: int) -> str:
+        _, _t, x, y, z, r, _ = by_n[n]
+        return f"({fmt(x)} {fmt(y)} {fmt(z)} {fmt(2 * r)})"
+
+    def render_chain(n: int, indent: str) -> list[str]:
+        out = [f"{indent}{point_str(n)}"]
+        while True:
+            kids = [k for k in children.get(n, []) if by_n[k][1] != 1]
+            if not kids:
+                return out
+            if len(kids) == 1:
+                n = kids[0]
+                out.append(f"{indent}{point_str(n)}")
+                continue
+            out.append(f"{indent}(")
+            for i, k in enumerate(kids):
+                if i:
+                    out.append(f"{indent}|")
+                out.extend(render_chain(k, indent + "  "))
+            out.append(f"{indent})")
+            return out
+
+    soma = sorted(n for n, t, *_ in points if t == 1)
+    forms: list[str] = []
+    if soma:
+        forms.append("((CellBody) " + " ".join(point_str(n) for n in soma) + ")")
+    soma_set = set(soma)
+    roots = sorted(
+        n
+        for n, t, _x, _y, _z, _r, parent in points
+        if t != 1 and (parent not in by_n or parent in soma_set)
+    )
+    for root in roots:
+        tname = _TYPE_NAMES.get(by_n[root][1], "Dendrite")
+        lines = [f"(({tname})"] + render_chain(root, "  ") + [")"]
+        forms.append("\n".join(lines))
+    return "\n\n".join(forms) + "\n"
+
+
+def render_asc_frame(points: DataFrame) -> DataFrame:
+    """Points table -> one (file, text) ASC document per file,
+    Arrow-batched via applyInPandas (each file's rows are grouped to
+    one task; rendering is a genuine per-file kernel)."""
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("n")
+        rows = [
+            (int(r.n), int(r.type), float(r.x), float(r.y), float(r.z),
+             float(r.radius), int(r.parent))
+            for r in pdf.itertuples()
+        ]
+        return pd.DataFrame(
+            [{"file": pdf["file"].iloc[0], "text": render_asc_text(rows)}]
+        )
+
+    return points.groupBy("file").applyInPandas(fn, schema="file string, text string")
+
+
 def read_morphology_points(spark: SparkSession, directory: str) -> DataFrame:
     """Mixed-format morphology scan: SWC and ASC files under one
     directory, unioned into a single points table — the whole battery

@@ -399,3 +399,63 @@ class TestASCSource:
         d.mkdir()
         (d / "chain.swc").write_text("1 1 0 0 0 5 -1\n2 2 5 0 0 4 1\n")
         assert read_morphology_points(spark, str(d)).count() == 2
+
+
+class TestASCRender:
+    @staticmethod
+    def _edges(rows):
+        """Renumbering-independent tree signature: set of
+        (child coords+type, parent coords or None). A soma parent
+        normalizes to None — the ASC grammar has no explicit
+        neurite->soma link (each form roots its own tree), so SWC's
+        soma-attached neurite roots legitimately become form roots."""
+        by_n = {r[0]: r for r in rows}
+        out = set()
+        for n, t, x, y, z, rad, parent in rows:
+            p = by_n.get(parent)
+            pc = (p[2], p[3], p[4]) if p is not None and p[1] != 1 else None
+            out.add(((t, x, y, z, rad), pc))
+        return out
+
+    def test_roundtrip_reference_fixtures(self):
+        from data_integration_pipelines_spark.sources.asc import (
+            parse_asc_text,
+            render_asc_text,
+        )
+
+        for fixture in (ASC_UNI, ASC_MULTI):
+            original = parse_asc_text(fixture)
+            rendered = render_asc_text(original)
+            reparsed = parse_asc_text(rendered)
+            assert self._edges(reparsed) == self._edges(original)
+
+    def test_swc_to_asc_conversion_distributed(self, spark, swc_dir, tmp_path):
+        """The reference's swc->asc conversion
+        (check_swc_on_resource.py:56-166): SWC points -> rendered ASC
+        docs -> reparse -> same trees."""
+        from data_integration_pipelines_spark.sources.asc import (
+            parse_asc_frame,
+            render_asc_frame,
+        )
+
+        # hetero_* fixtures change type mid-tree — not representable in
+        # ASC (a form carries one type), so conversion is tested on the
+        # format-representable fixtures
+        pts = read_swc_points(spark, swc_dir + "/*.swc").filter(
+            ~F.col("file").contains("hetero")
+        )
+        docs = render_asc_frame(pts)
+        reparsed = parse_asc_frame(docs)
+        orig = {}
+        for r in pts.collect():
+            orig.setdefault(r.file, []).append(
+                (r.n, r.type, r.x, r.y, r.z, r.radius, r.parent)
+            )
+        back = {}
+        for r in reparsed.collect():
+            back.setdefault(r.file, []).append(
+                (r.n, r.type, r.x, r.y, r.z, r.radius, r.parent)
+            )
+        assert set(orig) == set(back)
+        for f in orig:
+            assert self._edges(back[f]) == self._edges(orig[f]), f
