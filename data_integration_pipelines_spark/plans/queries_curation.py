@@ -749,3 +749,49 @@ def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = flags.agg(*aggs).selectExpr(stack_expr)
     return out.orderBy("stage")
+
+
+@register(
+    "chunk_documents",
+    """
+    WITH t AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(s / 24 AS INT) AS chunk_idx,
+           CAST(LEAST(32, len(toks) - s) AS INT) AS n_tokens,
+           md5(array_to_string(toks[s + 1 : s + 32], ' ')) AS chunk_md5
+    FROM t, LATERAL (
+        SELECT unnest(range(0, GREATEST(len(toks) - 8, 1), 24)) AS s
+    )
+    WHERE len(toks) > 0
+    ORDER BY doc_id, chunk_idx
+    """,
+    doc="Document chunking into overlapping token windows (chunk=32, "
+    "overlap=8 -> stride 24) — the context-window split every training "
+    "pipeline runs before packing. Pure JVM: sequence() emits the chunk "
+    "starts, slice()/concat_ws cut each window from the token array — a "
+    "narrow per-row fan-out, no shuffle until a downstream consumer asks "
+    "for one. Pairs with token_pack_bins (chunks -> fixed-token training "
+    "bins).",
+)
+def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    chunk, overlap = 32, 8
+    stride = chunk - overlap
+    docs = _docs(spark, sf_dir)
+    toks = ws_tokens(F.col("text"))
+    n = F.size(toks)
+    starts = F.sequence(
+        F.lit(0), F.greatest(n - overlap - 1, F.lit(0)), F.lit(stride)
+    )
+    exploded = docs.select(
+        "doc_id", toks.alias("toks"), F.explode(starts).alias("s")
+    ).filter(F.size("toks") > 0)
+    window_txt = F.concat_ws(" ", F.slice(F.col("toks"), F.col("s") + 1, chunk))
+    return exploded.select(
+        "doc_id",
+        (F.col("s") / stride).cast("int").alias("chunk_idx"),
+        F.least(F.lit(chunk), F.size("toks") - F.col("s")).cast("int").alias("n_tokens"),
+        F.md5(window_txt).alias("chunk_md5"),
+    ).orderBy("doc_id", "chunk_idx")
