@@ -243,6 +243,180 @@ def ivf_topk(
     )
 
 
+def pq_train(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m_subvectors: int = 8,
+    k_centroids: int = 16,
+    seed: int = 7,
+    sample_limit: int = 65_536,
+    iters: int = 15,
+):
+    """Train product-quantization codebooks: split the D-dim space into
+    ``m_subvectors`` contiguous subspaces and k-means each on a BOUNDED
+    sample (the FAISS convention — codebooks need ~k*100 examples, not
+    the corpus; a corpus-sized fit would be thousands of tiny jobs for
+    no recall gain). Deterministic: seeded kmeans++ init + Lloyd's on
+    the driver over at most ``sample_limit`` vectors. Returns a numpy
+    array (m, k, D/m) of centroids — tiny, broadcast by closure.
+
+    PQ is the billion-vector scale path: vectors compress to m bytes
+    (k<=256) instead of 4D, so the scan that scores candidates reads
+    ~D*4/m x less data; recall is recovered by exact re-ranking of the
+    ADC top-C (``pq_topk``)."""
+    import numpy as np
+
+    rows = df.select(vec_col).limit(sample_limit).collect()
+    X_all = np.array([r[0] for r in rows], dtype=np.float64)
+    dim = X_all.shape[1]
+    if dim % m_subvectors != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m_subvectors}")
+    sub = dim // m_subvectors
+    rng = np.random.RandomState(seed)
+
+    def kmeans(X: "np.ndarray") -> "np.ndarray":
+        # kmeans++ seeding
+        centers = [X[rng.randint(len(X))]]
+        for _ in range(k_centroids - 1):
+            d2 = np.min(
+                ((X[:, None, :] - np.array(centers)[None, :, :]) ** 2).sum(-1), axis=1
+            )
+            probs = d2 / d2.sum() if d2.sum() > 0 else None
+            centers.append(X[rng.choice(len(X), p=probs)])
+        C = np.array(centers)
+        for _ in range(iters):
+            d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(-1)
+            assign = d2.argmin(1)
+            for j in range(k_centroids):
+                pts = X[assign == j]
+                C[j] = pts.mean(0) if len(pts) else X[rng.randint(len(X))]
+        return C
+
+    return np.stack(
+        [kmeans(X_all[:, j * sub : (j + 1) * sub]) for j in range(m_subvectors)]
+    )
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, codes array<int>) — each vector quantized to its nearest
+    centroid per subspace. Arrow-batched numpy argmin per batch; the
+    codebooks ride to executors as a closure broadcast (m*k*sub floats)."""
+    import numpy as np
+
+    m, k, sub = codebooks.shape
+    cb = codebooks.astype(np.float64)
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            vecs = np.array(list(pdf[vec_col]), dtype=np.float64)  # (B, D)
+            codes = np.empty((len(vecs), m), dtype=np.int32)
+            for j in range(m):
+                block = vecs[:, j * sub : (j + 1) * sub]  # (B, sub)
+                # squared L2 to each centroid: (B, k)
+                d2 = (
+                    (block**2).sum(1, keepdims=True)
+                    - 2 * block @ cb[j].T
+                    + (cb[j] ** 2).sum(1)
+                )
+                codes[:, j] = d2.argmin(1)
+            yield pd.DataFrame({"id": pdf[id_col], "codes": list(codes)})
+
+    from .dedup import spread
+
+    return spread(df.select(id_col, vec_col)).mapInPandas(
+        encode, schema="id long, codes array<int>"
+    )
+
+
+def pq_topk(
+    df: DataFrame,
+    query_df: DataFrame,
+    codebooks,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    rerank: int = 50,
+) -> DataFrame:
+    """PQ ANN with exact re-rank: asymmetric-distance (ADC) scan over
+    the compressed code table picks each query's top-``rerank``
+    candidates (per-subspace lookup table of query-to-centroid dots,
+    summed by code — one numpy gather per batch), then the exact dot
+    on the fetched candidate vectors ranks the final top-k with the
+    same (rounded desc, id asc) order as ``brute_force_topk``.
+
+    Scale shape: the scan reads m bytes/vector instead of 4D; only
+    rerank x Q candidate ids leave the scan; the exact re-rank joins
+    vectors for candidates only."""
+    import numpy as np
+
+    m, kc, sub = codebooks.shape
+    cb = codebooks.astype(np.float64)
+    queries = query_df.select(id_col, vec_col).collect()
+    q_ids = np.array([r[0] for r in queries])
+    q_mat = np.array([r[1] for r in queries], dtype=np.float64)  # (Q, D)
+    # per-query ADC lookup tables: dot(query_sub, centroid) (Q, m, kc)
+    luts = np.stack(
+        [q_mat[:, j * sub : (j + 1) * sub] @ cb[j].T for j in range(m)], axis=1
+    )
+
+    codes = pq_encode(df, codebooks, id_col, vec_col)
+
+    def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            c_ids = pdf["id"].to_numpy()
+            code_mat = np.array(list(pdf["codes"]), dtype=np.int64)  # (B, m)
+            # approx dot = sum_j lut[q, j, code[b, j]] -> (Q, B)
+            approx = np.zeros((len(q_ids), len(c_ids)))
+            for j in range(m):
+                approx += luts[:, j, :][:, code_mat[:, j]]
+            out = []
+            for qi, qid in enumerate(q_ids):
+                row = approx[qi]
+                mask = c_ids != qid
+                ids, vals = c_ids[mask], row[mask]
+                take = min(rerank, len(ids))
+                if take == 0:
+                    continue
+                order = np.lexsort((ids, -vals))[:take]
+                out.append(pd.DataFrame({"query_id": qid, "corpus_id": ids[order]}))
+            if out:
+                yield pd.concat(out)
+
+    # per-partition top-`rerank` each; the union is a superset of the
+    # global ADC top-`rerank` (distinct-ed; the exact re-rank decides)
+    cand = codes.mapInPandas(scan, schema="query_id long, corpus_id long").distinct()
+    # exact re-rank: fetch candidate vectors, exact dot vs the query
+    vecs = df.select(
+        F.col(id_col).alias("corpus_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("__cvec"),
+    )
+    qdf = query_df.select(
+        F.col(id_col).alias("query_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("__qvec"),
+    )
+    scored = (
+        cand.join(vecs, "corpus_id")
+        .join(F.broadcast(qdf), "query_id")
+        .withColumn("cosine", F.round(_zip_dot(F.col("__qvec"), F.col("__cvec")), 4))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("corpus_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", F.col("corpus_id").alias("neighbor_id"), "cosine", "rank")
+    )
+
+
 def recommended_n_planes(n_vectors: int, target_bucket: int = 256) -> int:
     """Planes needed so the MEAN bucket population ~ ``target_bucket``:
     bucket count is 2^planes, so planes = ceil(log2(N / target)).

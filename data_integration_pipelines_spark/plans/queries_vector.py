@@ -334,3 +334,24 @@ def ann_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     pivots = emb.filter(F.col("vec_id") < 8)
     queries = emb.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 105))
     return ivf_topk(emb, queries, pivots, k=5, nprobe=2).orderBy("query_id", "rank")
+
+
+@register(
+    "ann_pq",
+    None,  # codebooks come from MLlib KMeans — centroids are seed-
+    # deterministic within one library version but not SQL-derivable,
+    # so this is a rows-only check; recall vs brute force is pinned in
+    # tests/test_dedup_similarity.py::TestProductQuantization
+    doc="Product-quantization ANN (billion-vector scale path): per-subspace "
+    "MLlib KMeans codebooks compress each vector to m bytes; the ADC scan "
+    "scores candidates from per-query lookup tables over the code table "
+    "(reads D*4/m x less data than the raw vectors), and the exact dot "
+    "re-ranks the ADC top-C for the final top-k.",
+)
+def ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import pq_topk, pq_train
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    cb = pq_train(emb, m_subvectors=8, k_centroids=16)
+    return pq_topk(emb, queries, cb, k=5, rerank=50).orderBy("query_id", "rank")

@@ -417,3 +417,46 @@ class TestBoundedPersistPool:
         released = release_cached()
         assert released <= 8
         assert pool_size() == 0
+
+
+class TestProductQuantization:
+    def test_pq_recall_with_rerank(self, spark, sf_small):
+        from data_integration_pipelines_spark.operators.similarity import (
+            brute_force_topk,
+            pq_topk,
+            pq_train,
+        )
+
+        emb = load_table(spark, sf_small, "embeddings")
+        queries = emb.filter(F.col("vec_id") < 15)
+        k = 5
+        cb = pq_train(emb, m_subvectors=8, k_centroids=16)
+        assert cb.shape == (8, 16, 8)  # (m, k, D/m) for D=64
+
+        def topk_sets(df):
+            out = {}
+            for r in df.collect():
+                out.setdefault(r.query_id, set()).add(r.neighbor_id)
+            return out
+
+        exact = topk_sets(brute_force_topk(emb, queries, k=k))
+        approx = topk_sets(pq_topk(emb, queries, cb, k=k, rerank=60))
+        recall = sum(
+            len(exact[q] & approx.get(q, set())) / len(exact[q]) for q in exact
+        ) / len(exact)
+        # ADC prefilter + exact re-rank of top-60 of ~500 vectors
+        assert recall >= 0.8, f"PQ recall {recall:.2f}"
+
+    def test_pq_codes_compress(self, spark, sf_small):
+        from data_integration_pipelines_spark.operators.similarity import (
+            pq_encode,
+            pq_train,
+        )
+
+        emb = load_table(spark, sf_small, "embeddings")
+        cb = pq_train(emb, m_subvectors=8, k_centroids=16)
+        codes = pq_encode(emb, cb)
+        row = codes.first()
+        assert len(row.codes) == 8
+        assert all(0 <= c < 16 for c in row.codes)
+        assert codes.count() == emb.count()
