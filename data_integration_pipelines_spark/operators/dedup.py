@@ -347,11 +347,14 @@ def connected_components(
     one cheap action per round). Nodes with no edges are absent from the
     output — union singletons back at the call site if needed.
     """
+    # lazy checkpoint: the signature action right after materializes the
+    # checkpoint AND reads the convergence stats in ONE job (eager=True
+    # would run a separate materialization job per round)
     edges = (
         pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
         .filter(F.col("u") != F.col("v"))
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
 
     def _signature(e: DataFrame) -> tuple[int, int]:
@@ -402,7 +405,7 @@ def connected_components(
     sig = _signature(edges)
     edges = _rightsized(edges, sig[0])
     for _ in range(max_iter):
-        edges = _small_star(_large_star(edges)).localCheckpoint()
+        edges = _small_star(_large_star(edges)).localCheckpoint(eager=False)
         new_sig = _signature(edges)
         if new_sig == sig:
             break

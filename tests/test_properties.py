@@ -101,3 +101,50 @@ def test_transitive_closure_matches_python(spark, edges):
         (r["ancestor"], r["node"]) for r in transitive_closure(df).collect()
     }
     assert got == expected
+
+
+def test_chunking_covers_every_token_with_exact_overlap(spark):
+    """chunk_documents invariants on synthetic docs of every boundary
+    length: full coverage, stride spacing, only the last chunk short."""
+    from data_integration_pipelines_spark.plans.queries_curation import (
+        chunk_documents,
+    )
+
+    # lengths straddling the chunk/stride boundaries (chunk=32, stride=24)
+    lengths = [1, 8, 23, 24, 25, 31, 32, 33, 55, 56, 57, 80, 100]
+    rows = [
+        (i, " ".join(f"t{i}_{j}" for j in range(n)))
+        for i, n in enumerate(lengths)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    df.createOrReplaceTempView("chunk_prop_docs")
+
+    # run the same operator logic the registered query uses, on our frame
+    import data_integration_pipelines_spark.plans.queries_curation as qc
+    from pyspark.sql import functions as F
+
+    orig = qc._docs
+    qc._docs = lambda spark, sf_dir: df
+    try:
+        got = chunk_documents(spark, "ignored").collect()
+    finally:
+        qc._docs = orig
+
+    by_doc = {}
+    for r in got:
+        by_doc.setdefault(r.doc_id, []).append((r.chunk_idx, r.n_tokens))
+    for i, n in enumerate(lengths):
+        chunks = sorted(by_doc[i])
+        idxs = [c for c, _ in chunks]
+        sizes = [s for _, s in chunks]
+        assert idxs == list(range(len(chunks)))  # contiguous indices
+        # every chunk but the last is full
+        assert all(s == 32 for s in sizes[:-1])
+        assert 1 <= sizes[-1] <= 32
+        # coverage: last chunk reaches the final token
+        last_start = (len(chunks) - 1) * 24
+        assert last_start + sizes[-1] == n
+        # no fully-redundant tail: each chunk after the first starts
+        # before the previous chunk ended (overlap) but adds new tokens
+        if len(chunks) > 1:
+            assert last_start < n <= last_start + 32
