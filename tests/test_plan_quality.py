@@ -49,6 +49,7 @@ def test_python_stages_only_where_declared(plans):
         "morphology_tree_metrics",
         "asc_morphology_battery",  # distributed ASC grammar parse kernel
         "ann_bruteforce",  # vectorized matmul scale path (topk_pandas)
+        "ann_pq",  # PQ encode + ADC scan kernels (numpy per Arrow batch)
         "image_decode_features",
         "image_resize",
         "frame_sample",
