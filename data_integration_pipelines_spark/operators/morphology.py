@@ -56,10 +56,17 @@ def segment_table(points: DataFrame) -> DataFrame:
         parent,
         (F.col("c.file") == F.col("file_p")) & (F.col("c.parent") == F.col("pn")),
     )
+    # explicit multiplication, not **2/pow: IEEE multiply is exactly
+    # specified so Spark and any oracle engine produce bit-identical
+    # doubles, while JVM Math.pow vs libm pow can differ by 1 ulp —
+    # enough to flip a round() boundary at larger SF
+    _dx = F.col("c.x") - F.col("px")
+    _dy = F.col("c.y") - F.col("py")
+    _dz = F.col("c.z") - F.col("pz")
     dist = F.sqrt(
-        (F.col("c.x") - F.col("px")) ** 2
-        + (F.col("c.y") - F.col("py")) ** 2
-        + (F.col("c.z") - F.col("pz")) ** 2
+        _dx * _dx
+        + _dy * _dy
+        + _dz * _dz
     )
     return seg.select(
         F.col("c.file").alias("file"),

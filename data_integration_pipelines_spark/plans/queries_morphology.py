@@ -75,7 +75,7 @@ def synth_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     segs AS (
         SELECT c.file, c.n, c.type, c.radius, c.z,
                p.type AS ptype, p.z AS pz,
-               SQRT((c.x - p.x)^2 + (c.y - p.y)^2 + (c.z - p.z)^2) AS seg_len
+               SQRT((c.x - p.x)*(c.x - p.x) + (c.y - p.y)*(c.y - p.y) + (c.z - p.z)*(c.z - p.z)) AS seg_len
         FROM pts c JOIN pts p ON c.file = p.file AND c.parent = p.n
     ),
     per_point AS (
@@ -92,8 +92,8 @@ def synth_points(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT file,
                CAST(SUM(CASE WHEN seg_len <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero_len_segments,
                CAST(SUM(CASE WHEN type <> 1 AND ABS(z - pz) > 10.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_z_jumps,
-               ROUND(SUM(seg_len), 2) AS total_length,
-               ROUND(MAX(seg_len), 2) AS max_seg_len
+               ROUND(ROUND(SUM(seg_len), 4), 2) AS total_length,
+               ROUND(MAX(seg_len), 4) AS max_seg_len
         FROM segs GROUP BY file
     )
     SELECT p.file, n_points, n_roots, n_zero_radius, n_distinct_radii,
@@ -120,7 +120,7 @@ def morphology_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_zero_len_segments").cast("bigint").alias("n_zero_len_segments"),
         F.col("n_z_jumps").cast("bigint").alias("n_z_jumps"),
         F.round("total_length", 2).alias("total_length"),
-        F.round("max_seg_len", 2).alias("max_seg_len"),
+        F.col("max_seg_len").alias("max_seg_len"),
     ).orderBy("file")
 
 
@@ -203,7 +203,7 @@ _ASC_EXPECTED_POINTS = """
     segs AS (
         SELECT c.file, c.n, c.type, c.radius, c.z,
                p.type AS ptype, p.z AS pz,
-               SQRT((c.x - p.x)^2 + (c.y - p.y)^2 + (c.z - p.z)^2) AS seg_len
+               SQRT((c.x - p.x)*(c.x - p.x) + (c.y - p.y)*(c.y - p.y) + (c.z - p.z)*(c.z - p.z)) AS seg_len
         FROM pts c JOIN pts p ON c.file = p.file AND c.parent = p.n
     ),
     per_point AS (
@@ -220,8 +220,8 @@ _ASC_EXPECTED_POINTS = """
         SELECT file,
                CAST(SUM(CASE WHEN seg_len <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero_len_segments,
                CAST(SUM(CASE WHEN type <> 1 AND ABS(z - pz) > 10.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_z_jumps,
-               ROUND(SUM(seg_len), 2) AS total_length,
-               ROUND(MAX(seg_len), 2) AS max_seg_len
+               ROUND(ROUND(SUM(seg_len), 4), 2) AS total_length,
+               ROUND(MAX(seg_len), 4) AS max_seg_len
         FROM segs GROUP BY file
     )
     SELECT p.file, n_points, n_roots, n_zero_radius, n_distinct_radii,
@@ -259,7 +259,7 @@ def asc_morphology_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_zero_len_segments").cast("bigint").alias("n_zero_len_segments"),
         F.col("n_z_jumps").cast("bigint").alias("n_z_jumps"),
         F.round("total_length", 2).alias("total_length"),
-        F.round("max_seg_len", 2).alias("max_seg_len"),
+        F.col("max_seg_len").alias("max_seg_len"),
     ).orderBy("file")
 
 
@@ -269,7 +269,7 @@ def asc_morphology_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH {_SYNTH_SQL},
     segs AS (
         SELECT c.file, c.type, p.type AS ptype,
-               SQRT((c.x - p.x)^2 + (c.y - p.y)^2 + (c.z - p.z)^2) AS seg_len
+               SQRT((c.x - p.x)*(c.x - p.x) + (c.y - p.y)*(c.y - p.y) + (c.z - p.z)*(c.z - p.z)) AS seg_len
         FROM pts c JOIN pts p ON c.file = p.file AND c.parent = p.n
     )
     SELECT file,

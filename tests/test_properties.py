@@ -148,3 +148,35 @@ def test_chunking_covers_every_token_with_exact_overlap(spark):
         # before the previous chunk ended (overlap) but adds new tokens
         if len(chunks) > 1:
             assert last_start < n <= last_start + 32
+
+
+def test_asof_join_matches_naive_on_random_data(spark):
+    """asof_join (union+window) == naive per-left-row argmax of
+    right.ts <= left.ts, on random keyed event times with ties."""
+    import random
+
+    from data_integration_pipelines_spark.operators.temporal import asof_join
+
+    rng = random.Random(23)
+    left = [
+        (rng.randint(0, 5), rng.randint(0, 50), i) for i in range(120)
+    ]
+    right = {}
+    for j in range(80):
+        k, t = rng.randint(0, 5), rng.randint(0, 50)
+        right[(k, t)] = float(j)  # unique per (key, ts)
+    ldf = spark.createDataFrame(left, "k int, ts int, lid int")
+    rdf = spark.createDataFrame(
+        [(k, t, v) for (k, t), v in right.items()], "k int, ts int, payload double"
+    )
+    got = {
+        r.lid: (r.payload, r["__matched_ts"])
+        for r in asof_join(ldf, rdf, ["k"], "ts", ["payload"]).collect()
+    }
+    for k, ts, lid in left:
+        cands = [(t, v) for (rk, t), v in right.items() if rk == k and t <= ts]
+        want = max(cands) if cands else None
+        if want is None:
+            assert got[lid] == (None, None), lid
+        else:
+            assert got[lid] == (want[1], want[0]), lid
