@@ -275,7 +275,7 @@ def asc_morphology_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT file,
            CAST(1 AS INT) AS n_components,          -- chain topology
            CAST(0 AS INT) AS max_branch_order,
-           ROUND(SUM(seg_len), 2) AS max_path_length,
+           ROUND(ROUND(SUM(seg_len), 4), 2) AS max_path_length,
            CAST(SUM(CASE WHEN type <> ptype AND ptype <> 1 THEN 1 ELSE 0 END) AS INT)
                AS n_type_changes
     FROM segs GROUP BY file
