@@ -46,9 +46,15 @@ _SYNTH_SQL = """
 
 def synth_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 300)
-    w = Window.partitionBy(F.col("l_orderkey") % 50).orderBy("l_orderkey", "l_linenumber")
+    # window keyed on the DERIVED file string (not l_orderkey % 50, a
+    # different expression): downstream ops all key on `file`, so the
+    # partitioning matches what the battery needs; the self-join's two
+    # subplans still plan their own exchanges, which AQE dedupes at
+    # runtime via ReusedExchange
+    file_key = F.concat(F.lit("f"), (F.col("l_orderkey") % 50).cast("string"))
+    w = Window.partitionBy(file_key).orderBy("l_orderkey", "l_linenumber")
     base = li.select(
-        F.concat(F.lit("f"), (F.col("l_orderkey") % 50).cast("string")).alias("file"),
+        file_key.alias("file"),
         F.row_number().over(w).alias("n"),
         F.col("l_partkey").alias("pk"),
         F.col("l_quantity").alias("x"),
