@@ -49,8 +49,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # Right-size shuffle parallelism when the session still carries the
     # stock 200 (an externally-created vanilla session): 2-3x total
     # cores is the cluster guidance, and AQE coalescing makes over-
-    # provisioning cheap. A user-tuned value is left alone.
-    if spark.conf.get("spark.sql.shuffle.partitions", "200") == "200":
+    # provisioning cheap. Spark cannot distinguish an explicit 200 from
+    # the unset default, so a user who really wants 200 sets
+    # SPARK_GRAFT_NO_SHUFFLE_RIGHTSIZE=1 to suppress the override.
+    if (
+        spark.conf.get("spark.sql.shuffle.partitions", "200") == "200"
+        and not os.environ.get("SPARK_GRAFT_NO_SHUFFLE_RIGHTSIZE")
+    ):
         cores = spark.sparkContext.defaultParallelism
         spark.conf.set("spark.sql.shuffle.partitions", str(max(2 * cores, 16)))
     if name == "events":
@@ -58,11 +63,24 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # are surfaced as longs. Runtime-settable, so enforce it here so
         # the engine works on externally-created sessions too.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        # TIMESTAMP(NANOS,false) parquet read as long nanos; integer-div
-        # to micros (no double round-trip: 1.7e18 ns exceeds 2^53).
-        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    # Memoize the (analyzed) DataFrame per session+path: a sweep that
+    # runs all ~100 registered queries touches each table many times,
+    # and every spark.read.parquet pays a driver-side file listing +
+    # footer/schema read. The test parquet is immutable within a run;
+    # the cache dies with the session object.
+    cache = getattr(spark, "_spark_graft_table_cache", None)
+    if cache is None:
+        cache = {}
+        spark._spark_graft_table_cache = cache
+    key = (os.path.abspath(sf_dir), name)
+    df = cache.get(key)
+    if df is None:
+        df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+        if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+            # TIMESTAMP(NANOS,false) parquet read as long nanos; integer-
+            # div to micros (no double round-trip: 1.7e18 ns > 2^53).
+            df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        cache[key] = df
     return df
 
 

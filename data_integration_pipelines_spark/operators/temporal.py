@@ -61,13 +61,25 @@ def asof_join(
         payload_cols = [c for c in right.columns if c not in by and c != ts_col]
     payload_cols = list(payload_cols)
 
+    # Carry the matched right row as ONE struct, not per-column: with
+    # independent last(ignorenulls) per payload column, a NULL field in
+    # the latest right row would fall through to an OLDER right row's
+    # value, stitching the output from different rows. A struct is
+    # non-null as a unit even when its fields are NULL, so every
+    # payload field (including genuine NULLs) comes from the same
+    # matched row.
+    r_struct = F.struct(
+        F.col(ts_col).alias("__r_ts"),
+        *[F.col(c).alias(c) for c in payload_cols],
+    )
+    r_struct_type = right.select(r_struct.alias("__r")).schema["__r"].dataType
+
     l_tag = left.select(
         *by,
         F.col(ts_col).alias("__ts"),
         F.lit(1).alias("__is_left"),
         *[F.col(c) for c in left.columns if c not in by and c != ts_col],
-        *[F.lit(None).alias(f"__p_{c}") for c in payload_cols],
-        F.lit(None).cast(right.schema[ts_col].dataType).alias("__r_ts"),
+        F.lit(None).cast(r_struct_type).alias("__r"),
     )
     r_tag = right.select(
         *by,
@@ -78,8 +90,7 @@ def asof_join(
             for c in left.columns
             if c not in by and c != ts_col
         ],
-        *[F.col(c).alias(f"__p_{c}") for c in payload_cols],
-        F.col(ts_col).alias("__r_ts"),
+        r_struct.alias("__r"),
     )
     unioned = l_tag.unionByName(r_tag)
 
@@ -91,32 +102,17 @@ def asof_join(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = unioned.select(
-        "*",
-        *[
-            F.last(F.col(f"__p_{c}"), ignorenulls=True).over(w).alias(f"__c_{c}")
-            for c in payload_cols
-        ],
-        F.last(F.col("__r_ts"), ignorenulls=True).over(w).alias("__matched_ts"),
+        "*", F.last(F.col("__r"), ignorenulls=True).over(w).alias("__c")
     )
     out = carried.filter(F.col("__is_left") == 1)
 
     if tolerance_us is not None:
         dtype = ts_dtype(left, ts_col)
-        age = epoch_us_expr("__ts", dtype) - epoch_us_expr("__matched_ts", dtype)
-        in_tol = F.col("__matched_ts").isNotNull() & (age <= tolerance_us)
-        out = out.select(
-            "*",
-            *[
-                F.when(in_tol, F.col(f"__c_{c}")).alias(f"__t_{c}")
-                for c in payload_cols
-            ],
-            F.when(in_tol, F.col("__matched_ts")).alias("__t_ts"),
-        )
-        keep_payload = [F.col(f"__t_{c}").alias(c) for c in payload_cols]
-        matched_ts = F.col("__t_ts").alias("__matched_ts")
-    else:
-        keep_payload = [F.col(f"__c_{c}").alias(c) for c in payload_cols]
-        matched_ts = F.col("__matched_ts")
+        age = epoch_us_expr("__ts", dtype) - epoch_us_expr("__c.__r_ts", dtype)
+        in_tol = F.col("__c").getField("__r_ts").isNotNull() & (age <= tolerance_us)
+        out = out.withColumn("__c", F.when(in_tol, F.col("__c")))
+    keep_payload = [F.col("__c").getField(c).alias(c) for c in payload_cols]
+    matched_ts = F.col("__c").getField("__r_ts").alias("__matched_ts")
 
     left_cols = [c for c in left.columns if c not in by and c != ts_col]
     return out.select(

@@ -16,4 +16,131 @@ from . import queries_joins  # noqa: E402,F401
 from . import queries_voxel  # noqa: E402,F401
 from . import queries_window  # noqa: E402,F401
 
+# Registry order == the order the driver's time-budgeted CORRECTNESS
+# sweep visits queries (it stops when its budget runs out, ~50 entries
+# in rounds 1-2). Order by VERIFICATION RISK, not by module: the
+# Python-kernel / multi-stage operators (ANN, morphology, voxel,
+# window/temporal, curation) that are hardest to keep correct go
+# first; the trivial scalar-function queries that are least likely to
+# break go last. Names missing from the list (new queries) keep their
+# registration order at the end until triaged into a slot.
+_RISK_ORDER = [
+    # flagship first (pays the one-off JVM/codegen warmup regardless)
+    "pricing_summary",
+    # -- never driver-verified in rounds 1-2 (registry positions >50) --
+    # ANN / embedding similarity (Python kernels, LSH bucketing)
+    "ann_pq",
+    "ann_bruteforce",
+    "ann_ivf",
+    "ann_ivf_multiprobe",
+    "embedding_near_dup",
+    "embedding_near_dup_multiprobe",
+    "embedding_dup_clusters",
+    # morphology / voxel kernels (applyInPandas walks, binary parsers)
+    "morphology_battery",
+    "asc_morphology_battery",
+    "morphology_tree_metrics",
+    "voxel_region_lookup",
+    "voxel_region_histogram",
+    # temporal joins + window/session suite
+    "asof_join_events",
+    "range_join_binned",
+    "session_stats",
+    "session_window_counts",
+    "windowed_event_counts",
+    "running_total",
+    "lag_lead_deltas",
+    "rank_battery",
+    "stats_battery",
+    "value_histogram",
+    "drop_duplicates",
+    "count_compare",
+    "grouped_topk",
+    "event_funnel",
+    "pivot_event_matrix",
+    "cube_census",
+    "quantile_bins",
+    # curation additions beyond the round-1 set
+    "tfidf_top_terms",
+    "weighted_sample",
+    "skyline_docs",
+    "repetition_score",
+    "quality_rule_battery",
+    "chunk_documents",
+    "curation_funnel",
+    # multimodal plumbing
+    "multimodal_meta",
+    "frame_sample",
+    "image_resize",
+    "audio_features",
+    "image_decode_features",
+    # domain joins
+    "part_of_expansion",
+    "two_hop_follow",
+    "two_hop_follow_bucketed",
+    "relationship_assign",
+    "anti_join_orphans",
+    # -- driver-green in r1+r2; heaviest / multi-stage first --
+    "dup_clusters",
+    "dedup_survivors",
+    "ngram_jaccard_pairs",
+    "minhash_lsh_pairs",
+    "simhash_pairs",
+    "simhash_hamming_pairs",
+    "decontaminate",
+    "corpus_sample_mix",
+    "quality_stratified_sample",
+    "token_pack_bins",
+    "exact_dedup",
+    "doc_fingerprint",
+    "char_ngram_lang_id",
+    "text_quality",
+    "lang_id",
+    "hierarchy_closure",
+    "closure_descendant_counts",
+    "sibling_pairs",
+    "upsert_classify",
+    "completeness_check",
+    "keep_latest",
+    "keep_latest_salted",
+    "filter_dsl_search",
+    "link_integrity",
+    "set_discrepancy",
+    "union_distinct",
+    "join_enrich",
+    "exists_filter",
+    "optional_bound",
+    "approx_distinct_check",
+    "salted_aggregation",
+    "census_rollup",
+    "cross_bucket_rollup",
+    "type_census",
+    "census_filtered",
+    "bool_folds",
+    "error_grouping",
+    "top_k",
+    "paginated_scan",
+    # trivial scalar-function queries: least likely to regress
+    "string_predicates",
+    "in_list_filter",
+    "regex_extract",
+    "case_convert",
+    "date_functions",
+    "json_extract",
+    "sparse_bool_render",
+    "substring_heuristics",
+    "numeric_functions",
+    "encode_normalize",
+]
+
+
+def _apply_risk_order() -> None:
+    ordered = {n: REGISTRY[n] for n in _RISK_ORDER if n in REGISTRY}
+    ordered.update((n, q) for n, q in REGISTRY.items() if n not in ordered)
+    REGISTRY.clear()
+    REGISTRY.update(ordered)
+
+
+_apply_risk_order()
+
 __all__ = ["REGISTRY", "Query", "register"]

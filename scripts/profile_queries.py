@@ -1,9 +1,12 @@
 """Per-query time breakdown: Spark plan+execute+toPandas vs DuckDB
 oracle vs compare. Usage:
 
-    python scripts/profile_queries.py [sf_dir] [name ...]
+    python scripts/profile_queries.py [--vanilla] [sf_dir] [name ...]
 
 With no names, profiles every registered query in registry order.
+``--vanilla`` builds a stock SparkSession (shuffle.partitions=200, no
+locality/TZ pins) — the configuration the driver's CORRECTNESS sweep
+uses — instead of the tuned ``get_spark`` session.
 """
 
 from __future__ import annotations
@@ -13,6 +16,8 @@ import time
 
 sys.path.insert(0, ".")
 
+from pyspark.sql import SparkSession  # noqa: E402
+
 from data_integration_pipelines_spark.plans import REGISTRY  # noqa: E402
 from data_integration_pipelines_spark.session import get_spark  # noqa: E402
 from tests.oracle_compare import compare_frames, duckdb_run  # noqa: E402
@@ -20,9 +25,17 @@ from tests.oracle_compare import compare_frames, duckdb_run  # noqa: E402
 
 def main() -> int:
     args = sys.argv[1:]
+    vanilla = "--vanilla" in args
+    if vanilla:
+        args.remove("--vanilla")
     sf_dir = args[0] if args else "/root/testdata/sf0.01"
     names = args[1:] or list(REGISTRY)
-    spark = get_spark("profile")
+    if vanilla:
+        spark = (
+            SparkSession.builder.master("local[32]").appName("profile-vanilla").getOrCreate()
+        )
+    else:
+        spark = get_spark("profile")
     total_s = total_d = 0.0
     print(f"{'query':30s} {'spark':>7s} {'duckdb':>7s} {'cmp':>6s}")
     for name in names:

@@ -271,6 +271,23 @@ class TestTemporalJoins:
         assert got[(1, 20)] == (200.0, 15)
         assert got[(2, 5)] == (None, None)  # nothing before -> NULLs
 
+    def test_asof_null_payload_not_stitched_from_older_rows(self, spark):
+        """A NULL field in the LATEST matching right row must come
+        through as NULL — not fall back to an older right row's value
+        for that one column (all payload fields + __matched_ts must
+        come from the same matched row)."""
+        from data_integration_pipelines_spark.operators.temporal import asof_join
+
+        left = spark.createDataFrame([(1, 30, "x")], "k int, ts int, tag string")
+        right = spark.createDataFrame(
+            [(1, 10, 100.0, "old"), (1, 20, None, "new")],
+            "k int, ts int, price double, src string",
+        )
+        row = asof_join(left, right, ["k"], "ts", ["price", "src"]).collect()[0]
+        assert row["__matched_ts"] == 20
+        assert row.src == "new"
+        assert row.price is None  # latest row's NULL, not 100.0 from ts=10
+
     def test_asof_tolerance(self, spark):
         from data_integration_pipelines_spark.operators.temporal import asof_join
 

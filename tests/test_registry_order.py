@@ -1,0 +1,89 @@
+"""Registry-order pins.
+
+The driver's CORRECTNESS sweep is time-budgeted and visits queries in
+registry order (it stopped at the first 50 entries in rounds 1 and 2).
+These pins keep the verification-risk ordering honest: the kernels that
+had no driver row through round 2 must sit inside the budget window,
+and the explicit order list must stay in sync with the registry.
+"""
+
+from __future__ import annotations
+
+from data_integration_pipelines_spark.plans import _RISK_ORDER, REGISTRY
+
+# Every query that had NO driver CORRECTNESS row in rounds 1-2 (it sat
+# beyond the ~50-entry sweep budget both rounds).
+_NEVER_DRIVER_VERIFIED = {
+    "ann_pq",
+    "ann_bruteforce",
+    "ann_ivf",
+    "ann_ivf_multiprobe",
+    "embedding_near_dup",
+    "embedding_near_dup_multiprobe",
+    "embedding_dup_clusters",
+    "morphology_battery",
+    "asc_morphology_battery",
+    "morphology_tree_metrics",
+    "voxel_region_lookup",
+    "voxel_region_histogram",
+    "asof_join_events",
+    "range_join_binned",
+    "session_stats",
+    "session_window_counts",
+    "windowed_event_counts",
+    "running_total",
+    "lag_lead_deltas",
+    "rank_battery",
+    "stats_battery",
+    "value_histogram",
+    "drop_duplicates",
+    "count_compare",
+    "grouped_topk",
+    "event_funnel",
+    "pivot_event_matrix",
+    "cube_census",
+    "quantile_bins",
+    "tfidf_top_terms",
+    "weighted_sample",
+    "skyline_docs",
+    "repetition_score",
+    "quality_rule_battery",
+    "chunk_documents",
+    "curation_funnel",
+    "multimodal_meta",
+    "frame_sample",
+    "image_resize",
+    "audio_features",
+    "image_decode_features",
+    "part_of_expansion",
+    "two_hop_follow",
+    "two_hop_follow_bucketed",
+    "relationship_assign",
+    "anti_join_orphans",
+}
+
+
+def test_risk_order_names_all_exist():
+    missing = [n for n in _RISK_ORDER if n not in REGISTRY]
+    assert not missing, f"_RISK_ORDER names not in REGISTRY (typo?): {missing}"
+
+
+def test_risk_order_covers_registry():
+    stragglers = [n for n in REGISTRY if n not in set(_RISK_ORDER)]
+    assert not stragglers, (
+        f"queries registered but not triaged into _RISK_ORDER: {stragglers}; "
+        "add each to a deliberate slot (high-risk kernels go early)"
+    )
+
+
+def test_never_verified_queries_inside_sweep_budget():
+    order = list(REGISTRY)
+    window = set(order[:47])
+    outside = sorted(_NEVER_DRIVER_VERIFIED - window)
+    assert not outside, (
+        f"never-driver-verified queries outside the first 47 registry slots: {outside}"
+    )
+
+
+def test_registry_order_matches_risk_order_prefix():
+    assert list(REGISTRY)[: len(_RISK_ORDER)] == [n for n in _RISK_ORDER if n in REGISTRY]
