@@ -137,7 +137,12 @@ def topk_pandas(
                 # Global-order-consistent selection: sort by rounded
                 # dot desc then id asc (np.lexsort: last key primary),
                 # matching the window's (cos_r desc, corpus_id asc).
-                order = np.lexsort((ids, -np.round(vals, 4)))[:take]
+                # Round HALF_UP (away from zero) like Spark's F.round —
+                # np.round is half-to-even, which could rank a value
+                # landing exactly on a .xxxx5 boundary differently at a
+                # batch's k-boundary than the global tiebreak would.
+                vals_r = np.sign(vals) * np.floor(np.abs(vals) * 1e4 + 0.5) / 1e4
+                order = np.lexsort((ids, -vals_r))[:take]
                 out.append(
                     pd.DataFrame(
                         {"query_id": qid, "corpus_id": ids[order], "dot": vals[order]}
@@ -267,8 +272,13 @@ def pq_train(
     ADC top-C (``pq_topk``)."""
     import numpy as np
 
-    rows = df.select(vec_col).limit(sample_limit).collect()
-    X_all = np.array([r[0] for r in rows], dtype=np.float64)
+    # Deterministic sample: Spark's bare limit() takes whatever rows
+    # arrive first (scan/partition order), but kmeans++ seeding indexes
+    # into the sample by position — sort by id so the trained codebooks
+    # are identical across runs/layouts. The sort is bounded by
+    # sample_limit via the limit pushdown (TakeOrderedAndProject).
+    rows = df.select(id_col, vec_col).orderBy(id_col).limit(sample_limit).collect()
+    X_all = np.array([r[1] for r in rows], dtype=np.float64)
     dim = X_all.shape[1]
     if dim % m_subvectors != 0:
         raise ValueError(f"dim {dim} not divisible by m={m_subvectors}")
@@ -298,15 +308,69 @@ def pq_train(
     )
 
 
+def fixture_codebooks(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m_subvectors: int = 8,
+    k_centroids: int = 16,
+):
+    """Deterministic, cross-engine-reproducible PQ codebooks: centroid
+    ``c`` of subspace ``j`` is the j-th subvector of the vector with
+    ``id == c`` (the first ``k_centroids`` vectors by id). No training
+    randomness and trivially re-derivable in SQL, so a PQ pipeline
+    built on these codebooks can be differentially verified against a
+    relational oracle. Quality is below k-means codebooks — use
+    ``pq_train`` in production and these for verification harnesses
+    (the exact re-rank in ``pq_topk`` recovers ranking quality either
+    way)."""
+    import numpy as np
+
+    rows = (
+        df.select(id_col, vec_col)
+        .filter(F.col(id_col) < k_centroids)
+        .orderBy(id_col)
+        .collect()
+    )
+    if len(rows) != k_centroids:
+        raise ValueError(
+            f"fixture_codebooks needs ids 0..{k_centroids - 1} present; got {len(rows)}"
+        )
+    X = np.array([r[1] for r in rows], dtype=np.float64)  # (k, D)
+    dim = X.shape[1]
+    if dim % m_subvectors != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m_subvectors}")
+    sub = dim // m_subvectors
+    return np.stack([X[:, j * sub : (j + 1) * sub] for j in range(m_subvectors)])
+
+
+def _round_half_up(vals, decimals: int):
+    """Round half away from zero (Spark/DuckDB ROUND), not numpy's
+    half-to-even — keeps numpy-side orderings identical to the SQL
+    engines' rounded orderings."""
+    import numpy as np
+
+    scale = 10.0**decimals
+    return np.sign(vals) * np.floor(np.abs(vals) * scale + 0.5) / scale
+
+
 def pq_encode(
     df: DataFrame,
     codebooks,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    exact_dist: bool = False,
 ) -> DataFrame:
     """(id, codes array<int>) — each vector quantized to its nearest
     centroid per subspace. Arrow-batched numpy argmin per batch; the
-    codebooks ride to executors as a closure broadcast (m*k*sub floats)."""
+    codebooks ride to executors as a closure broadcast (m*k*sub floats).
+
+    ``exact_dist=True`` computes squared distances directly as
+    sum((x-c)^2) rounded to 6 decimals before the argmin (ties -> lowest
+    centroid id). That is bit-stable against a SQL oracle computing the
+    same sum; the default expanded form (|x|^2 - 2x.c + |c|^2, one
+    matmul per subspace) is faster at scale but can differ by an ulp
+    near argmin boundaries."""
     import numpy as np
 
     m, k, sub = codebooks.shape
@@ -320,12 +384,18 @@ def pq_encode(
             codes = np.empty((len(vecs), m), dtype=np.int32)
             for j in range(m):
                 block = vecs[:, j * sub : (j + 1) * sub]  # (B, sub)
-                # squared L2 to each centroid: (B, k)
-                d2 = (
-                    (block**2).sum(1, keepdims=True)
-                    - 2 * block @ cb[j].T
-                    + (cb[j] ** 2).sum(1)
-                )
+                if exact_dist:
+                    # (B, k, sub) -> (B, k); argmin takes the FIRST
+                    # minimum = lowest centroid id on rounded ties
+                    d2 = ((block[:, None, :] - cb[j][None, :, :]) ** 2).sum(-1)
+                    d2 = _round_half_up(d2, 6)
+                else:
+                    # squared L2 to each centroid: (B, k)
+                    d2 = (
+                        (block**2).sum(1, keepdims=True)
+                        - 2 * block @ cb[j].T
+                        + (cb[j] ** 2).sum(1)
+                    )
                 codes[:, j] = d2.argmin(1)
             yield pd.DataFrame({"id": pdf[id_col], "codes": list(codes)})
 
@@ -344,6 +414,8 @@ def pq_topk(
     vec_col: str = "embedding",
     k: int = 10,
     rerank: int = 50,
+    exact_dist: bool = False,
+    max_queries: int = MAX_COLLECTED_QUERIES,
 ) -> DataFrame:
     """PQ ANN with exact re-rank: asymmetric-distance (ADC) scan over
     the compressed code table picks each query's top-``rerank``
@@ -352,13 +424,29 @@ def pq_topk(
     on the fetched candidate vectors ranks the final top-k with the
     same (rounded desc, id asc) order as ``brute_force_topk``.
 
+    The candidate set is the EXACT global ADC top-``rerank`` under the
+    total order (6-decimal-rounded approx desc, corpus_id asc): each
+    batch prunes to its local top-``rerank`` (a superset of the global
+    winners it holds), and one global window applies the same order —
+    deterministic across partitionings and reproducible by a SQL
+    oracle ranking the same rounded ADC scores.
+
     Scale shape: the scan reads m bytes/vector instead of 4D; only
-    rerank x Q candidate ids leave the scan; the exact re-rank joins
-    vectors for candidates only."""
+    rerank x Q (approx-scored) candidates leave the scan; the exact
+    re-rank joins vectors for candidates only. The query set is
+    collected to the driver (bounded-Q contract, same as
+    ``topk_pandas``); ``max_queries`` fails loudly before the collect."""
     import numpy as np
 
     m, kc, sub = codebooks.shape
     cb = codebooks.astype(np.float64)
+    n_queries = query_df.count()
+    if n_queries > max_queries:
+        raise ValueError(
+            f"pq_topk collects the query set (and a Q x m x k ADC LUT "
+            f"tensor) to the driver: got {n_queries} queries > "
+            f"max_queries={max_queries}; shard the query set instead"
+        )
     queries = query_df.select(id_col, vec_col).collect()
     q_ids = np.array([r[0] for r in queries])
     q_mat = np.array([r[1] for r in queries], dtype=np.float64)  # (Q, D)
@@ -367,7 +455,7 @@ def pq_topk(
         [q_mat[:, j * sub : (j + 1) * sub] @ cb[j].T for j in range(m)], axis=1
     )
 
-    codes = pq_encode(df, codebooks, id_col, vec_col)
+    codes = pq_encode(df, codebooks, id_col, vec_col, exact_dist=exact_dist)
 
     def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -381,20 +469,41 @@ def pq_topk(
                 approx += luts[:, j, :][:, code_mat[:, j]]
             out = []
             for qi, qid in enumerate(q_ids):
-                row = approx[qi]
+                row = _round_half_up(approx[qi], 6)
                 mask = c_ids != qid
                 ids, vals = c_ids[mask], row[mask]
                 take = min(rerank, len(ids))
                 if take == 0:
                     continue
+                # local prune under the SAME total order the global
+                # window applies below (rounded approx desc, id asc)
                 order = np.lexsort((ids, -vals))[:take]
-                out.append(pd.DataFrame({"query_id": qid, "corpus_id": ids[order]}))
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": qid,
+                            "corpus_id": ids[order],
+                            "approx": vals[order],
+                        }
+                    )
+                )
             if out:
                 yield pd.concat(out)
 
-    # per-partition top-`rerank` each; the union is a superset of the
-    # global ADC top-`rerank` (distinct-ed; the exact re-rank decides)
-    cand = codes.mapInPandas(scan, schema="query_id long, corpus_id long").distinct()
+    partial = codes.mapInPandas(
+        scan, schema="query_id long, corpus_id long, approx double"
+    )
+    # exact global ADC top-`rerank` (batches are disjoint, no dedup
+    # needed): the union of local top-`rerank` contains every global
+    # winner, and the window applies the identical order
+    w_cand = Window.partitionBy("query_id").orderBy(
+        F.desc("approx"), F.asc("corpus_id")
+    )
+    cand = (
+        partial.withColumn("__rn", F.row_number().over(w_cand))
+        .filter(F.col("__rn") <= rerank)
+        .select("query_id", "corpus_id")
+    )
     # exact re-rank: fetch candidate vectors, exact dot vs the query
     vecs = df.select(
         F.col(id_col).alias("corpus_id"),
@@ -418,15 +527,19 @@ def pq_topk(
 
 
 def recommended_n_planes(n_vectors: int, target_bucket: int = 256) -> int:
-    """Planes needed so the MEAN bucket population ~ ``target_bucket``:
-    bucket count is 2^planes, so planes = ceil(log2(N / target)).
-    At fixed planes candidate pairs grow ~N^2/2^planes — scaling planes
-    with the corpus keeps per-bucket work flat (floored at 8)."""
+    """Planes for hyperplane-LSH candidate generation, sized to keep
+    per-bucket self-join work flat as the corpus grows: bucket count is
+    2^planes with planes = ceil(log2(N / target_bucket)) + 8, i.e. the
+    mean bucket population is deliberately OVERSHARDED to roughly
+    ``target_bucket / 256``. The 8 extra planes trade single-bucket
+    recall for bounded worst-case bucket joins; callers recover recall
+    with multi-probe (``signature_probes``) rather than bigger buckets.
+    Floored at 8 planes for small corpora."""
     import math
 
     if n_vectors <= target_bucket:
         return 8
-    return max(8, math.ceil(math.log2(n_vectors / target_bucket)) + 8)
+    return math.ceil(math.log2(n_vectors / target_bucket)) + 8
 
 
 def _cap_buckets(cand_keys: DataFrame, key_cols: list[str], max_bucket: int | None) -> DataFrame:

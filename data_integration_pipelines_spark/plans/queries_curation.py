@@ -383,30 +383,45 @@ def token_pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE rnk <= 3 AND doc_id < 40
     ORDER BY doc_id, rnk
     """,
-    doc="Per-document top-3 terms by tf-idf: token explode -> tf groupBy, "
-    "document-frequency groupBy, broadcast df join (vocab << corpus), "
-    "window top-k per doc. The df table is the classic broadcast dimension; "
-    "the only big shuffle is the (doc, token) tf aggregation, map-side "
-    "combined.",
+    doc="Per-document top-3 terms by tf-idf: token explode -> tf groupBy "
+    "(doc filter pushed below the window: row_number partitions by doc_id, "
+    "so pre-filtering the ranked docs is semantics-preserving and the tf "
+    "aggregation only touches the requested documents), document-frequency "
+    "groupBy over the FULL corpus, plain join with NO broadcast hint — the "
+    "vocabulary scales with the corpus (every distinct typo/URL/id at web "
+    "scale), so AQE's size check decides the join strategy instead of a "
+    "forced hint that OOMs at 100 TB. Corpus size N folds in as a scalar "
+    "subquery (its own job at execution time, no eager count at plan "
+    "build).",
 )
 def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
-    toks = docs.select("doc_id", F.explode(ws_tokens(F.col("text"))).alias("tok"))
-    tf = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
-    df = toks.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
-    n = docs.count()
-    scored = tf.join(F.broadcast(df), "tok").select(
-        "doc_id",
-        "tok",
-        "tf",
-        F.round(F.col("tf") * F.log(F.lit(n) / F.col("df")), 4).alias("tfidf"),
-    )
-    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("tok"))
-    return (
-        scored.withColumn("rnk", F.row_number().over(w))
-        .filter((F.col("rnk") <= 3) & (F.col("doc_id") < 40))
-        .select("doc_id", "tok", "tf", "tfidf", "rnk")
-        .orderBy("doc_id", "rnk")
+    docs.createOrReplaceTempView("docs_tfidf")
+    docs.select(
+        "doc_id", F.explode(ws_tokens(F.col("text"))).alias("tok")
+    ).createOrReplaceTempView("toks_tfidf")
+    return spark.sql(
+        """
+        WITH tf AS (
+            SELECT doc_id, tok, COUNT(*) AS tf
+            FROM toks_tfidf WHERE doc_id < 40 GROUP BY doc_id, tok
+        ),
+        df AS (SELECT tok, COUNT(DISTINCT doc_id) AS df FROM toks_tfidf GROUP BY tok),
+        scored AS (
+            SELECT doc_id, tok, tf,
+                   ROUND(tf * ln((SELECT COUNT(*) FROM docs_tfidf) / df), 4) AS tfidf
+            FROM tf JOIN df USING (tok)
+        ),
+        ranked AS (
+            SELECT doc_id, tok, tf, tfidf,
+                   ROW_NUMBER() OVER (PARTITION BY doc_id
+                                      ORDER BY tfidf DESC, tok) AS rnk
+            FROM scored
+        )
+        SELECT doc_id, tok, tf, tfidf, CAST(rnk AS INT) AS rnk
+        FROM ranked WHERE rnk <= 3
+        ORDER BY doc_id, rnk
+        """
     )
 
 

@@ -19,15 +19,21 @@ from ..catalog import load_table
 from ..operators.morphology import morphology_flags, tree_metrics
 from .base import register
 
-# Shared synthesis: one "file" per (l_orderkey % 50), points chained in
-# (l_orderkey, l_linenumber) order; type 1 (soma) for the chain head,
-# then 2/3/4 from the part key; coordinates/radii from line measures.
+# Shared synthesis: one "file" per (l_orderkey % 50), points numbered
+# in (l_orderkey, l_linenumber) order; type 1 (soma) for point 1, then
+# 2/3/4 from the part key; coordinates/radii from line measures.
+# TOPOLOGY (round 3): a TWO-component binary branching forest, not a
+# chain — parent(1) = parent(2) = -1 (two roots), parent(n) = n/2 for
+# n >= 3, so most internal nodes have two children and branch order /
+# component count are non-trivial. The tree-metrics oracle re-derives
+# them with a recursive-CTE parent walk, certifying the applyInPandas
+# kernel's branching logic differentially (not just on chains).
 _SYNTH_SQL = """
     pts AS (
         SELECT file, n,
                CASE WHEN n = 1 THEN 1 ELSE 2 + pk % 3 END AS type,
                x, y, z, radius,
-               CASE WHEN n = 1 THEN -1 ELSE n - 1 END AS parent
+               CASE WHEN n <= 2 THEN -1 ELSE n // 2 END AS parent
         FROM (
             SELECT 'f' || CAST(l_orderkey % 50 AS VARCHAR) AS file,
                    CAST(ROW_NUMBER() OVER (
@@ -70,7 +76,10 @@ def synth_points(spark: SparkSession, sf_dir: str) -> DataFrame:
         "y",
         "z",
         "radius",
-        F.when(F.col("n") == 1, -1).otherwise(F.col("n") - 1).cast("int").alias("parent"),
+        F.when(F.col("n") <= 2, -1)
+        .otherwise(F.floor(F.col("n") / 2))
+        .cast("int")
+        .alias("parent"),
     )
 
 
@@ -272,25 +281,60 @@ def asc_morphology_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "morphology_tree_metrics",
     f"""
-    WITH {_SYNTH_SQL},
-    segs AS (
-        SELECT c.file, c.type, p.type AS ptype,
-               SQRT((c.x - p.x)*(c.x - p.x) + (c.y - p.y)*(c.y - p.y) + (c.z - p.z)*(c.z - p.z)) AS seg_len
+    WITH RECURSIVE {_SYNTH_SQL},
+    child_cnt AS (  -- branch point = node with >= 2 children
+        SELECT p.file, p.n, COUNT(c.n) AS nch
+        FROM pts p LEFT JOIN pts c ON c.file = p.file AND c.parent = p.n
+        GROUP BY 1, 2
+    ),
+    walk(file, n, branch_order, path_len) AS (
+        -- root-to-node parent walk: accumulates path length in the
+        -- SAME order as the kernel (parent total + edge) and counts
+        -- branch-point ancestors for the branch order
+        SELECT file, n, 0, CAST(0.0 AS DOUBLE) FROM pts WHERE parent < 0
+        UNION ALL
+        SELECT c.file, c.n,
+               w.branch_order + CASE WHEN cc.nch >= 2 THEN 1 ELSE 0 END,
+               w.path_len + SQRT((c.x - p.x)*(c.x - p.x) + (c.y - p.y)*(c.y - p.y)
+                                 + (c.z - p.z)*(c.z - p.z))
+        FROM pts c
+        JOIN walk w ON c.file = w.file AND c.parent = w.n
+        JOIN pts p ON p.file = c.file AND p.n = c.parent
+        JOIN child_cnt cc ON cc.file = p.file AND cc.n = p.n
+    ),
+    per_walk AS (
+        SELECT file,
+               CAST(MAX(branch_order) AS INT) AS max_branch_order,
+               ROUND(ROUND(MAX(path_len), 4), 2) AS max_path_length
+        FROM walk GROUP BY file
+    ),
+    comp AS (
+        SELECT file, CAST(SUM(CASE WHEN parent < 0 THEN 1 ELSE 0 END) AS INT)
+                   AS n_components
+        FROM pts GROUP BY file
+    ),
+    tc AS (  -- type changes on edges whose parent is not the soma
+        SELECT c.file,
+               CAST(SUM(CASE WHEN c.type <> p.type AND p.type <> 1
+                             THEN 1 ELSE 0 END) AS INT) AS n_type_changes
         FROM pts c JOIN pts p ON c.file = p.file AND c.parent = p.n
+        GROUP BY 1
     )
-    SELECT file,
-           CAST(1 AS INT) AS n_components,          -- chain topology
-           CAST(0 AS INT) AS max_branch_order,
-           ROUND(ROUND(SUM(seg_len), 4), 2) AS max_path_length,
-           CAST(SUM(CASE WHEN type <> ptype AND ptype <> 1 THEN 1 ELSE 0 END) AS INT)
-               AS n_type_changes
-    FROM segs GROUP BY file
-    ORDER BY file
+    SELECT comp.file, comp.n_components, per_walk.max_branch_order,
+           per_walk.max_path_length,
+           COALESCE(tc.n_type_changes, 0) AS n_type_changes
+    FROM comp
+    JOIN per_walk ON per_walk.file = comp.file
+    LEFT JOIN tc ON tc.file = comp.file
+    ORDER BY comp.file
     """,
     headline=True,
     doc="W2 per-tree traversal kernel (applyInPandas path accumulation) "
-    "differentially validated: on chain topology the oracle can re-derive "
-    "components/branch order/path length arithmetically.",
+    "differentially validated on BRANCHING topology: the synthetic forest "
+    "has two components and binary fan-out, and the oracle re-derives "
+    "component count, branch order, and root-to-node path lengths with a "
+    "recursive-CTE parent walk — certifying the kernel's traversal logic, "
+    "not just chain arithmetic.",
 )
 def morphology_tree_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     metrics = tree_metrics(synth_points(spark, sf_dir))

@@ -338,20 +338,84 @@ def ann_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "ann_pq",
-    None,  # codebooks come from MLlib KMeans — centroids are seed-
-    # deterministic within one library version but not SQL-derivable,
-    # so this is a rows-only check; recall vs brute force is pinned in
-    # tests/test_dedup_similarity.py::TestProductQuantization
+    f"""
+    WITH {_LONG_CTE},
+    vecsub AS (  -- every vector split into m=8 subspaces of 8 dims
+        SELECT vec_id, (pos - 1) // 8 AS j, (pos - 1) % 8 AS p, val FROM long
+    ),
+    cb AS (  -- fixture codebooks: centroid c of subspace j = subvector
+             -- j of the vector with vec_id = c (c in 0..15)
+        SELECT vec_id AS c, j, p, val FROM vecsub WHERE vec_id < 16
+    ),
+    d2 AS (  -- squared distance vector-subspace -> centroid, rounded
+        SELECT v.vec_id, v.j, cb.c,
+               ROUND(SUM((v.val - cb.val) * (v.val - cb.val)), 6) AS d2
+        FROM vecsub v JOIN cb ON v.j = cb.j AND v.p = cb.p
+        GROUP BY 1, 2, 3
+    ),
+    codes AS (  -- PQ encode: nearest centroid per subspace, ties -> lowest c
+        SELECT vec_id, j, c AS code FROM (
+            SELECT vec_id, j, c,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id, j ORDER BY d2, c) AS rn
+            FROM d2
+        ) WHERE rn = 1
+    ),
+    qlut AS (  -- ADC lookup table: query-subvector . centroid
+        SELECT q.vec_id AS query_id, cb.j, cb.c, SUM(q.val * cb.val) AS dot
+        FROM vecsub q JOIN cb ON q.j = cb.j AND q.p = cb.p
+        WHERE q.vec_id < 5
+        GROUP BY 1, 2, 3
+    ),
+    approx AS (  -- ADC score = sum over subspaces of lut[code]
+        SELECT l.query_id, codes.vec_id AS corpus_id, ROUND(SUM(l.dot), 6) AS approx
+        FROM qlut l JOIN codes ON l.j = codes.j AND l.c = codes.code
+        WHERE codes.vec_id <> l.query_id
+        GROUP BY 1, 2
+    ),
+    cand AS (  -- global ADC top-50 under (approx desc, corpus_id asc)
+        SELECT query_id, corpus_id FROM (
+            SELECT query_id, corpus_id,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY approx DESC, corpus_id) AS rn
+            FROM approx
+        ) WHERE rn <= 50
+    ),
+    exact AS (  -- exact re-rank of the candidates only
+        SELECT cand.query_id, cand.corpus_id, SUM(q.val * c.val) AS dot
+        FROM cand
+        JOIN long q ON q.vec_id = cand.query_id
+        JOIN long c ON c.vec_id = cand.corpus_id AND c.pos = q.pos
+        GROUP BY 1, 2
+    ),
+    ranked AS (
+        SELECT query_id, corpus_id AS neighbor_id, ROUND(dot, 4) AS cosine,
+               CAST(ROW_NUMBER() OVER (
+                    PARTITION BY query_id
+                    ORDER BY ROUND(dot, 4) DESC, corpus_id) AS INT) AS rank
+        FROM exact
+    )
+    SELECT query_id, neighbor_id, cosine, rank
+    FROM ranked WHERE rank <= 5
+    ORDER BY query_id, rank
+    """,
     doc="Product-quantization ANN (billion-vector scale path): per-subspace "
-    "MLlib KMeans codebooks compress each vector to m bytes; the ADC scan "
-    "scores candidates from per-query lookup tables over the code table "
-    "(reads D*4/m x less data than the raw vectors), and the exact dot "
-    "re-ranks the ADC top-C for the final top-k.",
+    "codebooks compress each vector to m bytes; the ADC scan scores "
+    "candidates from per-query lookup tables over the code table (reads "
+    "D*4/m x less data than the raw vectors), and the exact dot re-ranks "
+    "the global ADC top-C for the final top-k. This registry entry uses "
+    "deterministic fixture codebooks (subvectors of vec_id 0..15) so the "
+    "whole pipeline — encode, ADC scan, candidate cut, re-rank — is "
+    "differentially verified against the SQL oracle; production training "
+    "(seeded numpy Lloyd's over a bounded sample, operators/similarity."
+    "pq_train) is recall-pinned in tests/test_dedup_similarity.py::"
+    "TestProductQuantization.",
 )
 def ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.similarity import pq_topk, pq_train
+    from ..operators.similarity import fixture_codebooks, pq_topk
 
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
-    cb = pq_train(emb, m_subvectors=8, k_centroids=16)
-    return pq_topk(emb, queries, cb, k=5, rerank=50).orderBy("query_id", "rank")
+    cb = fixture_codebooks(emb, m_subvectors=8, k_centroids=16)
+    return pq_topk(emb, queries, cb, k=5, rerank=50, exact_dist=True).orderBy(
+        "query_id", "rank"
+    )
