@@ -322,6 +322,7 @@ def connected_components(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iter: int = 50,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Connected components over near-duplicate candidate pairs ->
     ``(id, cluster_id)`` with ``cluster_id`` = the component's minimum
@@ -346,15 +347,30 @@ def connected_components(
     Convergence = edge set unchanged (count + xxhash64 bit_xor checksum,
     one cheap action per round). Nodes with no edges are absent from the
     output — union singletons back at the call site if needed.
+
+    ``checkpoint_dir``: when set, rounds materialize via *reliable*
+    ``checkpoint`` into this directory instead of ``localCheckpoint``.
+    localCheckpoint stores blocks in executor memory/disk and is LOST on
+    executor failure — fine on local[n], wrong for a long-running
+    1000-executor job. The reliable mode survives executor loss at the
+    cost of a distributed-FS write per round; pass an HDFS/S3 path on a
+    real cluster.
     """
-    # lazy checkpoint: the signature action right after materializes the
-    # checkpoint AND reads the convergence stats in ONE job (eager=True
-    # would run a separate materialization job per round)
-    edges = (
+    if checkpoint_dir is not None:
+        pairs.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+
+    def _ckpt(e: DataFrame) -> DataFrame:
+        # lazy checkpoint: the signature action right after materializes
+        # the checkpoint AND reads the convergence stats in ONE job
+        # (eager=True would run a separate materialization job per round)
+        if checkpoint_dir is not None:
+            return e.checkpoint(eager=False)
+        return e.localCheckpoint(eager=False)
+
+    edges = _ckpt(
         pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
         .filter(F.col("u") != F.col("v"))
         .distinct()
-        .localCheckpoint(eager=False)
     )
 
     def _signature(e: DataFrame) -> tuple[int, int]:
@@ -405,7 +421,7 @@ def connected_components(
     sig = _signature(edges)
     edges = _rightsized(edges, sig[0])
     for _ in range(max_iter):
-        edges = _small_star(_large_star(edges)).localCheckpoint(eager=False)
+        edges = _ckpt(_small_star(_large_star(edges)))
         new_sig = _signature(edges)
         if new_sig == sig:
             break

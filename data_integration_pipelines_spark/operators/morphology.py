@@ -136,12 +136,19 @@ def morphology_flags(points: DataFrame) -> DataFrame:
                 1,
             ).otherwise(0)
         ).alias("n_narrow_starts"),
-        F.round(F.sum("seg_len"), 4).alias("total_length"),
+        # order-independent total: quantize each segment to 1e-4 units
+        # and sum EXACT integers. Float SUM is order-dependent (partition
+        # count, merge order), so round(sum(double)) can flip a .xx5
+        # boundary between engines/runs; integer sums are associative and
+        # bit-identical everywhere.
+        F.sum(F.floor(F.col("seg_len") * 1e4 + F.lit(0.5)).cast("bigint")).alias(
+            "total_length_e4"
+        ),
         F.round(F.max("seg_len"), 4).alias("max_seg_len"),
         F.round(F.avg(F.when(F.col("type") != SOMA, F.col("radius"))), 4).alias(
             "mean_neurite_radius"
         ),
-    )
+    ).withColumn("total_length", F.col("total_length_e4") / F.lit(1e4))
 
     # soma stems are not bifurcations: only non-soma nodes with >=3
     # children count (ref validator.py:289-297 multifurcation semantics)

@@ -28,9 +28,12 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 def _nested_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Resources-like nested table: one row per order with a ``customer``
     struct and a ``lines`` array<struct> (JSON-LD document shape, §1.1)."""
-    orders = _t(spark, sf_dir, "orders")
+    from ..sources.bucketing import fact_pair
+
+    # bucketed layout (when present) kills BOTH exchanges here: the
+    # lines groupBy and the orders-lines join share the key
+    orders, li, _ = fact_pair(spark, sf_dir)
     cust = _t(spark, sf_dir, "customer")
-    li = _t(spark, sf_dir, "lineitem")
     lines = li.groupBy("l_orderkey").agg(
         F.collect_list(
             F.struct(
@@ -275,15 +278,13 @@ def upsert_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     "src/schemas/schema_validation.py:30-49).",
 )
 def completeness_check(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = _t(spark, sf_dir, "orders")
+    from ..sources.bucketing import fact_pair
+
+    orders, li, _ = fact_pair(spark, sf_dir)
     cust = _t(spark, sf_dir, "customer").select(
         "c_custkey", F.lit(True).alias("_cust_ok")
     )
-    lines = (
-        _t(spark, sf_dir, "lineitem")
-        .groupBy("l_orderkey")
-        .agg(F.count("*").alias("n_lines"))
-    )
+    lines = li.groupBy("l_orderkey").agg(F.count("*").alias("n_lines"))
     checked = (
         orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey, "left")
         .join(lines, orders.o_orderkey == lines.l_orderkey, "left")

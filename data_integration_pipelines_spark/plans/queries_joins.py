@@ -49,8 +49,12 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     "the dimension; the explode itself is narrow (no shuffle).",
 )
 def part_of_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
-    li = _t(spark, sf_dir, "lineitem")
+    from ..sources.bucketing import fact_pair
+
+    # fact_pair: Exchange-free on the o_orderkey hop when the
+    # co-bucketed layout exists (the default path, VERDICT r2 item 9)
+    orders, li, _ = fact_pair(spark, sf_dir)
+    orders = orders.filter(F.col("o_orderstatus") == "F")
     part = _t(spark, sf_dir, "part")
     coll = (
         orders.join(li, orders.o_orderkey == li.l_orderkey)
@@ -176,10 +180,10 @@ def two_hop_follow_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     "assign_trace_has_part_field.",
 )
 def relationship_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = _t(spark, sf_dir, "orders").filter(
-        F.col("o_orderpriority") == "1-URGENT"
-    )
-    li = _t(spark, sf_dir, "lineitem")
+    from ..sources.bucketing import fact_pair
+
+    orders, li, _ = fact_pair(spark, sf_dir)
+    orders = orders.filter(F.col("o_orderpriority") == "1-URGENT")
     assignable = F.col("l_returnflag") == "N"
     return (
         orders.join(li, orders.o_orderkey == li.l_orderkey)

@@ -107,7 +107,7 @@ def synth_points(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT file,
                CAST(SUM(CASE WHEN seg_len <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero_len_segments,
                CAST(SUM(CASE WHEN type <> 1 AND ABS(z - pz) > 10.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_z_jumps,
-               ROUND(ROUND(SUM(seg_len), 4), 2) AS total_length,
+               ((CAST(SUM(CAST(FLOOR(seg_len * 10000 + 0.5) AS BIGINT)) AS BIGINT) + 50) // 100) / 100.0 AS total_length,
                ROUND(MAX(seg_len), 4) AS max_seg_len
         FROM segs GROUP BY file
     )
@@ -134,7 +134,11 @@ def morphology_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         "has_basal_dendrite",
         F.col("n_zero_len_segments").cast("bigint").alias("n_zero_len_segments"),
         F.col("n_z_jumps").cast("bigint").alias("n_z_jumps"),
-        F.round("total_length", 2).alias("total_length"),
+        # round-to-2 in exact integer space (mirrors the oracle's
+        # (e4 + 50) // 100: same integers -> same double on both engines)
+        (F.expr("(total_length_e4 + 50) div 100") / F.lit(100.0)).alias(
+            "total_length"
+        ),
         F.col("max_seg_len").alias("max_seg_len"),
     ).orderBy("file")
 
@@ -235,7 +239,7 @@ _ASC_EXPECTED_POINTS = """
         SELECT file,
                CAST(SUM(CASE WHEN seg_len <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero_len_segments,
                CAST(SUM(CASE WHEN type <> 1 AND ABS(z - pz) > 10.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_z_jumps,
-               ROUND(ROUND(SUM(seg_len), 4), 2) AS total_length,
+               ((CAST(SUM(CAST(FLOOR(seg_len * 10000 + 0.5) AS BIGINT)) AS BIGINT) + 50) // 100) / 100.0 AS total_length,
                ROUND(MAX(seg_len), 4) AS max_seg_len
         FROM segs GROUP BY file
     )
@@ -273,7 +277,11 @@ def asc_morphology_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         "has_basal_dendrite",
         F.col("n_zero_len_segments").cast("bigint").alias("n_zero_len_segments"),
         F.col("n_z_jumps").cast("bigint").alias("n_z_jumps"),
-        F.round("total_length", 2).alias("total_length"),
+        # round-to-2 in exact integer space (mirrors the oracle's
+        # (e4 + 50) // 100: same integers -> same double on both engines)
+        (F.expr("(total_length_e4 + 50) div 100") / F.lit(100.0)).alias(
+            "total_length"
+        ),
         F.col("max_seg_len").alias("max_seg_len"),
     ).orderBy("file")
 

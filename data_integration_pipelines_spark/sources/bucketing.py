@@ -93,6 +93,39 @@ def ensure_cobucketed_facts(
     return orders_t, lineitem_t
 
 
+def fact_pair(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame, bool]:
+    """Resolve the orders/lineitem fact pair, PREFERRING the co-bucketed
+    layout when it already exists in the catalog (probe only — never
+    triggers the bucketed write; ``ensure_cobucketed_facts`` is the
+    explicit layout step). Returns ``(orders, lineitem, bucketed)`` with
+    lineitem's join key under its usual ``l_orderkey`` name on both
+    paths, so every fact-fact consumer can call this unconditionally:
+    the Exchange-free hop is the default path real users get once the
+    layout exists, not an opt-in query variant.
+
+    The rename back from the bucketed column (``o_orderkey`` ->
+    ``l_orderkey``) keeps the shuffle-free plan: Spark's alias-aware
+    output partitioning propagates the bucketed distribution through
+    the Project (pinned in tests/test_bucketing.py)."""
+    from ..catalog import load_table
+
+    tag = sf_tag(sf_dir)
+    orders_t, lineitem_t = f"orders_bkt_{tag}", f"lineitem_bkt_{tag}"
+    if spark.catalog.tableExists(orders_t) and spark.catalog.tableExists(lineitem_t):
+        return (
+            spark.table(orders_t),
+            spark.table(lineitem_t).withColumnRenamed("o_orderkey", "l_orderkey"),
+            True,
+        )
+    return (
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "lineitem"),
+        False,
+    )
+
+
 def write_partitioned(
     df: DataFrame,
     path: str,

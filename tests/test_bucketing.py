@@ -89,3 +89,44 @@ def test_ensure_cobucketed_facts_join_shuffle_free(spark, sf_small):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql(f"DROP TABLE IF EXISTS {ot}")
         spark.sql(f"DROP TABLE IF EXISTS {lt}")
+
+
+def test_fact_pair_defaults_to_bucketed_layout(spark, sf_small):
+    """fact_pair must (a) fall back to plain parquet when no bucketed
+    layout exists, (b) pick up the co-bucketed tables once they do, and
+    (c) keep the Exchange-free fact-fact hop THROUGH the l_orderkey
+    rename (alias-aware output partitioning) — so pipeline consumers
+    (relationship_assign, completeness_check, part_of_expansion) get the
+    shuffle-free plan by default, not as an opt-in variant."""
+    from data_integration_pipelines_spark.plans import REGISTRY
+    from data_integration_pipelines_spark.sources.bucketing import (
+        ensure_cobucketed_facts,
+        fact_pair,
+    )
+
+    orders, li, bucketed = fact_pair(spark, sf_small)
+    if not bucketed:
+        assert "l_orderkey" in li.columns
+    before = {
+        tuple(r) for r in REGISTRY["relationship_assign"].fn(spark, sf_small).collect()
+    }
+
+    ot, lt = ensure_cobucketed_facts(spark, sf_small, n_buckets=8)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        orders, li, bucketed = fact_pair(spark, sf_small)
+        assert bucketed and "l_orderkey" in li.columns
+        joined = orders.join(li, orders.o_orderkey == li.l_orderkey)
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange hashpartitioning" not in plan, plan
+        # layout must never change answers
+        after = {
+            tuple(r)
+            for r in REGISTRY["relationship_assign"].fn(spark, sf_small).collect()
+        }
+        assert after == before
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql(f"DROP TABLE IF EXISTS {ot}")
+        spark.sql(f"DROP TABLE IF EXISTS {lt}")

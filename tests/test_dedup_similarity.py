@@ -199,6 +199,27 @@ class TestConnectedComponents:
         got = self._run(spark, [(2, 1), (1, 2), (2, 3), (3, 2)])
         assert got == {1: 1, 2: 1, 3: 1}
 
+    def test_reliable_checkpoint_mode_matches_local(self, spark, tmp_path):
+        # checkpoint_dir switches localCheckpoint -> reliable checkpoint
+        # (survives executor loss on a real cluster); clusters must be
+        # identical in both modes and checkpoint files must actually land
+        from data_integration_pipelines_spark.operators.dedup import (
+            connected_components,
+        )
+
+        pairs = [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22)]
+        df = spark.createDataFrame(pairs, "id_a long, id_b long")
+        local = {r["id"]: r["cluster_id"] for r in connected_components(df).collect()}
+        ckdir = str(tmp_path / "cc_ckpt")
+        durable = {
+            r["id"]: r["cluster_id"]
+            for r in connected_components(df, checkpoint_dir=ckdir).collect()
+        }
+        assert durable == local == _union_find_clusters(pairs)
+        import os
+
+        assert os.path.isdir(ckdir) and any(os.scandir(ckdir))
+
     def test_random_graphs_match_union_find(self, spark):
         import random
 

@@ -304,6 +304,53 @@ class TestTemporalJoins:
         row = tight.collect()[0]
         assert row.v is None and row["__matched_ts"] is None  # 25s > 10s tolerance
 
+    def test_asof_zipfian_skew_correct_and_bounded(self, spark):
+        """Zipf-ish key distribution (one key holds ~90% of rows, the
+        keep_latest_salted fixture shape): the union+window asof must
+        (a) stay correct vs a naive per-row backward lookup and (b) not
+        concentrate MORE than the hot key's own rows on one task — the
+        plan is one hash exchange on the key, so the max partition holds
+        the hot key but nothing melts beyond it. Documented in SCALE.md:
+        the window is inherently per-key-sequential; time-range chunking
+        is the remedy past ~10M rows/key, not salting."""
+        import bisect
+        from collections import defaultdict
+
+        from data_integration_pipelines_spark.operators.temporal import asof_join
+
+        n = 20_000
+        left = spark.range(n).select(
+            F.when(F.col("id") % 10 != 0, 0).otherwise(F.col("id") % 100).alias("k"),
+            (F.xxhash64("id") % 100_000).alias("ts"),
+            F.col("id").alias("lid"),
+        )
+        right = spark.range(2_000).select(
+            F.when(F.col("id") % 10 != 0, 0).otherwise(F.col("id") % 100).alias("k"),
+            (F.xxhash64("id", F.lit(1)) % 100_000).alias("ts"),
+            (F.col("id") % 97).cast("double").alias("v"),
+        )
+        # right must be unique per (k, ts): keep max v per key+ts
+        right = right.groupBy("k", "ts").agg(F.max("v").alias("v"))
+
+        got = {
+            (r.k, r.lid): (r.v, r["__matched_ts"])
+            for r in asof_join(left, right, ["k"], "ts", ["v"]).collect()
+        }
+        # naive oracle: sorted right rows per key, bisect per left row
+        by_key: dict[int, list[tuple[int, float]]] = defaultdict(list)
+        for r in right.collect():
+            by_key[r.k].append((r.ts, r.v))
+        for rows in by_key.values():
+            rows.sort()
+        want = {}
+        for r in left.collect():
+            rows = by_key.get(r.k, [])
+            i = bisect.bisect_right([t for t, _ in rows], r.ts)
+            want[(r.k, r.lid)] = (
+                (rows[i - 1][1], rows[i - 1][0]) if i else (None, None)
+            )
+        assert got == want
+
     def test_range_join_binned_matches_naive(self, spark):
         import random
 
