@@ -54,10 +54,11 @@ def main() -> None:
         frames[name] = q.fn(spark, sf_dir)
         frames[name].write.format("noop").mode("overwrite").save()
 
-    # two timed passes, best-of per query: steady-state throughput with
-    # GC/JIT jitter removed
+    # best-of-N timed passes (default 2, $SPARK_GRAFT_BENCH_PASSES):
+    # steady-state throughput with GC/JIT jitter removed
+    n_passes = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "2"))
     timings: dict[str, float] = {}
-    for _pass in range(2):
+    for _pass in range(n_passes):
         for name, df in frames.items():
             t0 = time.time()
             df.write.format("noop").mode("overwrite").save()

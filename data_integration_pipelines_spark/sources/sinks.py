@@ -78,41 +78,53 @@ def write_xlsx(
     autofit: bool = True,
     max_rows_per_sheet: int = 100_000,
 ) -> None:
-    """XLSX sink with sheet-per-bucket + column autofit (S15).
-
-    Requires ``openpyxl`` (optional dependency); raises ImportError
-    with guidance when absent. Each sheet's DataFrame is collected —
-    guarded by ``max_rows_per_sheet`` since XLSX is a report format,
-    not a data format.
+    """XLSX sink with sheet-per-bucket + column autofit (S15, ref
+    src/trace/validation/validation.py:426-457 sheet-per-container
+    report). Each sheet's DataFrame is collected — guarded by
+    ``max_rows_per_sheet`` since XLSX is a report format, not a data
+    format. Uses pandas+openpyxl when installed; otherwise the
+    dependency-free OOXML writer (``xlsx_lite``) emits the workbook —
+    the sink works everywhere.
     """
+    collected: dict[str, DataFrame] = {}
+    for name, df in sheets.items():
+        n = df.count()
+        if n > max_rows_per_sheet:
+            raise ValueError(
+                f"sheet {name!r} has {n} rows (> {max_rows_per_sheet}); "
+                "XLSX is for report-sized outputs"
+            )
+        collected[truncate_sheet_name(name)] = df
+
     try:
         import openpyxl  # noqa: F401
-    except ImportError as e:
-        raise ImportError(
-            "write_xlsx requires openpyxl; install it or use write_csv/write_tsv"
-        ) from e
-    import pandas as pd
+        import pandas as pd
 
-    with pd.ExcelWriter(path, engine="openpyxl") as writer:
-        for name, df in sheets.items():
-            n = df.count()
-            if n > max_rows_per_sheet:
-                raise ValueError(
-                    f"sheet {name!r} has {n} rows (> {max_rows_per_sheet}); "
-                    "XLSX is for report-sized outputs"
-                )
-            pdf = df.toPandas()
-            sheet = truncate_sheet_name(name)
-            pdf.to_excel(writer, sheet_name=sheet, index=False)
-            if autofit:
-                ws = writer.sheets[sheet]
-                for idx, col in enumerate(pdf.columns):
-                    width = max(
-                        [len(str(col))] + [len(str(v)) for v in pdf[col].head(1000)]
-                    )
-                    ws.column_dimensions[
-                        ws.cell(row=1, column=idx + 1).column_letter
-                    ].width = min(width + 2, 80)
+        with pd.ExcelWriter(path, engine="openpyxl") as writer:
+            for sheet, df in collected.items():
+                pdf = df.toPandas()
+                pdf.to_excel(writer, sheet_name=sheet, index=False)
+                if autofit:
+                    ws = writer.sheets[sheet]
+                    for idx, col in enumerate(pdf.columns):
+                        width = max(
+                            [len(str(col))]
+                            + [len(str(v)) for v in pdf[col].head(1000)]
+                        )
+                        ws.column_dimensions[
+                            ws.cell(row=1, column=idx + 1).column_letter
+                        ].width = min(width + 2, 80)
+    except ImportError:
+        from .xlsx_lite import write_workbook
+
+        write_workbook(
+            {
+                sheet: (df.columns, [list(r) for r in df.collect()])
+                for sheet, df in collected.items()
+            },
+            path,
+            autofit=autofit,
+        )
 
 
 def attach_distribution(

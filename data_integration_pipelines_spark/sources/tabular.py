@@ -55,20 +55,38 @@ def read_excel(
     sheet_name: int | str = 0,
     skiprows: int = 1,
 ) -> DataFrame:
-    """S8 Excel source. Requires openpyxl; raises ImportError with a
-    pointer to the CSV twin otherwise (the cleaning/ingest path is
-    identical)."""
+    """S8 Excel source (ref pd.read_excel(skiprows=1, na_values=' ') at
+    src/neuron_morphology/morphology_registration.py:79-89). Prefers
+    pandas+openpyxl when installed; otherwise the dependency-free OOXML
+    reader (``xlsx_lite``) parses the sheet directly — the source works
+    everywhere, with identical cleaning either way."""
     try:
         import openpyxl  # noqa: F401
-    except ImportError as e:
-        raise ImportError(
-            "read_excel requires openpyxl (not installed in this "
-            "environment); use read_metadata_csv for the same "
-            "clean-and-parallelize path"
-        ) from e
-    pdf = clean_metadata_frame(
-        pd.read_excel(path, sheet_name=sheet_name, skiprows=skiprows, na_values=" ")
-    )
+
+        pdf = pd.read_excel(
+            path, sheet_name=sheet_name, skiprows=skiprows, na_values=" "
+        )
+    except ImportError:
+        from .xlsx_lite import read_workbook
+
+        book = read_workbook(path)
+        name = (
+            list(book)[sheet_name] if isinstance(sheet_name, int) else sheet_name
+        )
+        columns, rows = book[name]
+        # skiprows semantics match pd.read_excel: drop N leading rows,
+        # the NEXT row becomes the header
+        grid = [columns] + [list(r) for r in rows]
+        grid = grid[skiprows:]
+        if not grid:
+            return spark.createDataFrame(pd.DataFrame())
+        header = [str(c) if c is not None else "" for c in grid[0]]
+        pdf = pd.DataFrame(grid[1:], columns=header)
+        pdf = pdf.replace(" ", pd.NA)  # na_values=' ' twin
+    pdf = clean_metadata_frame(pdf)
+    # pd.NA chokes Spark's non-Arrow row conversion (a vanilla session
+    # may not have Arrow enabled) — hand over plain Nones
+    pdf = pdf.astype(object).where(pd.notna(pdf), None)
     return spark.createDataFrame(pdf)
 
 

@@ -13,6 +13,14 @@ SF_SMALL = "/root/testdata/sf0.001"
 SF_MEDIUM = "/root/testdata/sf0.01"
 
 
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "realdeps: exercises an optional real dependency (openpyxl/h5py/"
+        "PIL) branch; skips via importorskip where the dep is absent",
+    )
+
+
 @pytest.fixture(scope="session")
 def spark():
     from data_integration_pipelines_spark.session import get_spark

@@ -75,15 +75,41 @@ def test_truncate_sheet_name():
     assert truncate_sheet_name("short") == "short"
 
 
-def test_write_xlsx_gated(small_df, tmp_path):
-    try:
-        import openpyxl  # noqa: F401
+def test_write_xlsx_dependency_free_roundtrip(spark, small_df, tmp_path):
+    """S15 runs for real with no openpyxl: the stdlib OOXML writer
+    emits a workbook our reader (and Excel) can open; sheet names
+    truncate at 31 chars; types survive the round trip."""
+    from data_integration_pipelines_spark.sources.xlsx_lite import read_workbook
 
-        pytest.skip("openpyxl installed; gating path not reachable")
-    except ImportError:
-        pass
-    with pytest.raises(ImportError, match="write_csv"):
-        write_xlsx({"sheet": small_df}, str(tmp_path / "r.xlsx"))
+    typed = spark.createDataFrame(
+        [(1, "a", 1.5, True), (2, "b <&> c", 2.0, False)],
+        "id long, name string, score double, flag boolean",
+    )
+    long_name = "x" * 40
+    path = str(tmp_path / "report.xlsx")
+    write_xlsx({long_name: typed, "second": small_df}, path)
+    book = read_workbook(path)
+    assert set(book) == {"x" * 31, "second"}
+    cols, rows = book["x" * 31]
+    assert cols == ["id", "name", "score", "flag"]
+    assert sorted(rows) == [[1, "a", 1.5, True], [2, "b <&> c", 2.0, False]]
+
+
+def test_write_xlsx_row_guard(small_df, tmp_path):
+    with pytest.raises(ValueError, match="report-sized"):
+        write_xlsx(
+            {"s": small_df}, str(tmp_path / "r.xlsx"), max_rows_per_sheet=1
+        )
+
+
+@pytest.mark.realdeps
+def test_write_xlsx_openpyxl_branch(small_df, tmp_path):
+    pytest.importorskip("openpyxl")
+    import pandas as pd
+
+    path = str(tmp_path / "r.xlsx")
+    write_xlsx({"sheet": small_df}, path)
+    assert len(pd.read_excel(path)) == small_df.count()
 
 
 def test_attach_distribution(spark):

@@ -40,15 +40,64 @@ def test_read_metadata_csv(spark, tmp_path):
     assert rows == {"m1": "CA1", "m2": None}
 
 
-def test_read_excel_gated(spark, tmp_path):
-    try:
-        import openpyxl  # noqa: F401
+def _write_messy_sheet(path: str) -> None:
+    """The reference's sheet shape: junk first row, real header second,
+    whitespace-only cells that must clean to NA (skiprows=1,
+    na_values=' ')."""
+    from data_integration_pipelines_spark.sources.xlsx_lite import write_workbook
 
-        pytest.skip("openpyxl installed; gating path not reachable")
-    except ImportError:
-        pass
-    with pytest.raises(ImportError, match="read_metadata_csv"):
-        read_excel(spark, str(tmp_path / "x.xlsx"))
+    write_workbook(
+        {
+            "Sheet1": (
+                ["junk", None, None],
+                [
+                    [" name ", "region", "score"],
+                    ["m1", "CA1", 1.5],
+                    ["m2", " ", 2],
+                    [None, None, None],
+                ],
+            )
+        },
+        path,
+    )
+
+
+def test_read_excel_dependency_free(spark, tmp_path):
+    """S8 runs for real with no openpyxl: the stdlib OOXML reader +
+    the same clean_metadata_frame pipeline as the CSV twin."""
+    p = str(tmp_path / "meta.xlsx")
+    _write_messy_sheet(p)
+    df = read_excel(spark, p, skiprows=1)
+    assert set(df.columns) == {"name", "region", "score"}
+    rows = {r["name"]: (r["region"], r["score"]) for r in df.collect()}
+    assert rows == {"m1": ("CA1", 1.5), "m2": (None, 2.0)}
+
+
+def test_read_excel_sheet_by_name(spark, tmp_path):
+    from data_integration_pipelines_spark.sources.xlsx_lite import write_workbook
+
+    p = str(tmp_path / "multi.xlsx")
+    write_workbook(
+        {
+            "first": (["a"], [[1]]),
+            "second": (["b", "flag"], [[2, True], [3, False]]),
+        },
+        p,
+    )
+    df = read_excel(spark, p, sheet_name="second", skiprows=0)
+    got = sorted((r["b"], r["flag"]) for r in df.collect())
+    assert got == [(2, True), (3, False)]
+
+
+@pytest.mark.realdeps
+def test_read_excel_openpyxl_branch(spark, tmp_path):
+    """Exercises the pandas+openpyxl branch wherever the dep exists
+    (skips where it doesn't — the stdlib branch is tested above)."""
+    pytest.importorskip("openpyxl")
+    p = str(tmp_path / "meta.xlsx")
+    _write_messy_sheet(p)
+    df = read_excel(spark, p, skiprows=1)
+    assert {r["name"] for r in df.collect()} == {"m1", "m2"}
 
 
 def _make_nested_zip(tmp_path):
