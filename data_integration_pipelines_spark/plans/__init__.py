@@ -39,6 +39,7 @@ _RISK_ORDER = [
     # morphology / voxel kernels (applyInPandas walks, binary parsers)
     "morphology_battery",
     "asc_morphology_battery",
+    "h5_morphology_battery",
     "morphology_tree_metrics",
     "voxel_region_lookup",
     "voxel_region_histogram",

@@ -286,6 +286,130 @@ def asc_morphology_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("file")
 
 
+# H5 morphology fixtures (BBP/MorphIO v1 layout: points Nx4 =
+# x,y,z,DIAMETER; structure Sx3 = first-point, type, parent-section).
+# 'h5a': soma + axon trunk branching into two child sections; 'h5b':
+# single-point soma + basal with a zero-length segment and a z-jump.
+_H5_FIXTURES = {
+    "h5a": (
+        # points: x, y, z, diameter
+        [(-1, 0, 0, 2), (1, 0, 0, 2),
+         (0, 0, 0, 2), (0, 5, 0, 2), (0, 10, 0, 2),
+         (-5, 10, 0, 3), (-10, 10, 0, 3),
+         (5, 10, 0, 3), (10, 10, 0, 3)],
+        # structure: start, type, parent section
+        [(0, 1, -1), (2, 2, 0), (5, 2, 1), (7, 2, 1)],
+    ),
+    "h5b": (
+        [(0, 0, 0, 2),
+         (0, 0, 0, 1), (0, 0, 0, 1), (0, 0, 15, 1)],
+        [(0, 1, -1), (1, 3, 0)],
+    ),
+}
+
+# Hand-derived per-point parse of the fixtures above (per-point parents
+# from the section layout: within-section chain, first point -> last
+# point of the parent section; radius = diameter/2). The oracle battery
+# re-derives from THESE rows, so source drift hash-mismatches.
+_H5_EXPECTED_POINTS = """
+    pts(file, n, type, x, y, z, radius, parent) AS (VALUES
+        ('h5a', 1, 1, -1.0, 0.0, 0.0, 1.0, -1),
+        ('h5a', 2, 1, 1.0, 0.0, 0.0, 1.0, 1),
+        ('h5a', 3, 2, 0.0, 0.0, 0.0, 1.0, 2),
+        ('h5a', 4, 2, 0.0, 5.0, 0.0, 1.0, 3),
+        ('h5a', 5, 2, 0.0, 10.0, 0.0, 1.0, 4),
+        ('h5a', 6, 2, -5.0, 10.0, 0.0, 1.5, 5),
+        ('h5a', 7, 2, -10.0, 10.0, 0.0, 1.5, 6),
+        ('h5a', 8, 2, 5.0, 10.0, 0.0, 1.5, 5),
+        ('h5a', 9, 2, 10.0, 10.0, 0.0, 1.5, 8),
+        ('h5b', 1, 1, 0.0, 0.0, 0.0, 1.0, -1),
+        ('h5b', 2, 3, 0.0, 0.0, 0.0, 0.5, 1),
+        ('h5b', 3, 3, 0.0, 0.0, 0.0, 0.5, 2),
+        ('h5b', 4, 3, 0.0, 0.0, 15.0, 0.5, 3))
+"""
+
+
+@register(
+    "h5_morphology_battery",
+    f"""
+    WITH {_H5_EXPECTED_POINTS},
+    segs AS (
+        SELECT c.file, c.n, c.type, c.radius, c.z,
+               p.type AS ptype, p.z AS pz,
+               SQRT((c.x - p.x)*(c.x - p.x) + (c.y - p.y)*(c.y - p.y) + (c.z - p.z)*(c.z - p.z)) AS seg_len
+        FROM pts c JOIN pts p ON c.file = p.file AND c.parent = p.n
+    ),
+    per_point AS (
+        SELECT file,
+               CAST(COUNT(*) AS BIGINT) AS n_points,
+               CAST(SUM(CASE WHEN parent < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_roots,
+               CAST(SUM(CASE WHEN type <> 1 AND radius <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero_radius,
+               CAST(COUNT(DISTINCT radius) AS BIGINT) AS n_distinct_radii,
+               SUM(CASE WHEN type = 2 THEN 1 ELSE 0 END) > 0 AS has_axon,
+               SUM(CASE WHEN type = 3 THEN 1 ELSE 0 END) > 0 AS has_basal_dendrite
+        FROM pts GROUP BY file
+    ),
+    per_seg AS (
+        SELECT file,
+               CAST(SUM(CASE WHEN seg_len <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero_len_segments,
+               CAST(SUM(CASE WHEN type <> 1 AND ABS(z - pz) > 10.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_z_jumps,
+               ((CAST(SUM(CAST(FLOOR(seg_len * 10000 + 0.5) AS BIGINT)) AS BIGINT) + 50) // 100) / 100.0 AS total_length,
+               ROUND(MAX(seg_len), 4) AS max_seg_len
+        FROM segs GROUP BY file
+    )
+    SELECT p.file, n_points, n_roots, n_zero_radius, n_distinct_radii,
+           has_axon, has_basal_dendrite,
+           n_zero_len_segments, n_z_jumps, total_length, max_seg_len
+    FROM per_point p JOIN per_seg s ON p.file = s.file
+    ORDER BY p.file
+    """,
+    doc="S9c H5 morphology source: fixtures serialized to REAL classic-"
+    "HDF5 bytes (sources/hdf5_lite write path), parsed back by the "
+    "distributed v1-layout reader (sources/h5_morph — points Nx4 + "
+    "structure Sx3, per-point parents derived from sections; ref "
+    "data/test_data/h5/v1 layout, morphio consumers in "
+    "src/neuron_morphology), then the SAME battery as the SWC/ASC "
+    "paths; the oracle re-derives from a hand-parsed VALUES table.",
+)
+def h5_morphology_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    from ..sources.h5_morph import parse_h5_frame
+    from ..sources.hdf5_lite import write_hdf5
+
+    rows = [
+        (
+            name,
+            bytearray(
+                write_hdf5(
+                    {
+                        "points": np.asarray(pts, dtype=np.float64),
+                        "structure": np.asarray(st, dtype=np.int64),
+                    }
+                )
+            ),
+        )
+        for name, (pts, st) in _H5_FIXTURES.items()
+    ]
+    fixtures = spark.createDataFrame(rows, "file string, content binary").repartition(1)
+    flags = morphology_flags(parse_h5_frame(fixtures))
+    return flags.select(
+        "file",
+        "n_points",
+        "n_roots",
+        F.col("n_zero_radius").cast("bigint").alias("n_zero_radius"),
+        "n_distinct_radii",
+        "has_axon",
+        "has_basal_dendrite",
+        F.col("n_zero_len_segments").cast("bigint").alias("n_zero_len_segments"),
+        F.col("n_z_jumps").cast("bigint").alias("n_z_jumps"),
+        (F.expr("(total_length_e4 + 50) div 100") / F.lit(100.0)).alias(
+            "total_length"
+        ),
+        F.col("max_seg_len").alias("max_seg_len"),
+    ).orderBy("file")
+
+
 @register(
     "morphology_tree_metrics",
     f"""

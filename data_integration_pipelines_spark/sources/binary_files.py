@@ -92,27 +92,65 @@ def _fake_sweeps_from_bytes(path: str, content: bytes) -> pd.DataFrame:
     return pd.DataFrame(rows)
 
 
-def extract_sweeps(binary_df: DataFrame, use_fake: bool | None = None) -> DataFrame:
+_STIM_PATH = "general/intracellular_ephys/sequential_recordings/stimulus_type"
+
+
+def _sweeps_from_hdf5(path: str, content: bytes) -> pd.DataFrame:
+    """Real NWB-layout extraction over the native HDF5 parser
+    (``hdf5_lite`` — no h5py needed): stimulus types from the
+    sequential-recordings table (ref src/trace/fix/
+    check_nwb_stimulus_match.py:31-37), then each
+    ``/acquisition/sweep*`` series flattened to long format with its
+    rate/conversion and a derived time axis (ref src/trace/
+    visualization/lnmc_nwb_visualization.py:74-135)."""
+    from .hdf5_lite import Group, open_bytes
+
+    f = open_bytes(content)
+    stim = f[_STIM_PATH][()].tolist() if _STIM_PATH in f else []
+    rows: list[dict] = []
+    acq = f["acquisition"] if "acquisition" in f else None
+    sweep_names = sorted(acq.keys()) if isinstance(acq, Group) else []
+    for i, name in enumerate(sweep_names):
+        g = acq[name]
+        if not isinstance(g, Group):
+            continue
+        stim_type = stim[i] if i < len(stim) else "unknown"
+        rate = float(g["rate"][()]) if "rate" in g else 0.0
+        rep = int(g["repetition"][()]) if "repetition" in g else 1
+        for channel in ("i", "v"):
+            key = f"channel_{channel}"
+            if key not in g:
+                continue
+            cg = g[key]
+            data = cg["data"][()]
+            conv = float(cg["conversion"][()]) if "conversion" in cg else 1.0
+            for ti, v in enumerate(data.tolist()):
+                rows.append(
+                    {
+                        "file": path,
+                        "stimulus_type": stim_type,
+                        "repetition": rep,
+                        "sweep_id": name,
+                        "channel": channel,
+                        "rate": rate,
+                        "conversion": conv,
+                        "t": ti / rate if rate else 0.0,
+                        "value": float(v),
+                    }
+                )
+    return pd.DataFrame(rows, columns=[c.split(" ")[0] for c in SWEEP_SCHEMA.split(", ")])
+
+
+def extract_sweeps(binary_df: DataFrame, use_fake: bool = False) -> DataFrame:
     """S10/J12: NWB/HDF5 -> long-format ``sweeps`` DataFrame
     (FIXTURES.md §3 schema; ref src/trace/visualization/
     lnmc_nwb_visualization.py:16-29,74-135).
 
-    With h5py installed, walks
-    ``/general/intracellular_ephys/sequential_recordings/stimulus_type``
-    and the sweep series (ref src/trace/fix/check_nwb_stimulus_match.py:31-37);
-    otherwise (or with ``use_fake=True``) emits the deterministic fake.
+    The real path parses HDF5 natively (``hdf5_lite`` — validated
+    against libhdf5-written files), so it works with no optional
+    dependency; ``use_fake=True`` keeps the digest-derived deterministic
+    table for plumbing tests that need content-independent stability.
     """
-    try:
-        import h5py  # noqa: F401
-
-        have_h5 = True
-    except ImportError:
-        have_h5 = False
-    if use_fake is None:
-        use_fake = not have_h5
-    if not use_fake and not have_h5:
-        raise ImportError("extract_sweeps requires h5py unless use_fake=True")
-
     if use_fake:
         def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             for pdf in batches:
@@ -124,40 +162,13 @@ def extract_sweeps(binary_df: DataFrame, use_fake: bool | None = None) -> DataFr
                     yield pd.concat(out)
     else:
         def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            import io
-
-            import h5py
-
             for pdf in batches:
-                frames = []
-                for p, c in zip(pdf["path"], pdf["content"]):
-                    with h5py.File(io.BytesIO(c), "r") as f:
-                        st_path = (
-                            "general/intracellular_ephys/sequential_recordings/"
-                            "stimulus_type"
-                        )
-                        stim = (
-                            f[st_path][()].astype(str).tolist()
-                            if st_path in f
-                            else []
-                        )
-                        rows = [
-                            {
-                                "file": p,
-                                "stimulus_type": s,
-                                "repetition": 1,
-                                "sweep_id": f"sweep{i}",
-                                "channel": "v",
-                                "rate": 0.0,
-                                "conversion": 1.0,
-                                "t": 0.0,
-                                "value": 0.0,
-                            }
-                            for i, s in enumerate(stim)
-                        ]
-                        frames.append(pd.DataFrame(rows))
-                if frames:
-                    yield pd.concat(frames)
+                out = [
+                    _sweeps_from_hdf5(p, c)
+                    for p, c in zip(pdf["path"], pdf["content"])
+                ]
+                if out:
+                    yield pd.concat(out)
 
     return binary_df.select("path", "content").mapInPandas(parse, schema=SWEEP_SCHEMA)
 

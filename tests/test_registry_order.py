@@ -23,6 +23,7 @@ _NEVER_DRIVER_VERIFIED = {
     "embedding_dup_clusters",
     "morphology_battery",
     "asc_morphology_battery",
+    "h5_morphology_battery",  # new in r3: no driver row yet by construction
     "morphology_tree_metrics",
     "voxel_region_lookup",
     "voxel_region_histogram",
@@ -78,10 +79,11 @@ def test_risk_order_covers_registry():
 
 def test_never_verified_queries_inside_sweep_budget():
     order = list(REGISTRY)
-    window = set(order[:47])
+    window = set(order[: len(_NEVER_DRIVER_VERIFIED) + 1])  # +1 flagship
     outside = sorted(_NEVER_DRIVER_VERIFIED - window)
     assert not outside, (
-        f"never-driver-verified queries outside the first 47 registry slots: {outside}"
+        "never-driver-verified queries outside the first "
+        f"{len(_NEVER_DRIVER_VERIFIED) + 1} registry slots: {outside}"
     )
 
 

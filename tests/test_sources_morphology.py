@@ -265,6 +265,32 @@ class TestBinaryAndSinks:
             pdf2.sort_values(list(pdf.columns))
         )
 
+    def test_extract_sweeps_real_hdf5_path(self, spark):
+        """S10 real path: the golden NWB-layout fixture (true HDF5
+        bytes, native parser — no h5py) flattens to the long sweep
+        table with per-sweep stimulus/rate/repetition and both
+        channels, distributed through mapInPandas."""
+        golden = os.path.join(os.path.dirname(__file__), "fixtures",
+                              "golden_sweeps.nwb")
+        bdf = read_binary_files(spark, golden)
+        pdf = extract_sweeps(bdf).toPandas()
+        assert set(pdf["sweep_id"]) == {"sweep0", "sweep1", "sweep2"}
+        by_sweep = pdf.groupby("sweep_id")
+        assert by_sweep["stimulus_type"].first().tolist() == [
+            "IDRest", "APWaveform", "IV",
+        ]
+        # sweep0 has both channels x 16 samples; sweep1 v-only x 8
+        assert len(pdf[pdf.sweep_id == "sweep0"]) == 32
+        s1 = pdf[pdf.sweep_id == "sweep1"]
+        assert set(s1["channel"]) == {"v"} and len(s1) == 8
+        assert (s1["rate"] == 20000.0).all() and (s1["repetition"] == 2).all()
+        # time axis derived from rate
+        t = sorted(s1["t"])
+        assert t[1] - t[0] == pytest.approx(1 / 20000.0)
+        # i-channel conversion propagated
+        s2 = pdf[pdf.sweep_id == "sweep2"]
+        assert (s2["conversion"] == 1e-12).all()
+
     def test_sparse_bool_tsv(self, spark, tmp_path):
         df = spark.createDataFrame([(1, True), (2, False)], ["id", "ok"])
         rendered = df.select(
@@ -459,3 +485,96 @@ class TestASCRender:
         assert set(orig) == set(back)
         for f in orig:
             assert self._edges(back[f]) == self._edges(orig[f]), f
+
+
+class TestH5MorphologySource:
+    def _roundtrip_points(self, spark, tree):
+        import numpy as np
+
+        from data_integration_pipelines_spark.sources.h5_morph import (
+            parse_h5_frame,
+        )
+        from data_integration_pipelines_spark.sources.hdf5_lite import write_hdf5
+
+        content = bytearray(write_hdf5(tree))
+        df = spark.createDataFrame(
+            [("cell", content)], "file string, content binary"
+        ).repartition(1)
+        return {r["n"]: r for r in parse_h5_frame(df).collect()}
+
+    def test_v1_layout_parent_derivation(self, spark):
+        import numpy as np
+
+        got = self._roundtrip_points(
+            spark,
+            {
+                # soma 2 pts, axon section off soma, child section off axon
+                "points": np.array(
+                    [(-1, 0, 0, 2), (1, 0, 0, 2), (0, 0, 0, 2), (0, 5, 0, 2),
+                     (-5, 5, 0, 3)],
+                    dtype=np.float64,
+                ),
+                "structure": np.array(
+                    [(0, 1, -1), (2, 2, 0), (4, 2, 1)], dtype=np.int64
+                ),
+            },
+        )
+        assert len(got) == 5
+        # chain within section, section head -> last point of parent
+        assert [got[n]["parent"] for n in sorted(got)] == [-1, 1, 2, 3, 4]
+        assert got[1]["type"] == 1 and got[3]["type"] == 2
+        assert got[5]["radius"] == 1.5  # diameter/2
+        assert got[4]["y"] == 5.0
+
+    def test_h5_points_feed_morphology_flags(self, spark):
+        import numpy as np
+
+        from data_integration_pipelines_spark.operators.morphology import (
+            morphology_flags,
+        )
+        from data_integration_pipelines_spark.sources.h5_morph import (
+            parse_h5_frame,
+        )
+        from data_integration_pipelines_spark.sources.hdf5_lite import write_hdf5
+
+        content = bytearray(
+            write_hdf5(
+                {
+                    "points": np.array(
+                        [(0, 0, 0, 2), (0, 5, 0, 2), (0, 10, 0, 2)],
+                        dtype=np.float64,
+                    ),
+                    "structure": np.array([(0, 1, -1), (1, 2, 0)], dtype=np.int64),
+                }
+            )
+        )
+        df = spark.createDataFrame(
+            [("m", content)], "file string, content binary"
+        ).repartition(1)
+        flags = morphology_flags(parse_h5_frame(df)).collect()[0]
+        assert flags["n_points"] == 3 and flags["has_axon"]
+
+    @pytest.mark.skipif(
+        not os.path.isdir("/root/reference/data/test_data/h5"),
+        reason="reference h5 test data not present",
+    )
+    def test_reads_real_reference_morphologies(self, spark):
+        """Conformance on genuine libhdf5-written morphology files (v1
+        AND v2 layouts): the points table must be tree-consistent
+        (parents resolve, one root per section tree, positive radii)."""
+        import glob as _glob
+
+        from data_integration_pipelines_spark.sources.h5_morph import (
+            read_h5_morph_points,
+        )
+
+        paths = sorted(
+            _glob.glob("/root/reference/data/test_data/h5/**/*.h5", recursive=True)
+        )
+        pts = read_h5_morph_points(spark, paths).toPandas()
+        assert pts.groupby("file").size().min() > 0
+        for _, grp in pts.groupby("file"):
+            ns = set(grp["n"])
+            parents = set(grp["parent"]) - {-1}
+            assert parents <= ns  # every parent pointer resolves
+            assert (grp["n"] >= 1).all()
