@@ -107,48 +107,67 @@ def _fake_decode(content: bytes) -> tuple[int, int, int, bytes]:
     return width, height, channels, (content * reps)[:need]
 
 
-def extract_image_features(
-    df: DataFrame, id_col: str = "id", content_col: str = "content"
-) -> DataFrame:
-    """Decode + feature-extract: (id, width, height, n_channels,
-    mean_intensity, feature_crc) via ``mapInPandas``. With PIL present
-    this decodes for real; otherwise the deterministic fake decode runs
-    — same schema, same batching."""
+def _decode_any(content: bytes) -> tuple[int, int, int, bytes]:
+    """(width, height, channels, pixel bytes). Decode order: the native
+    PNG codec for PNG bytes (deterministic everywhere, no dependency),
+    PIL for other formats when importable, the digest fake as the
+    honest floor for undecodable payloads."""
+    if content[:8] == b"\x89PNG\r\n\x1a\n":
+        try:
+            from .png_lite import decode_png
+
+            arr = decode_png(content)
+            h, w, ch = arr.shape
+            return w, h, ch, arr.tobytes()
+        except Exception:
+            pass  # malformed PNG -> try PIL, then fake
     try:
-        from PIL import Image  # noqa: F401
-
-        have_pil = True
-    except ImportError:
-        have_pil = False
-
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import io
 
+        from PIL import Image
+
+        img = Image.open(io.BytesIO(content))
+        width, height = img.size
+        return width, height, len(img.getbands()), img.tobytes()
+    except Exception:
+        return _fake_decode(content)
+
+
+def extract_image_features(
+    df: DataFrame,
+    id_col: str = "id",
+    content_col: str = "content",
+    crc_domain: str = "bytes",
+) -> DataFrame:
+    """Decode + feature-extract: (id, width, height, n_channels,
+    mean_intensity, feature_crc) via ``mapInPandas``. PNG decodes
+    natively (``png_lite``) everywhere; PIL handles other formats when
+    present; undecodable payloads fall to the deterministic fake.
+
+    ``crc_domain='hex'`` hashes the lowercase-hex representation of the
+    pixel buffer instead of the raw bytes — SQL-recomputable, which is
+    what lets ``png_decode_features`` carry a full DuckDB oracle.
+    ``mean_intensity`` quantizes half-up in exact arithmetic
+    (floor(mean*1e4+0.5)/1e4) so both engines round the same double the
+    same way."""
+    import math
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for i, c in zip(pdf[id_col], pdf[content_col]):
                 c = bytes(c)
-                if have_pil:
-                    from PIL import Image
-
-                    try:
-                        img = Image.open(io.BytesIO(c))
-                        width, height = img.size
-                        channels = len(img.getbands())
-                        pix = img.tobytes()
-                    except Exception:
-                        width, height, channels, pix = _fake_decode(c)
-                else:
-                    width, height, channels, pix = _fake_decode(c)
+                width, height, channels, pix = _decode_any(c)
                 mean = sum(pix) / len(pix) if pix else 0.0
+                crc_src = pix.hex().encode() if crc_domain == "hex" else pix
                 rows.append(
                     {
                         "id": int(i),
                         "width": width,
                         "height": height,
                         "n_channels": channels,
-                        "mean_intensity": round(mean, 4),
-                        "feature_crc": hashlib.md5(pix).hexdigest(),
+                        "mean_intensity": math.floor(mean * 1e4 + 0.5) / 1e4,
+                        "feature_crc": hashlib.md5(crc_src).hexdigest(),
                     }
                 )
             yield pd.DataFrame(rows, columns=[
@@ -170,13 +189,14 @@ def resize_images(
 ) -> DataFrame:
     """Resize stage: (id, width, height, thumb_md5).
 
-    With PIL importable the payload is decoded and resized for real
-    (thumb_md5 = md5 of the resized RGB pixel buffer); bytes PIL cannot
-    decode — and every row when PIL is absent or ``deterministic=True``
-    — fall back to the fake digest (payload hex + target box), which is
-    what the SQL oracle recomputes. Oracle-checked callers pass
-    ``deterministic=True`` so their hashes never depend on the
-    container's codec set."""
+    PNG payloads decode + nearest-neighbor resize natively
+    (``png_lite`` — deterministic across environments, no dependency);
+    other formats go through PIL when importable; bytes nothing can
+    decode — and every row when ``deterministic=True`` — fall back to
+    the fake digest (payload hex + target box), which is what the SQL
+    oracle recomputes. Oracle-checked callers pass
+    ``deterministic=True`` so their hashes never depend on payload
+    decodability."""
     tw, th = target
     if deterministic:
         have_pil = False
@@ -196,7 +216,15 @@ def resize_images(
             for i, c in zip(pdf[id_col], pdf[content_col]):
                 c = bytes(c)
                 thumb = None
-                if have_pil:
+                if not deterministic and c[:8] == b"\x89PNG\r\n\x1a\n":
+                    try:
+                        from .png_lite import decode_png, resize_nearest
+
+                        small = resize_nearest(decode_png(c), (tw, th))
+                        thumb = hashlib.md5(small.tobytes()).hexdigest()
+                    except Exception:
+                        thumb = None
+                if thumb is None and have_pil:
                     from PIL import Image
 
                     try:

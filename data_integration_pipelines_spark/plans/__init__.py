@@ -75,6 +75,7 @@ _RISK_ORDER = [
     "image_resize",
     "audio_features",
     "image_decode_features",
+    "png_decode_features",
     # domain joins
     "part_of_expansion",
     "two_hop_follow",

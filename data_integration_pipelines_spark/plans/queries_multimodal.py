@@ -167,3 +167,66 @@ def audio_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 def image_decode_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     assets = _assets(spark, sf_dir, 200)
     return extract_image_features(assets).orderBy("id")
+
+
+@register(
+    "png_decode_features",
+    f"""
+    WITH px AS (
+        SELECT doc_id AS id,
+               repeat(md5(text), 3 * (1 + CAST(doc_id % 3 AS INT))) AS hexstr
+        FROM documents WHERE doc_id < 200
+    )
+    SELECT id,
+           CAST(4 AS INT) AS width,
+           CAST(octet_length(unhex(hexstr)) / 12 AS INT) AS height,
+           CAST(3 AS INT) AS n_channels,
+           FLOOR(list_avg(list_transform(
+               range(1, octet_length(unhex(hexstr)) + 1),
+               i -> 16 * (strpos('{_HEXD}', substr(hexstr, 2*i - 1, 1)) - 1)
+                    + (strpos('{_HEXD}', substr(hexstr, 2*i, 1)) - 1)
+           )) * 10000 + 0.5) / 10000.0 AS mean_intensity,
+           md5(hexstr) AS feature_crc
+    FROM px
+    ORDER BY id
+    """,
+    doc="REAL image decode, fully oracle-certified: per-doc pixels are "
+    "synthesized from the md5-hex domain, encoded to genuine PNG bytes "
+    "(operators/png_lite — scanline filter id%5, so all five filters run "
+    "in production), then decoded back by extract_image_features' native "
+    "PNG path. The oracle recomputes dims/mean/crc from the ORIGINAL "
+    "pixels, so any lossy codec bug (filter math, zlib framing, "
+    "reshape) hash-mismatches. Extends src/trace/thumbnail.py:25-62 "
+    "(download -> PIL decode -> stats) with a dependency-free codec.",
+)
+def png_decode_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    from ..operators.multimodal import IMAGE_FEATURES_SCHEMA  # noqa: F401
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    pix = docs.select(
+        F.col("doc_id").alias("id"),
+        F.unhex(
+            F.repeat(F.md5("text"), (3 * (1 + F.col("doc_id") % 3)).cast("int"))
+        ).alias("content"),
+    )
+
+    def encode(batches):
+        import numpy as np
+
+        from ..operators.png_lite import encode_png
+
+        for pdf in batches:
+            out_id, out_png = [], []
+            for i, c in zip(pdf["id"], pdf["content"]):
+                buf = np.frombuffer(bytes(c), dtype=np.uint8)
+                img = buf.reshape(-1, 4, 3)  # (h, w=4, c=3)
+                out_id.append(int(i))
+                out_png.append(bytearray(encode_png(img, filter_type=int(i) % 5)))
+            yield pd.DataFrame({"id": out_id, "content": out_png})
+
+    encoded = pix.mapInPandas(encode, schema="id bigint, content binary")
+    from ..operators.multimodal import extract_image_features
+
+    return extract_image_features(encoded, crc_domain="hex").orderBy("id")

@@ -48,6 +48,8 @@ def test_python_stages_only_where_declared(plans):
         "morphology_battery",
         "morphology_tree_metrics",
         "asc_morphology_battery",  # distributed ASC grammar parse kernel
+        "h5_morphology_battery",  # native HDF5 parse kernel (hdf5_lite)
+        "png_decode_features",  # native PNG encode+decode kernel (png_lite)
         "ann_bruteforce",  # vectorized matmul scale path (topk_pandas)
         "ann_pq",  # PQ encode + ADC scan kernels (numpy per Arrow batch)
         "image_decode_features",

@@ -56,6 +56,7 @@ _NEVER_DRIVER_VERIFIED = {
     "image_resize",
     "audio_features",
     "image_decode_features",
+    "png_decode_features",  # new in r3: no driver row yet by construction
     "part_of_expansion",
     "two_hop_follow",
     "two_hop_follow_bucketed",
