@@ -38,26 +38,41 @@ TABLES = (
 BROADCAST_DIMS = frozenset({"region", "nation", "supplier", "part", "customer"})
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    if name not in TABLES:
-        raise KeyError(f"unknown table {name!r}; one of {TABLES}")
-    # Timestamp semantics must not depend on who built the session: pin
-    # UTC here (runtime-settable) so date_format/window results are
-    # stable and match the oracle's naive timestamps even when the
-    # engine runs in an externally-created session with a local TZ.
+def rightsize_session(spark: SparkSession) -> None:
+    """Engine-required runtime confs for externally-created sessions.
+
+    - Timestamp semantics must not depend on who built the session: pin
+      UTC (runtime-settable) so date_format/window results are stable
+      and match the oracle's naive timestamps.
+    - Right-size shuffle parallelism when the session still carries the
+      stock 200: 2-3x total cores is the cluster guidance, and AQE
+      coalescing makes over-provisioning cheap. Spark cannot
+      distinguish an explicit 200 from the unset default, so a user who
+      really wants 200 sets SPARK_GRAFT_NO_SHUFFLE_RIGHTSIZE=1 to
+      suppress the override.
+
+    - Arrow on (runtime-settable, off in a stock session): pandas
+      createDataFrame/toPandas otherwise fall back to pickled rows —
+      a PythonRDD whose scan spawns one Python worker per partition
+      (measured ~3.5 s cold on local[32] for a 2-row fixture frame).
+
+    Called by ``load_table`` and by fixture-literal queries (which never
+    touch the catalog but still shuffle through Python kernels).
+    """
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    # Right-size shuffle parallelism when the session still carries the
-    # stock 200 (an externally-created vanilla session): 2-3x total
-    # cores is the cluster guidance, and AQE coalescing makes over-
-    # provisioning cheap. Spark cannot distinguish an explicit 200 from
-    # the unset default, so a user who really wants 200 sets
-    # SPARK_GRAFT_NO_SHUFFLE_RIGHTSIZE=1 to suppress the override.
+    spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
     if (
         spark.conf.get("spark.sql.shuffle.partitions", "200") == "200"
         and not os.environ.get("SPARK_GRAFT_NO_SHUFFLE_RIGHTSIZE")
     ):
         cores = spark.sparkContext.defaultParallelism
         spark.conf.set("spark.sql.shuffle.partitions", str(max(2 * cores, 16)))
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; one of {TABLES}")
+    rightsize_session(spark)
     if name == "events":
         # events.ts is parquet TIMESTAMP(NANOS): unreadable unless nanos
         # are surfaced as longs. Runtime-settable, so enforce it here so

@@ -121,3 +121,30 @@ def stopword_ratio(tokens: Column) -> Column:
 def avg_token_len(tokens: Column) -> Column:
     total = F.aggregate(tokens, F.lit(0), lambda acc, t: acc + F.length(t))
     return F.when(F.size(tokens) > 0, total / F.size(tokens)).otherwise(F.lit(0.0))
+
+
+def base64url_encode(data: Column) -> Column:
+    """RFC 4648 base64url (the JWT alphabet): standard base64 with
+    ``+/`` -> ``-_`` and padding stripped. Pure Column exprs."""
+    std = F.regexp_replace(F.base64(data.cast("binary")), "=+$", "")
+    return F.translate(std, "+/", "-_")
+
+
+def base64url_decode(text: Column) -> Column:
+    """base64url -> binary: restore the standard alphabet, re-pad to a
+    multiple of 4, ``unbase64``."""
+    std = F.translate(text, "-_", "+/")
+    pad = F.lit("===").substr(F.lit(1), (F.lit(4) - F.length(std) % 4) % 4)
+    return F.unbase64(F.concat(std, pad))
+
+
+def jwt_claim(token: Column, claim: str) -> Column:
+    """Extract one claim from a JWT's payload segment — DECODE only, no
+    signature verification (the reference reads ``preferred_username``
+    from its session token the same way: split on '.', base64url-decode
+    segment 1, JSON-extract; ref src/neuron_morphology/
+    creation_helpers.py:12-20). F11."""
+    payload = F.split(token, r"\.").getItem(1)
+    return F.get_json_object(
+        base64url_decode(payload).cast("string"), f"$.{claim}"
+    )

@@ -63,6 +63,7 @@ _RISK_ORDER = [
     "quantile_bins",
     # curation additions beyond the round-1 set
     "tfidf_top_terms",
+    "mixture_temperature",
     "weighted_sample",
     "skyline_docs",
     "repetition_score",
@@ -76,6 +77,7 @@ _RISK_ORDER = [
     "audio_features",
     "image_decode_features",
     "png_decode_features",
+    "jwt_decode",
     # domain joins
     "part_of_expansion",
     "two_hop_follow",

@@ -810,3 +810,88 @@ def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.least(F.lit(chunk), F.size("toks") - F.col("s")).cast("int").alias("n_tokens"),
         F.md5(window_txt).alias("chunk_md5"),
     ).orderBy("doc_id", "chunk_idx")
+
+
+@register(
+    "mixture_temperature",
+    r"""
+    WITH stats AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(FLOOR(sqrt(CAST(COUNT(*) AS DOUBLE)) * 1048576) AS BIGINT) AS q
+        FROM documents GROUP BY source
+    ),
+    tot AS (
+        SELECT CAST(SUM(n) AS BIGINT) AS total, CAST(SUM(q) AS BIGINT) AS zq
+        FROM stats
+    ),
+    thr AS (
+        SELECT source, n,
+               CAST(FLOOR(((CAST(total AS DOUBLE) * q) / (CAST(zq AS DOUBLE) * n))
+                          * 0.25 * 4294967296.0) AS BIGINT) AS thr
+        FROM stats, tot
+    )
+    SELECT d.source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           MAX(t.thr) AS thr,
+           CAST(SUM(CASE WHEN CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT) < t.thr
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(SUM(CASE WHEN CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT) < t.thr
+                         THEN d.n_chars ELSE 0 END) AS BIGINT) AS chars_kept
+    FROM documents d JOIN thr t ON d.source = t.source
+    GROUP BY d.source
+    ORDER BY d.source
+    """,
+    doc="Temperature-based mixture reweighting (the pretraining 'alpha "
+    "sampling' op: p(source) ~ n^alpha with alpha=0.5): per-source keep "
+    "rates = target_frac * total * sqrt(n)/(Z * n), realized as "
+    "deterministic md5-prefix Bernoulli sampling. Small sources are "
+    "upweighted, big sources capped — the standard multilingual/"
+    "multi-domain rebalance. Float discipline: sqrt quantized to 2^-20 "
+    "units before the cross-source sum (order-independent integers), "
+    "thresholds floored onto the 2^32 hash domain, identical expression "
+    "shape on both engines — bit-equal keep decisions at any "
+    "parallelism. Two tiny aggregates + one AQE-broadcastable join "
+    "(never hinted: source cardinality is corpus-derived).",
+)
+def mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    stats = docs.groupBy("source").agg(
+        F.count("*").alias("n"),
+        F.floor(F.sqrt(F.count("*").cast("double")) * 1048576)
+        .cast("bigint")
+        .alias("q"),
+    )
+    tot = stats.agg(
+        F.sum("n").cast("bigint").alias("total"),
+        F.sum("q").cast("bigint").alias("zq"),
+    )
+    thr = stats.crossJoin(tot).select(
+        "source",
+        "n",
+        F.floor(
+            (F.col("total").cast("double") * F.col("q"))
+            / (F.col("zq").cast("double") * F.col("n"))
+            * F.lit(0.25)
+            * F.lit(4294967296.0)
+        )
+        .cast("bigint")
+        .alias("thr"),
+    )
+    h = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+    )
+    kept = h < F.col("thr")
+    return (
+        docs.join(thr, "source")
+        .groupBy(docs.source)
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.max("thr").alias("thr"),
+            F.sum(F.when(kept, 1).otherwise(0)).cast("bigint").alias("n_kept"),
+            F.sum(F.when(kept, F.col("n_chars")).otherwise(0))
+            .cast("bigint")
+            .alias("chars_kept"),
+        )
+        .orderBy("source")
+    )

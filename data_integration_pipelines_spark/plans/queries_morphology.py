@@ -258,13 +258,21 @@ _ASC_EXPECTED_POINTS = """
 def asc_morphology_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources.asc import parse_asc_frame
 
-    # repartition(1): two literal documents across the session's default
-    # parallelism would spawn one Python worker per EMPTY partition.
-    # (repartition, not coalesce: coalesce(1) over a local relation hits
-    # a multi-second scheduler locality stall on tuned sessions)
+    import pandas as pd
+
+    from ..catalog import rightsize_session
+
+    rightsize_session(spark)
+    # pandas+Arrow createDataFrame: the scan stays JVM-side. The
+    # pickled-rows form compiles to a PythonRDD whose scan spawns one
+    # Python worker per partition (defaultParallelism of them, 31
+    # empty) — measured 4 s cold on a vanilla local[32] session.
+    # repartition(1) then keeps the tiny fixture in one task downstream.
     fixtures = spark.createDataFrame(
-        [("uni", _ASC_UNIFURCATION), ("multi", _ASC_MULTIFURCATION)],
-        ["file", "text"],
+        pd.DataFrame(
+            [("uni", _ASC_UNIFURCATION), ("multi", _ASC_MULTIFURCATION)],
+            columns=["file", "text"],
+        )
     ).repartition(1)
     flags = morphology_flags(parse_asc_frame(fixtures))
     return flags.select(
@@ -391,7 +399,16 @@ def h5_morphology_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         for name, (pts, st) in _H5_FIXTURES.items()
     ]
-    fixtures = spark.createDataFrame(rows, "file string, content binary").repartition(1)
+    import pandas as pd
+
+    from ..catalog import rightsize_session
+
+    rightsize_session(spark)
+    # pandas+Arrow build: JVM-side scan, no per-partition Python workers
+    # (see asc_morphology_battery)
+    fixtures = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["file", "content"])
+    ).repartition(1)
     flags = morphology_flags(parse_h5_frame(fixtures))
     return flags.select(
         "file",

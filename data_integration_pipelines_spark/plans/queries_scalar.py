@@ -326,3 +326,51 @@ def encode_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_extract(age_code, r"PN(\d+)", 1).cast("int").alias("age_days"),
         seg_map.alias("segment_id"),
     ).orderBy("c_custkey")
+
+
+@register(
+    "jwt_decode",
+    r"""
+    WITH tok AS (
+        SELECT c_custkey,
+               replace(replace(rtrim(to_base64(('{"alg":"none","typ":"JWT"}')::BLOB), '='), '+', '-'), '/', '_')
+               || '.' ||
+               replace(replace(rtrim(to_base64(('{"preferred_username":"' || c_name || '"}')::BLOB), '='), '+', '-'), '/', '_')
+               || '.fake-sig' AS token
+        FROM customer WHERE c_custkey < 300
+    )
+    SELECT c_custkey,
+           token,
+           json_extract_string(
+               decode(from_base64(
+                   replace(replace(split_part(token, '.', 2), '-', '+'), '_', '/')
+                   || repeat('=', (4 - length(split_part(token, '.', 2)) % 4) % 4)
+               )),
+               '$.preferred_username'
+           ) AS username
+    FROM tok
+    ORDER BY c_custkey
+    """,
+    doc="F11 JWT payload decode (no signature verification — the "
+    "reference reads preferred_username from its token the same way, "
+    "ref src/neuron_morphology/creation_helpers.py:12-20): tokens are "
+    "SYNTHESIZED from customer names (header.payload.sig, base64url), "
+    "then the claim is extracted via functions/text.jwt_claim. The "
+    "oracle builds and decodes the token independently in DuckDB, so "
+    "BOTH the base64url encoder and the decode path are certified "
+    "(token strings and claims must hash-match).",
+)
+def jwt_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import base64url_encode, jwt_claim
+
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_custkey") < 300)
+    header = base64url_encode(F.lit('{"alg":"none","typ":"JWT"}'))
+    payload = base64url_encode(
+        F.concat(F.lit('{"preferred_username":"'), F.col("c_name"), F.lit('"}'))
+    )
+    token = F.concat(header, F.lit("."), payload, F.lit(".fake-sig"))
+    return (
+        cust.select("c_custkey", token.alias("token"))
+        .select("c_custkey", "token", jwt_claim(F.col("token"), "preferred_username").alias("username"))
+        .orderBy("c_custkey")
+    )

@@ -390,14 +390,20 @@ def range_join_binned_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.temporal import range_join_binned
 
     li = _t(spark, sf_dir, "lineitem").select("l_quantity", "l_extendedprice")
+    import pandas as pd
+
+    # pandas+Arrow build: JVM-side scan, no per-partition Python
+    # workers (see asc_morphology_battery)
     bands = spark.createDataFrame(
-        [
-            ("q1_small", 0.0, 10.0),
-            ("q2_mid", 10.0, 20.0),
-            ("q3_large", 20.0, 35.0),
-            ("q4_bulk", 35.0, 51.0),
-        ],
-        ["band", "lo", "hi"],
+        pd.DataFrame(
+            [
+                ("q1_small", 0.0, 10.0),
+                ("q2_mid", 10.0, 20.0),
+                ("q3_large", 20.0, 35.0),
+                ("q4_bulk", 35.0, 51.0),
+            ],
+            columns=["band", "lo", "hi"],
+        )
     ).repartition(1)
     joined = range_join_binned(li, bands, "l_quantity", "lo", "hi", bin_width=5.0)
     return (

@@ -414,3 +414,43 @@ def test_grouped_topk_salted_matches_window_on_skew(spark):
         .collect()
     }
     assert got == want and len(want) == 50
+
+
+class TestJwtDecode:
+    def test_claim_from_externally_minted_token(self, spark):
+        """Interop beyond self-roundtrip: decode the canonical example
+        JWT (jwt.io / RFC 7519 tutorial token, HS256) — minted by a
+        THIRD-PARTY encoder, exercising base64url re-padding."""
+        from data_integration_pipelines_spark.functions.text import jwt_claim
+
+        token = (
+            "eyJhbGciOiJIUzI1NiIsInR5cCI6IkpXVCJ9."
+            "eyJzdWIiOiIxMjM0NTY3ODkwIiwibmFtZSI6IkpvaG4gRG9lIiwiaWF0IjoxNTE2MjM5MDIyfQ."
+            "SflKxwRJSMeKKF2QT4fwpMeJf36POk6yJV_adQssw5c"
+        )
+        df = spark.createDataFrame([(token,)], ["token"]).repartition(1)
+        row = df.select(
+            jwt_claim(F.col("token"), "name").alias("name"),
+            jwt_claim(F.col("token"), "sub").alias("sub"),
+            jwt_claim(F.col("token"), "iat").alias("iat"),
+            jwt_claim(F.col("token"), "missing").alias("missing"),
+        ).collect()[0]
+        assert row["name"] == "John Doe"
+        assert row["sub"] == "1234567890"
+        assert row["iat"] == "1516239022"
+        assert row["missing"] is None
+
+    def test_base64url_roundtrip_padding_lengths(self, spark):
+        """Inputs whose b64 needs 0/1/2 padding chars all round-trip."""
+        from data_integration_pipelines_spark.functions.text import (
+            base64url_decode,
+            base64url_encode,
+        )
+
+        vals = ["abc", "abcd", "abcde", "", "q", '{"x":"~~?>"}']
+        df = spark.createDataFrame([(v,) for v in vals], ["s"]).repartition(1)
+        got = df.select(
+            "s", base64url_decode(base64url_encode(F.col("s"))).cast("string").alias("back")
+        ).collect()
+        for r in got:
+            assert r["back"] == r["s"]

@@ -45,6 +45,7 @@ _NEVER_DRIVER_VERIFIED = {
     "cube_census",
     "quantile_bins",
     "tfidf_top_terms",
+    "mixture_temperature",  # new in r3: no driver row yet by construction
     "weighted_sample",
     "skyline_docs",
     "repetition_score",
@@ -57,6 +58,7 @@ _NEVER_DRIVER_VERIFIED = {
     "audio_features",
     "image_decode_features",
     "png_decode_features",  # new in r3: no driver row yet by construction
+    "jwt_decode",  # new in r3: no driver row yet by construction
     "part_of_expansion",
     "two_hop_follow",
     "two_hop_follow_bucketed",
