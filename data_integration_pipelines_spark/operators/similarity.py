@@ -694,3 +694,27 @@ def embedding_near_dup_pairs(
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
+
+
+def quantize_int8(
+    df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id"
+) -> DataFrame:
+    """Scalar int8 quantization per vector (max-abs symmetric): scale =
+    127 / max|x|, code_p = floor(x_p * scale + 0.5). Pure higher-order
+    Column exprs — JVM-side, no Python, no shuffle. The storage scale
+    path for ANN: 4x smaller vectors (float32 -> int8 + one scale),
+    dot products computable in integer space with one final rescale.
+    floor(x+0.5) is used instead of round() so both engines (and any
+    partitioning) quantize the identical double identically."""
+    vals = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    m = F.array_max(F.transform(vals, F.abs))
+    scale = F.when(m > 0, F.lit(127.0) / m).otherwise(F.lit(0.0))
+    codes = F.transform(
+        vals, lambda x: F.floor(x * scale + F.lit(0.5)).cast("int")
+    )
+    return df.select(
+        F.col(id_col),
+        scale.alias("scale"),
+        codes.alias("codes"),
+        vals.alias("vals"),
+    )

@@ -36,6 +36,7 @@ _RISK_ORDER = [
     "embedding_near_dup",
     "embedding_near_dup_multiprobe",
     "embedding_dup_clusters",
+    "int8_quantize",
     # morphology / voxel kernels (applyInPandas walks, binary parsers)
     "morphology_battery",
     "asc_morphology_battery",
@@ -63,6 +64,7 @@ _RISK_ORDER = [
     "quantile_bins",
     # curation additions beyond the round-1 set
     "tfidf_top_terms",
+    "bm25_search",
     "mixture_temperature",
     "weighted_sample",
     "skyline_docs",

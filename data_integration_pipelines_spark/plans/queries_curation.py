@@ -854,44 +854,34 @@ def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(never hinted: source cardinality is corpus-derived).",
 )
 def mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _docs(spark, sf_dir)
-    stats = docs.groupBy("source").agg(
-        F.count("*").alias("n"),
-        F.floor(F.sqrt(F.count("*").cast("double")) * 1048576)
-        .cast("bigint")
-        .alias("q"),
-    )
-    tot = stats.agg(
-        F.sum("n").cast("bigint").alias("total"),
-        F.sum("q").cast("bigint").alias("zq"),
-    )
-    thr = stats.crossJoin(tot).select(
-        "source",
-        "n",
-        F.floor(
-            (F.col("total").cast("double") * F.col("q"))
-            / (F.col("zq").cast("double") * F.col("n"))
-            * F.lit(0.25)
-            * F.lit(4294967296.0)
+    # scalar subquery for the cross-source totals (the quantile_bins
+    # pattern, plans/queries_window.py): its 1-row result substitutes
+    # into the plan as literals — a crossJoin against the aggregate
+    # would plan a BroadcastNestedLoopJoin, which the plan gate forbids
+    _docs(spark, sf_dir).createOrReplaceTempView("documents_mt")
+    return spark.sql(
+        """
+        WITH stats AS (
+            SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(FLOOR(sqrt(CAST(COUNT(*) AS DOUBLE)) * 1048576) AS BIGINT) AS q
+            FROM documents_mt GROUP BY source
+        ),
+        thr AS (
+            SELECT source, n,
+                   CAST(FLOOR(((CAST((SELECT SUM(n) FROM stats) AS DOUBLE) * q)
+                               / (CAST((SELECT SUM(q) FROM stats) AS DOUBLE) * n))
+                              * 0.25 * 4294967296.0) AS BIGINT) AS thr
+            FROM stats
         )
-        .cast("bigint")
-        .alias("thr"),
-    )
-    h = (
-        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
-        .cast("bigint")
-    )
-    kept = h < F.col("thr")
-    return (
-        docs.join(thr, "source")
-        .groupBy(docs.source)
-        .agg(
-            F.count("*").alias("n_docs"),
-            F.max("thr").alias("thr"),
-            F.sum(F.when(kept, 1).otherwise(0)).cast("bigint").alias("n_kept"),
-            F.sum(F.when(kept, F.col("n_chars")).otherwise(0))
-            .cast("bigint")
-            .alias("chars_kept"),
-        )
-        .orderBy("source")
+        SELECT d.source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               MAX(t.thr) AS thr,
+               CAST(SUM(CASE WHEN CAST(conv(substr(md5(CAST(d.doc_id AS STRING)), 1, 8), 16, 10) AS BIGINT) < t.thr
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+               CAST(SUM(CASE WHEN CAST(conv(substr(md5(CAST(d.doc_id AS STRING)), 1, 8), 16, 10) AS BIGINT) < t.thr
+                             THEN d.n_chars ELSE 0 END) AS BIGINT) AS chars_kept
+        FROM documents_mt d JOIN thr t ON d.source = t.source
+        GROUP BY d.source
+        ORDER BY d.source
+        """
     )

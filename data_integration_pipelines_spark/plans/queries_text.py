@@ -433,3 +433,103 @@ def char_ngram_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("sparkish")
     )
     return scored.withColumn("predicted", predicted).orderBy("doc_id")
+
+
+@register(
+    "bm25_search",
+    r"""
+    WITH toks AS (
+        SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok,
+               len(regexp_split_to_array(trim(text), '\s+')) AS dl
+        FROM documents
+    ),
+    n_avg AS (
+        SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+               SUM(len(regexp_split_to_array(trim(text), '\s+'))) / CAST(COUNT(*) AS DOUBLE) AS avgdl
+        FROM documents
+    ),
+    tf AS (
+        SELECT doc_id, tok, CAST(COUNT(*) AS DOUBLE) AS tf, MAX(dl) AS dl
+        FROM toks WHERE tok IN ('window', 'hash', 'stream')
+        GROUP BY doc_id, tok
+    ),
+    df AS (
+        SELECT tok, CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS df
+        FROM toks WHERE tok IN ('window', 'hash', 'stream')
+        GROUP BY tok
+    ),
+    contrib AS (
+        SELECT tf.doc_id,
+               CAST(FLOOR(
+                   ln(1.0 + (n_avg.n - df.df + 0.5) / (df.df + 0.5))
+                   * ((tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * (tf.dl / n_avg.avgdl))))
+                   * 1000000.0 + 0.5) AS BIGINT) AS c
+        FROM tf JOIN df ON tf.tok = df.tok, n_avg
+    )
+    SELECT doc_id, CAST(SUM(c) AS BIGINT) AS score_micro,
+           CAST(COUNT(*) AS BIGINT) AS n_terms_hit
+    FROM contrib
+    GROUP BY doc_id
+    ORDER BY score_micro DESC, doc_id
+    LIMIT 25
+    """,
+    doc="BM25 ranked retrieval (k1=1.2, b=0.75) for the query terms "
+    "{window, hash, stream}: explode->tf, tiny per-term df table "
+    "(query-derived, broadcastable), scalar avgdl, per-term "
+    "contributions quantized to integer micro-units BEFORE the per-doc "
+    "sum so scores are order-independent and engine-exact. The inverted-"
+    "index shape: at 100 TB the tf table IS the posting list, "
+    "partitioned by term; per-query work touches only the query terms' "
+    "postings. Extends the engine's text-retrieval side (tfidf_top_terms "
+    "is the corpus-stats twin).",
+)
+def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    terms = ["window", "hash", "stream"]
+    toks = docs.select(
+        "doc_id",
+        F.size(ws_tokens(F.col("text"))).alias("dl"),
+        F.explode(ws_tokens(F.col("text"))).alias("tok"),
+    )
+    hits = toks.filter(F.col("tok").isin(terms))
+    tf = hits.groupBy("doc_id", "tok").agg(
+        F.count("*").cast("double").alias("tf"), F.max("dl").alias("dl")
+    )
+    df_t = hits.groupBy("tok").agg(
+        F.countDistinct("doc_id").cast("double").alias("df")
+    )
+    # corpus size / mean length as scalar subqueries (the quantile_bins
+    # pattern): 1-row results substitute as literals, no join node — a
+    # crossJoin against the aggregate would plan the
+    # BroadcastNestedLoopJoin the plan gate forbids
+    docs.select(
+        F.count("*").cast("double").alias("n"),
+        (F.sum(F.size(ws_tokens(F.col("text")))) / F.count("*")).alias("avgdl"),
+    ).createOrReplaceTempView("bm25_scalars")
+    n = F.expr("(SELECT n FROM bm25_scalars)")
+    avgdl = F.expr("(SELECT avgdl FROM bm25_scalars)")
+    # df_t is one row per QUERY term (bounded by the query, not the
+    # corpus) -> broadcast is safe by construction
+    contrib = tf.join(F.broadcast(df_t), "tok").select(
+        "doc_id",
+        F.floor(
+            F.log(1.0 + (n - F.col("df") + 0.5) / (F.col("df") + 0.5))
+            * (
+                (F.col("tf") * 2.2)
+                / (F.col("tf") + 1.2 * (0.25 + 0.75 * (F.col("dl") / avgdl)))
+            )
+            * 1000000.0
+            + 0.5
+        )
+        .cast("bigint")
+        .alias("c"),
+    )
+    return (
+        contrib.groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("bigint").alias("score_micro"),
+            F.count("*").cast("bigint").alias("n_terms_hit"),
+        )
+        .orderBy(F.col("score_micro").desc(), "doc_id")
+        .limit(25)
+    )

@@ -419,3 +419,79 @@ def ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_topk(emb, queries, cb, k=5, rerank=50, exact_dist=True).orderBy(
         "query_id", "rank"
     )
+
+
+@register(
+    "int8_quantize",
+    f"""
+    WITH {_LONG_CTE},
+    mx AS (SELECT vec_id, MAX(ABS(val)) AS m FROM long GROUP BY vec_id),
+    sc AS (SELECT vec_id, CASE WHEN m > 0 THEN 127.0 / m ELSE 0.0 END AS scale FROM mx),
+    c AS (
+        SELECT l.vec_id, l.pos, l.val, sc.scale,
+               CAST(FLOOR(l.val * sc.scale + 0.5) AS BIGINT) AS code
+        FROM long l JOIN sc ON l.vec_id = sc.vec_id
+    )
+    SELECT vec_id,
+           CAST(FLOOR(scale * 1000000 + 0.5) AS BIGINT) AS scale_micro,
+           CAST(SUM(code * pos) AS BIGINT) AS code_moment,
+           CAST(SUM(CASE WHEN ABS(code) >= 127 THEN 1 ELSE 0 END) AS BIGINT) AS n_saturated,
+           CAST(SUM(CASE WHEN scale > 0
+                         THEN CAST(FLOOR((val - code / scale) * (val - code / scale) * 1000000000 + 0.5) AS BIGINT)
+                         ELSE 0 END) AS BIGINT) AS mse_nano
+    FROM c
+    GROUP BY vec_id, scale
+    ORDER BY vec_id
+    """,
+    doc="int8 scalar quantization of the embedding column (symmetric "
+    "max-abs, operators/similarity.quantize_int8 — pure JVM higher-order "
+    "exprs, zero Python, zero shuffle beyond the per-vector report agg): "
+    "per-vector scale, a position-weighted code checksum, saturation "
+    "count, and reconstruction MSE quantized to integer nano-units "
+    "before summing (order-independent, engine-exact). The 4x-storage "
+    "scale path for the ANN suite: codes + one scale replace float32.",
+)
+def int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import quantize_int8
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = quantize_int8(emb)
+    # long-form report mirroring the oracle: posexplode is 0-based ->
+    # pos+1 matches generate_subscripts
+    long = q.select(
+        "vec_id",
+        "scale",
+        F.posexplode(F.arrays_zip("codes", "vals")).alias("p0", "cv"),
+    ).select(
+        "vec_id",
+        "scale",
+        (F.col("p0") + 1).alias("pos"),
+        F.col("cv.codes").cast("bigint").alias("code"),
+        F.col("cv.vals").alias("val"),
+    )
+    err = F.col("val") - F.col("code") / F.col("scale")
+    return (
+        long.groupBy("vec_id", "scale")
+        .agg(
+            F.sum(F.col("code") * F.col("pos")).cast("bigint").alias("code_moment"),
+            F.sum(F.when(F.abs("code") >= 127, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_saturated"),
+            F.sum(
+                F.when(
+                    F.col("scale") > 0,
+                    F.floor(err * err * 1e9 + F.lit(0.5)).cast("bigint"),
+                ).otherwise(F.lit(0))
+            )
+            .cast("bigint")
+            .alias("mse_nano"),
+        )
+        .select(
+            "vec_id",
+            F.floor(F.col("scale") * 1e6 + F.lit(0.5)).cast("bigint").alias("scale_micro"),
+            "code_moment",
+            "n_saturated",
+            "mse_nano",
+        )
+        .orderBy("vec_id")
+    )

@@ -485,3 +485,31 @@ class TestProductQuantization:
         assert len(row.codes) == 8
         assert all(0 <= c < 16 for c in row.codes)
         assert codes.count() == emb.count()
+
+
+class TestInt8Quantize:
+    def test_codes_scale_and_reconstruction(self, spark):
+        import numpy as np
+
+        from data_integration_pipelines_spark.operators.similarity import (
+            quantize_int8,
+        )
+
+        vecs = [
+            (0, [1.0, -0.5, 0.25, 0.0]),
+            (1, [0.0, 0.0, 0.0, 0.0]),  # zero vector: scale 0, codes 0
+            (2, [-2.0, 2.0, 1.0, -1.0]),
+        ]
+        df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+        got = {r["vec_id"]: r for r in quantize_int8(df).collect()}
+        # max-abs element always saturates to exactly +/-127
+        assert got[0]["codes"][0] == 127 and got[0]["scale"] == 127.0
+        assert got[0]["codes"][1] == -63  # floor(-0.5*127+0.5) = -63
+        assert got[1]["scale"] == 0.0 and got[1]["codes"] == [0, 0, 0, 0]
+        assert got[2]["codes"] == [-127, 127, 64, -63]
+        # reconstruction error bounded by half a quantization step
+        for vid in (0, 2):
+            r = got[vid]
+            step = 1.0 / r["scale"]
+            recon = np.array(r["codes"]) / r["scale"]
+            assert np.max(np.abs(recon - np.array(r["vals"]))) <= step / 2 + 1e-12

@@ -21,6 +21,7 @@ _NEVER_DRIVER_VERIFIED = {
     "embedding_near_dup",
     "embedding_near_dup_multiprobe",
     "embedding_dup_clusters",
+    "int8_quantize",  # new in r3: no driver row yet by construction
     "morphology_battery",
     "asc_morphology_battery",
     "h5_morphology_battery",  # new in r3: no driver row yet by construction
@@ -45,6 +46,7 @@ _NEVER_DRIVER_VERIFIED = {
     "cube_census",
     "quantile_bins",
     "tfidf_top_terms",
+    "bm25_search",  # new in r3: no driver row yet by construction
     "mixture_temperature",  # new in r3: no driver row yet by construction
     "weighted_sample",
     "skyline_docs",
