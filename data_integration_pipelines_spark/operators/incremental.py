@@ -1,0 +1,69 @@
+"""Incremental aggregate maintenance: mergeable partial aggregates.
+
+The batch-recompute model (the reference recomputes every report from a
+full scan each run) stops working when the base table is 100 TB and a
+day adds 0.1%. The standard fix is keeping a per-group STATE table of
+mergeable partials — count, sum, min, max are all associative — and
+folding each new batch in with one groupBy + one full-outer merge:
+cost proportional to the BATCH, not the corpus. Finalizing (avg =
+sum/count) happens only at read time.
+
+The merge is expressed as union + groupBy rather than a join: a single
+hash aggregation over (state ∪ partial(batch)), which AQE sizes by the
+batch side. State stays partitioned by the group key, so repeated
+folds reuse the same partitioning (bucket the state table on the key
+at real scale and the shuffle disappears — ``sources/bucketing``).
+
+Differential correctness: folding any split of the data batch-by-batch
+must equal the one-shot aggregate — that is what the
+``incremental_agg`` query's oracle certifies.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+STATE_COLS = ("cnt", "total", "mn", "mx")
+
+
+def partial_state(
+    df: DataFrame, keys: Sequence[str], value_col: str
+) -> DataFrame:
+    """One batch -> per-group mergeable partials."""
+    return df.groupBy(*keys).agg(
+        F.count(value_col).alias("cnt"),
+        F.sum(value_col).alias("total"),
+        F.min(value_col).alias("mn"),
+        F.max(value_col).alias("mx"),
+    )
+
+
+def merge_states(state: DataFrame | None, batch_state: DataFrame, keys: Sequence[str]) -> DataFrame:
+    """Fold a batch's partials into the running state (associative
+    merge; state=None bootstraps). union + one hash agg — no join."""
+    if state is None:
+        return batch_state
+    both = state.select(*keys, *STATE_COLS).unionByName(
+        batch_state.select(*keys, *STATE_COLS)
+    )
+    return both.groupBy(*keys).agg(
+        F.sum("cnt").alias("cnt"),
+        F.sum("total").alias("total"),
+        F.min("mn").alias("mn"),
+        F.max("mx").alias("mx"),
+    )
+
+
+def finalize(state: DataFrame, keys: Sequence[str]) -> DataFrame:
+    """Read-time finalization: derived aggregates from the partials."""
+    return state.select(
+        *keys,
+        F.col("cnt"),
+        F.col("total"),
+        F.col("mn"),
+        F.col("mx"),
+        (F.col("total") / F.col("cnt")).alias("avg"),
+    )

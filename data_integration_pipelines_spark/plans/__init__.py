@@ -72,6 +72,7 @@ _RISK_ORDER = [
     "quality_rule_battery",
     "chunk_documents",
     "curation_funnel",
+    "incremental_agg",
     # multimodal plumbing
     "multimodal_meta",
     "frame_sample",

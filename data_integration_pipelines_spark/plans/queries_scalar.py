@@ -374,3 +374,47 @@ def jwt_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("c_custkey", "token", jwt_claim(F.col("token"), "preferred_username").alias("username"))
         .orderBy("c_custkey")
     )
+
+
+@register(
+    "incremental_agg",
+    """
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS cnt,
+           CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS total_cents,
+           CAST(MIN(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS mn,
+           CAST(MAX(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS mx
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    doc="Incremental aggregate maintenance (operators/incremental.py): "
+    "orders split into 3 disjoint batches, each folded into a running "
+    "per-priority state of mergeable partials (count/sum/min/max over "
+    "integer cents — exact, order-independent), finalized at read time. "
+    "The oracle is the ONE-SHOT aggregate over the full table, so the "
+    "differential check certifies fold-in == recompute for any split — "
+    "the invariant that lets a 100 TB pipeline pay per-batch cost "
+    "instead of per-corpus cost.",
+)
+def incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.incremental import merge_states, partial_state
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("bigint")
+        .alias("cents"),
+    )
+    keys = ["o_orderpriority"]
+    state = None
+    for i in range(3):
+        batch = orders.filter(F.pmod(F.col("cents"), F.lit(3)) == F.lit(i))
+        state = merge_states(state, partial_state(batch, keys, "cents"), keys)
+    return state.select(
+        "o_orderpriority",
+        F.col("cnt").cast("bigint").alias("cnt"),
+        F.col("total").cast("bigint").alias("total_cents"),
+        F.col("mn").cast("bigint").alias("mn"),
+        F.col("mx").cast("bigint").alias("mx"),
+    ).orderBy("o_orderpriority")

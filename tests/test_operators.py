@@ -454,3 +454,53 @@ class TestJwtDecode:
         ).collect()
         for r in got:
             assert r["back"] == r["s"]
+
+
+class TestIncrementalAgg:
+    def test_any_split_folds_to_one_shot(self, spark):
+        """Folding batches in ANY split/order equals the one-shot
+        aggregate — the associativity invariant incremental pipelines
+        rely on."""
+        import random
+
+        from data_integration_pipelines_spark.operators.incremental import (
+            finalize,
+            merge_states,
+            partial_state,
+        )
+
+        rng = random.Random(3)
+        rows = [(rng.choice("abc"), rng.randint(-50, 100)) for _ in range(300)]
+        df = spark.createDataFrame(rows, "k string, v long")
+        one_shot = {
+            r["k"]: (r["cnt"], r["total"], r["mn"], r["mx"])
+            for r in partial_state(df, ["k"], "v").collect()
+        }
+        # three random disjoint batches, folded sequentially
+        tagged = [(k, v, rng.randint(0, 2)) for (k, v) in rows]
+        state = None
+        for b in (2, 0, 1):  # deliberately out of order
+            batch = spark.createDataFrame(
+                [(k, v) for k, v, t in tagged if t == b], "k string, v long"
+            )
+            state = merge_states(state, partial_state(batch, ["k"], "v"), ["k"])
+        got = {
+            r["k"]: (r["cnt"], r["total"], r["mn"], r["mx"])
+            for r in state.collect()
+        }
+        assert got == one_shot
+        fin = {r["k"]: r["avg"] for r in finalize(state, ["k"]).collect()}
+        for k, (cnt, total, _, _) in one_shot.items():
+            assert fin[k] == total / cnt
+
+    def test_empty_batch_is_identity(self, spark):
+        from data_integration_pipelines_spark.operators.incremental import (
+            merge_states,
+            partial_state,
+        )
+
+        df = spark.createDataFrame([("a", 1), ("b", 2)], "k string, v long")
+        empty = spark.createDataFrame([], "k string, v long")
+        s1 = partial_state(df, ["k"], "v")
+        merged = merge_states(s1, partial_state(empty, ["k"], "v"), ["k"])
+        assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, s1.collect()))

@@ -54,6 +54,7 @@ _NEVER_DRIVER_VERIFIED = {
     "quality_rule_battery",
     "chunk_documents",
     "curation_funnel",
+    "incremental_agg",  # new in r3: no driver row yet by construction
     "multimodal_meta",
     "frame_sample",
     "image_resize",
