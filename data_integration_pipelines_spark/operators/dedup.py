@@ -42,6 +42,25 @@ def relative_doc_freq_cap(n_docs: int, fraction: float = 0.01, floor: int = 64) 
     return max(floor, int(n_docs * fraction))
 
 
+def relative_doc_freq_cap_expr(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    fraction: float = 0.01,
+    floor: int = 64,
+):
+    """Lazy twin of ``relative_doc_freq_cap``: the corpus count folds in
+    as a SCALAR SUBQUERY instead of an eager ``docs.count()`` at
+    plan-construction time — no extra Spark job per invocation, and at
+    100 TB no full scan before the query even starts (Catalyst runs the
+    subquery once alongside the main plan). Pass the result as
+    ``max_doc_freq`` — the cap filter accepts int or Column."""
+    docs.select(id_col).createOrReplaceTempView("__dfcap_docs")
+    return F.expr(
+        f"greatest(CAST({floor} AS BIGINT), "
+        f"CAST((SELECT COUNT(*) FROM __dfcap_docs) * {fraction} AS BIGINT))"
+    )
+
+
 def spread(df: DataFrame) -> DataFrame:
     """Repartition up to cluster parallelism when the scan produced fewer
     partitions (single-row-group parquet files are unsplittable, so a

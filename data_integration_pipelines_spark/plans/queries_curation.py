@@ -19,7 +19,7 @@ from ..functions.text import bpe_token_count, word_shingles, ws_tokens
 from ..operators.dedup import (
     connected_components,
     jaccard_pairs,
-    relative_doc_freq_cap,
+    relative_doc_freq_cap_expr,
 )
 from .base import register
 
@@ -81,7 +81,7 @@ def dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     pairs = jaccard_pairs(
         docs, "text", "doc_id", n=3, threshold=0.5,
-        max_doc_freq=relative_doc_freq_cap(docs.count()),
+        max_doc_freq=relative_doc_freq_cap_expr(docs),
     )
     cc = connected_components(pairs, "id_a", "id_b")
     return (
@@ -289,7 +289,7 @@ def dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     pairs = jaccard_pairs(
         docs, "text", "doc_id", n=3, threshold=0.5,
-        max_doc_freq=relative_doc_freq_cap(docs.count()),
+        max_doc_freq=relative_doc_freq_cap_expr(docs),
     )
     cc = connected_components(pairs, "id_a", "id_b")
     losers = cc.filter(F.col("id") != F.col("cluster_id")).select(
@@ -692,7 +692,7 @@ def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     pairs = jaccard_pairs(
         docs, "text", "doc_id", n=3, threshold=0.5,
-        max_doc_freq=relative_doc_freq_cap(docs.count()),
+        max_doc_freq=relative_doc_freq_cap_expr(docs),
     )
     cc = connected_components(pairs, "id_a", "id_b")
     losers = cc.filter(F.col("id") != F.col("cluster_id")).select(
