@@ -180,3 +180,41 @@ def test_asof_join_matches_naive_on_random_data(spark):
             assert got[lid] == (None, None), lid
         else:
             assert got[lid] == (want[1], want[0]), lid
+
+
+@settings(max_examples=12, deadline=None, derandomize=True)
+@given(
+    st.lists(
+        st.lists(st.sampled_from("ab cd ef gh ij".split()), min_size=0, max_size=12),
+        min_size=0,
+        max_size=14,
+    )
+)
+def test_jaccard_pairs_match_python_bruteforce(spark, docs):
+    """jaccard_pairs (prefix-filtered, inline-verified) must equal the
+    brute-force all-pairs 3-gram Jaccard on arbitrary tiny corpora —
+    including empty docs, docs shorter than n, and identical docs."""
+    from data_integration_pipelines_spark.operators.dedup import jaccard_pairs
+
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string").repartition(2)
+    got = {
+        (r.id_a, r.id_b): round(r.jaccard, 9)
+        for r in jaccard_pairs(df, "text", "doc_id", n=3, threshold=0.5).collect()
+    }
+
+    def shingles(toks):
+        return {
+            " ".join(toks[i : i + 3]) for i in range(len(toks) - 2)
+        } if len(toks) >= 3 else set()
+
+    want = {}
+    for i, a in enumerate(docs):
+        for j in range(i + 1, len(docs)):
+            sa, sb = shingles(a), shingles(docs[j])
+            if not sa or not sb:
+                continue
+            jac = len(sa & sb) / len(sa | sb)
+            if jac >= 0.5:
+                want[(i, j)] = round(jac, 9)
+    assert got == want

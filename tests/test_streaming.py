@@ -4,6 +4,7 @@ engine's extension beyond the batch-only reference — SURVEY §2.10)."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from data_integration_pipelines_spark.catalog import load_table
@@ -258,3 +259,52 @@ def test_stream_stream_attribution_matches_batch(spark, sf_small):
     assert len(batch) > 0
     # every pair respects the horizon
     assert all(0 <= us <= 3_600_000_000 for *_, us in batch)
+
+
+@pytest.mark.realdeps
+def test_transform_with_state_matches_v1_and_batch(spark, sf_small, tmp_path):
+    """Spark 4 transformWithStateInPandas (RocksDB state) must produce
+    the same final per-user totals as the applyInPandasWithState
+    operator and the plain batch aggregate. The API's driver worker
+    speaks protobuf to the state server — skip where protobuf is
+    absent (the v1 operator test above runs everywhere)."""
+    pytest.importorskip("google.protobuf")
+    from pyspark.sql import functions as F
+
+    from data_integration_pipelines_spark.streaming.events import read_events_stream
+    from data_integration_pipelines_spark.streaming.state_v2 import (
+        enable_rocksdb_state,
+        running_user_totals_v2,
+    )
+
+    events = load_table(spark, sf_small, "events")
+    expected = {
+        r.user_id: (r.n, round(r.total, 6))
+        for r in events.groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("total"))
+        .collect()
+    }
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", "")
+    enable_rocksdb_state(spark)
+    try:
+        q = (
+            running_user_totals_v2(read_events_stream(spark, sf_small))
+            .writeStream.format("memory")
+            .queryName("user_totals_v2")
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / "ckpt_v2"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if prev:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+        else:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    rows = spark.table("user_totals_v2").toPandas()
+    final = {
+        int(r.user_id): (int(r.n_events), round(float(r.total_value), 6))
+        for r in rows.groupby("user_id").tail(1).itertuples()
+    }
+    assert final == expected
