@@ -36,6 +36,10 @@ Z_JUMP_THRESHOLD = 10.0  # um, jump relative to parent
 ROOT_JUMP_THRESHOLD = 10.0  # um, neurite root distance from soma attachment
 NARROW_START_FRAC = 0.9  # ref validator.py:196-207
 FAT_END_FACTOR = 1.5
+# radical diameter change between consecutive points: child radius
+# jumping past FACTOR x (or below 1/FACTOR x) the parent radius
+# (ref custom_validation.py radical diameter changes)
+RADICAL_DIAMETER_FACTOR = 2.0
 HETERO_PATH_UM = 40.0  # ref custom_validation.py:11-29
 
 
@@ -136,6 +140,28 @@ def morphology_flags(points: DataFrame) -> DataFrame:
                 1,
             ).otherwise(0)
         ).alias("n_narrow_starts"),
+        # neurite stems (ref custom_validation.py #axons / #dendritic
+        # trees): segments leaving the soma, counted by child type
+        F.sum(
+            F.when((F.col("ptype") == SOMA) & (F.col("type") == AXON), 1).otherwise(0)
+        ).alias("n_axon_trees"),
+        F.sum(
+            F.when(
+                (F.col("ptype") == SOMA) & F.col("type").isin(BASAL, APICAL), 1
+            ).otherwise(0)
+        ).alias("n_dendritic_trees"),
+        # radical diameter change along a segment (both ends non-soma)
+        F.sum(
+            F.when(
+                (F.col("type") != SOMA)
+                & (F.col("ptype") != SOMA)
+                & (
+                    (F.col("radius") >= RADICAL_DIAMETER_FACTOR * F.col("pradius"))
+                    | (F.col("radius") * RADICAL_DIAMETER_FACTOR <= F.col("pradius"))
+                ),
+                1,
+            ).otherwise(0)
+        ).alias("n_radical_diameter_changes"),
         # order-independent total: quantize each segment to 1e-4 units
         # and sum EXACT integers. Float SUM is order-dependent (partition
         # count, merge order), so round(sum(double)) can flip a .xx5
@@ -198,6 +224,9 @@ def morphology_flags(points: DataFrame) -> DataFrame:
                 "n_narrow_starts",
                 "n_multifurcations",
                 "n_fat_ends",
+                "n_axon_trees",
+                "n_dendritic_trees",
+                "n_radical_diameter_changes",
             ],
         )
     )

@@ -89,7 +89,7 @@ def synth_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH {_SYNTH_SQL},
     segs AS (
         SELECT c.file, c.n, c.type, c.radius, c.z,
-               p.type AS ptype, p.z AS pz,
+               p.type AS ptype, p.z AS pz, p.radius AS pradius,
                SQRT((c.x - p.x)*(c.x - p.x) + (c.y - p.y)*(c.y - p.y) + (c.z - p.z)*(c.z - p.z)) AS seg_len
         FROM pts c JOIN pts p ON c.file = p.file AND c.parent = p.n
     ),
@@ -107,13 +107,19 @@ def synth_points(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT file,
                CAST(SUM(CASE WHEN seg_len <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero_len_segments,
                CAST(SUM(CASE WHEN type <> 1 AND ABS(z - pz) > 10.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_z_jumps,
+               CAST(SUM(CASE WHEN ptype = 1 AND type = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_axon_trees,
+               CAST(SUM(CASE WHEN ptype = 1 AND type IN (3, 4) THEN 1 ELSE 0 END) AS BIGINT) AS n_dendritic_trees,
+               CAST(SUM(CASE WHEN type <> 1 AND ptype <> 1
+                             AND (radius >= 2.0 * pradius OR radius * 2.0 <= pradius)
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_radical_diameter_changes,
                ((CAST(SUM(CAST(FLOOR(seg_len * 10000 + 0.5) AS BIGINT)) AS BIGINT) + 50) // 100) / 100.0 AS total_length,
                ROUND(MAX(seg_len), 4) AS max_seg_len
         FROM segs GROUP BY file
     )
     SELECT p.file, n_points, n_roots, n_zero_radius, n_distinct_radii,
            has_axon, has_basal_dendrite,
-           n_zero_len_segments, n_z_jumps, total_length, max_seg_len
+           n_zero_len_segments, n_z_jumps, n_axon_trees, n_dendritic_trees,
+           n_radical_diameter_changes, total_length, max_seg_len
     FROM per_point p JOIN per_seg s ON p.file = s.file
     ORDER BY p.file
     """,
@@ -134,6 +140,11 @@ def morphology_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         "has_basal_dendrite",
         F.col("n_zero_len_segments").cast("bigint").alias("n_zero_len_segments"),
         F.col("n_z_jumps").cast("bigint").alias("n_z_jumps"),
+        F.col("n_axon_trees").cast("bigint").alias("n_axon_trees"),
+        F.col("n_dendritic_trees").cast("bigint").alias("n_dendritic_trees"),
+        F.col("n_radical_diameter_changes")
+        .cast("bigint")
+        .alias("n_radical_diameter_changes"),
         # round-to-2 in exact integer space (mirrors the oracle's
         # (e4 + 50) // 100: same integers -> same double on both engines)
         (F.expr("(total_length_e4 + 50) div 100") / F.lit(100.0)).alias(
@@ -221,7 +232,7 @@ _ASC_EXPECTED_POINTS = """
     WITH {_ASC_EXPECTED_POINTS},
     segs AS (
         SELECT c.file, c.n, c.type, c.radius, c.z,
-               p.type AS ptype, p.z AS pz,
+               p.type AS ptype, p.z AS pz, p.radius AS pradius,
                SQRT((c.x - p.x)*(c.x - p.x) + (c.y - p.y)*(c.y - p.y) + (c.z - p.z)*(c.z - p.z)) AS seg_len
         FROM pts c JOIN pts p ON c.file = p.file AND c.parent = p.n
     ),
@@ -239,13 +250,19 @@ _ASC_EXPECTED_POINTS = """
         SELECT file,
                CAST(SUM(CASE WHEN seg_len <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero_len_segments,
                CAST(SUM(CASE WHEN type <> 1 AND ABS(z - pz) > 10.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_z_jumps,
+               CAST(SUM(CASE WHEN ptype = 1 AND type = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_axon_trees,
+               CAST(SUM(CASE WHEN ptype = 1 AND type IN (3, 4) THEN 1 ELSE 0 END) AS BIGINT) AS n_dendritic_trees,
+               CAST(SUM(CASE WHEN type <> 1 AND ptype <> 1
+                             AND (radius >= 2.0 * pradius OR radius * 2.0 <= pradius)
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_radical_diameter_changes,
                ((CAST(SUM(CAST(FLOOR(seg_len * 10000 + 0.5) AS BIGINT)) AS BIGINT) + 50) // 100) / 100.0 AS total_length,
                ROUND(MAX(seg_len), 4) AS max_seg_len
         FROM segs GROUP BY file
     )
     SELECT p.file, n_points, n_roots, n_zero_radius, n_distinct_radii,
            has_axon, has_basal_dendrite,
-           n_zero_len_segments, n_z_jumps, total_length, max_seg_len
+           n_zero_len_segments, n_z_jumps, n_axon_trees, n_dendritic_trees,
+           n_radical_diameter_changes, total_length, max_seg_len
     FROM per_point p JOIN per_seg s ON p.file = s.file
     ORDER BY p.file
     """,
@@ -285,6 +302,11 @@ def asc_morphology_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         "has_basal_dendrite",
         F.col("n_zero_len_segments").cast("bigint").alias("n_zero_len_segments"),
         F.col("n_z_jumps").cast("bigint").alias("n_z_jumps"),
+        F.col("n_axon_trees").cast("bigint").alias("n_axon_trees"),
+        F.col("n_dendritic_trees").cast("bigint").alias("n_dendritic_trees"),
+        F.col("n_radical_diameter_changes")
+        .cast("bigint")
+        .alias("n_radical_diameter_changes"),
         # round-to-2 in exact integer space (mirrors the oracle's
         # (e4 + 50) // 100: same integers -> same double on both engines)
         (F.expr("(total_length_e4 + 50) div 100") / F.lit(100.0)).alias(
@@ -343,7 +365,7 @@ _H5_EXPECTED_POINTS = """
     WITH {_H5_EXPECTED_POINTS},
     segs AS (
         SELECT c.file, c.n, c.type, c.radius, c.z,
-               p.type AS ptype, p.z AS pz,
+               p.type AS ptype, p.z AS pz, p.radius AS pradius,
                SQRT((c.x - p.x)*(c.x - p.x) + (c.y - p.y)*(c.y - p.y) + (c.z - p.z)*(c.z - p.z)) AS seg_len
         FROM pts c JOIN pts p ON c.file = p.file AND c.parent = p.n
     ),
@@ -361,13 +383,19 @@ _H5_EXPECTED_POINTS = """
         SELECT file,
                CAST(SUM(CASE WHEN seg_len <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero_len_segments,
                CAST(SUM(CASE WHEN type <> 1 AND ABS(z - pz) > 10.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_z_jumps,
+               CAST(SUM(CASE WHEN ptype = 1 AND type = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_axon_trees,
+               CAST(SUM(CASE WHEN ptype = 1 AND type IN (3, 4) THEN 1 ELSE 0 END) AS BIGINT) AS n_dendritic_trees,
+               CAST(SUM(CASE WHEN type <> 1 AND ptype <> 1
+                             AND (radius >= 2.0 * pradius OR radius * 2.0 <= pradius)
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_radical_diameter_changes,
                ((CAST(SUM(CAST(FLOOR(seg_len * 10000 + 0.5) AS BIGINT)) AS BIGINT) + 50) // 100) / 100.0 AS total_length,
                ROUND(MAX(seg_len), 4) AS max_seg_len
         FROM segs GROUP BY file
     )
     SELECT p.file, n_points, n_roots, n_zero_radius, n_distinct_radii,
            has_axon, has_basal_dendrite,
-           n_zero_len_segments, n_z_jumps, total_length, max_seg_len
+           n_zero_len_segments, n_z_jumps, n_axon_trees, n_dendritic_trees,
+           n_radical_diameter_changes, total_length, max_seg_len
     FROM per_point p JOIN per_seg s ON p.file = s.file
     ORDER BY p.file
     """,
@@ -420,6 +448,11 @@ def h5_morphology_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         "has_basal_dendrite",
         F.col("n_zero_len_segments").cast("bigint").alias("n_zero_len_segments"),
         F.col("n_z_jumps").cast("bigint").alias("n_z_jumps"),
+        F.col("n_axon_trees").cast("bigint").alias("n_axon_trees"),
+        F.col("n_dendritic_trees").cast("bigint").alias("n_dendritic_trees"),
+        F.col("n_radical_diameter_changes")
+        .cast("bigint")
+        .alias("n_radical_diameter_changes"),
         (F.expr("(total_length_e4 + 50) div 100") / F.lit(100.0)).alias(
             "total_length"
         ),

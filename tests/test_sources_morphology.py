@@ -96,6 +96,11 @@ SWC_FIXTURES = {
 2 2 5 0 0 4.9 1
 3 3 10 0 0 4.8 2
 """,
+    "radical_diameter": f"""{_SOMA}
+2 2 5 0 0 4.0 1
+3 2 10 0 0 1.0 2
+4 2 15 0 0 2.5 3
+""",
 }
 
 
@@ -151,6 +156,13 @@ class TestSWCBattery:
             ("fat_end", "n_fat_ends", lambda v: v >= 1),
             ("narrow_start", "n_narrow_starts", lambda v: v >= 1),
             ("hetero_near_soma", "n_hetero_near_soma", lambda v: v >= 1),
+            # 4.0 -> 1.0 is a >= 2x drop; 1.0 -> 2.5 a >= 2x rise
+            ("radical_diameter", "n_radical_diameter_changes", lambda v: v == 2),
+            ("ok_neuron", "n_radical_diameter_changes", lambda v: v == 0),
+            # ok_neuron stems: one axon, one basal + one apical dendrite
+            ("ok_neuron", "n_axon_trees", lambda v: v == 1),
+            ("ok_neuron", "n_dendritic_trees", lambda v: v == 2),
+            ("single_axon", "n_dendritic_trees", lambda v: v == 0),
         ],
     )
     def test_named_failure(self, report, fixture, column, predicate):
@@ -578,3 +590,82 @@ class TestH5MorphologySource:
             parents = set(grp["parent"]) - {-1}
             assert parents <= ns  # every parent pointer resolves
             assert (grp["n"] >= 1).all()
+
+
+class TestMorphologyConversion:
+    """Format conversion (ref check_swc_on_resource.py:56-166 swc->h5
+    via morph_tool): the tree must survive conversion EXACTLY — every
+    battery metric invariant under swc -> h5 -> points round trip."""
+
+    def _report(self, points_df):
+        keep = [
+            "n_points", "n_roots", "n_zero_radius", "n_distinct_radii",
+            "has_axon", "has_basal_dendrite", "n_zero_len_segments",
+            "n_z_jumps", "n_axon_trees", "n_dendritic_trees",
+            "n_radical_diameter_changes", "n_multifurcations",
+            "total_length", "max_seg_len",
+        ]
+        return {
+            os.path.basename(r["file"]).split(".")[0].removeprefix("swc_"): tuple(
+                r[c] for c in keep
+            )
+            for r in morphology_flags(points_df).collect()
+        }
+
+    def test_swc_to_h5_roundtrip_preserves_battery(self, spark, swc_dir):
+        from data_integration_pipelines_spark.sources.h5_morph import (
+            parse_h5_frame,
+        )
+        from data_integration_pipelines_spark.sources.morph_convert import (
+            convert_morphologies,
+        )
+
+        points = read_swc_points(spark, swc_dir + "/*.swc")
+        before = self._report(points)
+        h5 = convert_morphologies(points, to="h5")
+        back = parse_h5_frame(h5)
+        after = self._report(back)
+        assert after == before and len(before) == len(SWC_FIXTURES)
+
+    def test_swc_text_roundtrip(self, spark, swc_dir, tmp_path):
+        from data_integration_pipelines_spark.sources.morph_convert import (
+            convert_morphologies,
+        )
+
+        points = read_swc_points(spark, swc_dir + "/ok_neuron.swc")
+        out = convert_morphologies(points, to="swc").collect()[0]
+        p = tmp_path / "round.swc"
+        p.write_bytes(bytes(out["content"]))
+        back = read_swc_points(spark, str(p))
+        orig = {(r.n, r.type, r.x, r.y, r.z, r.radius, r.parent)
+                for r in points.collect()}
+        got = {(r.n, r.type, r.x, r.y, r.z, r.radius, r.parent)
+               for r in back.collect()}
+        assert got == orig
+
+    def test_section_reconstruction_shapes(self, spark):
+        """Branching SWC -> h5 structure: correct section count, types,
+        parent-section links, and contiguous point ranges."""
+        import pandas as pd
+
+        from data_integration_pipelines_spark.sources.morph_convert import (
+            _sections_from_points,
+        )
+
+        pdf = pd.DataFrame(
+            [
+                (1, 1, 0.0, 0.0, 0.0, 1.0, -1),
+                (2, 2, 1.0, 0.0, 0.0, 0.5, 1),
+                (3, 2, 2.0, 0.0, 0.0, 0.5, 2),
+                (4, 2, 3.0, 1.0, 0.0, 0.5, 3),  # branch child A
+                (5, 2, 3.0, -1.0, 0.0, 0.5, 3),  # branch child B
+            ],
+            columns=["n", "type", "x", "y", "z", "radius", "parent"],
+        )
+        pts, structure = _sections_from_points(pdf)
+        assert pts.shape == (5, 4)
+        # soma, axon trunk, two branch children = 4 sections
+        assert [tuple(s) for s in structure] == [
+            (0, 1, -1), (1, 2, 0), (3, 2, 1), (4, 2, 1),
+        ]
+        assert pts[0, 3] == 2.0  # diameter = 2 * radius
