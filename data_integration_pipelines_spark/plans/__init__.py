@@ -41,6 +41,7 @@ _RISK_ORDER = [
     "morphology_battery",
     "asc_morphology_battery",
     "h5_morphology_battery",
+    "conversion_roundtrip_battery",
     "morphology_tree_metrics",
     "voxel_region_lookup",
     "voxel_region_histogram",

@@ -17,7 +17,7 @@ from pyspark.sql.window import Window
 
 from ..catalog import load_table
 from ..operators.morphology import morphology_flags, tree_metrics
-from .base import register
+from .base import REGISTRY, register
 
 # Shared synthesis: one "file" per (l_orderkey % 50), points numbered
 # in (l_orderkey, l_linenumber) order; type 1 (soma) for point 1, then
@@ -526,4 +526,47 @@ def morphology_tree_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         "max_branch_order",
         F.round("max_path_length", 2).alias("max_path_length"),
         "n_type_changes",
+    ).orderBy("file")
+
+
+# Conversion round trip: same oracle as morphology_battery — the layout
+# change (swc points -> h5 sections -> points) must never change a
+# single battery value.
+@register(
+    "conversion_roundtrip_battery",
+    REGISTRY["morphology_battery"].oracle,
+    doc="Morphology format conversion (ref check_swc_on_resource.py:56-166 "
+    "swc->h5 via morph_tool) certified by the differential gate: the "
+    "synthesized SWC points convert to real classic-HDF5 bytes "
+    "(sources/morph_convert section reconstruction + hdf5_lite writer), "
+    "parse back through the v1-layout reader, and run the SAME battery "
+    "against the SAME oracle as morphology_battery — any conversion "
+    "lossiness (section splits, parent rewiring, diameter scaling, "
+    "point reordering) hash-mismatches.",
+)
+def conversion_roundtrip_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.h5_morph import parse_h5_frame
+    from ..sources.morph_convert import convert_morphologies
+
+    h5 = convert_morphologies(synth_points(spark, sf_dir), to="h5")
+    flags = morphology_flags(parse_h5_frame(h5))
+    return flags.select(
+        "file",
+        "n_points",
+        "n_roots",
+        F.col("n_zero_radius").cast("bigint").alias("n_zero_radius"),
+        "n_distinct_radii",
+        "has_axon",
+        "has_basal_dendrite",
+        F.col("n_zero_len_segments").cast("bigint").alias("n_zero_len_segments"),
+        F.col("n_z_jumps").cast("bigint").alias("n_z_jumps"),
+        F.col("n_axon_trees").cast("bigint").alias("n_axon_trees"),
+        F.col("n_dendritic_trees").cast("bigint").alias("n_dendritic_trees"),
+        F.col("n_radical_diameter_changes")
+        .cast("bigint")
+        .alias("n_radical_diameter_changes"),
+        (F.expr("(total_length_e4 + 50) div 100") / F.lit(100.0)).alias(
+            "total_length"
+        ),
+        F.col("max_seg_len").alias("max_seg_len"),
     ).orderBy("file")

@@ -5,6 +5,7 @@ from __future__ import annotations
 import numpy as np
 import pytest
 from pyspark.sql import Row
+from pyspark.sql import functions as F
 
 from data_integration_pipelines_spark.operators.voxel import make_affine
 from data_integration_pipelines_spark.pipelines import (
@@ -249,3 +250,29 @@ def test_index_discrepancy_directions(spark):
     assert rows[("sparql", "search")] == (1, ["a"])
     assert rows[("search", "sparql")] == (0, [])
     assert rows[("es", "search")] == (1, ["d"])
+
+
+def test_register_views_sql_entry_path(spark, sf_small):
+    """The spark.sql entry path: every table registered as a view, and
+    a SQL-text query over them matches the DataFrame formulation."""
+    from data_integration_pipelines_spark.catalog import TABLES, register_views
+
+    register_views(spark, sf_small, suffix="_v")
+    for t in TABLES:
+        assert spark.catalog.tableExists(t + "_v")
+    got = {
+        (r.o_orderstatus, r.n)
+        for r in spark.sql(
+            "SELECT o_orderstatus, COUNT(*) AS n FROM orders_v GROUP BY 1"
+        ).collect()
+    }
+    from data_integration_pipelines_spark.catalog import load_table
+
+    want = {
+        (r.o_orderstatus, r.n)
+        for r in load_table(spark, sf_small, "orders")
+        .groupBy("o_orderstatus")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert got == want and len(got) > 0

@@ -49,6 +49,7 @@ def test_python_stages_only_where_declared(plans):
         "morphology_tree_metrics",
         "asc_morphology_battery",  # distributed ASC grammar parse kernel
         "h5_morphology_battery",  # native HDF5 parse kernel (hdf5_lite)
+        "conversion_roundtrip_battery",  # swc->h5->parse kernel chain
         "png_decode_features",  # native PNG encode+decode kernel (png_lite)
         "ann_bruteforce",  # vectorized matmul scale path (topk_pandas)
         "ann_pq",  # PQ encode + ADC scan kernels (numpy per Arrow batch)

@@ -25,6 +25,8 @@ _NEVER_DRIVER_VERIFIED = {
     "morphology_battery",
     "asc_morphology_battery",
     "h5_morphology_battery",  # new in r3: no driver row yet by construction
+    "conversion_roundtrip_battery",  # new in r3: no driver row yet
+
     "morphology_tree_metrics",
     "voxel_region_lookup",
     "voxel_region_histogram",
