@@ -160,3 +160,18 @@ def test_h5py_reads_our_golden_fixture():
         st = "general/intracellular_ephys/sequential_recordings/stimulus_type"
         assert [s.decode() for s in f[st][()]] == ["IDRest", "APWaveform", "IV"]
         assert f["acquisition/sweep1/rate"][()] == 20000.0
+
+
+def test_rejects_malformed_inputs():
+    good = write_hdf5({"x": np.arange(4)})
+    with pytest.raises(ValueError, match="signature"):
+        open_bytes(b"PK\x03\x04 not hdf5 at all----")
+    # flip superblock version byte -> loud failure, not garbage data
+    bad_ver = bytearray(good)
+    bad_ver[8] = 2
+    with pytest.raises(ValueError, match="superblock version"):
+        open_bytes(bytes(bad_ver))
+    # truncated mid-structure -> parse error, not silent truncation
+    with pytest.raises(Exception):
+        f = open_bytes(good[: len(good) // 3])
+        f["x"][()]
