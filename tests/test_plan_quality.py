@@ -126,3 +126,63 @@ def test_no_corpus_sized_broadcast_hints(spark):
         assert n_hints == allowed_hints, (
             f"{name}: {n_hints} broadcast hints (expected {allowed_hints})"
         )
+
+
+def test_aqe_splits_skewed_join(spark):
+    """AQE's skew-join handling must actually fire on a Zipfian key:
+    with one key holding ~95% of a fact side, the sort-merge join plan
+    shows skew=true split partitions once the (runtime-settable)
+    thresholds see the imbalance. This is the documented remedy for
+    skewed joins the engine does NOT hand-salt (SCALE.md §2)."""
+    confs = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "8KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8KB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.coalescePartitions.minPartitionSize": "1KB",
+    }
+    prev = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        from pyspark.sql import functions as F
+
+        fact = spark.range(60_000).select(
+            F.when(F.col("id") % 20 != 0, 0).otherwise(F.col("id") % 97).alias("k"),
+            F.concat(F.lit("payload-"), F.col("id")).alias("payload"),
+        )
+        dim = spark.range(97).select(
+            F.col("id").alias("k"), F.concat(F.lit("dim-"), F.col("id")).alias("name")
+        )
+        joined = fact.join(dim, "k")
+        # collect (not count) so THIS DataFrame's query execution is the
+        # one AQE finalizes — count() wraps a new plan
+        assert len(joined.collect()) > 0
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan[:2000]
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
+def test_shuffle_rightsize_optout(spark, sf_small, monkeypatch):
+    """SPARK_GRAFT_NO_SHUFFLE_RIGHTSIZE=1 suppresses the 200-partition
+    override so an explicit user setting survives load_table."""
+    import os
+
+    from data_integration_pipelines_spark.catalog import load_table
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        monkeypatch.setenv("SPARK_GRAFT_NO_SHUFFLE_RIGHTSIZE", "1")
+        spark.conf.set("spark.sql.shuffle.partitions", "200")
+        load_table(spark, sf_small, "region")
+        assert spark.conf.get("spark.sql.shuffle.partitions") == "200"
+        monkeypatch.delenv("SPARK_GRAFT_NO_SHUFFLE_RIGHTSIZE")
+        load_table(spark, sf_small, "nation")
+        assert spark.conf.get("spark.sql.shuffle.partitions") != "200"
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
