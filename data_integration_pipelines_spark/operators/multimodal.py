@@ -96,8 +96,12 @@ def _hexdigest_of_hex(data: bytes, suffix: str = "") -> str:
 
 def _fake_decode(content: bytes) -> tuple[int, int, int, bytes]:
     """Deterministic fake image decode: (width, height, channels,
-    pixel_bytes) derived only from the payload digest + length."""
-    d = hashlib.md5(content).digest()
+    pixel_bytes) derived only from the payload digest + length. The
+    digest is taken over the lowercase-HEX representation (the fake-
+    kernel convention of this module), which makes every output —
+    dims, tiled pixel buffer, mean, hex-domain crc — SQL-derivable, so
+    ``image_decode_features`` carries a full DuckDB oracle."""
+    d = hashlib.md5(content.hex().encode()).digest()
     width = 16 * (1 + d[0] % 15)
     height = 16 * (1 + d[1] % 15)
     channels = 1 + d[2] % 3

@@ -158,15 +158,47 @@ def audio_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "image_decode_features",
-    None,  # decode dims/intensity come from the (fake) codec — not SQL
-    doc="Image decode + feature extraction via mapInPandas (PIL when "
-    "present, deterministic fake otherwise): per-image dims, channels, "
-    "mean pixel intensity, feature digest. Rows-only check: the decoded "
-    "pixel buffer is codec-defined, not SQL-expressible.",
+    _ASSET_CTE.format(limit=200)
+    + f"""
+    , d AS (
+        SELECT id, hexstr, md5(hexstr) AS dh,
+               octet_length(unhex(hexstr)) AS clen
+        FROM assets
+    ),
+    dims AS (
+        SELECT id, hexstr, clen,
+               16 * (1 + CAST(('0x' || substr(dh, 1, 2)) AS INT) % 15) AS width,
+               16 * (1 + CAST(('0x' || substr(dh, 3, 2)) AS INT) % 15) AS height,
+               1 + CAST(('0x' || substr(dh, 5, 2)) AS INT) % 3 AS n_channels
+        FROM d
+    ),
+    sized AS (
+        SELECT *, LEAST(width * height * n_channels, 4096) AS need
+        FROM dims
+    )
+    SELECT id,
+           CAST(width AS INT) AS width,
+           CAST(height AS INT) AS height,
+           CAST(n_channels AS INT) AS n_channels,
+           FLOOR(list_avg(list_transform(
+               range(0, need),
+               i -> 16 * (strpos('{_HEXD}', substr(hexstr, 2 * (i % clen) + 1, 1)) - 1)
+                    + (strpos('{_HEXD}', substr(hexstr, 2 * (i % clen) + 2, 1)) - 1)
+           )) * 10000 + 0.5) / 10000.0 AS mean_intensity,
+           md5(substr(repeat(hexstr, CAST(need / clen AS INT) + 1), 1, 2 * need)) AS feature_crc
+    FROM sized
+    ORDER BY id
+    """,
+    doc="Image decode + feature extraction via mapInPandas (native PNG "
+    "codec / PIL for real images; the deterministic fake for opaque "
+    "payloads — these assets are md5-tiled bytes, so the fake path runs "
+    "and every output is re-derived by the oracle: digest-derived dims, "
+    "tiled-buffer mean intensity, hex-domain crc). Full hash oracle "
+    "since round 3 (was rows-only).",
 )
 def image_decode_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     assets = _assets(spark, sf_dir, 200)
-    return extract_image_features(assets).orderBy("id")
+    return extract_image_features(assets, crc_domain="hex").orderBy("id")
 
 
 @register(
