@@ -234,8 +234,6 @@ def image_decode_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 def png_decode_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
 
-    from ..operators.multimodal import IMAGE_FEATURES_SCHEMA  # noqa: F401
-
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
     pix = docs.select(
         F.col("doc_id").alias("id"),
