@@ -124,6 +124,144 @@ def asof_join(
     )
 
 
+def asof_join_chunked(
+    left: DataFrame,
+    right: DataFrame,
+    by: Sequence[str],
+    ts_col: str = "ts",
+    payload_cols: Sequence[str] | None = None,
+    chunk_width_us: int = 3_600_000_000,
+) -> DataFrame:
+    """Skew-robust as-of join: identical semantics to ``asof_join``, but
+    the per-key window is split into TIME-RANGE CHUNKS so a Zipfian hot
+    key spreads over (key, chunk) partitions instead of serializing one
+    task. This is the remedy for the documented per-key-sequential
+    cliff of the union+window formulation (SCALE.md): salting cannot
+    help an ordered window, time chunking can.
+
+    Mechanics (three bounded steps, no inequality join anywhere):
+    1. chunk id = floor(epoch_us / chunk_width_us) on both sides;
+    2. boundary carry: per (key, chunk) reduce the right side to its
+       LATEST row (``max_by`` — one small table, |keys x active
+       chunks|), then a window over that table hands every chunk the
+       latest right row of any EARLIER chunk;
+    3. per-(key, chunk) union+window exactly like ``asof_join``, with
+       the carry row injected as a virtual right row sorted before the
+       chunk's own rows.
+
+    Pick ``chunk_width_us`` so a hot key's densest chunk fits one task
+    comfortably (default 1 hour). Results are bit-identical to
+    ``asof_join`` for any width (property-tested)."""
+    from ..functions.time import epoch_us_expr, ts_dtype
+
+    def _us(colname: str, dtype: str):
+        # integer/double ts columns are already epoch-like units
+        if dtype.startswith("timestamp"):
+            return epoch_us_expr(colname, dtype)
+        return F.col(colname).cast("bigint")
+
+    by = list(by)
+    if payload_cols is None:
+        payload_cols = [c for c in right.columns if c not in by and c != ts_col]
+    payload_cols = list(payload_cols)
+    dtype = ts_dtype(left, ts_col)
+
+    r_struct = F.struct(
+        F.col(ts_col).alias("__r_ts"),
+        *[F.col(c).alias(c) for c in payload_cols],
+    )
+    r_struct_type = right.select(r_struct.alias("__r")).schema["__r"].dataType
+    l_us = _us(ts_col, dtype)
+    chunk = F.floor(l_us / F.lit(chunk_width_us)).alias("__chunk")
+
+    l_tag = left.select(
+        *by,
+        chunk,
+        F.col(ts_col).alias("__ts"),
+        F.lit(1).alias("__pos"),
+        F.lit(1).alias("__is_left"),
+        *[F.col(c) for c in left.columns if c not in by and c != ts_col],
+        F.lit(None).cast(r_struct_type).alias("__r"),
+    )
+    r_tag = right.select(
+        *by,
+        chunk,
+        F.col(ts_col).alias("__ts"),
+        F.lit(1).alias("__pos"),
+        F.lit(0).alias("__is_left"),
+        *[
+            F.lit(None).cast(left.schema[c].dataType).alias(c)
+            for c in left.columns
+            if c not in by and c != ts_col
+        ],
+        r_struct.alias("__r"),
+    )
+
+    # per-(key, chunk) latest right row, then carry-forward: each chunk
+    # sees the latest right row of any STRICTLY EARLIER chunk. Include
+    # the left side's chunks (value NULL) so chunks with no right rows
+    # still receive a carry.
+    r_us = _us("__ts", ts_dtype(r_tag, "__ts"))
+    chunk_latest = r_tag.groupBy(*by, "__chunk").agg(
+        F.max_by("__r", r_us).alias("__latest")
+    )
+    l_chunks = l_tag.select(*by, "__chunk").distinct().withColumn(
+        "__latest", F.lit(None).cast(r_struct_type)
+    )
+    per_chunk = (
+        chunk_latest.unionByName(l_chunks)
+        .groupBy(*by, "__chunk")
+        .agg(F.max("__latest").alias("__latest"))
+    )
+    w_carry = (
+        Window.partitionBy(*by)
+        .orderBy("__chunk")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    carries = (
+        per_chunk.select(
+            *by,
+            "__chunk",
+            F.last("__latest", ignorenulls=True).over(w_carry).alias("__r"),
+        )
+        .filter(F.col("__r").isNotNull())
+        .select(
+            *by,
+            "__chunk",
+            F.col("__r").getField("__r_ts").alias("__ts"),
+            F.lit(0).alias("__pos"),  # sorts before every in-chunk row
+            F.lit(0).alias("__is_left"),
+            *[
+                F.lit(None).cast(left.schema[c].dataType).alias(c)
+                for c in left.columns
+                if c not in by and c != ts_col
+            ],
+            F.col("__r"),
+        )
+    )
+
+    unioned = l_tag.unionByName(r_tag).unionByName(carries.select(l_tag.columns))
+    w = (
+        Window.partitionBy(*by, "__chunk")
+        .orderBy(F.col("__pos").asc(), F.col("__ts").asc(), F.col("__is_left").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = (
+        unioned.select(
+            "*", F.last(F.col("__r"), ignorenulls=True).over(w).alias("__c")
+        )
+        .filter(F.col("__is_left") == 1)
+    )
+    left_cols = [c for c in left.columns if c not in by and c != ts_col]
+    return out.select(
+        *by,
+        F.col("__ts").alias(ts_col),
+        *left_cols,
+        *[F.col("__c").getField(c).alias(c) for c in payload_cols],
+        F.col("__c").getField("__r_ts").alias("__matched_ts"),
+    )
+
+
 def range_join_binned(
     points: DataFrame,
     intervals: DataFrame,

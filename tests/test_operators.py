@@ -504,3 +504,69 @@ class TestIncrementalAgg:
         s1 = partial_state(df, ["k"], "v")
         merged = merge_states(s1, partial_state(empty, ["k"], "v"), ["k"])
         assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, s1.collect()))
+
+
+class TestAsofChunked:
+    def _zipf_frames(self, spark):
+        left = spark.range(8_000).select(
+            F.when(F.col("id") % 10 != 0, 0).otherwise(F.col("id") % 50).alias("k"),
+            (F.pmod(F.xxhash64("id"), F.lit(1_000_000))).alias("ts"),
+            F.col("id").alias("lid"),
+        )
+        right = (
+            spark.range(900)
+            .select(
+                F.when(F.col("id") % 10 != 0, 0)
+                .otherwise(F.col("id") % 50)
+                .alias("k"),
+                (F.pmod(F.xxhash64("id", F.lit(7)), F.lit(1_000_000))).alias("ts"),
+                (F.col("id") % 83).cast("double").alias("v"),
+                (F.col("id") % 3 == 0).alias("flag"),
+            )
+            .groupBy("k", "ts")
+            .agg(F.max("v").alias("v"), F.max("flag").alias("flag"))
+        )
+        return left, right
+
+    @pytest.mark.parametrize("width", [1_000, 50_000, 10_000_000])
+    def test_chunked_equals_plain_on_zipf_keys(self, spark, width):
+        """Time-chunked asof must be bit-identical to the plain window
+        formulation for ANY chunk width — narrow widths force many
+        chunks + boundary carries on the hot key, the huge width
+        degenerates to one chunk."""
+        from data_integration_pipelines_spark.operators.temporal import (
+            asof_join,
+            asof_join_chunked,
+        )
+
+        left, right = self._zipf_frames(spark)
+        plain = {
+            (r.k, r.lid): (r.v, r.flag, r["__matched_ts"])
+            for r in asof_join(left, right, ["k"], "ts", ["v", "flag"]).collect()
+        }
+        chunked = {
+            (r.k, r.lid): (r.v, r.flag, r["__matched_ts"])
+            for r in asof_join_chunked(
+                left, right, ["k"], "ts", ["v", "flag"], chunk_width_us=width
+            ).collect()
+        }
+        assert chunked == plain and len(plain) == 8_000
+
+    def test_chunked_spreads_hot_key_over_chunks(self, spark):
+        """The point of the operator: the hot key's rows land in many
+        (key, chunk) window partitions, not one."""
+        from data_integration_pipelines_spark.operators.temporal import (
+            asof_join_chunked,
+        )
+
+        left, right = self._zipf_frames(spark)
+        out = asof_join_chunked(left, right, ["k"], "ts", ["v"], chunk_width_us=1_000)
+        # count distinct chunks the hot key k=0 spans
+        n_chunks = (
+            left.filter(F.col("k") == 0)
+            .select(F.floor(F.col("ts").cast("bigint") / 1_000).alias("c"))
+            .distinct()
+            .count()
+        )
+        assert n_chunks > 100  # genuinely parallelizable
+        assert out.count() == 8_000
