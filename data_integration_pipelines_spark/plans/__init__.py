@@ -47,6 +47,7 @@ _RISK_ORDER = [
     "voxel_region_histogram",
     # temporal joins + window/session suite
     "asof_join_events",
+    "asof_join_events_chunked",
     "range_join_binned",
     "session_stats",
     "session_window_counts",

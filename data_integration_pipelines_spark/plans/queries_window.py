@@ -16,7 +16,7 @@ from pyspark.sql.window import Window
 from ..catalog import load_table
 from ..functions.time import epoch_sec
 from ..streaming.events import windowed_counts
-from .base import register
+from .base import REGISTRY, register
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -622,3 +622,45 @@ def quantile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY bin
         """
     )
+
+
+# Chunked variant against the SAME ASOF oracle — the skew layout must
+# never change answers (the keep_latest_salted pattern).
+@register(
+    "asof_join_events_chunked",
+    REGISTRY["asof_join_events"].oracle,
+    doc="Skew-robust as-of join (operators/temporal.asof_join_chunked): "
+    "the per-key window splits into time-range chunks with a boundary-"
+    "carry table, so a Zipfian hot user spreads over (key, chunk) "
+    "tasks. Same DuckDB ASOF LEFT JOIN oracle as asof_join_events — "
+    "chunking is a physical layout choice, never a semantic one. Chunk "
+    "width 6h against the fixture's event-time span exercises many "
+    "chunks per user including carry-only chunks.",
+)
+def asof_join_events_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.time import epoch_us_expr, ts_dtype
+    from ..operators.temporal import asof_join_chunked
+
+    ev = _t(spark, sf_dir, "events")
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("view_value"))
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    joined = asof_join_chunked(
+        purchases, views, ["user_id"], "ts", ["view_value"],
+        chunk_width_us=6 * 3_600_000_000,
+    )
+    dtype = ts_dtype(ev, "ts")
+    sec = F.floor(epoch_us_expr("ts", dtype) / 1_000_000)
+    msec = F.floor(epoch_us_expr("__matched_ts", dtype) / 1_000_000)
+    return joined.select(
+        "user_id",
+        "event_id",
+        F.round("value", 2).alias("purchase_value"),
+        F.round("view_value", 2).alias("last_view_value"),
+        F.coalesce(sec - msec, F.lit(-1)).cast("bigint").alias("secs_since_view"),
+    ).orderBy("user_id", "event_id")

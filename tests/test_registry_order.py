@@ -31,6 +31,7 @@ _NEVER_DRIVER_VERIFIED = {
     "voxel_region_lookup",
     "voxel_region_histogram",
     "asof_join_events",
+    "asof_join_events_chunked",  # new in r3: no driver row yet
     "range_join_binned",
     "session_stats",
     "session_window_counts",
