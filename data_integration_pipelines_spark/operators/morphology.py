@@ -40,6 +40,7 @@ FAT_END_FACTOR = 1.5
 # jumping past FACTOR x (or below 1/FACTOR x) the parent radius
 # (ref custom_validation.py radical diameter changes)
 RADICAL_DIAMETER_FACTOR = 2.0
+FLAT_TOL = 1e-6  # ref validator.py:269-277 flat-neurite tolerance
 HETERO_PATH_UM = 40.0  # ref custom_validation.py:11-29
 
 
@@ -176,6 +177,27 @@ def morphology_flags(points: DataFrame) -> DataFrame:
         ),
     ).withColumn("total_length", F.col("total_length_e4") / F.lit(1e4))
 
+    # flat neurites (ref validator.py:269-277, tol 1e-6): a neurite
+    # type whose points collapse onto a plane — some axis has ~zero
+    # extent. Recast per (file, type != soma): pure min/max aggregates.
+    flat = (
+        points.filter(F.col("type") != SOMA)
+        .groupBy("file", "type")
+        .agg(
+            (F.max("x") - F.min("x")).alias("ex"),
+            (F.max("y") - F.min("y")).alias("ey"),
+            (F.max("z") - F.min("z")).alias("ez"),
+        )
+        .groupBy("file")
+        .agg(
+            F.sum(
+                F.when(
+                    F.least("ex", "ey", "ez") <= FLAT_TOL, 1
+                ).otherwise(0)
+            ).alias("n_flat_neurite_types")
+        )
+    )
+
     # soma stems are not bifurcations: only non-soma nodes with >=3
     # children count (ref validator.py:289-297 multifurcation semantics)
     multifurcations = (
@@ -215,9 +237,11 @@ def morphology_flags(points: DataFrame) -> DataFrame:
         per_point.join(per_seg, "file", "left")
         .join(multifurcations, "file", "left")
         .join(fat, "file", "left")
+        .join(flat, "file", "left")
         .fillna(
             0,
             subset=[
+                "n_flat_neurite_types",
                 "n_zero_len_segments",
                 "n_z_jumps",
                 "n_root_jumps",

@@ -101,6 +101,16 @@ SWC_FIXTURES = {
 3 2 10 0 0 1.0 2
 4 2 15 0 0 2.5 3
 """,
+    "flat_neurite": f"""{_SOMA}
+2 2 5 0 0 4.9 1
+3 2 10 0 0 4.8 2
+4 2 15 5 0 4.7 3
+""",
+    "nonflat_neurite": f"""{_SOMA}
+2 2 5 0 0 4.9 1
+3 2 10 2 3 4.8 2
+4 2 15 5 7 4.7 3
+""",
 }
 
 
@@ -163,6 +173,10 @@ class TestSWCBattery:
             ("ok_neuron", "n_axon_trees", lambda v: v == 1),
             ("ok_neuron", "n_dendritic_trees", lambda v: v == 2),
             ("single_axon", "n_dendritic_trees", lambda v: v == 0),
+            # all flat_neurite axon points have z == 0 (extent 0 < tol)
+            ("flat_neurite", "n_flat_neurite_types", lambda v: v == 1),
+            # genuinely 3-D axon: every axis extent > 0
+            ("nonflat_neurite", "n_flat_neurite_types", lambda v: v == 0),
         ],
     )
     def test_named_failure(self, report, fixture, column, predicate):
