@@ -1,10 +1,11 @@
 """Binary/scientific-file sources (S7, S10, S11) and multimodal column
 plumbing (image/audio/video as opaque binary + typed metadata).
 
-Real decode libraries (h5py for NWB/HDF5, pynrrd, PIL) are optional in
-this environment; every decoder is gated behind an import-try with a
-deterministic fake fallback so the Spark-side plumbing — schemas,
-partitioning, Arrow batch shape, UDF signatures — is real and tested.
+NWB/HDF5 parses NATIVELY (``hdf5_lite`` — no h5py needed, validated
+against libhdf5-written files); the digest-fake sweep table survives
+only as an explicit opt-in for content-independent plumbing tests.
+Image decode likewise prefers the native PNG codec, then PIL
+(operators/multimodal).
 
 Scale notes: ``binaryFile`` scans carry whole files as bytes; per-task
 memory is bounded by file size, so large corpora should cap
@@ -176,3 +177,48 @@ def extract_sweeps(binary_df: DataFrame, use_fake: bool = False) -> DataFrame:
 # Image decoding lives in operators/multimodal.extract_image_features
 # (real PIL branch when importable, deterministic fake otherwise) — a
 # duplicate stub here was removed.
+
+
+def repack_sweeps(sweeps: DataFrame) -> DataFrame:
+    """NWB -> random-access repack (ref src/trace/visualization/
+    lnmc_nwb_visualization.py:74-171: sweeps re-packed into a
+    RandomAccessBuffer with one compressed numeric dataset per
+    (stimulus, sweep, channel) plus an index). Re-cast onto the
+    engine's native HDF5 container (``hdf5_lite``): same observable
+    contract — random access to any single series without scanning the
+    file, an ``index`` dataset naming every series with its
+    rate/repetition — one ``applyInPandas`` call per source file.
+
+    Returns (file, content) with ``content`` = classic-HDF5 bytes:
+    ``index`` (JSON string dataset) + one float64 dataset per series
+    under the key ``"<stimulus> <sweep> <channel>"``."""
+    import json
+
+    from .hdf5_lite import write_hdf5
+
+    def one_file(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        tree: dict = {}
+        index: dict = {}
+        for (stim, sweep, chan), grp in sorted(
+            pdf.groupby(["stimulus_type", "sweep_id", "channel"]).groups.items()
+        ):
+            g = pdf.loc[grp].sort_values("t")
+            key = f"{stim} {sweep} {chan}"
+            tree[key] = g["value"].to_numpy(dtype=np.float64)
+            index.setdefault(stim, {})[f"{sweep} {chan}"] = {
+                "dataset": key,
+                "rate": float(g["rate"].iloc[0]),
+                "repetition": int(g["repetition"].iloc[0]),
+                "conversion": float(g["conversion"].iloc[0]),
+                "n": int(len(g)),
+            }
+        tree["index"] = json.dumps(index, sort_keys=True)
+        return pd.DataFrame(
+            [{"file": pdf["file"].iloc[0], "content": bytearray(write_hdf5(tree))}]
+        )
+
+    return sweeps.groupBy("file").applyInPandas(
+        one_file, schema="file string, content binary"
+    )

@@ -683,3 +683,42 @@ class TestMorphologyConversion:
             (0, 1, -1), (1, 2, 0), (3, 2, 1), (4, 2, 1),
         ]
         assert pts[0, 3] == 2.0  # diameter = 2 * radius
+
+
+def test_repack_sweeps_random_access_container(spark):
+    """NWB -> random-access repack (the reference's RAB step): golden
+    NWB bytes -> sweep table -> one native-HDF5 container per file with
+    an index dataset and one float64 series per (stimulus, sweep,
+    channel), each readable individually."""
+    import json as _json
+
+    from data_integration_pipelines_spark.sources.binary_files import (
+        repack_sweeps,
+    )
+    from data_integration_pipelines_spark.sources.hdf5_lite import open_bytes
+
+    golden = os.path.join(os.path.dirname(__file__), "fixtures",
+                          "golden_sweeps.nwb")
+    sweeps = extract_sweeps(read_binary_files(spark, golden))
+    packed = repack_sweeps(sweeps).collect()
+    assert len(packed) == 1
+    f = open_bytes(bytes(packed[0]["content"]))
+    index = _json.loads(str(f["index"][()]))
+    # 3 stimulus types; sweep0 contributes i+v, sweep1 v, sweep2 i
+    assert set(index) == {"IDRest", "APWaveform", "IV"}
+    total_series = sum(len(v) for v in index.values())
+    assert total_series == 4
+    for stim, entries in index.items():
+        for _, meta in entries.items():
+            series = f[meta["dataset"]][()]
+            assert len(series) == meta["n"] > 0
+            assert meta["rate"] > 0
+    # random access: one specific series round-trips exactly
+    ids = index["APWaveform"]
+    key = next(iter(ids.values()))["dataset"]
+    vals = f[key][()]
+    want = sorted(
+        r["value"] for r in sweeps.collect()
+        if f'{r["stimulus_type"]} {r["sweep_id"]} {r["channel"]}' == key
+    )
+    assert sorted(vals.tolist()) == want
