@@ -106,6 +106,10 @@ SWC_FIXTURES = {
 3 2 10 0 0 4.8 2
 4 2 15 5 0 4.7 3
 """,
+    "single_apical": f"""{_SOMA}
+2 4 0 5 0 4.9 1
+3 4 0 10 0 4.8 2
+""",
     "nonflat_neurite": f"""{_SOMA}
 2 2 5 0 0 4.9 1
 3 2 10 2 3 4.8 2
@@ -177,6 +181,8 @@ class TestSWCBattery:
             ("flat_neurite", "n_flat_neurite_types", lambda v: v == 1),
             # genuinely 3-D axon: every axis extent > 0
             ("nonflat_neurite", "n_flat_neurite_types", lambda v: v == 0),
+            ("single_apical", "has_apical_dendrite", bool),
+            ("single_apical", "has_axon", lambda v: not v),
         ],
     )
     def test_named_failure(self, report, fixture, column, predicate):
