@@ -52,15 +52,17 @@ _SYNTH_SQL = """
 
 def synth_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 300)
-    # window keyed on the DERIVED file string (not l_orderkey % 50, a
-    # different expression): downstream ops all key on `file`, so the
-    # partitioning matches what the battery needs; the self-join's two
-    # subplans still plan their own exchanges, which AQE dedupes at
-    # runtime via ReusedExchange
+    # Materialize the file key as a COLUMN first, then window on that
+    # attribute: if the window keys on the raw concat expression it
+    # becomes an internal `_w0` attribute, and the downstream
+    # groupBy("file") (applyInPandas tree walk) can no longer reuse the
+    # exchange — the plan paid TWO hash shuffles on the same value
+    # until round 3. One attribute -> one exchange, reused.
     file_key = F.concat(F.lit("f"), (F.col("l_orderkey") % 50).cast("string"))
-    w = Window.partitionBy(file_key).orderBy("l_orderkey", "l_linenumber")
+    li = li.withColumn("file", file_key)
+    w = Window.partitionBy("file").orderBy("l_orderkey", "l_linenumber")
     base = li.select(
-        file_key.alias("file"),
+        "file",
         F.row_number().over(w).alias("n"),
         F.col("l_partkey").alias("pk"),
         F.col("l_quantity").alias("x"),
