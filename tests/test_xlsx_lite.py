@@ -95,3 +95,19 @@ def test_reads_shared_strings_and_sparse_cells(tmp_path):
     assert rows[0] == [None, None, None]
     assert rows[1] == [None, None, " padded "]
     assert rows[2] == [7, "cached", None]
+
+
+def test_rejects_malformed_inputs(tmp_path):
+    import pytest
+    import zipfile
+
+    p = tmp_path / "bad.xlsx"
+    p.write_bytes(b"not a zip at all")
+    with pytest.raises(zipfile.BadZipFile):
+        read_workbook(str(p))
+    # a zip that lacks the workbook part fails loudly, not silently
+    q = tmp_path / "empty.xlsx"
+    with zipfile.ZipFile(q, "w") as zf:
+        zf.writestr("unrelated.txt", "x")
+    with pytest.raises(KeyError):
+        read_workbook(str(q))
