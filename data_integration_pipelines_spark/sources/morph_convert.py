@@ -104,16 +104,94 @@ def points_to_h5_bytes(pdf: pd.DataFrame) -> bytes:
 
 def convert_morphologies(points: DataFrame, to: str = "h5") -> DataFrame:
     """Distributed conversion: canonical points table -> one
-    (file, content) row per morphology. ``to`` is 'h5' or 'swc'."""
-    if to not in ("h5", "swc"):
+    (file, content) row per morphology. ``to`` is 'h5', 'swc' or
+    'asc' (see ``points_to_asc_text`` for the format's detached-stem
+    semantics)."""
+    if to not in ("h5", "swc", "asc"):
         raise ValueError(f"unsupported target format {to!r}")
 
     def one_file(pdf: pd.DataFrame) -> pd.DataFrame:
         name = pdf["file"].iloc[0]
         if to == "h5":
             content = points_to_h5_bytes(pdf)
+        elif to == "asc":
+            content = points_to_asc_text(pdf).encode()
         else:
             content = points_to_swc_text(pdf).encode()
         return pd.DataFrame([{"file": name, "content": bytearray(content)}])
 
     return points.groupBy("file").applyInPandas(one_file, schema=CONVERTED_SCHEMA)
+
+
+_ASC_TYPE_WORDS = {1: "CellBody", 2: "Axon", 3: "Dendrite", 4: "Apical"}
+
+
+def points_to_asc_text(pdf: pd.DataFrame) -> str:
+    """One file's points -> ASC/Neurolucida s-expression text (the
+    reference's third conversion target, ref morphology_registration.py
+    swc->asc via morph_tool).
+
+    ASC semantics: the soma and each neurite are SEPARATE top-level
+    forms rooted at -1 — a neurite's attachment to a soma point is not
+    expressible. The writer therefore detaches soma-attached stems into
+    their own forms (exactly what morphio-based converters do); parsing
+    the output back yields the same points/segments except the
+    soma-stem segments, and n_roots grows by the stem count. Subtree
+    type changes (heterogeneous neurites) are not expressible in ASC —
+    the writer raises rather than silently mistyping."""
+    pdf = pdf.sort_values("n")
+    idx_of = {int(r.n): r for r in pdf.itertuples()}
+    children: dict[int, list[int]] = {}
+    roots: list[int] = []
+    for r in pdf.itertuples():
+        p = int(r.parent)
+        if p < 0:
+            roots.append(int(r.n))
+        else:
+            children.setdefault(p, []).append(int(r.n))
+
+    # detach soma-attached stems (type != parent's soma type)
+    forms: list[tuple[int, int]] = []  # (root point n, type)
+    for root in roots:
+        forms.append((root, int(idx_of[root].type)))
+    for r in pdf.itertuples():
+        p = int(r.parent)
+        if p > 0 and int(idx_of[p].type) == 1 and int(r.type) != 1:
+            forms.append((int(r.n), int(r.type)))
+
+    detached = {n for n, _ in forms}
+
+    def point_line(n: int, indent: str) -> str:
+        r = idx_of[n]
+        return f"{indent}({r.x:g} {r.y:g} {r.z:g} {2.0 * r.radius:g})"
+
+    def emit_chain(n: int, form_type: int, indent: str, out: list[str]) -> None:
+        while True:
+            r = idx_of[n]
+            if int(r.type) != form_type:
+                raise ValueError(
+                    f"ASC cannot express a type change inside a tree "
+                    f"(point {n}: {int(r.type)} != {form_type})"
+                )
+            out.append(point_line(n, indent))
+            kids = [k for k in children.get(n, []) if k not in detached]
+            if not kids:
+                return
+            if len(kids) == 1:
+                n = kids[0]
+                continue
+            out.append(indent + "(")
+            for i, k in enumerate(kids):
+                if i:
+                    out.append(indent + " |")
+                emit_chain(k, form_type, indent + "  ", out)
+            out.append(indent + ")")
+            return
+
+    blocks: list[str] = []
+    for root, ftype in forms:
+        out = [f"(({_ASC_TYPE_WORDS.get(ftype, 'Dendrite')})"]
+        emit_chain(root, ftype, " ", out)
+        out.append(")")
+        blocks.append("\n".join(out))
+    return "\n\n".join(blocks) + "\n"

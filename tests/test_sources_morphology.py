@@ -728,3 +728,44 @@ def test_repack_sweeps_random_access_container(spark):
         if f'{r["stimulus_type"]} {r["sweep_id"]} {r["channel"]}' == key
     )
     assert sorted(vals.tolist()) == want
+
+
+class TestAscWriter:
+    def test_swc_to_asc_roundtrip_with_detached_stems(self, spark, swc_dir):
+        """swc -> asc -> parse: points and in-neurite segments survive;
+        soma-attached stems become separate forms (the format's
+        semantics), so n_roots grows by exactly the stem count."""
+        import pandas as pd
+
+        from data_integration_pipelines_spark.sources.asc import parse_asc_text
+        from data_integration_pipelines_spark.sources.morph_convert import (
+            points_to_asc_text,
+        )
+
+        points = read_swc_points(spark, swc_dir + "/ok_neuron.swc")
+        pdf = points.toPandas()
+        text = points_to_asc_text(pdf)
+        back = pd.DataFrame(
+            parse_asc_text(text),
+            columns=["n", "type", "x", "y", "z", "radius", "parent"],
+        )
+        assert len(back) == len(pdf)
+        # per-type point multisets survive exactly
+        for t in (1, 2, 3, 4):
+            a = sorted(map(tuple, pdf[pdf.type == t][["x", "y", "z", "radius"]].values))
+            b = sorted(map(tuple, back[back.type == t][["x", "y", "z", "radius"]].values))
+            assert a == b, t
+        # ok_neuron: 1 swc root + 3 detached stems (axon, basal, apical)
+        assert (back["parent"] == -1).sum() == 4
+        # branch structure survives: the axon's fork is still a fork
+        kid_counts = back.groupby("parent").size()
+        assert (kid_counts >= 2).any()
+
+    def test_asc_writer_rejects_hetero_neurite(self, spark, swc_dir):
+        from data_integration_pipelines_spark.sources.morph_convert import (
+            points_to_asc_text,
+        )
+
+        points = read_swc_points(spark, swc_dir + "/hetero_near_soma.swc")
+        with pytest.raises(ValueError, match="type change"):
+            points_to_asc_text(points.toPandas())
