@@ -4,7 +4,12 @@ Replicates the driver's comparison (row count + order-insensitive
 value compare with columns sorted by name) so mismatches are caught
 before the round gate. Usage:
 
-    python scripts/check_oracle.py [sf_dir]
+    python scripts/check_oracle.py [--vanilla] [sf_dir]
+
+``--vanilla`` runs on a stock SparkSession (no tuned confs — the
+configuration the driver's CORRECTNESS sweep uses), so the gate is
+exercised under driver conditions; engine code must set any required
+runtime confs itself.
 """
 
 from __future__ import annotations
@@ -20,8 +25,21 @@ from tests.oracle_compare import compare_query  # noqa: E402
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    spark = get_spark("check-oracle")
+    args = sys.argv[1:]
+    vanilla = "--vanilla" in args
+    if vanilla:
+        args.remove("--vanilla")
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    if vanilla:
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.master("local[32]")
+            .config("spark.ui.enabled", "false")
+            .getOrCreate()
+        )
+    else:
+        spark = get_spark("check-oracle")
     failures = []
     for name, q in REGISTRY.items():
         t0 = time.time()

@@ -276,3 +276,29 @@ def test_register_views_sql_entry_path(spark, sf_small):
         .collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_morphology_quality_source_agnostic(spark, tmp_path):
+    """EP2 runs identically from SWC text and from real H5 bytes: the
+    pipeline consumes the canonical points table, so the source format
+    must not change a single metric."""
+    from data_integration_pipelines_spark.pipelines import morphology_quality
+    from data_integration_pipelines_spark.sources.h5_morph import parse_h5_frame
+    from data_integration_pipelines_spark.sources.morph_convert import (
+        convert_morphologies,
+    )
+    from data_integration_pipelines_spark.sources.swc import read_swc_points
+
+    swc = tmp_path / "m1.swc"
+    swc.write_text(
+        "1 1 0 0 0 5 -1\n2 2 5 0 0 4.8 1\n3 2 10 0 0 4.5 2\n"
+        "4 2 15 5 2 4.5 3\n5 2 15 -5 1 4.5 3\n6 3 -5 0 3 4.9 1\n"
+    )
+    points_swc = read_swc_points(spark, str(swc))
+    points_h5 = parse_h5_frame(convert_morphologies(points_swc, to="h5"))
+
+    keep = ["n_points", "n_roots", "n_multifurcations", "n_axon_trees",
+            "n_dendritic_trees", "total_length", "max_seg_len", "has_axon"]
+    a = morphology_quality(points_swc)[0].select(*keep).collect()[0]
+    b = morphology_quality(points_h5)[0].select(*keep).collect()[0]
+    assert a.asDict() == b.asDict()
