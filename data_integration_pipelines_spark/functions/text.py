@@ -148,3 +148,24 @@ def jwt_claim(token: Column, claim: str) -> Column:
     return F.get_json_object(
         base64url_decode(payload).cast("string"), f"$.{claim}"
     )
+
+
+# PII scrub patterns — kept to the regex subset Java and RE2 interpret
+# identically (no lookaround/backrefs), so the redaction is exactly
+# reproducible in the DuckDB oracle.
+PII_PATTERNS = (
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    (r"\b\+?\d[\d -]{7,14}\d\b", "<PHONE>"),
+)
+
+
+def redact_pii(text: Column) -> Column:
+    """Training-data PII scrub: emails, IPv4 addresses and phone-shaped
+    digit runs replaced with typed placeholders. Chained
+    ``regexp_replace`` — pure JVM, order fixed (emails first so their
+    digit runs don't half-match as phones)."""
+    out = text
+    for pattern, token in PII_PATTERNS:
+        out = F.regexp_replace(out, pattern, token)
+    return out

@@ -67,6 +67,7 @@ _RISK_ORDER = [
     # curation additions beyond the round-1 set
     "tfidf_top_terms",
     "bm25_search",
+    "pii_redaction",
     "mixture_temperature",
     "weighted_sample",
     "skyline_docs",

@@ -533,3 +533,73 @@ def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("score_micro").desc(), "doc_id")
         .limit(25)
     )
+
+
+@register(
+    "pii_redaction",
+    r"""
+    WITH seeded AS (
+        SELECT doc_id,
+               text || ' contact user' || CAST(doc_id AS VARCHAR)
+                    || '@example.com or 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+                    || '.7 tel +41 21 693 ' || CAST(1000 + doc_id % 9000 AS VARCHAR) AS text
+        FROM documents WHERE doc_id < 300
+    ),
+    scrubbed AS (
+        SELECT doc_id,
+               regexp_replace(
+                   regexp_replace(
+                       regexp_replace(text,
+                           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                       '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+                   '\b\+?\d[\d -]{7,14}\d\b', '<PHONE>', 'g') AS clean
+        FROM seeded
+    )
+    SELECT doc_id,
+           md5(clean) AS clean_md5,
+           CAST(len(clean) - len(replace(clean, '<EMAIL>', ''))
+                AS BIGINT) / 7 AS n_emails,
+           CAST(len(clean) - len(replace(clean, '<IP>', '')) AS BIGINT) / 4 AS n_ips,
+           CAST(len(clean) - len(replace(clean, '<PHONE>', '')) AS BIGINT) / 7 AS n_phones
+    FROM scrubbed
+    ORDER BY doc_id
+    """,
+    doc="PII redaction stage (the scrub every training-data pipeline "
+    "runs before release): emails, IPv4s, phone-shaped digit runs -> "
+    "typed placeholders via chained JVM regexp_replace "
+    "(functions/text.redact_pii; patterns restricted to the Java/RE2 "
+    "common subset so both engines substitute identically). Docs are "
+    "seeded with synthetic PII so the oracle certifies actual "
+    "replacements, not no-ops: the md5 of the scrubbed text plus "
+    "per-kind placeholder counts must hash-match.",
+)
+def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import redact_pii
+
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 300)
+    seeded = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"), F.col("doc_id").cast("string"),
+            F.lit("@example.com or 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".7 tel +41 21 693 "),
+            (1000 + F.col("doc_id") % 9000).cast("string"),
+        ).alias("text"),
+    )
+    clean = seeded.select("doc_id", redact_pii(F.col("text")).alias("clean"))
+
+    def count_token(tok: str):
+        return (
+            (F.length("clean") - F.length(F.replace(F.col("clean"), F.lit(tok))))
+            / len(tok)
+        ).cast("bigint")
+
+    return clean.select(
+        "doc_id",
+        F.md5("clean").alias("clean_md5"),
+        count_token("<EMAIL>").alias("n_emails"),
+        count_token("<IP>").alias("n_ips"),
+        count_token("<PHONE>").alias("n_phones"),
+    ).orderBy("doc_id")

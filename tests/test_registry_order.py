@@ -50,6 +50,7 @@ _NEVER_DRIVER_VERIFIED = {
     "quantile_bins",
     "tfidf_top_terms",
     "bm25_search",  # new in r3: no driver row yet by construction
+    "pii_redaction",  # new in r3: no driver row yet by construction
     "mixture_temperature",  # new in r3: no driver row yet by construction
     "weighted_sample",
     "skyline_docs",
