@@ -769,3 +769,51 @@ class TestAscWriter:
         points = read_swc_points(spark, swc_dir + "/hetero_near_soma.swc")
         with pytest.raises(ValueError, match="type change"):
             points_to_asc_text(points.toPandas())
+
+
+@pytest.mark.skipif(
+    not os.path.isdir("/root/reference/data/test_data/neurolucida"),
+    reason="reference neurolucida test data not present",
+)
+def test_asc_parser_reads_real_neurolucida_files():
+    """Conformance beyond the inline fixtures: every genuine
+    Neurolucida file in the reference's public test data must parse
+    into a resolvable tree (spines/comments stripped, branch groups
+    attached, types recognized)."""
+    import glob as _glob
+
+    from data_integration_pipelines_spark.sources.asc import parse_asc_text
+
+    paths = sorted(_glob.glob("/root/reference/data/test_data/neurolucida/*.asc"))
+    assert paths
+    for p in paths:
+        rows = parse_asc_text(open(p, encoding="utf-8", errors="replace").read())
+        assert rows, p
+        ns = {r[0] for r in rows}
+        assert all(r[6] == -1 or r[6] in ns for r in rows), p
+
+
+@pytest.mark.skipif(
+    not os.path.isdir("/root/reference/data/test_data/swc"),
+    reason="reference swc test data not present",
+)
+def test_swc_reader_reads_real_reference_files(spark):
+    """The distributed SWC reader over the reference's named-defect
+    files (disconnected components, missing soma, bifurcating soma...):
+    every file yields a resolvable parent-pointer table and the
+    quality battery runs over the whole set."""
+    import glob as _glob
+
+    paths = sorted(
+        _glob.glob("/root/reference/data/test_data/swc/**/*.swc", recursive=True)
+    )
+    assert paths
+    pts = read_swc_points(spark, paths).toPandas()
+    assert pts.groupby("file").size().min() > 0
+    flags = morphology_flags(
+        read_swc_points(spark, paths)
+    ).toPandas()
+    assert len(flags) == pts["file"].nunique()
+    # the named disconnected-components file must flag multi-component
+    disc = flags[flags["file"].str.contains("disconnected_components")]
+    assert not disc.empty and bool(disc["has_multiple_components"].iloc[0])
