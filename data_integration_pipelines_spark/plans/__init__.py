@@ -68,6 +68,7 @@ _RISK_ORDER = [
     "tfidf_top_terms",
     "bm25_search",
     "pii_redaction",
+    "duplicated_span_fraction",
     "mixture_temperature",
     "weighted_sample",
     "skyline_docs",

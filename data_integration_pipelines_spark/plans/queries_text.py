@@ -603,3 +603,85 @@ def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         count_token("<IP>").alias("n_ips"),
         count_token("<PHONE>").alias("n_phones"),
     ).orderBy("doc_id")
+
+
+@register(
+    "duplicated_span_fraction",
+    r"""
+    WITH toks AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+        FROM documents
+    ),
+    win AS (
+        SELECT DISTINCT doc_id,
+               t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' ||
+               t[i+4] || ' ' || t[i+5] || ' ' || t[i+6] || ' ' || t[i+7] AS w
+        FROM toks, LATERAL (SELECT unnest(range(1, len(t) - 6)) AS i)
+    ),
+    df AS (
+        SELECT w FROM win GROUP BY w HAVING COUNT(*) > 1
+    ),
+    per_doc AS (
+        SELECT win.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_windows,
+               CAST(COUNT(df.w) AS BIGINT) AS n_shared
+        FROM win LEFT JOIN df ON win.w = df.w
+        GROUP BY win.doc_id
+    )
+    SELECT doc_id, n_windows, n_shared,
+           CAST(FLOOR(CAST(n_shared AS DOUBLE) / n_windows * 10000 + 0.5) AS BIGINT) AS shared_bp
+    FROM per_doc
+    WHERE n_shared > 0
+    ORDER BY doc_id
+    """,
+    doc="Exact-substring dedup signal (Lee et al. 'Deduplicating "
+    "Training Data Makes Language Models Better'-family, window "
+    "granularity): 8-token windows appearing in MORE THAN ONE document "
+    "-> per-doc duplicated-window count and basis-point fraction. "
+    "Distinct from pairwise near-dup (jaccard/minhash) and cross-source "
+    "decontamination: this flags verbatim spans shared ANYWHERE in the "
+    "corpus. Plan: windows hash to 8-byte keys before the df groupBy "
+    "(one uniform shuffle), the >1 filter shrinks the join side to "
+    "actual duplicates, fraction quantized to integer basis points.",
+)
+def duplicated_span_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import word_shingles
+
+    docs = _docs(spark, sf_dir)
+    wins = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(word_shingles(ws_tokens(F.col("text")), 8))
+        ).alias("w"),
+    ).select("doc_id", F.xxhash64("w").alias("h"))
+    from ..operators.cache import bounded_persist
+
+    wins = bounded_persist(wins)
+    dup = (
+        wins.groupBy("h")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") > 1)
+        .select("h")
+    )
+    per_doc = (
+        wins.join(dup, "h", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_shared"))
+    )
+    totals = wins.groupBy("doc_id").agg(F.count("*").alias("n_windows"))
+    return (
+        totals.join(per_doc, "doc_id")
+        .select(
+            "doc_id",
+            "n_windows",
+            "n_shared",
+            F.floor(
+                F.col("n_shared").cast("double") / F.col("n_windows") * 10000
+                + F.lit(0.5)
+            )
+            .cast("bigint")
+            .alias("shared_bp"),
+        )
+        .filter(F.col("n_shared") > 0)
+        .orderBy("doc_id")
+    )

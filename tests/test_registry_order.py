@@ -51,6 +51,7 @@ _NEVER_DRIVER_VERIFIED = {
     "tfidf_top_terms",
     "bm25_search",  # new in r3: no driver row yet by construction
     "pii_redaction",  # new in r3: no driver row yet by construction
+    "duplicated_span_fraction",  # new in r3: no driver row yet
     "mixture_temperature",  # new in r3: no driver row yet by construction
     "weighted_sample",
     "skyline_docs",
