@@ -52,6 +52,7 @@ _RISK_ORDER = [
     "session_stats",
     "session_window_counts",
     "windowed_event_counts",
+    "windowed_counts_pruned",
     "running_total",
     "lag_lead_deltas",
     "rank_battery",

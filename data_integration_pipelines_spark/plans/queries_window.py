@@ -664,3 +664,37 @@ def asof_join_events_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("view_value", 2).alias("last_view_value"),
         F.coalesce(sec - msec, F.lit(-1)).cast("bigint").alias("secs_since_view"),
     ).orderBy("user_id", "event_id")
+
+
+@register(
+    "windowed_counts_pruned",
+    """
+    SELECT STRFTIME(time_bucket(INTERVAL 1 HOUR, ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(SUM(value), 2) AS total_value
+    FROM events
+    WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-05' AND DATE '2024-01-07'
+    GROUP BY 1, 2
+    ORDER BY window_start, event_type
+    """,
+    doc="Windowed counts over the TIME-PARTITIONED events layout "
+    "(sources/bucketing.ensure_time_partitioned_events: Hive-partitioned "
+    "by event date): the literal date predicate prunes partitions at "
+    "planning time — PartitionFilters in the scan, 3 of 30 day "
+    "directories opened; at a year of 100 TB telemetry that is the "
+    "difference between scanning everything and scanning 1%. Same "
+    "results as filtering the flat layout (the oracle does exactly "
+    "that) — layout is physical, never semantic.",
+)
+def windowed_counts_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.bucketing import ensure_time_partitioned_events
+
+    path = ensure_time_partitioned_events(spark, sf_dir)
+    ev = spark.read.parquet(path)
+    if dict(ev.dtypes).get("ts") == "bigint":
+        ev = ev.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    pruned = ev.filter(
+        F.col("event_date").between("2024-01-05", "2024-01-07")
+    )
+    return windowed_counts(pruned, "1 hour").orderBy("window_start", "event_type")

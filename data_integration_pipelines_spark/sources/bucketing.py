@@ -138,3 +138,30 @@ def write_partitioned(
     (SURVEY §1.1): one directory tree per bucket/type, scans touch only
     the buckets they query."""
     df.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)
+
+
+def ensure_time_partitioned_events(
+    spark: SparkSession, sf_dir: str, base_dir: str | None = None
+) -> str:
+    """Idempotently materialize ``events`` Hive-partitioned by event
+    DATE — the at-rest layout for time-series facts at scale: date
+    predicates prune whole directories at planning time, so a
+    one-day query over a year of data opens ~1/365 of the files.
+    Returns the layout path. The write is paid once per sf_dir (a
+    real deployment ingests into this layout continuously)."""
+    import tempfile
+
+    from ..catalog import load_table
+
+    base = base_dir or os.path.join(
+        tempfile.gettempdir(), f"spark_graft_events_bydate_{sf_tag(sf_dir)}"
+    )
+    marker = os.path.join(base, "_SUCCESS")
+    if not os.path.exists(marker):
+        ev = load_table(spark, sf_dir, "events")
+        from pyspark.sql import functions as F
+
+        ev.withColumn("event_date", F.to_date("ts")).write.mode(
+            "overwrite"
+        ).partitionBy("event_date").parquet(base)
+    return base

@@ -186,3 +186,16 @@ def test_shuffle_rightsize_optout(spark, sf_small, monkeypatch):
         assert spark.conf.get("spark.sql.shuffle.partitions") != "200"
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
+def test_time_partitioned_events_prune_at_planning(spark, sf_small):
+    """The date predicate on the time-partitioned events layout must
+    land in PartitionFilters (directory pruning), not a post-scan
+    data filter."""
+    from data_integration_pipelines_spark.plans import REGISTRY
+
+    df = REGISTRY["windowed_counts_pruned"].fn(spark, sf_small)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+    pf = plan.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
+    assert "event_date" in pf, plan[:1500]

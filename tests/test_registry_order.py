@@ -36,6 +36,7 @@ _NEVER_DRIVER_VERIFIED = {
     "session_stats",
     "session_window_counts",
     "windowed_event_counts",
+    "windowed_counts_pruned",  # new in r3: no driver row yet
     "running_total",
     "lag_lead_deltas",
     "rank_battery",
