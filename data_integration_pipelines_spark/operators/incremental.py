@@ -67,3 +67,37 @@ def finalize(state: DataFrame, keys: Sequence[str]) -> DataFrame:
         F.col("mx"),
         (F.col("total") / F.col("cnt")).alias("avg"),
     )
+
+
+def partial_distinct_sketch(
+    df: DataFrame, keys: Sequence[str], value_col: str
+) -> DataFrame:
+    """Per-group HLL sketch of distinct values (Datasketches HLL via
+    Spark's ``hll_sketch_agg``) — the MERGEABLE distinct-count partial.
+    Exact ``count(DISTINCT)`` cannot fold incrementally (it needs the
+    full value set); the sketch is a few KB per group, merges
+    associatively, and the estimate is deterministic for a given
+    algorithm/seed — so batch-folded == one-shot EXACTLY, not just
+    approximately (property-tested)."""
+    return df.groupBy(*keys).agg(F.hll_sketch_agg(value_col).alias("nd_sketch"))
+
+
+def merge_distinct_sketches(
+    state: DataFrame | None, batch: DataFrame, keys: Sequence[str]
+) -> DataFrame:
+    """Fold a batch's sketches into the running state (union agg)."""
+    if state is None:
+        return batch
+    both = state.select(*keys, "nd_sketch").unionByName(
+        batch.select(*keys, "nd_sketch")
+    )
+    return both.groupBy(*keys).agg(
+        F.hll_union_agg("nd_sketch").alias("nd_sketch")
+    )
+
+
+def finalize_distinct(state: DataFrame, keys: Sequence[str]) -> DataFrame:
+    """Read-time estimate from the sketch state."""
+    return state.select(
+        *keys, F.hll_sketch_estimate("nd_sketch").alias("n_distinct_est")
+    )

@@ -570,3 +570,48 @@ class TestAsofChunked:
         )
         assert n_chunks > 100  # genuinely parallelizable
         assert out.count() == 8_000
+
+
+class TestIncrementalDistinct:
+    def test_folded_sketches_equal_one_shot_and_near_exact(self, spark):
+        """HLL sketch partials: batch-folded union must equal the
+        one-shot sketch EXACTLY (same algorithm, associative merge),
+        and the estimate must be near the true distinct count."""
+        import random
+
+        from data_integration_pipelines_spark.operators.incremental import (
+            finalize_distinct,
+            merge_distinct_sketches,
+            partial_distinct_sketch,
+        )
+
+        rng = random.Random(5)
+        rows = [(rng.choice("ab"), rng.randint(0, 5000)) for _ in range(20_000)]
+        df = spark.createDataFrame(rows, "k string, v long")
+        one_shot = {
+            r["k"]: r["n_distinct_est"]
+            for r in finalize_distinct(
+                partial_distinct_sketch(df, ["k"], "v"), ["k"]
+            ).collect()
+        }
+        state = None
+        for b in range(4):
+            batch = spark.createDataFrame(
+                [(k, v) for k, v in rows if v % 4 == b], "k string, v long"
+            )
+            state = merge_distinct_sketches(
+                state, partial_distinct_sketch(batch, ["k"], "v"), ["k"]
+            )
+        folded = {
+            r["k"]: r["n_distinct_est"]
+            for r in finalize_distinct(state, ["k"]).collect()
+        }
+        assert folded == one_shot
+        exact = {
+            r["k"]: r["nd"]
+            for r in df.groupBy("k")
+            .agg(F.countDistinct("v").alias("nd"))
+            .collect()
+        }
+        for k, est in folded.items():
+            assert abs(est - exact[k]) / exact[k] < 0.05, (k, est, exact[k])
