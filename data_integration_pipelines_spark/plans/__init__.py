@@ -37,6 +37,7 @@ _RISK_ORDER = [
     "embedding_near_dup_multiprobe",
     "embedding_dup_clusters",
     "int8_quantize",
+    "hybrid_search_rrf",
     # morphology / voxel kernels (applyInPandas walks, binary parsers)
     "morphology_battery",
     "asc_morphology_battery",

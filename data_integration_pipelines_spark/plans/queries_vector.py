@@ -12,10 +12,11 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..catalog import load_table
 from ..operators.similarity import ivf_topk, topk_pandas
-from .base import register
+from .base import REGISTRY, register
 
 _LONG_CTE = """
     long AS (
@@ -495,3 +496,105 @@ def int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vec_id")
     )
+
+
+@register(
+    "hybrid_search_rrf",
+    f"""
+    WITH {_LONG_CTE},
+    dots AS (
+        SELECT c.vec_id AS corpus_id, SUM(q.val * c.val) AS dot
+        FROM long q JOIN long c ON q.pos = c.pos AND c.vec_id <> 0
+        WHERE q.vec_id = 0
+        GROUP BY c.vec_id
+    ),
+    vec_rank AS (
+        SELECT corpus_id AS doc_id,
+               CAST(ROW_NUMBER() OVER (ORDER BY ROUND(dot, 4) DESC, corpus_id) AS BIGINT) AS r
+        FROM dots
+        QUALIFY r <= 25
+    ),
+    toks AS (
+        SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok,
+               len(regexp_split_to_array(trim(text), '\\s+')) AS dl
+        FROM documents
+    ),
+    n_avg AS (
+        SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+               SUM(len(regexp_split_to_array(trim(text), '\\s+'))) / CAST(COUNT(*) AS DOUBLE) AS avgdl
+        FROM documents
+    ),
+    tf AS (
+        SELECT doc_id, tok, CAST(COUNT(*) AS DOUBLE) AS tf, MAX(dl) AS dl
+        FROM toks WHERE tok IN ('window', 'hash', 'stream')
+        GROUP BY doc_id, tok
+    ),
+    df AS (
+        SELECT tok, CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS df
+        FROM toks WHERE tok IN ('window', 'hash', 'stream')
+        GROUP BY tok
+    ),
+    bm AS (
+        SELECT tf.doc_id,
+               SUM(CAST(FLOOR(
+                   ln(1.0 + (n_avg.n - df.df + 0.5) / (df.df + 0.5))
+                   * ((tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * (tf.dl / n_avg.avgdl))))
+                   * 1000000.0 + 0.5) AS BIGINT)) AS score_micro
+        FROM tf JOIN df ON tf.tok = df.tok, n_avg
+        GROUP BY tf.doc_id
+    ),
+    text_rank AS (
+        SELECT doc_id,
+               CAST(ROW_NUMBER() OVER (ORDER BY score_micro DESC, doc_id) AS BIGINT) AS r
+        FROM bm
+        QUALIFY r <= 25
+    ),
+    fused AS (
+        SELECT COALESCE(v.doc_id, t.doc_id) AS doc_id,
+               COALESCE(CAST(1000000000 // (60 + v.r) AS BIGINT), 0)
+               + COALESCE(CAST(1000000000 // (60 + t.r) AS BIGINT), 0) AS rrf_nano,
+               v.r AS vec_rank, t.r AS text_rank
+        FROM vec_rank v FULL OUTER JOIN text_rank t ON v.doc_id = t.doc_id
+    )
+    SELECT doc_id, rrf_nano, vec_rank, text_rank
+    FROM fused
+    ORDER BY rrf_nano DESC, doc_id
+    LIMIT 10
+    """,
+    doc="Hybrid retrieval: BM25 text ranks fused with brute-force cosine "
+    "ranks via reciprocal-rank fusion (score = sum 1e9//(60+rank), "
+    "integer division — engine-exact, no float fusion drift). The "
+    "standard lexical+dense ensemble of a retrieval pipeline, composed "
+    "entirely from the engine's own certified rankers; the oracle "
+    "recomputes both rankings AND the fusion.",
+)
+def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import brute_force_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    vec_rank = (
+        brute_force_topk(emb, emb.filter(F.col("vec_id") == 0), k=25)
+        .select(F.col("neighbor_id").alias("doc_id"), F.col("rank").cast("bigint").alias("vec_rank"))
+    )
+    text_rank = (
+        REGISTRY["bm25_search"].fn(spark, sf_dir)
+        .select(
+            "doc_id",
+            F.row_number()
+            .over(Window.orderBy(F.col("score_micro").desc(), F.col("doc_id")))
+            .cast("bigint")
+            .alias("text_rank"),
+        )
+    )
+    fused = vec_rank.join(text_rank, "doc_id", "full_outer").select(
+        "doc_id",
+        (
+            F.coalesce(F.expr("1000000000 div (60 + vec_rank)"), F.lit(0))
+            + F.coalesce(F.expr("1000000000 div (60 + text_rank)"), F.lit(0))
+        )
+        .cast("bigint")
+        .alias("rrf_nano"),
+        "vec_rank",
+        "text_rank",
+    )
+    return fused.orderBy(F.col("rrf_nano").desc(), "doc_id").limit(10)

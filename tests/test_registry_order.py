@@ -22,6 +22,7 @@ _NEVER_DRIVER_VERIFIED = {
     "embedding_near_dup_multiprobe",
     "embedding_dup_clusters",
     "int8_quantize",  # new in r3: no driver row yet by construction
+    "hybrid_search_rrf",  # new in r3: no driver row yet by construction
     "morphology_battery",
     "asc_morphology_battery",
     "h5_morphology_battery",  # new in r3: no driver row yet by construction
