@@ -9,13 +9,14 @@ src/trace/thumbnail.py:25-62): the file payload rides through the
 DataFrame as bytes; metadata extraction stays JVM-side; only the
 irreducible decode work drops to Python, batched via Arrow.
 
-Real codecs (PIL / soundfile / av) are not available in this
-container, so the decode core of each kernel is swappable: with the
-library present it decodes for real; otherwise a clearly-marked
-deterministic fake derives the same-shaped output purely from the
-payload bytes' digest. The Spark-side contract — input/output schema,
-partitioning, Arrow batch shape, UDF signature — is identical in both
-modes and is what the tests pin down.
+Decode cores, in preference order: the NATIVE PNG codec
+(``png_lite`` — stdlib+numpy, works everywhere), then PIL/soundfile/av
+where importable (other formats), then a clearly-marked deterministic
+fake that derives same-shaped output purely from the payload's hex
+digest (genuinely undecodable payloads only — and every fake output is
+SQL-derivable, so even that path carries a full DuckDB oracle). The
+Spark-side contract — input/output schema, partitioning, Arrow batch
+shape, UDF signature — is identical in all modes.
 
 Scale notes:
 - Payload bytes dominate row width -> keep multimodal columns OUT of

@@ -6,10 +6,10 @@
   src/neuron_morphology/validation/region_comparison.py:467). Sheets
   are small (hundreds of rows), so the read happens on the driver and
   the frame is parallelized with ``createDataFrame`` — they then act
-  as broadcast dimension inputs to joins. openpyxl is not available
-  in this container, so ``read_excel`` is import-gated; the header
-  cleaning itself lives in ``clean_metadata_frame`` and is fully
-  exercised through the CSV path.
+  as broadcast dimension inputs to joins. ``read_excel`` is REAL with
+  no binary dependency (the stdlib OOXML reader in ``xlsx_lite``;
+  pandas+openpyxl preferred where installed); the header cleaning
+  lives in ``clean_metadata_frame``, shared with the CSV twin.
 
 - Zip: the reference walks nested zips (zip-in-zip) extracting
   ``*.swc`` (ref src/neuron_morphology/morphology_registration.py:28-48).
