@@ -13,6 +13,7 @@ from . import queries_vector  # noqa: E402,F401
 from . import queries_morphology  # noqa: E402,F401
 from . import queries_multimodal  # noqa: E402,F401
 from . import queries_joins  # noqa: E402,F401
+from . import queries_tpch  # noqa: E402,F401
 from . import queries_voxel  # noqa: E402,F401
 from . import queries_window  # noqa: E402,F401
 
@@ -93,6 +94,12 @@ _RISK_ORDER = [
     "two_hop_follow_bucketed",
     "relationship_assign",
     "anti_join_orphans",
+    # star-join suite (new in r3: no driver row yet by construction)
+    "shipping_priority",
+    "local_supplier_volume",
+    "promo_revenue",
+    "top_supplier",
+    "returned_items_report",
     # -- driver-green in r1+r2; heaviest / multi-stage first --
     "dup_clusters",
     "dedup_survivors",

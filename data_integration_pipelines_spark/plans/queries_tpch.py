@@ -1,0 +1,264 @@
+"""Classic warehouse join/agg shapes over the star schema (TPC-H-style).
+
+The reference's join surface (SURVEY.md §2.3) is two-hop at most; a
+100 TB analytics engine also needs the canonical 3-6 table star-join
+shapes with selective per-table predicates, where the plan quality
+question is join ORDER + which sides broadcast + whether predicates
+reach the scans. These queries pin those shapes with full DuckDB
+oracles:
+
+- ``shipping_priority``  (Q3 shape): 3-way join, top-k by aggregate
+- ``local_supplier_volume`` (Q5 shape): 6-way star join with a
+  cross-fact equality (customer and supplier in the same nation)
+- ``promo_revenue``      (Q14 shape): conditional-fraction aggregate
+- ``top_supplier``       (Q15 shape): aggregate -> global-max semi-join
+- ``returned_items_report`` (Q10 shape): 4-way join, top-k customers
+
+All revenue terms are quantized to DECIMAL(18,6) BEFORE summation on
+both sides: decimal addition is exact and order-independent, so the
+partial-aggregation tree (Spark) and the sequential sum (DuckDB)
+agree to the last cent, and the rounded value that drives every
+ordering/limit decision is identical in both engines.
+
+Plan notes (asserted in tests/test_plan_quality.py): fixed-size
+dimensions (region, nation) are explicit broadcasts; data-scaled
+tables (customer, orders, lineitem, part, supplier) are left to AQE,
+which broadcasts them at test SF and shuffle-joins them at 100 TB —
+a forced hint would OOM there (VERDICT r1/r2 lesson).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from .base import register
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+def _revenue():
+    # DECIMAL(18,6) per-term quantization before summation: decimal
+    # addition is exact and order-independent, so Spark's partial-agg
+    # tree and DuckDB's sequential sum produce the SAME total — double
+    # sums can differ in the last cent when a group lands on a .xx5
+    # boundary (observed at sf0.001). The per-row double product is
+    # deterministic in both engines; only the summation order differs.
+    return (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,6)"
+    )
+
+
+@register(
+    "shipping_priority",
+    """
+    SELECT o_orderkey, o_orderdate, o_orderpriority,
+           CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue
+    FROM customer
+    JOIN orders ON o_custkey = c_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-01-01'
+      AND l_shipdate > TIMESTAMP '1998-01-01'
+    GROUP BY o_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, o_orderkey
+    LIMIT 10
+    """,
+    doc="TPC-H Q3 shape: customer segment x order date x ship date "
+    "predicates each pushed below its own scan, 3-way join, top-10 "
+    "orders by revenue with a deterministic (revenue_r, orderkey) "
+    "tiebreak. Generalizes J10's two-hop follow with a top-k sink.",
+)
+def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp")
+    )
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .join(li, orders.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.round(F.sum(_revenue()), 2).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "local_supplier_volume",
+    """
+    SELECT n_name,
+           CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM region
+    JOIN nation ON n_regionkey = r_regionkey
+    JOIN customer ON c_nationkey = n_nationkey
+    JOIN orders ON o_custkey = c_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON s_suppkey = l_suppkey AND s_nationkey = c_nationkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o_orderdate < TIMESTAMP '1999-01-01'
+    GROUP BY n_name
+    ORDER BY n_name
+    """,
+    doc="TPC-H Q5 shape: 6-table star join with the local-supplier "
+    "cross-fact equality (supplier and customer share a nation). "
+    "region/nation broadcast (fixed size at any SF); the fact joins "
+    "stay AQE-sided. The region predicate prunes nations BEFORE any "
+    "fact shuffles.",
+)
+def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = _t(spark, sf_dir, "nation")
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1999-01-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    # nations of the chosen region: tiny at any scale -> broadcast; the
+    # customer join then prunes most rows before the fact-fact hops
+    local_nations = F.broadcast(
+        nation.join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select("n_nationkey", "n_name")
+    )
+    return (
+        cust.join(local_nations, cust.c_nationkey == F.col("n_nationkey"))
+        .join(orders, cust.c_custkey == orders.o_custkey)
+        .join(li, orders.o_orderkey == li.l_orderkey)
+        .join(
+            supp,
+            (li.l_suppkey == supp.s_suppkey)
+            & (supp.s_nationkey == cust.c_nationkey),
+        )
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum(_revenue()), 2).cast("double").alias("revenue"),
+            F.count("*").alias("n_lines"),
+        )
+        .orderBy("n_name")
+    )
+
+
+@register(
+    "promo_revenue",
+    """
+    SELECT CAST(ROUND(100 * SUM(CASE WHEN p_type = 'PROMO'
+                   THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))
+                   ELSE CAST(0 AS DECIMAL(18,6)) END), 2) AS DOUBLE) AS promo_revenue,
+           CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_revenue
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE l_shipdate >= TIMESTAMP '1998-01-01'
+      AND l_shipdate < TIMESTAMP '1998-07-01'
+    """,
+    doc="TPC-H Q14 shape: conditional-fraction aggregate over a "
+    "fact x dimension join inside a date window. The promo/total "
+    "split is one pass (two conditional sums), not two scans; the "
+    "part join is AQE-sided (dimension scales with SF).",
+)
+def promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1998-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-07-01").cast("timestamp"))
+    )
+    part = _t(spark, sf_dir, "part")
+    rev = _revenue()
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .agg(
+            F.round(
+                100 * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(
+                    F.lit(0).cast("decimal(18,6)"))),
+                2,
+            ).cast("double").alias("promo_revenue"),
+            F.round(F.sum(rev), 2).cast("double").alias("total_revenue"),
+        )
+    )
+
+
+@register(
+    "top_supplier",
+    """
+    WITH rev AS (
+        SELECT l_suppkey,
+               CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1998-01-01'
+          AND l_shipdate < TIMESTAMP '1998-07-01'
+        GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier JOIN rev ON s_suppkey = l_suppkey
+    WHERE total_revenue = (SELECT MAX(total_revenue) FROM rev)
+    ORDER BY s_suppkey
+    """,
+    doc="TPC-H Q15 shape: per-supplier revenue aggregate, then a "
+    "global-max semi-filter (scalar subquery, ties kept). Decimal "
+    "summation makes the max identical in both engines, so they can "
+    "never disagree about who is top. One shuffle for the agg; the "
+    "max is a scalar broadcast, not a second scan of lineitem.",
+)
+def top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1998-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-07-01").cast("timestamp"))
+    )
+    supp = _t(spark, sf_dir, "supplier")
+    rev = li.groupBy("l_suppkey").agg(
+        F.round(F.sum(_revenue()), 2).cast("double").alias("total_revenue")
+    )
+    max_rev = rev.agg(F.max("total_revenue").alias("m"))
+    return (
+        rev.join(F.broadcast(max_rev), rev.total_revenue == F.col("m"))
+        .join(supp, rev.l_suppkey == supp.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+@register(
+    "returned_items_report",
+    """
+    SELECT c_custkey, c_name, n_name,
+           CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue
+    FROM customer
+    JOIN nation ON n_nationkey = c_nationkey
+    JOIN orders ON o_custkey = c_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE l_returnflag = 'R'
+      AND o_orderdate >= TIMESTAMP '1998-01-01'
+      AND o_orderdate < TIMESTAMP '1998-07-01'
+    GROUP BY c_custkey, c_name, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+    doc="TPC-H Q10 shape: who returned the most revenue last quarter — "
+    "4-way join (nation broadcast, facts AQE-sided), grouped by "
+    "customer, top-20 with deterministic (revenue_r, custkey) "
+    "tiebreak. The returnflag predicate reaches the lineitem scan.",
+)
+def returned_items_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1998-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-07-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    return (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(orders, cust.c_custkey == orders.o_custkey)
+        .join(li, orders.o_orderkey == li.l_orderkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.round(F.sum(_revenue()), 2).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )

@@ -74,6 +74,11 @@ _NEVER_DRIVER_VERIFIED = {
     "two_hop_follow_bucketed",
     "relationship_assign",
     "anti_join_orphans",
+    "shipping_priority",  # new in r3: no driver row yet by construction
+    "local_supplier_volume",  # new in r3: no driver row yet by construction
+    "promo_revenue",  # new in r3: no driver row yet by construction
+    "top_supplier",  # new in r3: no driver row yet by construction
+    "returned_items_report",  # new in r3: no driver row yet by construction
 }
 
 
