@@ -100,6 +100,8 @@ _RISK_ORDER = [
     "promo_revenue",
     "top_supplier",
     "returned_items_report",
+    # bloom-prefiltered decontamination (new in r3)
+    "decontaminate_bloom",
     # -- driver-green in r1+r2; heaviest / multi-stage first --
     "dup_clusters",
     "dedup_survivors",

@@ -91,9 +91,10 @@ def dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "decontaminate",
-    """
+# Shared by decontaminate and decontaminate_bloom: the bloom variant is
+# a lossless-reject PREFILTER + exact verify, so the answer — and the
+# oracle — must be identical.
+_DECONTAM_ORACLE = """
     WITH sh AS (
         SELECT DISTINCT doc_id, source,
                t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] AS s
@@ -112,7 +113,12 @@ def dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM hits
     GROUP BY doc_id
     ORDER BY doc_id
-    """,
+    """
+
+
+@register(
+    "decontaminate",
+    _DECONTAM_ORACLE,
     doc="Train/eval decontamination: flag training docs sharing any 4-gram "
     "with the held-out eval source (src0). Eval shingle set is tiny vs the "
     "corpus -> broadcast join, no shuffle of the training side; the group-by "
@@ -143,6 +149,53 @@ def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         train.join(F.broadcast(holdout), "s")
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("s").alias("n_shared_ngrams"),
+            F.countDistinct("eval_id").alias("n_eval_docs"),
+            F.min("eval_id").alias("first_eval_id"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "decontaminate_bloom",
+    _DECONTAM_ORACLE,
+    doc="Decontamination with a bloom-filter semi-join prefilter "
+    "(operators/bloom.py): the holdout's shingle hashes compress into a "
+    "fixed-size sparse bitmap (one MAP<block,bits> row, <=m/8 bytes "
+    "REGARDLESS of holdout size) that cross-joins in as a 1-row "
+    "broadcast; training shingles that cannot match die inside "
+    "whole-stage codegen before any join. False positives then hit the "
+    "exact verify join (AQE-sided, unhinted), false negatives are "
+    "impossible — so the result, and the oracle, are identical to "
+    "decontaminate. This is the scale path when eval suites outgrow a "
+    "row broadcast: the bitmap stays ~32 KB while the exact join's "
+    "probe side has already shrunk to the contaminated sliver.",
+)
+def decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.bloom import bloom_prefilter
+    from ..operators.cache import bounded_persist
+
+    docs = _docs(spark, sf_dir)
+    hashed = F.array_distinct(
+        F.transform(
+            word_shingles(ws_tokens(F.col("text")), 4), lambda s: F.xxhash64(s)
+        )
+    )
+    sh = bounded_persist(
+        docs.select("doc_id", "source", F.explode(hashed).alias("s"))
+    )
+    train = sh.filter(F.col("source") != "src0").drop("source")
+    holdout = sh.filter(F.col("source") == "src0").select(
+        "s", F.col("doc_id").alias("eval_id")
+    )
+    candidates = bloom_prefilter(train, holdout, "s", "s", m_bits=1 << 18, k=3)
+    # exact verify: unhinted — AQE broadcasts the holdout while it is
+    # genuinely small and degrades to a shuffle join when it is not
+    return (
+        candidates.join(holdout, "s")
         .groupBy("doc_id")
         .agg(
             F.countDistinct("s").alias("n_shared_ngrams"),

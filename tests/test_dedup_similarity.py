@@ -513,3 +513,34 @@ class TestInt8Quantize:
             step = 1.0 / r["scale"]
             recon = np.array(r["codes"]) / r["scale"]
             assert np.max(np.abs(recon - np.array(r["vals"]))) <= step / 2 + 1e-12
+
+
+class TestBloomPrefilter:
+    """operators/bloom.py — lossless-reject semi-join prefilter."""
+
+    def test_no_false_negatives_and_rejects_most_non_members(self, spark):
+        from data_integration_pipelines_spark.operators.bloom import (
+            bloom_bitmap,
+            bloom_prefilter,
+        )
+
+        build = spark.range(0, 200).selectExpr("id * 7 AS key")
+        probe = spark.range(0, 4000).selectExpr("id AS k")  # members = multiples of 7 < 1400
+        kept = bloom_prefilter(probe, build, "k", "key", m_bits=1 << 14, k=3)
+        kept_set = {r.k for r in kept.collect()}
+        members = {i * 7 for i in range(200)}
+        # every true member survives (false negatives impossible)
+        assert members <= kept_set
+        # the reject rate is real: most non-members die in the prefilter
+        non_members_kept = len(kept_set - members)
+        assert non_members_kept < 0.05 * 4000, non_members_kept
+        # bitmap is one sparse map row, bounded by m/64 blocks
+        bm = bloom_bitmap(build, "key", m_bits=1 << 14, k=3).collect()
+        assert len(bm) == 1 and len(bm[0].bm) <= (1 << 14) // 64
+
+    def test_decontaminate_bloom_equals_exact(self, spark, sf_small):
+        from data_integration_pipelines_spark.plans import REGISTRY
+
+        exact = sorted(map(tuple, REGISTRY["decontaminate"].fn(spark, sf_small).collect()))
+        bloom = sorted(map(tuple, REGISTRY["decontaminate_bloom"].fn(spark, sf_small).collect()))
+        assert exact == bloom

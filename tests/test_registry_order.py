@@ -79,6 +79,7 @@ _NEVER_DRIVER_VERIFIED = {
     "promo_revenue",  # new in r3: no driver row yet by construction
     "top_supplier",  # new in r3: no driver row yet by construction
     "returned_items_report",  # new in r3: no driver row yet by construction
+    "decontaminate_bloom",  # new in r3: no driver row yet by construction
 }
 
 
