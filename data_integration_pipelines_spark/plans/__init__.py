@@ -102,6 +102,8 @@ _RISK_ORDER = [
     "returned_items_report",
     # bloom-prefiltered decontamination (new in r3)
     "decontaminate_bloom",
+    # quantile-sketch bounds check (new in r3)
+    "approx_quantile_check",
     # -- driver-green in r1+r2; heaviest / multi-stage first --
     "dup_clusters",
     "dedup_survivors",

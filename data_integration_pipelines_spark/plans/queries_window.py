@@ -698,3 +698,76 @@ def windowed_counts_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_date").between("2024-01-05", "2024-01-07")
     )
     return windowed_counts(pruned, "1 hour").orderBy("window_start", "event_type")
+
+
+@register(
+    "approx_quantile_check",
+    """
+    SELECT l_returnflag,
+           ROUND(quantile_cont(l_quantity, 0.50), 4) AS exact_p50,
+           ROUND(quantile_cont(l_quantity, 0.95), 4) AS exact_p95,
+           TRUE AS p50_within_1pct_rank,
+           TRUE AS p95_within_1pct_rank
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    doc="Scale-path quantile sketch next to the exact percentile: "
+    "percentile_approx (Greenwald-Khanna epsilon-sketch, fixed-size "
+    "mergeable state) must land within 1% RANK error of the exact "
+    "interpolated percentile — certified by re-ranking the approx "
+    "answer against the group's own CDF, which is the sketch's actual "
+    "guarantee (rank error, not value error). At 100 TB the exact "
+    "percentile's per-group sort is the cost ceiling; the sketch is "
+    "one pass with map-side merge (companion to approx_distinct_check, "
+    "SURVEY §2.4 note).",
+)
+def approx_quantile_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    appx = li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_quantity, 0.50)"), 4).alias("exact_p50"),
+        F.round(F.expr("percentile(l_quantity, 0.95)"), 4).alias("exact_p95"),
+        F.percentile_approx("l_quantity", 0.50, 1000).alias("ap50"),
+        F.percentile_approx("l_quantity", 0.95, 1000).alias("ap95"),
+        F.count("*").alias("n"),
+    )
+    # Re-rank the approx answers against the group's own CDF with a
+    # second aggregate pass over lineitem (broadcast join-back on the
+    # tiny per-group sketch table) — NOT collect_list: materializing a
+    # group's values in one row is the exact per-group-sort cost the
+    # sketch exists to avoid.
+    ranked = (
+        li.join(
+            F.broadcast(appx.select("l_returnflag", "ap50", "ap95")),
+            "l_returnflag",
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum((F.col("l_quantity") < F.col("ap50")).cast("long")).alias("lo50"),
+            F.sum((F.col("l_quantity") <= F.col("ap50")).cast("long")).alias("hi50"),
+            F.sum((F.col("l_quantity") < F.col("ap95")).cast("long")).alias("lo95"),
+            F.sum((F.col("l_quantity") <= F.col("ap95")).cast("long")).alias("hi95"),
+        )
+    )
+
+    def within(lo: str, hi: str, p: float):
+        # GK guarantee: the returned VALUE occupies the rank interval
+        # [#rows < v, #rows <= v] (ties widen it — l_quantity is
+        # discrete), and that interval must intersect
+        # [p*n - eps*n, p*n + eps*n]; assert at 1% rank error, 10x
+        # looser than the configured eps = 1/1000
+        return (F.col(lo) <= (p + 0.01) * F.col("n")) & (
+            F.col(hi) >= (p - 0.01) * F.col("n")
+        )
+
+    return (
+        appx.join(ranked, "l_returnflag")
+        .select(
+            "l_returnflag",
+            "exact_p50",
+            "exact_p95",
+            within("lo50", "hi50", 0.50).alias("p50_within_1pct_rank"),
+            within("lo95", "hi95", 0.95).alias("p95_within_1pct_rank"),
+        )
+        .orderBy("l_returnflag")
+    )

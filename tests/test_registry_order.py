@@ -80,6 +80,7 @@ _NEVER_DRIVER_VERIFIED = {
     "top_supplier",  # new in r3: no driver row yet by construction
     "returned_items_report",  # new in r3: no driver row yet by construction
     "decontaminate_bloom",  # new in r3: no driver row yet by construction
+    "approx_quantile_check",  # new in r3: no driver row yet by construction
 }
 
 
