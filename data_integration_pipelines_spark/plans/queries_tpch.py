@@ -67,6 +67,7 @@ def _revenue():
     ORDER BY revenue DESC, o_orderkey
     LIMIT 10
     """,
+    headline=True,
     doc="TPC-H Q3 shape: customer segment x order date x ship date "
     "predicates each pushed below its own scan, 3-way join, top-10 "
     "orders by revenue with a deterministic (revenue_r, orderkey) "
@@ -108,6 +109,7 @@ def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY n_name
     ORDER BY n_name
     """,
+    headline=True,
     doc="TPC-H Q5 shape: 6-table star join with the local-supplier "
     "cross-fact equality (supplier and customer share a nation). "
     "region/nation broadcast (fixed size at any SF); the fact joins "
