@@ -104,6 +104,9 @@ _RISK_ORDER = [
     "decontaminate_bloom",
     # quantile-sketch bounds check (new in r3)
     "approx_quantile_check",
+    # embedding classification / outlier screens (new in r3)
+    "knn_classify",
+    "embedding_outliers",
     # -- driver-green in r1+r2; heaviest / multi-stage first --
     "dup_clusters",
     "dedup_survivors",

@@ -598,3 +598,143 @@ def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "text_rank",
     )
     return fused.orderBy(F.col("rrf_nano").desc(), "doc_id").limit(10)
+
+
+@register(
+    "knn_classify",
+    f"""
+    WITH {_LONG_CTE},
+    dots AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS corpus_id, SUM(q.val * c.val) AS dot
+        FROM long q JOIN long c ON q.pos = c.pos AND q.vec_id <> c.vec_id
+        WHERE q.vec_id >= 200 AND q.vec_id < 220
+        GROUP BY 1, 2
+    ),
+    topk AS (
+        SELECT query_id, corpus_id FROM (
+            SELECT query_id, corpus_id,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                        ORDER BY ROUND(dot, 4) DESC, corpus_id) AS rank
+            FROM dots
+        ) WHERE rank <= 10
+    ),
+    votes AS (
+        SELECT t.query_id, e.label, CAST(COUNT(*) AS BIGINT) AS n_votes
+        FROM topk t JOIN embeddings e ON e.vec_id = t.corpus_id
+        GROUP BY 1, 2
+    ),
+    winner AS (
+        SELECT query_id, label AS predicted_label, n_votes FROM (
+            SELECT query_id, label, n_votes,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                        ORDER BY n_votes DESC, label) AS rn
+            FROM votes
+        ) WHERE rn = 1
+    )
+    SELECT w.query_id, q.label AS true_label, w.predicted_label, w.n_votes,
+           w.predicted_label = q.label AS correct
+    FROM winner w JOIN embeddings q ON q.vec_id = w.query_id
+    ORDER BY w.query_id
+    """,
+    doc="kNN label-vote classifier over the certified brute-force ranker: "
+    "top-10 cosine neighbors per query vector (rounded-cosine rank, id "
+    "tiebreak — the same deterministic total order as ann_bruteforce), "
+    "labels joined in, majority vote with (votes DESC, label ASC) "
+    "tie-break. The embedding-based weak-labeling step of a training "
+    "pipeline; at 100 TB the ranker is the cost (vectorized matmul "
+    "path), the vote is a k*Q-row aggregate.",
+)
+def knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import topk_pandas
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter((F.col("vec_id") >= 200) & (F.col("vec_id") < 220))
+    topk = topk_pandas(emb, queries, k=10)
+    labels = emb.select("vec_id", "label")
+    votes = (
+        topk.join(labels, topk.neighbor_id == labels.vec_id)
+        .groupBy("query_id", "label")
+        .agg(F.count("*").alias("n_votes"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("n_votes").desc(), F.col("label").asc()
+    )
+    winner = (
+        votes.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("query_id", F.col("label").alias("predicted_label"), "n_votes")
+    )
+    truth = queries.select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("true_label")
+    )
+    return (
+        winner.join(truth, "query_id")
+        .select(
+            "query_id",
+            "true_label",
+            "predicted_label",
+            "n_votes",
+            (F.col("predicted_label") == F.col("true_label")).alias("correct"),
+        )
+        .orderBy("query_id")
+    )
+
+
+@register(
+    "embedding_outliers",
+    f"""
+    WITH {_LONG_CTE},
+    dots AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS corpus_id, SUM(q.val * c.val) AS dot
+        FROM long q JOIN long c ON q.pos = c.pos AND q.vec_id <> c.vec_id
+        WHERE q.vec_id < 100
+        GROUP BY 1, 2
+    ),
+    topk AS (
+        SELECT query_id, ROUND(dot, 4) AS cos_r FROM (
+            SELECT query_id, dot,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                        ORDER BY ROUND(dot, 4) DESC, corpus_id) AS rank
+            FROM dots
+        ) WHERE rank <= 10
+    ),
+    scored AS (
+        SELECT query_id, ROUND(SUM(cos_r) / 10, 4) AS density
+        FROM topk GROUP BY query_id
+    )
+    SELECT query_id, density,
+           CAST(ROW_NUMBER() OVER (ORDER BY density, query_id) AS INT)
+               AS isolation_rank
+    FROM scored
+    ORDER BY isolation_rank
+    LIMIT 5
+    """,
+    doc="Embedding-space outlier detection: density score = mean top-10 "
+    "cosine (rounded per-neighbor, so the 10-term sum is exact in "
+    "double and engine-independent); the 5 most isolated vectors "
+    "surface first. The embedding-health screen of a curation "
+    "pipeline — low-density vectors are OCR garbage, wrong-language "
+    "spill, or genuine novelty, all worth a human look. Same ranker "
+    "cost profile as ann_bruteforce at scale.",
+)
+def embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import topk_pandas
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 100)
+    topk = topk_pandas(emb, queries, k=10)
+    scored = topk.groupBy("query_id").agg(
+        F.round(F.sum("cosine") / 10, 4).alias("density")
+    )
+    return (
+        scored.select(
+            "query_id",
+            "density",
+            F.row_number()
+            .over(Window.orderBy(F.col("density").asc(), F.col("query_id").asc()))
+            .cast("int")
+            .alias("isolation_rank"),
+        )
+        .orderBy("isolation_rank")
+        .limit(5)
+    )

@@ -81,6 +81,8 @@ _NEVER_DRIVER_VERIFIED = {
     "returned_items_report",  # new in r3: no driver row yet by construction
     "decontaminate_bloom",  # new in r3: no driver row yet by construction
     "approx_quantile_check",  # new in r3: no driver row yet by construction
+    "knn_classify",  # new in r3: no driver row yet by construction
+    "embedding_outliers",  # new in r3: no driver row yet by construction
 }
 
 
