@@ -1,0 +1,136 @@
+"""Iterative link-importance ranking (PageRank) as DataFrame joins.
+
+Second iterative-algorithm family next to ``dedup.connected_components``
+(which converges by topology): PageRank iterates a FIXED number of
+rounds, each round one join (ranks ⨝ edges) + one aggregation
+(sum contributions per destination). Nothing driver-side: ranks and
+edges stay DataFrames, so a 1000-executor run shuffles per round and
+never materializes the graph in one place.
+
+Determinism: all arithmetic is INTEGER nano-units (rank mass 1e9 ==
+1.0). Per-edge contribution = ``rank div outdeg`` (integer division),
+damped as ``(d_nano * sum) div 1e9`` — bigint sums are associative, so
+any partial-aggregation tree (and the DuckDB oracle's sequential sum)
+produces bit-identical ranks at every iteration. Float PageRank differs
+in last-ulp between engines/partitionings; integer PageRank cannot.
+
+Variant notes (documented, matched exactly by the oracle): dangling
+nodes (no out-edges) leak their mass instead of redistributing it —
+fine for fixed-round ranking where only the ORDER of nodes matters;
+total mass then decays deterministically.
+
+Lineage: ``checkpoint_every=1`` truncates the rank vector's lineage
+each round — the cost of a deep chained plan here is CATALYST COMPILE
+TIME, not execution (measured: 5 un-truncated rounds plan in ~16 s
+cold vs ~3.6 s truncated at sf0.01; the rank vector itself is tiny).
+The static tables (edges/nodes/outdeg) persist once instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+NANO = 1_000_000_000
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 5,
+    damping_nano: int = 850_000_000,
+    checkpoint_every: int | None = None,
+) -> DataFrame:
+    """``(node, rank_nano)`` after ``iterations`` integer-exact rounds.
+
+    ``edges`` must be distinct directed pairs; node set = union of both
+    endpoints. ``damping_nano`` is the damping factor scaled by 1e9
+    (default 0.85)."""
+    from .cache import bounded_persist
+
+    # e / nodes / outdeg are referenced EVERY round — persist them or
+    # the upstream edge join re-executes O(rounds) times inside the
+    # final plan (mirrors the MATERIALIZED CTEs in the oracle)
+    e = bounded_persist(
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    )
+    nodes = bounded_persist(
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    outdeg = bounded_persist(e.groupBy("src").agg(F.count("*").alias("outdeg")))
+    # ONE eager O(V) count to seed the uniform rank and the teleport
+    # base as literals — once per invocation, not per round (the 1-row
+    # cross-join alternative would add a nested-loop join per round).
+    n_nodes = nodes.count()
+    base = (NANO - damping_nano) // n_nodes
+    r0 = NANO // n_nodes
+    ranks = nodes.select("node", F.lit(r0).cast("long").alias("rank_nano"))
+    for i in range(iterations):
+        contribs = (
+            ranks.join(outdeg, ranks.node == outdeg.src)
+            .join(e, "src")
+            .select(
+                F.col("dst").alias("node"),
+                # integer div: double division would round, and the
+                # damped product below exceeds 2^53 — stay in bigint
+                F.expr("rank_nano div outdeg").alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("s"))
+        )
+        ranks = nodes.join(contribs, "node", "left").select(
+            "node",
+            F.expr(
+                f"{base}L + ({damping_nano}L * coalesce(s, 0L)) div 1000000000L"
+            )
+            .cast("long")
+            .alias("rank_nano"),
+        )
+        if checkpoint_every and (i + 1) % checkpoint_every == 0:
+            ranks = ranks.localCheckpoint(eager=False)
+    return ranks
+
+
+def pagerank_oracle_sql(
+    edges_sql: str,
+    iterations: int = 5,
+    damping_nano: int = 850_000_000,
+) -> str:
+    """Unrolled DuckDB SQL computing the identical integer-exact ranks.
+
+    ``edges_sql`` must select distinct (src, dst). Fixed-round
+    unrolling instead of a recursive CTE: SQL forbids GROUP BY over the
+    recursive reference, and unrolling keeps both engines running the
+    SAME plain join+agg per round. Every CTE is MATERIALIZED: DuckDB
+    inlines plain CTEs, and a 5-round chain referencing the edge join
+    ~3x per level re-evaluates it O(3^rounds) times (measured: >120 s
+    at sf0.1 inlined, <1 s materialized)."""
+    parts = [
+        f"e AS MATERIALIZED (SELECT DISTINCT src, dst FROM ({edges_sql}))",
+        "nodes AS MATERIALIZED (SELECT src AS node FROM e UNION SELECT dst FROM e)",
+        "outdeg AS MATERIALIZED (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY src)",
+        "nn AS (SELECT COUNT(*) AS n FROM nodes)",
+        f"r0 AS (SELECT node, CAST({NANO} // (SELECT n FROM nn) AS BIGINT)"
+        " AS rank_nano FROM nodes)",
+    ]
+    prev = "r0"
+    for i in range(1, iterations + 1):
+        parts.append(
+            f"""r{i} AS MATERIALIZED (
+        SELECT n.node,
+               CAST(({NANO} - {damping_nano}) // (SELECT n FROM nn)
+                    + ({damping_nano} * COALESCE(s.s, 0)) // {NANO} AS BIGINT)
+                   AS rank_nano
+        FROM nodes n LEFT JOIN (
+            SELECT e.dst AS node, SUM(r.rank_nano // o.outdeg) AS s
+            FROM {prev} r JOIN outdeg o ON o.src = r.node
+            JOIN e ON e.src = r.node
+            GROUP BY e.dst
+        ) s ON s.node = n.node
+    )"""
+        )
+        prev = f"r{i}"
+    return "WITH " + ",\n    ".join(parts) + f"\n    SELECT node, rank_nano FROM {prev}"

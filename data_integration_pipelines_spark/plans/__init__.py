@@ -107,6 +107,8 @@ _RISK_ORDER = [
     # embedding classification / outlier screens (new in r3)
     "knn_classify",
     "embedding_outliers",
+    # iterative graph ranking (new in r3)
+    "nation_pagerank",
     # -- driver-green in r1+r2; heaviest / multi-stage first --
     "dup_clusters",
     "dedup_survivors",

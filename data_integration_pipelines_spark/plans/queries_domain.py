@@ -313,3 +313,71 @@ def completeness_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("complete")
     )
+
+
+_TRADE_EDGES_SQL = """
+    SELECT c.c_nationkey AS src, s.s_nationkey AS dst
+    FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    WHERE c.c_nationkey <> s.s_nationkey
+"""
+
+
+def _nation_pagerank_oracle() -> str:
+    from ..operators.graph_rank import pagerank_oracle_sql
+
+    inner = pagerank_oracle_sql(_TRADE_EDGES_SQL, iterations=5)
+    return f"""
+    WITH ranked AS ({inner})
+    SELECT n_name, rank_nano,
+           CAST(ROW_NUMBER() OVER (ORDER BY rank_nano DESC, node) AS INT)
+               AS position
+    FROM ranked JOIN nation ON n_nationkey = node
+    ORDER BY position
+    """
+
+
+@register(
+    "nation_pagerank",
+    _nation_pagerank_oracle(),
+    doc="Link-importance ranking over the nation trade graph (customer "
+    "nation -> supplier nation edges from the 4-table join): 5 "
+    "integer-exact PageRank rounds (operators/graph_rank.py), ranks in "
+    "bigint nano-units so Spark's partial-agg trees and the oracle's "
+    "sequential sums are bit-identical — the iterative-algorithm "
+    "pattern (join + agg per round, rank vector never driver-side) "
+    "next to connected_components' converging variant.",
+)
+def nation_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph_rank import pagerank
+
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    edges = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .join(li, orders.o_orderkey == li.l_orderkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .filter(F.col("c_nationkey") != F.col("s_nationkey"))
+        .select(
+            F.col("c_nationkey").alias("src"), F.col("s_nationkey").alias("dst")
+        )
+    )
+    ranked = pagerank(edges, iterations=5, checkpoint_every=1)
+    from pyspark.sql.window import Window
+
+    return (
+        ranked.join(F.broadcast(nation), ranked.node == nation.n_nationkey)
+        .select(
+            "n_name",
+            "rank_nano",
+            F.row_number()
+            .over(Window.orderBy(F.col("rank_nano").desc(), F.col("node").asc()))
+            .cast("int")
+            .alias("position"),
+        )
+        .orderBy("position")
+    )

@@ -615,3 +615,42 @@ class TestIncrementalDistinct:
         }
         for k, est in folded.items():
             assert abs(est - exact[k]) / exact[k] < 0.05, (k, est, exact[k])
+
+
+class TestPageRank:
+    """operators/graph_rank.py — integer-exact iterative ranking."""
+
+    def _edges(self, spark):
+        # two hubs: 0 <- {1,2,3}, 4 <- {1}; 0 -> 4; dangling node 5 <- 4
+        rows = [(1, 0), (2, 0), (3, 0), (1, 4), (0, 4), (4, 5)]
+        return spark.createDataFrame(rows, "src long, dst long")
+
+    def test_checkpoint_modes_identical(self, spark):
+        from data_integration_pipelines_spark.operators.graph_rank import pagerank
+
+        plain = sorted(map(tuple, pagerank(self._edges(spark), iterations=4).collect()))
+        ckpt = sorted(
+            map(
+                tuple,
+                pagerank(
+                    self._edges(spark), iterations=4, checkpoint_every=1
+                ).collect(),
+            )
+        )
+        assert plain == ckpt
+
+    def test_rank_properties(self, spark):
+        from data_integration_pipelines_spark.operators.graph_rank import (
+            NANO,
+            pagerank,
+        )
+
+        ranks = {r.node: r.rank_nano for r in pagerank(self._edges(spark)).collect()}
+        n = len(ranks)
+        base = (NANO - 850_000_000) // n
+        # every node keeps at least the teleport base; total mass never
+        # exceeds 1.0 (dangling leak only removes mass)
+        assert all(v >= base for v in ranks.values())
+        assert sum(ranks.values()) <= NANO
+        # the 3-in-degree hub outranks every leaf that only feeds it
+        assert ranks[0] > ranks[1] and ranks[0] > ranks[2] and ranks[0] > ranks[3]

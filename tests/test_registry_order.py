@@ -83,6 +83,7 @@ _NEVER_DRIVER_VERIFIED = {
     "approx_quantile_check",  # new in r3: no driver row yet by construction
     "knn_classify",  # new in r3: no driver row yet by construction
     "embedding_outliers",  # new in r3: no driver row yet by construction
+    "nation_pagerank",  # new in r3: no driver row yet by construction
 }
 
 
