@@ -1,0 +1,298 @@
+"""CLI entry points — the reference's batch-job UX, Spark-backed.
+
+Every reference pipeline is an argparse CLI run as ``python -m
+src.<pipeline>`` (arg surface: ref src/arguments.py:12-52 — limit
+default 10000, output dir; per-pipeline mains e.g. ref
+src/trace/validation/validation.py:463-476, src/schemas/
+check_schema_validation.py:37-51). This module gives the engine the
+same front door::
+
+    python -m data_integration_pipelines_spark trace-audit \\
+        --sf-dir /root/testdata/sf0.01 --output-dir out/
+
+Commands map 1:1 onto the pipeline compositions (``pipelines.py``) and
+the sink writers (``sources/sinks.py``); results land as the
+reference's report formats (CSV/TSV/JSON + sheet-per-bucket XLSX).
+
+Deliberately absent: the reference's auth surface (--token, Keycloak
+user/password grants — src/helpers.py:232-288). Those authenticate
+HTTP access to the remote store; this engine reads its tables from
+storage the cluster is already authorized for, so auth is the
+platform's concern, not a query-engine flag.
+
+``--limit`` mirrors the reference's scan cap (default 10,000,
+src/arguments.py:38-40): applied AFTER the pipeline's own transforms,
+purely a report-size bound — Spark needs no pagination to bound
+memory (partitioning does that), so the limit is about output files a
+human opens, not about the scan.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def build_trace_resources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trace-resources-like nested table synthesized from the star
+    schema (the established fixture mapping: orders play resources,
+    lineitems their distributions — cf. plans/queries_domain.py
+    ``_nested_orders``). Deterministic, so audits are reproducible."""
+    from .catalog import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    li = load_table(spark, sf_dir, "lineitem")
+    dists = li.groupBy("l_orderkey").agg(
+        F.collect_list(
+            F.struct(
+                F.concat(
+                    F.lit("line-"),
+                    F.col("l_linenumber").cast("string"),
+                    F.when(F.col("l_returnflag") == "N", ".nwb").otherwise(".abf"),
+                ).alias("name"),
+                F.lit("application/x-nwb").alias("encodingFormat"),
+                F.when(
+                    F.col("l_linestatus") == "F",
+                    F.concat(F.lit("s3://store/"), F.col("l_orderkey").cast("string")),
+                ).alias("contentUrl"),
+            )
+        ).alias("distribution")
+    )
+    return (
+        orders.join(dists, orders.o_orderkey == dists.l_orderkey, "left")
+        .join(
+            F.broadcast(cust.select("c_custkey", "c_name", "c_mktsegment")),
+            orders.o_custkey == F.col("c_custkey"),
+        )
+        .select(
+            F.concat(F.lit("order-"), F.col("o_orderkey").cast("string")).alias("id"),
+            F.concat(F.lit("org/"), F.lower("c_mktsegment")).alias("bucket"),
+            (F.col("o_orderkey") % 50 == 0).alias("_deprecated"),
+            F.col("c_name").alias("description"),
+            F.array(
+                F.struct(
+                    F.struct(
+                        F.when(
+                            F.col("o_orderpriority") == "1-URGENT", "Curated"
+                        )
+                        .otherwise("Unassessed")
+                        .alias("label")
+                    ).alias("hasBody")
+                )
+            ).alias("annotation"),
+            F.struct(F.col("c_mktsegment").alias("species")).alias("subject"),
+            F.coalesce(F.col("distribution"), F.array()).alias("distribution"),
+            F.col("o_orderstatus").alias("type"),
+            F.when(F.col("o_orderstatus") == "O", "schema/open")
+            .otherwise("unconstrained")
+            .alias("_constrainedBy"),
+        )
+    )
+
+
+def _session(args) -> SparkSession:
+    from .session import get_spark
+
+    if args.cpus:
+        os.environ["SPARK_GRAFT_CPUS"] = str(args.cpus)
+    return get_spark("dip-spark-cli")
+
+
+def _out(args, name: str) -> str:
+    os.makedirs(args.output_dir, exist_ok=True)
+    return os.path.join(args.output_dir, name)
+
+
+def cmd_list_queries(args) -> int:
+    from .plans import REGISTRY
+
+    for name, q in REGISTRY.items():
+        flag = "*" if q.headline else " "
+        print(f"{flag} {name:32s} {(q.doc or '').split('.')[0][:90]}")
+    print(f"\n{len(REGISTRY)} queries (* = bench headline)")
+    return 0
+
+
+def cmd_query(args) -> int:
+    from .plans import REGISTRY
+    from .sources.sinks import write_csv, write_json
+
+    if args.name not in REGISTRY:
+        print(f"unknown query {args.name!r}; see list-queries", file=sys.stderr)
+        return 2
+    spark = _session(args)
+    df = REGISTRY[args.name].fn(spark, args.sf_dir).limit(args.limit)
+    if args.output_dir:
+        path = _out(args, args.name + (".json" if args.format == "json" else ".csv"))
+        (write_json if args.format == "json" else write_csv)(df, path, single_file=True)
+        print(path)
+    else:
+        for row in df.collect():
+            print(json.dumps(row.asDict(), default=str))
+    return 0
+
+
+def cmd_trace_audit(args) -> int:
+    from .pipelines import bucket_error_report, trace_audit
+    from .sources.sinks import write_csv, write_json_report, write_xlsx
+
+    spark = _session(args)
+    curated = {"yes": True, "no": False, "both": None}[args.curated]
+    audit = trace_audit(build_trace_resources(spark, args.sf_dir), curated=curated)
+    audit = audit.orderBy("id").limit(args.limit)
+    write_csv(audit.drop("errors"), _out(args, "trace_audit.csv"), single_file=True)
+    errors = bucket_error_report(audit).collect()
+    write_json_report(
+        {r["bucket"]: {"n_errors": r["n_errors"], "errors": r["distinct_errors"]} for r in errors},
+        _out(args, "bucket_errors.json"),
+    )
+    # sheet-per-bucket workbook (ref validation.py:426-457)
+    sheets = {
+        b: audit.filter(F.col("bucket") == b).drop("errors")
+        for b in sorted({r["bucket"] for r in errors})
+    }
+    write_xlsx(sheets, _out(args, "trace_audit.xlsx"))
+    print(args.output_dir)
+    return 0
+
+
+def cmd_schema_audit(args) -> int:
+    from .pipelines import schema_audit
+    from .sources.sinks import write_csv
+
+    spark = _session(args)
+    resources = build_trace_resources(spark, args.sf_dir)
+    schema_map = spark.createDataFrame(
+        [("O", "schema/open"), ("F", "schema/final"), ("P", "schema/pending")],
+        "type string, schema string",
+    )
+    out = schema_audit(resources, schema_map).limit(args.limit)
+    write_csv(out, _out(args, "schema_audit.csv"), single_file=True)
+    print(args.output_dir)
+    return 0
+
+
+def cmd_morphology_quality(args) -> int:
+    from .pipelines import morphology_quality
+    from .sources.sinks import write_tsv
+
+    spark = _session(args)
+    if args.swc_dir:
+        from .sources.swc import read_swc_points
+
+        points = read_swc_points(spark, args.swc_dir, glob_filter="*.swc")
+    else:
+        from .plans.queries_morphology import synth_points
+
+        points = synth_points(spark, args.sf_dir)
+    report, _ = morphology_quality(points)
+    write_tsv(report.orderBy("file").limit(args.limit), _out(args, "morphology_report.tsv"))
+    print(args.output_dir)
+    return 0
+
+
+def cmd_index_discrepancy(args) -> int:
+    from .catalog import load_table
+    from .pipelines import index_discrepancy
+    from .sources.sinks import write_csv
+
+    spark = _session(args)
+    orders = load_table(spark, args.sf_dir, "orders")
+    # the same scan through three "indices" (ref search_index_
+    # discrepancy.py:161-239): full, non-deprecated, recent
+    full = orders.select(F.col("o_orderkey").alias("id"))
+    alive = orders.filter(F.col("o_orderkey") % 50 != 0).select(
+        F.col("o_orderkey").alias("id")
+    )
+    recent = orders.filter(
+        F.col("o_orderdate") >= F.lit("1999-01-01").cast("timestamp")
+    ).select(F.col("o_orderkey").alias("id"))
+    out = index_discrepancy({"sparql": full, "es": alive, "search": recent})
+    write_csv(
+        out.withColumn("sample_ids", F.to_json("sample_ids")).orderBy(
+            "index_a", "index_b"
+        ),
+        _out(args, "index_discrepancy.csv"),
+        single_file=True,
+    )
+    print(args.output_dir)
+    return 0
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="data_integration_pipelines_spark",
+        description=__doc__.split("\n\n")[0],
+    )
+    sub = p.add_subparsers(dest="command", required=True)
+
+    def common(sp):
+        sp.add_argument(
+            "--sf-dir",
+            default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01"),
+            help="data root holding the parquet tables",
+        )
+        sp.add_argument("--output-dir", default=None, help="report directory")
+        sp.add_argument(
+            "--limit",
+            type=int,
+            default=10_000,
+            help="report row cap (reference default, src/arguments.py:38-40)",
+        )
+        sp.add_argument("--cpus", type=int, default=None, help="local[N] cores")
+
+    sp = sub.add_parser("list-queries", help="list the query registry")
+    sp.set_defaults(fn=cmd_list_queries)
+
+    sp = sub.add_parser("query", help="run one registered query")
+    sp.add_argument("name")
+    sp.add_argument("--format", choices=("csv", "json"), default="csv")
+    common(sp)
+    sp.set_defaults(fn=cmd_query)
+
+    sp = sub.add_parser("trace-audit", help="EP1 quality audit + reports")
+    sp.add_argument(
+        "--curated",
+        choices=("yes", "no", "both"),
+        default="both",
+        help="curated-only / uncurated-only / all (ref validation.py:405-411)",
+    )
+    common(sp)
+    sp.set_defaults(fn=cmd_trace_audit)
+
+    sp = sub.add_parser("schema-audit", help="EP3 per-(bucket,type) census")
+    common(sp)
+    sp.set_defaults(fn=cmd_schema_audit)
+
+    sp = sub.add_parser("morphology-quality", help="EP2 per-file metric battery")
+    sp.add_argument("--swc-dir", default=None, help="directory of .swc files")
+    common(sp)
+    sp.set_defaults(fn=cmd_morphology_quality)
+
+    sp = sub.add_parser("index-discrepancy", help="EP6 cross-index id audit")
+    common(sp)
+    sp.set_defaults(fn=cmd_index_discrepancy)
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    needs_out = args.command in (
+        "trace-audit",
+        "schema-audit",
+        "morphology-quality",
+        "index-discrepancy",
+    )
+    if needs_out and not args.output_dir:
+        args.output_dir = "out"
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,85 @@
+"""CLI entry points (cli.py) — in-process invocation, report files out.
+
+Mirrors how the reference is actually operated: every pipeline is an
+argparse batch job (ref src/arguments.py:12-52). The CLI is the
+"switchable front door" parity surface, so each command must run end
+to end and leave the reference's report formats behind."""
+
+from __future__ import annotations
+
+import csv
+import json
+import os
+import zipfile
+
+from data_integration_pipelines_spark.cli import main
+
+
+def _run(tmp_path, *argv) -> str:
+    out = str(tmp_path / "out")
+    rc = main([*argv, "--sf-dir", "/root/testdata/sf0.001", "--output-dir", out])
+    assert rc == 0
+    return out
+
+
+def _csv_rows(path: str) -> list[dict]:
+    # single_file sinks write a directory with one part csv
+    if os.path.isdir(path):
+        part = [f for f in os.listdir(path) if f.endswith(".csv")][0]
+        path = os.path.join(path, part)
+    with open(path, newline="") as fh:
+        return list(csv.DictReader(fh))
+
+
+class TestCLI:
+    def test_trace_audit_reports(self, spark, tmp_path):
+        out = _run(tmp_path, "trace-audit")
+        rows = _csv_rows(os.path.join(out, "trace_audit.csv"))
+        assert rows and set(rows[0]) >= {"id", "bucket", "passed", "has_nwb"}
+        # deprecated resources (orderkey % 50 == 0) never appear
+        assert all(int(r["id"].split("-")[1]) % 50 != 0 for r in rows)
+        errors = json.load(open(os.path.join(out, "bucket_errors.json")))
+        assert errors and all("n_errors" in v for v in errors.values())
+        # the workbook is a real OOXML zip with one sheet per bucket
+        with zipfile.ZipFile(os.path.join(out, "trace_audit.xlsx")) as z:
+            sheets = [n for n in z.namelist() if n.startswith("xl/worksheets/")]
+            assert len(sheets) == len(errors)
+
+    def test_trace_audit_curated_filter(self, spark, tmp_path):
+        out_all = _run(tmp_path / "a", "trace-audit", "--curated", "both")
+        out_cur = _run(tmp_path / "b", "trace-audit", "--curated", "yes")
+        n_all = len(_csv_rows(os.path.join(out_all, "trace_audit.csv")))
+        n_cur = len(_csv_rows(os.path.join(out_cur, "trace_audit.csv")))
+        assert 0 < n_cur < n_all
+
+    def test_schema_audit(self, spark, tmp_path):
+        out = _run(tmp_path, "schema-audit")
+        rows = _csv_rows(os.path.join(out, "schema_audit.csv"))
+        assert rows and set(rows[0]) >= {"bucket", "type", "n_resources"}
+
+    def test_morphology_quality(self, spark, tmp_path):
+        out = _run(tmp_path, "morphology-quality")
+        tsv_dir = os.path.join(out, "morphology_report.tsv")
+        part = [f for f in os.listdir(tsv_dir) if f.endswith(".csv")][0]
+        with open(os.path.join(tsv_dir, part)) as fh:
+            header = fh.readline().strip().split("\t")
+        assert "file" in header and "n_points" in header
+
+    def test_index_discrepancy(self, spark, tmp_path):
+        out = _run(tmp_path, "index-discrepancy")
+        rows = _csv_rows(os.path.join(out, "index_discrepancy.csv"))
+        # 3 indices -> 6 ordered pairs; 'sparql' is the superset so
+        # nothing is ever only-in-es/search relative to it
+        assert len(rows) == 6
+        by_pair = {(r["index_a"], r["index_b"]): int(r["only_in_a"]) for r in rows}
+        assert by_pair[("es", "sparql")] == 0
+        assert by_pair[("sparql", "es")] > 0
+
+    def test_query_command_writes_csv(self, spark, tmp_path):
+        out = _run(tmp_path, "query", "top_k")
+        rows = _csv_rows(os.path.join(out, "top_k.csv"))
+        assert len(rows) == 10
+
+    def test_unknown_query_rejected(self, tmp_path):
+        rc = main(["query", "no_such_query", "--output-dir", str(tmp_path)])
+        assert rc == 2
