@@ -83,3 +83,28 @@ class TestCLI:
     def test_unknown_query_rejected(self, tmp_path):
         rc = main(["query", "no_such_query", "--output-dir", str(tmp_path)])
         assert rc == 2
+
+    def test_morphology_quality_on_real_swc_dir(self, spark, tmp_path):
+        """--swc-dir path on the reference's genuine SWC test files."""
+        import pytest as _pytest
+
+        src = "/root/reference/data/swcs"
+        if not os.path.isdir(src):
+            _pytest.skip("reference SWC data not present")
+        import shutil
+
+        swc_dir = tmp_path / "swcs"
+        swc_dir.mkdir()
+        for name in sorted(os.listdir(src))[:2]:
+            shutil.copy(os.path.join(src, name), swc_dir / name)
+        out = str(tmp_path / "out")
+        rc = main(
+            ["morphology-quality", "--swc-dir", str(swc_dir),
+             "--sf-dir", "/root/testdata/sf0.001", "--output-dir", out]
+        )
+        assert rc == 0
+        tsv_dir = os.path.join(out, "morphology_report.tsv")
+        part = [f for f in os.listdir(tsv_dir) if f.endswith(".csv")][0]
+        with open(os.path.join(tsv_dir, part)) as fh:
+            lines = fh.read().strip().splitlines()
+        assert len(lines) == 3  # header + one row per file
