@@ -134,7 +134,9 @@ def cmd_query(args) -> int:
         print(path)
     else:
         for row in df.collect():
-            print(json.dumps(row.asDict(), default=str))
+            # recursive: struct columns must become nested JSON objects,
+            # not Row reprs
+            print(json.dumps(row.asDict(recursive=True), default=str))
     return 0
 
 
@@ -142,12 +144,23 @@ def cmd_trace_audit(args) -> int:
     from .pipelines import bucket_error_report, trace_audit
     from .sources.sinks import write_csv, write_json_report, write_xlsx
 
+    from .operators.cache import bounded_persist
+
     spark = _session(args)
     curated = {"yes": True, "no": False, "both": None}[args.curated]
-    audit = trace_audit(build_trace_resources(spark, args.sf_dir), curated=curated)
-    audit = audit.orderBy("id").limit(args.limit)
+    # persist: the audit feeds the CSV, the error rollup, and one
+    # collect per workbook sheet — without it the multi-join pipeline
+    # re-executes per consumer
+    full = bounded_persist(
+        trace_audit(build_trace_resources(spark, args.sf_dir), curated=curated)
+    )
+    # --limit bounds the ROW-LEVEL report files only; the per-bucket
+    # error rollup is one row per bucket regardless, so it aggregates
+    # the FULL audit (limiting its input would change semantics, not
+    # size — the docstring's report-size-bound contract)
+    audit = full.orderBy("id").limit(args.limit)
     write_csv(audit.drop("errors"), _out(args, "trace_audit.csv"), single_file=True)
-    errors = bucket_error_report(audit).collect()
+    errors = bucket_error_report(full).collect()
     write_json_report(
         {r["bucket"]: {"n_errors": r["n_errors"], "errors": r["distinct_errors"]} for r in errors},
         _out(args, "bucket_errors.json"),

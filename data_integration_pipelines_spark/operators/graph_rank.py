@@ -65,6 +65,10 @@ def pagerank(
     # base as literals — once per invocation, not per round (the 1-row
     # cross-join alternative would add a nested-loop join per round).
     n_nodes = nodes.count()
+    if n_nodes == 0:
+        # empty edge set -> empty ranking (not a ZeroDivisionError deep
+        # in the seeding arithmetic)
+        return nodes.select("node", F.lit(0).cast("long").alias("rank_nano"))
     base = (NANO - damping_nano) // n_nodes
     r0 = NANO // n_nodes
     ranks = nodes.select("node", F.lit(r0).cast("long").alias("rank_nano"))

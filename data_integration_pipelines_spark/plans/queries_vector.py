@@ -699,20 +699,23 @@ def knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
         ) WHERE rank <= 10
     ),
     scored AS (
-        SELECT query_id, ROUND(SUM(cos_r) / 10, 4) AS density
+        SELECT query_id,
+               SUM(CAST(ROUND(cos_r * 10000) AS BIGINT)) AS density_e5
         FROM topk GROUP BY query_id
     )
-    SELECT query_id, density,
-           CAST(ROW_NUMBER() OVER (ORDER BY density, query_id) AS INT)
+    SELECT query_id, density_e5,
+           CAST(ROW_NUMBER() OVER (ORDER BY density_e5, query_id) AS INT)
                AS isolation_rank
     FROM scored
     ORDER BY isolation_rank
     LIMIT 5
     """,
-    doc="Embedding-space outlier detection: density score = mean top-10 "
-    "cosine (rounded per-neighbor, so the 10-term sum is exact in "
-    "double and engine-independent); the 5 most isolated vectors "
-    "surface first. The embedding-health screen of a curation "
+    doc="Embedding-space outlier detection: density score = sum of the "
+    "top-10 cosines in integer 1e-4 units (density_e5 = 1e5 x the mean; "
+    "bigint sums are exact and order-independent — a double sum of "
+    "4dp-rounded cosines can land exactly on a .00005 rounding tie and "
+    "flip with summation order); the 5 most isolated vectors surface "
+    "first. The embedding-health screen of a curation "
     "pipeline — low-density vectors are OCR garbage, wrong-language "
     "spill, or genuine novelty, all worth a human look. Same ranker "
     "cost profile as ann_bruteforce at scale.",
@@ -724,14 +727,14 @@ def embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") < 100)
     topk = topk_pandas(emb, queries, k=10)
     scored = topk.groupBy("query_id").agg(
-        F.round(F.sum("cosine") / 10, 4).alias("density")
+        F.sum(F.round(F.col("cosine") * 10000).cast("long")).alias("density_e5")
     )
     return (
         scored.select(
             "query_id",
-            "density",
+            "density_e5",
             F.row_number()
-            .over(Window.orderBy(F.col("density").asc(), F.col("query_id").asc()))
+            .over(Window.orderBy(F.col("density_e5").asc(), F.col("query_id").asc()))
             .cast("int")
             .alias("isolation_rank"),
         )

@@ -68,7 +68,12 @@ def write_json_report(obj, path: str) -> None:
 
 def truncate_sheet_name(name: str, limit: int = 31) -> str:
     """Excel's 31-char sheet-name cap (ref src/trace/validation/
-    validation.py:445-447)."""
+    validation.py:445-447) + invalid-character scrub: Excel forbids
+    []:*?/\\ in sheet titles (bucket names are org/project, so '/' is
+    the common offender — openpyxl raises on it, and a verbatim write
+    produces a workbook Excel wants to repair)."""
+    for ch in "[]:*?/\\":
+        name = name.replace(ch, "_")
     return name[:limit]
 
 

@@ -655,6 +655,12 @@ class TestPageRank:
         # the 3-in-degree hub outranks every leaf that only feeds it
         assert ranks[0] > ranks[1] and ranks[0] > ranks[2] and ranks[0] > ranks[3]
 
+    def test_empty_edges_returns_empty(self, spark):
+        from data_integration_pipelines_spark.operators.graph_rank import pagerank
+
+        empty = spark.createDataFrame([], "src long, dst long")
+        assert pagerank(empty).collect() == []
+
     def test_matches_pure_python_reference(self, spark):
         """Differential vs an independent driver-side implementation of
         the same integer recurrence, on a graph with a cycle, a
