@@ -210,6 +210,84 @@ def cmd_morphology_quality(args) -> int:
     return 0
 
 
+def cmd_annotate(args) -> int:
+    """EP2 write-back: upsert computed quality annotations into a
+    versioned parquet store (S17 semantics — ref src/neuron_morphology/
+    validation/quality_metric_resource.py:107-135,358-370): new target
+    -> create with _rev=1; changed metrics -> update, _rev+1; identical
+    -> keep, _rev untouched; target gone from this run -> deprecate
+    (tombstone row, _deprecated=true). Each run lands as v=N+1; the
+    store is append-only versions, so a bad run never destroys state."""
+    import shutil
+
+    from .operators.merge import merge_classify
+    from .pipelines import morphology_quality
+    from .sources.sinks import write_json_report
+    from .streaming.upsert import _versions, read_store, upsert_batch
+
+    spark = _session(args)
+    if args.swc_dir:
+        from .sources.swc import read_swc_points
+
+        points = read_swc_points(spark, args.swc_dir, glob_filter="*.swc")
+    else:
+        from .plans.queries_morphology import synth_points
+
+        points = synth_points(spark, args.sf_dir)
+    report, _ = morphology_quality(points)
+    next_ver = (_versions(args.store) or [0])[-1] + 1
+    computed = report.select(
+        # key on the file's basename, not its URI: the reference keys
+        # annotations by morphology NAME (quality_metric_resource.py),
+        # and the same file re-audited from a different staging dir
+        # must hit the same store row
+        F.element_at(F.split(F.col("file"), "/"), -1).alias("target_id"),
+        F.col("n_points").cast("long").alias("n_points"),
+        F.col("total_length"),
+        F.lit(next_ver).cast("long").alias("run"),
+        F.lit(False).alias("_deprecated"),
+    )
+    existing = read_store(spark, args.store)
+    if existing is None:
+        actions = computed.select("target_id", F.lit("create").alias("action"))
+        to_write = computed
+    else:
+        live = existing.filter(~F.col("_deprecated"))
+        actions = merge_classify(
+            live, computed, ["target_id"], ["n_points", "total_length"]
+        )
+        # keep == identical metrics: do NOT rewrite (no _rev bump);
+        # deprecate == vanished target: tombstone with this run's ts
+        to_write = computed.join(
+            actions.filter(F.col("action").isin("create", "update")),
+            "target_id",
+            "left_semi",
+        ).unionByName(
+            live.join(
+                actions.filter(F.col("action") == "deprecate"),
+                "target_id",
+                "left_semi",
+            ).select(
+                "target_id",
+                "n_points",
+                "total_length",
+                F.lit(next_ver).cast("long").alias("run"),
+                F.lit(True).alias("_deprecated"),
+            )
+        )
+    merged = upsert_batch(existing, to_write, ["target_id"], "run")
+    dest = os.path.join(args.store, f"v={next_ver}")
+    tmp = dest + ".tmp"
+    merged.write.mode("overwrite").parquet(tmp)
+    os.rename(tmp, dest)
+    counts = {r["action"]: r["n"] for r in actions.groupBy("action").agg(F.count("*").alias("n")).collect()}
+    out = {"version": next_ver, "actions": counts}
+    if args.output_dir:
+        write_json_report(out, _out(args, "annotate_result.json"))
+    print(json.dumps(out))
+    return 0
+
+
 def cmd_index_discrepancy(args) -> int:
     from .catalog import load_table
     from .pipelines import index_discrepancy
@@ -291,6 +369,14 @@ def build_parser() -> argparse.ArgumentParser:
     sp = sub.add_parser("index-discrepancy", help="EP6 cross-index id audit")
     common(sp)
     sp.set_defaults(fn=cmd_index_discrepancy)
+
+    sp = sub.add_parser(
+        "annotate", help="EP2 write-back: upsert metrics into a versioned store"
+    )
+    sp.add_argument("--store", required=True, help="annotation store directory")
+    sp.add_argument("--swc-dir", default=None, help="directory of .swc files")
+    common(sp)
+    sp.set_defaults(fn=cmd_annotate)
     return p
 
 

@@ -108,3 +108,40 @@ class TestCLI:
         with open(os.path.join(tsv_dir, part)) as fh:
             lines = fh.read().strip().splitlines()
         assert len(lines) == 3  # header + one row per file
+
+    def test_annotate_store_lifecycle(self, spark, tmp_path):
+        """create -> keep -> deprecate across three runs (S17: _rev
+        bumps only on real change, vanished targets tombstoned)."""
+        import shutil
+
+        src = "/root/reference/data/swcs"
+        if not os.path.isdir(src):
+            import pytest as _pytest
+
+            _pytest.skip("reference SWC data not present")
+        names = sorted(os.listdir(src))[:2]
+        two = tmp_path / "two"
+        two.mkdir()
+        for n in names:
+            shutil.copy(os.path.join(src, n), two / n)
+        one = tmp_path / "one"
+        one.mkdir()
+        shutil.copy(os.path.join(src, names[0]), one / names[0])
+        store = str(tmp_path / "store")
+        base = ["--sf-dir", "/root/testdata/sf0.001"]
+
+        assert main(["annotate", "--store", store, "--swc-dir", str(two), *base]) == 0
+        assert main(["annotate", "--store", store, "--swc-dir", str(two), *base]) == 0
+        assert main(["annotate", "--store", store, "--swc-dir", str(one), *base]) == 0
+
+        from data_integration_pipelines_spark.streaming.upsert import read_store
+
+        rows = {r.target_id: r for r in read_store(spark, store).collect()}
+        assert len(rows) == 2
+        kept = [r for r in rows.values() if not r._deprecated]
+        dead = [r for r in rows.values() if r._deprecated]
+        assert len(kept) == 1 and len(dead) == 1
+        # unchanged metrics across runs 1-2 never bumped the revision
+        assert kept[0]._rev == 1
+        # the tombstone is a real update (rev 2), stamped with run 3
+        assert dead[0]._rev == 2 and dead[0].run == 3
