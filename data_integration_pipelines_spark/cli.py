@@ -316,6 +316,24 @@ def cmd_index_discrepancy(args) -> int:
     return 0
 
 
+def cmd_stream_windows(args) -> int:
+    """Structured-Streaming front door: drain the events backlog with an
+    availableNow trigger through the watermarked windowed-count
+    topology and land the result as CSV. One command covers the
+    engine's streaming extension the way trace-audit covers EP1: same
+    topology a 24/7 ingest would run, bounded here by the trigger —
+    rerunning on a growing directory is the deployment story."""
+    from .sources.sinks import write_csv
+    from .streaming.events import run_stream_once
+
+    spark = _session(args)
+    out_df = run_stream_once(spark, args.sf_dir, window=args.window)
+    result = out_df.orderBy("window_start", "event_type").limit(args.limit)
+    write_csv(result, _out(args, "stream_windows.csv"), single_file=True)
+    print(args.output_dir)
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(
         prog="data_integration_pipelines_spark",
@@ -371,6 +389,13 @@ def build_parser() -> argparse.ArgumentParser:
     sp.set_defaults(fn=cmd_index_discrepancy)
 
     sp = sub.add_parser(
+        "stream-windows", help="streaming windowed counts (availableNow drain)"
+    )
+    sp.add_argument("--window", default="1 hour", help="tumbling window width")
+    common(sp)
+    sp.set_defaults(fn=cmd_stream_windows)
+
+    sp = sub.add_parser(
         "annotate", help="EP2 write-back: upsert metrics into a versioned store"
     )
     sp.add_argument("--store", required=True, help="annotation store directory")
@@ -387,6 +412,7 @@ def main(argv: list[str] | None = None) -> int:
         "schema-audit",
         "morphology-quality",
         "index-discrepancy",
+        "stream-windows",
     )
     if needs_out and not args.output_dir:
         args.output_dir = "out"

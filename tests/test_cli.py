@@ -145,3 +145,18 @@ class TestCLI:
         assert kept[0]._rev == 1
         # the tombstone is a real update (rev 2), stamped with run 3
         assert dead[0]._rev == 2 and dead[0].run == 3
+
+    def test_stream_windows(self, spark, tmp_path):
+        """availableNow streaming drain == the batch windowed counts."""
+        out = _run(tmp_path, "stream-windows")
+        rows = _csv_rows(os.path.join(out, "stream_windows.csv"))
+        assert rows and set(rows[0]) == {
+            "window_start", "event_type", "n_events", "total_value",
+        }
+        from data_integration_pipelines_spark.catalog import load_table
+        from data_integration_pipelines_spark.streaming.events import windowed_counts
+
+        batch = windowed_counts(
+            load_table(spark, "/root/testdata/sf0.001", "events")
+        ).count()
+        assert len(rows) == batch
