@@ -59,6 +59,8 @@ def test_python_stages_only_where_declared(plans):
         "conversion_roundtrip_battery",  # swc->h5->parse kernel chain
         "png_decode_features",  # native PNG encode+decode kernel (png_lite)
         "ann_bruteforce",  # vectorized matmul scale path (topk_pandas)
+        "knn_classify",  # label vote over the same topk_pandas ranker
+        "embedding_outliers",  # density screen over the same ranker
         "ann_pq",  # PQ encode + ADC scan kernels (numpy per Arrow batch)
         "image_decode_features",
         "image_resize",
