@@ -316,6 +316,25 @@ def cmd_index_discrepancy(args) -> int:
     return 0
 
 
+def cmd_explain(args) -> int:
+    """Print a registered query's formatted physical plan — the
+    ".explain and iterate" loop as a first-class command (the plans
+    behind PLANS.md / the SCALE.md shuffle inventory, on demand)."""
+    from .plans import REGISTRY
+
+    if args.name not in REGISTRY:
+        print(f"unknown query {args.name!r}; see list-queries", file=sys.stderr)
+        return 2
+    spark = _session(args)
+    df = REGISTRY[args.name].fn(spark, args.sf_dir)
+    if args.run:
+        df.write.format("noop").mode("overwrite").save()  # finalize AQE
+        print(df._jdf.queryExecution().executedPlan().toString())
+    else:
+        df.explain("formatted")
+    return 0
+
+
 def cmd_stream_windows(args) -> int:
     """Structured-Streaming front door: drain the events backlog with an
     availableNow trigger through the watermarked windowed-count
@@ -387,6 +406,16 @@ def build_parser() -> argparse.ArgumentParser:
     sp = sub.add_parser("index-discrepancy", help="EP6 cross-index id audit")
     common(sp)
     sp.set_defaults(fn=cmd_index_discrepancy)
+
+    sp = sub.add_parser("explain", help="show a query's physical plan")
+    sp.add_argument("name")
+    sp.add_argument(
+        "--run",
+        action="store_true",
+        help="execute first and print the AQE-finalized plan",
+    )
+    common(sp)
+    sp.set_defaults(fn=cmd_explain)
 
     sp = sub.add_parser(
         "stream-windows", help="streaming windowed counts (availableNow drain)"

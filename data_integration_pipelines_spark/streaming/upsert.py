@@ -48,12 +48,26 @@ def _versions(store_path: str) -> list[int]:
     return sorted(out)
 
 
-def read_store(spark: SparkSession, store_path: str) -> DataFrame | None:
-    """Latest complete version of the store, or None before first write."""
+def read_store(
+    spark: SparkSession, store_path: str, version: int | None = None
+) -> DataFrame | None:
+    """A complete version of the store, or None before first write.
+
+    ``version=None`` -> latest. Any earlier complete version is
+    readable forever (the store is append-only versions — time travel
+    for free, the property Delta charges a transaction log for).
+    Raises KeyError for a version that does not exist or never
+    completed."""
     versions = _versions(store_path)
     if not versions:
         return None
-    return spark.read.parquet(os.path.join(store_path, f"v={versions[-1]}"))
+    if version is None:
+        version = versions[-1]
+    elif version not in versions:
+        raise KeyError(
+            f"store version {version} not found; complete versions: {versions}"
+        )
+    return spark.read.parquet(os.path.join(store_path, f"v={version}"))
 
 
 def upsert_batch(

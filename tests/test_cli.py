@@ -160,3 +160,26 @@ class TestCLI:
             load_table(spark, "/root/testdata/sf0.001", "events")
         ).count()
         assert len(rows) == batch
+
+    def test_store_time_travel(self, spark, tmp_path):
+        """read_store(version=N) reads any earlier complete version."""
+        import pytest as _pytest
+
+        from data_integration_pipelines_spark.streaming.upsert import read_store
+
+        store = str(tmp_path / "store")
+        base = ["--sf-dir", "/root/testdata/sf0.001"]
+        assert main(["annotate", "--store", store, *base]) == 0
+        assert main(["annotate", "--store", store, *base]) == 0
+        v1 = read_store(spark, store, version=1)
+        latest = read_store(spark, store)
+        assert v1.count() == latest.count()
+        assert {r.run for r in v1.select("run").distinct().collect()} == {1}
+        with _pytest.raises(KeyError):
+            read_store(spark, store, version=99)
+
+    def test_explain_command(self, capsys):
+        rc = main(["explain", "pricing_summary", "--sf-dir", "/root/testdata/sf0.001"])
+        assert rc == 0
+        outp = capsys.readouterr().out
+        assert "Physical Plan" in outp and "Exchange" in outp
