@@ -218,3 +218,30 @@ def test_jaccard_pairs_match_python_bruteforce(spark, docs):
             if jac >= 0.5:
                 want[(i, j)] = round(jac, 9)
     assert got == want
+
+
+# --- bloom prefilter -------------------------------------------------------
+
+_key_sets = st.tuples(
+    st.sets(st.integers(min_value=-(2**40), max_value=2**40), min_size=1, max_size=60),
+    st.sets(st.integers(min_value=-(2**40), max_value=2**40), min_size=0, max_size=120),
+)
+
+
+@settings(max_examples=15, deadline=None, derandomize=True)
+@given(_key_sets)
+def test_bloom_prefilter_never_false_negative(spark, keysets):
+    """For ANY build/probe key sets (negatives, overlaps, disjoint):
+    every probe key in the build set survives the prefilter, and the
+    prefilter ⨝ build equals the plain probe ⨝ build exactly."""
+    from data_integration_pipelines_spark.operators.bloom import bloom_prefilter
+
+    build_keys, probe_keys = keysets
+    build = spark.createDataFrame([(k,) for k in build_keys], "key long")
+    probe = spark.createDataFrame(
+        [(k,) for k in probe_keys] or [(0,)], "k long"
+    ) if probe_keys else spark.createDataFrame([], "k long")
+    kept = {r.k for r in bloom_prefilter(probe, build, "k", "key", m_bits=1 << 12, k=3).collect()}
+    members = probe_keys & build_keys
+    assert members <= kept  # lossless reject
+    assert kept <= probe_keys if probe_keys else kept == set()
