@@ -109,6 +109,8 @@ _RISK_ORDER = [
     "embedding_outliers",
     # iterative graph ranking (new in r3)
     "nation_pagerank",
+    # incremental join-view maintenance (new in r3)
+    "incremental_join",
     # -- driver-green in r1+r2; heaviest / multi-stage first --
     "dup_clusters",
     "dedup_survivors",

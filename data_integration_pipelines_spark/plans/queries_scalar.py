@@ -418,3 +418,55 @@ def incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("mn").cast("bigint").alias("mn"),
         F.col("mx").cast("bigint").alias("mx"),
     ).orderBy("o_orderpriority")
+
+
+@register(
+    "incremental_join",
+    """
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS total_cents
+    FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE o_orderkey < 3000
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    doc="Incremental JOIN-view maintenance (operators/incremental.py "
+    "delta_join): orders and lineitem arrive in 3 append batches each, "
+    "split by DIFFERENT keys per side so matching rows land in "
+    "different batches — the delta rule d(A join B) = dA join B + "
+    "A join dB + dA join dB catches every combination exactly once, at "
+    "per-batch cost (AQE broadcasts the delta side). The oracle is the "
+    "ONE-SHOT join, so the differential check certifies fold == "
+    "recompute; integer-cents sum keeps the aggregate order-exact.",
+)
+def incremental_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.incremental import fold_join_batches
+
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 3000).select(
+        F.col("o_orderkey").alias("k"),
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("bigint")
+        .alias("cents"),
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 3000).select(
+        F.col("l_orderkey").alias("k"), "l_returnflag"
+    )
+    # deliberately UNALIGNED batch splits: a matched (order, line) pair
+    # can sit in any (i, j) batch combination
+    a_batches = [orders.filter(F.pmod(F.col("k"), F.lit(3)) == i) for i in range(3)]
+    # k*2 mod 3 permutes the residues (2 is invertible mod 3), so batch
+    # i on the B side holds DIFFERENT keys than batch i on the A side
+    b_batches = [
+        li.filter(F.pmod(F.col("k") * 2, F.lit(3)) == i) for i in range(3)
+    ]
+    view = fold_join_batches(a_batches, b_batches, ["k"])
+    return (
+        view.groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum("cents").cast("bigint").alias("total_cents"),
+        )
+        .orderBy("l_returnflag")
+    )

@@ -690,3 +690,34 @@ class TestPageRank:
             ).collect()
         }
         assert got == r
+
+
+class TestIncrementalJoin:
+    """operators/incremental.py delta_join / fold_join_batches."""
+
+    def test_unaligned_batches_equal_one_shot(self, spark):
+        a = spark.createDataFrame([(k, k * 10) for k in range(12)], "k long, va long")
+        b = spark.createDataFrame(
+            [(k, chr(97 + k % 4)) for k in range(12) if k % 5 != 0],
+            "k long, vb string",
+        )
+        from data_integration_pipelines_spark.operators.incremental import (
+            fold_join_batches,
+        )
+        from pyspark.sql import functions as F
+
+        # every (i, j) batch-pair combination occurs
+        ab = [a.filter(F.col("k") % 3 == i) for i in range(3)]
+        bb = [b.filter((F.col("k") * 2) % 3 == i) for i in range(3)]
+        got = sorted(map(tuple, fold_join_batches(ab, bb, ["k"]).collect()))
+        want = sorted(map(tuple, a.join(b, "k").collect()))
+        assert got == want
+
+    def test_empty_side_bootstrap(self, spark):
+        from data_integration_pipelines_spark.operators.incremental import (
+            delta_join,
+        )
+
+        a = spark.createDataFrame([(1, 2)], "k long, va long")
+        # first fold with no B state and no B delta joins nothing
+        assert delta_join(None, None, a, None, ["k"]) is None

@@ -84,6 +84,7 @@ _NEVER_DRIVER_VERIFIED = {
     "knn_classify",  # new in r3: no driver row yet by construction
     "embedding_outliers",  # new in r3: no driver row yet by construction
     "nation_pagerank",  # new in r3: no driver row yet by construction
+    "incremental_join",  # new in r3: no driver row yet by construction
 }
 
 
