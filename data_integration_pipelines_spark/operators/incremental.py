@@ -146,6 +146,11 @@ def fold_join_batches(
     later delta joins against them)."""
     from .cache import bounded_persist
 
+    if len(a_batches) != len(b_batches):
+        raise ValueError(
+            f"paired folds require equal batch counts, got "
+            f"{len(a_batches)} vs {len(b_batches)} (pad with empty frames)"
+        )
     a_state: DataFrame | None = None
     b_state: DataFrame | None = None
     view: DataFrame | None = None
