@@ -100,6 +100,8 @@ _RISK_ORDER = [
     "promo_revenue",
     "top_supplier",
     "returned_items_report",
+    "forecast_revenue",
+    "large_volume_customers",
     # bloom-prefiltered decontamination (new in r3)
     "decontaminate_bloom",
     # quantile-sketch bounds check (new in r3)

@@ -85,6 +85,8 @@ _NEVER_DRIVER_VERIFIED = {
     "embedding_outliers",  # new in r3: no driver row yet by construction
     "nation_pagerank",  # new in r3: no driver row yet by construction
     "incremental_join",  # new in r3: no driver row yet by construction
+    "forecast_revenue",  # new in r3: no driver row yet by construction
+    "large_volume_customers",  # new in r3: no driver row yet by construction
 }
 
 
