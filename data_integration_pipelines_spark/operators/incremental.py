@@ -161,3 +161,89 @@ def fold_join_batches(
         a_state = da if a_state is None else bounded_persist(a_state.unionByName(da))
         b_state = db if b_state is None else bounded_persist(b_state.unionByName(db))
     return view
+
+
+MULT_COL = "__mult"
+
+
+def with_mult(df: DataFrame, mult: int = 1) -> DataFrame:
+    """Tag a batch as inserts (+1) or retractions (-1)."""
+    return df.withColumn(MULT_COL, F.lit(int(mult)))
+
+
+def normalize_mult(df: DataFrame) -> DataFrame:
+    """Collapse a multiplicity-tagged relation to its net rows: sum
+    multiplicities per distinct row, keep non-zero. An insert followed
+    by its retraction cancels to nothing; double inserts carry mult 2
+    (bag semantics, exactly what repeated joins need)."""
+    value_cols = [c for c in df.columns if c != MULT_COL]
+    return (
+        df.groupBy(*value_cols)
+        .agg(F.sum(MULT_COL).alias(MULT_COL))
+        .filter(F.col(MULT_COL) != 0)
+    )
+
+
+def delta_join_mult(
+    a_state: DataFrame | None,
+    b_state: DataFrame | None,
+    delta_a: DataFrame | None,
+    delta_b: DataFrame | None,
+    on: Sequence[str],
+) -> DataFrame | None:
+    """Delta rule over multiplicity-tagged relations (the bilinear
+    property joins share with DBSP/differential dataflow): output
+    multiplicity = product of input multiplicities, so a retraction
+    (-1) joining existing rows (+1) emits -1 rows that cancel the
+    earlier join output in ``normalize_mult``. Deletion support costs
+    nothing beyond the multiply."""
+    a_m = "__a_mult"
+    b_m = "__b_mult"
+
+    def prep(df: DataFrame, alias: str) -> DataFrame:
+        return df.withColumnRenamed(MULT_COL, alias)
+
+    parts: list[DataFrame] = []
+    if delta_a is not None and b_state is not None:
+        parts.append(prep(delta_a, a_m).join(prep(b_state, b_m), list(on)))
+    if a_state is not None and delta_b is not None:
+        parts.append(prep(a_state, a_m).join(prep(delta_b, b_m), list(on)))
+    if delta_a is not None and delta_b is not None:
+        parts.append(prep(delta_a, a_m).join(prep(delta_b, b_m), list(on)))
+    if not parts:
+        return None
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.withColumn(MULT_COL, F.col(a_m) * F.col(b_m)).drop(a_m, b_m)
+
+
+def fold_join_batches_mult(
+    a_batches: Sequence[DataFrame],
+    b_batches: Sequence[DataFrame],
+    on: Sequence[str],
+) -> DataFrame | None:
+    """Maintain A ⨝ B under INSERTS AND DELETES: every batch is a
+    multiplicity-tagged delta (``with_mult``). Returns the normalized
+    net view — identical to recomputing the join over the net input
+    relations, which is what the ``incremental_join_retract`` oracle
+    certifies. States accumulate as unnormalized delta unions
+    (normalization is only needed at read time; the join is bilinear,
+    so it distributes over the un-collapsed form too)."""
+    from .cache import bounded_persist
+
+    if len(a_batches) != len(b_batches):
+        raise ValueError(
+            f"paired folds require equal batch counts, got "
+            f"{len(a_batches)} vs {len(b_batches)} (pad with empty frames)"
+        )
+    a_state: DataFrame | None = None
+    b_state: DataFrame | None = None
+    view: DataFrame | None = None
+    for da, db in zip(a_batches, b_batches):
+        inc = delta_join_mult(a_state, b_state, da, db, on)
+        if inc is not None:
+            view = inc if view is None else view.unionByName(inc)
+        a_state = da if a_state is None else bounded_persist(a_state.unionByName(da))
+        b_state = db if b_state is None else bounded_persist(b_state.unionByName(db))
+    return None if view is None else normalize_mult(view)

@@ -113,6 +113,7 @@ _RISK_ORDER = [
     "nation_pagerank",
     # incremental join-view maintenance (new in r3)
     "incremental_join",
+    "incremental_join_retract",
     # -- driver-green in r1+r2; heaviest / multi-stage first --
     "dup_clusters",
     "dedup_survivors",

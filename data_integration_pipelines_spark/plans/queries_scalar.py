@@ -470,3 +470,59 @@ def incremental_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@register(
+    "incremental_join_retract",
+    """
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS total_cents
+    FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE o_orderkey < 3000 AND o_orderkey % 7 <> 0
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    doc="Incremental join view under INSERTS AND DELETES "
+    "(operators/incremental.py delta_join_mult, DBSP-style "
+    "multiplicity deltas): batch 1-2 insert all orders, batch 3 "
+    "RETRACTS the orderkey%7==0 ones (mult -1); the bilinear delta "
+    "rule emits cancelling -1 join rows, and normalization nets them "
+    "out. The oracle computes the join over the NET input directly — "
+    "fold-with-deletions == recompute-over-survivors, the invariant "
+    "that lets a 100 TB pipeline process GDPR deletions or corrections "
+    "as per-batch deltas instead of full rebuilds.",
+)
+def incremental_join_retract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.incremental import fold_join_batches_mult, with_mult
+
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 3000).select(
+        F.col("o_orderkey").alias("k"),
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("bigint")
+        .alias("cents"),
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 3000).select(
+        F.col("l_orderkey").alias("k"), "l_returnflag"
+    )
+    retract = orders.filter(F.pmod(F.col("k"), F.lit(7)) == 0)
+    a_batches = [
+        with_mult(orders.filter(F.pmod(F.col("k"), F.lit(2)) == 0)),
+        with_mult(orders.filter(F.pmod(F.col("k"), F.lit(2)) == 1)),
+        with_mult(retract, -1),
+    ]
+    empty_li = li.limit(0)
+    b_batches = [with_mult(li), with_mult(empty_li), with_mult(empty_li)]
+    view = fold_join_batches_mult(a_batches, b_batches, ["k"])
+    # bag-correct aggregation: weight every row by its net multiplicity
+    # (all 1 here — the base relations are duplicate-free — but the
+    # weighted form stays right if they ever are not)
+    return (
+        view.groupBy("l_returnflag")
+        .agg(
+            F.sum("__mult").cast("bigint").alias("n_rows"),
+            F.sum(F.col("cents") * F.col("__mult")).cast("bigint").alias("total_cents"),
+        )
+        .orderBy("l_returnflag")
+    )

@@ -721,3 +721,29 @@ class TestIncrementalJoin:
         a = spark.createDataFrame([(1, 2)], "k long, va long")
         # first fold with no B state and no B delta joins nothing
         assert delta_join(None, None, a, None, ["k"]) is None
+
+    def test_retraction_cancels_exactly(self, spark):
+        """Insert, join, retract: the net view equals the join over the
+        surviving rows only — and double-inserts carry mult 2."""
+        from pyspark.sql import functions as F
+
+        from data_integration_pipelines_spark.operators.incremental import (
+            fold_join_batches_mult,
+            with_mult,
+        )
+
+        a = spark.createDataFrame([(k, k * 10) for k in range(8)], "k long, va long")
+        b = spark.createDataFrame([(k, k % 3) for k in range(8)], "k long, vb long")
+        gone = a.filter(F.col("k") % 2 == 0)
+        dup = a.filter(F.col("k") == 1)  # k=1 inserted twice
+        av = [with_mult(a), with_mult(dup), with_mult(gone, -1)]
+        e = b.limit(0)
+        bv = [with_mult(b), with_mult(e), with_mult(e)]
+        got = {
+            (r.k, r.va, r.vb): r["__mult"]
+            for r in fold_join_batches_mult(av, bv, ["k"]).collect()
+        }
+        want = {
+            (k, k * 10, k % 3): (2 if k == 1 else 1) for k in range(8) if k % 2 == 1
+        }
+        assert got == want
