@@ -247,3 +247,41 @@ def fold_join_batches_mult(
         a_state = da if a_state is None else bounded_persist(a_state.unionByName(da))
         b_state = db if b_state is None else bounded_persist(b_state.unionByName(db))
     return None if view is None else normalize_mult(view)
+
+
+RETRACT_STATE_COLS = ("cnt", "total")
+
+
+def partial_state_mult(
+    df: DataFrame, keys: Sequence[str], value_col: str
+) -> DataFrame:
+    """Multiplicity-weighted partials: count and sum are GROUPS (every
+    element has an inverse), so retractions fold in as negative
+    contributions — no rescan. min/max are deliberately absent: they
+    are only monoids (no inverse), so a retraction of the current
+    extremum forces a per-group rescan; a pipeline needing retractable
+    extrema keeps a per-group value-count table instead (documented
+    limitation, same one every IVM system has)."""
+    m = F.col(MULT_COL) if MULT_COL in df.columns else F.lit(1)
+    return df.groupBy(*keys).agg(
+        F.sum(m).alias("cnt"),
+        F.sum(F.col(value_col) * m).alias("total"),
+    )
+
+
+def merge_states_mult(
+    state: DataFrame | None, batch_state: DataFrame, keys: Sequence[str]
+) -> DataFrame:
+    """Fold retractable partials; groups whose count nets to zero
+    vanish (fully retracted)."""
+    if state is None:
+        merged = batch_state
+    else:
+        both = state.select(*keys, *RETRACT_STATE_COLS).unionByName(
+            batch_state.select(*keys, *RETRACT_STATE_COLS)
+        )
+        merged = both.groupBy(*keys).agg(
+            F.sum("cnt").alias("cnt"),
+            F.sum("total").alias("total"),
+        )
+    return merged.filter(F.col("cnt") != 0)

@@ -114,6 +114,7 @@ _RISK_ORDER = [
     # incremental join-view maintenance (new in r3)
     "incremental_join",
     "incremental_join_retract",
+    "incremental_agg_retract",
     # -- driver-green in r1+r2; heaviest / multi-stage first --
     "dup_clusters",
     "dedup_survivors",

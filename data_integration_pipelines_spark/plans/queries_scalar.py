@@ -526,3 +526,54 @@ def incremental_join_retract(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@register(
+    "incremental_agg_retract",
+    """
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS cnt,
+           CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS total_cents
+    FROM orders
+    WHERE o_orderkey % 7 <> 0
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    doc="Retraction-aware aggregate maintenance (operators/incremental."
+    "partial_state_mult): two insert batches then a batch RETRACTING "
+    "the orderkey%7==0 rows (mult -1). Count and sum are group "
+    "structures, so deletions fold as negative contributions at "
+    "per-batch cost — no rescan; the oracle aggregates the net "
+    "survivors directly. min/max deliberately excluded (monoid-only — "
+    "retracting the extremum needs a rescan; the honest limitation "
+    "every IVM system shares).",
+)
+def incremental_agg_retract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.incremental import (
+        merge_states_mult,
+        partial_state_mult,
+        with_mult,
+    )
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("bigint")
+        .alias("cents"),
+    )
+    keys = ["o_orderpriority"]
+    batches = [
+        with_mult(orders.filter(F.pmod(F.col("o_orderkey"), F.lit(2)) == 0)),
+        with_mult(orders.filter(F.pmod(F.col("o_orderkey"), F.lit(2)) == 1)),
+        with_mult(orders.filter(F.pmod(F.col("o_orderkey"), F.lit(7)) == 0), -1),
+    ]
+    state = None
+    for b in batches:
+        state = merge_states_mult(state, partial_state_mult(b, keys, "cents"), keys)
+    return state.select(
+        "o_orderpriority",
+        F.col("cnt").cast("bigint").alias("cnt"),
+        F.col("total").cast("bigint").alias("total_cents"),
+    ).orderBy("o_orderpriority")

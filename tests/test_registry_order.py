@@ -88,6 +88,7 @@ _NEVER_DRIVER_VERIFIED = {
     "forecast_revenue",  # new in r3: no driver row yet by construction
     "large_volume_customers",  # new in r3: no driver row yet by construction
     "incremental_join_retract",  # new in r3: no driver row yet by construction
+    "incremental_agg_retract",  # new in r3: no driver row yet by construction
 }
 
 
