@@ -335,6 +335,28 @@ def cmd_explain(args) -> int:
     return 0
 
 
+def cmd_curate(args) -> int:
+    """Training-data curation as one batch job: the per-stage funnel
+    report (quality -> near-dedup -> decontamination -> deterministic
+    sample) plus the row-level artifacts a downstream trainer consumes
+    — the dedup survivor list and the contaminated-doc report. All
+    three are registered, oracle-checked queries; this command is the
+    operational wrapper that lands them as files."""
+    from .plans import REGISTRY
+    from .sources.sinks import write_csv
+
+    spark = _session(args)
+    for qname, fname in (
+        ("curation_funnel", "funnel_report.csv"),
+        ("dedup_survivors", "survivors.csv"),
+        ("decontaminate", "contaminated.csv"),
+    ):
+        df = REGISTRY[qname].fn(spark, args.sf_dir).limit(args.limit)
+        write_csv(df, _out(args, fname), single_file=True)
+    print(args.output_dir)
+    return 0
+
+
 def cmd_stream_windows(args) -> int:
     """Structured-Streaming front door: drain the events backlog with an
     availableNow trigger through the watermarked windowed-count
@@ -407,6 +429,12 @@ def build_parser() -> argparse.ArgumentParser:
     common(sp)
     sp.set_defaults(fn=cmd_index_discrepancy)
 
+    sp = sub.add_parser(
+        "curate", help="curation funnel report + survivor/contaminated lists"
+    )
+    common(sp)
+    sp.set_defaults(fn=cmd_curate)
+
     sp = sub.add_parser("explain", help="show a query's physical plan")
     sp.add_argument("name")
     sp.add_argument(
@@ -442,6 +470,7 @@ def main(argv: list[str] | None = None) -> int:
         "morphology-quality",
         "index-discrepancy",
         "stream-windows",
+        "curate",
     )
     if needs_out and not args.output_dir:
         args.output_dir = "out"

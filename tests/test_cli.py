@@ -183,3 +183,14 @@ class TestCLI:
         assert rc == 0
         outp = capsys.readouterr().out
         assert "Physical Plan" in outp and "Exchange" in outp
+
+    def test_curate(self, spark, tmp_path):
+        out = _run(tmp_path, "curate")
+        funnel = _csv_rows(os.path.join(out, "funnel_report.csv"))
+        stages = [r["stage"] for r in funnel]
+        assert stages == sorted(stages) and len(stages) == 5
+        # monotone: each stage keeps at most the previous stage's docs
+        counts = [int(r["n_docs"]) for r in funnel]
+        assert all(a >= b for a, b in zip(counts, counts[1:]))
+        assert _csv_rows(os.path.join(out, "survivors.csv"))
+        assert _csv_rows(os.path.join(out, "contaminated.csv"))
