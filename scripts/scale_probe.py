@@ -126,6 +126,14 @@ def main() -> None:
     if not os.path.exists(os.path.join(out, "embeddings.parquet")):
         build_replica(spark, base, out, k)
     base_t = time_queries(spark, base)
+    # drop the persist pool AND the catalog cache between phases: in
+    # local mode storage and broadcast builds share ONE heap, and the
+    # base phase's pooled tables otherwise squeeze the 30x phase's
+    # broadcast allocations (observed notEnoughMemoryToBuildAndBroadcast
+    # at k=30 with the stock 8g heap)
+    from data_integration_pipelines_spark.operators.cache import release_cached
+
+    release_cached()
     spark.catalog.clearCache()
     scaled_t = time_queries(spark, out)
     report = {
