@@ -357,6 +357,29 @@ def cmd_curate(args) -> int:
     return 0
 
 
+def cmd_export_shards(args) -> int:
+    """Trainer-facing dataset export: the curated document set written
+    as N deterministic shards (hash of doc_id -> shard), each
+    internally sorted by token count (length bucketing for packing),
+    plus manifest.json. sources/shard_export.py."""
+    from .catalog import load_table
+    from .sources.shard_export import export_sharded
+
+    spark = _session(args)
+    docs = load_table(spark, args.sf_dir, "documents").withColumn(
+        "n_tokens", F.size(F.split(F.trim("text"), r"\s+"))
+    )
+    manifest = export_sharded(
+        docs,
+        _out(args, "shards"),
+        key_col="doc_id",
+        sort_col="n_tokens",
+        n_shards=args.shards,
+    )
+    print(json.dumps({"n_shards": manifest["n_shards"], "rows": sum(v["n_rows"] for v in manifest["shards"].values())}))
+    return 0
+
+
 def cmd_stream_windows(args) -> int:
     """Structured-Streaming front door: drain the events backlog with an
     availableNow trigger through the watermarked windowed-count
@@ -430,6 +453,13 @@ def build_parser() -> argparse.ArgumentParser:
     sp.set_defaults(fn=cmd_index_discrepancy)
 
     sp = sub.add_parser(
+        "export-shards", help="write the corpus as N sorted shards + manifest"
+    )
+    sp.add_argument("--shards", type=int, default=8)
+    common(sp)
+    sp.set_defaults(fn=cmd_export_shards)
+
+    sp = sub.add_parser(
         "curate", help="curation funnel report + survivor/contaminated lists"
     )
     common(sp)
@@ -471,6 +501,7 @@ def main(argv: list[str] | None = None) -> int:
         "index-discrepancy",
         "stream-windows",
         "curate",
+        "export-shards",
     )
     if needs_out and not args.output_dir:
         args.output_dir = "out"

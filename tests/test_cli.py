@@ -194,3 +194,32 @@ class TestCLI:
         assert all(a >= b for a, b in zip(counts, counts[1:]))
         assert _csv_rows(os.path.join(out, "survivors.csv"))
         assert _csv_rows(os.path.join(out, "contaminated.csv"))
+
+    def test_export_shards(self, spark, tmp_path):
+        """Deterministic shard membership, in-shard ordering, manifest
+        consistent with the files."""
+        out = _run(tmp_path, "export-shards", "--shards", "4")
+        import json as _json
+
+        shards_dir = os.path.join(out, "shards")
+        manifest = _json.load(open(os.path.join(shards_dir, "manifest.json")))
+        assert manifest["n_shards"] == 4
+        df = spark.read.parquet(shards_dir)
+        total = 0
+        from pyspark.sql import functions as F
+
+        for sid, meta in manifest["shards"].items():
+            part = df.filter(F.col("__shard") == int(sid))
+            rows = part.select("n_tokens", "doc_id").collect()
+            total += len(rows)
+            assert len(rows) == meta["n_rows"]
+            # parquet files preserve write order per shard: sorted
+            ordered = [(r.n_tokens, r.doc_id) for r in rows]
+            assert ordered == sorted(ordered)
+            # shard membership is the documented pure function of the key
+            ids = {r.doc_id for r in rows}
+            check = df.sparkSession.createDataFrame(
+                [(i,) for i in ids], "doc_id long"
+            ).select(F.pmod(F.xxhash64("doc_id"), F.lit(4)).cast("int").alias("s"))
+            assert {r.s for r in check.collect()} == {int(sid)}
+        assert total == 500
