@@ -314,8 +314,16 @@ def _simhash_hamming_oracle(nbits: int = 16, max_hamming: int = 3) -> str:
         for i in range(nbits)
     )
     bits = " || ".join(f"CASE WHEN v{i} > 0 THEN '1' ELSE '0' END" for i in range(nbits))
+    # MSB-first integer twin of the bit string (v0 = highest bit), so
+    # exact Hamming is bit_count(xor(..)) on BIGINTs instead of a
+    # 2x32-position list comprehension per candidate pair (~4x faster
+    # oracle at sf0.01)
+    sk_int = " + ".join(
+        f"CASE WHEN v{i} > 0 THEN {1 << (nbits - 1 - i)} ELSE 0 END"
+        for i in range(nbits)
+    )
     probe_selects = "\n        UNION ALL\n".join(
-        f"        SELECT doc_id, simhash, {b} AS block,"
+        f"        SELECT doc_id, sk_int, {b} AS block,"
         f" substr(simhash, {start}, {length}) AS bits FROM sk"
         for b, (start, length) in enumerate(simhash_blocks(nbits, max_hamming + 1))
     )
@@ -329,24 +337,23 @@ def _simhash_hamming_oracle(nbits: int = 16, max_hamming: int = 3) -> str:
                {sums}
         FROM toks GROUP BY doc_id
     ),
-    sk AS (SELECT doc_id, {bits} AS simhash FROM votes),
+    sk AS MATERIALIZED (
+        SELECT doc_id, {bits} AS simhash, CAST({sk_int} AS BIGINT) AS sk_int
+        FROM votes
+    ),
     probes AS (
 {probe_selects}
     ),
     cand AS (
         SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
-               a.simhash AS sk_a, b.simhash AS sk_b
+               a.sk_int AS int_a, b.sk_int AS int_b
         FROM probes a JOIN probes b
           ON a.block = b.block AND a.bits = b.bits AND a.doc_id < b.doc_id
     )
     SELECT id_a, id_b,
-           CAST(len([i FOR i IN range(1, {nbits + 1})
-                     IF substr(sk_a, CAST(i AS INT), 1) <> substr(sk_b, CAST(i AS INT), 1)])
-                AS INT) AS hamming
+           CAST(bit_count(xor(int_a, int_b)) AS INT) AS hamming
     FROM cand
-    WHERE len([i FOR i IN range(1, {nbits + 1})
-               IF substr(sk_a, CAST(i AS INT), 1) <> substr(sk_b, CAST(i AS INT), 1)])
-          <= {max_hamming}
+    WHERE bit_count(xor(int_a, int_b)) <= {max_hamming}
     ORDER BY id_a, id_b
     """
 
