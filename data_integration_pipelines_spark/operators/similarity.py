@@ -718,3 +718,29 @@ def quantize_int8(
         codes.alias("codes"),
         vals.alias("vals"),
     )
+
+
+def merge_topk(
+    state: DataFrame | None,
+    batch_topk: DataFrame,
+    k: int = 10,
+) -> DataFrame:
+    """Fold a corpus batch's top-k into the running top-k per query.
+
+    Top-k under a total order is a mergeable monoid: keep-best-k of a
+    union of keep-best-k partials equals keep-best-k of the whole —
+    so an ANN index over a GROWING corpus maintains exact brute-force
+    answers at per-batch cost (the interactive-session incremental
+    top-k pattern, cf. EDBT'20). Both inputs carry the engine's
+    deterministic order (cos_r desc, neighbor_id asc); the merge
+    re-ranks the (<= 2k per query) union rows only."""
+    both = batch_topk if state is None else state.unionByName(batch_topk)
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        both.withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") <= k)
+        .drop("rank")
+        .withColumnRenamed("__r", "rank")
+    )

@@ -115,6 +115,7 @@ _RISK_ORDER = [
     "incremental_join",
     "incremental_join_retract",
     "incremental_agg_retract",
+    "ann_topk_incremental",
     # -- driver-green in r1+r2; heaviest / multi-stage first --
     "dup_clusters",
     "dedup_survivors",

@@ -741,3 +741,49 @@ def embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("isolation_rank")
         .limit(5)
     )
+
+
+@register(
+    "ann_topk_incremental",
+    f"""
+    WITH {_LONG_CTE},
+    dots AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS corpus_id, SUM(q.val * c.val) AS dot
+        FROM long q JOIN long c ON q.pos = c.pos AND q.vec_id <> c.vec_id
+        WHERE q.vec_id < 5
+        GROUP BY 1, 2
+    ),
+    ranked AS (
+        SELECT query_id, corpus_id AS neighbor_id, ROUND(dot, 4) AS cosine,
+               CAST(ROW_NUMBER() OVER (
+                    PARTITION BY query_id
+                    ORDER BY ROUND(dot, 4) DESC, corpus_id) AS INT) AS rank
+        FROM dots
+    )
+    SELECT query_id, neighbor_id, cosine, rank
+    FROM ranked WHERE rank <= 10
+    ORDER BY query_id, rank
+    """,
+    doc="Incremental exact top-k over a GROWING corpus "
+    "(operators/similarity.merge_topk): the corpus arrives in 3 "
+    "batches, each batch's brute-force top-10 folds into the running "
+    "answer (top-k is a mergeable monoid under the deterministic "
+    "(rounded cosine, id) order — keep-best-k of unions of "
+    "keep-best-k partials == keep-best-k of the whole). The oracle is "
+    "the ONE-SHOT brute force over the full corpus, so the "
+    "differential check certifies fold == recompute: an ANN serving "
+    "layer absorbs corpus appends at per-batch cost without ever "
+    "rescanning. Same answer as ann_bruteforce by construction.",
+)
+def ann_topk_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import merge_topk, topk_pandas
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    state = None
+    for i in range(3):
+        batch = emb.filter(F.pmod(F.col("vec_id"), F.lit(3)) == i)
+        state = merge_topk(state, topk_pandas(batch, queries, k=10), k=10)
+    return state.select("query_id", "neighbor_id", "cosine", "rank").orderBy(
+        "query_id", "rank"
+    )

@@ -61,6 +61,7 @@ def test_python_stages_only_where_declared(plans):
         "ann_bruteforce",  # vectorized matmul scale path (topk_pandas)
         "knn_classify",  # label vote over the same topk_pandas ranker
         "embedding_outliers",  # density screen over the same ranker
+        "ann_topk_incremental",  # batched folds of the same ranker
         "ann_pq",  # PQ encode + ADC scan kernels (numpy per Arrow batch)
         "image_decode_features",
         "image_resize",

@@ -89,6 +89,7 @@ _NEVER_DRIVER_VERIFIED = {
     "large_volume_customers",  # new in r3: no driver row yet by construction
     "incremental_join_retract",  # new in r3: no driver row yet by construction
     "incremental_agg_retract",  # new in r3: no driver row yet by construction
+    "ann_topk_incremental",  # new in r3: no driver row yet by construction
 }
 
 
