@@ -218,8 +218,7 @@ def cmd_annotate(args) -> int:
     -> keep, _rev untouched; target gone from this run -> deprecate
     (tombstone row, _deprecated=true). Each run lands as v=N+1; the
     store is append-only versions, so a bad run never destroys state."""
-    import shutil
-
+    from .operators.cache import bounded_persist
     from .operators.merge import merge_classify
     from .pipelines import morphology_quality
     from .sources.sinks import write_json_report
@@ -236,7 +235,10 @@ def cmd_annotate(args) -> int:
         points = synth_points(spark, args.sf_dir)
     report, _ = morphology_quality(points)
     next_ver = (_versions(args.store) or [0])[-1] + 1
-    computed = report.select(
+    # persist: computed feeds both semi-join branches of to_write AND
+    # the action rollup — unpersisted, the whole SWC-parse/quality
+    # pipeline re-executes per consumer
+    computed = bounded_persist(report.select(
         # key on the file's basename, not its URI: the reference keys
         # annotations by morphology NAME (quality_metric_resource.py),
         # and the same file re-audited from a different staging dir
@@ -246,16 +248,16 @@ def cmd_annotate(args) -> int:
         F.col("total_length"),
         F.lit(next_ver).cast("long").alias("run"),
         F.lit(False).alias("_deprecated"),
-    )
+    ))
     existing = read_store(spark, args.store)
     if existing is None:
         actions = computed.select("target_id", F.lit("create").alias("action"))
         to_write = computed
     else:
         live = existing.filter(~F.col("_deprecated"))
-        actions = merge_classify(
+        actions = bounded_persist(merge_classify(
             live, computed, ["target_id"], ["n_points", "total_length"]
-        )
+        ))
         # keep == identical metrics: do NOT rewrite (no _rev bump);
         # deprecate == vanished target: tombstone with this run's ts
         to_write = computed.join(
@@ -328,7 +330,10 @@ def cmd_explain(args) -> int:
     spark = _session(args)
     df = REGISTRY[args.name].fn(spark, args.sf_dir)
     if args.run:
-        df.write.format("noop").mode("overwrite").save()  # finalize AQE
+        # collect() executes THIS DataFrame's QueryExecution, so its
+        # AdaptiveSparkPlan is the finalized one (a noop write would
+        # execute a separate QueryExecution and leave df's unfinalized)
+        df.collect()
         print(df._jdf.queryExecution().executedPlan().toString())
     else:
         df.explain("formatted")
@@ -366,8 +371,10 @@ def cmd_export_shards(args) -> int:
     from .sources.shard_export import export_sharded
 
     spark = _session(args)
+    from .functions.text import ws_tokens
+
     docs = load_table(spark, args.sf_dir, "documents").withColumn(
-        "n_tokens", F.size(F.split(F.trim("text"), r"\s+"))
+        "n_tokens", F.size(ws_tokens(F.col("text")))
     )
     manifest = export_sharded(
         docs,

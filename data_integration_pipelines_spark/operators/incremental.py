@@ -272,8 +272,11 @@ def partial_state_mult(
 def merge_states_mult(
     state: DataFrame | None, batch_state: DataFrame, keys: Sequence[str]
 ) -> DataFrame:
-    """Fold retractable partials; groups whose count nets to zero
-    vanish (fully retracted)."""
+    """Fold retractable partials. A group vanishes only when BOTH
+    partials net to zero: a correction batch (retract v_old, insert
+    v_new) legally passes through cnt=0 with total!=0, and dropping
+    that state would corrupt every later fold — cnt=0 does not imply
+    fully-retracted."""
     if state is None:
         merged = batch_state
     else:
@@ -284,4 +287,4 @@ def merge_states_mult(
             F.sum("cnt").alias("cnt"),
             F.sum("total").alias("total"),
         )
-    return merged.filter(F.col("cnt") != 0)
+    return merged.filter((F.col("cnt") != 0) | (F.col("total") != 0))

@@ -12,8 +12,9 @@ and makes shard membership a pure function of the key (stable across
 runs and cluster sizes — NOT round-robin, which depends on task
 layout), then ``sortWithinPartitions`` orders rows inside each shard
 with no global sort barrier. One shuffle total; each task writes its
-own file. The manifest is computed from the SAME frame in the same
-job (count/min/max per shard), so it cannot drift from the files.
+own file. The manifest aggregates the SAME persisted shard-assigned frame the
+files were written from (count/min/max per shard), so the two jobs
+see one materialization — no recompute, no drift window.
 """
 
 from __future__ import annotations
@@ -47,15 +48,15 @@ def export_sharded(
     ``(sort_col, key_col)``, and a ``manifest.json``. Returns the
     manifest dict. One shuffle (the repartition); the in-shard sort is
     shuffle-free."""
-    sharded = (
-        assign_shards(df, key_col, n_shards)
-        .repartition(n_shards, F.col(SHARD_COL))
-        .sortWithinPartitions(SHARD_COL, sort_col, key_col)
+    from ..operators.cache import bounded_persist
+
+    assigned = bounded_persist(assign_shards(df, key_col, n_shards))
+    sharded = assigned.repartition(n_shards, F.col(SHARD_COL)).sortWithinPartitions(
+        SHARD_COL, sort_col, key_col
     )
     sharded.write.mode("overwrite").partitionBy(SHARD_COL).parquet(path)
     stats = (
-        assign_shards(df, key_col, n_shards)
-        .groupBy(SHARD_COL)
+        assigned.groupBy(SHARD_COL)
         .agg(
             F.count("*").alias("n_rows"),
             F.min(sort_col).alias("sort_min"),

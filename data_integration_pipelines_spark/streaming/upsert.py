@@ -60,6 +60,11 @@ def read_store(
     completed."""
     versions = _versions(store_path)
     if not versions:
+        if version is not None:
+            raise KeyError(
+                f"store version {version} not found; store at "
+                f"{store_path!r} has no complete versions"
+            )
         return None
     if version is None:
         version = versions[-1]

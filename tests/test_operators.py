@@ -747,3 +747,28 @@ class TestIncrementalJoin:
             (k, k * 10, k % 3): (2 if k == 1 else 1) for k in range(8) if k % 2 == 1
         }
         assert got == want
+
+    def test_correction_batch_preserves_nonzero_total_state(self, spark):
+        """retract v_old + insert v_new nets cnt=0 with total!=0 — that
+        state must SURVIVE merging (dropping it corrupts later folds)."""
+        from pyspark.sql import functions as F
+
+        from data_integration_pipelines_spark.operators.incremental import (
+            merge_states_mult,
+            partial_state_mult,
+            with_mult,
+        )
+
+        g = spark.createDataFrame([("a", 7)], "k string, v long")
+        old = spark.createDataFrame([("a", 5)], "k string, v long")
+        late = spark.createDataFrame([("a", 3)], "k string, v long")
+        # batch 1: insert 7, retract 5 (a correction) -> cnt 0, total 2
+        b1 = with_mult(g).unionByName(with_mult(old, -1))
+        state = merge_states_mult(None, partial_state_mult(b1, ["k"], "v"), ["k"])
+        assert state.collect()[0].total == 2  # not dropped
+        # batch 2: insert 3 -> cnt 1, total 5 (7 - 5 + 3)
+        state = merge_states_mult(
+            state, partial_state_mult(with_mult(late), ["k"], "v"), ["k"]
+        )
+        row = state.collect()[0]
+        assert (row.cnt, row.total) == (1, 5)
