@@ -158,7 +158,10 @@ def cmd_trace_audit(args) -> int:
     # error rollup is one row per bucket regardless, so it aggregates
     # the FULL audit (limiting its input would change semantics, not
     # size — the docstring's report-size-bound contract)
-    audit = full.orderBy("id").limit(args.limit)
+    # persist the limited frame too: the CSV write plus count()+
+    # collect per workbook sheet would otherwise re-run the global
+    # sort+limit once per consumer
+    audit = bounded_persist(full.orderBy("id").limit(args.limit))
     write_csv(audit.drop("errors"), _out(args, "trace_audit.csv"), single_file=True)
     errors = bucket_error_report(full).collect()
     write_json_report(

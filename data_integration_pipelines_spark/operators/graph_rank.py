@@ -41,12 +41,21 @@ def pagerank(
     iterations: int = 5,
     damping_nano: int = 850_000_000,
     checkpoint_every: int | None = None,
+    node_universe: DataFrame | None = None,
 ) -> DataFrame:
     """``(node, rank_nano)`` after ``iterations`` integer-exact rounds.
 
-    ``edges`` must be distinct directed pairs; node set = union of both
-    endpoints. ``damping_nano`` is the damping factor scaled by 1e9
-    (default 0.85)."""
+    ``edges`` must be distinct directed pairs. ``damping_nano`` is the
+    damping factor scaled by 1e9 (default 0.85).
+
+    Node set: the union of edge endpoints by default — which requires
+    ONE eager count of that union (i.e. a full execution of whatever
+    built ``edges``) at construction time to seed the uniform rank.
+    When the node domain is a known dimension (nations, users,
+    documents), pass it as ``node_universe`` (single column ``node``):
+    the count then scans the tiny dimension instead of executing the
+    edge join, isolated nodes legitimately appear with teleport-base
+    rank, and plan-only paths (explain, plan dumps) stay cheap."""
     from .cache import bounded_persist
 
     # e / nodes / outdeg are referenced EVERY round — persist them or
@@ -55,15 +64,20 @@ def pagerank(
     e = bounded_persist(
         edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
     )
-    nodes = bounded_persist(
-        e.select(F.col("src").alias("node"))
-        .union(e.select(F.col("dst").alias("node")))
-        .distinct()
-    )
+    if node_universe is not None:
+        nodes = node_universe.select("node")
+    else:
+        nodes = bounded_persist(
+            e.select(F.col("src").alias("node"))
+            .union(e.select(F.col("dst").alias("node")))
+            .distinct()
+        )
     outdeg = bounded_persist(e.groupBy("src").agg(F.count("*").alias("outdeg")))
     # ONE eager O(V) count to seed the uniform rank and the teleport
     # base as literals — once per invocation, not per round (the 1-row
-    # cross-join alternative would add a nested-loop join per round).
+    # cross-join alternative would add a nested-loop join per round);
+    # with a node_universe this is a dimension-table scan, not an
+    # execution of the edge-building join.
     n_nodes = nodes.count()
     if n_nodes == 0:
         # empty edge set -> empty ranking (not a ZeroDivisionError deep
@@ -102,6 +116,7 @@ def pagerank_oracle_sql(
     edges_sql: str,
     iterations: int = 5,
     damping_nano: int = 850_000_000,
+    nodes_sql: str | None = None,
 ) -> str:
     """Unrolled DuckDB SQL computing the identical integer-exact ranks.
 
@@ -112,9 +127,14 @@ def pagerank_oracle_sql(
     inlines plain CTEs, and a 5-round chain referencing the edge join
     ~3x per level re-evaluates it O(3^rounds) times (measured: >120 s
     at sf0.1 inlined, <1 s materialized)."""
+    node_def = (
+        f"SELECT node FROM ({nodes_sql})"
+        if nodes_sql is not None
+        else "SELECT src AS node FROM e UNION SELECT dst FROM e"
+    )
     parts = [
         f"e AS MATERIALIZED (SELECT DISTINCT src, dst FROM ({edges_sql}))",
-        "nodes AS MATERIALIZED (SELECT src AS node FROM e UNION SELECT dst FROM e)",
+        f"nodes AS MATERIALIZED ({node_def})",
         "outdeg AS MATERIALIZED (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY src)",
         "nn AS (SELECT COUNT(*) AS n FROM nodes)",
         f"r0 AS (SELECT node, CAST({NANO} // (SELECT n FROM nn) AS BIGINT)"

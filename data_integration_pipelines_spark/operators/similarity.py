@@ -733,8 +733,14 @@ def merge_topk(
     answers at per-batch cost (the interactive-session incremental
     top-k pattern, cf. EDBT'20). Both inputs carry the engine's
     deterministic order (cos_r desc, neighbor_id asc); the merge
-    re-ranks the (<= 2k per query) union rows only."""
+    re-ranks the (<= 2k per query) union rows only.
+
+    Idempotent under re-delivery: a neighbor present in both the state
+    and the batch (overlapping batches, at-least-once replay) is
+    deduplicated BEFORE ranking — otherwise the duplicate would occupy
+    two ranks and evict the true k-th neighbor."""
     both = batch_topk if state is None else state.unionByName(batch_topk)
+    both = both.dropDuplicates(["query_id", "neighbor_id"])
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cosine"), F.asc("neighbor_id")
     )

@@ -327,7 +327,11 @@ _TRADE_EDGES_SQL = """
 def _nation_pagerank_oracle() -> str:
     from ..operators.graph_rank import pagerank_oracle_sql
 
-    inner = pagerank_oracle_sql(_TRADE_EDGES_SQL, iterations=5)
+    inner = pagerank_oracle_sql(
+        _TRADE_EDGES_SQL,
+        iterations=5,
+        nodes_sql="SELECT n_nationkey AS node FROM nation",
+    )
     return f"""
     WITH ranked AS ({inner})
     SELECT n_name, rank_nano,
@@ -366,7 +370,16 @@ def nation_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("c_nationkey").alias("src"), F.col("s_nationkey").alias("dst")
         )
     )
-    ranked = pagerank(edges, iterations=5, checkpoint_every=1)
+    # node universe = the nation dimension: the pagerank seed count
+    # scans 25 rows instead of executing the 4-table edge join, so
+    # plan-only paths (explain, dump_plans) stay cheap; isolated
+    # nations would surface with teleport-base rank (none exist here)
+    ranked = pagerank(
+        edges,
+        iterations=5,
+        checkpoint_every=1,
+        node_universe=nation.select(F.col("n_nationkey").alias("node")),
+    )
     from pyspark.sql.window import Window
 
     return (

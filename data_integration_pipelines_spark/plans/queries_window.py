@@ -723,14 +723,19 @@ def windowed_counts_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     "SURVEY §2.4 note).",
 )
 def approx_quantile_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.cache import bounded_persist
+
     li = _t(spark, sf_dir, "lineitem")
-    appx = li.groupBy("l_returnflag").agg(
+    # persist: appx feeds both the broadcast re-rank AND the final
+    # join — unpersisted, the exact percentile's per-group sort (this
+    # query's own stated cost ceiling) would execute twice
+    appx = bounded_persist(li.groupBy("l_returnflag").agg(
         F.round(F.expr("percentile(l_quantity, 0.50)"), 4).alias("exact_p50"),
         F.round(F.expr("percentile(l_quantity, 0.95)"), 4).alias("exact_p95"),
         F.percentile_approx("l_quantity", 0.50, 1000).alias("ap50"),
         F.percentile_approx("l_quantity", 0.95, 1000).alias("ap95"),
         F.count("*").alias("n"),
-    )
+    ))
     # Re-rank the approx answers against the group's own CDF with a
     # second aggregate pass over lineitem (broadcast join-back on the
     # tiny per-group sketch table) — NOT collect_list: materializing a

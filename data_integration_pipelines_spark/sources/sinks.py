@@ -99,7 +99,16 @@ def write_xlsx(
                 f"sheet {name!r} has {n} rows (> {max_rows_per_sheet}); "
                 "XLSX is for report-sized outputs"
             )
-        collected[truncate_sheet_name(name)] = df
+        # scrub/truncation can collide two distinct input names (e.g.
+        # 'org/x' vs 'org_x', or names differing only past char 31) —
+        # disambiguate instead of silently overwriting a sheet
+        title = truncate_sheet_name(name)
+        if title in collected:
+            i = 2
+            while truncate_sheet_name(f"{title[:28]}~{i}") in collected:
+                i += 1
+            title = truncate_sheet_name(f"{title[:28]}~{i}")
+        collected[title] = df
 
     try:
         import openpyxl  # noqa: F401
