@@ -544,3 +544,39 @@ class TestBloomPrefilter:
         exact = sorted(map(tuple, REGISTRY["decontaminate"].fn(spark, sf_small).collect()))
         bloom = sorted(map(tuple, REGISTRY["decontaminate_bloom"].fn(spark, sf_small).collect()))
         assert exact == bloom
+
+
+class TestMergeTopk:
+    """operators/similarity.merge_topk — mergeable top-k monoid."""
+
+    def test_overlapping_and_redelivered_batches(self, spark):
+        from pyspark.sql import functions as F
+
+        from data_integration_pipelines_spark.operators.similarity import (
+            merge_topk,
+            topk_pandas,
+        )
+
+        emb = spark.range(0, 60).select(
+            F.col("id").alias("vec_id"),
+            F.array(
+                (F.col("id") % 7).cast("float"), (F.col("id") % 11).cast("float")
+            ).alias("embedding"),
+        )
+        queries = emb.filter(F.col("vec_id") < 2)
+        full = topk_pandas(emb, queries, k=5)
+        want = sorted(
+            (r.query_id, r.neighbor_id, r.rank) for r in full.collect()
+        )
+        # overlapping thirds + a full re-delivery of batch 0
+        batches = [
+            emb.filter(F.col("vec_id") < 30),
+            emb.filter((F.col("vec_id") >= 20) & (F.col("vec_id") < 50)),
+            emb.filter(F.col("vec_id") >= 40),
+            emb.filter(F.col("vec_id") < 30),  # re-delivered
+        ]
+        state = None
+        for b in batches:
+            state = merge_topk(state, topk_pandas(b, queries, k=5), k=5)
+        got = sorted((r.query_id, r.neighbor_id, r.rank) for r in state.collect())
+        assert got == want

@@ -130,3 +130,19 @@ def test_attach_distribution(spark):
         for r in attach_distribution(resources, files).collect()
     }
     assert out == {"r1": ["old.swc", "new.h5"], "r2": ["a.swc"]}
+
+
+def test_write_xlsx_sheet_name_collisions(spark, tmp_path):
+    """Two buckets whose names scrub/truncate identically must BOTH
+    land in the workbook (disambiguated), not silently overwrite."""
+    import zipfile
+
+    from data_integration_pipelines_spark.sources.sinks import write_xlsx
+
+    a = spark.createDataFrame([(1,)], "x long")
+    b = spark.createDataFrame([(2,)], "x long")
+    path = str(tmp_path / "wb.xlsx")
+    write_xlsx({"org/x": a, "org_x": b}, path)
+    with zipfile.ZipFile(path) as z:
+        sheets = [n for n in z.namelist() if n.startswith("xl/worksheets/")]
+    assert len(sheets) == 2
