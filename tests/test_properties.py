@@ -245,3 +245,69 @@ def test_bloom_prefilter_never_false_negative(spark, keysets):
     members = probe_keys & build_keys
     assert members <= kept  # lossless reject
     assert kept <= probe_keys if probe_keys else kept == set()
+
+
+# --- retraction-aware incremental join --------------------------------------
+
+_histories = st.lists(
+    st.tuples(
+        st.sampled_from("ab"),            # which relation
+        st.integers(min_value=0, max_value=5),   # key
+        st.integers(min_value=0, max_value=3),   # value
+        st.booleans(),                    # retraction?
+    ),
+    min_size=1,
+    max_size=10,
+)
+
+
+@settings(max_examples=6, deadline=None, derandomize=True)
+@given(_histories)
+def test_mult_delta_join_equals_net_recompute(spark, history):
+    """For ANY interleaved insert/retract history (retractions only of
+    rows currently present), folding the delta join batch-by-batch
+    equals the bag join over the NET relations."""
+    from collections import Counter
+
+    from data_integration_pipelines_spark.operators.incremental import (
+        fold_join_batches_mult,
+        with_mult,
+    )
+
+    net = {"a": Counter(), "b": Counter()}
+    ops = []
+    for rel, k, v, retract in history:
+        if retract and net[rel][(k, v)] == 0:
+            retract = False  # invalid retraction becomes an insert
+        net[rel][(k, v)] += -1 if retract else 1
+        ops.append((rel, (k, v), -1 if retract else 1))
+
+    a_batches, b_batches = [], []
+    for rel, row, mult in ops:
+        if rel == "a":
+            a_batches.append(
+                with_mult(spark.createDataFrame([row], "k long, va long"), mult)
+            )
+            b_batches.append(
+                with_mult(spark.createDataFrame([], "k long, vb long"))
+            )
+        else:
+            a_batches.append(
+                with_mult(spark.createDataFrame([], "k long, va long"))
+            )
+            b_batches.append(
+                with_mult(spark.createDataFrame([row], "k long, vb long"), mult)
+            )
+
+    view = fold_join_batches_mult(a_batches, b_batches, ["k"])
+    actual = Counter()
+    if view is not None:
+        for r in view.collect():
+            actual[(r.k, r.va, r.vb)] += r["__mult"]
+    want = Counter()
+    for (ka, va), ma in net["a"].items():
+        for (kb, vb), mb in net["b"].items():
+            if ka == kb and ma != 0 and mb != 0:
+                want[(ka, va, vb)] += ma * mb
+    want = Counter({k_: m for k_, m in want.items() if m != 0})
+    assert actual == want
