@@ -116,6 +116,8 @@ _RISK_ORDER = [
     "incremental_join_retract",
     "incremental_agg_retract",
     "ann_topk_incremental",
+    # ordered 3-step sequence detection (new in r3)
+    "sequence_funnel",
     # -- driver-green in r1+r2; heaviest / multi-stage first --
     "dup_clusters",
     "dedup_survivors",

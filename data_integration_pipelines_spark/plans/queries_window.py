@@ -776,3 +776,76 @@ def approx_quantile_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@register(
+    "sequence_funnel",
+    """
+    WITH t1 AS (
+        SELECT user_id, MIN(ts) AS view_ts FROM events
+        WHERE event_type = 'view' GROUP BY user_id
+    ),
+    t2 AS (
+        SELECT e.user_id, MIN(e.ts) AS click_ts
+        FROM events e JOIN t1 ON t1.user_id = e.user_id
+        WHERE e.event_type = 'click' AND e.ts > t1.view_ts
+        GROUP BY e.user_id
+    ),
+    t3 AS (
+        SELECT e.user_id, MIN(e.ts) AS purchase_ts
+        FROM events e JOIN t2 ON t2.user_id = e.user_id
+        WHERE e.event_type = 'purchase' AND e.ts > t2.click_ts
+        GROUP BY e.user_id
+    )
+    SELECT t1.user_id,
+           t2.user_id IS NOT NULL AS reached_click,
+           t3.user_id IS NOT NULL AS completed,
+           CAST(COALESCE(EPOCH_US(t3.purchase_ts) - EPOCH_US(t1.view_ts), -1)
+                AS BIGINT) AS funnel_us
+    FROM t1
+    LEFT JOIN t2 ON t2.user_id = t1.user_id
+    LEFT JOIN t3 ON t3.user_id = t1.user_id
+    ORDER BY t1.user_id
+    """,
+    doc="Strictly-ordered 3-step sequence detection (view -> later "
+    "click -> later purchase) — the MATCH_RECOGNIZE-lite sequential "
+    "pattern Spark lacks as syntax, expressed as a chain of "
+    "conditional-min windows over ONE user_id partition: t1 = first "
+    "view, t2 = first click AFTER t1, t3 = first purchase AFTER t2. "
+    "All three windows share the partitioning, so the plan pays one "
+    "key shuffle regardless of pattern length; no per-step self-join "
+    "of the event table. Generalizes event_funnel's 2-step form.",
+)
+def sequence_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id")
+    t1 = F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w)
+    with_t1 = ev.withColumn("__t1", t1)
+    t2 = F.min(
+        F.when(
+            (F.col("event_type") == "click") & (F.col("ts") > F.col("__t1")),
+            F.col("ts"),
+        )
+    ).over(w)
+    with_t2 = with_t1.withColumn("__t2", t2)
+    t3 = F.min(
+        F.when(
+            (F.col("event_type") == "purchase") & (F.col("ts") > F.col("__t2")),
+            F.col("ts"),
+        )
+    ).over(w)
+    from ..functions.time import epoch_us_expr, ts_dtype
+
+    dtype = ts_dtype(ev, "ts")
+    dur = epoch_us_expr("__t3", dtype) - epoch_us_expr("__t1", dtype)
+    return (
+        with_t2.withColumn("__t3", t3)
+        .filter(F.col("__t1").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.max(F.col("__t2").isNotNull()).alias("reached_click"),
+            F.max(F.col("__t3").isNotNull()).alias("completed"),
+            F.coalesce(F.max(dur), F.lit(-1)).cast("bigint").alias("funnel_us"),
+        )
+        .orderBy("user_id")
+    )
