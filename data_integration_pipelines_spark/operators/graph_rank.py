@@ -158,3 +158,111 @@ def pagerank_oracle_sql(
         )
         prev = f"r{i}"
     return "WITH " + ",\n    ".join(parts) + f"\n    SELECT node, rank_nano FROM {prev}"
+
+
+def pagerank_weighted(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "w",
+    iterations: int = 5,
+    damping_nano: int = 850_000_000,
+    checkpoint_every: int | None = None,
+    node_universe: DataFrame | None = None,
+) -> DataFrame:
+    """Weighted PageRank: a node's rank splits over its out-edges in
+    proportion to INTEGER edge weights (per-edge contribution =
+    ``(rank * w) div total_out_w`` — the product stays in bigint, so
+    determinism holds exactly as in the unweighted operator). Same
+    iteration/lineage structure; ``edges`` must be distinct
+    (src, dst, w) with positive integer weights."""
+    from .cache import bounded_persist
+
+    e = bounded_persist(
+        edges.select(
+            F.col(src).alias("src"),
+            F.col(dst).alias("dst"),
+            F.col(weight).cast("long").alias("w"),
+        ).distinct()
+    )
+    if node_universe is not None:
+        nodes = node_universe.select("node")
+    else:
+        nodes = bounded_persist(
+            e.select(F.col("src").alias("node"))
+            .union(e.select(F.col("dst").alias("node")))
+            .distinct()
+        )
+    out_w = bounded_persist(e.groupBy("src").agg(F.sum("w").alias("total_w")))
+    n_nodes = nodes.count()
+    if n_nodes == 0:
+        return nodes.select("node", F.lit(0).cast("long").alias("rank_nano"))
+    base = (NANO - damping_nano) // n_nodes
+    r0 = NANO // n_nodes
+    ranks = nodes.select("node", F.lit(r0).cast("long").alias("rank_nano"))
+    for i in range(iterations):
+        contribs = (
+            ranks.join(out_w, ranks.node == out_w.src)
+            .join(e, "src")
+            .select(
+                F.col("dst").alias("node"),
+                # rank<=1e9, w*rank can reach ~1e9*total_w — keep the
+                # product/div in bigint (overflow bound: total_w < 9e9)
+                F.expr("(rank_nano * w) div total_w").alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("s"))
+        )
+        ranks = nodes.join(contribs, "node", "left").select(
+            "node",
+            F.expr(
+                f"{base}L + ({damping_nano}L * coalesce(s, 0L)) div 1000000000L"
+            )
+            .cast("long")
+            .alias("rank_nano"),
+        )
+        if checkpoint_every and (i + 1) % checkpoint_every == 0:
+            ranks = ranks.localCheckpoint(eager=False)
+    return ranks
+
+
+def pagerank_weighted_oracle_sql(
+    edges_sql: str,
+    iterations: int = 5,
+    damping_nano: int = 850_000_000,
+    nodes_sql: str | None = None,
+) -> str:
+    """Unrolled DuckDB twin of ``pagerank_weighted`` (same MATERIALIZED
+    structure as the unweighted oracle). ``edges_sql`` must select
+    distinct (src, dst, w)."""
+    node_def = (
+        f"SELECT node FROM ({nodes_sql})"
+        if nodes_sql is not None
+        else "SELECT src AS node FROM e UNION SELECT dst FROM e"
+    )
+    parts = [
+        f"e AS MATERIALIZED (SELECT DISTINCT src, dst, CAST(w AS BIGINT) AS w FROM ({edges_sql}))",
+        f"nodes AS MATERIALIZED ({node_def})",
+        "outw AS MATERIALIZED (SELECT src, SUM(w) AS total_w FROM e GROUP BY src)",
+        "nn AS (SELECT COUNT(*) AS n FROM nodes)",
+        f"r0 AS (SELECT node, CAST({NANO} // (SELECT n FROM nn) AS BIGINT)"
+        " AS rank_nano FROM nodes)",
+    ]
+    prev = "r0"
+    for i in range(1, iterations + 1):
+        parts.append(
+            f"""r{i} AS MATERIALIZED (
+        SELECT n.node,
+               CAST(({NANO} - {damping_nano}) // (SELECT n FROM nn)
+                    + ({damping_nano} * COALESCE(s.s, 0)) // {NANO} AS BIGINT)
+                   AS rank_nano
+        FROM nodes n LEFT JOIN (
+            SELECT e.dst AS node, SUM((r.rank_nano * e.w) // o.total_w) AS s
+            FROM {prev} r JOIN outw o ON o.src = r.node
+            JOIN e ON e.src = r.node
+            GROUP BY e.dst
+        ) s ON s.node = n.node
+    )"""
+        )
+        prev = f"r{i}"
+    return "WITH " + ",\n    ".join(parts) + f"\n    SELECT node, rank_nano FROM {prev}"

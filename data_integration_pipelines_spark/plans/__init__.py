@@ -111,6 +111,7 @@ _RISK_ORDER = [
     "embedding_outliers",
     # iterative graph ranking (new in r3)
     "nation_pagerank",
+    "nation_pagerank_weighted",
     # incremental join-view maintenance (new in r3)
     "incremental_join",
     "incremental_join_retract",

@@ -394,3 +394,83 @@ def nation_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("position")
     )
+
+
+_TRADE_EDGES_W_SQL = """
+    SELECT c.c_nationkey AS src, s.s_nationkey AS dst,
+           CAST(COUNT(*) AS BIGINT) AS w
+    FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    WHERE c.c_nationkey <> s.s_nationkey
+    GROUP BY 1, 2
+"""
+
+
+def _nation_pagerank_weighted_oracle() -> str:
+    from ..operators.graph_rank import pagerank_weighted_oracle_sql
+
+    inner = pagerank_weighted_oracle_sql(
+        _TRADE_EDGES_W_SQL,
+        iterations=5,
+        nodes_sql="SELECT n_nationkey AS node FROM nation",
+    )
+    return f"""
+    WITH ranked AS ({inner})
+    SELECT n_name, rank_nano,
+           CAST(ROW_NUMBER() OVER (ORDER BY rank_nano DESC, node) AS INT)
+               AS position
+    FROM ranked JOIN nation ON n_nationkey = node
+    ORDER BY position
+    """
+
+
+@register(
+    "nation_pagerank_weighted",
+    _nation_pagerank_weighted_oracle(),
+    doc="Weighted PageRank over the nation trade graph: edge weight = "
+    "lineitem count between the nation pair, so rank splits over "
+    "out-edges in proportion to trade VOLUME, not just connectivity "
+    "(operators/graph_rank.pagerank_weighted). Contribution = "
+    "(rank * w) div total_out_w stays entirely in bigint — the same "
+    "bit-identical-at-any-parallelism guarantee as the unweighted "
+    "operator, proven by the same unrolled-SQL differential oracle.",
+)
+def nation_pagerank_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph_rank import pagerank_weighted
+
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    edges = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .join(li, orders.o_orderkey == li.l_orderkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .filter(F.col("c_nationkey") != F.col("s_nationkey"))
+        .groupBy(
+            F.col("c_nationkey").alias("src"), F.col("s_nationkey").alias("dst")
+        )
+        .agg(F.count("*").alias("w"))
+    )
+    ranked = pagerank_weighted(
+        edges,
+        iterations=5,
+        checkpoint_every=1,
+        node_universe=nation.select(F.col("n_nationkey").alias("node")),
+    )
+    from pyspark.sql.window import Window
+
+    return (
+        ranked.join(F.broadcast(nation), ranked.node == nation.n_nationkey)
+        .select(
+            "n_name",
+            "rank_nano",
+            F.row_number()
+            .over(Window.orderBy(F.col("rank_nano").desc(), F.col("node").asc()))
+            .cast("int")
+            .alias("position"),
+        )
+        .orderBy("position")
+    )

@@ -91,6 +91,7 @@ _NEVER_DRIVER_VERIFIED = {
     "incremental_agg_retract",  # new in r3: no driver row yet by construction
     "ann_topk_incremental",  # new in r3: no driver row yet by construction
     "sequence_funnel",  # new in r3: no driver row yet by construction
+    "nation_pagerank_weighted",  # new in r3: no driver row yet by construction
 }
 
 
