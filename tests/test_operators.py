@@ -692,6 +692,37 @@ class TestPageRank:
         assert got == r
 
 
+    def test_weighted_with_equal_weights_equals_unweighted(self, spark):
+        from pyspark.sql import functions as F
+
+        from data_integration_pipelines_spark.operators.graph_rank import (
+            pagerank,
+            pagerank_weighted,
+        )
+
+        e = spark.createDataFrame(
+            [(a, b) for a, b in [(0, 1), (1, 2), (2, 0), (2, 3), (3, 1)]],
+            "src long, dst long",
+        )
+        ew = e.withColumn("w", F.lit(7))  # equal weights: w/total == 1/outdeg
+        plain = sorted(map(tuple, pagerank(e, iterations=4).collect()))
+        weighted = sorted(map(tuple, pagerank_weighted(ew, iterations=4).collect()))
+        assert plain == weighted
+
+    def test_weighted_prefers_heavy_edge(self, spark):
+        from data_integration_pipelines_spark.operators.graph_rank import (
+            pagerank_weighted,
+        )
+
+        # node 0 sends 9x more weight to 1 than to 2
+        e = spark.createDataFrame(
+            [(0, 1, 9), (0, 2, 1), (1, 0, 1), (2, 0, 1)],
+            "src long, dst long, w long",
+        )
+        ranks = {r.node: r.rank_nano for r in pagerank_weighted(e).collect()}
+        assert ranks[1] > ranks[2]
+
+
 class TestIncrementalJoin:
     """operators/incremental.py delta_join / fold_join_batches."""
 
