@@ -119,6 +119,8 @@ _RISK_ORDER = [
     "ann_topk_incremental",
     # ordered 3-step sequence detection (new in r3)
     "sequence_funnel",
+    # ANALYZE-style data profile (new in r3)
+    "table_profile",
     # -- driver-green in r1+r2; heaviest / multi-stage first --
     "dup_clusters",
     "dedup_survivors",

@@ -577,3 +577,92 @@ def incremental_agg_retract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cnt").cast("bigint").alias("cnt"),
         F.col("total").cast("bigint").alias("total_cents"),
     ).orderBy("o_orderpriority")
+
+
+@register(
+    "table_profile",
+    """
+    SELECT 'l_quantity' AS col,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) - COUNT(l_quantity) AS BIGINT) AS n_nulls,
+           CAST(COUNT(DISTINCT l_quantity) AS BIGINT) AS n_distinct,
+           CAST(MIN(l_quantity) AS VARCHAR) AS min_val,
+           CAST(MAX(l_quantity) AS VARCHAR) AS max_val
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_returnflag',
+           CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(*) - COUNT(l_returnflag) AS BIGINT),
+           CAST(COUNT(DISTINCT l_returnflag) AS BIGINT),
+           MIN(l_returnflag), MAX(l_returnflag)
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_shipdate',
+           CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(*) - COUNT(l_shipdate) AS BIGINT),
+           CAST(COUNT(DISTINCT l_shipdate) AS BIGINT),
+           STRFTIME(MIN(l_shipdate), '%Y-%m-%d %H:%M:%S'),
+           STRFTIME(MAX(l_shipdate), '%Y-%m-%d %H:%M:%S')
+    FROM lineitem
+    ORDER BY col
+    """,
+    doc="ANALYZE-style data profile: per-column row/null/distinct "
+    "counts and min/max rendered as strings, for numeric, categorical "
+    "and timestamp columns — the data-quality monitoring scan every "
+    "warehouse runs after ingest. ONE pass over the table computes all "
+    "columns' profiles (one aggregate, column-pruned scan); the "
+    "UNION-ALL oracle formulation is three passes, which is exactly "
+    "the recompute the single-pass plan avoids at 100 TB.",
+)
+def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+
+    def fmt_ts(c):
+        return F.date_format(c, "yyyy-MM-dd HH:mm:ss")
+
+    one = li.agg(
+        F.count("*").alias("n_rows"),
+        (F.count("*") - F.count("l_quantity")).alias("qty_nulls"),
+        F.countDistinct("l_quantity").alias("qty_distinct"),
+        F.min("l_quantity").cast("string").alias("qty_min"),
+        F.max("l_quantity").cast("string").alias("qty_max"),
+        (F.count("*") - F.count("l_returnflag")).alias("rf_nulls"),
+        F.countDistinct("l_returnflag").alias("rf_distinct"),
+        F.min("l_returnflag").alias("rf_min"),
+        F.max("l_returnflag").alias("rf_max"),
+        (F.count("*") - F.count("l_shipdate")).alias("sd_nulls"),
+        F.countDistinct("l_shipdate").alias("sd_distinct"),
+        fmt_ts(F.min("l_shipdate")).alias("sd_min"),
+        fmt_ts(F.max("l_shipdate")).alias("sd_max"),
+    )
+    rows = one.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("l_quantity").alias("col"),
+                    F.col("n_rows"),
+                    F.col("qty_nulls").alias("n_nulls"),
+                    F.col("qty_distinct").alias("n_distinct"),
+                    F.col("qty_min").alias("min_val"),
+                    F.col("qty_max").alias("max_val"),
+                ),
+                F.struct(
+                    F.lit("l_returnflag").alias("col"),
+                    F.col("n_rows"),
+                    F.col("rf_nulls").alias("n_nulls"),
+                    F.col("rf_distinct").alias("n_distinct"),
+                    F.col("rf_min").alias("min_val"),
+                    F.col("rf_max").alias("max_val"),
+                ),
+                F.struct(
+                    F.lit("l_shipdate").alias("col"),
+                    F.col("n_rows"),
+                    F.col("sd_nulls").alias("n_nulls"),
+                    F.col("sd_distinct").alias("n_distinct"),
+                    F.col("sd_min").alias("min_val"),
+                    F.col("sd_max").alias("max_val"),
+                ),
+            )
+        ).alias("p")
+    ).select("p.*")
+    return rows.orderBy("col")

@@ -92,6 +92,7 @@ _NEVER_DRIVER_VERIFIED = {
     "ann_topk_incremental",  # new in r3: no driver row yet by construction
     "sequence_funnel",  # new in r3: no driver row yet by construction
     "nation_pagerank_weighted",  # new in r3: no driver row yet by construction
+    "table_profile",  # new in r3: no driver row yet by construction
 }
 
 
