@@ -365,6 +365,27 @@ def cmd_curate(args) -> int:
     return 0
 
 
+def cmd_profile(args) -> int:
+    """ANALYZE-style profile of any catalog table: per-column
+    null/distinct/min-max in ONE pass (sources/sinks.profile_table) —
+    the post-ingest data-quality scan."""
+    from .catalog import TABLES, load_table
+    from .sources.sinks import profile_table, write_csv
+
+    if args.table not in TABLES:
+        print(f"unknown table {args.table!r}; one of {TABLES}", file=sys.stderr)
+        return 2
+    spark = _session(args)
+    prof = profile_table(load_table(spark, args.sf_dir, args.table))
+    if args.output_dir:
+        write_csv(prof, _out(args, f"profile_{args.table}.csv"), single_file=True)
+        print(args.output_dir)
+    else:
+        for row in prof.collect():
+            print(json.dumps(row.asDict(), default=str))
+    return 0
+
+
 def cmd_export_shards(args) -> int:
     """Trainer-facing dataset export: the curated document set written
     as N deterministic shards (hash of doc_id -> shard), each
@@ -461,6 +482,11 @@ def build_parser() -> argparse.ArgumentParser:
     sp = sub.add_parser("index-discrepancy", help="EP6 cross-index id audit")
     common(sp)
     sp.set_defaults(fn=cmd_index_discrepancy)
+
+    sp = sub.add_parser("profile", help="one-pass per-column table profile")
+    sp.add_argument("table")
+    common(sp)
+    sp.set_defaults(fn=cmd_profile)
 
     sp = sub.add_parser(
         "export-shards", help="write the corpus as N sorted shards + manifest"

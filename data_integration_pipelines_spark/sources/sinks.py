@@ -159,3 +159,48 @@ def attach_distribution(
         F.concat(F.coalesce(F.col("distribution"), F.array()), F.col("__new")),
     ).otherwise(F.col("distribution"))
     return joined.withColumn("distribution", merged).drop("__rid", "__new")
+
+
+def profile_table(df: DataFrame) -> DataFrame:
+    """ANALYZE-style one-pass profile: per-column row/null/distinct
+    counts and min/max rendered as strings, for every profilable
+    column (atomic types; nested/array/map/binary columns are skipped —
+    min/max is meaningless there). One aggregate over the table, so the
+    scan happens once regardless of column count."""
+    atomic = [
+        (f.name, f.dataType.simpleString())
+        for f in df.schema.fields
+        if not f.dataType.simpleString().startswith(("array", "map", "struct", "binary"))
+    ]
+    aggs = [F.count("*").alias("__n")]
+    for name, dtype in atomic:
+        c = F.col(name)
+        # aggregate on the NATIVE type — casting to string first would
+        # rank numerics lexicographically ("99" > "100"); rendering
+        # happens on the one-row aggregate result below
+        aggs += [
+            (F.count("*") - F.count(c)).alias(f"__nulls_{name}"),
+            F.countDistinct(c).alias(f"__nd_{name}"),
+            F.min(c).alias(f"__mn_{name}"),
+            F.max(c).alias(f"__mx_{name}"),
+        ]
+    one = df.agg(*aggs)
+
+    def _render(colname: str, dtype: str):
+        c = F.col(colname)
+        if dtype.startswith("timestamp"):
+            return F.date_format(c, "yyyy-MM-dd HH:mm:ss")
+        return c.cast("string")
+
+    structs = [
+        F.struct(
+            F.lit(name).alias("col"),
+            F.col("__n").alias("n_rows"),
+            F.col(f"__nulls_{name}").alias("n_nulls"),
+            F.col(f"__nd_{name}").alias("n_distinct"),
+            _render(f"__mn_{name}", dtype).alias("min_val"),
+            _render(f"__mx_{name}", dtype).alias("max_val"),
+        )
+        for name, dtype in atomic
+    ]
+    return one.select(F.explode(F.array(*structs)).alias("p")).select("p.*").orderBy("col")

@@ -223,3 +223,20 @@ class TestCLI:
             ).select(F.pmod(F.xxhash64("doc_id"), F.lit(4)).cast("int").alias("s"))
             assert {r.s for r in check.collect()} == {int(sid)}
         assert total == 500
+
+    def test_profile(self, spark, tmp_path):
+        out = _run(tmp_path, "profile", "lineitem")
+        rows = {r["col"]: r for r in _csv_rows(os.path.join(out, "profile_lineitem.csv"))}
+        assert set(rows) == {
+            "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+            "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+            "l_returnflag", "l_linestatus", "l_shipdate",
+        }
+        q = rows["l_quantity"]
+        # numeric min/max must be numeric order, not lexicographic
+        assert float(q["min_val"]) <= float(q["max_val"])
+        assert int(q["n_nulls"]) == 0 and int(q["n_rows"]) > 0
+        assert rows["l_shipdate"]["min_val"].startswith("19")
+
+    def test_profile_unknown_table(self, tmp_path):
+        assert main(["profile", "nope", "--output-dir", str(tmp_path)]) == 2
