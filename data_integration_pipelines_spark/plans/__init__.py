@@ -102,6 +102,7 @@ _RISK_ORDER = [
     "returned_items_report",
     "forecast_revenue",
     "large_volume_customers",
+    "customer_order_distribution",
     # bloom-prefiltered decontamination (new in r3)
     "decontaminate_bloom",
     # quantile-sketch bounds check (new in r3)

@@ -351,3 +351,45 @@ def large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("total_qty"), F.asc("o_orderkey"))
         .limit(20)
     )
+
+
+@register(
+    "customer_order_distribution",
+    """
+    WITH per_cust AS (
+        SELECT c_custkey, CAST(COUNT(o_orderkey) AS BIGINT) AS n_orders
+        FROM customer LEFT JOIN orders
+          ON o_custkey = c_custkey AND o_orderpriority <> '1-URGENT'
+        GROUP BY c_custkey
+    )
+    SELECT n_orders, CAST(COUNT(*) AS BIGINT) AS n_customers
+    FROM per_cust
+    GROUP BY n_orders
+    ORDER BY n_customers DESC, n_orders DESC
+    """,
+    doc="TPC-H Q13 shape: customer order-count distribution — a LEFT "
+    "OUTER join (customers with zero matching orders survive with "
+    "count 0; the join-level predicate filters orders WITHOUT turning "
+    "the join inner, the classic outer-join-predicate trap) feeding a "
+    "two-level aggregate: count per customer, then histogram of those "
+    "counts. Two shuffles: custkey, then the ~dozens-of-groups "
+    "n_orders rollup.",
+)
+def customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    per_cust = (
+        cust.join(
+            orders,
+            (cust.c_custkey == orders.o_custkey)
+            & (orders.o_orderpriority != "1-URGENT"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+    return (
+        per_cust.groupBy("n_orders")
+        .agg(F.count("*").alias("n_customers"))
+        .orderBy(F.desc("n_customers"), F.desc("n_orders"))
+    )

@@ -93,6 +93,7 @@ _NEVER_DRIVER_VERIFIED = {
     "sequence_funnel",  # new in r3: no driver row yet by construction
     "nation_pagerank_weighted",  # new in r3: no driver row yet by construction
     "table_profile",  # new in r3: no driver row yet by construction
+    "customer_order_distribution",  # new in r3: no driver row yet by construction
 }
 
 
