@@ -103,6 +103,7 @@ _RISK_ORDER = [
     "forecast_revenue",
     "large_volume_customers",
     "customer_order_distribution",
+    "dormant_rich_customers",
     # bloom-prefiltered decontamination (new in r3)
     "decontaminate_bloom",
     # quantile-sketch bounds check (new in r3)

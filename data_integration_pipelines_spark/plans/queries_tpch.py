@@ -393,3 +393,49 @@ def customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_customers"))
         .orderBy(F.desc("n_customers"), F.desc("n_orders"))
     )
+
+
+@register(
+    "dormant_rich_customers",
+    """
+    SELECT c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(18,6))), 2) AS DOUBLE)
+               AS total_balance
+    FROM customer
+    WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0)
+      AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                      AND o_orderpriority = '1-URGENT')
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+    doc="TPC-H Q22 shape: customers with above-average balance and no "
+    "URGENT orders — a scalar aggregate subquery (one number, broadcast as a "
+    "literal-like filter) composed with a cross-table NOT EXISTS "
+    "(left-anti join; the probe side never materializes matches). "
+    "Balance threshold compares the NATIVE double (both engines "
+    "compute the same avg over the same rows; the comparison is "
+    "order-safe because no row sits exactly at the boundary — the "
+    "decimal-quantized SUM guards the output aggregate as usual).",
+)
+def dormant_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    avg_bal = cust.filter(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("t")
+    )
+    rich = cust.join(
+        F.broadcast(avg_bal), cust.c_acctbal > F.col("t")
+    ).drop("t")
+    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT")
+    return (
+        rich.join(urgent, rich.c_custkey == urgent.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.round(F.sum(F.col("c_acctbal").cast("decimal(18,6)")), 2)
+            .cast("double")
+            .alias("total_balance"),
+        )
+        .orderBy("c_mktsegment")
+    )

@@ -94,6 +94,7 @@ _NEVER_DRIVER_VERIFIED = {
     "nation_pagerank_weighted",  # new in r3: no driver row yet by construction
     "table_profile",  # new in r3: no driver row yet by construction
     "customer_order_distribution",  # new in r3: no driver row yet by construction
+    "dormant_rich_customers",  # new in r3: no driver row yet by construction
 }
 
 
