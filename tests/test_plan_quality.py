@@ -24,12 +24,15 @@ def plans(spark):
 
 
 def test_no_cartesian_or_nested_loop_joins(plans):
-    # decontaminate_bloom's BNLJ is the operator itself: a ONE-ROW
-    # bitmap (MAP<block,bits>, <=m/8 bytes by construction) cross-joins
-    # onto the probe side so the bloom bit test runs in codegen. Build
-    # side cardinality is 1 at any corpus size — nested-loop cost is
-    # O(probe), same as a filter. Everything else stays banned.
-    allowed_bnlj = {"decontaminate_bloom"}
+    # A BroadcastNestedLoopJoin is allowed ONLY when the build side is
+    # a ONE-ROW aggregate by construction — nested-loop cost is then
+    # O(probe), same as a filter:
+    # - decontaminate_bloom: the sparse bloom bitmap row (MAP<block,
+    #   bits>, <=m/8 bytes at any corpus size)
+    # - dormant_rich_customers: the scalar AVG(balance) threshold (the
+    #   Q22 scalar subquery — a non-equi comparison against one row)
+    # Everything else stays banned.
+    allowed_bnlj = {"decontaminate_bloom", "dormant_rich_customers"}
     offenders = {
         n: p
         for n, p in plans.items()
