@@ -66,6 +66,98 @@ def ancestors_of(closure: DataFrame, node_ids: DataFrame, id_col: str) -> DataFr
     )
 
 
+def first_common_ancestor(
+    closure: DataFrame,
+    pairs: DataFrame,
+    left_col: str = "a",
+    right_col: str = "b",
+) -> DataFrame:
+    """First (lowest) common ancestor for each (left, right) node pair.
+
+    Mirrors ref src/neuron_morphology/validation/region_comparison.py:
+    321-331 — ``common_ancestors[0]`` of the observed node's
+    self-to-root ascendant list intersected with the reference node's
+    list. Self is an ancestor at depth 0 (``with_ascendants=True``
+    includes the node itself), so:
+
+    * ``depth_a == 0 and depth_b == 0``  -> same node
+    * ``depth_a == 0``                   -> left is ancestor of right
+    * ``depth_b == 0``                   -> left is descendant of right
+    * ``depth_a == 1 and depth_b == 1``  -> siblings (same direct parent)
+
+    Output: the pair columns plus ``fca``, ``depth_a``, ``depth_b``.
+    Pairs whose nodes share no ancestor (disconnected forest) are
+    dropped, matching the reference's "No common ancestor!" error path.
+
+    Scale: the closure is ontology-sized (thousands of rows after the
+    self-augmentation), so both ancestor sides broadcast — the pair
+    side streams through two broadcast joins and one hash aggregate on
+    the pair key with no full shuffle of the closure.
+    """
+    nodes = (
+        closure.select("node")
+        .unionByName(closure.select(F.col("ancestor").alias("node")))
+        .distinct()
+    )
+    self_rows = nodes.select(
+        "node", F.col("node").alias("ancestor"), F.lit(0).alias("depth")
+    )
+    # Materialize once: the closure arrives as a union of per-iteration
+    # checkpoints; without this the double broadcast below replicates
+    # that whole lineage into every task binary.
+    full = (
+        closure.select("node", "ancestor", "depth")
+        .unionByName(self_rows)
+        .localCheckpoint(eager=True)
+    )
+    la = full.select(
+        F.col("node").alias("_ln"),
+        F.col("ancestor").alias("_anc"),
+        F.col("depth").alias("_da"),
+    )
+    rb = full.select(
+        F.col("node").alias("_rn"),
+        F.col("ancestor").alias("_anc_r"),
+        F.col("depth").alias("_db"),
+    )
+    joined = (
+        pairs.join(F.broadcast(la), pairs[left_col] == la["_ln"])
+        .join(
+            F.broadcast(rb),
+            (pairs[right_col] == rb["_rn"]) & (F.col("_anc") == F.col("_anc_r")),
+        )
+    )
+    other_cols = [c for c in pairs.columns if c not in (left_col, right_col)]
+    return (
+        joined.groupBy(left_col, right_col, *other_cols)
+        .agg(
+            F.min_by("_anc", F.struct("_da", "_db")).alias("fca"),
+            F.min(F.struct("_da", "_db")).alias("_best"),
+        )
+        .select(
+            left_col,
+            right_col,
+            *other_cols,
+            "fca",
+            F.col("_best._da").alias("depth_a"),
+            F.col("_best._db").alias("depth_b"),
+        )
+    )
+
+
+def agreement_class(depth_a, depth_b):
+    """Classify a pair from its FCA depths; ref region_comparison.py:
+    305-318 (same region / ancestor / descendant / sibling) with the
+    'disjoint' fallback reported via the FCA (ref :321-331)."""
+    return (
+        F.when((depth_a == 0) & (depth_b == 0), F.lit("same"))
+        .when(depth_a == 0, F.lit("ancestor"))
+        .when(depth_b == 0, F.lit("descendant"))
+        .when((depth_a == 1) & (depth_b == 1), F.lit("sibling"))
+        .otherwise(F.lit("disjoint"))
+    )
+
+
 def siblings(edges: DataFrame, child_col: str = "child", parent_col: str = "parent") -> DataFrame:
     """Sibling pairs = self-join on parent (a < b to emit each pair once);
     ref region_comparison.py:296-299 (same-isPartOf sibling rule)."""

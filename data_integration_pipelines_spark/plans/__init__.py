@@ -28,8 +28,43 @@ from . import queries_window  # noqa: E402,F401
 _RISK_ORDER = [
     # flagship first (pays the one-off JVM/codegen warmup regardless)
     "pricing_summary",
-    # -- never driver-verified in rounds 1-2 (registry positions >50) --
-    # ANN / embedding similarity (Python kernels, LSH bucketing)
+    # -- r4 priority: oracle-SQL fixed this round (dtype drift), must re-verify --
+    "pii_redaction",
+    "embedding_outliers",
+    # -- new in r4 --
+    "region_agreement",
+    # -- never driver-sampled in rounds 1-3 (judge-verified only) --
+    "image_resize",
+    "audio_features",
+    "image_decode_features",
+    "png_decode_features",
+    "jwt_decode",
+    "part_of_expansion",
+    "two_hop_follow",
+    "two_hop_follow_bucketed",
+    "relationship_assign",
+    "anti_join_orphans",
+    "shipping_priority",
+    "local_supplier_volume",
+    "promo_revenue",
+    "top_supplier",
+    "returned_items_report",
+    "forecast_revenue",
+    "large_volume_customers",
+    "customer_order_distribution",
+    "dormant_rich_customers",
+    "decontaminate_bloom",
+    "approx_quantile_check",
+    "knn_classify",
+    "nation_pagerank",
+    "nation_pagerank_weighted",
+    "incremental_join",
+    "incremental_join_retract",
+    "incremental_agg_retract",
+    "ann_topk_incremental",
+    "sequence_funnel",
+    "table_profile",
+    # -- driver-green in r1-r3; heaviest / multi-stage first --
     "ann_pq",
     "ann_bruteforce",
     "ann_ivf",
@@ -39,7 +74,6 @@ _RISK_ORDER = [
     "embedding_dup_clusters",
     "int8_quantize",
     "hybrid_search_rrf",
-    # morphology / voxel kernels (applyInPandas walks, binary parsers)
     "morphology_battery",
     "asc_morphology_battery",
     "h5_morphology_battery",
@@ -47,7 +81,6 @@ _RISK_ORDER = [
     "morphology_tree_metrics",
     "voxel_region_lookup",
     "voxel_region_histogram",
-    # temporal joins + window/session suite
     "asof_join_events",
     "asof_join_events_chunked",
     "range_join_binned",
@@ -67,10 +100,8 @@ _RISK_ORDER = [
     "pivot_event_matrix",
     "cube_census",
     "quantile_bins",
-    # curation additions beyond the round-1 set
     "tfidf_top_terms",
     "bm25_search",
-    "pii_redaction",
     "duplicated_span_fraction",
     "mixture_temperature",
     "weighted_sample",
@@ -80,50 +111,8 @@ _RISK_ORDER = [
     "chunk_documents",
     "curation_funnel",
     "incremental_agg",
-    # multimodal plumbing
     "multimodal_meta",
     "frame_sample",
-    "image_resize",
-    "audio_features",
-    "image_decode_features",
-    "png_decode_features",
-    "jwt_decode",
-    # domain joins
-    "part_of_expansion",
-    "two_hop_follow",
-    "two_hop_follow_bucketed",
-    "relationship_assign",
-    "anti_join_orphans",
-    # star-join suite (new in r3: no driver row yet by construction)
-    "shipping_priority",
-    "local_supplier_volume",
-    "promo_revenue",
-    "top_supplier",
-    "returned_items_report",
-    "forecast_revenue",
-    "large_volume_customers",
-    "customer_order_distribution",
-    "dormant_rich_customers",
-    # bloom-prefiltered decontamination (new in r3)
-    "decontaminate_bloom",
-    # quantile-sketch bounds check (new in r3)
-    "approx_quantile_check",
-    # embedding classification / outlier screens (new in r3)
-    "knn_classify",
-    "embedding_outliers",
-    # iterative graph ranking (new in r3)
-    "nation_pagerank",
-    "nation_pagerank_weighted",
-    # incremental join-view maintenance (new in r3)
-    "incremental_join",
-    "incremental_join_retract",
-    "incremental_agg_retract",
-    "ann_topk_incremental",
-    # ordered 3-step sequence detection (new in r3)
-    "sequence_funnel",
-    # ANALYZE-style data profile (new in r3)
-    "table_profile",
-    # -- driver-green in r1+r2; heaviest / multi-stage first --
     "dup_clusters",
     "dedup_survivors",
     "ngram_jaccard_pairs",
@@ -163,7 +152,6 @@ _RISK_ORDER = [
     "error_grouping",
     "top_k",
     "paginated_scan",
-    # trivial scalar-function queries: least likely to regress
     "string_predicates",
     "in_list_filter",
     "regex_extract",

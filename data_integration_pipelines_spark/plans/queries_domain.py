@@ -15,7 +15,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
-from ..operators.closure import siblings, transitive_closure
+from ..operators.closure import (
+    agreement_class,
+    first_common_ancestor,
+    siblings,
+    transitive_closure,
+)
 from ..operators.filter_dsl import Filter, search
 from ..operators.merge import merge_classify
 from .base import register
@@ -201,6 +206,104 @@ def sibling_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("region_name", "nation_a", "nation_b")
     )
+
+
+@register(
+    "region_agreement",
+    """
+    WITH RECURSIVE edges AS (
+        SELECT p_partkey AS child, CAST(FLOOR((p_partkey - 1) / 2) AS BIGINT) AS parent
+        FROM part WHERE p_partkey > 0
+    ),
+    anc AS (
+        SELECT child AS node, parent AS ancestor, 1 AS depth FROM edges
+        UNION ALL
+        SELECT a.node, e.parent, a.depth + 1
+        FROM anc a JOIN edges e ON e.child = a.ancestor
+    ),
+    nodes AS (
+        SELECT child AS node FROM edges
+        UNION
+        SELECT parent FROM edges
+    ),
+    full_anc AS (
+        SELECT node, ancestor, depth FROM anc
+        UNION ALL
+        SELECT node, node, 0 FROM nodes
+    ),
+    pairs AS (
+        SELECT p_partkey AS observed,
+               CASE p_partkey % 5
+                   WHEN 0 THEN p_partkey
+                   WHEN 1 THEN CAST(FLOOR((p_partkey - 1) / 2) AS BIGINT)
+                   WHEN 2 THEN 2 * p_partkey + 1
+                   WHEN 3 THEN CASE WHEN p_partkey % 2 = 1
+                                    THEN p_partkey + 1 ELSE p_partkey - 1 END
+                   ELSE (p_partkey * 13) % 200
+               END AS declared
+        FROM part WHERE p_partkey > 0 AND p_partkey < 100
+    ),
+    joined AS (
+        SELECT p.observed, p.declared, la.ancestor AS fca,
+               la.depth AS da, rb.depth AS db,
+               ROW_NUMBER() OVER (PARTITION BY p.observed, p.declared
+                                  ORDER BY la.depth, rb.depth) AS rn
+        FROM pairs p
+        JOIN full_anc la ON la.node = p.observed
+        JOIN full_anc rb ON rb.node = p.declared AND rb.ancestor = la.ancestor
+    )
+    SELECT observed, declared, fca,
+           CAST(da AS INT) AS depth_obs, CAST(db AS INT) AS depth_decl,
+           CASE WHEN da = 0 AND db = 0 THEN 'same'
+                WHEN da = 0 THEN 'ancestor'
+                WHEN db = 0 THEN 'descendant'
+                WHEN da = 1 AND db = 1 THEN 'sibling'
+                ELSE 'disjoint' END AS agreement
+    FROM joined WHERE rn = 1
+    ORDER BY observed, declared
+    """,
+    doc="J7 first-common-ancestor + region-agreement grading; ref src/"
+    "neuron_morphology/validation/region_comparison.py:286-331 (check_"
+    "agreement: same/ancestor/descendant/sibling, else FCA of the two "
+    "ascendant lists) and :321-331 (common_ancestors[0] = lowest common "
+    "ancestor since ascendant lists run self->root). Self counts as an "
+    "ancestor at depth 0 (RegionMap with_ascendants=True includes the "
+    "node), so the FCA depth pair encodes every agreement class. Tree = "
+    "binary-heap parent pointers over part keys; observed-vs-declared "
+    "pairs are a deterministic shuffle of the keys so all five classes "
+    "occur. Scale: closure is ontology-sized and broadcast twice; the "
+    "pair side streams with one hash aggregate on the pair key.",
+)
+def region_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = _t(spark, sf_dir, "part")
+    edges = part.filter(F.col("p_partkey") > 0).select(
+        F.col("p_partkey").alias("child"),
+        F.floor((F.col("p_partkey") - 1) / 2).alias("parent"),
+    )
+    closure = transitive_closure(edges)
+    p = F.col("p_partkey")
+    # deterministic declared-region mix so every agreement class occurs:
+    # same / parent (-> descendant) / child (-> ancestor) / heap sibling /
+    # scrambled (mostly disjoint, graded by the FCA)
+    declared = (
+        F.when(p % 5 == 0, p)
+        .when(p % 5 == 1, F.floor((p - 1) / 2))
+        .when(p % 5 == 2, 2 * p + 1)
+        .when(p % 5 == 3, F.when(p % 2 == 1, p + 1).otherwise(p - 1))
+        .otherwise((p * 13) % 200)
+    )
+    pairs = part.filter((p > 0) & (p < 100)).select(
+        p.alias("observed"), declared.cast("long").alias("declared")
+    )
+    fca = first_common_ancestor(closure, pairs, "observed", "declared")
+    return fca.select(
+        "observed",
+        "declared",
+        "fca",
+        F.col("depth_a").cast("int").alias("depth_obs"),
+        F.col("depth_b").cast("int").alias("depth_decl"),
+        agreement_class(F.col("depth_a"), F.col("depth_b")).alias("agreement"),
+    ).orderBy("observed", "declared")
 
 
 @register(

@@ -565,9 +565,9 @@ def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id,
            md5(clean) AS clean_md5,
            CAST(len(clean) - len(replace(clean, '<EMAIL>', ''))
-                AS BIGINT) / 7 AS n_emails,
-           CAST(len(clean) - len(replace(clean, '<IP>', '')) AS BIGINT) / 4 AS n_ips,
-           CAST(len(clean) - len(replace(clean, '<PHONE>', '')) AS BIGINT) / 7 AS n_phones
+                AS BIGINT) // 7 AS n_emails,
+           CAST(len(clean) - len(replace(clean, '<IP>', '')) AS BIGINT) // 4 AS n_ips,
+           CAST(len(clean) - len(replace(clean, '<PHONE>', '')) AS BIGINT) // 7 AS n_phones
     FROM scrubbed
     ORDER BY doc_id
     """,

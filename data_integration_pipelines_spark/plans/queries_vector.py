@@ -700,7 +700,8 @@ def knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     scored AS (
         SELECT query_id,
-               SUM(CAST(ROUND(cos_r * 10000) AS BIGINT)) AS density_e5
+               CAST(SUM(CAST(ROUND(cos_r * 10000) AS BIGINT)) AS BIGINT)
+                   AS density_e5
         FROM topk GROUP BY query_id
     )
     SELECT query_id, density_e5,

@@ -44,6 +44,24 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(by=list(df.columns), ignore_index=True)
 
 
+def _dtype_class(s: pd.Series) -> str:
+    """Coarse dtype class used for the strict gate.
+
+    The driver's value-hash is dtype-sensitive (a DOUBLE column hashes
+    differently from a BIGINT column holding the same numbers), so the
+    local gate must reject float-vs-int drift instead of coercing it.
+    """
+    if pd.api.types.is_datetime64_any_dtype(s):
+        return "datetime"
+    if pd.api.types.is_bool_dtype(s):
+        return "bool"
+    if pd.api.types.is_integer_dtype(s):
+        return "int"
+    if pd.api.types.is_float_dtype(s):
+        return "float"
+    return "other"
+
+
 def _values_equal(a, b) -> bool:
     if isinstance(a, float) and isinstance(b, float):
         if math.isnan(a) and math.isnan(b):
@@ -57,6 +75,13 @@ def compare_frames(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> tuple[b
         return False, f"columns differ: {sorted(spark_pdf.columns)} vs {sorted(oracle_pdf.columns)}"
     if len(spark_pdf) != len(oracle_pdf):
         return False, f"row count {len(spark_pdf)} vs {len(oracle_pdf)}"
+    for c in sorted(spark_pdf.columns):
+        sc, oc = _dtype_class(spark_pdf[c]), _dtype_class(oracle_pdf[c])
+        if sc != oc:
+            return False, (
+                f"dtype class differs for col {c}: spark={sc}"
+                f"({spark_pdf[c].dtype}) oracle={oc}({oracle_pdf[c].dtype})"
+            )
     a = _normalize(spark_pdf)
     b = _normalize(oracle_pdf)
     for c in a.columns:

@@ -6,7 +6,12 @@ import pytest
 from pyspark.sql import Row
 from pyspark.sql import functions as F
 
-from data_integration_pipelines_spark.operators.closure import siblings, transitive_closure
+from data_integration_pipelines_spark.operators.closure import (
+    agreement_class,
+    first_common_ancestor,
+    siblings,
+    transitive_closure,
+)
 from data_integration_pipelines_spark.operators.filter_dsl import Filter, compile_filter, search
 from data_integration_pipelines_spark.operators.merge import apply_merge, keep_latest, merge_classify
 
@@ -95,6 +100,43 @@ class TestClosure:
         edges = spark.createDataFrame([(1, 0), (2, 0), (3, 0), (4, 9)], ["child", "parent"])
         pairs = {(r.a, r.b) for r in siblings(edges).collect()}
         assert pairs == {(1, 2), (1, 3), (2, 3)}
+
+    def test_first_common_ancestor(self, spark):
+        # tree:      0
+        #          1   2
+        #         3 4 5 6
+        edges = spark.createDataFrame(
+            [(1, 0), (2, 0), (3, 1), (4, 1), (5, 2), (6, 2)],
+            ["child", "parent"],
+        )
+        closure = transitive_closure(edges)
+        pairs = spark.createDataFrame(
+            [(3, 3), (1, 3), (3, 1), (3, 4), (3, 5), (0, 6)], ["a", "b"]
+        )
+        got = {
+            (r.a, r.b): (r.fca, r.depth_a, r.depth_b)
+            for r in first_common_ancestor(closure, pairs).collect()
+        }
+        assert got == {
+            (3, 3): (3, 0, 0),  # same node
+            (1, 3): (1, 0, 1),  # a is parent of b
+            (3, 1): (1, 1, 0),  # a is child of b
+            (3, 4): (1, 1, 1),  # siblings -> shared direct parent
+            (3, 5): (0, 2, 2),  # cousins -> root is the FCA
+            (0, 6): (0, 0, 2),  # root vs leaf
+        }
+
+    def test_agreement_classes(self, spark):
+        df = spark.createDataFrame(
+            [(0, 0), (0, 2), (2, 0), (1, 1), (2, 2)], ["da", "db"]
+        )
+        got = [
+            r.cls
+            for r in df.select(
+                agreement_class(F.col("da"), F.col("db")).alias("cls")
+            ).collect()
+        ]
+        assert got == ["same", "ancestor", "descendant", "sibling", "disjoint"]
 
 
 class TestMerge:

@@ -11,90 +11,44 @@ from __future__ import annotations
 
 from data_integration_pipelines_spark.plans import _RISK_ORDER, REGISTRY
 
-# Every query that had NO driver CORRECTNESS row in rounds 1-2 (it sat
-# beyond the ~50-entry sweep budget both rounds).
+# Every query with no GREEN driver CORRECTNESS row through round 3:
+# the 31 never-sampled queries, pii_redaction (red in r3 -- oracle-SQL
+# dtype bug fixed in r4), embedding_outliers (same class of fix), and
+# queries new in r4.
 _NEVER_DRIVER_VERIFIED = {
-    "ann_pq",
-    "ann_bruteforce",
-    "ann_ivf",
-    "ann_ivf_multiprobe",
-    "embedding_near_dup",
-    "embedding_near_dup_multiprobe",
-    "embedding_dup_clusters",
-    "int8_quantize",  # new in r3: no driver row yet by construction
-    "hybrid_search_rrf",  # new in r3: no driver row yet by construction
-    "morphology_battery",
-    "asc_morphology_battery",
-    "h5_morphology_battery",  # new in r3: no driver row yet by construction
-    "conversion_roundtrip_battery",  # new in r3: no driver row yet
-
-    "morphology_tree_metrics",
-    "voxel_region_lookup",
-    "voxel_region_histogram",
-    "asof_join_events",
-    "asof_join_events_chunked",  # new in r3: no driver row yet
-    "range_join_binned",
-    "session_stats",
-    "session_window_counts",
-    "windowed_event_counts",
-    "windowed_counts_pruned",  # new in r3: no driver row yet
-    "running_total",
-    "lag_lead_deltas",
-    "rank_battery",
-    "stats_battery",
-    "value_histogram",
-    "drop_duplicates",
-    "count_compare",
-    "grouped_topk",
-    "event_funnel",
-    "pivot_event_matrix",
-    "cube_census",
-    "quantile_bins",
-    "tfidf_top_terms",
-    "bm25_search",  # new in r3: no driver row yet by construction
-    "pii_redaction",  # new in r3: no driver row yet by construction
-    "duplicated_span_fraction",  # new in r3: no driver row yet
-    "mixture_temperature",  # new in r3: no driver row yet by construction
-    "weighted_sample",
-    "skyline_docs",
-    "repetition_score",
-    "quality_rule_battery",
-    "chunk_documents",
-    "curation_funnel",
-    "incremental_agg",  # new in r3: no driver row yet by construction
-    "multimodal_meta",
-    "frame_sample",
-    "image_resize",
+    "ann_topk_incremental",
+    "anti_join_orphans",
+    "approx_quantile_check",
     "audio_features",
+    "customer_order_distribution",
+    "decontaminate_bloom",
+    "dormant_rich_customers",
+    "embedding_outliers",
+    "forecast_revenue",
     "image_decode_features",
-    "png_decode_features",  # new in r3: no driver row yet by construction
-    "jwt_decode",  # new in r3: no driver row yet by construction
+    "image_resize",
+    "incremental_agg_retract",
+    "incremental_join",
+    "incremental_join_retract",
+    "jwt_decode",
+    "knn_classify",
+    "large_volume_customers",
+    "local_supplier_volume",
+    "nation_pagerank",
+    "nation_pagerank_weighted",
     "part_of_expansion",
+    "pii_redaction",
+    "png_decode_features",
+    "promo_revenue",
+    "region_agreement",
+    "relationship_assign",
+    "returned_items_report",
+    "sequence_funnel",
+    "shipping_priority",
+    "table_profile",
+    "top_supplier",
     "two_hop_follow",
     "two_hop_follow_bucketed",
-    "relationship_assign",
-    "anti_join_orphans",
-    "shipping_priority",  # new in r3: no driver row yet by construction
-    "local_supplier_volume",  # new in r3: no driver row yet by construction
-    "promo_revenue",  # new in r3: no driver row yet by construction
-    "top_supplier",  # new in r3: no driver row yet by construction
-    "returned_items_report",  # new in r3: no driver row yet by construction
-    "decontaminate_bloom",  # new in r3: no driver row yet by construction
-    "approx_quantile_check",  # new in r3: no driver row yet by construction
-    "knn_classify",  # new in r3: no driver row yet by construction
-    "embedding_outliers",  # new in r3: no driver row yet by construction
-    "nation_pagerank",  # new in r3: no driver row yet by construction
-    "incremental_join",  # new in r3: no driver row yet by construction
-    "forecast_revenue",  # new in r3: no driver row yet by construction
-    "large_volume_customers",  # new in r3: no driver row yet by construction
-    "incremental_join_retract",  # new in r3: no driver row yet by construction
-    "incremental_agg_retract",  # new in r3: no driver row yet by construction
-    "ann_topk_incremental",  # new in r3: no driver row yet by construction
-    "sequence_funnel",  # new in r3: no driver row yet by construction
-    "nation_pagerank_weighted",  # new in r3: no driver row yet by construction
-    "table_profile",  # new in r3: no driver row yet by construction
-    "customer_order_distribution",  # new in r3: no driver row yet by construction
-    "dormant_rich_customers",  # new in r3: no driver row yet by construction
 }
 
 
