@@ -390,7 +390,7 @@ def cmd_export_shards(args) -> int:
     """Trainer-facing dataset export: the curated document set written
     as N deterministic shards (hash of doc_id -> shard), each
     internally sorted by token count (length bucketing for packing),
-    plus manifest.json. sources/shard_export.py."""
+    plus _manifest.json. sources/shard_export.py."""
     from .catalog import load_table
     from .sources.shard_export import export_sharded
 

@@ -80,7 +80,22 @@ def bloom_prefilter(
     ``build_keys[build_key]`` — a lossless-reject semi-join prefilter.
     The bitmap row cross-joins in via a 1-row broadcast; every dropped
     row is guaranteed absent from the exact join, so
-    ``bloom_prefilter(...)  ⨝ build == probe ⨝ build`` always."""
+    ``bloom_prefilter(...)  ⨝ build == probe ⨝ build`` always.
+
+    The two key columns must share a physical type: xxhash64 hashes an
+    INT and a BIGINT holding the same value differently, which would
+    silently break the no-false-negative guarantee. Mismatched types
+    raise instead of dropping matching rows."""
+    probe_type = probe.schema[probe_key].dataType
+    build_type = build_keys.schema[build_key].dataType
+    if probe_type != build_type:
+        raise TypeError(
+            f"bloom_prefilter key type mismatch: probe[{probe_key}]="
+            f"{probe_type.simpleString()} vs build[{build_key}]="
+            f"{build_type.simpleString()}; xxhash64 is type-sensitive, so "
+            "matching values would hash apart and be wrongly rejected — "
+            "cast both keys to a common type first"
+        )
     bm_row = bloom_bitmap(build_keys, build_key, m_bits, k)
     crossed = probe.crossJoin(F.broadcast(bm_row))
     return crossed.filter(

@@ -35,6 +35,10 @@ from .cache import bounded_persist
 # instead of OOMing the driver.
 MAX_COLLECTED_QUERIES = 100_000
 
+# shared output shape of every top-k variant (and of the empty result
+# the collected-query paths short-circuit to when the query set is empty)
+_TOPK_SCHEMA = "query_id long, neighbor_id long, cosine double, rank int"
+
 
 def explode_vectors(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
     """(id, pos, val double) long form of an embedding column."""
@@ -116,6 +120,11 @@ def topk_pandas(
             f"brute_force_topk/ivf_topk for large query sets"
         )
     queries = query_df.select(id_col, vec_col).collect()
+    if not queries:
+        # np.array of zero rows is shape (0,), not (0, D) — the
+        # executor-side matmul would die with an opaque dim mismatch;
+        # an empty query set just means an empty result
+        return df.sparkSession.createDataFrame([], _TOPK_SCHEMA)
     q_ids = np.array([r[0] for r in queries])
     q_mat = np.array([r[1] for r in queries], dtype=np.float64)  # (Q, D)
 
@@ -448,6 +457,8 @@ def pq_topk(
             f"max_queries={max_queries}; shard the query set instead"
         )
     queries = query_df.select(id_col, vec_col).collect()
+    if not queries:
+        return df.sparkSession.createDataFrame([], _TOPK_SCHEMA)
     q_ids = np.array([r[0] for r in queries])
     q_mat = np.array([r[1] for r in queries], dtype=np.float64)  # (Q, D)
     # per-query ADC lookup tables: dot(query_sub, centroid) (Q, m, kc)

@@ -403,7 +403,10 @@ def customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(18,6))), 2) AS DOUBLE)
                AS total_balance
     FROM customer
-    WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0)
+    WHERE CAST(ROUND(c_acctbal * 100) AS BIGINT) > (
+        SELECT CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS DOUBLE)
+               / COUNT(*)
+        FROM customer WHERE c_acctbal > 0)
       AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
                       AND o_orderpriority = '1-URGENT')
     GROUP BY c_mktsegment
@@ -413,20 +416,20 @@ def customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     "URGENT orders — a scalar aggregate subquery (one number, broadcast as a "
     "literal-like filter) composed with a cross-table NOT EXISTS "
     "(left-anti join; the probe side never materializes matches). "
-    "Balance threshold compares the NATIVE double (both engines "
-    "compute the same avg over the same rows; the comparison is "
-    "order-safe because no row sits exactly at the boundary — the "
-    "decimal-quantized SUM guards the output aggregate as usual).",
+    "The threshold is engine-exact by construction: balances quantize "
+    "to integer cents, the sum of cents is exact in any aggregation "
+    "order, and both engines perform the identical single IEEE "
+    "division double(sum)/count — so boundary membership can never "
+    "flip with partial-aggregation order at any scale factor.",
 )
 def dormant_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = _t(spark, sf_dir, "customer")
     orders = _t(spark, sf_dir, "orders")
+    cents = F.round(F.col("c_acctbal") * 100).cast("long")
     avg_bal = cust.filter(F.col("c_acctbal") > 0).agg(
-        F.avg("c_acctbal").alias("t")
+        (F.sum(cents).cast("double") / F.count("*")).alias("t")
     )
-    rich = cust.join(
-        F.broadcast(avg_bal), cust.c_acctbal > F.col("t")
-    ).drop("t")
+    rich = cust.join(F.broadcast(avg_bal), cents > F.col("t")).drop("t")
     urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT")
     return (
         rich.join(urgent, rich.c_custkey == urgent.o_custkey, "left_anti")

@@ -45,7 +45,7 @@ def export_sharded(
     n_shards: int = 8,
 ) -> dict:
     """Write ``df`` as ``n_shards`` parquet shards, each sorted by
-    ``(sort_col, key_col)``, and a ``manifest.json``. Returns the
+    ``(sort_col, key_col)``, and a ``_manifest.json``. Returns the
     manifest dict. One shuffle (the repartition); the in-shard sort is
     shuffle-free."""
     from ..operators.cache import bounded_persist
@@ -77,6 +77,9 @@ def export_sharded(
             for r in stats
         },
     }
-    with open(os.path.join(path, "manifest.json"), "w") as fh:
+    # leading underscore: Spark/Hive/pyarrow/duckdb directory listings
+    # all skip underscore-prefixed files, so strict parquet readers
+    # globbing the dataset never mistake the manifest for a data file
+    with open(os.path.join(path, "_manifest.json"), "w") as fh:
         json.dump(manifest, fh, indent=2, default=str)
     return manifest

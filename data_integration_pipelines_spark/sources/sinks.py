@@ -13,7 +13,7 @@ from __future__ import annotations
 
 import json
 import os
-from collections.abc import Mapping, Sequence
+from collections.abc import Iterable, Mapping, Sequence
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -77,6 +77,21 @@ def truncate_sheet_name(name: str, limit: int = 31) -> str:
     return name[:limit]
 
 
+def dedupe_sheet_title(title: str, taken: Iterable[str]) -> str:
+    """Next free ``title~i`` variant within Excel's 31-char cap. The
+    prefix is sized to the suffix so every ``i`` yields a distinct name
+    (a fixed-width prefix would re-truncate ``~100`` back to ``~10``
+    and cycle forever once ~99 same-prefix sheets exist)."""
+    taken = set(taken)
+    i = 2
+    while True:
+        suffix = f"~{i}"
+        candidate = title[: 31 - len(suffix)] + suffix
+        if candidate not in taken:
+            return candidate
+        i += 1
+
+
 def write_xlsx(
     sheets: Mapping[str, DataFrame],
     path: str,
@@ -104,10 +119,7 @@ def write_xlsx(
         # disambiguate instead of silently overwriting a sheet
         title = truncate_sheet_name(name)
         if title in collected:
-            i = 2
-            while truncate_sheet_name(f"{title[:28]}~{i}") in collected:
-                i += 1
-            title = truncate_sheet_name(f"{title[:28]}~{i}")
+            title = dedupe_sheet_title(title, collected.keys())
         collected[title] = df
 
     try:

@@ -202,7 +202,7 @@ class TestCLI:
         import json as _json
 
         shards_dir = os.path.join(out, "shards")
-        manifest = _json.load(open(os.path.join(shards_dir, "manifest.json")))
+        manifest = _json.load(open(os.path.join(shards_dir, "_manifest.json")))
         assert manifest["n_shards"] == 4
         df = spark.read.parquet(shards_dir)
         total = 0

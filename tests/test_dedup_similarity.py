@@ -411,6 +411,22 @@ class TestScaleSafetyCaps:
         with pytest.raises(ValueError, match="max_queries"):
             topk_pandas(emb, emb, k=3, max_queries=5)
 
+    def test_empty_query_set_returns_empty(self, spark, sf_small):
+        from data_integration_pipelines_spark.operators.similarity import (
+            fixture_codebooks,
+            pq_topk,
+        )
+
+        emb = load_table(spark, sf_small, "embeddings")
+        none = emb.filter("vec_id < 0")
+        got = topk_pandas(emb, none, k=3)
+        assert got.count() == 0
+        assert got.columns == ["query_id", "neighbor_id", "cosine", "rank"]
+        cb = fixture_codebooks(emb)
+        got_pq = pq_topk(emb, none, cb, k=3)
+        assert got_pq.count() == 0
+        assert got_pq.columns == ["query_id", "neighbor_id", "cosine", "rank"]
+
     def test_recommended_n_planes_scales(self):
         from data_integration_pipelines_spark.operators.similarity import (
             recommended_n_planes,
@@ -537,6 +553,16 @@ class TestBloomPrefilter:
         # bitmap is one sparse map row, bounded by m/64 blocks
         bm = bloom_bitmap(build, "key", m_bits=1 << 14, k=3).collect()
         assert len(bm) == 1 and len(bm[0].bm) <= (1 << 14) // 64
+
+    def test_key_type_mismatch_raises(self, spark):
+        from data_integration_pipelines_spark.operators.bloom import bloom_prefilter
+
+        build = spark.range(0, 10).selectExpr("CAST(id AS INT) AS key")
+        probe = spark.range(0, 10).selectExpr("id AS k")  # bigint
+        # xxhash64(int) != xxhash64(bigint) for equal values -> a silent
+        # false negative; the guard must refuse instead
+        with pytest.raises(TypeError, match="type mismatch"):
+            bloom_prefilter(probe, build, "k", "key")
 
     def test_decontaminate_bloom_equals_exact(self, spark, sf_small):
         from data_integration_pipelines_spark.plans import REGISTRY

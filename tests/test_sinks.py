@@ -75,6 +75,23 @@ def test_truncate_sheet_name():
     assert truncate_sheet_name("short") == "short"
 
 
+def test_dedupe_sheet_title_survives_hundredth_collision():
+    from data_integration_pipelines_spark.sources.sinks import dedupe_sheet_title
+
+    base = "x" * 31
+    taken = (
+        {base}
+        | {base[:29] + f"~{i}" for i in range(2, 10)}
+        | {base[:28] + f"~{i}" for i in range(10, 100)}
+        | {base[:27] + f"~{i}" for i in range(100, 120)}
+    )
+    got = dedupe_sheet_title(base, taken)
+    # a fixed 28-char prefix would re-truncate '~100' to '~10' and loop;
+    # the sized prefix keeps emitting fresh <=31-char names
+    assert got == base[:27] + "~120" and len(got) <= 31
+    assert dedupe_sheet_title("ab", {"ab"}) == "ab~2"
+
+
 def test_write_xlsx_dependency_free_roundtrip(spark, small_df, tmp_path):
     """S15 runs for real with no openpyxl: the stdlib OOXML writer
     emits a workbook our reader (and Excel) can open; sheet names
