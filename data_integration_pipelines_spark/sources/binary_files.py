@@ -93,20 +93,84 @@ def _fake_sweeps_from_bytes(path: str, content: bytes) -> pd.DataFrame:
     return pd.DataFrame(rows)
 
 
-_STIM_PATH = "general/intracellular_ephys/sequential_recordings/stimulus_type"
+_ICEPHYS = "general/intracellular_ephys"
+_STIM_PATH = f"{_ICEPHYS}/sequential_recordings/stimulus_type"
+
+
+def _decode(v) -> str:
+    return v.decode() if isinstance(v, bytes) else str(v)
+
+
+def _sweeps_from_icephys_tables(path: str, f) -> pd.DataFrame:
+    """NWB-2 hierarchical icephys sweep tables (the second layout the
+    reference reads: ref src/trace/visualization/
+    lnmc_nwb_visualization.py:16-29 ``to_hierarchical_dataframe(
+    nwb.icephys_repetitions)`` and :174-176): ``repetitions ->
+    sequential_recordings -> simultaneous_recordings ->
+    intracellular_recordings -> response series``, each level linking
+    into the next through a DynamicTable ragged-index column
+    (cumulative end offsets). Responses name their ``/acquisition``
+    series by dataset name (object references re-expressed as paths —
+    same linkage, parseable without libhdf5's reference machinery)."""
+    rep_ids = f[f"{_ICEPHYS}/repetitions/id"][()].tolist()
+    rep_idx = f[f"{_ICEPHYS}/repetitions/sequential_recordings_index"][()].tolist()
+    seq_stim = f[f"{_ICEPHYS}/sequential_recordings/stimulus_type"][()].tolist()
+    seq_idx = f[
+        f"{_ICEPHYS}/sequential_recordings/simultaneous_recordings_index"
+    ][()].tolist()
+    sim_idx = f[f"{_ICEPHYS}/simultaneous_recordings/recordings_index"][()].tolist()
+    rec_resp = f[f"{_ICEPHYS}/intracellular_recordings/responses_response"][()].tolist()
+    rows: list[dict] = []
+    seq_start = 0
+    for rep, seq_end in zip(rep_ids, rep_idx):
+        for si in range(seq_start, seq_end):
+            stim_type = _decode(seq_stim[si])
+            sim_start = seq_idx[si - 1] if si > 0 else 0
+            for mi in range(sim_start, seq_idx[si]):
+                rec_start = sim_idx[mi - 1] if mi > 0 else 0
+                for ri in range(rec_start, sim_idx[mi]):
+                    series_name = _decode(rec_resp[ri])
+                    g = f[f"acquisition/{series_name}"]
+                    sweep_id, _, channel = series_name.rpartition("_")
+                    rate = float(g["rate"][()]) if "rate" in g else 0.0
+                    conv = (
+                        float(g["conversion"][()]) if "conversion" in g else 1.0
+                    )
+                    for ti, v in enumerate(g["data"][()].tolist()):
+                        rows.append(
+                            {
+                                "file": path,
+                                "stimulus_type": stim_type,
+                                "repetition": int(rep),
+                                "sweep_id": sweep_id,
+                                "channel": channel,
+                                "rate": rate,
+                                "conversion": conv,
+                                "t": ti / rate if rate else 0.0,
+                                "value": float(v),
+                            }
+                        )
+        seq_start = seq_end
+    return pd.DataFrame(
+        rows, columns=[c.split(" ")[0] for c in SWEEP_SCHEMA.split(", ")]
+    )
 
 
 def _sweeps_from_hdf5(path: str, content: bytes) -> pd.DataFrame:
     """Real NWB-layout extraction over the native HDF5 parser
-    (``hdf5_lite`` — no h5py needed): stimulus types from the
-    sequential-recordings table (ref src/trace/fix/
-    check_nwb_stimulus_match.py:31-37), then each
-    ``/acquisition/sweep*`` series flattened to long format with its
-    rate/conversion and a derived time axis (ref src/trace/
-    visualization/lnmc_nwb_visualization.py:74-135)."""
+    (``hdf5_lite`` — no h5py needed). Two layouts, matching the two the
+    reference reads: the hierarchical icephys sweep tables when the
+    ``repetitions`` table exists (ref src/trace/visualization/
+    lnmc_nwb_visualization.py:16-29, :174-176), else stimulus types from
+    the sequential-recordings table (ref src/trace/fix/
+    check_nwb_stimulus_match.py:31-37) with each ``/acquisition/sweep*``
+    series flattened to long format with its rate/conversion and a
+    derived time axis (ref lnmc_nwb_visualization.py:74-135)."""
     from .hdf5_lite import Group, open_bytes
 
     f = open_bytes(content)
+    if f"{_ICEPHYS}/repetitions" in f:
+        return _sweeps_from_icephys_tables(path, f)
     stim = f[_STIM_PATH][()].tolist() if _STIM_PATH in f else []
     rows: list[dict] = []
     acq = f["acquisition"] if "acquisition" in f else None

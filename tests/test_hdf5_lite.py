@@ -162,6 +162,62 @@ def test_h5py_reads_our_golden_fixture():
         assert f["acquisition/sweep1/rate"][()] == 20000.0
 
 
+def test_golden_v2_fixture_parses():
+    """The checked-in hierarchical-icephys fixture (second NWB layout
+    the reference reads) must expose the table chain and its ragged
+    index columns."""
+    v2 = os.path.join(os.path.dirname(__file__), "fixtures", "golden_sweeps_v2.nwb")
+    f = open_bytes(open(v2, "rb").read())
+    base = "general/intracellular_ephys"
+    assert f[f"{base}/repetitions/id"][()].tolist() == [1, 2]
+    assert f[f"{base}/repetitions/sequential_recordings_index"][()].tolist() == [2, 3]
+    assert f[f"{base}/sequential_recordings/stimulus_type"][()].tolist() == [
+        "IDRest", "APWaveform", "IV",
+    ]
+    assert f[f"{base}/simultaneous_recordings/recordings_index"][()].tolist() == [
+        2, 3, 4, 6,
+    ]
+    assert len(f["acquisition"].keys()) == 6
+
+
+@pytest.mark.realdeps
+def test_h5py_chunked_and_nested_files_read_back():
+    """Wherever h5py exists: libhdf5 writes a chunked+gzip dataset
+    (explicit and auto-chosen chunk shapes, incl. a partial edge
+    chunk) inside nested groups; the native parser must return the
+    exact values. This is the libhdf5-written counterpart of the
+    hand-built chunked fixture above."""
+    h5py = pytest.importorskip("h5py")
+    import io
+    import tempfile
+
+    vals = np.arange(1000, dtype=np.float64).reshape(50, 20) * 1.5
+    ints = np.arange(37, dtype=np.int32)  # partial edge chunk at 16
+    with tempfile.NamedTemporaryFile(suffix=".h5") as tmp:
+        with h5py.File(tmp.name, "w") as f:
+            g = f.create_group("outer").create_group("inner")
+            g.create_dataset("mat", data=vals, chunks=(16, 7), compression="gzip")
+            g.create_dataset("ints", data=ints, chunks=(16,), compression="gzip")
+            f.create_dataset("auto", data=vals, chunks=True)
+        got = open_bytes(open(tmp.name, "rb").read())
+        np.testing.assert_array_equal(got["outer/inner/mat"][()], vals)
+        np.testing.assert_array_equal(got["outer/inner/ints"][()], ints)
+        np.testing.assert_array_equal(got["auto"][()], vals)
+
+
+@pytest.mark.realdeps
+def test_h5py_reads_our_v2_fixture():
+    h5py = pytest.importorskip("h5py")
+    v2 = os.path.join(os.path.dirname(__file__), "fixtures", "golden_sweeps_v2.nwb")
+    with h5py.File(v2, "r") as f:
+        base = "general/intracellular_ephys"
+        assert f[f"{base}/repetitions/id"][()].tolist() == [1, 2]
+        assert [
+            s.decode() for s in f[f"{base}/sequential_recordings/stimulus_type"][()]
+        ] == ["IDRest", "APWaveform", "IV"]
+        assert f["acquisition/sweep3_i/rate"][()] == 50000.0
+
+
 def test_rejects_malformed_inputs():
     good = write_hdf5({"x": np.arange(4)})
     with pytest.raises(ValueError, match="signature"):

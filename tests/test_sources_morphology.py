@@ -323,6 +323,35 @@ class TestBinaryAndSinks:
         s2 = pdf[pdf.sweep_id == "sweep2"]
         assert (s2["conversion"] == 1e-12).all()
 
+    def test_extract_sweeps_icephys_table_layout(self, spark):
+        """S10 second layout (ref lnmc_nwb_visualization.py:16-29):
+        hierarchical icephys sweep tables — repetitions ->
+        sequential -> simultaneous -> recordings -> response series
+        linked by ragged-index columns — flatten to the same long
+        schema as the acquisition/sweep* layout."""
+        golden = os.path.join(os.path.dirname(__file__), "fixtures",
+                              "golden_sweeps_v2.nwb")
+        bdf = read_binary_files(spark, golden)
+        pdf = extract_sweeps(bdf).toPandas()
+        key = pdf.groupby(["repetition", "stimulus_type", "sweep_id", "channel"])
+        assert dict(key.size()) == {
+            (1, "IDRest", "sweep0", "v"): 6,
+            (1, "IDRest", "sweep0", "i"): 6,
+            (1, "IDRest", "sweep1", "v"): 4,
+            (1, "APWaveform", "sweep2", "v"): 5,
+            (2, "IV", "sweep3", "v"): 3,
+            (2, "IV", "sweep3", "i"): 3,
+        }
+        s3 = pdf[(pdf.sweep_id == "sweep3") & (pdf.channel == "i")]
+        assert (s3["rate"] == 50000.0).all()
+        assert (s3["conversion"] == 1e-12).all()
+        t = sorted(s3["t"])
+        assert t[1] - t[0] == pytest.approx(1 / 50000.0)
+        # values come from the named /acquisition series, in t order
+        import numpy as np
+        expect = np.round(np.cos(np.arange(3) * 0.2 + 5) * 50.0, 6)
+        assert s3.sort_values("t")["value"].tolist() == expect.tolist()
+
     def test_sparse_bool_tsv(self, spark, tmp_path):
         df = spark.createDataFrame([(1, True), (2, False)], ["id", "ok"])
         rendered = df.select(
