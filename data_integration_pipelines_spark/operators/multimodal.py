@@ -42,7 +42,8 @@ from .dedup import spread
 
 IMAGE_FEATURES_SCHEMA = (
     "id bigint, width int, height int, n_channels int, "
-    "mean_intensity double, feature_crc string"
+    "mean_intensity double, feature_crc string, "
+    "decoded boolean, format string"
 )
 
 RESIZED_SCHEMA = "id bigint, width int, height int, thumb_md5 string"
@@ -112,30 +113,68 @@ def _fake_decode(content: bytes) -> tuple[int, int, int, bytes]:
     return width, height, channels, (content * reps)[:need]
 
 
-def _decode_any(content: bytes) -> tuple[int, int, int, bytes]:
-    """(width, height, channels, pixel bytes). Decode order: the native
-    PNG codec for PNG bytes (deterministic everywhere, no dependency),
-    PIL for other formats when importable, the digest fake as the
-    honest floor for undecodable payloads."""
-    if content[:8] == b"\x89PNG\r\n\x1a\n":
+_IMAGE_MAGIC: tuple[tuple[bytes, str], ...] = (
+    (b"\x89PNG\r\n\x1a\n", "png"),
+    (b"\xff\xd8\xff", "jpeg"),
+    (b"GIF8", "gif"),
+    (b"BM", "bmp"),
+    (b"II*\x00", "tiff"),
+    (b"MM\x00*", "tiff"),
+)
+
+
+def detect_image_format(content: bytes) -> str:
+    """Container format by magic bytes ('png'/'jpeg'/'gif'/'bmp'/
+    'webp'/'tiff', else 'unknown')."""
+    for magic, fmt in _IMAGE_MAGIC:
+        if content[: len(magic)] == magic:
+            return fmt
+    if content[:4] == b"RIFF" and content[8:12] == b"WEBP":
+        return "webp"
+    return "unknown"
+
+
+def _pil_decode(content: bytes) -> tuple[int, int, int, bytes]:
+    import io
+
+    from PIL import Image
+
+    img = Image.open(io.BytesIO(content))
+    width, height = img.size
+    return width, height, len(img.getbands()), img.tobytes()
+
+
+def _decode_any(content: bytes) -> tuple:
+    """(width, height, channels, pixel bytes, decoded, format).
+
+    Decode order: the native PNG codec for PNG bytes (deterministic
+    everywhere, no dependency), PIL for the other recognized image
+    containers (JPEG/GIF/BMP/WEBP/TIFF) when importable. A recognized
+    container that cannot be decoded (no PIL, or corrupt) yields an
+    HONEST failure row — ``decoded=False`` with null geometry and the
+    raw payload as the feature source — never a digest fake: faking
+    dims for a real-but-unreadable image would poison any downstream
+    filter keyed on them. Only unrecognized payloads (the synthetic
+    fixtures) take the deterministic fake, flagged ``decoded=False``
+    with ``format='unknown'``."""
+    fmt = detect_image_format(content)
+    if fmt == "png":
         try:
             from .png_lite import decode_png
 
             arr = decode_png(content)
             h, w, ch = arr.shape
-            return w, h, ch, arr.tobytes()
+            return w, h, ch, arr.tobytes(), True, fmt
         except Exception:
-            pass  # malformed PNG -> try PIL, then fake
-    try:
-        import io
-
-        from PIL import Image
-
-        img = Image.open(io.BytesIO(content))
-        width, height = img.size
-        return width, height, len(img.getbands()), img.tobytes()
-    except Exception:
-        return _fake_decode(content)
+            pass  # malformed PNG -> try PIL, then honest failure
+    if fmt != "unknown":
+        try:
+            width, height, ch, pix = _pil_decode(content)
+            return width, height, ch, pix, True, fmt
+        except Exception:
+            return None, None, None, content, False, fmt
+    width, height, channels, pix = _fake_decode(content)
+    return width, height, channels, pix, False, fmt
 
 
 def extract_image_features(
@@ -162,8 +201,14 @@ def extract_image_features(
             rows = []
             for i, c in zip(pdf[id_col], pdf[content_col]):
                 c = bytes(c)
-                width, height, channels, pix = _decode_any(c)
-                mean = sum(pix) / len(pix) if pix else 0.0
+                width, height, channels, pix, decoded, fmt = _decode_any(c)
+                if width is None:
+                    # honest failure: geometry unknown, features keyed
+                    # to the raw payload digest
+                    mean_q = None
+                else:
+                    mean = sum(pix) / len(pix) if pix else 0.0
+                    mean_q = math.floor(mean * 1e4 + 0.5) / 1e4
                 crc_src = pix.hex().encode() if crc_domain == "hex" else pix
                 rows.append(
                     {
@@ -171,13 +216,22 @@ def extract_image_features(
                         "width": width,
                         "height": height,
                         "n_channels": channels,
-                        "mean_intensity": math.floor(mean * 1e4 + 0.5) / 1e4,
+                        "mean_intensity": mean_q,
                         "feature_crc": hashlib.md5(crc_src).hexdigest(),
+                        "decoded": decoded,
+                        "format": fmt,
                     }
                 )
-            yield pd.DataFrame(rows, columns=[
-                "id", "width", "height", "n_channels", "mean_intensity", "feature_crc"
+            out = pd.DataFrame(rows, columns=[
+                "id", "width", "height", "n_channels", "mean_intensity",
+                "feature_crc", "decoded", "format",
             ])
+            # nullable Int32: honest-failure rows carry null geometry,
+            # and a plain int column silently becomes float64 (NaN)
+            # which Arrow refuses to cast back to int
+            for geo in ("width", "height", "n_channels"):
+                out[geo] = out[geo].astype("Int32")
+            yield out
 
     return (
         spread(df.select(F.col(id_col).alias(id_col), content_col))

@@ -33,6 +33,7 @@ _RISK_ORDER = [
     "embedding_outliers",
     # -- new in r4 --
     "region_agreement",
+    "jpeg_decode_features",
     # -- never driver-sampled in rounds 1-3 (judge-verified only) --
     "image_resize",
     "audio_features",

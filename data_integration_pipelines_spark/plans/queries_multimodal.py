@@ -185,7 +185,9 @@ def audio_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                i -> 16 * (strpos('{_HEXD}', substr(hexstr, 2 * (i % clen) + 1, 1)) - 1)
                     + (strpos('{_HEXD}', substr(hexstr, 2 * (i % clen) + 2, 1)) - 1)
            )) * 10000 + 0.5) / 10000.0 AS mean_intensity,
-           md5(substr(repeat(hexstr, CAST(need / clen AS INT) + 1), 1, 2 * need)) AS feature_crc
+           md5(substr(repeat(hexstr, CAST(need / clen AS INT) + 1), 1, 2 * need)) AS feature_crc,
+           FALSE AS decoded,
+           'unknown' AS format
     FROM sized
     ORDER BY id
     """,
@@ -218,7 +220,9 @@ def image_decode_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                i -> 16 * (strpos('{_HEXD}', substr(hexstr, 2*i - 1, 1)) - 1)
                     + (strpos('{_HEXD}', substr(hexstr, 2*i, 1)) - 1)
            )) * 10000 + 0.5) / 10000.0 AS mean_intensity,
-           md5(hexstr) AS feature_crc
+           md5(hexstr) AS feature_crc,
+           TRUE AS decoded,
+           'png' AS format
     FROM px
     ORDER BY id
     """,
@@ -260,3 +264,49 @@ def png_decode_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.multimodal import extract_image_features
 
     return extract_image_features(encoded, crc_domain="hex").orderBy("id")
+
+
+@register(
+    "jpeg_decode_features",
+    """
+    WITH assets AS (
+        SELECT doc_id AS id,
+               'ffd8ffe0' || repeat(md5(text), CAST(1 + doc_id % 5 AS INT))
+                   AS hexstr
+        FROM documents WHERE doc_id < 200
+    )
+    SELECT id,
+           CAST(NULL AS INT) AS width,
+           CAST(NULL AS INT) AS height,
+           CAST(NULL AS INT) AS n_channels,
+           CAST(NULL AS DOUBLE) AS mean_intensity,
+           md5(hexstr) AS feature_crc,
+           FALSE AS decoded,
+           'jpeg' AS format
+    FROM assets
+    ORDER BY id
+    """,
+    doc="Honest-failure contract for decodable formats (extends src/"
+    "trace/thumbnail.py:25-62 PIL decode): payloads carry a real JPEG "
+    "SOI/APP0 magic but undecodable bodies, so the decode stage must "
+    "emit decoded=false with NULL geometry and the raw-payload digest "
+    "— never digest-faked dims, which would poison any downstream "
+    "filter keyed on width/height. Deterministic with or without PIL "
+    "(PIL also rejects the garbage body); the @realdeps test covers "
+    "the PIL success path on a real JPEG. format='jpeg' comes from "
+    "magic sniffing JVM-free in the same mapInPandas pass.",
+)
+def jpeg_decode_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import extract_image_features
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    assets = docs.select(
+        F.col("doc_id").alias("id"),
+        F.unhex(
+            F.concat(
+                F.lit("ffd8ffe0"),
+                F.repeat(F.md5("text"), (1 + F.col("doc_id") % 5).cast("int")),
+            )
+        ).alias("content"),
+    )
+    return extract_image_features(assets, crc_domain="hex").orderBy("id")

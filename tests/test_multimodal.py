@@ -52,7 +52,8 @@ def test_image_header_meta_is_jvm_side(assets):
 def test_image_features_schema_and_determinism(assets):
     feats = extract_image_features(assets)
     assert [f.name for f in feats.schema.fields] == [
-        "id", "width", "height", "n_channels", "mean_intensity", "feature_crc"
+        "id", "width", "height", "n_channels", "mean_intensity",
+        "feature_crc", "decoded", "format",
     ]
     a = {r["id"]: r.asDict() for r in feats.collect()}
     b = {r["id"]: r.asDict() for r in extract_image_features(assets).collect()}
@@ -61,6 +62,53 @@ def test_image_features_schema_and_determinism(assets):
     r = a[0]
     assert r["width"] % 16 == 0 and 1 <= r["n_channels"] <= 3
     assert 0.0 <= r["mean_intensity"] <= 255.0
+    # synthetic payloads: fake path, flagged honestly
+    assert r["decoded"] is False and r["format"] == "unknown"
+
+
+def test_jpeg_magic_never_digest_faked(spark):
+    """A recognized-but-undecodable container (JPEG magic, garbage
+    body, no PIL or PIL rejects it) must yield decoded=False with NULL
+    geometry and the raw-payload digest — not fake dims."""
+    payload = b"\xff\xd8\xff\xe0" + b"not really a jpeg" * 3
+    df = spark.createDataFrame([(1, bytearray(payload))], "id long, content binary")
+    r = extract_image_features(df).first()
+    assert r["format"] == "jpeg" and r["decoded"] is False
+    assert r["width"] is None and r["height"] is None and r["n_channels"] is None
+    assert r["mean_intensity"] is None
+    assert r["feature_crc"] == hashlib.md5(payload).hexdigest()
+
+
+def test_detect_image_format_magics():
+    from data_integration_pipelines_spark.operators.multimodal import (
+        detect_image_format,
+    )
+
+    assert detect_image_format(b"\x89PNG\r\n\x1a\n" + b"x") == "png"
+    assert detect_image_format(b"\xff\xd8\xff\xdb rest") == "jpeg"
+    assert detect_image_format(b"GIF89a...") == "gif"
+    assert detect_image_format(b"BM\x00\x00") == "bmp"
+    assert detect_image_format(b"II*\x00data") == "tiff"
+    assert detect_image_format(b"RIFF\x00\x00\x00\x00WEBPVP8 ") == "webp"
+    assert detect_image_format(b"plain text") == "unknown"
+
+
+@pytest.mark.realdeps
+def test_pil_decodes_real_jpeg(spark):
+    """Wherever PIL exists, a real JPEG must decode for real:
+    decoded=True with actual geometry."""
+    Image = pytest.importorskip("PIL.Image")
+    import io
+
+    img = Image.new("RGB", (12, 7), color=(200, 10, 30))
+    buf = io.BytesIO()
+    img.save(buf, format="JPEG")
+    df = spark.createDataFrame(
+        [(1, bytearray(buf.getvalue()))], "id long, content binary"
+    )
+    r = extract_image_features(df).first()
+    assert r["decoded"] is True and r["format"] == "jpeg"
+    assert (r["width"], r["height"], r["n_channels"]) == (12, 7, 3)
 
 
 def test_resize_deterministic_and_target_sensitive(assets):

@@ -67,6 +67,7 @@ def test_python_stages_only_where_declared(plans):
         "ann_topk_incremental",  # batched folds of the same ranker
         "ann_pq",  # PQ encode + ADC scan kernels (numpy per Arrow batch)
         "image_decode_features",
+        "jpeg_decode_features",  # magic-sniff + honest-fail decode kernel
         "image_resize",
         "frame_sample",
         "audio_features",

@@ -29,6 +29,7 @@ _NEVER_DRIVER_VERIFIED = {
     "image_resize",
     "incremental_agg_retract",
     "incremental_join",
+    "jpeg_decode_features",
     "incremental_join_retract",
     "jwt_decode",
     "knn_classify",
