@@ -30,6 +30,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .cache import bounded_persist
+
 SOMA, AXON, BASAL, APICAL = 1, 2, 3, 4
 
 Z_JUMP_THRESHOLD = 10.0  # um, jump relative to parent
@@ -88,7 +90,17 @@ def segment_table(points: DataFrame) -> DataFrame:
 
 def morphology_flags(points: DataFrame) -> DataFrame:
     """Per-file relational check battery. One row per file with count/
-    boolean columns named after the reference checks."""
+    boolean columns named after the reference checks.
+
+    ``points`` feeds three consumers (per-point aggregate, the segment
+    self-join's two sides, child-count aggregate). Without a barrier
+    each consumer prunes a different column set, the subtrees stop
+    being identical, exchange reuse never fires, and the plan pays one
+    scan + one file-keyed shuffle PER CONSUMER. Persisting once keeps
+    a single scan and a single partitioning that every downstream
+    file-keyed agg/join inherits — the difference between 1 and 3
+    full-input shuffles at 100 TB."""
+    points = bounded_persist(points)
     segs = segment_table(points)
 
     child_counts = (

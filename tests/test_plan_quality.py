@@ -169,6 +169,29 @@ def test_star_join_suite_plan_shape(spark, plans):
         assert n_hints <= max_hints, f"{name}: {n_hints} hints (max {max_hints})"
 
 
+def test_morphology_battery_single_work_shuffle(spark):
+    """morphology_flags feeds three file-keyed consumers from one
+    points table. The persist barrier must hold the plan to ONE
+    file-keyed work shuffle (inside the cached relation) — without it
+    each consumer prunes differently, exchange reuse never fires, and
+    the battery pays scan+shuffle per consumer (r3 SCALE.md finding).
+    Runtime shuffles = distinct ShuffleQueryStage ids in the adaptive
+    final plan: one hash (window partitioning, cached) + one range
+    (final orderBy) at most."""
+    import re
+
+    from data_integration_pipelines_spark.operators.cache import release_cached
+
+    release_cached()
+    df = REGISTRY["morphology_battery"].fn(spark, SF)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "InMemoryTableScan" in plan
+    stages = set(re.findall(r"ShuffleQueryStage (\d+)", plan))
+    assert len(stages) <= 2, f"{len(stages)} runtime shuffles: {sorted(stages)}"
+    release_cached()
+
+
 def test_aqe_splits_skewed_join(spark):
     """AQE's skew-join handling must actually fire on a Zipfian key:
     with one key holding ~95% of a fact side, the sort-merge join plan
