@@ -34,6 +34,12 @@ _RISK_ORDER = [
     # -- new in r4 --
     "region_agreement",
     "jpeg_decode_features",
+    "order_priority_checking",
+    "volume_shipping",
+    "national_market_share",
+    "small_quantity_revenue",
+    "disjunctive_brand_revenue",
+    "waiting_orders_suppliers",
     # -- never driver-sampled in rounds 1-3 (judge-verified only) --
     "image_resize",
     "audio_features",

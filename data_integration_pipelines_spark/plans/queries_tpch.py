@@ -8,11 +8,25 @@ reach the scans. These queries pin those shapes with full DuckDB
 oracles:
 
 - ``shipping_priority``  (Q3 shape): 3-way join, top-k by aggregate
+- ``order_priority_checking`` (Q4 shape): correlated EXISTS with a
+  non-equi residual -> one left-semi join
 - ``local_supplier_volume`` (Q5 shape): 6-way star join with a
   cross-fact equality (customer and supplier in the same nation)
+- ``volume_shipping``    (Q7 shape): same dimension joined twice under
+  a disjunctive cross-nation pair predicate
+- ``national_market_share`` (Q8 shape): fraction-of-total per year in
+  one conditional-sum pass
+- ``returned_items_report`` (Q10 shape): 4-way join, top-k customers
 - ``promo_revenue``      (Q14 shape): conditional-fraction aggregate
 - ``top_supplier``       (Q15 shape): aggregate -> global-max semi-join
-- ``returned_items_report`` (Q10 shape): 4-way join, top-k customers
+- ``small_quantity_revenue`` (Q17 shape): correlated scalar AVG
+  subquery, decorrelated to an aggregate + key join
+- ``disjunctive_brand_revenue`` (Q19 shape): OR-of-AND predicate
+  blocks; single-table implications pushed to both scans
+- ``waiting_orders_suppliers`` (Q21 shape): EXISTS + NOT EXISTS over
+  the same fact, decorrelated to one per-order aggregate
+- ``customer_order_distribution`` (Q13), ``forecast_revenue`` (Q6),
+  ``large_volume_customers`` (Q18), ``dormant_rich_customers`` (Q22)
 
 All revenue terms are quantized to DECIMAL(18,6) BEFORE summation on
 both sides: decimal addition is exact and order-independent, so the
@@ -441,4 +455,351 @@ def dormant_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("total_balance"),
         )
         .orderBy("c_mktsegment")
+    )
+
+
+@register(
+    "order_priority_checking",
+    """
+    SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1997-01-01'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    doc="TPC-H Q4 shape: per-priority count of orders with at least one "
+    "line shipped after the order date — a correlated EXISTS with a "
+    "NON-equi term (l_shipdate > o_orderdate) riding on the equi key. "
+    "Spark plans it as ONE left-semi hash join on orderkey with the "
+    "date comparison as a residual condition: no decorrelation rewrite "
+    "needed, no second scan, and the semi-join stops probing an order "
+    "at its first late line. Date window pruned at the orders scan.",
+)
+def order_priority_checking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    hit = orders.join(
+        li,
+        (orders.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate > orders.o_orderdate),
+        "left_semi",
+    )
+    return (
+        hit.groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_orders"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "volume_shipping",
+    """
+    SELECT supp_nation, cust_nation, l_year,
+           CAST(ROUND(SUM(rev), 2) AS DOUBLE) AS revenue
+    FROM (
+        SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+               CAST(YEAR(l_shipdate) AS INT) AS l_year,
+               CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)) AS rev
+        FROM supplier
+        JOIN lineitem ON s_suppkey = l_suppkey
+        JOIN orders ON o_orderkey = l_orderkey
+        JOIN customer ON c_custkey = o_custkey
+        JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+           OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+    )
+    GROUP BY supp_nation, cust_nation, l_year
+    ORDER BY supp_nation, cust_nation, l_year
+    """,
+    doc="TPC-H Q7 shape: bilateral trade volume — 6-table star with the "
+    "SAME dimension (nation) joined twice under a disjunctive cross-"
+    "nation pair predicate. Both nation sides are explicit broadcasts "
+    "(fixed-size at any SF); the pair filter collapses each broadcast "
+    "to <=2 rows BEFORE the join, so the fact side streams once and "
+    "the disjunction never becomes a join condition. Revenue "
+    "decimal-quantized per term as suite convention.",
+)
+def volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    pair = ("NATION_1", "NATION_2")
+    n1 = nation.filter(F.col("n_name").isin(*pair)).select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.filter(F.col("n_name").isin(*pair)).select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    joined = (
+        li.join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+    )
+    return (
+        joined.select(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("int").alias("l_year"),
+            _revenue().alias("rev"),
+        )
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(F.round(F.sum("rev"), 2).cast("double").alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+@register(
+    "national_market_share",
+    """
+    SELECT o_year,
+           ROUND(CAST(nation_rev AS DOUBLE) / CAST(total_rev AS DOUBLE), 6)
+               AS mkt_share
+    FROM (
+        SELECT CAST(YEAR(o_orderdate) AS INT) AS o_year,
+               SUM(CASE WHEN n_name = 'NATION_3'
+                        THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))
+                        ELSE CAST(0 AS DECIMAL(18,6)) END) AS nation_rev,
+               SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)))
+                   AS total_rev
+        FROM lineitem
+        JOIN part ON p_partkey = l_partkey
+        JOIN orders ON o_orderkey = l_orderkey
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        WHERE p_type = 'ECONOMY'
+        GROUP BY CAST(YEAR(o_orderdate) AS INT)
+    )
+    ORDER BY o_year
+    """,
+    doc="TPC-H Q8 shape: national market share — fraction-of-total "
+    "aggregate per order year over a 5-table star restricted to one "
+    "part type. Both numerator and denominator are decimal-exact sums "
+    "(order-independent), so the single double division and round are "
+    "bit-identical across engines; the share needs ONE pass (a "
+    "conditional sum), not two queries. Nation broadcasts; part "
+    "predicate pruned at its scan.",
+)
+def national_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    orders = _t(spark, sf_dir, "orders")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    joined = (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+    )
+    zero = F.lit(0).cast("decimal(18,6)")
+    agg = (
+        joined.select(
+            F.year("o_orderdate").cast("int").alias("o_year"),
+            _revenue().alias("rev"),
+            F.when(F.col("n_name") == "NATION_3", _revenue())
+            .otherwise(zero)
+            .alias("nrev"),
+        )
+        .groupBy("o_year")
+        .agg(F.sum("nrev").alias("nation_rev"), F.sum("rev").alias("total_rev"))
+    )
+    return agg.select(
+        "o_year",
+        F.round(
+            F.col("nation_rev").cast("double") / F.col("total_rev").cast("double"),
+            6,
+        ).alias("mkt_share"),
+    ).orderBy("o_year")
+
+
+@register(
+    "small_quantity_revenue",
+    """
+    SELECT p_brand,
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,6))), 2) AS DOUBLE)
+               AS small_lot_revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    WHERE p_brand IN ('Brand#11', 'Brand#12', 'Brand#13')
+      AND l_quantity < (
+          SELECT 0.2 * AVG(l_quantity) FROM lineitem l2
+          WHERE l2.l_partkey = p_partkey)
+    GROUP BY p_brand
+    ORDER BY p_brand
+    """,
+    doc="TPC-H Q17 shape: small-lot revenue — a correlated scalar AVG "
+    "subquery per part. Spark decorrelates it into a per-partkey "
+    "aggregate joined back on the key: one extra shuffle on l_partkey "
+    "instead of a rescan per outer row. The threshold is engine-exact: "
+    "quantities are integral, so the per-part sum is exact in double "
+    "at any aggregation order, and 0.2*avg is one IEEE multiply of "
+    "identical inputs — boundary rows cannot flip between engines.",
+)
+def small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(
+        F.col("p_brand").isin("Brand#11", "Brand#12", "Brand#13")
+    )
+    thresholds = (
+        li.groupBy(F.col("l_partkey").alias("t_partkey"))
+        .agg((F.lit(0.2) * F.avg("l_quantity")).alias("qty_cap"))
+    )
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(thresholds, li.l_partkey == F.col("t_partkey"))
+        .filter(F.col("l_quantity") < F.col("qty_cap"))
+        .groupBy("p_brand")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice").cast("decimal(18,6)")), 2)
+            .cast("double")
+            .alias("small_lot_revenue"),
+            F.count("*").alias("n_lines"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+@register(
+    "disjunctive_brand_revenue",
+    """
+    SELECT p_brand,
+           CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount)
+                               AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 1 AND 11)
+       OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+           AND l_quantity BETWEEN 10 AND 20)
+       OR (p_brand = 'Brand#24' AND p_size BETWEEN 1 AND 35
+           AND l_quantity BETWEEN 20 AND 30)
+    GROUP BY p_brand
+    ORDER BY p_brand
+    """,
+    doc="TPC-H Q19 shape: disjunctive cross-table predicate blocks "
+    "(brand x size x quantity brackets OR'd together). The plan "
+    "question is whether the single-table implications of the "
+    "disjunction are extracted and pushed: Catalyst derives "
+    "p_brand IN (...) / p_size <= 35 for the part scan and "
+    "l_quantity BETWEEN 1 AND 30 for the lineitem scan from the OR, "
+    "so both scans prune before the join and only the residual "
+    "disjunction runs on joined rows.",
+)
+def disjunctive_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    q = F.col("l_quantity")
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 15)
+            & q.between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(1, 25)
+            & q.between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#24")
+            & F.col("p_size").between(1, 35)
+            & q.between(20, 30)
+        )
+    )
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .filter(cond)
+        .groupBy("p_brand")
+        .agg(
+            F.round(F.sum(_revenue()), 2).cast("double").alias("revenue"),
+            F.count("*").alias("n_lines"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+@register(
+    "waiting_orders_suppliers",
+    """
+    WITH lo AS (
+        SELECT l_orderkey, l_suppkey,
+               l_shipdate > o_orderdate + INTERVAL 60 DAY AS late
+        FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+        WHERE o_orderstatus = 'F'
+    ),
+    per_order AS (
+        SELECT l_orderkey,
+               COUNT(DISTINCT l_suppkey) AS n_supp,
+               COUNT(DISTINCT CASE WHEN late THEN l_suppkey END) AS n_late_supp
+        FROM lo GROUP BY l_orderkey
+    ),
+    eligible AS (
+        SELECT l_orderkey FROM per_order WHERE n_supp >= 2 AND n_late_supp = 1
+    )
+    SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+    FROM lo
+    JOIN eligible USING (l_orderkey)
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE late AND n_name = 'NATION_5'
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 20
+    """,
+    doc="TPC-H Q21 shape: suppliers who were the SOLE late shipper in a "
+    "finished multi-supplier order. The textbook form is a correlated "
+    "EXISTS plus NOT EXISTS over the same fact; both are decorrelated "
+    "here into ONE per-order aggregate (distinct suppliers, distinct "
+    "late suppliers) — one shuffle on orderkey replaces two correlated "
+    "probes of a 100 TB lineitem, and the late flag is computed once "
+    "in the shared subtree (oracle states the identical rewrite). "
+    "'Late' = shipped >60 days after order date, on available columns.",
+)
+def waiting_orders_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_5")
+    lo = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+        "l_orderkey",
+        "l_suppkey",
+        (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")).alias(
+            "late"
+        ),
+    )
+    from ..operators.cache import bounded_persist
+
+    lo = bounded_persist(lo)  # shared by the per-order aggregate and the probe
+    per_order = lo.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(F.when(F.col("late"), F.col("l_suppkey"))).alias(
+            "n_late_supp"
+        ),
+    )
+    eligible = per_order.filter(
+        (F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1)
+    ).select("l_orderkey")
+    return (
+        lo.filter(F.col("late"))
+        .join(eligible, "l_orderkey")
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(20)
     )

@@ -147,22 +147,44 @@ def test_star_join_suite_plan_shape(spark, plans):
     fixed-size dimensions broadcast, and no forced hints on the
     data-scaled tables (AQE sides those)."""
     # date/segment/returnflag predicates pushed into the parquet scan
-    for name in ("shipping_priority", "returned_items_report", "promo_revenue"):
+    for name in (
+        "shipping_priority",
+        "returned_items_report",
+        "promo_revenue",
+        "order_priority_checking",
+        "disjunctive_brand_revenue",  # single-table implications of the OR
+    ):
         plan = plans[name]
         assert "PushedFilters: [" in plan, name
         pushed = plan.split("PushedFilters: [", 1)[1]
         assert not pushed.startswith("]"), f"{name}: empty PushedFilters"
     # the nation-side lookup broadcasts
-    for name in ("local_supplier_volume", "returned_items_report"):
+    for name in (
+        "local_supplier_volume",
+        "returned_items_report",
+        "volume_shipping",
+        "national_market_share",
+        "waiting_orders_suppliers",
+    ):
         assert "BroadcastHashJoin" in plans[name], name
+    # Q4's correlated EXISTS with a non-equi residual must stay one
+    # semi-join on the equi key, not a cartesian or rescan
+    assert "LeftSemi" in plans["order_priority_checking"]
     # forced hints only on fixed-size sides: region+nation (2) in Q5,
-    # nation (1) in Q10, the 1-row max in Q15, none elsewhere
+    # nation (1) in Q10, the 1-row max in Q15, nation pair (2) in Q7,
+    # nation (1) in Q8/Q21, none elsewhere
     for name, max_hints in (
         ("shipping_priority", 0),
         ("local_supplier_volume", 2),
         ("promo_revenue", 0),
         ("top_supplier", 1),
         ("returned_items_report", 1),
+        ("order_priority_checking", 0),
+        ("volume_shipping", 2),
+        ("national_market_share", 1),
+        ("small_quantity_revenue", 0),
+        ("disjunctive_brand_revenue", 0),
+        ("waiting_orders_suppliers", 1),
     ):
         analyzed = REGISTRY[name].fn(spark, SF)._jdf.queryExecution().analyzed().toString()
         n_hints = analyzed.count("ResolvedHint")

@@ -30,6 +30,12 @@ _NEVER_DRIVER_VERIFIED = {
     "incremental_agg_retract",
     "incremental_join",
     "jpeg_decode_features",
+    "order_priority_checking",
+    "volume_shipping",
+    "national_market_share",
+    "small_quantity_revenue",
+    "disjunctive_brand_revenue",
+    "waiting_orders_suppliers",
     "incremental_join_retract",
     "jwt_decode",
     "knn_classify",
