@@ -86,8 +86,11 @@ def bloom_prefilter(
     INT and a BIGINT holding the same value differently, which would
     silently break the no-false-negative guarantee. Mismatched types
     raise instead of dropping matching rows."""
-    probe_type = probe.schema[probe_key].dataType
-    build_type = build_keys.schema[build_key].dataType
+    # resolve through select(), not schema[...]: the engine resolves
+    # column names per spark.sql.caseSensitive, and the guard must see
+    # exactly the column the join would use
+    probe_type = probe.select(probe_key).schema[0].dataType
+    build_type = build_keys.select(build_key).schema[0].dataType
     if probe_type != build_type:
         raise TypeError(
             f"bloom_prefilter key type mismatch: probe[{probe_key}]="

@@ -85,9 +85,13 @@ def first_common_ancestor(
     * ``depth_b == 0``                   -> left is descendant of right
     * ``depth_a == 1 and depth_b == 1``  -> siblings (same direct parent)
 
-    Output: the pair columns plus ``fca``, ``depth_a``, ``depth_b``.
-    Pairs whose nodes share no ancestor (disconnected forest) are
-    dropped, matching the reference's "No common ancestor!" error path.
+    Output: the pair columns plus ``fca``, ``depth_a``, ``depth_b`` —
+    one row per DISTINCT pair (duplicate input pairs collapse; grade
+    first, then join multiplicity back if it matters). Pairs whose
+    nodes share no ancestor (disconnected forest) are dropped, matching
+    the reference's "No common ancestor!" error path. On multi-parent
+    DAGs, equal-depth common ancestors tie-break by lowest ancestor
+    id, deterministically.
 
     Scale: the closure is ontology-sized (thousands of rows after the
     self-augmentation), so both ancestor sides broadcast — the pair
@@ -128,17 +132,20 @@ def first_common_ancestor(
         )
     )
     other_cols = [c for c in pairs.columns if c not in (left_col, right_col)]
+    # single min over (depth_a, depth_b, ancestor): on a tree the depth
+    # pair is unique per common ancestor, and on a multi-parent DAG
+    # (rdfs:subClassOf can be) the ancestor id breaks the tie
+    # DETERMINISTICALLY — min_by would pick an arbitrary, run-varying
+    # winner. Duplicate (left, right) input pairs collapse to one
+    # output row (set semantics).
     return (
         joined.groupBy(left_col, right_col, *other_cols)
-        .agg(
-            F.min_by("_anc", F.struct("_da", "_db")).alias("fca"),
-            F.min(F.struct("_da", "_db")).alias("_best"),
-        )
+        .agg(F.min(F.struct("_da", "_db", "_anc")).alias("_best"))
         .select(
             left_col,
             right_col,
             *other_cols,
-            "fca",
+            F.col("_best._anc").alias("fca"),
             F.col("_best._da").alias("depth_a"),
             F.col("_best._db").alias("depth_b"),
         )

@@ -114,18 +114,22 @@ def _fake_decode(content: bytes) -> tuple[int, int, int, bytes]:
 
 
 _IMAGE_MAGIC: tuple[tuple[bytes, str], ...] = (
+    # >=3-byte magics only. BMP's 2-byte 'BM' is deliberately NOT
+    # sniffed: 1/65536 of random binary starts with it, so an opaque
+    # payload would occasionally be misclassified as a decodable
+    # container and flip from the (oracle-modeled) fake path to the
+    # honest-failure path. The oracles mirror this exact prefix table.
     (b"\x89PNG\r\n\x1a\n", "png"),
     (b"\xff\xd8\xff", "jpeg"),
     (b"GIF8", "gif"),
-    (b"BM", "bmp"),
     (b"II*\x00", "tiff"),
     (b"MM\x00*", "tiff"),
 )
 
 
 def detect_image_format(content: bytes) -> str:
-    """Container format by magic bytes ('png'/'jpeg'/'gif'/'bmp'/
-    'webp'/'tiff', else 'unknown')."""
+    """Container format by magic bytes ('png'/'jpeg'/'gif'/'webp'/
+    'tiff', else 'unknown')."""
     for magic, fmt in _IMAGE_MAGIC:
         if content[: len(magic)] == magic:
             return fmt

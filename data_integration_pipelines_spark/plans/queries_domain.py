@@ -247,7 +247,7 @@ def sibling_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT p.observed, p.declared, la.ancestor AS fca,
                la.depth AS da, rb.depth AS db,
                ROW_NUMBER() OVER (PARTITION BY p.observed, p.declared
-                                  ORDER BY la.depth, rb.depth) AS rn
+                                  ORDER BY la.depth, rb.depth, la.ancestor) AS rn
         FROM pairs p
         JOIN full_anc la ON la.node = p.observed
         JOIN full_anc rb ON rb.node = p.declared AND rb.ancestor = la.ancestor

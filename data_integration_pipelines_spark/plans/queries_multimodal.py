@@ -162,11 +162,18 @@ def audio_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     + f"""
     , d AS (
         SELECT id, hexstr, md5(hexstr) AS dh,
-               octet_length(unhex(hexstr)) AS clen
+               octet_length(unhex(hexstr)) AS clen,
+               CASE WHEN substr(hexstr, 1, 16) = '89504e470d0a1a0a' THEN 'png'
+                    WHEN substr(hexstr, 1, 6) = 'ffd8ff' THEN 'jpeg'
+                    WHEN substr(hexstr, 1, 8) = '47494638' THEN 'gif'
+                    WHEN substr(hexstr, 1, 8) IN ('49492a00', '4d4d002a') THEN 'tiff'
+                    WHEN substr(hexstr, 1, 8) = '52494646'
+                         AND substr(hexstr, 17, 8) = '57454250' THEN 'webp'
+                    ELSE 'unknown' END AS fmt
         FROM assets
     ),
     dims AS (
-        SELECT id, hexstr, clen,
+        SELECT id, hexstr, clen, fmt,
                16 * (1 + CAST(('0x' || substr(dh, 1, 2)) AS INT) % 15) AS width,
                16 * (1 + CAST(('0x' || substr(dh, 3, 2)) AS INT) % 15) AS height,
                1 + CAST(('0x' || substr(dh, 5, 2)) AS INT) % 3 AS n_channels
@@ -177,17 +184,20 @@ def audio_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM dims
     )
     SELECT id,
-           CAST(width AS INT) AS width,
-           CAST(height AS INT) AS height,
-           CAST(n_channels AS INT) AS n_channels,
-           FLOOR(list_avg(list_transform(
-               range(0, need),
-               i -> 16 * (strpos('{_HEXD}', substr(hexstr, 2 * (i % clen) + 1, 1)) - 1)
-                    + (strpos('{_HEXD}', substr(hexstr, 2 * (i % clen) + 2, 1)) - 1)
-           )) * 10000 + 0.5) / 10000.0 AS mean_intensity,
-           md5(substr(repeat(hexstr, CAST(need / clen AS INT) + 1), 1, 2 * need)) AS feature_crc,
+           CASE WHEN fmt = 'unknown' THEN CAST(width AS INT) END AS width,
+           CASE WHEN fmt = 'unknown' THEN CAST(height AS INT) END AS height,
+           CASE WHEN fmt = 'unknown' THEN CAST(n_channels AS INT) END AS n_channels,
+           CASE WHEN fmt = 'unknown' THEN
+               FLOOR(list_avg(list_transform(
+                   range(0, need),
+                   i -> 16 * (strpos('{_HEXD}', substr(hexstr, 2 * (i % clen) + 1, 1)) - 1)
+                        + (strpos('{_HEXD}', substr(hexstr, 2 * (i % clen) + 2, 1)) - 1)
+               )) * 10000 + 0.5) / 10000.0 END AS mean_intensity,
+           CASE WHEN fmt = 'unknown' THEN
+               md5(substr(repeat(hexstr, CAST(need / clen AS INT) + 1), 1, 2 * need))
+           ELSE md5(hexstr) END AS feature_crc,
            FALSE AS decoded,
-           'unknown' AS format
+           fmt AS format
     FROM sized
     ORDER BY id
     """,
@@ -196,7 +206,10 @@ def audio_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     "payloads — these assets are md5-tiled bytes, so the fake path runs "
     "and every output is re-derived by the oracle: digest-derived dims, "
     "tiled-buffer mean intensity, hex-domain crc). Full hash oracle "
-    "since round 3 (was rows-only).",
+    "since round 3 (was rows-only). The oracle mirrors the magic-prefix "
+    "table, so a payload that randomly starts with a container magic "
+    "(p = 2^-24 for JPEG per doc) grades against the honest-failure "
+    "contract instead of hash-mismatching after a fixture regeneration.",
 )
 def image_decode_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     assets = _assets(spark, sf_dir, 200)

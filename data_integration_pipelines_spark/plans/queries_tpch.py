@@ -512,8 +512,8 @@ def order_priority_checking(spark: SparkSession, sf_dir: str) -> DataFrame:
         JOIN customer ON c_custkey = o_custkey
         JOIN nation n1 ON s_nationkey = n1.n_nationkey
         JOIN nation n2 ON c_nationkey = n2.n_nationkey
-        WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
-           OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+        WHERE (n1.n_name = 'NATION_18' AND n2.n_name = 'NATION_19')
+           OR (n1.n_name = 'NATION_19' AND n2.n_name = 'NATION_18')
     )
     GROUP BY supp_nation, cust_nation, l_year
     ORDER BY supp_nation, cust_nation, l_year
@@ -532,7 +532,7 @@ def volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = _t(spark, sf_dir, "customer")
     supp = _t(spark, sf_dir, "supplier")
     nation = _t(spark, sf_dir, "nation")
-    pair = ("NATION_1", "NATION_2")
+    pair = ("NATION_18", "NATION_19")
     n1 = nation.filter(F.col("n_name").isin(*pair)).select(
         F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
     )
@@ -755,7 +755,7 @@ def disjunctive_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN eligible USING (l_orderkey)
     JOIN supplier ON s_suppkey = l_suppkey
     JOIN nation ON s_nationkey = n_nationkey
-    WHERE late AND n_name = 'NATION_5'
+    WHERE late AND n_name = 'NATION_19'
     GROUP BY s_name
     ORDER BY numwait DESC, s_name
     LIMIT 20
@@ -773,7 +773,7 @@ def waiting_orders_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
     orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
     supp = _t(spark, sf_dir, "supplier")
-    nation = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_5")
+    nation = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_19")
     lo = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
         "l_orderkey",
         "l_suppkey",

@@ -131,7 +131,11 @@ def _sweeps_from_icephys_tables(path: str, f) -> pd.DataFrame:
                 for ri in range(rec_start, sim_idx[mi]):
                     series_name = _decode(rec_resp[ri])
                     g = f[f"acquisition/{series_name}"]
-                    sweep_id, _, channel = series_name.rpartition("_")
+                    sweep_id, sep, channel = series_name.rpartition("_")
+                    if not sep:
+                        # no channel suffix: keep the name as the sweep
+                        # id rather than collapsing onto sweep_id=''
+                        sweep_id, channel = series_name, ""
                     rate = float(g["rate"][()]) if "rate" in g else 0.0
                     conv = (
                         float(g["conversion"][()]) if "conversion" in g else 1.0

@@ -188,7 +188,6 @@ def test_h5py_chunked_and_nested_files_read_back():
     exact values. This is the libhdf5-written counterpart of the
     hand-built chunked fixture above."""
     h5py = pytest.importorskip("h5py")
-    import io
     import tempfile
 
     vals = np.arange(1000, dtype=np.float64).reshape(50, 20) * 1.5

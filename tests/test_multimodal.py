@@ -87,7 +87,9 @@ def test_detect_image_format_magics():
     assert detect_image_format(b"\x89PNG\r\n\x1a\n" + b"x") == "png"
     assert detect_image_format(b"\xff\xd8\xff\xdb rest") == "jpeg"
     assert detect_image_format(b"GIF89a...") == "gif"
-    assert detect_image_format(b"BM\x00\x00") == "bmp"
+    # BMP's 2-byte magic is deliberately NOT sniffed (1/65536 of random
+    # binary starts with 'BM' — too weak to distinguish from opaque data)
+    assert detect_image_format(b"BM\x00\x00") == "unknown"
     assert detect_image_format(b"II*\x00data") == "tiff"
     assert detect_image_format(b"RIFF\x00\x00\x00\x00WEBPVP8 ") == "webp"
     assert detect_image_format(b"plain text") == "unknown"
