@@ -40,6 +40,7 @@ _RISK_ORDER = [
     "small_quantity_revenue",
     "disjunctive_brand_revenue",
     "waiting_orders_suppliers",
+    "train_val_test_split",
     # -- never driver-sampled in rounds 1-3 (judge-verified only) --
     "image_resize",
     "audio_features",

@@ -938,3 +938,78 @@ def mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY d.source
         """
     )
+
+
+def split_assign(id_col, train_pct: int = 80, val_pct: int = 10):
+    """Deterministic split label for a stable id: md5-derived bucket in
+    [0,100). Pure function of the id — adding/removing rows or changing
+    partitioning can never reassign an existing id (a doc migrating
+    from train to test poisons the eval set)."""
+    bucket = (
+        F.conv(F.substring(F.md5(id_col.cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % 100
+    )
+    return (
+        F.when(bucket < train_pct, F.lit("train"))
+        .when(bucket < train_pct + val_pct, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+
+
+@register(
+    "train_val_test_split",
+    """
+    WITH assigned AS (
+        SELECT doc_id, lang,
+               CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                    AS BIGINT) % 100 AS bucket
+        FROM documents
+    ),
+    labeled AS (
+        SELECT doc_id, lang,
+               CASE WHEN bucket < 80 THEN 'train'
+                    WHEN bucket < 90 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM assigned
+    )
+    SELECT split, lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id))
+               AS membership_md5
+    FROM labeled
+    GROUP BY split, lang
+    ORDER BY split, lang
+    """,
+    doc="Deterministic train/val/test split (the assignment every "
+    "training-data pipeline must get right): membership is a pure "
+    "function of the stable document id via an md5-derived bucket in "
+    "[0,100) — no RNG state, no row order, no partition count in the "
+    "outcome, so re-running on a differently-partitioned 100 TB corpus "
+    "or adding documents NEVER reassigns an existing one (critical: a "
+    "doc that migrates from train to test poisons the eval). The "
+    "oracle certifies per-(split, lang) counts AND an order-canonical "
+    "membership digest, so one swapped assignment hash-fails. md5 is "
+    "the hash because both engines render BIGINT->string identically "
+    "and implement the same digest; engine-native hash functions "
+    "(xxhash64 vs DuckDB hash) differ and would not be portable.",
+)
+def train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    labeled = docs.select("doc_id", "lang", split_assign(F.col("doc_id")).alias("split"))
+    return (
+        labeled.groupBy("split", "lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    F.transform(
+                        F.sort_array(F.collect_list("doc_id")),
+                        lambda x: x.cast("string"),
+                    ),
+                )
+            ).alias("membership_md5"),
+        )
+        .orderBy("split", "lang")
+    )

@@ -606,3 +606,38 @@ class TestMergeTopk:
             state = merge_topk(state, topk_pandas(b, queries, k=5), k=5)
         got = sorted((r.query_id, r.neighbor_id, r.rank) for r in state.collect())
         assert got == want
+
+
+class TestSplitAssign:
+    """Deterministic corpus split: membership is a pure function of the
+    id — the property that makes a 100 TB split reproducible."""
+
+    def test_assignment_stable_under_corpus_changes(self, spark):
+        from data_integration_pipelines_spark.plans.queries_curation import (
+            split_assign,
+        )
+        from pyspark.sql import functions as F
+
+        full = spark.range(0, 1000).select(
+            "id", split_assign(F.col("id")).alias("split")
+        )
+        subset = spark.range(0, 200, 3).select(
+            "id", split_assign(F.col("id")).alias("split")
+        )
+        f = {r.id: r.split for r in full.collect()}
+        for r in subset.collect():
+            assert f[r.id] == r.split  # removing rows never reassigns
+        # fractions land near the 80/10/10 target
+        from collections import Counter
+
+        c = Counter(f.values())
+        assert 0.7 < c["train"] / 1000 < 0.9
+        assert 0.05 < c["val"] / 1000 < 0.15
+        assert 0.05 < c["test"] / 1000 < 0.15
+
+    def test_oracle_matches(self, spark, sf_small):
+        from data_integration_pipelines_spark.plans import REGISTRY
+        from tests.oracle_compare import compare_query
+
+        ok, msg = compare_query(spark, REGISTRY["train_val_test_split"], sf_small)
+        assert ok, msg

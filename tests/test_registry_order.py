@@ -36,6 +36,7 @@ _NEVER_DRIVER_VERIFIED = {
     "small_quantity_revenue",
     "disjunctive_brand_revenue",
     "waiting_orders_suppliers",
+    "train_val_test_split",
     "incremental_join_retract",
     "jwt_decode",
     "knn_classify",
