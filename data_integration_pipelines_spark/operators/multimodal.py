@@ -51,7 +51,8 @@ RESIZED_SCHEMA = "id bigint, width int, height int, thumb_md5 string"
 FRAME_SCHEMA = "id bigint, frame_idx int, frame_md5 string"
 
 AUDIO_FEATURES_SCHEMA = (
-    "id bigint, sample_rate int, n_samples int, rms double"
+    "id bigint, sample_rate int, n_samples int, rms double, "
+    "decoded boolean, format string"
 )
 
 
@@ -342,19 +343,45 @@ def sample_frames(
     )
 
 
+_AUDIO_MAGIC: tuple[tuple[bytes, str], ...] = (
+    # >=3-byte magics only; the 2-byte MPEG frame sync (0xFF 0xEx) is
+    # deliberately NOT sniffed — ~1/2048 of random binary matches it,
+    # the same weak-magic trap as BMP's 'BM' on the image side.
+    (b"fLaC", "flac"),
+    (b"OggS", "ogg"),
+    (b"ID3", "mp3"),
+)
+
+
+def detect_audio_format(content: bytes) -> str:
+    """Audio container by magic ('wav'/'flac'/'ogg'/'mp3', else
+    'unknown')."""
+    if content[:4] == b"RIFF" and content[8:12] == b"WAVE":
+        return "wav"
+    for magic, fmt in _AUDIO_MAGIC:
+        if content[: len(magic)] == magic:
+            return fmt
+    return "unknown"
+
+
 def extract_audio_features(
     df: DataFrame,
     id_col: str = "id",
     content_col: str = "content",
     deterministic: bool = False,
 ) -> DataFrame:
-    """Audio decode: (id, sample_rate, n_samples, rms).
+    """Audio decode: (id, sample_rate, n_samples, rms, decoded, format).
 
     With soundfile importable the payload is decoded for real (native
-    sample rate, per-sample RMS over the first channel); undecodable
-    bytes — and every row when soundfile is absent or
-    ``deterministic=True`` — fall back to the fake (payload bytes as
-    u8 samples at 16 kHz), which the SQL oracle recomputes."""
+    sample rate, per-sample RMS over the first channel). A payload
+    carrying a RECOGNIZED audio magic that cannot be decoded (no
+    soundfile, corrupt body, or ``deterministic=True``) yields an
+    honest failure — ``decoded=False`` with null rate/samples/rms —
+    never the byte fake: fake sample counts for a real-but-unreadable
+    recording would poison any duration/quality filter keyed on them.
+    Only unrecognized payloads (the synthetic fixtures) take the
+    deterministic u8-at-16kHz fake, flagged ``decoded=False`` with
+    ``format='unknown'`` — which the SQL oracle recomputes."""
     if deterministic:
         have_sf = False
     else:
@@ -372,7 +399,8 @@ def extract_audio_features(
             rows = []
             for i, c in zip(pdf[id_col], pdf[content_col]):
                 c = bytes(c)
-                decoded = None
+                fmt = detect_audio_format(c)
+                result = None
                 if have_sf:
                     import soundfile as sf
 
@@ -382,26 +410,37 @@ def extract_audio_features(
                             data = data[:, 0]
                         n = int(data.shape[0])
                         rms = float((data.astype("float64") ** 2).mean() ** 0.5) if n else 0.0
-                        decoded = (int(rate), n, rms)
+                        result = (int(rate), n, round(rms, 4), True)
                     except Exception:
-                        decoded = None
-                if decoded is None:
-                    if c:
-                        mean_sq = sum(b * b for b in c) / len(c)
-                        rms = mean_sq ** 0.5
+                        result = None
+                if result is None:
+                    if fmt != "unknown":
+                        # honest failure for a real-but-unreadable container
+                        result = (None, None, None, False)
                     else:
-                        rms = 0.0
-                    decoded = (16000, len(c), rms)
-                rate, n, rms = decoded
+                        if c:
+                            mean_sq = sum(b * b for b in c) / len(c)
+                            rms = mean_sq ** 0.5
+                        else:
+                            rms = 0.0
+                        result = (16000, len(c), round(rms, 4), False)
+                rate, n, rms, ok = result
                 rows.append(
                     {
                         "id": int(i),
                         "sample_rate": rate,
                         "n_samples": n,
-                        "rms": round(rms, 4),
+                        "rms": rms,
+                        "decoded": ok,
+                        "format": fmt,
                     }
                 )
-            yield pd.DataFrame(rows, columns=["id", "sample_rate", "n_samples", "rms"])
+            out = pd.DataFrame(rows, columns=[
+                "id", "sample_rate", "n_samples", "rms", "decoded", "format",
+            ])
+            for c_ in ("sample_rate", "n_samples"):
+                out[c_] = out[c_].astype("Int32")
+            yield out
 
     return (
         spread(df.select(F.col(id_col).alias(id_col), content_col))

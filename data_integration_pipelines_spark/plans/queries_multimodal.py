@@ -136,20 +136,39 @@ def image_resize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     "audio_features",
     _ASSET_CTE.format(limit=200)
     + f"""
+    , d AS (
+        SELECT id, hexstr,
+               CASE WHEN substr(hexstr, 1, 8) = '52494646'
+                         AND substr(hexstr, 17, 8) = '57415645' THEN 'wav'
+                    WHEN substr(hexstr, 1, 8) = '664c6143' THEN 'flac'
+                    WHEN substr(hexstr, 1, 8) = '4f676753' THEN 'ogg'
+                    WHEN substr(hexstr, 1, 6) = '494433' THEN 'mp3'
+                    ELSE 'unknown' END AS fmt
+        FROM assets
+    )
     SELECT id,
-           CAST(16000 AS INT) AS sample_rate,
-           CAST(octet_length(unhex(hexstr)) AS INT) AS n_samples,
-           ROUND(sqrt(list_avg(list_transform(
-               range(1, octet_length(unhex(hexstr)) + 1),
-               i -> pow(16 * (strpos('{_HEXD}', substr(hexstr, 2*i - 1, 1)) - 1)
-                        + (strpos('{_HEXD}', substr(hexstr, 2*i, 1)) - 1), 2)
-           ))), 4) AS rms
-    FROM assets
+           CASE WHEN fmt = 'unknown' THEN CAST(16000 AS INT) END AS sample_rate,
+           CASE WHEN fmt = 'unknown'
+                THEN CAST(octet_length(unhex(hexstr)) AS INT) END AS n_samples,
+           CASE WHEN fmt = 'unknown' THEN
+               ROUND(sqrt(list_avg(list_transform(
+                   range(1, octet_length(unhex(hexstr)) + 1),
+                   i -> pow(16 * (strpos('{_HEXD}', substr(hexstr, 2*i - 1, 1)) - 1)
+                            + (strpos('{_HEXD}', substr(hexstr, 2*i, 1)) - 1), 2)
+               ))), 4) END AS rms,
+           FALSE AS decoded,
+           fmt AS format
+    FROM d
     ORDER BY id
     """,
     doc="Audio feature extraction (mapInPandas): payload bytes as u8 "
-    "samples -> RMS; real path gated on soundfile. Oracle recomputes the "
-    "byte values from the hex domain.",
+    "samples -> RMS; real path gated on soundfile. Honest-failure "
+    "contract mirrors the image side: a recognized audio container "
+    "(wav/flac/ogg/mp3 magic) that cannot be decoded yields "
+    "decoded=false with NULL rate/samples/rms — never faked sample "
+    "counts. The oracle mirrors the magic-prefix table so payloads "
+    "that randomly carry a container magic grade against the honest "
+    "contract after any fixture regeneration.",
 )
 def audio_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     assets = _assets(spark, sf_dir, 200)

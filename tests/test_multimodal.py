@@ -140,6 +140,45 @@ def test_audio_features_rms_matches_bytes(assets):
     assert feats[7]["sample_rate"] == 16000
 
 
+def test_audio_magic_never_digest_faked(spark):
+    """A recognized-but-undecodable audio container must yield
+    decoded=False with NULL rate/samples/rms — not faked counts."""
+    from data_integration_pipelines_spark.operators.multimodal import (
+        detect_audio_format,
+    )
+
+    wav = b"RIFF\x00\x00\x00\x00WAVEgarbage body"
+    df = spark.createDataFrame([(1, bytearray(wav))], "id long, content binary")
+    r = extract_audio_features(df).first()
+    assert r["format"] == "wav" and r["decoded"] is False
+    assert r["sample_rate"] is None and r["n_samples"] is None and r["rms"] is None
+    assert detect_audio_format(b"fLaC....") == "flac"
+    assert detect_audio_format(b"OggS....") == "ogg"
+    assert detect_audio_format(b"ID3\x04...") == "mp3"
+    # the 2-byte MPEG sync is deliberately not sniffed (weak magic)
+    assert detect_audio_format(b"\xff\xfb\x90\x00") == "unknown"
+    assert detect_audio_format(b"RIFF\x00\x00\x00\x00AVI LIST") == "unknown"
+
+
+@pytest.mark.realdeps
+def test_soundfile_decodes_real_wav(spark):
+    """Wherever soundfile exists, a real WAV must decode for real."""
+    sf = pytest.importorskip("soundfile")
+    import io
+
+    import numpy as np
+
+    buf = io.BytesIO()
+    samples = np.sin(np.arange(800) * 0.05).astype("float32")
+    sf.write(buf, samples, 8000, format="WAV")
+    df = spark.createDataFrame(
+        [(1, bytearray(buf.getvalue()))], "id long, content binary"
+    )
+    r = extract_audio_features(df).first()
+    assert r["decoded"] is True and r["format"] == "wav"
+    assert (r["sample_rate"], r["n_samples"]) == (8000, 800)
+
+
 def test_frame_schema_strings():
     # schema constants stay parseable DDL (used directly by mapInPandas)
     from pyspark.sql.types import StructType
