@@ -101,11 +101,21 @@ def morphology_quality(
     existing_annotations: DataFrame | None = None,
     volume: np.ndarray | None = None,
     affine: np.ndarray | None = None,
+    declared_regions: DataFrame | None = None,
+    region_edges: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame | None]:
     """EP2: per-file quality metrics (+ optional soma-region voxel
     lookup), then classify the computed annotation rows against the
     existing ones (keep-latest + full-outer merge -> create/update/
     keep/deprecate) for the upsert sink.
+
+    With ``declared_regions`` (file, declared_region_id) AND
+    ``region_edges`` (child, parent hierarchy) alongside the volume,
+    the observed soma region is graded against the declared one via
+    the ancestor-closure FCA (ref region_comparison.py:286-331 —
+    same/ancestor/descendant/sibling/disjoint), appending
+    ``region_agreement`` and ``region_fca`` columns. The closure is
+    ontology-sized and broadcasts; the report side never reshuffles.
 
     Returns (report, merge_plan) — merge_plan is None when no existing
     annotations are supplied."""
@@ -116,6 +126,36 @@ def morphology_quality(
             "file", F.col("region_id").alias("soma_region_id")
         )
         report = report.join(regions, "file", "left")
+        if declared_regions is not None and region_edges is not None:
+            from .operators.closure import (
+                agreement_class,
+                first_common_ancestor,
+                transitive_closure,
+            )
+
+            pairs = (
+                report.select("file", "soma_region_id")
+                .join(declared_regions, "file")
+                .filter(
+                    F.col("soma_region_id").isNotNull()
+                    & F.col("declared_region_id").isNotNull()
+                )
+                .select(
+                    "file",
+                    F.col("soma_region_id").alias("observed"),
+                    F.col("declared_region_id").alias("declared"),
+                )
+            )
+            closure = transitive_closure(region_edges)
+            graded = first_common_ancestor(closure, pairs, "observed", "declared")
+            grades = graded.select(
+                "file",
+                F.col("fca").alias("region_fca"),
+                agreement_class(F.col("depth_a"), F.col("depth_b")).alias(
+                    "region_agreement"
+                ),
+            )
+            report = report.join(grades, "file", "left")
 
     if existing_annotations is None:
         return report, None

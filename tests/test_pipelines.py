@@ -117,6 +117,31 @@ class TestMorphologyQuality:
         assert row["n_points"] == 2
         assert row["soma_region_id"] == vol[0, 0, 0]
 
+    def test_region_agreement_grading(self, spark, points):
+        """EP2 step 4 end-to-end: observed soma region (voxel lookup)
+        graded against the declared region via the broadcast ancestor
+        closure (ref region_comparison.py:286-331)."""
+        vol = np.arange(4 * 4 * 4, dtype=np.int32).reshape(4, 4, 4)
+        observed = int(vol[0, 0, 0])  # soma at origin -> region 0
+        # hierarchy: observed region 0 is a child of 100
+        edges = spark.createDataFrame(
+            [(observed, 100), (7, 100)], "child int, parent int"
+        )
+        declared = spark.createDataFrame(
+            [Row(file="m1.swc", declared_region_id=100)]
+        )
+        report, _ = morphology_quality(
+            points,
+            volume=vol,
+            affine=make_affine((2, 2, 2), (0, 0, 0)),
+            declared_regions=declared,
+            region_edges=edges,
+        )
+        row = report.collect()[0]
+        # observed is a child of declared -> 'descendant', FCA = declared
+        assert row["region_agreement"] == "descendant"
+        assert row["region_fca"] == 100
+
     def test_merge_plan(self, spark, points):
         existing = spark.createDataFrame(
             [
