@@ -1,0 +1,125 @@
+"""Z-order (Morton) clustering for multi-column data skipping.
+
+At 100 TB a scan's cost is decided before the first task runs: by how
+many files/row-groups the parquet min/max statistics let the reader
+SKIP. Sorting by one column gives perfect skipping on that column and
+none on any other; interleaving the bits of two columns (the Morton
+curve) makes files contiguous in BOTH dimensions, so a predicate on
+either column — or a box on both — prunes most files from the listing
+alone. This is the layout trick behind Delta/Iceberg ``OPTIMIZE
+ZORDER BY``, built here from plain Column expressions:
+
+- rank-normalize each key to a bounded integer domain (``ntile`` over
+  a window — rank, not value, so skew and outliers cannot collapse
+  the curve),
+- interleave the bits JVM-side (shift/or expression tree, whole-stage
+  codegen — no UDF),
+- range-repartition + sort by the z-value, write parquet.
+
+The payoff is measurable without a cluster: every output file's
+footer carries min/max for both keys spanning only a small fraction
+of the global range (``zorder_stats``), where a single-column sort
+spans ~100% on the second key. Extends the reference's per-bucket
+layout (SURVEY §1.1) to multi-dimensional pruning.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def z_value(col_a: Column, col_b: Column, bits: int = 16) -> Column:
+    """Morton-interleave two non-negative ints already in [0, 2^bits):
+    bit i of ``col_a`` lands at position 2i, of ``col_b`` at 2i+1.
+    Pure shift/or Column tree — stays in whole-stage codegen."""
+    a = col_a.cast("long")
+    b = col_b.cast("long")
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        z = (
+            z.bitwiseOR(F.shiftleft(F.shiftright(a, i).bitwiseAND(F.lit(1)), 2 * i))
+            .bitwiseOR(F.shiftleft(F.shiftright(b, i).bitwiseAND(F.lit(1)), 2 * i + 1))
+        )
+    return z
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    col_a: str,
+    col_b: str,
+    n_files: int = 8,
+    bits: int = 10,
+) -> None:
+    """Write ``df`` as ``n_files`` parquet files clustered on the
+    Morton curve of (``col_a``, ``col_b``).
+
+    Keys are rank-normalized into [0, 2^bits) with ``ntile`` before
+    interleaving, so arbitrary numeric/temporal domains and skewed
+    distributions still spread evenly along the curve. One shuffle
+    (the range repartition); the z column is dropped before writing.
+
+    Scale note: ntile needs a total order per key — computed with a
+    single window over the key only (no partitioning), which is a
+    sort, not a collect; for petabyte inputs swap in approx quantile
+    bucketing (``F.ntile`` -> precomputed range bounds) with the same
+    downstream layout.
+    """
+    n_buckets = 1 << bits
+    wa = Window.orderBy(F.col(col_a))
+    wb = Window.orderBy(F.col(col_b))
+    with_z = (
+        df.withColumn("__ra", F.ntile(n_buckets).over(wa) - 1)
+        .withColumn("__rb", F.ntile(n_buckets).over(wb) - 1)
+        .withColumn("__z", z_value(F.col("__ra"), F.col("__rb"), bits))
+        .drop("__ra", "__rb")
+    )
+    (
+        with_z.repartitionByRange(n_files, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
+def zorder_stats(path: str, col_a: str, col_b: str) -> list[dict]:
+    """Per-file min/max coverage of both keys, straight from the
+    parquet footers (what a reader's pruning actually sees). Returns
+    one dict per data file with the fraction of the global range each
+    file spans per column — the skipping power of the layout."""
+    import pyarrow.parquet as pq
+    import pyarrow.dataset as ds
+
+    dataset = ds.dataset(path, format="parquet")
+    per_file = []
+    for frag in dataset.get_fragments():
+        md = pq.ParquetFile(frag.path).metadata
+        mins: dict = {}
+        maxs: dict = {}
+        for rg in range(md.num_row_groups):
+            g = md.row_group(rg)
+            for ci in range(g.num_columns):
+                c = g.column(ci)
+                name = c.path_in_schema
+                if name not in (col_a, col_b) or c.statistics is None:
+                    continue
+                st = c.statistics
+                mins[name] = min(mins.get(name, st.min), st.min)
+                maxs[name] = max(maxs.get(name, st.max), st.max)
+        per_file.append({"file": frag.path, "min": mins, "max": maxs})
+    # convert to global-range fractions
+    g_min = {c: min(f["min"][c] for f in per_file) for c in (col_a, col_b)}
+    g_max = {c: max(f["max"][c] for f in per_file) for c in (col_a, col_b)}
+    out = []
+    for f in per_file:
+        row = {"file": f["file"]}
+        for c in (col_a, col_b):
+            span = g_max[c] - g_min[c]
+            width = f["max"][c] - f["min"][c]
+            row[f"{c}_frac"] = (
+                float(width / span) if span else 0.0
+            )
+        out.append(row)
+    return out
