@@ -411,6 +411,45 @@ def cmd_export_shards(args) -> int:
     return 0
 
 
+def cmd_zorder(args) -> int:
+    """Rewrite a table Z-order-clustered on two keys (multi-dimensional
+    data skipping; sources/zorder.py) and print the per-file footer
+    coverage fractions the layout buys."""
+    from .catalog import load_table
+    from .sources.zorder import write_zordered, zorder_stats
+
+    spark = _session(args)
+    df = load_table(spark, args.sf_dir, args.table)
+    out = _out(args, f"zorder_{args.table}")
+    write_zordered(df, out, args.col_a, args.col_b, n_files=args.files)
+    stats = zorder_stats(out, args.col_a, args.col_b)
+    fracs = {
+        c: round(sum(r[f"{c}_frac"] for r in stats) / len(stats), 3)
+        for c in (args.col_a, args.col_b)
+    }
+    print(json.dumps({"files": len(stats), "mean_span_frac": fracs}))
+    return 0
+
+
+def cmd_split(args) -> int:
+    """Assign the deterministic train/val/test split and write one
+    parquet dataset per split (plans/queries_curation.split_assign)."""
+    from .catalog import load_table
+    from .plans.queries_curation import split_assign
+
+    spark = _session(args)
+    docs = load_table(spark, args.sf_dir, "documents")
+    labeled = docs.withColumn("split", split_assign(F.col("doc_id")))
+    out = _out(args, "splits")
+    labeled.write.mode("overwrite").partitionBy("split").parquet(out)
+    counts = {
+        r["split"]: r["n"]
+        for r in labeled.groupBy("split").agg(F.count("*").alias("n")).collect()
+    }
+    print(json.dumps({"out": out, "counts": counts}))
+    return 0
+
+
 def cmd_stream_windows(args) -> int:
     """Structured-Streaming front door: drain the events backlog with an
     availableNow trigger through the watermarked windowed-count
@@ -519,6 +558,22 @@ def build_parser() -> argparse.ArgumentParser:
     sp.set_defaults(fn=cmd_stream_windows)
 
     sp = sub.add_parser(
+        "zorder", help="rewrite a table Z-order-clustered on two keys"
+    )
+    sp.add_argument("table")
+    sp.add_argument("col_a")
+    sp.add_argument("col_b")
+    sp.add_argument("--files", type=int, default=16)
+    common(sp)
+    sp.set_defaults(fn=cmd_zorder)
+
+    sp = sub.add_parser(
+        "split", help="deterministic train/val/test split -> parquet per split"
+    )
+    common(sp)
+    sp.set_defaults(fn=cmd_split)
+
+    sp = sub.add_parser(
         "annotate", help="EP2 write-back: upsert metrics into a versioned store"
     )
     sp.add_argument("--store", required=True, help="annotation store directory")
@@ -538,6 +593,8 @@ def main(argv: list[str] | None = None) -> int:
         "stream-windows",
         "curate",
         "export-shards",
+        "zorder",
+        "split",
     )
     if needs_out and not args.output_dir:
         args.output_dir = "out"

@@ -224,6 +224,31 @@ class TestCLI:
             assert {r.s for r in check.collect()} == {int(sid)}
         assert total == 500
 
+    def test_zorder(self, spark, tmp_path):
+        out = _run(tmp_path, "zorder", "events", "event_id", "user_id",
+                   "--files", "8")
+        zdir = os.path.join(out, "zorder_events")
+        df = spark.read.parquet(zdir)
+        assert df.count() == spark.read.parquet(
+            "/root/testdata/sf0.001/events.parquet"
+        ).count()
+        from data_integration_pipelines_spark.sources.zorder import zorder_stats
+
+        stats = zorder_stats(zdir, "event_id", "user_id")
+        # per-file spans are bounded ON AVERAGE (a curve segment that
+        # straddles a quadrant boundary can span one full dimension)
+        for c in ("event_id_frac", "user_id_frac"):
+            assert sum(r[c] for r in stats) / len(stats) < 0.7, c
+
+    def test_split(self, spark, tmp_path):
+        out = _run(tmp_path, "split")
+        sdir = os.path.join(out, "splits")
+        df = spark.read.parquet(sdir)
+        assert df.count() == 500
+        assert set(r.split for r in df.select("split").distinct().collect()) == {
+            "train", "val", "test",
+        }
+
     def test_profile(self, spark, tmp_path):
         out = _run(tmp_path, "profile", "lineitem")
         rows = {r["col"]: r for r in _csv_rows(os.path.join(out, "profile_lineitem.csv"))}
