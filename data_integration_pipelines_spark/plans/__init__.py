@@ -10,6 +10,7 @@ from . import queries_domain  # noqa: E402,F401
 from . import queries_text  # noqa: E402,F401
 from . import queries_curation  # noqa: E402,F401
 from . import queries_vector  # noqa: E402,F401
+from . import queries_clustering  # noqa: E402,F401
 from . import queries_morphology  # noqa: E402,F401
 from . import queries_multimodal  # noqa: E402,F401
 from . import queries_joins  # noqa: E402,F401
@@ -41,6 +42,9 @@ _RISK_ORDER = [
     "disjunctive_brand_revenue",
     "waiting_orders_suppliers",
     "train_val_test_split",
+    "kmeans_clusters",
+    "semdedup_pairs",
+    "semdedup_survivors",
     # -- never driver-sampled in rounds 1-3 (judge-verified only) --
     "image_resize",
     "audio_features",

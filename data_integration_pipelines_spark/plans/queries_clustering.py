@@ -1,0 +1,199 @@
+"""Clustering queries over the ``embeddings`` table: distributed
+fixed-point k-means and the SemDeDup cluster-then-dedup flow built on
+its final assignment (operators/clustering.py).
+
+The oracle unrolls Lloyd's iterations as CTE chains — every centroid
+update and every distance is exact integer / single-IEEE-op
+arithmetic, so the unrolled SQL reproduces the Spark fixed point
+bit-for-bit (no FP summation order anywhere; cf. the module docstring
+in operators/clustering.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..operators.clustering import (
+    Q_SCALE,
+    C_SCALE,
+    kmeans_fit,
+    semdedup_pairs,
+    semdedup_survivors,
+)
+from .base import register
+
+_K = 8
+_ITERS = 3
+_SEMDEDUP_THRESHOLD = 0.35  # same bar as the LSH near-dup family
+
+
+def _kmeans_ctes(k: int = _K, iters: int = _ITERS) -> str:
+    """Unrolled Lloyd's as SQL CTEs: c0 (data-point init), then per
+    iteration (assign d{i}/a{i}, update c{i+1}), then the final
+    assignment a{iters} from the final centroids."""
+    parts = [
+        f"""
+    qlong AS (
+        SELECT vec_id AS id, generate_subscripts(embedding, 1) AS pos,
+               CAST(ROUND(CAST(unnest(embedding) AS DOUBLE) * {Q_SCALE})
+                    AS BIGINT) AS qv
+        FROM embeddings
+    ),
+    c0 AS (
+        SELECT id AS cid, pos, qv * {C_SCALE} AS cq FROM qlong
+        WHERE id IN (SELECT DISTINCT vec_id FROM embeddings
+                     ORDER BY vec_id LIMIT {k})
+    )"""
+    ]
+    for i in range(iters + 1):
+        parts.append(
+            f"""
+    d{i} AS (
+        SELECT q.id, c.cid,
+               SUM((q.qv * {C_SCALE} - c.cq) * (q.qv * {C_SCALE} - c.cq)) AS dist
+        FROM qlong q JOIN c{i} c ON q.pos = c.pos
+        GROUP BY 1, 2
+    ),
+    a{i} AS (
+        SELECT id, cid, dist FROM (
+            SELECT id, cid, dist,
+                   ROW_NUMBER() OVER (PARTITION BY id
+                                      ORDER BY dist, cid) AS rn
+            FROM d{i})
+        WHERE rn = 1
+    )"""
+        )
+        if i < iters:
+            parts.append(
+                f"""
+    c{i + 1} AS (
+        SELECT a.cid, q.pos,
+               CAST(ROUND(CAST(SUM(q.qv) AS DOUBLE) * {C_SCALE} / COUNT(*))
+                    AS BIGINT) AS cq
+        FROM a{i} a JOIN qlong q ON a.id = q.id
+        GROUP BY 1, 2
+    )"""
+            )
+    return ",".join(parts)
+
+
+_FINAL = f"a{_ITERS}"
+
+_SEMDEDUP_CTES = f"""
+    qn AS (
+        SELECT id, SQRT(CAST(SUM(qv * qv) AS DOUBLE)) AS nrm
+        FROM qlong GROUP BY id
+    ),
+    cand AS (
+        SELECT x.cid AS cluster, x.id AS id_a, y.id AS id_b
+        FROM {_FINAL} x JOIN {_FINAL} y ON x.cid = y.cid AND x.id < y.id
+    ),
+    dots AS (
+        SELECT p.cluster, p.id_a, p.id_b, SUM(qa.qv * qb.qv) AS dq
+        FROM cand p
+        JOIN qlong qa ON qa.id = p.id_a
+        JOIN qlong qb ON qb.id = p.id_b AND qb.pos = qa.pos
+        GROUP BY 1, 2, 3
+    ),
+    sim AS (
+        SELECT d.cluster, d.id_a, d.id_b,
+               CAST(d.dq AS DOUBLE) / (na.nrm * nb.nrm) AS cos_raw
+        FROM dots d
+        JOIN qn na ON na.id = d.id_a
+        JOIN qn nb ON nb.id = d.id_b
+        WHERE CAST(d.dq AS DOUBLE) / (na.nrm * nb.nrm)
+              >= {_SEMDEDUP_THRESHOLD}
+    )"""
+
+
+@register(
+    "kmeans_clusters",
+    f"WITH {_kmeans_ctes()}"
+    + f"""
+    SELECT cid AS cluster, CAST(COUNT(*) AS BIGINT) AS n_members,
+           CAST(SUM(dist) AS BIGINT) AS inertia_scaled
+    FROM {_FINAL}
+    GROUP BY cid
+    ORDER BY cluster
+    """,
+    doc="Distributed Lloyd's k-means (k=8, 3 iterations, deterministic "
+    "data-point init): assignment is a map-only codegen expression over "
+    "driver-inlined centroid literals (no join/shuffle — the textbook "
+    "broadcast-centroids shape that scales to any executor count), the "
+    "update is one partial-agg'd (cluster, pos) shuffle returning "
+    "exactly k*D rows. All arithmetic is exact-integer fixed point "
+    "(components quantized at 1e4, centroids at 1e6), so the unrolled "
+    "CTE oracle reaches the identical fixed point — assignments, member "
+    "counts and the scaled inertia hash-match bit-for-bit. "
+    "Extends SURVEY §2's aggregation family with the iterative-ML shape "
+    "the reference lacks.",
+    headline=True,
+)
+def kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    assigned, _ = kmeans_fit(emb, k=_K, iters=_ITERS)
+    return (
+        assigned.groupBy("cluster")
+        .agg(
+            F.count("*").alias("n_members"),
+            F.sum("dist").alias("inertia_scaled"),
+        )
+        .orderBy("cluster")
+    )
+
+
+@register(
+    "semdedup_pairs",
+    f"WITH {_kmeans_ctes()}, {_SEMDEDUP_CTES}"
+    + """
+    SELECT cluster, id_a, id_b, ROUND(cos_raw, 4) AS cosine
+    FROM sim
+    ORDER BY cluster, id_a, id_b
+    """,
+    doc="SemDeDup candidate pairs (Abbas et al. 2023): k-means the "
+    "corpus, then exact-cosine near-dup pairs WITHIN clusters only — "
+    "the equi-self-join on the cluster id makes candidates "
+    "~N*cluster_size instead of N^2; at 100 TB k grows with N to hold "
+    "cluster sizes bounded. Cosine over the quantized vectors: integer "
+    "dot, one sqrt per norm — bit-identical across engines, so the "
+    "threshold compare cannot flip.",
+)
+def semdedup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    assigned, _ = kmeans_fit(emb, k=_K, iters=_ITERS)
+    return semdedup_pairs(assigned, _SEMDEDUP_THRESHOLD).orderBy(
+        "cluster", "id_a", "id_b"
+    )
+
+
+@register(
+    "semdedup_survivors",
+    f"WITH {_kmeans_ctes()}, {_SEMDEDUP_CTES},"
+    + f"""
+    removed AS (
+        SELECT DISTINCT cluster, id_b AS id FROM sim
+    )
+    SELECT a.cid AS cluster, CAST(COUNT(*) AS BIGINT) AS n_members,
+           CAST(COUNT(r.id) AS BIGINT) AS n_removed,
+           CAST(COUNT(*) - COUNT(r.id) AS BIGINT) AS n_kept
+    FROM {_FINAL} a
+    LEFT JOIN removed r ON r.cluster = a.cid AND r.id = a.id
+    GROUP BY 1
+    ORDER BY 1
+    """,
+    doc="SemDeDup keep-one policy: a vector is removed iff a smaller-id "
+    "clustermate clears the similarity bar (deterministic analogue of "
+    "keep-one-per-duplicate-group). Per-cluster members/removed/kept "
+    "funnel — the numbers a curation run reports before dropping the "
+    "duplicates.",
+)
+def semdedup_survivors_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    assigned, _ = kmeans_fit(emb, k=_K, iters=_ITERS)
+    return (
+        semdedup_survivors(assigned, _SEMDEDUP_THRESHOLD)
+        .select("cluster", "n_members", "n_removed", "n_kept")
+        .orderBy("cluster")
+    )

@@ -1,0 +1,82 @@
+"""Unit/property tests for the distributed k-means + SemDeDup layer
+(operators/clustering.py). The cross-engine value checks live in
+test_queries_oracle; these pin the operator-level contracts:
+determinism under partitioning, tie-break order, the removal policy,
+and the bounded-collect guard."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from data_integration_pipelines_spark.catalog import load_table
+from data_integration_pipelines_spark.operators.clustering import (
+    assign_clusters,
+    kmeans_fit,
+    quantize_vec,
+    semdedup_pairs,
+    semdedup_survivors,
+)
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark, sf_small):
+    return load_table(spark, sf_small, "embeddings")
+
+
+def _assignment(df, **kw):
+    assigned, cents = kmeans_fit(df, **kw)
+    rows = {r["id"]: r["cluster"] for r in assigned.select("id", "cluster").collect()}
+    return rows, cents
+
+
+def test_kmeans_partitioning_invariant(embeddings):
+    # the fixed point must be a pure function of the DATA — row order,
+    # partition count and layout must not leak into assignments
+    a1, c1 = _assignment(embeddings.repartition(7), k=4, iters=2)
+    a2, c2 = _assignment(embeddings.repartition(3, "label"), k=4, iters=2)
+    assert a1 == a2
+    assert c1 == c2
+
+
+def test_kmeans_inertia_improves_on_fixture(embeddings):
+    one, _ = kmeans_fit(embeddings, k=4, iters=1)
+    three, _ = kmeans_fit(embeddings, k=4, iters=3)
+    i1 = one.agg(F.sum("dist")).first()[0]
+    i3 = three.agg(F.sum("dist")).first()[0]
+    assert i3 <= i1
+
+
+def test_assign_tie_breaks_to_lowest_cid(spark):
+    # a point exactly between two centroids must take the lower cid —
+    # the oracle's ROW_NUMBER (ORDER BY dist, cid) order
+    qdf = spark.createDataFrame([Row(id=0, qvec=[0, 0])])
+    cents = [(10, [-500, 0]), (20, [500, 0])]
+    out = assign_clusters(qdf, cents).collect()[0]
+    assert out["cluster"] == 10
+    assert out["dist"] == 500 * 500
+
+
+def test_quantize_vec_rounds_half_away(spark):
+    df = spark.createDataFrame([Row(v=[0.00005, -0.00005, 0.12344])])
+    got = df.select(quantize_vec(F.col("v")).alias("q")).first()["q"]
+    # 0.00005*1e4 = 0.5 -> 1 away from zero; -0.5 -> -1
+    assert got == [1, -1, 1234]
+
+
+def test_semdedup_survivor_accounting(embeddings):
+    assigned, _ = kmeans_fit(embeddings, k=4, iters=2)
+    surv = semdedup_survivors(assigned, 0.35).collect()
+    assert all(r["n_removed"] + r["n_kept"] == r["n_members"] for r in surv)
+    # every removed id must have a smaller similar clustermate; every
+    # pair's id_b must be removed
+    pairs = semdedup_pairs(assigned, 0.35).collect()
+    removed_expected = {(r["cluster"], r["id_b"]) for r in pairs}
+    n_removed = sum(r["n_removed"] for r in surv)
+    assert n_removed == len({key for key in removed_expected})
+
+
+def test_kmeans_centroid_cell_guard(embeddings):
+    with pytest.raises(ValueError, match="centroid cells"):
+        kmeans_fit(embeddings, k=100_000, iters=1)

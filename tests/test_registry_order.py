@@ -37,6 +37,9 @@ _NEVER_DRIVER_VERIFIED = {
     "disjunctive_brand_revenue",
     "waiting_orders_suppliers",
     "train_val_test_split",
+    "kmeans_clusters",
+    "semdedup_pairs",
+    "semdedup_survivors",
     "incremental_join_retract",
     "jwt_decode",
     "knn_classify",
