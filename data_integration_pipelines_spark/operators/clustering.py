@@ -44,6 +44,8 @@ import math
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from .cache import bounded_persist
+
 #: scale for quantizing embedding components to integers
 Q_SCALE = 10_000
 #: extra fixed-point scale for centroid components (centroids carry
@@ -70,17 +72,6 @@ def _round_half_away(x: float) -> int:
     return int(math.floor(x + 0.5)) if x >= 0 else int(math.ceil(x - 0.5))
 
 
-def _dist_expr(qcol: Column, centroid: list[int]) -> Column:
-    """Exact squared L2 between a quantized vector (scale Q) and a
-    centroid literal (scale Q*C): fold of (qv*C - cq)^2 as longs.
-    Stays inside whole-stage codegen — no UDF, no join."""
-    cq = F.array(*[F.lit(int(v)).cast("long") for v in centroid])
-    sq = F.zip_with(
-        qcol, cq, lambda x, y: (x * F.lit(C_SCALE) - y) * (x * F.lit(C_SCALE) - y)
-    )
-    return F.aggregate(sq, F.lit(0).cast("long"), lambda acc, v: acc + v)
-
-
 def assign_clusters(
     qdf: DataFrame, centroids: list[tuple[int, list[int]]], qvec_col: str = "qvec"
 ) -> DataFrame:
@@ -88,13 +79,37 @@ def assign_clusters(
     is a cid-ascending list of (cid, components); ties on exact integer
     distance break to the LOWEST cid (``array_position`` returns the
     first index of the min), mirroring the oracle's
-    ``ROW_NUMBER() OVER (ORDER BY dist, cid)``."""
-    dists = F.array(*[_dist_expr(F.col(qvec_col), c) for _, c in centroids])
-    cids = F.array(*[F.lit(int(cid)).cast("long") for cid, _ in centroids])
-    idx = F.array_position(dists, F.array_min(dists))
-    return qdf.withColumn("cluster", F.element_at(cids, idx.cast("int"))).withColumn(
-        "dist", F.array_min(dists)
+    ``ROW_NUMBER() OVER (ORDER BY dist, cid)``.
+
+    The k distances come from ONE ``transform`` lambda over a nested
+    array<array<long>> centroid literal — a single compiled loop body
+    instead of k unrolled folds, so the generated code (and its JIT
+    cost, re-paid every iteration because the literals change) is
+    O(k*D) data but O(D) code. The literal itself is built as one SQL
+    string (one parser call) — k*D individual ``F.lit`` columns cost
+    ~1s of driver round-trips per iteration before any job runs."""
+    cents_sql = ",".join(
+        "array(" + ",".join(str(int(v)) for v in c) + ")" for _, c in centroids
     )
+    cents = F.expr(f"CAST(array({cents_sql}) AS ARRAY<ARRAY<BIGINT>>)")
+    cids_sql = ",".join(str(int(cid)) for cid, _ in centroids)
+    cids = F.expr(f"CAST(array({cids_sql}) AS ARRAY<BIGINT>)")
+
+    def dist_to(c: Column) -> Column:
+        sq = F.zip_with(
+            F.col(qvec_col),
+            c,
+            lambda x, y: (x * F.lit(C_SCALE) - y) * (x * F.lit(C_SCALE) - y),
+        )
+        return F.aggregate(sq, F.lit(0).cast("long"), lambda acc, v: acc + v)
+
+    with_d = qdf.withColumn("_dists", F.transform(cents, dist_to))
+    idx = F.array_position(F.col("_dists"), F.array_min("_dists")).cast("int")
+    return with_d.select(
+        "*",
+        F.element_at(cids, idx).alias("cluster"),
+        F.array_min("_dists").alias("dist"),
+    ).drop("_dists")
 
 
 def kmeans_fit(
@@ -116,46 +131,54 @@ def kmeans_fit(
     SQL); with data-point init and small k this does not occur on the
     fixtures, and at scale empty clusters are a signal k is too large.
     """
-    dim = len(df.select(vec_col).first()[0])
+    qdf = bounded_persist(
+        df.select(
+            F.col(id_col).alias("id"), quantize_vec(F.col(vec_col)).alias("qvec")
+        )
+    )
+    # deterministic init: the k smallest ids, centroid scale = Q*C.
+    # ONE bounded job (TakeOrderedAndProject): the global sort scans
+    # everything, so it doubles as the cache-materialization pass and
+    # dim falls out of the seed rows for free.
+    seed_rows = qdf.orderBy("id").limit(k).collect()
+    if not seed_rows:
+        raise ValueError("kmeans_fit on an empty DataFrame")
+    dim = len(seed_rows[0]["qvec"])
     if k * dim > MAX_CENTROID_CELLS:
         raise ValueError(
             f"k*D = {k * dim} centroid cells exceeds {MAX_CENTROID_CELLS}; "
             "the per-iteration driver collect must stay trivial — shrink k "
             "or switch the update step to a checkpointed centroid table"
         )
-    qdf = df.select(
-        F.col(id_col).alias("id"), quantize_vec(F.col(vec_col)).alias("qvec")
-    )
-    # deterministic init: the k smallest ids, centroid scale = Q*C
-    seed_rows = qdf.orderBy("id").limit(k).collect()
     centroids = [
         (int(r["id"]), [int(v) * C_SCALE for v in r["qvec"]]) for r in seed_rows
     ]
 
-    qdf = qdf.persist()
-    try:
-        for _ in range(iters):
-            assigned = assign_clusters(qdf, centroids)
-            # ONE shuffle: partial-agg'd SUM/COUNT per (cluster, pos);
-            # k*D rows back to the driver (bounded by the guard above)
-            sums = (
-                assigned.select("cluster", F.posexplode("qvec").alias("pos", "qv"))
-                .groupBy("cluster", "pos")
-                .agg(F.sum("qv").alias("s"), F.count("*").alias("n"))
-                .collect()
+    for _ in range(iters):
+        assigned = assign_clusters(qdf, centroids)
+        # ONE shuffle: partial-agg'd SUM/COUNT per (cluster, pos);
+        # k*D rows back to the driver (bounded by the guard above)
+        sums = (
+            assigned.select("cluster", F.posexplode("qvec").alias("pos", "qv"))
+            .groupBy("cluster", "pos")
+            .agg(F.sum("qv").alias("s"), F.count("*").alias("n"))
+            .collect()
+        )
+        by_cid: dict[int, list[int]] = {}
+        for r in sums:
+            comp = by_cid.setdefault(int(r["cluster"]), [0] * dim)
+            # exact ints in, one IEEE division, half-away round —
+            # bit-identical to the oracle's CAST(ROUND(...) AS BIGINT)
+            comp[int(r["pos"])] = _round_half_away(
+                float(r["s"]) * C_SCALE / int(r["n"])
             )
-            by_cid: dict[int, list[int]] = {}
-            for r in sums:
-                comp = by_cid.setdefault(int(r["cluster"]), [0] * dim)
-                # exact ints in, one IEEE division, half-away round —
-                # bit-identical to the oracle's CAST(ROUND(...) AS BIGINT)
-                comp[int(r["pos"])] = _round_half_away(
-                    float(r["s"]) * C_SCALE / int(r["n"])
-                )
-            centroids = sorted(by_cid.items())
-        return assign_clusters(qdf, centroids), centroids
-    finally:
-        qdf.unpersist()
+        centroids = sorted(by_cid.items())
+    # the returned plan still reads qdf — the pooled cache serves the
+    # caller's job(s) and is evicted FIFO by later operators
+    return assign_clusters(qdf, centroids), centroids
+
+
+_PAIR_SCHEMA = "cluster bigint, id_a bigint, id_b bigint, cosine double"
 
 
 def semdedup_pairs(
@@ -164,44 +187,52 @@ def semdedup_pairs(
     qvec_col: str = "qvec",
 ) -> DataFrame:
     """Within-cluster cosine near-duplicate pairs over the quantized
-    vectors: equi-self-join on the cluster id (candidates are
-    ~N*cluster_size, never N^2), exact integer dot product, norms via
-    one correctly-rounded sqrt each — the cosine is bit-identical
-    across engines, so the threshold compare cannot flip. Returns
-    (cluster, id_a, id_b, cosine-rounded-4)."""
-    dot_q = F.aggregate(
-        F.zip_with("qa", "qb", lambda x, y: x * y),
-        F.lit(0).cast("long"),
-        lambda acc, v: acc + v,
-    )
-    norm = F.sqrt(
-        F.aggregate(
-            F.transform(F.col(qvec_col), lambda x: x * x),
-            F.lit(0).cast("long"),
-            lambda acc, v: acc + v,
-        ).cast("double")
-    )
-    sides = assigned.select("cluster", "id", F.col(qvec_col).alias("v"), norm.alias("nrm"))
-    a = sides.select(
-        "cluster",
-        F.col("id").alias("id_a"),
-        F.col("v").alias("qa"),
-        F.col("nrm").alias("na"),
-    )
-    b = sides.select(
-        "cluster",
-        F.col("id").alias("id_b"),
-        F.col("v").alias("qb"),
-        F.col("nrm").alias("nb"),
-    )
-    return (
-        a.join(b, "cluster")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("cosine_raw", dot_q.cast("double") / (F.col("na") * F.col("nb")))
-        .filter(F.col("cosine_raw") >= F.lit(threshold))
-        .select(
-            "cluster", "id_a", "id_b", F.round("cosine_raw", 4).alias("cosine")
+    vectors: ONE shuffle groups each cluster onto an executor, then a
+    vectorized numpy gram matrix scores all intra-cluster pairs (the
+    SemDeDup paper's kernel — candidates are ~N*cluster_size, never
+    N^2; at 100 TB k grows with N so each group stays matmul-sized).
+
+    Engine-exact despite numpy: quantized components are integers, so
+    every product (<= 4e7) and every partial sum (<= 3e9) is an
+    integer far below 2^53 — dgemm order and FMA cannot perturb an
+    exact integer result. Norms are one IEEE sqrt each, the cosine one
+    multiply + one divide — bit-identical to the SQL engines, so the
+    threshold compare cannot flip. Returns
+    (cluster, id_a, id_b, cosine-rounded-4).
+
+    A JVM-only formulation (zip_with/aggregate folds per pair) gives
+    the same bits but ~3x the time at fixture scale: higher-order
+    array functions are interpreted per pair, while this kernel is one
+    BLAS call per cluster."""
+    import numpy as np
+    import pandas as pd
+
+    def pairs_of(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        ids = pdf["id"].to_numpy()
+        order = np.argsort(ids)
+        ids = ids[order]
+        X = np.array(pdf[qvec_col].tolist(), dtype=np.float64)[order]
+        gram = X @ X.T  # exact: integer-valued entries < 2^53
+        nrm = np.sqrt((X * X).sum(axis=1))
+        cos = gram / np.outer(nrm, nrm)
+        iu, ju = np.triu_indices(len(ids), k=1)
+        vals = cos[iu, ju]
+        m = vals >= threshold
+        from .similarity import _round_half_up
+
+        return pd.DataFrame(
+            {
+                "cluster": np.full(int(m.sum()), int(pdf["cluster"].iloc[0])),
+                "id_a": ids[iu[m]],
+                "id_b": ids[ju[m]],
+                "cosine": _round_half_up(vals[m], 4),
+            }
         )
+
+    return (
+        assigned.select("cluster", "id", qvec_col)
+        .groupBy("cluster")
+        .applyInPandas(pairs_of, _PAIR_SCHEMA)
     )
 
 

@@ -73,6 +73,8 @@ def test_python_stages_only_where_declared(plans):
         "audio_features",
         "voxel_region_lookup",
         "voxel_region_histogram",
+        "semdedup_pairs",  # per-cluster gram-matrix kernel (BLAS per group)
+        "semdedup_survivors",  # builds on the same pair kernel
     }
     pythonic = {
         n
