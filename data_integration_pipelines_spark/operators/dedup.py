@@ -188,6 +188,81 @@ def jaccard_pairs(
     )
 
 
+def cross_jaccard_pairs(
+    left: DataFrame,
+    right: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    threshold: float = 0.8,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """(new_id, old_id, jaccard) for LEFT x RIGHT pairs with n-gram
+    Jaccard >= threshold — the asymmetric (delta-ingest) variant of
+    ``jaccard_pairs``: same lossless Bayardo prefix filter and Vernica
+    inline verify, but candidates only pair ACROSS the two sets, so a
+    daily ingest batch joins against the standing corpus without ever
+    re-pairing the corpus with itself. At 100 TB this is the shape that
+    makes continuous dedup affordable: the prefix-exploded batch side
+    is ingest-sized, the corpus side is a staged shingle table, and the
+    join output scales with true cross matches, not corpus size.
+
+    ``max_doc_freq`` df-caps prefix shingles by their document
+    frequency across BOTH sets (same stop-shingle escape hatch and the
+    same lossiness caveat as ``jaccard_pairs``)."""
+
+    def shingled(df: DataFrame, out_id: str) -> DataFrame:
+        hashed = F.array_sort(
+            F.array_distinct(
+                F.transform(
+                    word_shingles(ws_tokens(F.col(text_col)), n),
+                    lambda s: F.xxhash64(s),
+                )
+            )
+        )
+        return bounded_persist(
+            spread(df).select(F.col(id_col).alias(out_id), hashed.alias("sh"))
+        )
+
+    sz = F.size("sh")
+    plen = (sz - F.ceil(sz * threshold - 1e-9) + 1).cast("int")
+
+    lbase = shingled(left, "new_id")
+    rbase = shingled(right, "old_id")
+    lp = lbase.select(
+        "new_id",
+        F.col("sh").alias("sh_a"),
+        F.explode(F.slice("sh", F.lit(1), plen)).alias("shingle"),
+    )
+    rp = rbase.select(
+        "old_id",
+        F.col("sh").alias("sh_b"),
+        F.explode(F.slice("sh", F.lit(1), plen)).alias("shingle"),
+    )
+    if max_doc_freq is not None:
+        all_sh = lbase.select(F.explode("sh").alias("shingle")).unionAll(
+            rbase.select(F.explode("sh").alias("shingle"))
+        )
+        rare = (
+            all_sh.groupBy("shingle")
+            .agg(F.count("*").alias("df"))
+            .filter(F.col("df") <= max_doc_freq)
+            .select("shingle")
+        )
+        lp = lp.join(rare, "shingle")
+        rp = rp.join(rare, "shingle")
+    n_common = F.size(F.array_intersect("sh_a", "sh_b"))
+    return (
+        lp.join(rp, "shingle")
+        .withColumn(
+            "jaccard", n_common / (F.size("sh_a") + F.size("sh_b") - n_common)
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("new_id", "old_id", "jaccard")
+        .distinct()
+    )
+
+
 def minhash_bands(
     df: DataFrame,
     text_col: str,

@@ -45,6 +45,7 @@ _RISK_ORDER = [
     "kmeans_clusters",
     "semdedup_pairs",
     "semdedup_survivors",
+    "incremental_ingest_dedup",
     # -- never driver-sampled in rounds 1-3 (judge-verified only) --
     "image_resize",
     "audio_features",

@@ -641,3 +641,57 @@ class TestSplitAssign:
 
         ok, msg = compare_query(spark, REGISTRY["train_val_test_split"], sf_small)
         assert ok, msg
+
+
+class TestCrossJaccardAndIngest:
+    def test_cross_pairs_match_symmetric_restriction(self, spark, sf_small):
+        # the asymmetric join restricted to (new, old) must equal the
+        # full self-join's pairs that straddle the split
+        from data_integration_pipelines_spark.operators.dedup import (
+            cross_jaccard_pairs,
+            jaccard_pairs,
+        )
+
+        docs = load_table(spark, sf_small, "documents")
+        newd = docs.filter(F.col("doc_id") % 10 >= 8)
+        oldd = docs.filter(F.col("doc_id") % 10 < 8)
+        cross = {
+            (r.new_id, r.old_id, round(r.jaccard, 6))
+            for r in cross_jaccard_pairs(
+                newd, oldd, "text", "doc_id", n=3, threshold=0.5
+            ).collect()
+        }
+        full = jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.5).collect()
+        expected = set()
+        for r in full:
+            a, b = r.id_a, r.id_b
+            for x, y in ((a, b), (b, a)):
+                if x % 10 >= 8 and y % 10 < 8:
+                    expected.add((x, y, round(r.jaccard, 6)))
+        assert cross == expected
+
+    def test_exact_tier_beats_near_tier(self, spark):
+        # constructed rows: 9 duplicates 2 byte-for-byte (exact_dup even
+        # though jaccard=1.0 also fires); 19 is a near-dup of 3; 29 novel
+        from data_integration_pipelines_spark.plans import REGISTRY
+        import tempfile, os
+
+        base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+        rows = [
+            (2, base, "en", "srcA", len(base)),
+            (3, base + " extra tail words here", "en", "srcA", 1),
+            (9, base, "en", "srcA", len(base)),
+            (19, base + " extra tail words", "en", "srcA", 1),
+            (29, "totally different content with no overlap at all", "en", "srcA", 1),
+        ]
+        with tempfile.TemporaryDirectory() as d:
+            spark.createDataFrame(
+                rows, "doc_id long, text string, lang string, source string, n_chars long"
+            ).coalesce(1).write.parquet(os.path.join(d, "documents.parquet"))
+            out = {
+                r.doc_id: r
+                for r in REGISTRY["incremental_ingest_dedup"].fn(spark, d).collect()
+            }
+        assert out[9].verdict == "exact_dup" and out[9].exact_match_id == 2
+        assert out[19].verdict == "near_dup" and out[19].n_near_dups >= 1
+        assert out[29].verdict == "novel" and out[29].best_jaccard is None

@@ -40,6 +40,7 @@ _NEVER_DRIVER_VERIFIED = {
     "kmeans_clusters",
     "semdedup_pairs",
     "semdedup_survivors",
+    "incremental_ingest_dedup",
     "incremental_join_retract",
     "jwt_decode",
     "knn_classify",
