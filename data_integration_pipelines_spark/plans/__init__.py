@@ -46,6 +46,7 @@ _RISK_ORDER = [
     "semdedup_pairs",
     "semdedup_survivors",
     "incremental_ingest_dedup",
+    "cms_token_freq",
     # -- never driver-sampled in rounds 1-3 (judge-verified only) --
     "image_resize",
     "audio_features",

@@ -692,3 +692,74 @@ def duplicated_span_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_shared") > 0)
         .orderBy("doc_id")
     )
+
+
+@register(
+    "cms_token_freq",
+    r"""
+    WITH toks AS (
+        SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+        FROM documents
+    ),
+    tc AS (
+        SELECT tok, CAST(COUNT(*) AS BIGINT) AS true_cnt FROM toks GROUP BY tok
+    ),
+    probes AS (SELECT * FROM tc ORDER BY true_cnt DESC, tok LIMIT 30),
+    cells AS (
+        SELECT r.d,
+               CAST(('0x' || substr(md5(r.d || ':' || tok), 1, 8)) AS BIGINT)
+                   % 64 AS bucket,
+               COUNT(*) AS cnt
+        FROM toks, LATERAL (SELECT unnest(range(0, 3)) AS d) r
+        GROUP BY 1, 2
+    ),
+    pe AS (
+        SELECT p.tok, r.d,
+               CAST(('0x' || substr(md5(r.d || ':' || p.tok), 1, 8)) AS BIGINT)
+                   % 64 AS bucket
+        FROM probes p, LATERAL (SELECT unnest(range(0, 3)) AS d) r
+    ),
+    est AS (
+        SELECT pe.tok, MIN(COALESCE(c.cnt, 0)) AS e
+        FROM pe LEFT JOIN cells c ON c.d = pe.d AND c.bucket = pe.bucket
+        GROUP BY 1
+    )
+    SELECT p.tok AS token, p.true_cnt,
+           CAST(e.e AS BIGINT) AS cms_est,
+           CAST(e.e - p.true_cnt AS BIGINT) AS overshoot
+    FROM probes p JOIN est e ON e.tok = p.tok
+    ORDER BY p.true_cnt DESC, p.tok
+    """,
+    doc="Count-min sketch frequency estimation (operators/sketches.py): "
+    "the corpus token stream compresses to a 3x64 counter grid — ONE "
+    "grid-sized shuffle to build, cell-wise mergeable across shards "
+    "(the same mergeable-partials contract as the HLL distinct sketch) "
+    "— then the 30 most frequent tokens probe it via a broadcast join. "
+    "The oracle rebuilds the identical grid in the shared md5 hash "
+    "domain and certifies the one-sided guarantee: cms_est >= true_cnt "
+    "for every probe, with visible overshoot where the 64-bucket rows "
+    "force collisions (width deliberately undersized for the fixture "
+    "vocabulary so the error path is non-vacuous).",
+)
+def cms_token_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.cache import bounded_persist
+    from ..operators.sketches import cms_build, cms_estimate
+
+    docs = _docs(spark, sf_dir)
+    toks = bounded_persist(
+        docs.select(F.explode(ws_tokens(F.col("text"))).alias("tok"))
+    )
+    true_cnt = toks.groupBy("tok").agg(F.count("*").alias("true_cnt"))
+    probes = true_cnt.orderBy(F.desc("true_cnt"), "tok").limit(30)
+    grid = cms_build(toks, "tok", width=64, depth=3)
+    est = cms_estimate(grid, probes.select("tok"), "tok", width=64, depth=3)
+    return (
+        probes.join(est, "tok")
+        .select(
+            F.col("tok").alias("token"),
+            "true_cnt",
+            "cms_est",
+            (F.col("cms_est") - F.col("true_cnt")).alias("overshoot"),
+        )
+        .orderBy(F.desc("true_cnt"), "token")
+    )

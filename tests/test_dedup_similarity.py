@@ -695,3 +695,47 @@ class TestCrossJaccardAndIngest:
         assert out[9].verdict == "exact_dup" and out[9].exact_match_id == 2
         assert out[19].verdict == "near_dup" and out[19].n_near_dups >= 1
         assert out[29].verdict == "novel" and out[29].best_jaccard is None
+
+
+class TestCountMinSketch:
+    def test_merge_equals_build_on_union(self, spark, sf_small):
+        from data_integration_pipelines_spark.operators.sketches import (
+            cms_build,
+            cms_merge,
+        )
+
+        docs = load_table(spark, sf_small, "documents")
+        toks = docs.select(
+            "doc_id",
+            F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("tok"),
+        )
+        a = toks.filter(F.col("doc_id") % 2 == 0).select("tok")
+        b = toks.filter(F.col("doc_id") % 2 == 1).select("tok")
+        merged = {
+            (r.d, r.bucket): r.cnt
+            for r in cms_merge(cms_build(a, "tok"), cms_build(b, "tok")).collect()
+        }
+        full = {
+            (r.d, r.bucket): r.cnt for r in cms_build(toks.select("tok"), "tok").collect()
+        }
+        assert merged == full
+
+    def test_estimate_one_sided_and_exact_without_collisions(self, spark):
+        from data_integration_pipelines_spark.operators.sketches import (
+            cms_build,
+            cms_estimate,
+        )
+        from pyspark.sql import Row
+
+        rows = [Row(v=w) for w in ["a"] * 5 + ["b"] * 3 + ["c"]]
+        df = spark.createDataFrame(rows)
+        probes = spark.createDataFrame([Row(v=w) for w in ["a", "b", "c", "zzz"]])
+        # width 4096 >> 3 values: no collisions, estimates exact; the
+        # never-inserted probe reads 0 from its untouched buckets
+        grid = cms_build(df, "v", width=4096, depth=3)
+        est = {r.v: r.cms_est for r in cms_estimate(grid, probes, "v", 4096, 3).collect()}
+        assert est == {"a": 5, "b": 3, "c": 1, "zzz": 0}
+        # undersized width forces collisions -> still never underestimates
+        tight = cms_build(df, "v", width=2, depth=2)
+        est2 = {r.v: r.cms_est for r in cms_estimate(tight, probes, "v", 2, 2).collect()}
+        assert est2["a"] >= 5 and est2["b"] >= 3 and est2["c"] >= 1

@@ -41,6 +41,7 @@ _NEVER_DRIVER_VERIFIED = {
     "semdedup_pairs",
     "semdedup_survivors",
     "incremental_ingest_dedup",
+    "cms_token_freq",
     "incremental_join_retract",
     "jwt_decode",
     "knn_classify",
