@@ -1,0 +1,71 @@
+"""Streaming count-min sketch: fold each micro-batch's partial grid
+into a versioned store — frequency monitoring of an unbounded feed in
+bounded state.
+
+This is the streaming face of the mergeable-partials contract
+(operators/sketches.py): CMS grids add cell-wise, so ``foreachBatch``
+only ever builds the BATCH's grid (one grid-sized shuffle over the
+increment) and merges it with the stored grid (depth*width rows). The
+state the stream carries is O(depth*width) forever, no matter how many
+events flow through — the property that lets a 1000-executor feed
+monitor token/key frequencies without a corpus-sized stateful
+operator.
+
+Store layout reuses the versioned-parquet convention of
+``streaming/upsert.py`` (write ``v=K+1``, never read-and-overwrite the
+same files; every complete version remains readable — time travel for
+free)."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame
+
+from ..operators.sketches import cms_build, cms_merge
+from .upsert import _versions, read_store
+
+
+def fold_cms_batch(
+    existing: DataFrame | None,
+    batch: DataFrame,
+    value_col: str,
+    width: int = 64,
+    depth: int = 3,
+) -> DataFrame:
+    """One fold step: the batch's partial grid, merged with the store's
+    grid when there is one. Pure function of its inputs — the streaming
+    query and the batch recompute use the same code path."""
+    partial = cms_build(batch.select(value_col), value_col, width, depth)
+    return partial if existing is None else cms_merge(existing, partial)
+
+
+def streaming_cms(
+    stream_df: DataFrame,
+    value_col: str,
+    store_path: str,
+    checkpoint_path: str,
+    width: int = 64,
+    depth: int = 3,
+):
+    """Drain ``stream_df`` with availableNow, folding each micro-batch
+    into the CMS store. Returns the StreamingQuery."""
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        merged = fold_cms_batch(
+            read_store(spark, store_path), batch_df, value_col, width, depth
+        )
+        versions = _versions(store_path)
+        nxt = versions[-1] + 1 if versions else 0
+        # the grid is depth*width rows — one file is the right layout
+        merged.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(store_path, f"v={nxt}")
+        )
+
+    return (
+        stream_df.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -308,3 +308,45 @@ def test_transform_with_state_matches_v1_and_batch(spark, sf_small, tmp_path):
         for r in rows.groupby("user_id").tail(1).itertuples()
     }
     assert final == expected
+
+
+def test_streaming_cms_matches_batch_grid(spark, sf_small, tmp_path):
+    """CMS folded over micro-batches == CMS built in one batch pass:
+    the mergeable-partials contract under at-least-once streaming
+    delivery of a multi-file backlog (operators/sketches.py +
+    streaming/sketch_fold.py)."""
+    from data_integration_pipelines_spark.operators.sketches import cms_build
+    from data_integration_pipelines_spark.streaming.dedup import (
+        read_staged_events_stream,
+    )
+    from data_integration_pipelines_spark.streaming.sketch_fold import (
+        streaming_cms,
+    )
+    from data_integration_pipelines_spark.streaming.upsert import read_store
+
+    events = load_table(spark, sf_small, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    staging = str(tmp_path / "staged")
+    store = str(tmp_path / "store")
+    # two slices -> at least two files; maxFilesPerTrigger=1 forces
+    # multiple micro-batches through the fold
+    events.filter(F.col("event_id") % 2 == 0).write.mode("overwrite").parquet(staging)
+    events.filter(F.col("event_id") % 2 == 1).write.mode("append").parquet(staging)
+    q = streaming_cms(
+        read_staged_events_stream(spark, staging, max_files_per_trigger=1).select(
+            "event_type"
+        ),
+        value_col="event_type",
+        store_path=store,
+        checkpoint_path=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(120)
+
+    got = {(r.d, r.bucket): r.cnt for r in read_store(spark, store).collect()}
+    want = {
+        (r.d, r.bucket): r.cnt
+        for r in cms_build(events.select("event_type"), "event_type").collect()
+    }
+    assert got == want
+    assert len(got) > 0
