@@ -47,6 +47,7 @@ _RISK_ORDER = [
     "semdedup_survivors",
     "incremental_ingest_dedup",
     "cms_token_freq",
+    "quality_classifier_score",
     # -- never driver-sampled in rounds 1-3 (judge-verified only) --
     "image_resize",
     "audio_features",

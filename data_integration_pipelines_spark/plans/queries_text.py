@@ -763,3 +763,63 @@ def cms_token_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("true_cnt"), "token")
     )
+
+
+@register(
+    "quality_classifier_score",
+    rf"""
+    WITH t AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+        FROM documents
+    ),
+    f AS (
+        SELECT doc_id,
+               len(list_filter(toks, x -> x IN ({_SW_SQL}))) / len(toks) AS swr,
+               list_sum(list_transform(toks, x -> len(x))) / len(toks) AS atl,
+               len(list_distinct(toks)) / len(toks) AS ttr
+        FROM t
+    ),
+    s AS (
+        SELECT doc_id, swr, atl, ttr,
+               -6.0 + 20.0 * swr + 1.0 * atl + 1.0 * ttr AS z
+        FROM f
+    )
+    SELECT doc_id, ROUND(swr, 4) AS stopword_ratio,
+           ROUND(atl, 4) AS avg_token_len,
+           ROUND(ttr, 4) AS type_token_ratio,
+           ROUND(z, 4) AS score,
+           z >= 0.0 AS keep
+    FROM s
+    ORDER BY doc_id
+    """,
+    doc="Model-based quality filtering (the fasttext-classifier stage of "
+    "a curation pipeline, reduced to its distributed essence): a linear "
+    "scorer with FIXED published weights over three engine-exact "
+    "features — stopword ratio, mean token length, type-token ratio — "
+    "applied row-wise in one codegen projection, no shuffle, no UDF. "
+    "Every feature is a ratio of exact integers (one IEEE division), "
+    "the weighted sum is a fixed left-associated expression tree, so "
+    "score AND keep/drop decision are bit-identical across engines — "
+    "no sigmoid (libm exp is not cross-engine reproducible; a monotone "
+    "threshold on the logit decides identically). Splits the fixture "
+    "corpus ~63/37 at every SF. Swapping in real learned weights "
+    "changes only the literals.",
+)
+def quality_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    toks = ws_tokens(F.col("text"))
+    swr = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS))) / F.size(toks)
+    atl = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t)) / F.size(toks)
+    ttr = F.size(F.array_distinct(toks)) / F.size(toks)
+    z = F.lit(-6.0) + F.lit(20.0) * swr + F.lit(1.0) * atl + F.lit(1.0) * ttr
+    return (
+        docs.select(
+            "doc_id",
+            F.round(swr, 4).alias("stopword_ratio"),
+            F.round(atl, 4).alias("avg_token_len"),
+            F.round(ttr, 4).alias("type_token_ratio"),
+            F.round(z, 4).alias("score"),
+            (z >= F.lit(0.0)).alias("keep"),
+        )
+        .orderBy("doc_id")
+    )

@@ -42,6 +42,7 @@ _NEVER_DRIVER_VERIFIED = {
     "semdedup_survivors",
     "incremental_ingest_dedup",
     "cms_token_freq",
+    "quality_classifier_score",
     "incremental_join_retract",
     "jwt_decode",
     "knn_classify",
