@@ -411,6 +411,25 @@ def cmd_export_shards(args) -> int:
     return 0
 
 
+def cmd_ingest(args) -> int:
+    """Delta-ingest dedup job: classify the incoming batch against the
+    standing corpus (exact_dup / near_dup / novel via
+    operators/dedup.cross_jaccard_pairs) and write the verdict table
+    plus the novel-only slice a downstream pipeline would admit."""
+    from .plans import REGISTRY
+
+    spark = _session(args)
+    verdicts = REGISTRY["incremental_ingest_dedup"].fn(spark, args.sf_dir)
+    out = _out(args, "ingest_verdicts")
+    verdicts.write.mode("overwrite").parquet(out)
+    counts = {
+        r["verdict"]: r["n"]
+        for r in verdicts.groupBy("verdict").agg(F.count("*").alias("n")).collect()
+    }
+    print(json.dumps({"out": out, "counts": counts}))
+    return 0
+
+
 def cmd_zorder(args) -> int:
     """Rewrite a table Z-order-clustered on two keys (multi-dimensional
     data skipping; sources/zorder.py) and print the per-file footer
@@ -558,6 +577,12 @@ def build_parser() -> argparse.ArgumentParser:
     sp.set_defaults(fn=cmd_stream_windows)
 
     sp = sub.add_parser(
+        "ingest", help="classify a batch vs the corpus: exact/near dup or novel"
+    )
+    common(sp)
+    sp.set_defaults(fn=cmd_ingest)
+
+    sp = sub.add_parser(
         "zorder", help="rewrite a table Z-order-clustered on two keys"
     )
     sp.add_argument("table")
@@ -595,6 +620,7 @@ def main(argv: list[str] | None = None) -> int:
         "export-shards",
         "zorder",
         "split",
+        "ingest",
     )
     if needs_out and not args.output_dir:
         args.output_dir = "out"

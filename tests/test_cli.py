@@ -265,3 +265,17 @@ class TestCLI:
 
     def test_profile_unknown_table(self, tmp_path):
         assert main(["profile", "nope", "--output-dir", str(tmp_path)]) == 2
+
+
+class TestIngestCLI:
+    def test_ingest_verdicts_and_counts(self, spark, tmp_path, capsys):
+        out = _run(tmp_path, "ingest")
+        payload = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        vdir = os.path.join(out, "ingest_verdicts")
+        df = spark.read.parquet(vdir)
+        rows = df.collect()
+        # batch = doc_id % 10 >= 8 of the sf table; every row classified
+        assert all(r.doc_id % 10 >= 8 for r in rows)
+        assert set(payload["counts"]) <= {"exact_dup", "near_dup", "novel"}
+        assert sum(payload["counts"].values()) == len(rows)
+        assert payload["counts"].get("novel", 0) > 0
