@@ -48,6 +48,7 @@ _RISK_ORDER = [
     "incremental_ingest_dedup",
     "cms_token_freq",
     "quality_classifier_score",
+    "exact_substring_removal",
     # -- never driver-sampled in rounds 1-3 (judge-verified only) --
     "image_resize",
     "audio_features",

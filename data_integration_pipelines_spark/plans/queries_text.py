@@ -823,3 +823,127 @@ def quality_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "exact_substring_removal",
+    r"""
+    WITH toks AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+        FROM documents
+    ),
+    occ AS (
+        SELECT doc_id, i,
+               t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' ||
+               t[i+4] || ' ' || t[i+5] || ' ' || t[i+6] || ' ' || t[i+7] AS w
+        FROM toks, LATERAL (SELECT unnest(range(1, len(t) - 6)) AS i)
+    ),
+    sh AS (
+        SELECT w FROM (SELECT DISTINCT doc_id, w FROM occ)
+        GROUP BY w HAVING COUNT(*) > 1
+    ),
+    cov AS (
+        SELECT DISTINCT o.doc_id, u.p
+        FROM occ o JOIN sh USING (w),
+             LATERAL (SELECT unnest(range(o.i, o.i + 8)) AS p) u
+    ),
+    tok_pos AS (
+        SELECT doc_id, i AS p, t[i] AS tok
+        FROM toks, LATERAL (SELECT unnest(range(1, len(t) + 1)) AS i)
+    ),
+    kept AS (
+        SELECT tp.doc_id, tp.p, tp.tok
+        FROM tok_pos tp LEFT JOIN cov ON cov.doc_id = tp.doc_id AND cov.p = tp.p
+        WHERE cov.p IS NULL
+    ),
+    agg AS (
+        SELECT doc_id, COUNT(*) AS n_kept,
+               md5(string_agg(tok, ' ' ORDER BY p)) AS cleaned_md5
+        FROM kept GROUP BY doc_id
+    )
+    SELECT t.doc_id, CAST(len(t.t) AS BIGINT) AS n_tokens,
+           CAST(len(t.t) - COALESCE(a.n_kept, 0) AS BIGINT) AS n_removed,
+           COALESCE(a.cleaned_md5, md5('')) AS cleaned_md5
+    FROM toks t LEFT JOIN agg a USING (doc_id)
+    ORDER BY t.doc_id
+    """,
+    doc="Exact-substring span REMOVAL — the transformation the Lee et "
+    "al. dedup family actually applies, not just the detection signal "
+    "(duplicated_span_fraction): every token covered by ANY 8-token "
+    "window occurring in more than one document is deleted, and the "
+    "oracle certifies the RESULT — per-doc removed-token count plus an "
+    "md5 digest of the cleaned, order-preserved text (the digest "
+    "hash-fails if even one token survives or drops wrongly). Plan: "
+    "windows hash to 8-byte xxhash64 keys; one uniform groupBy finds "
+    "cross-doc windows, covered positions come from an equi-join + "
+    "position explode (never a per-pair scan), reassembly is one "
+    "per-doc sort-by-position fold. 47 docs touched / 24 fully "
+    "removed at sf0.01 — detection, partial and total removal all "
+    "non-vacuous.",
+)
+def exact_substring_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.cache import bounded_persist
+
+    docs = _docs(spark, sf_dir)
+    toks = bounded_persist(
+        docs.select("doc_id", ws_tokens(F.col("text")).alias("t"))
+    )
+    # 0-based window starts; window i covers positions i..i+7
+    occ = toks.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                F.size("t") >= 8,
+                F.transform(
+                    F.sequence(F.lit(0), F.size("t") - 8),
+                    lambda i: F.struct(
+                        i.alias("i"),
+                        F.xxhash64(
+                            F.concat_ws(" ", F.slice("t", i + 1, 8))
+                        ).alias("h"),
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<struct<i:int,h:bigint>>"))
+        ).alias("o"),
+    ).select("doc_id", F.col("o.i").alias("i"), F.col("o.h").alias("h"))
+    occ = bounded_persist(occ)
+    shared = (
+        occ.select("doc_id", "h")
+        .distinct()
+        .groupBy("h")
+        .agg(F.count("*").alias("nd"))
+        .filter(F.col("nd") > 1)
+        .select("h")
+    )
+    covered = (
+        occ.join(shared, "h")
+        .select("doc_id", F.explode(F.sequence(F.col("i"), F.col("i") + 7)).alias("p"))
+        .distinct()
+    )
+    tok_pos = toks.select("doc_id", F.posexplode("t").alias("p", "tok"))
+    kept = tok_pos.join(covered, ["doc_id", "p"], "left_anti")
+    agg = kept.groupBy("doc_id").agg(
+        F.count("*").alias("n_kept"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("p", "tok"))),
+                    lambda x: x["tok"],
+                ),
+                " ",
+            )
+        ).alias("cleaned_md5"),
+    )
+    return (
+        toks.select("doc_id", F.size("t").alias("n_tokens"))
+        .join(agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n_tokens").cast("bigint").alias("n_tokens"),
+            (F.col("n_tokens") - F.coalesce("n_kept", F.lit(0)))
+            .cast("bigint")
+            .alias("n_removed"),
+            F.coalesce("cleaned_md5", F.md5(F.lit(""))).alias("cleaned_md5"),
+        )
+        .orderBy("doc_id")
+    )

@@ -739,3 +739,37 @@ class TestCountMinSketch:
         tight = cms_build(df, "v", width=2, depth=2)
         est2 = {r.v: r.cms_est for r in cms_estimate(tight, probes, "v", 2, 2).collect()}
         assert est2["a"] >= 5 and est2["b"] >= 3 and est2["c"] >= 1
+
+
+class TestExactSubstringRemoval:
+    def test_planted_shared_span_removed_token_exact(self, spark):
+        # two docs share one verbatim 9-token run; a 9-run yields two
+        # overlapping 8-windows covering exactly those 9 positions in
+        # each doc — everything else must survive, order preserved
+        import hashlib, os, tempfile
+
+        shared = "s1 s2 s3 s4 s5 s6 s7 s8 s9"
+        a_pre, a_post = "a1 a2 a3", "a4 a5"
+        b_pre = "b1 b2 b3 b4 b5 b6 b7"
+        rows = [
+            (1, f"{a_pre} {shared} {a_post}", "en", "srcA", 1),
+            (2, f"{b_pre} {shared}", "en", "srcA", 1),
+            (3, "c1 c2 c3 c4 c5 c6 c7 c8 c9 c10", "en", "srcA", 1),
+        ]
+        from data_integration_pipelines_spark.plans import REGISTRY
+
+        with tempfile.TemporaryDirectory() as d:
+            spark.createDataFrame(
+                rows, "doc_id long, text string, lang string, source string, n_chars long"
+            ).coalesce(1).write.parquet(os.path.join(d, "documents.parquet"))
+            out = {
+                r.doc_id: r
+                for r in REGISTRY["exact_substring_removal"].fn(spark, d).collect()
+            }
+        md5 = lambda s: hashlib.md5(s.encode()).hexdigest()
+        assert out[1].n_removed == 9
+        assert out[1].cleaned_md5 == md5(f"{a_pre} {a_post}")
+        assert out[2].n_removed == 9
+        assert out[2].cleaned_md5 == md5(b_pre)
+        assert out[3].n_removed == 0
+        assert out[3].cleaned_md5 == md5("c1 c2 c3 c4 c5 c6 c7 c8 c9 c10")

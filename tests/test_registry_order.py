@@ -43,6 +43,7 @@ _NEVER_DRIVER_VERIFIED = {
     "incremental_ingest_dedup",
     "cms_token_freq",
     "quality_classifier_score",
+    "exact_substring_removal",
     "incremental_join_retract",
     "jwt_decode",
     "knn_classify",
