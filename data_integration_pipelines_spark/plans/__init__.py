@@ -49,6 +49,7 @@ _RISK_ORDER = [
     "cms_token_freq",
     "quality_classifier_score",
     "exact_substring_removal",
+    "corpus_card",
     # -- never driver-sampled in rounds 1-3 (judge-verified only) --
     "image_resize",
     "audio_features",

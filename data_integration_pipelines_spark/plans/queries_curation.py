@@ -29,6 +29,10 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_table(spark, sf_dir, "documents")
 
 
+from ..functions.text import STOPWORDS as _SW
+_SW_SQL_CARD = ", ".join(f"'{w}'" for w in _SW)
+
+
 _CLUSTER_EDGE_ORACLE = """
         sh AS (
             SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
@@ -1126,4 +1130,74 @@ def incremental_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "best_jaccard",
         )
         .orderBy("doc_id")
+    )
+
+
+@register(
+    "corpus_card",
+    r"""
+    WITH t AS (
+        SELECT doc_id, source,
+               regexp_split_to_array(trim(text), '\s+') AS toks,
+               md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp
+        FROM documents
+    ),
+    f AS (
+        SELECT doc_id, source, fp, len(toks) AS n_toks,
+               -6.0 + 20.0 * (len(list_filter(toks, x -> x IN ({sw}))) / len(toks))
+                    + 1.0 * (list_sum(list_transform(toks, x -> len(x))) / len(toks))
+                    + 1.0 * (len(list_distinct(toks)) / len(toks)) AS z
+        FROM t
+    ),
+    g AS (
+        SELECT doc_id, source, fp, n_toks,
+               CAST(FLOOR(z * 10000 + 0.5) AS BIGINT) AS z_bp,
+               CASE WHEN z >= 0.0 THEN 1 ELSE 0 END AS keep
+        FROM f
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_toks) AS BIGINT) AS total_tokens,
+           CAST(COUNT(DISTINCT fp) AS BIGINT) AS n_unique,
+           CAST(SUM(keep) AS BIGINT) AS n_keep,
+           ROUND(SUM(z_bp) / (10000.0 * COUNT(*)), 4) AS mean_score
+    FROM g GROUP BY source ORDER BY source
+    """.replace("{sw}", _SW_SQL_CARD),
+    doc="Per-source dataset card — the one-page summary a curation run "
+    "publishes alongside the corpus: document and token counts, exact-"
+    "unique fraction (normalized-md5 fingerprints), classifier keep "
+    "count, and mean quality score. The mean is engine-exact by the "
+    "repo's quantize-then-average rule: per-row scores floor to "
+    "integer basis points FIRST, then SUM/COUNT divides two exact "
+    "integers — no floating-point accumulation order anywhere. One "
+    "pass over the corpus, one groupBy shuffle on source.",
+)
+def corpus_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import STOPWORDS, fingerprint
+
+    docs = _docs(spark, sf_dir)
+    toks = ws_tokens(F.col("text"))
+    swr = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS))) / F.size(toks)
+    atl = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t)) / F.size(toks)
+    ttr = F.size(F.array_distinct(toks)) / F.size(toks)
+    z = F.lit(-6.0) + F.lit(20.0) * swr + F.lit(1.0) * atl + F.lit(1.0) * ttr
+    g = docs.select(
+        "source",
+        F.size(toks).alias("n_toks"),
+        fingerprint(F.col("text")).alias("fp"),
+        F.floor(z * 10000 + F.lit(0.5)).cast("bigint").alias("z_bp"),
+        F.when(z >= F.lit(0.0), 1).otherwise(0).alias("keep"),
+    )
+    return (
+        g.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_toks").alias("total_tokens"),
+            F.countDistinct("fp").alias("n_unique"),
+            F.sum("keep").alias("n_keep"),
+            F.round(
+                F.sum("z_bp") / (F.lit(10000.0) * F.count("*")), 4
+            ).alias("mean_score"),
+        )
+        .orderBy("source")
     )

@@ -44,6 +44,7 @@ _NEVER_DRIVER_VERIFIED = {
     "cms_token_freq",
     "quality_classifier_score",
     "exact_substring_removal",
+    "corpus_card",
     "incremental_join_retract",
     "jwt_decode",
     "knn_classify",
