@@ -55,12 +55,18 @@ def main() -> None:
         frames[name].write.format("noop").mode("overwrite").save()
 
     # best-of-N timed passes (default 2, $SPARK_GRAFT_BENCH_PASSES):
-    # steady-state throughput with GC/JIT jitter removed
+    # steady-state throughput with GC/JIT jitter removed.
+    # time_build queries (driver-loop algorithms — the k-means fit runs
+    # Spark jobs inside fn()) re-CONSTRUCT inside the timer: excluding
+    # their iterations would understate them vs an oracle that runs the
+    # whole algorithm in SQL.
     n_passes = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "2"))
     timings: dict[str, float] = {}
     for _pass in range(n_passes):
         for name, df in frames.items():
             t0 = time.time()
+            if bench_queries[name].time_build:
+                df = bench_queries[name].fn(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
             dt = round(time.time() - t0, 3)
             timings[name] = min(timings.get(name, dt), dt)

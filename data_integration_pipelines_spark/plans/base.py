@@ -23,6 +23,10 @@ class Query:
     oracle: str | None  # ANSI SQL for DuckDB; None -> rows-only check
     doc: str = ""  # SURVEY §2 operator ids this query exercises
     headline: bool = False  # included in bench.py
+    # True when fn() itself runs Spark jobs (driver-loop algorithms
+    # like k-means fitting) — bench.py must then time CONSTRUCTION +
+    # execution, or the iterations would be dishonestly excluded
+    time_build: bool = False
 
     def __post_init__(self) -> None:
         if self.doc and not self.fn.__doc__:
@@ -37,11 +41,19 @@ def register(
     oracle: str | None,
     doc: str = "",
     headline: bool = False,
+    time_build: bool = False,
 ) -> Callable[[QueryFn], QueryFn]:
     def deco(fn: QueryFn) -> QueryFn:
         if name in REGISTRY:
             raise ValueError(f"duplicate query name {name!r}")
-        REGISTRY[name] = Query(name=name, fn=fn, oracle=oracle, doc=doc, headline=headline)
+        REGISTRY[name] = Query(
+            name=name,
+            fn=fn,
+            oracle=oracle,
+            doc=doc,
+            headline=headline,
+            time_build=time_build,
+        )
         return fn
 
     return deco

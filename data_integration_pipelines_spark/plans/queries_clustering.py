@@ -130,6 +130,9 @@ _SEMDEDUP_CTES = f"""
     "Extends SURVEY §2's aggregation family with the iterative-ML shape "
     "the reference lacks.",
     headline=True,
+    # the Lloyd's iterations run inside fn() (driver loop) — the bench
+    # must time construction too, or the fit would be excluded
+    time_build=True,
 )
 def kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
