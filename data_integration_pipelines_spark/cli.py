@@ -411,6 +411,29 @@ def cmd_export_shards(args) -> int:
     return 0
 
 
+def cmd_compact(args) -> int:
+    """Small-file compaction job: rewrite a table into ~target-size
+    parquet files (sources/zorder.compact) and print the before/after
+    file counts."""
+    from .catalog import load_table
+    from .sources.zorder import compact
+
+    spark = _session(args)
+    # stage the table fragmented? no — compact whatever layout the
+    # source dir has; the table arg names a catalog table under sf_dir
+    src = f"{args.sf_dir}/{args.table}.parquet"
+    out = _out(args, f"compact_{args.table}")
+    report = compact(
+        spark,
+        src,
+        out,
+        target_file_bytes=args.target_mb * 1024 * 1024,
+        sort_cols=args.sort_by.split(",") if args.sort_by else None,
+    )
+    print(json.dumps(report))
+    return 0
+
+
 def cmd_ingest(args) -> int:
     """Delta-ingest dedup job: classify the incoming batch against the
     standing corpus (exact_dup / near_dup / novel via
@@ -583,6 +606,15 @@ def build_parser() -> argparse.ArgumentParser:
     sp.set_defaults(fn=cmd_ingest)
 
     sp = sub.add_parser(
+        "compact", help="rewrite a table into ~target-size parquet files"
+    )
+    sp.add_argument("table")
+    sp.add_argument("--target-mb", type=int, default=128)
+    sp.add_argument("--sort-by", default=None, help="comma-separated sort keys")
+    common(sp)
+    sp.set_defaults(fn=cmd_compact)
+
+    sp = sub.add_parser(
         "zorder", help="rewrite a table Z-order-clustered on two keys"
     )
     sp.add_argument("table")
@@ -621,6 +653,7 @@ def main(argv: list[str] | None = None) -> int:
         "zorder",
         "split",
         "ingest",
+        "compact",
     )
     if needs_out and not args.output_dir:
         args.output_dir = "out"

@@ -25,6 +25,8 @@ layout (SURVEY §1.1) to multi-dimensional pruning.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -109,6 +111,20 @@ def zorder_stats(path: str, col_a: str, col_b: str) -> list[dict]:
                 mins[name] = min(mins.get(name, st.min), st.min)
                 maxs[name] = max(maxs.get(name, st.max), st.max)
         per_file.append({"file": frag.path, "min": mins, "max": maxs})
+    # a file whose footer lacks statistics for either key (all-null
+    # chunk, stats disabled at write time) can't contribute to range
+    # math — fail loudly instead of KeyError-ing mid-comprehension
+    lacking = [
+        f["file"]
+        for f in per_file
+        if not all(c in f["min"] and c in f["max"] for c in (col_a, col_b))
+    ]
+    if lacking:
+        raise ValueError(
+            f"parquet footer statistics missing for {col_a!r}/{col_b!r} "
+            f"in: {lacking[:3]}{'...' if len(lacking) > 3 else ''} — "
+            "z-order pruning needs min/max stats on both keys"
+        )
     # convert to global-range fractions
     g_min = {c: min(f["min"][c] for f in per_file) for c in (col_a, col_b)}
     g_max = {c: max(f["max"][c] for f in per_file) for c in (col_a, col_b)}
@@ -123,3 +139,59 @@ def zorder_stats(path: str, col_a: str, col_b: str) -> list[dict]:
             )
         out.append(row)
     return out
+
+
+def file_stats(path: str) -> list[dict]:
+    """Per-file (path, bytes, rows) for a parquet dataset — the input
+    to any compaction decision."""
+    import pyarrow.dataset as ds
+    import pyarrow.parquet as pq
+
+    out = []
+    for frag in ds.dataset(path, format="parquet").get_fragments():
+        md = pq.ParquetFile(frag.path).metadata
+        out.append(
+            {
+                "file": frag.path,
+                "bytes": os.path.getsize(frag.path),
+                "rows": md.num_rows,
+            }
+        )
+    return out
+
+
+def compact(
+    spark,
+    path: str,
+    out_path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    sort_cols: list[str] | None = None,
+) -> dict:
+    """Rewrite a fragmented parquet dataset into ~target-size files —
+    the small-files problem is the other half of the layout story
+    (zorder fixes WHAT each file spans; compaction fixes HOW MANY
+    files there are: a 100 TB table fragmented into 10 KB files spends
+    its scan time on open/footer overhead and its driver memory on the
+    file listing). File count = ceil(total_bytes / target); an
+    optional sort restores clustering while rewriting. Returns
+    before/after file stats."""
+    import math
+
+    before = file_stats(path)
+    total = sum(f["bytes"] for f in before)
+    n_files = max(1, math.ceil(total / target_file_bytes))
+    df = spark.read.parquet(path)
+    if sort_cols:
+        out = df.repartitionByRange(n_files, *sort_cols).sortWithinPartitions(
+            *sort_cols
+        )
+    else:
+        out = df.repartition(n_files)
+    out.write.mode("overwrite").parquet(out_path)
+    after = file_stats(out_path)
+    return {
+        "files_before": len(before),
+        "files_after": len(after),
+        "bytes_total": total,
+        "rows_total": sum(f["rows"] for f in before),
+    }

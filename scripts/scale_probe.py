@@ -111,6 +111,10 @@ def time_queries(spark, sf_dir: str) -> dict[str, float]:
     for _ in range(2):
         for name, df in frames.items():
             t0 = time.time()
+            if REGISTRY[name].time_build:
+                # driver-loop algorithms do real work in fn() — time it
+                # (same honesty rule as bench.py)
+                df = REGISTRY[name].fn(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
             dt = round(time.time() - t0, 3)
             timings[name] = min(timings.get(name, dt), dt)

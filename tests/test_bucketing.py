@@ -191,3 +191,60 @@ class TestZOrder:
         # the dedicated sort's second-dimension tradeoff
         assert mean(z_stats, "event_id_frac") + mean(z_stats, "user_id_frac") < \
             mean(s_stats, "event_id_frac") + mean(s_stats, "user_id_frac")
+
+
+class TestCompaction:
+    def test_compact_reduces_file_count_preserves_rows(self, spark, tmp_path):
+        from data_integration_pipelines_spark.sources.zorder import (
+            compact,
+            file_stats,
+        )
+        from data_integration_pipelines_spark.catalog import load_table
+
+        # fragment the table into 40 tiny files
+        src = str(tmp_path / "frag.parquet")
+        docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+        docs.repartition(40).write.parquet(src)
+        assert len(file_stats(src)) >= 40
+
+        out = str(tmp_path / "compacted.parquet")
+        report = compact(spark, src, out, target_file_bytes=64 * 1024 * 1024)
+        assert report["files_after"] < report["files_before"]
+        assert report["files_after"] <= 2
+        # data equality, not just counts
+        a = sorted(map(tuple, spark.read.parquet(src).collect()))
+        b = sorted(map(tuple, spark.read.parquet(out).collect()))
+        assert a == b
+
+    def test_compact_with_sort_restores_clustering(self, spark, tmp_path):
+        from data_integration_pipelines_spark.sources.zorder import compact
+
+        src = str(tmp_path / "frag.parquet")
+        docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+        docs.repartition(16).write.parquet(src)
+        out = str(tmp_path / "sorted.parquet")
+        compact(
+            spark, src, out,
+            target_file_bytes=32 * 1024, sort_cols=["doc_id"],
+        )
+        import pyarrow.parquet as pq
+        import pyarrow.dataset as ds
+
+        ranges = []
+        for frag in ds.dataset(out, format="parquet").get_fragments():
+            md = pq.ParquetFile(frag.path).metadata
+            c = md.row_group(0).column(0)
+            # doc_id is the first column; min/max from footer
+            stats = [
+                (md.row_group(g).column(i).path_in_schema,
+                 md.row_group(g).column(i).statistics)
+                for g in range(md.num_row_groups)
+                for i in range(md.row_group(g).num_columns)
+            ]
+            mins = [s.min for n, s in stats if n == "doc_id" and s]
+            maxs = [s.max for n, s in stats if n == "doc_id" and s]
+            ranges.append((min(mins), max(maxs)))
+        ranges.sort()
+        # range-partitioned files must not overlap on the sort key
+        for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+            assert hi1 <= lo2

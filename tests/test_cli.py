@@ -279,3 +279,13 @@ class TestIngestCLI:
         assert set(payload["counts"]) <= {"exact_dup", "near_dup", "novel"}
         assert sum(payload["counts"].values()) == len(rows)
         assert payload["counts"].get("novel", 0) > 0
+
+
+class TestCompactCLI:
+    def test_compact_command(self, spark, tmp_path, capsys):
+        out = _run(tmp_path, "compact", "documents", "--target-mb", "64")
+        payload = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert payload["files_after"] >= 1
+        assert payload["rows_total"] == 500
+        df = spark.read.parquet(os.path.join(out, "compact_documents"))
+        assert df.count() == 500
