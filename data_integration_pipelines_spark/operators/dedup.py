@@ -263,6 +263,64 @@ def cross_jaccard_pairs(
     )
 
 
+def classify_against_corpus(
+    new_df: DataFrame,
+    corpus_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Per-new-document ingest verdict against a standing corpus:
+    ``exact_dup`` (normalized-md5 fingerprint already present),
+    ``near_dup`` (n-gram Jaccard >= threshold with some corpus doc via
+    the asymmetric prefix join), else ``novel``. Returns (doc_id,
+    verdict, exact_match_id, n_near_dups, best_jaccard).
+
+    Each document's verdict depends only on (document, corpus) — never
+    on what else shares its batch — so any micro-batching of a feed
+    yields identical verdicts (the property the streaming wrapper's
+    stream==batch test pins)."""
+    from ..functions.text import fingerprint
+
+    fpo = corpus_df.select(
+        fingerprint(F.col(text_col)).alias("fp"),
+        F.col(id_col).alias("old_id"),
+    )
+    fpn = new_df.select(
+        F.col(id_col).alias("doc_id"), fingerprint(F.col(text_col)).alias("fp")
+    )
+    exact = (
+        fpn.join(fpo, "fp")
+        .groupBy("doc_id")
+        .agg(F.min("old_id").alias("exact_match_id"))
+    )
+    near = (
+        cross_jaccard_pairs(new_df, corpus_df, text_col, id_col, n, threshold)
+        .groupBy("new_id")
+        .agg(
+            F.count("*").alias("n_near"),
+            F.round(F.max("jaccard"), 4).alias("best_jaccard"),
+        )
+        .withColumnRenamed("new_id", "doc_id")
+    )
+    return (
+        new_df.select(F.col(id_col).alias("doc_id"))
+        .join(exact, "doc_id", "left")
+        .join(near, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("exact_match_id").isNotNull(), "exact_dup")
+            .when(F.col("n_near").isNotNull(), "near_dup")
+            .otherwise("novel")
+            .alias("verdict"),
+            "exact_match_id",
+            F.coalesce("n_near", F.lit(0)).alias("n_near_dups"),
+            "best_jaccard",
+        )
+    )
+
+
 def minhash_bands(
     df: DataFrame,
     text_col: str,

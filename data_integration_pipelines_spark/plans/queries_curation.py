@@ -18,7 +18,6 @@ from ..catalog import load_table
 from ..functions.text import bpe_token_count, word_shingles, ws_tokens
 from ..operators.dedup import (
     connected_components,
-    cross_jaccard_pairs,
     jaccard_pairs,
     relative_doc_freq_cap_expr,
 )
@@ -1092,45 +1091,14 @@ def train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     "similarity.py.",
 )
 def incremental_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _docs(spark, sf_dir)
-    from ..functions.text import fingerprint
+    from ..operators.dedup import classify_against_corpus
 
+    docs = _docs(spark, sf_dir)
     newd = docs.filter(F.col("doc_id") % 10 >= 8)
     oldd = docs.filter(F.col("doc_id") % 10 < 8)
-    fpo = oldd.select(
-        fingerprint(F.col("text")).alias("fp"), F.col("doc_id").alias("old_id")
-    )
-    fpn = newd.select("doc_id", fingerprint(F.col("text")).alias("fp"))
-    exact = (
-        fpn.join(fpo, "fp")
-        .groupBy("doc_id")
-        .agg(F.min("old_id").alias("exact_match_id"))
-    )
-    near = (
-        cross_jaccard_pairs(newd, oldd, "text", "doc_id", n=3, threshold=0.5)
-        .groupBy("new_id")
-        .agg(
-            F.count("*").alias("n_near"),
-            F.round(F.max("jaccard"), 4).alias("best_jaccard"),
-        )
-        .withColumnRenamed("new_id", "doc_id")
-    )
-    return (
-        newd.select("doc_id")
-        .join(exact, "doc_id", "left")
-        .join(near, "doc_id", "left")
-        .select(
-            "doc_id",
-            F.when(F.col("exact_match_id").isNotNull(), "exact_dup")
-            .when(F.col("n_near").isNotNull(), "near_dup")
-            .otherwise("novel")
-            .alias("verdict"),
-            "exact_match_id",
-            F.coalesce("n_near", F.lit(0)).alias("n_near_dups"),
-            "best_jaccard",
-        )
-        .orderBy("doc_id")
-    )
+    return classify_against_corpus(
+        newd, oldd, "text", "doc_id", n=3, threshold=0.5
+    ).orderBy("doc_id")
 
 
 @register(

@@ -350,3 +350,42 @@ def test_streaming_cms_matches_batch_grid(spark, sf_small, tmp_path):
     }
     assert got == want
     assert len(got) > 0
+
+
+def test_streaming_ingest_verdicts_match_batch(spark, sf_small, tmp_path):
+    """Ingest classification drained as micro-batches == one-shot batch
+    classification: each doc's verdict depends only on (doc, corpus),
+    so feed partitioning must not change a single row
+    (streaming/ingest.py over operators/dedup.classify_against_corpus)."""
+    from data_integration_pipelines_spark.operators.dedup import (
+        classify_against_corpus,
+    )
+    from data_integration_pipelines_spark.streaming.ingest import (
+        read_staged_docs_stream,
+        streaming_ingest_verdicts,
+    )
+
+    docs = load_table(spark, sf_small, "documents")
+    corpus = docs.filter(F.col("doc_id") % 10 < 8)
+    batch_new = docs.filter(F.col("doc_id") % 10 >= 8)
+
+    staging = str(tmp_path / "staged")
+    out = str(tmp_path / "verdicts")
+    # two files -> maxFilesPerTrigger=1 forces two micro-batches
+    batch_new.filter(F.col("doc_id") % 20 >= 10).write.mode("overwrite").parquet(staging)
+    batch_new.filter(F.col("doc_id") % 20 < 10).write.mode("append").parquet(staging)
+
+    q = streaming_ingest_verdicts(
+        read_staged_docs_stream(spark, staging, max_files_per_trigger=1),
+        corpus,
+        out_path=out,
+        checkpoint_path=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(180)
+
+    got = {r.doc_id: (r.verdict, r.exact_match_id, r.n_near_dups, r.best_jaccard)
+           for r in spark.read.parquet(out).collect()}
+    want = {r.doc_id: (r.verdict, r.exact_match_id, r.n_near_dups, r.best_jaccard)
+            for r in classify_against_corpus(batch_new, corpus).collect()}
+    assert got == want
+    assert len(got) == batch_new.count()
