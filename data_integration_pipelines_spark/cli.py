@@ -411,6 +411,27 @@ def cmd_export_shards(args) -> int:
     return 0
 
 
+def cmd_cluster(args) -> int:
+    """Embedding clustering job: fit the fixed-point k-means
+    (operators/clustering.py), write per-vector assignments, print
+    per-cluster sizes and scaled inertia."""
+    from .catalog import load_table
+    from .operators.clustering import kmeans_fit
+
+    spark = _session(args)
+    emb = load_table(spark, args.sf_dir, "embeddings")
+    assigned, _ = kmeans_fit(emb, k=args.k, iters=args.iters)
+    out = _out(args, "cluster_assignments")
+    assigned.select("id", "cluster", "dist").write.mode("overwrite").parquet(out)
+    sizes = {
+        int(r["cluster"]): int(r["n"])
+        for r in assigned.groupBy("cluster").agg(F.count("*").alias("n")).collect()
+    }
+    inertia = assigned.agg(F.sum("dist").alias("i")).collect()[0]["i"]
+    print(json.dumps({"out": out, "sizes": sizes, "inertia_scaled": int(inertia)}))
+    return 0
+
+
 def cmd_compact(args) -> int:
     """Small-file compaction job: rewrite a table into ~target-size
     parquet files (sources/zorder.compact) and print the before/after
@@ -606,6 +627,14 @@ def build_parser() -> argparse.ArgumentParser:
     sp.set_defaults(fn=cmd_ingest)
 
     sp = sub.add_parser(
+        "cluster", help="k-means the embeddings table; write assignments"
+    )
+    sp.add_argument("--k", type=int, default=8)
+    sp.add_argument("--iters", type=int, default=3)
+    common(sp)
+    sp.set_defaults(fn=cmd_cluster)
+
+    sp = sub.add_parser(
         "compact", help="rewrite a table into ~target-size parquet files"
     )
     sp.add_argument("table")
@@ -654,6 +683,7 @@ def main(argv: list[str] | None = None) -> int:
         "split",
         "ingest",
         "compact",
+        "cluster",
     )
     if needs_out and not args.output_dir:
         args.output_dir = "out"

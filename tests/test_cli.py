@@ -289,3 +289,15 @@ class TestCompactCLI:
         assert payload["rows_total"] == 500
         df = spark.read.parquet(os.path.join(out, "compact_documents"))
         assert df.count() == 500
+
+
+class TestClusterCLI:
+    def test_cluster_command(self, spark, tmp_path, capsys):
+        out = _run(tmp_path, "cluster", "--k", "4", "--iters", "2")
+        payload = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert len(payload["sizes"]) == 4
+        assert sum(payload["sizes"].values()) == 500
+        assert payload["inertia_scaled"] > 0
+        df = spark.read.parquet(os.path.join(out, "cluster_assignments"))
+        assert df.count() == 500
+        assert set(df.columns) == {"id", "cluster", "dist"}
