@@ -436,12 +436,15 @@ def cmd_compact(args) -> int:
     """Small-file compaction job: rewrite a table into ~target-size
     parquet files (sources/zorder.compact) and print the before/after
     file counts."""
-    from .catalog import load_table
+    from .catalog import TABLES
     from .sources.zorder import compact
 
+    if args.table not in TABLES:
+        print(f"unknown table {args.table!r}; one of {sorted(TABLES)}", file=sys.stderr)
+        return 2
     spark = _session(args)
-    # stage the table fragmented? no — compact whatever layout the
-    # source dir has; the table arg names a catalog table under sf_dir
+    # compact whatever layout the source dir has; the table arg names a
+    # catalog table under sf_dir
     src = f"{args.sf_dir}/{args.table}.parquet"
     out = _out(args, f"compact_{args.table}")
     report = compact(

@@ -112,6 +112,68 @@ def punct_ratio(text: Column) -> Column:
     return F.when(F.length(text) > 0, n_punct / F.length(text)).otherwise(F.lit(0.0))
 
 
+# --- linear quality classifier (single source of truth) -------------
+# The fixed published weights of the fasttext-style quality scorer.
+# Every consumer — quality_classifier_score, corpus_card, their DuckDB
+# oracles — derives from THESE constants, so retraining the model is a
+# one-place change and a card can never describe a stale filter.
+QUALITY_BIAS = -6.0
+QUALITY_W_SWR = 20.0  # stopword ratio
+QUALITY_W_ATL = 1.0  # mean token length
+QUALITY_W_TTR = 1.0  # type-token ratio
+
+#: stopword list as a SQL IN-list fragment (DuckDB oracles)
+SW_SQL = ", ".join(f"'{w}'" for w in STOPWORDS)
+
+
+def quality_features(tokens: Column) -> dict[str, Column]:
+    """The scorer's three engine-exact features — each a ratio of
+    exact integers (one IEEE division): stopword ratio, mean token
+    length, type-token ratio."""
+    from pyspark.sql import functions as _F
+
+    n = _F.size(tokens)
+    return {
+        "swr": _F.size(_F.filter(tokens, lambda t: t.isin(*STOPWORDS))) / n,
+        "atl": _F.aggregate(tokens, _F.lit(0), lambda acc, t: acc + _F.length(t)) / n,
+        "ttr": _F.size(_F.array_distinct(tokens)) / n,
+    }
+
+
+def quality_logit(tokens: Column) -> Column:
+    """Fixed-weight linear score over ``quality_features`` — a fixed
+    left-associated expression tree, bit-identical across engines."""
+    from pyspark.sql import functions as _F
+
+    f = quality_features(tokens)
+    return (
+        _F.lit(QUALITY_BIAS)
+        + _F.lit(QUALITY_W_SWR) * f["swr"]
+        + _F.lit(QUALITY_W_ATL) * f["atl"]
+        + _F.lit(QUALITY_W_TTR) * f["ttr"]
+    )
+
+
+def quality_features_sql(toks: str = "toks") -> str:
+    """DuckDB projection fragment computing swr/atl/ttr from a token
+    list column — the oracle mirror of ``quality_features``."""
+    return (
+        f"len(list_filter({toks}, x -> x IN ({SW_SQL}))) / len({toks}) AS swr,\n"
+        f"               list_sum(list_transform({toks}, x -> len(x)))"
+        f" / len({toks}) AS atl,\n"
+        f"               len(list_distinct({toks})) / len({toks}) AS ttr"
+    )
+
+
+def quality_logit_sql() -> str:
+    """DuckDB expression for the logit over projected swr/atl/ttr
+    columns, built from the SAME weight constants as the Spark side."""
+    return (
+        f"{QUALITY_BIAS} + {QUALITY_W_SWR} * swr"
+        f" + {QUALITY_W_ATL} * atl + {QUALITY_W_TTR} * ttr"
+    )
+
+
 def stopword_ratio(tokens: Column) -> Column:
     """Fraction of tokens that are stopwords."""
     hits = F.size(F.filter(tokens, lambda t: t.isin(*STOPWORDS)))

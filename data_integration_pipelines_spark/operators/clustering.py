@@ -67,9 +67,18 @@ def quantize_vec(vec_col: Column, scale: int = Q_SCALE) -> Column:
 
 
 def _round_half_away(x: float) -> int:
-    """Python mirror of SQL ROUND(double): half away from zero
-    (Python's round() is banker's and would drift from both engines)."""
-    return int(math.floor(x + 0.5)) if x >= 0 else int(math.ceil(x - 0.5))
+    """Python mirror of SQL ROUND(double): half away from zero on the
+    double's TRUE value (DuckDB's std::round). Python's round() is
+    banker's, and the folk floor(x + 0.5) is subtly wrong at
+    representation edges: for x just below m + 0.5, x + 0.5 can round
+    UP to exactly m + 1.0 and floor then overshoots by 1. Computing
+    the fraction as x - floor(x) is exact for |x| < 2^52, so the
+    half-comparison sees the true value."""
+    if x >= 0:
+        f = math.floor(x)
+        return int(f) + (1 if x - f >= 0.5 else 0)
+    c = math.ceil(x)
+    return int(c) - (1 if c - x >= 0.5 else 0)
 
 
 def assign_clusters(
@@ -131,6 +140,25 @@ def kmeans_fit(
     SQL); with data-point init and small k this does not occur on the
     fixtures, and at scale empty clusters are a signal k is too large.
     """
+    def _cell_guard(dim_: int) -> None:
+        if k * dim_ > MAX_CENTROID_CELLS:
+            raise ValueError(
+                f"k*D = {k * dim_} centroid cells exceeds {MAX_CENTROID_CELLS}; "
+                "the per-iteration driver collect must stay trivial — shrink k "
+                "or switch the update step to a checkpointed centroid table"
+            )
+
+    # the guard must fire BEFORE the k-row seed collect (which pulls
+    # exactly the k*D cells it bounds): any embedding has dim >= 1, so
+    # k alone can trip it; a huge-but-legal k pays one 1-row probe to
+    # learn the true dim first
+    _cell_guard(1)
+    if k > 1024:
+        probe = df.select(vec_col).first()
+        if probe is None:
+            raise ValueError("kmeans_fit on an empty DataFrame")
+        _cell_guard(len(probe[0]))
+
     qdf = bounded_persist(
         df.select(
             F.col(id_col).alias("id"), quantize_vec(F.col(vec_col)).alias("qvec")
@@ -144,12 +172,7 @@ def kmeans_fit(
     if not seed_rows:
         raise ValueError("kmeans_fit on an empty DataFrame")
     dim = len(seed_rows[0]["qvec"])
-    if k * dim > MAX_CENTROID_CELLS:
-        raise ValueError(
-            f"k*D = {k * dim} centroid cells exceeds {MAX_CENTROID_CELLS}; "
-            "the per-iteration driver collect must stay trivial — shrink k "
-            "or switch the update step to a checkpointed centroid table"
-        )
+    _cell_guard(dim)
     centroids = [
         (int(r["id"]), [int(v) * C_SCALE for v in r["qvec"]]) for r in seed_rows
     ]

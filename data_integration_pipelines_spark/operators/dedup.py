@@ -98,6 +98,51 @@ def doc_shingles(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame
     )
 
 
+def shingle_table(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int,
+    out_id: str = "id",
+    persist: bool = True,
+) -> DataFrame:
+    """(out_id, sh) — each doc's distinct shingle set as a SORTED array
+    of xxhash64 ints. ``array_distinct``/``array_sort`` are narrow ops,
+    so "distinct" and "size" cost no exchange; 8-byte keys instead of
+    n-word strings (64-bit collisions negligible at any corpus size).
+    The global integer order is what the Bayardo prefix filter needs.
+
+    ``persist=False`` hands lifetime management to the caller (e.g. a
+    streaming query that stages the corpus side once and must keep it
+    pinned across micro-batches, outside the FIFO pool's eviction)."""
+    hashed = F.array_sort(
+        F.array_distinct(
+            F.transform(
+                word_shingles(ws_tokens(F.col(text_col)), n),
+                lambda s: F.xxhash64(s),
+            )
+        )
+    )
+    base = spread(df).select(F.col(id_col).alias(out_id), hashed.alias("sh"))
+    return bounded_persist(base) if persist else base
+
+
+def _prefix_exploded(base: DataFrame, out_id: str, sh_alias: str, threshold: float) -> DataFrame:
+    """Explode each doc's lossless candidate PREFIX: with the global
+    shingle order, J(A,B) >= t implies a common shingle within the
+    first |X| - ceil(t|X|) + 1 of BOTH sets (Bayardo et al. WWW'07).
+    The 1e-9 nudge keeps binary-float t from rounding ceil UP past the
+    exact rational value (a too-short prefix would drop true pairs).
+    The full array rides along for the inline verify."""
+    sz = F.size("sh")
+    plen = (sz - F.ceil(sz * threshold - 1e-9) + 1).cast("int")
+    return base.select(
+        out_id,
+        F.col("sh").alias(sh_alias),
+        F.explode(F.slice("sh", F.lit(1), plen)).alias("shingle"),
+    )
+
+
 def jaccard_pairs(
     df: DataFrame,
     text_col: str,
@@ -141,27 +186,11 @@ def jaccard_pairs(
     missed). The compact array table is persisted once; both prefix
     sides derive from it with narrow ops.
     """
-    hashed = F.array_sort(
-        F.array_distinct(
-            F.transform(
-                word_shingles(ws_tokens(F.col(text_col)), n), lambda s: F.xxhash64(s)
-            )
-        )
-    )
-    base = bounded_persist(
-        spread(df).select(F.col(id_col).alias("id"), hashed.alias("shingles"))
-    )
-    # lossless prefix length |X| - ceil(t*|X|) + 1; the 1e-9 nudge keeps
-    # binary-float t from rounding ceil UP past the exact rational value
-    # (a too-short prefix would drop true pairs)
-    sz = F.size("shingles")
-    plen = (sz - F.ceil(sz * threshold - 1e-9) + 1).cast("int")
-    pref = base.select(
-        "id", "shingles", F.explode(F.slice("shingles", F.lit(1), plen)).alias("shingle")
-    )
+    base = shingle_table(df, text_col, id_col, n)
+    pref = _prefix_exploded(base, "id", "shingles", threshold)
     if max_doc_freq is not None:
         rare = (
-            base.select(F.explode("shingles").alias("shingle"))
+            base.select(F.explode("sh").alias("shingle"))
             .groupBy("shingle")
             .agg(F.count("*").alias("df"))
             .filter(F.col("df") <= max_doc_freq)
@@ -196,6 +225,7 @@ def cross_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.8,
     max_doc_freq: int | None = None,
+    right_shingles: DataFrame | None = None,
 ) -> DataFrame:
     """(new_id, old_id, jaccard) for LEFT x RIGHT pairs with n-gram
     Jaccard >= threshold — the asymmetric (delta-ingest) variant of
@@ -209,36 +239,20 @@ def cross_jaccard_pairs(
 
     ``max_doc_freq`` df-caps prefix shingles by their document
     frequency across BOTH sets (same stop-shingle escape hatch and the
-    same lossiness caveat as ``jaccard_pairs``)."""
+    same lossiness caveat as ``jaccard_pairs``).
 
-    def shingled(df: DataFrame, out_id: str) -> DataFrame:
-        hashed = F.array_sort(
-            F.array_distinct(
-                F.transform(
-                    word_shingles(ws_tokens(F.col(text_col)), n),
-                    lambda s: F.xxhash64(s),
-                )
-            )
-        )
-        return bounded_persist(
-            spread(df).select(F.col(id_col).alias(out_id), hashed.alias("sh"))
-        )
-
-    sz = F.size("sh")
-    plen = (sz - F.ceil(sz * threshold - 1e-9) + 1).cast("int")
-
-    lbase = shingled(left, "new_id")
-    rbase = shingled(right, "old_id")
-    lp = lbase.select(
-        "new_id",
-        F.col("sh").alias("sh_a"),
-        F.explode(F.slice("sh", F.lit(1), plen)).alias("shingle"),
+    ``right_shingles``: a pre-staged ``shingle_table(right, ...,
+    out_id='old_id')`` — continuous-ingest callers build the corpus
+    side ONCE and reuse it across batches instead of re-shingling the
+    corpus per call."""
+    lbase = shingle_table(left, text_col, id_col, n, out_id="new_id")
+    rbase = (
+        right_shingles
+        if right_shingles is not None
+        else shingle_table(right, text_col, id_col, n, out_id="old_id")
     )
-    rp = rbase.select(
-        "old_id",
-        F.col("sh").alias("sh_b"),
-        F.explode(F.slice("sh", F.lit(1), plen)).alias("shingle"),
-    )
+    lp = _prefix_exploded(lbase, "new_id", "sh_a", threshold)
+    rp = _prefix_exploded(rbase, "old_id", "sh_b", threshold)
     if max_doc_freq is not None:
         all_sh = lbase.select(F.explode("sh").alias("shingle")).unionAll(
             rbase.select(F.explode("sh").alias("shingle"))
@@ -270,6 +284,8 @@ def classify_against_corpus(
     id_col: str = "doc_id",
     n: int = 3,
     threshold: float = 0.5,
+    corpus_fp: DataFrame | None = None,
+    corpus_shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Per-new-document ingest verdict against a standing corpus:
     ``exact_dup`` (normalized-md5 fingerprint already present),
@@ -280,12 +296,21 @@ def classify_against_corpus(
     Each document's verdict depends only on (document, corpus) — never
     on what else shares its batch — so any micro-batching of a feed
     yields identical verdicts (the property the streaming wrapper's
-    stream==batch test pins)."""
+    stream==batch test pins).
+
+    ``corpus_fp`` / ``corpus_shingles``: pre-staged corpus artifacts
+    ((fp, old_id) fingerprints; ``shingle_table(corpus, ...,
+    out_id='old_id')``) — a streaming caller builds them once and every
+    micro-batch pays only increment-sized work."""
     from ..functions.text import fingerprint
 
-    fpo = corpus_df.select(
-        fingerprint(F.col(text_col)).alias("fp"),
-        F.col(id_col).alias("old_id"),
+    fpo = (
+        corpus_fp
+        if corpus_fp is not None
+        else corpus_df.select(
+            fingerprint(F.col(text_col)).alias("fp"),
+            F.col(id_col).alias("old_id"),
+        )
     )
     fpn = new_df.select(
         F.col(id_col).alias("doc_id"), fingerprint(F.col(text_col)).alias("fp")
@@ -296,7 +321,15 @@ def classify_against_corpus(
         .agg(F.min("old_id").alias("exact_match_id"))
     )
     near = (
-        cross_jaccard_pairs(new_df, corpus_df, text_col, id_col, n, threshold)
+        cross_jaccard_pairs(
+            new_df,
+            corpus_df,
+            text_col,
+            id_col,
+            n,
+            threshold,
+            right_shingles=corpus_shingles,
+        )
         .groupBy("new_id")
         .agg(
             F.count("*").alias("n_near"),

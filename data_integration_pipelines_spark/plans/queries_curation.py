@@ -28,8 +28,7 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_table(spark, sf_dir, "documents")
 
 
-from ..functions.text import STOPWORDS as _SW
-_SW_SQL_CARD = ", ".join(f"'{w}'" for w in _SW)
+from ..functions.text import quality_features_sql, quality_logit_sql
 
 
 _CLUSTER_EDGE_ORACLE = """
@@ -1103,19 +1102,22 @@ def incremental_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "corpus_card",
-    r"""
+    rf"""
     WITH t AS (
         SELECT doc_id, source,
                regexp_split_to_array(trim(text), '\s+') AS toks,
                md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp
         FROM documents
     ),
-    f AS (
+    feat AS (
         SELECT doc_id, source, fp, len(toks) AS n_toks,
-               -6.0 + 20.0 * (len(list_filter(toks, x -> x IN ({sw}))) / len(toks))
-                    + 1.0 * (list_sum(list_transform(toks, x -> len(x))) / len(toks))
-                    + 1.0 * (len(list_distinct(toks)) / len(toks)) AS z
+               {quality_features_sql('toks')}
         FROM t
+    ),
+    f AS (
+        SELECT doc_id, source, fp, n_toks,
+               {quality_logit_sql()} AS z
+        FROM feat
     ),
     g AS (
         SELECT doc_id, source, fp, n_toks,
@@ -1130,7 +1132,7 @@ def incremental_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(SUM(keep) AS BIGINT) AS n_keep,
            ROUND(SUM(z_bp) / (10000.0 * COUNT(*)), 4) AS mean_score
     FROM g GROUP BY source ORDER BY source
-    """.replace("{sw}", _SW_SQL_CARD),
+    """,
     doc="Per-source dataset card — the one-page summary a curation run "
     "publishes alongside the corpus: document and token counts, exact-"
     "unique fraction (normalized-md5 fingerprints), classifier keep "
@@ -1141,14 +1143,11 @@ def incremental_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pass over the corpus, one groupBy shuffle on source.",
 )
 def corpus_card(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..functions.text import STOPWORDS, fingerprint
+    from ..functions.text import fingerprint, quality_logit
 
     docs = _docs(spark, sf_dir)
     toks = ws_tokens(F.col("text"))
-    swr = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS))) / F.size(toks)
-    atl = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t)) / F.size(toks)
-    ttr = F.size(F.array_distinct(toks)) / F.size(toks)
-    z = F.lit(-6.0) + F.lit(20.0) * swr + F.lit(1.0) * atl + F.lit(1.0) * ttr
+    z = quality_logit(toks)
     g = docs.select(
         "source",
         F.size(toks).alias("n_toks"),

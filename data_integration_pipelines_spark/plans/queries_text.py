@@ -39,6 +39,8 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SW_SQL = ", ".join(f"'{w}'" for w in STOPWORDS)
 
+from ..functions.text import quality_features_sql, quality_logit_sql  # noqa: E402
+
 
 @register(
     "text_quality",
@@ -774,14 +776,12 @@ def cms_token_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     f AS (
         SELECT doc_id,
-               len(list_filter(toks, x -> x IN ({_SW_SQL}))) / len(toks) AS swr,
-               list_sum(list_transform(toks, x -> len(x))) / len(toks) AS atl,
-               len(list_distinct(toks)) / len(toks) AS ttr
+               {quality_features_sql('toks')}
         FROM t
     ),
     s AS (
         SELECT doc_id, swr, atl, ttr,
-               -6.0 + 20.0 * swr + 1.0 * atl + 1.0 * ttr AS z
+               {quality_logit_sql()} AS z
         FROM f
     )
     SELECT doc_id, ROUND(swr, 4) AS stopword_ratio,
@@ -806,18 +806,18 @@ def cms_token_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     "changes only the literals.",
 )
 def quality_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import quality_features, quality_logit
+
     docs = _docs(spark, sf_dir)
     toks = ws_tokens(F.col("text"))
-    swr = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS))) / F.size(toks)
-    atl = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t)) / F.size(toks)
-    ttr = F.size(F.array_distinct(toks)) / F.size(toks)
-    z = F.lit(-6.0) + F.lit(20.0) * swr + F.lit(1.0) * atl + F.lit(1.0) * ttr
+    feats = quality_features(toks)
+    z = quality_logit(toks)
     return (
         docs.select(
             "doc_id",
-            F.round(swr, 4).alias("stopword_ratio"),
-            F.round(atl, 4).alias("avg_token_len"),
-            F.round(ttr, 4).alias("type_token_ratio"),
+            F.round(feats["swr"], 4).alias("stopword_ratio"),
+            F.round(feats["atl"], 4).alias("avg_token_len"),
+            F.round(feats["ttr"], 4).alias("type_token_ratio"),
             F.round(z, 4).alias("score"),
             (z >= F.lit(0.0)).alias("keep"),
         )

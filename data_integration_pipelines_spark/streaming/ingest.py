@@ -47,16 +47,60 @@ def streaming_ingest_verdicts(
     n_near_dups, best_jaccard) to the parquet result log. Returns the
     StreamingQuery."""
 
+    from pyspark.sql import functions as F
+
+    from ..functions.text import fingerprint
+    from ..operators.dedup import shingle_table
+
+    # Stage the corpus side ONCE, pinned outside the FIFO persist pool
+    # (per-batch operators would otherwise evict it and every batch
+    # would re-pay a full corpus scan + shingle + sort — O(batches)
+    # corpus passes). The stream owns these handles; they are released
+    # when the drain completes.
+    corpus_fp = corpus_docs.select(
+        fingerprint(F.col("text")).alias("fp"),
+        F.col("doc_id").alias("old_id"),
+    ).persist()
+    corpus_sh = shingle_table(
+        corpus_docs, "text", "doc_id", n, out_id="old_id", persist=False
+    ).persist()
+
     def classify(batch_df: DataFrame, batch_id: int) -> None:
         if not batch_df.take(1):
             return
         classify_against_corpus(
-            batch_df, corpus_docs, "text", "doc_id", n, threshold
+            batch_df,
+            corpus_docs,
+            "text",
+            "doc_id",
+            n,
+            threshold,
+            corpus_fp=corpus_fp,
+            corpus_shingles=corpus_sh,
         ).write.mode("append").parquet(out_path)
 
-    return (
+    query = (
         stream_docs.writeStream.foreachBatch(classify)
         .option("checkpointLocation", checkpoint_path)
         .trigger(availableNow=True)
         .start()
     )
+
+    class _Drain:
+        """awaitTermination wrapper that releases the staged corpus
+        caches when the availableNow drain finishes."""
+
+        def __init__(self, q):
+            self._q = q
+
+        def awaitTermination(self, timeout=None):
+            try:
+                return self._q.awaitTermination(timeout)
+            finally:
+                corpus_fp.unpersist(blocking=False)
+                corpus_sh.unpersist(blocking=False)
+
+        def __getattr__(self, name):
+            return getattr(self._q, name)
+
+    return _Drain(query)

@@ -53,14 +53,23 @@ def streaming_cms(
 
     def fold(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        merged = fold_cms_batch(
-            read_store(spark, store_path), batch_df, value_col, width, depth
+        # idempotent under at-least-once replay: the version IS the
+        # micro-batch id. If the query died after writing v=K but
+        # before committing the checkpoint, the redelivered batch K
+        # finds its version complete and skips — counts fold exactly
+        # once (unlike counters, grid cells have no identity to dedup
+        # on downstream, so double-merging would silently break the
+        # certified overshoot bound).
+        if batch_id in _versions(store_path):
+            return
+        prior = [v for v in _versions(store_path) if v < batch_id]
+        existing = (
+            read_store(spark, store_path, version=prior[-1]) if prior else None
         )
-        versions = _versions(store_path)
-        nxt = versions[-1] + 1 if versions else 0
+        merged = fold_cms_batch(existing, batch_df, value_col, width, depth)
         # the grid is depth*width rows — one file is the right layout
         merged.coalesce(1).write.mode("overwrite").parquet(
-            os.path.join(store_path, f"v={nxt}")
+            os.path.join(store_path, f"v={batch_id}")
         )
 
     return (

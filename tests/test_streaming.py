@@ -389,3 +389,45 @@ def test_streaming_ingest_verdicts_match_batch(spark, sf_small, tmp_path):
             for r in classify_against_corpus(batch_new, corpus).collect()}
     assert got == want
     assert len(got) == batch_new.count()
+
+
+def test_streaming_cms_replay_is_idempotent(spark, sf_small, tmp_path):
+    """At-least-once replay of a micro-batch must not double-count:
+    the store version is keyed on batch_id, so a redelivered batch
+    finds its version complete and skips (sketch_fold.py)."""
+    from data_integration_pipelines_spark.operators.sketches import cms_build
+    from data_integration_pipelines_spark.streaming.dedup import (
+        read_staged_events_stream,
+    )
+    from data_integration_pipelines_spark.streaming.sketch_fold import (
+        streaming_cms,
+    )
+    from data_integration_pipelines_spark.streaming.upsert import read_store
+
+    events = load_table(spark, sf_small, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    staging = str(tmp_path / "staged")
+    store = str(tmp_path / "store")
+    events.write.mode("overwrite").parquet(staging)
+
+    def drain(ckpt):
+        q = streaming_cms(
+            read_staged_events_stream(spark, staging).select("event_type"),
+            value_col="event_type",
+            store_path=store,
+            checkpoint_path=str(tmp_path / ckpt),
+        )
+        q.awaitTermination(120)
+
+    drain("ckpt1")
+    # simulate redelivery of the SAME batch 0: a fresh checkpoint makes
+    # the source replay everything as batch 0 against the same store
+    drain("ckpt2")
+
+    got = {(r.d, r.bucket): r.cnt for r in read_store(spark, store).collect()}
+    want = {
+        (r.d, r.bucket): r.cnt
+        for r in cms_build(events.select("event_type"), "event_type").collect()
+    }
+    assert got == want  # folded once, not twice
