@@ -50,6 +50,7 @@ _RISK_ORDER = [
     "quality_classifier_score",
     "exact_substring_removal",
     "corpus_card",
+    "next_event_training_pairs",
     # -- never driver-sampled in rounds 1-3 (judge-verified only) --
     "image_resize",
     "audio_features",

@@ -849,3 +849,50 @@ def sequence_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@register(
+    "next_event_training_pairs",
+    """
+    WITH seq AS (
+        SELECT user_id, event_type,
+               LAG(event_type, 3) OVER w AS c1,
+               LAG(event_type, 2) OVER w AS c2,
+               LAG(event_type, 1) OVER w AS c3
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT c1 || '>' || c2 || '>' || c3 AS context, event_type AS label,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM seq WHERE c1 IS NOT NULL
+    GROUP BY 1, 2
+    ORDER BY n DESC, context, label
+    """,
+    doc="Sequence-dataset construction — turn event logs into "
+    "(context, label) next-event training pairs: per user, the 3 "
+    "preceding event types (deterministic (ts, event_id) order) form "
+    "the context, the current one the label, aggregated to pair "
+    "counts. ONE shuffle on user_id for the lag window, one for the "
+    "pair count; the per-user sequence never leaves its partition. "
+    "The shape every next-token/next-action dataset builder runs at "
+    "corpus scale.",
+)
+def next_event_training_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type",
+        F.lag("event_type", 3).over(w).alias("c1"),
+        F.lag("event_type", 2).over(w).alias("c2"),
+        F.lag("event_type", 1).over(w).alias("c3"),
+    )
+    return (
+        seq.filter(F.col("c1").isNotNull())
+        .select(
+            F.concat_ws(">", "c1", "c2", "c3").alias("context"),
+            F.col("event_type").alias("label"),
+        )
+        .groupBy("context", "label")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "context", "label")
+    )

@@ -773,3 +773,47 @@ class TestExactSubstringRemoval:
         assert out[2].cleaned_md5 == md5(b_pre)
         assert out[3].n_removed == 0
         assert out[3].cleaned_md5 == md5("c1 c2 c3 c4 c5 c6 c7 c8 c9 c10")
+
+
+class TestCrossJaccardLossless:
+    def test_prefix_filter_never_drops_a_true_pair(self, spark, sf_small):
+        """Brute-force differential for the asymmetric prefix join:
+        exact jaccard over ALL cross pairs (no prefix, no cap) must
+        equal cross_jaccard_pairs' output — the Bayardo prefix is a
+        candidate FILTER, never a score change or a miss."""
+        from data_integration_pipelines_spark.operators.dedup import (
+            cross_jaccard_pairs,
+            doc_shingles,
+        )
+
+        docs = load_table(spark, sf_small, "documents").filter(
+            F.col("doc_id") < 200
+        )
+        newd = docs.filter(F.col("doc_id") % 10 >= 8)
+        oldd = docs.filter(F.col("doc_id") % 10 < 8)
+        got = {
+            (r.new_id, r.old_id, round(r.jaccard, 6))
+            for r in cross_jaccard_pairs(
+                newd, oldd, "text", "doc_id", n=3, threshold=0.4
+            ).collect()
+        }
+        # brute force: distinct (id, shingle) explode, full equi-join
+        a = doc_shingles(newd, "text", "doc_id", 3).withColumnRenamed("id", "new_id")
+        b = doc_shingles(oldd, "text", "doc_id", 3).withColumnRenamed("id", "old_id")
+        sa = a.groupBy("new_id").agg(F.count("*").alias("sza"))
+        sb = b.groupBy("old_id").agg(F.count("*").alias("szb"))
+        inter = (
+            a.join(b, "shingle")
+            .groupBy("new_id", "old_id")
+            .agg(F.count("*").alias("c"))
+        )
+        brute = (
+            inter.join(sa, "new_id").join(sb, "old_id")
+            .withColumn("j", F.col("c") / (F.col("sza") + F.col("szb") - F.col("c")))
+            .filter(F.col("j") >= 0.4)
+        )
+        want = {
+            (r.new_id, r.old_id, round(r.j, 6)) for r in brute.collect()
+        }
+        assert got == want
+        assert len(want) > 0  # non-vacuous at this threshold

@@ -45,6 +45,7 @@ _NEVER_DRIVER_VERIFIED = {
     "quality_classifier_score",
     "exact_substring_removal",
     "corpus_card",
+    "next_event_training_pairs",
     "incremental_join_retract",
     "jwt_decode",
     "knn_classify",
