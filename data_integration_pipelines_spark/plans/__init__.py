@@ -51,6 +51,7 @@ _RISK_ORDER = [
     "exact_substring_removal",
     "corpus_card",
     "next_event_training_pairs",
+    "contrastive_pairs",
     # -- never driver-sampled in rounds 1-3 (judge-verified only) --
     "image_resize",
     "audio_features",

@@ -1168,3 +1168,99 @@ def corpus_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "contrastive_pairs",
+    r"""
+    WITH t AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+        FROM documents
+    ),
+    halves AS (
+        SELECT doc_id,
+               array_to_string(toks[1:len(toks)//2], ' ') AS front,
+               array_to_string(toks[len(toks)//2+1:len(toks)], ' ') AS back
+        FROM t WHERE len(toks) >= 8
+    ),
+    ranked AS (
+        SELECT *, md5('7:' || doc_id) AS h,
+               substr(md5('7:' || doc_id), 1, 1) AS bkt
+        FROM halves
+    ),
+    neg AS (
+        SELECT r.doc_id,
+               COALESCE(LEAD(r.doc_id) OVER w,
+                        FIRST_VALUE(r.doc_id) OVER wf) AS neg_id,
+               COALESCE(LEAD(r.back) OVER w,
+                        FIRST_VALUE(r.back) OVER wf) AS neg_back
+        FROM ranked r
+        WINDOW w AS (PARTITION BY bkt ORDER BY h, doc_id),
+               wf AS (PARTITION BY bkt ORDER BY h, doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    )
+    SELECT h.doc_id AS anchor_id, 1 AS label, h.doc_id AS partner_id,
+           md5(h.front || '|' || h.back) AS pair_md5
+    FROM halves h
+    UNION ALL
+    SELECT n.doc_id, 0, n.neg_id, md5(h.front || '|' || n.neg_back)
+    FROM neg n JOIN halves h ON h.doc_id = n.doc_id
+    WHERE n.neg_id <> n.doc_id
+    ORDER BY anchor_id, label DESC
+    """,
+    doc="Contrastive-pair dataset construction (SimCSE/CLIP-style "
+    "training data, made deterministic): each document's front half "
+    "anchors a positive (its own back half) and a negative (the back "
+    "half of the NEXT document on a seeded md5 ring). The ring is "
+    "per-hash-bucket — ROW_NUMBER/LEAD partition on the first hash "
+    "hex digit, so pairing never needs a global sort: at 100 TB each "
+    "bucket ring builds independently after one hash-partitioned "
+    "shuffle. A singleton bucket would pair a doc with itself; such "
+    "degenerate negatives are dropped identically on both sides "
+    "(none exist at the fixture SFs). Pair content certified by md5 "
+    "digests.",
+)
+def contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    toks = ws_tokens(F.col("text"))
+    half = F.floor(F.size("toks") / 2).cast("int")
+    halves = (
+        docs.select("doc_id", toks.alias("toks"))
+        .filter(F.size("toks") >= 8)
+        .select(
+            "doc_id",
+            F.concat_ws(" ", F.slice("toks", 1, half)).alias("front"),
+            F.concat_ws(
+                " ", F.slice("toks", half + 1, F.size("toks") - half)
+            ).alias("back"),
+        )
+    )
+    h = F.md5(F.concat(F.lit("7:"), F.col("doc_id").cast("string")))
+    ranked = halves.select(
+        "doc_id", "front", "back", h.alias("h"), F.substring(h, 1, 1).alias("bkt")
+    )
+    w = Window.partitionBy("bkt").orderBy("h", "doc_id")
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    neg = ranked.select(
+        "doc_id",
+        "front",
+        F.coalesce(
+            F.lead("doc_id").over(w), F.first("doc_id").over(wf)
+        ).alias("neg_id"),
+        F.coalesce(F.lead("back").over(w), F.first("back").over(wf)).alias(
+            "neg_back"
+        ),
+    )
+    pos = halves.select(
+        F.col("doc_id").alias("anchor_id"),
+        F.lit(1).alias("label"),
+        F.col("doc_id").alias("partner_id"),
+        F.md5(F.concat_ws("|", "front", "back")).alias("pair_md5"),
+    )
+    negs = neg.filter(F.col("neg_id") != F.col("doc_id")).select(
+        F.col("doc_id").alias("anchor_id"),
+        F.lit(0).alias("label"),
+        F.col("neg_id").alias("partner_id"),
+        F.md5(F.concat_ws("|", "front", "neg_back")).alias("pair_md5"),
+    )
+    return pos.unionAll(negs).orderBy("anchor_id", F.desc("label"))

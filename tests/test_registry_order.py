@@ -46,6 +46,7 @@ _NEVER_DRIVER_VERIFIED = {
     "exact_substring_removal",
     "corpus_card",
     "next_event_training_pairs",
+    "contrastive_pairs",
     "incremental_join_retract",
     "jwt_decode",
     "knn_classify",
