@@ -52,6 +52,7 @@ _RISK_ORDER = [
     "corpus_card",
     "next_event_training_pairs",
     "contrastive_pairs",
+    "tokenizer_fertility",
     # -- never driver-sampled in rounds 1-3 (judge-verified only) --
     "image_resize",
     "audio_features",

@@ -947,3 +947,52 @@ def exact_substring_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "tokenizer_fertility",
+    r"""
+    WITH t AS (
+        SELECT lang, source,
+               octet_length(encode(text)) AS n_bytes,
+               len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))
+                   AS n_bpe
+        FROM documents
+    )
+    SELECT lang, source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
+           CAST(SUM(n_bpe) AS BIGINT) AS total_tokens,
+           ROUND(SUM(n_bytes) / CAST(SUM(n_bpe) AS DOUBLE), 4)
+               AS bytes_per_token
+    FROM t
+    GROUP BY lang, source
+    ORDER BY lang, source
+    """,
+    doc="Tokenizer fertility report — bytes per BPE-ish token by "
+    "(lang, source), the planning metric behind token-budget math "
+    "(a corpus 'has 2T tokens' only relative to a tokenizer; fertility "
+    "converts byte budgets to token budgets per slice). Exact by "
+    "construction: integer byte and token SUMs (order-independent), "
+    "one division of two exact integers. One partial-agg'd shuffle.",
+)
+def tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    return (
+        docs.select(
+            "lang",
+            "source",
+            F.octet_length("text").alias("n_bytes"),
+            bpe_token_count(F.col("text")).alias("n_bpe"),
+        )
+        .groupBy("lang", "source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_bytes").alias("total_bytes"),
+            F.sum("n_bpe").alias("total_tokens"),
+            F.round(
+                F.sum("n_bytes") / F.sum("n_bpe").cast("double"), 4
+            ).alias("bytes_per_token"),
+        )
+        .orderBy("lang", "source")
+    )

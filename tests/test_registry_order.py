@@ -47,6 +47,7 @@ _NEVER_DRIVER_VERIFIED = {
     "corpus_card",
     "next_event_training_pairs",
     "contrastive_pairs",
+    "tokenizer_fertility",
     "incremental_join_retract",
     "jwt_decode",
     "knn_classify",
