@@ -31,31 +31,39 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def z_value(col_a: Column, col_b: Column, bits: int = 16) -> Column:
-    """Morton-interleave two non-negative ints already in [0, 2^bits):
-    bit i of ``col_a`` lands at position 2i, of ``col_b`` at 2i+1.
-    Pure shift/or Column tree — stays in whole-stage codegen."""
-    a = col_a.cast("long")
-    b = col_b.cast("long")
+def z_value_n(cols: list[Column], bits: int = 16) -> Column:
+    """Morton-interleave D non-negative ints already in [0, 2^bits):
+    bit i of column j lands at position i*D + j. Pure shift/or Column
+    tree — stays in whole-stage codegen. D*bits must fit a long
+    (<= 62)."""
+    d = len(cols)
+    if d * bits > 62:
+        raise ValueError(f"{d} cols x {bits} bits = {d * bits} > 62 z-bits")
+    longs = [c.cast("long") for c in cols]
     z = F.lit(0).cast("long")
     for i in range(bits):
-        z = (
-            z.bitwiseOR(F.shiftleft(F.shiftright(a, i).bitwiseAND(F.lit(1)), 2 * i))
-            .bitwiseOR(F.shiftleft(F.shiftright(b, i).bitwiseAND(F.lit(1)), 2 * i + 1))
-        )
+        for j, c in enumerate(longs):
+            z = z.bitwiseOR(
+                F.shiftleft(F.shiftright(c, i).bitwiseAND(F.lit(1)), i * d + j)
+            )
     return z
+
+
+def z_value(col_a: Column, col_b: Column, bits: int = 16) -> Column:
+    """2-D Morton curve: bit i of ``col_a`` at 2i, of ``col_b`` at
+    2i+1 (the D=2 case of ``z_value_n``)."""
+    return z_value_n([col_a, col_b], bits)
 
 
 def write_zordered(
     df: DataFrame,
     path: str,
-    col_a: str,
-    col_b: str,
+    *cols: str,
     n_files: int = 8,
     bits: int = 10,
 ) -> None:
     """Write ``df`` as ``n_files`` parquet files clustered on the
-    Morton curve of (``col_a``, ``col_b``).
+    Morton curve of ``cols`` (2 or more clustering keys).
 
     Keys are rank-normalized into [0, 2^bits) with ``ntile`` before
     interleaving, so arbitrary numeric/temporal domains and skewed
@@ -68,15 +76,20 @@ def write_zordered(
     bucketing (``F.ntile`` -> precomputed range bounds) with the same
     downstream layout.
     """
+    if len(cols) < 2:
+        raise ValueError("z-ordering needs at least 2 clustering keys")
     n_buckets = 1 << bits
-    wa = Window.orderBy(F.col(col_a))
-    wb = Window.orderBy(F.col(col_b))
-    with_z = (
-        df.withColumn("__ra", F.ntile(n_buckets).over(wa) - 1)
-        .withColumn("__rb", F.ntile(n_buckets).over(wb) - 1)
-        .withColumn("__z", z_value(F.col("__ra"), F.col("__rb"), bits))
-        .drop("__ra", "__rb")
-    )
+    with_z = df
+    rank_cols = []
+    for idx, c in enumerate(cols):
+        rc = f"__r{idx}"
+        with_z = with_z.withColumn(
+            rc, F.ntile(n_buckets).over(Window.orderBy(F.col(c))) - 1
+        )
+        rank_cols.append(rc)
+    with_z = with_z.withColumn(
+        "__z", z_value_n([F.col(rc) for rc in rank_cols], bits)
+    ).drop(*rank_cols)
     (
         with_z.repartitionByRange(n_files, "__z")
         .sortWithinPartitions("__z")
@@ -86,8 +99,8 @@ def write_zordered(
     )
 
 
-def zorder_stats(path: str, col_a: str, col_b: str) -> list[dict]:
-    """Per-file min/max coverage of both keys, straight from the
+def zorder_stats(path: str, *cols: str) -> list[dict]:
+    """Per-file min/max coverage of every clustering key, straight from the
     parquet footers (what a reader's pruning actually sees). Returns
     one dict per data file with the fraction of the global range each
     file spans per column — the skipping power of the layout."""
@@ -105,7 +118,7 @@ def zorder_stats(path: str, col_a: str, col_b: str) -> list[dict]:
             for ci in range(g.num_columns):
                 c = g.column(ci)
                 name = c.path_in_schema
-                if name not in (col_a, col_b) or c.statistics is None:
+                if name not in cols or c.statistics is None:
                     continue
                 st = c.statistics
                 mins[name] = min(mins.get(name, st.min), st.min)
@@ -117,21 +130,21 @@ def zorder_stats(path: str, col_a: str, col_b: str) -> list[dict]:
     lacking = [
         f["file"]
         for f in per_file
-        if not all(c in f["min"] and c in f["max"] for c in (col_a, col_b))
+        if not all(c in f["min"] and c in f["max"] for c in cols)
     ]
     if lacking:
         raise ValueError(
-            f"parquet footer statistics missing for {col_a!r}/{col_b!r} "
+            f"parquet footer statistics missing for {cols!r} "
             f"in: {lacking[:3]}{'...' if len(lacking) > 3 else ''} — "
             "z-order pruning needs min/max stats on both keys"
         )
     # convert to global-range fractions
-    g_min = {c: min(f["min"][c] for f in per_file) for c in (col_a, col_b)}
-    g_max = {c: max(f["max"][c] for f in per_file) for c in (col_a, col_b)}
+    g_min = {c: min(f["min"][c] for f in per_file) for c in cols}
+    g_max = {c: max(f["max"][c] for f in per_file) for c in cols}
     out = []
     for f in per_file:
         row = {"file": f["file"]}
-        for c in (col_a, col_b):
+        for c in cols:
             span = g_max[c] - g_min[c]
             width = f["max"][c] - f["min"][c]
             row[f"{c}_frac"] = (

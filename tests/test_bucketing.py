@@ -248,3 +248,54 @@ class TestCompaction:
         # range-partitioned files must not overlap on the sort key
         for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
             assert hi1 <= lo2
+
+
+class TestZorder3D:
+    def test_three_column_curve_bounds_all_dimensions(self, spark, tmp_path):
+        """D=3 Morton layout: every output file's footer spans a
+        bounded fraction of EACH key's global range — the property a
+        single-column sort only gives on its own key."""
+        from data_integration_pipelines_spark.catalog import load_table
+        from data_integration_pipelines_spark.sources.zorder import (
+            write_zordered,
+            zorder_stats,
+        )
+
+        ev = load_table(spark, "/root/testdata/sf0.001", "events").select(
+            "event_id", "user_id", "value"
+        )
+        zpath = str(tmp_path / "z3.parquet")
+        write_zordered(ev, zpath, "event_id", "user_id", "value", n_files=8, bits=6)
+        stats = zorder_stats(zpath, "event_id", "user_id", "value")
+        assert len(stats) >= 8
+
+        # baseline: single-column sort — perfect on its own key, ~full
+        # range on the other two
+        spath = str(tmp_path / "sorted.parquet")
+        (ev.repartitionByRange(8, "event_id").sortWithinPartitions("event_id")
+           .write.parquet(spath))
+        base = zorder_stats(spath, "event_id", "user_id", "value")
+
+        def mean_frac(rows, col):
+            return sum(r[f"{col}_frac"] for r in rows) / len(rows)
+
+        # the curve must bound every dimension below the sorted
+        # baseline's non-sort spans (~1.0), and no dimension collapses
+        # to full range
+        for col in ("user_id", "value"):
+            assert mean_frac(stats, col) < mean_frac(base, col) * 0.85, col
+        for col in ("event_id", "user_id", "value"):
+            assert mean_frac(stats, col) < 0.9, (col, mean_frac(stats, col))
+
+    def test_z_value_n_rejects_overflow_and_too_few(self, spark):
+        import pytest as _pytest
+        from pyspark.sql import functions as F
+        from data_integration_pipelines_spark.sources.zorder import (
+            write_zordered,
+            z_value_n,
+        )
+
+        with _pytest.raises(ValueError, match="z-bits"):
+            z_value_n([F.lit(1)] * 4, bits=16)
+        with _pytest.raises(ValueError, match="at least 2"):
+            write_zordered(spark.range(1), "/tmp/never", "id")

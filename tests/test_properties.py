@@ -311,3 +311,53 @@ def test_mult_delta_join_equals_net_recompute(spark, history):
                 want[(ka, va, vb)] += ma * mb
     want = Counter({k_: m for k_, m in want.items() if m != 0})
     assert actual == want
+
+
+@settings(max_examples=10, deadline=None, derandomize=True)
+@given(
+    st.lists(
+        st.sampled_from(["apple", "pear", "kiwi", "plum", "fig", "date"]),
+        min_size=1,
+        max_size=60,
+    ),
+    st.integers(min_value=1, max_value=4),
+)
+def test_cms_one_sided_and_merge_invariant(spark, values, n_splits):
+    """Count-min over ANY multiset: (a) estimate >= true count for
+    every value, exact when width >> distinct values; (b) folding the
+    multiset through any partition into per-slice grids merges to the
+    same grid as one pass (the mergeable-partials contract under
+    arbitrary batching)."""
+    from collections import Counter
+
+    from pyspark.sql import Row
+    from pyspark.sql import functions as F
+
+    from data_integration_pipelines_spark.operators.sketches import (
+        cms_build,
+        cms_estimate,
+        cms_merge,
+    )
+
+    df = spark.createDataFrame([Row(i=i, v=v) for i, v in enumerate(values)])
+    wide = cms_build(df.select("v"), "v", width=512, depth=3)
+    probes = spark.createDataFrame([Row(v=v) for v in sorted(set(values))])
+    est = {
+        r.v: r.cms_est
+        for r in cms_estimate(wide, probes, "v", width=512, depth=3).collect()
+    }
+    truth = Counter(values)
+    assert est == dict(truth)  # 512 buckets, <=6 values: exact
+
+    tight_parts = [
+        cms_build(df.filter(F.col("i") % n_splits == k).select("v"), "v", width=4, depth=2)
+        for k in range(n_splits)
+    ]
+    merged = {
+        (r.d, r.bucket): r.cnt for r in cms_merge(*tight_parts).collect()
+    }
+    one_pass = {
+        (r.d, r.bucket): r.cnt
+        for r in cms_build(df.select("v"), "v", width=4, depth=2).collect()
+    }
+    assert merged == one_pass
