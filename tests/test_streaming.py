@@ -431,3 +431,38 @@ def test_streaming_cms_replay_is_idempotent(spark, sf_small, tmp_path):
         for r in cms_build(events.select("event_type"), "event_type").collect()
     }
     assert got == want  # folded once, not twice
+
+
+def test_streaming_cluster_assign_matches_batch(spark, sf_small, tmp_path):
+    """Map-only k-means assignment runs unchanged inside a streaming
+    query: fit centroids in batch, stream the same vectors through
+    assign_clusters, and every (id, cluster, dist) row must match the
+    batch assignment exactly (streaming/cluster_assign.py)."""
+    from data_integration_pipelines_spark.operators.clustering import kmeans_fit
+    from data_integration_pipelines_spark.streaming.cluster_assign import (
+        read_staged_embeddings_stream,
+        streaming_assign,
+    )
+
+    emb = load_table(spark, sf_small, "embeddings")
+    batch_assigned, cents = kmeans_fit(emb, k=4, iters=2)
+    want = {
+        r.id: (r.cluster, r.dist)
+        for r in batch_assigned.select("id", "cluster", "dist").collect()
+    }
+
+    staging = str(tmp_path / "staged")
+    out = str(tmp_path / "assigned")
+    emb.filter(F.col("vec_id") % 2 == 0).write.mode("overwrite").parquet(staging)
+    emb.filter(F.col("vec_id") % 2 == 1).write.mode("append").parquet(staging)
+    q = streaming_assign(
+        read_staged_embeddings_stream(spark, staging, max_files_per_trigger=1),
+        cents,
+        out_path=out,
+        checkpoint_path=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(120)
+
+    got = {r.id: (r.cluster, r.dist) for r in spark.read.parquet(out).collect()}
+    assert got == want
+    assert len(got) == emb.count()
