@@ -275,7 +275,8 @@ def semdedup_survivors(assigned: DataFrame, threshold: float) -> DataFrame:
         flagged.groupBy("cluster")
         .agg(
             F.count("*").alias("n_members"),
-            F.sum(F.when(F.col("rm").isNotNull(), 1).otherwise(0)).alias("n_removed"),
+            # count() skips nulls — exactly the oracle's COUNT(r.id)
+            F.count("rm").alias("n_removed"),
         )
         .withColumn("n_kept", F.col("n_members") - F.col("n_removed"))
     )

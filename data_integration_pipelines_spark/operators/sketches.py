@@ -41,20 +41,30 @@ def cms_bucket(value: Column, d: int | Column, width: int) -> Column:
     return F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % width
 
 
-def cms_build(
-    df: DataFrame, value_col: str, width: int = 64, depth: int = 3
-) -> DataFrame:
-    """Count-min grid (d, bucket, cnt) over every row's value (bag
-    semantics — duplicates count). One grid-sized shuffle."""
-    cells = df.select(
+def _cells(df: DataFrame, value_col: str, width: int, depth: int, *extra: str) -> DataFrame:
+    """One (d, bucket) row per hash row per input row — the shared
+    explode behind build and estimate."""
+    return df.select(
+        *extra,
         F.posexplode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(depth - 1)),
                 lambda d: cms_bucket(F.col(value_col), d, width),
             )
-        ).alias("d", "bucket")
+        ).alias("d", "bucket"),
     )
-    return cells.groupBy("d", "bucket").agg(F.count("*").alias("cnt"))
+
+
+def cms_build(
+    df: DataFrame, value_col: str, width: int = 64, depth: int = 3
+) -> DataFrame:
+    """Count-min grid (d, bucket, cnt) over every row's value (bag
+    semantics — duplicates count). One grid-sized shuffle."""
+    return (
+        _cells(df, value_col, width, depth)
+        .groupBy("d", "bucket")
+        .agg(F.count("*").alias("cnt"))
+    )
 
 
 def cms_merge(*grids: DataFrame) -> DataFrame:
@@ -78,15 +88,7 @@ def cms_estimate(
     ``depth`` cells. Missing cells count 0 (an un-hit bucket means the
     value was never inserted). The grid is depth*width rows — Spark
     broadcasts it; the probe side stays shuffle-free."""
-    cells = probes.select(
-        F.col(value_col),
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(depth - 1)),
-                lambda d: cms_bucket(F.col(value_col), d, width),
-            )
-        ).alias("d", "bucket"),
-    )
+    cells = _cells(probes, value_col, width, depth, value_col)
     return (
         cells.join(F.broadcast(grid), ["d", "bucket"], "left")
         .groupBy(value_col)

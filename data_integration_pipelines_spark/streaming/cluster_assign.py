@@ -24,10 +24,9 @@ def read_staged_embeddings_stream(
     spark, path: str, max_files_per_trigger: int | None = None
 ):
     """Streaming scan of a staged directory of embedding parquet files."""
-    reader = spark.readStream.schema(EMBEDDINGS_SCHEMA)
-    if max_files_per_trigger is not None:
-        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    return reader.parquet(path)
+    from .staged import read_staged_stream
+
+    return read_staged_stream(spark, path, EMBEDDINGS_SCHEMA, max_files_per_trigger)
 
 
 def streaming_assign(

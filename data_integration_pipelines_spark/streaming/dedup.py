@@ -36,10 +36,9 @@ def read_staged_events_stream(
     (normalized timestamps, e.g. written by the batch catalog).
     ``max_files_per_trigger`` bounds micro-batch size (and with
     availableNow splits a backlog into several micro-batches)."""
-    reader = spark.readStream.schema(STAGED_EVENTS_SCHEMA)
-    if max_files_per_trigger is not None:
-        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    raw = reader.parquet(path)
+    from .staged import read_staged_stream
+
+    raw = read_staged_stream(spark, path, STAGED_EVENTS_SCHEMA, max_files_per_trigger)
     return raw.withWatermark("ts", watermark)
 
 

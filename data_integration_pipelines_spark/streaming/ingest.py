@@ -28,10 +28,9 @@ DOCS_SCHEMA = (
 
 def read_staged_docs_stream(spark, path: str, max_files_per_trigger: int | None = None):
     """Streaming scan of a staged directory of document parquet files."""
-    reader = spark.readStream.schema(DOCS_SCHEMA)
-    if max_files_per_trigger is not None:
-        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    return reader.parquet(path)
+    from .staged import read_staged_stream
+
+    return read_staged_stream(spark, path, DOCS_SCHEMA, max_files_per_trigger)
 
 
 def streaming_ingest_verdicts(
