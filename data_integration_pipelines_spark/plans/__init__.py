@@ -53,6 +53,7 @@ _RISK_ORDER = [
     "next_event_training_pairs",
     "contrastive_pairs",
     "tokenizer_fertility",
+    "cluster_purity",
     # -- never driver-sampled in rounds 1-3 (judge-verified only) --
     "image_resize",
     "audio_features",

@@ -200,3 +200,75 @@ def semdedup_survivors_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("cluster", "n_members", "n_removed", "n_kept")
         .orderBy("cluster")
     )
+
+
+@register(
+    "cluster_purity",
+    f"WITH {_kmeans_ctes()},"
+    + f"""
+    lab AS (SELECT vec_id AS id, label FROM embeddings),
+    cl AS (
+        SELECT a.cid AS cluster, l.label
+        FROM {_FINAL} a JOIN lab l ON l.id = a.id
+    ),
+    counts AS (
+        SELECT cluster, label, COUNT(*) AS n
+        FROM cl GROUP BY 1, 2
+    ),
+    best AS (
+        SELECT cluster, label AS majority_label, n AS n_majority
+        FROM (
+            SELECT cluster, label, n,
+                   ROW_NUMBER() OVER (PARTITION BY cluster
+                                      ORDER BY n DESC, label) AS rn
+            FROM counts)
+        WHERE rn = 1
+    ),
+    sizes AS (SELECT cluster, CAST(SUM(n) AS BIGINT) AS n_members FROM counts GROUP BY 1)
+    SELECT s.cluster, s.n_members,
+           CAST(b.majority_label AS INT) AS majority_label,
+           CAST(b.n_majority AS BIGINT) AS n_majority,
+           ROUND(CAST(b.n_majority AS DOUBLE) / s.n_members, 4) AS purity
+    FROM sizes s JOIN best b ON b.cluster = s.cluster
+    ORDER BY s.cluster
+    """,
+    doc="Clustering quality evaluation: per-cluster majority ground-"
+    "truth label and purity (majority fraction) against the fixture's "
+    "label column — the metric a curation run reports to decide "
+    "whether k-means clusters are clean enough to drive per-cluster "
+    "dedup or stratified sampling. Same fixed-point fit as "
+    "kmeans_clusters; the purity division is two exact integers.",
+)
+def cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    assigned, _ = kmeans_fit(emb, k=_K, iters=_ITERS)
+    cl = assigned.select("id", "cluster").join(
+        emb.select(F.col("vec_id").alias("id"), "label"), "id"
+    )
+    counts = cl.groupBy("cluster", "label").agg(F.count("*").alias("n"))
+    w = Window.partitionBy("cluster").orderBy(F.desc("n"), "label")
+    best = (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "cluster",
+            F.col("label").alias("majority_label"),
+            F.col("n").alias("n_majority"),
+        )
+    )
+    sizes = counts.groupBy("cluster").agg(F.sum("n").alias("n_members"))
+    return (
+        sizes.join(best, "cluster")
+        .select(
+            "cluster",
+            "n_members",
+            "majority_label",
+            "n_majority",
+            F.round(
+                F.col("n_majority").cast("double") / F.col("n_members"), 4
+            ).alias("purity"),
+        )
+        .orderBy("cluster")
+    )

@@ -48,6 +48,7 @@ _NEVER_DRIVER_VERIFIED = {
     "next_event_training_pairs",
     "contrastive_pairs",
     "tokenizer_fertility",
+    "cluster_purity",
     "incremental_join_retract",
     "jwt_decode",
     "knn_classify",
