@@ -361,3 +361,50 @@ def test_cms_one_sided_and_merge_invariant(spark, values, n_splits):
         for r in cms_build(df.select("v"), "v", width=4, depth=2).collect()
     }
     assert merged == one_pass
+
+
+@settings(max_examples=30, deadline=None, derandomize=True)
+@given(
+    st.integers(min_value=-12_000_000, max_value=12_000_000),
+    st.integers(min_value=1, max_value=20_000),
+)
+def test_round_half_away_matches_duckdb_round(s, n):
+    """The k-means centroid update relies on _round_half_away mirroring
+    DuckDB's ROUND(double) EXACTLY, including representation edges
+    where floor(x+0.5) overshoots. Differential over the actual
+    centroid-update expression shape: round(CAST(s AS DOUBLE)*100/n)."""
+    import duckdb
+
+    from data_integration_pipelines_spark.operators.clustering import (
+        _round_half_away,
+    )
+
+    py = _round_half_away(float(s) * 100 / n)
+    db = duckdb.sql(
+        f"SELECT CAST(ROUND(CAST({s} AS DOUBLE) * 100 / {n}) AS BIGINT)"
+    ).fetchone()[0]
+    assert py == db, (s, n, py, db)
+
+
+@settings(max_examples=25, deadline=None, derandomize=True)
+@given(
+    st.lists(st.integers(min_value=0, max_value=255), min_size=2, max_size=3),
+)
+def test_z_value_n_roundtrip(spark, coords):
+    """Morton interleave is a bijection: de-interleaving the z-value in
+    Python recovers every coordinate exactly (bits=8 domain)."""
+    from pyspark.sql import Row
+    from pyspark.sql import functions as F
+
+    from data_integration_pipelines_spark.sources.zorder import z_value_n
+
+    d = len(coords)
+    df = spark.createDataFrame([Row(**{f"c{j}": v for j, v in enumerate(coords)})])
+    z = df.select(
+        z_value_n([F.col(f"c{j}") for j in range(d)], bits=8).alias("z")
+    ).first()["z"]
+    back = [0] * d
+    for i in range(8):
+        for j in range(d):
+            back[j] |= ((z >> (i * d + j)) & 1) << i
+    assert back == coords
