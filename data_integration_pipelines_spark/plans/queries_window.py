@@ -864,7 +864,8 @@ def sequence_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT c1 || '>' || c2 || '>' || c3 AS context, event_type AS label,
            CAST(COUNT(*) AS BIGINT) AS n
-    FROM seq WHERE c1 IS NOT NULL
+    FROM seq
+    WHERE c1 IS NOT NULL AND c2 IS NOT NULL AND c3 IS NOT NULL
     GROUP BY 1, 2
     ORDER BY n DESC, context, label
     """,
@@ -887,7 +888,11 @@ def next_event_training_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lag("event_type", 1).over(w).alias("c3"),
     )
     return (
-        seq.filter(F.col("c1").isNotNull())
+        seq.filter(
+            F.col("c1").isNotNull()
+            & F.col("c2").isNotNull()
+            & F.col("c3").isNotNull()
+        )
         .select(
             F.concat_ws(">", "c1", "c2", "c3").alias("context"),
             F.col("event_type").alias("label"),

@@ -3,9 +3,10 @@
 At 100 TB a scan's cost is decided before the first task runs: by how
 many files/row-groups the parquet min/max statistics let the reader
 SKIP. Sorting by one column gives perfect skipping on that column and
-none on any other; interleaving the bits of two columns (the Morton
-curve) makes files contiguous in BOTH dimensions, so a predicate on
-either column — or a box on both — prunes most files from the listing
+none on any other; interleaving the bits of the clustering columns
+(the Morton curve) makes files contiguous in EVERY dimension, so a
+predicate on any key — or a box over several — prunes most files from
+the listing
 alone. This is the layout trick behind Delta/Iceberg ``OPTIMIZE
 ZORDER BY``, built here from plain Column expressions:
 
@@ -136,7 +137,7 @@ def zorder_stats(path: str, *cols: str) -> list[dict]:
         raise ValueError(
             f"parquet footer statistics missing for {cols!r} "
             f"in: {lacking[:3]}{'...' if len(lacking) > 3 else ''} — "
-            "z-order pruning needs min/max stats on both keys"
+            "z-order pruning needs min/max stats on every clustering key"
         )
     # convert to global-range fractions
     g_min = {c: min(f["min"][c] for f in per_file) for c in cols}
