@@ -411,6 +411,30 @@ def cmd_export_shards(args) -> int:
     return 0
 
 
+def cmd_index(args) -> int:
+    """Persisted-ANN jobs: ``index build`` writes the bucket-partitioned
+    IVF index; ``index query`` serves a top-k batch from it
+    (operators/similarity.ivf_index_build/_query)."""
+    from .catalog import load_table
+    from .operators.similarity import ivf_index_build, ivf_index_query
+
+    spark = _session(args)
+    emb = load_table(spark, args.sf_dir, "embeddings")
+    idx = _out(args, "ivf_index")
+    if args.action == "build":
+        pivots = emb.filter(F.col("vec_id") < args.pivots)
+        manifest = ivf_index_build(emb, pivots, idx)
+        print(json.dumps(manifest))
+        return 0
+    queries = emb.filter(F.col("vec_id").isin(args.query_ids))
+    out = ivf_index_query(
+        spark, idx, queries, k=args.k, nprobe=args.nprobe
+    ).orderBy("query_id", "rank")
+    for row in out.collect():
+        print(json.dumps(row.asDict()))
+    return 0
+
+
 def cmd_cluster(args) -> int:
     """Embedding clustering job: fit the fixed-point k-means
     (operators/clustering.py), write per-vector assignments, print
@@ -630,6 +654,17 @@ def build_parser() -> argparse.ArgumentParser:
     sp.set_defaults(fn=cmd_ingest)
 
     sp = sub.add_parser(
+        "index", help="persisted ANN: build the IVF index / query top-k from it"
+    )
+    sp.add_argument("action", choices=("build", "query"))
+    sp.add_argument("--pivots", type=int, default=8)
+    sp.add_argument("--k", type=int, default=5)
+    sp.add_argument("--nprobe", type=int, default=1)
+    sp.add_argument("--query-ids", type=int, nargs="*", default=[100, 101, 102])
+    common(sp)
+    sp.set_defaults(fn=cmd_index)
+
+    sp = sub.add_parser(
         "cluster", help="k-means the embeddings table; write assignments"
     )
     sp.add_argument("--k", type=int, default=8)
@@ -687,6 +722,7 @@ def main(argv: list[str] | None = None) -> int:
         "ingest",
         "compact",
         "cluster",
+        "index",
     )
     if needs_out and not args.output_dir:
         args.output_dir = "out"

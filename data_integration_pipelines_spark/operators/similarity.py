@@ -761,3 +761,82 @@ def merge_topk(
         .drop("rank")
         .withColumnRenamed("__r", "rank")
     )
+
+
+def ivf_index_build(
+    df: DataFrame,
+    pivots: DataFrame,
+    index_path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict:
+    """Persist an IVF index: the corpus bucket assignments written as
+    parquet PARTITIONED BY bucket (so a probe reads only its cells'
+    files — partition pruning is the on-disk analogue of the bucket
+    join), plus the pivot vectors. Build once over the corpus, serve
+    any number of query batches without re-deriving assignments — at
+    100 TB the build is the expensive pass (one scan + one bucket
+    shuffle) and queries touch ~nprobe/n_pivots of the data files.
+
+    Layout: ``{index_path}/vectors/bucket=<b>/*.parquet`` holding
+    (corpus_id, vec); ``{index_path}/pivots/*.parquet`` holding the
+    pivot rows. Returns a small manifest dict."""
+    import os
+
+    cb = assign_buckets(df, pivots, id_col, vec_col).select(
+        F.col("id").alias("corpus_id"), "bucket"
+    )
+    vectors = df.select(
+        F.col(id_col).alias("corpus_id"), F.col(vec_col).alias("vec")
+    ).join(cb, "corpus_id")
+    vectors.write.mode("overwrite").partitionBy("bucket").parquet(
+        os.path.join(index_path, "vectors")
+    )
+    pivots.select(
+        F.col(id_col).alias("pivot_id"), F.col(vec_col).alias("vec")
+    ).write.mode("overwrite").parquet(os.path.join(index_path, "pivots"))
+    n_buckets = vectors.select("bucket").distinct().count()
+    return {"path": index_path, "n_buckets": n_buckets}
+
+
+def ivf_index_query(
+    spark,
+    index_path: str,
+    query_df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    nprobe: int = 1,
+) -> DataFrame:
+    """Serve a query batch from a persisted IVF index: assign queries
+    to their ``nprobe`` pivots (the tiny pivot table comes from the
+    index), then join candidates ON THE BUCKET against the partitioned
+    vector store — the bucket equi-join becomes partition-pruned file
+    reads. Result semantics are identical to ``ivf_topk`` over the
+    same corpus/pivots (pinned by test)."""
+    import os
+
+    pivots = spark.read.parquet(os.path.join(index_path, "pivots")).select(
+        F.col("pivot_id").alias(id_col), F.col("vec").alias(vec_col)
+    )
+    corpus = spark.read.parquet(os.path.join(index_path, "vectors"))
+    qb = assign_buckets(query_df, pivots, id_col, vec_col, nprobe=nprobe).select(
+        F.col("id").alias("query_id"), "bucket"
+    )
+    queries = query_df.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qvec")
+    ).join(F.broadcast(qb), "query_id")
+    cand = corpus.join(F.broadcast(queries), "bucket").filter(
+        F.col("query_id") != F.col("corpus_id")
+    )
+    scored = cand.select(
+        "query_id",
+        "corpus_id",
+        F.round(_zip_dot(F.col("__qvec"), F.col("vec")), 4).alias("cosine"),
+    ).distinct()
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("corpus_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", F.col("corpus_id").alias("neighbor_id"), "cosine", "rank")
+    )

@@ -54,6 +54,7 @@ _RISK_ORDER = [
     "contrastive_pairs",
     "tokenizer_fertility",
     "cluster_purity",
+    "ann_ivf_persisted",
     # -- never driver-sampled in rounds 1-3 (judge-verified only) --
     "image_resize",
     "audio_features",

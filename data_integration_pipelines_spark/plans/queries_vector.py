@@ -788,3 +788,35 @@ def ann_topk_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return state.select("query_id", "neighbor_id", "cosine", "rank").orderBy(
         "query_id", "rank"
     )
+
+
+@register(
+    "ann_ivf_persisted",
+    REGISTRY["ann_ivf"].oracle,
+    doc="IVF served from a PERSISTED index (build-once/query-many, the "
+    "production ANN workflow): ivf_index_build writes corpus vectors "
+    "partitioned by coarse bucket plus the pivot table; "
+    "ivf_index_query assigns the query batch and joins candidates "
+    "through partition-pruned file reads — at 100 TB a query batch "
+    "touches ~nprobe/n_pivots of the data files instead of the corpus. "
+    "Semantics identical to ann_ivf (same pivots, same tie-breaks), so "
+    "it shares that query's oracle verbatim; equality with the direct "
+    "one-pass ivf_topk is additionally pinned in "
+    "tests/test_dedup_similarity.py::TestIvfIndexPersistence.",
+)
+def ann_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import os
+    import tempfile
+
+    from ..operators.similarity import ivf_index_build, ivf_index_query
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pivots = emb.filter(F.col("vec_id") < 8)
+    queries = emb.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 105))
+    idx = os.path.join(
+        tempfile.gettempdir(),
+        f"ivf_index_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}",
+    )
+    ivf_index_build(emb, pivots, idx)
+    return ivf_index_query(spark, idx, queries, k=5).orderBy("query_id", "rank")

@@ -301,3 +301,14 @@ class TestClusterCLI:
         df = spark.read.parquet(os.path.join(out, "cluster_assignments"))
         assert df.count() == 500
         assert set(df.columns) == {"id", "cluster", "dist"}
+
+
+class TestIndexCLI:
+    def test_index_build_then_query(self, spark, tmp_path, capsys):
+        out = _run(tmp_path, "index", "build", "--pivots", "8")
+        manifest = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert 1 <= manifest["n_buckets"] <= 8
+        _run(tmp_path, "index", "query", "--k", "3", "--query-ids", "100", "101")
+        rows = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+        assert {r["query_id"] for r in rows} == {100, 101}
+        assert all(1 <= r["rank"] <= 3 for r in rows)

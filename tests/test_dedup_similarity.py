@@ -817,3 +817,57 @@ class TestCrossJaccardLossless:
         }
         assert got == want
         assert len(want) > 0  # non-vacuous at this threshold
+
+
+class TestIvfIndexPersistence:
+    def test_persisted_index_equals_direct_ivf(self, spark, sf_small, tmp_path):
+        """Build-once/query-many: serving from the partitioned on-disk
+        index must return exactly what ivf_topk computes in one pass,
+        for both single- and multi-probe."""
+        from data_integration_pipelines_spark.operators.similarity import (
+            ivf_index_build,
+            ivf_index_query,
+            ivf_topk,
+        )
+
+        emb = load_table(spark, sf_small, "embeddings")
+        pivots = emb.filter(F.col("vec_id") < 8)
+        queries = emb.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 105))
+        idx = str(tmp_path / "ivf_index")
+        manifest = ivf_index_build(emb, pivots, idx)
+        assert manifest["n_buckets"] <= 8
+
+        for nprobe in (1, 2):
+            served = {
+                (r.query_id, r.rank): (r.neighbor_id, r.cosine)
+                for r in ivf_index_query(
+                    spark, idx, queries, k=5, nprobe=nprobe
+                ).collect()
+            }
+            direct = {
+                (r.query_id, r.rank): (r.neighbor_id, r.cosine)
+                for r in ivf_topk(
+                    emb, queries, pivots, k=5, nprobe=nprobe
+                ).collect()
+            }
+            assert served == direct
+            assert len(served) > 0
+
+    def test_index_query_prunes_partitions(self, spark, sf_small, tmp_path):
+        """The bucket join against the partitioned store must show a
+        partition filter at the scan — the on-disk analogue of the
+        bucket equi-join."""
+        from data_integration_pipelines_spark.operators.similarity import (
+            ivf_index_build,
+            ivf_index_query,
+        )
+
+        emb = load_table(spark, sf_small, "embeddings")
+        pivots = emb.filter(F.col("vec_id") < 8)
+        queries = emb.filter(F.col("vec_id") == 100)
+        idx = str(tmp_path / "ivf_index")
+        ivf_index_build(emb, pivots, idx)
+        df = ivf_index_query(spark, idx, queries, k=5, nprobe=1)
+        df.collect()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "bucket" in plan  # partition column participates in the scan

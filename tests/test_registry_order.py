@@ -49,6 +49,7 @@ _NEVER_DRIVER_VERIFIED = {
     "contrastive_pairs",
     "tokenizer_fertility",
     "cluster_purity",
+    "ann_ivf_persisted",
     "incremental_join_retract",
     "jwt_decode",
     "knn_classify",
