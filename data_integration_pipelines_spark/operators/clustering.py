@@ -259,6 +259,114 @@ def semdedup_pairs(
     )
 
 
+def semdedup_pairs_blocked(
+    assigned: DataFrame,
+    threshold: float,
+    max_block: int,
+    qvec_col: str = "qvec",
+) -> DataFrame:
+    """EXACTLY ``semdedup_pairs``, with per-task memory bounded for
+    skewed clusters: a duplicate-heavy corpus can concentrate far more
+    than N/k vectors in one cluster, and the single-group gram matrix
+    is O(cluster^2) memory. Here each cluster's rows hash into blocks
+    of <= ``max_block`` and every BLOCK PAIR (i <= j) becomes its own
+    applyInPandas group scoring only i x j — the gram matrix is never
+    larger than max_block^2 regardless of skew. All-pairs coverage is
+    exact (pair (a, b) appears in exactly the group of its two blocks),
+    so the output — and the oracle — are identical to the unblocked
+    kernel; compute stays inherently quadratic in cluster size (that is
+    SemDeDup's semantics), only MEMORY is capped. Replication factor
+    per row = its cluster's block count (ceil(n/max_block))."""
+    import numpy as np
+    import pandas as pd
+
+    sizes = assigned.groupBy("cluster").agg(F.count("*").alias("__n"))
+    nb = F.greatest(F.ceil(F.col("__n") / max_block), F.lit(1)).cast("int")
+    rows = assigned.select("cluster", "id", qvec_col).join(
+        sizes.select("cluster", nb.alias("__nb")), "cluster"
+    )
+    blk = F.pmod(F.xxhash64("id"), F.col("__nb")).cast("int")
+    block_pairs = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.col("__nb") - 1),
+            lambda x: F.struct(
+                F.least(F.col("__blk"), x).alias("i"),
+                F.greatest(F.col("__blk"), x).alias("j"),
+            ),
+        )
+    )
+    rep = (
+        rows.withColumn("__blk", blk)
+        .withColumn("__bp", F.explode(block_pairs))
+        .select(
+            "cluster",
+            F.col("__bp.i").alias("bi"),
+            F.col("__bp.j").alias("bj"),
+            "__blk",
+            "id",
+            qvec_col,
+        )
+    )
+
+    def block_kernel(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        from .similarity import _round_half_up
+
+        cluster = int(pdf["cluster"].iloc[0])
+        bi, bj = int(pdf["bi"].iloc[0]), int(pdf["bj"].iloc[0])
+
+        def side(mask):
+            part = pdf[mask]
+            ids = part["id"].to_numpy()
+            order = np.argsort(ids)
+            X = np.array(part[qvec_col].tolist(), dtype=np.float64)
+            if len(ids) == 0:
+                X = X.reshape(0, 0)
+            return ids[order], X[order] if len(ids) else X
+
+        if bi == bj:
+            ids, X = side(pdf["__blk"] == bi)
+            if len(ids) < 2:
+                return pd.DataFrame(
+                    {"cluster": [], "id_a": [], "id_b": [], "cosine": []}
+                ).astype({"cluster": "int64", "id_a": "int64", "id_b": "int64"})
+            gram = X @ X.T
+            nrm = np.sqrt((X * X).sum(axis=1))
+            cos = gram / np.outer(nrm, nrm)
+            iu, ju = np.triu_indices(len(ids), k=1)
+            pair_vals = cos[iu, ju]
+            m = pair_vals >= threshold
+            vals = pair_vals[m]
+            ia, ib = ids[iu[m]], ids[ju[m]]
+        else:
+            ids_a, A = side(pdf["__blk"] == bi)
+            ids_b, B = side(pdf["__blk"] == bj)
+            if len(ids_a) == 0 or len(ids_b) == 0:
+                return pd.DataFrame(
+                    {"cluster": [], "id_a": [], "id_b": [], "cosine": []}
+                ).astype({"cluster": "int64", "id_a": "int64", "id_b": "int64"})
+            gram = A @ B.T
+            cos = gram / np.outer(
+                np.sqrt((A * A).sum(axis=1)), np.sqrt((B * B).sum(axis=1))
+            )
+            ii, jj = np.nonzero(cos >= threshold)
+            vals = cos[ii, jj]
+            # orient every cross pair as (smaller id, larger id)
+            la, lb = ids_a[ii], ids_b[jj]
+            ia, ib = np.minimum(la, lb), np.maximum(la, lb)
+        return pd.DataFrame(
+            {
+                "cluster": np.full(len(ia), cluster),
+                "id_a": ia,
+                "id_b": ib,
+                "cosine": _round_half_up(vals, 4),
+            }
+        )
+
+    return rep.groupBy("cluster", "bi", "bj").applyInPandas(
+        block_kernel, _PAIR_SCHEMA
+    )
+
+
 def semdedup_survivors(assigned: DataFrame, threshold: float) -> DataFrame:
     """SemDeDup keep-one policy: within each cluster, a vector is
     REMOVED iff some smaller-id vector in the same cluster clears the

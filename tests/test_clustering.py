@@ -80,3 +80,25 @@ def test_semdedup_survivor_accounting(embeddings):
 def test_kmeans_centroid_cell_guard(embeddings):
     with pytest.raises(ValueError, match="centroid cells"):
         kmeans_fit(embeddings, k=100_000, iters=1)
+
+
+def test_blocked_semdedup_equals_unblocked(embeddings):
+    """The memory-bounded block-pair kernel must emit the EXACT pair
+    set of the single-group kernel, at any block size — blocking caps
+    task memory, never coverage or scores."""
+    from data_integration_pipelines_spark.operators.clustering import (
+        semdedup_pairs_blocked,
+    )
+
+    assigned, _ = kmeans_fit(embeddings, k=4, iters=2)
+    want = {
+        (r.cluster, r.id_a, r.id_b, r.cosine)
+        for r in semdedup_pairs(assigned, 0.35).collect()
+    }
+    for max_block in (7, 30, 100000):
+        got = {
+            (r.cluster, r.id_a, r.id_b, r.cosine)
+            for r in semdedup_pairs_blocked(assigned, 0.35, max_block).collect()
+        }
+        assert got == want, max_block
+    assert len(want) > 0
