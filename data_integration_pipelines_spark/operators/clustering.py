@@ -268,24 +268,30 @@ def semdedup_pairs_blocked(
     """EXACTLY ``semdedup_pairs``, with per-task memory bounded for
     skewed clusters: a duplicate-heavy corpus can concentrate far more
     than N/k vectors in one cluster, and the single-group gram matrix
-    is O(cluster^2) memory. Here each cluster's rows hash into blocks
-    of <= ``max_block`` and every BLOCK PAIR (i <= j) becomes its own
-    applyInPandas group scoring only i x j — the gram matrix is never
-    larger than max_block^2 regardless of skew. All-pairs coverage is
-    exact (pair (a, b) appears in exactly the group of its two blocks),
-    so the output — and the oracle — are identical to the unblocked
-    kernel; compute stays inherently quadratic in cluster size (that is
-    SemDeDup's semantics), only MEMORY is capped. Replication factor
-    per row = its cluster's block count (ceil(n/max_block))."""
+    is O(cluster^2) memory. Here each cluster's rows split into RANK
+    blocks (row_number over id, divided by ``max_block``) and every
+    BLOCK PAIR (i <= j) becomes its own applyInPandas group scoring
+    only i x j. Rank blocks hold exactly <= max_block rows BY
+    CONSTRUCTION — a hard per-task memory bound of max_block^2 gram
+    cells, where a hash-modulo split would only bound the expectation
+    (a tail-heavy hash block could still OOM an executor sized to the
+    cap). All-pairs coverage is exact (pair (a, b) appears in exactly
+    the group of its two blocks), so the output — and the oracle — are
+    identical to the unblocked kernel; compute stays inherently
+    quadratic in cluster size (that is SemDeDup's semantics), only
+    MEMORY is capped. Replication factor per row = its cluster's block
+    count (ceil(n/max_block))."""
     import numpy as np
     import pandas as pd
+    from pyspark.sql.window import Window
 
     sizes = assigned.groupBy("cluster").agg(F.count("*").alias("__n"))
     nb = F.greatest(F.ceil(F.col("__n") / max_block), F.lit(1)).cast("int")
     rows = assigned.select("cluster", "id", qvec_col).join(
         sizes.select("cluster", nb.alias("__nb")), "cluster"
     )
-    blk = F.pmod(F.xxhash64("id"), F.col("__nb")).cast("int")
+    rank = F.row_number().over(Window.partitionBy("cluster").orderBy("id")) - 1
+    blk = F.floor(rank / max_block).cast("int")
     block_pairs = F.array_distinct(
         F.transform(
             F.sequence(F.lit(0), F.col("__nb") - 1),

@@ -208,6 +208,26 @@ def _zip_dot(a, b):
     )
 
 
+def _score_rank_candidates(
+    cand: DataFrame, qvec: str, cvec: str, k: int
+) -> DataFrame:
+    """Shared IVF scoring tail: rounded zip_with dot per candidate,
+    distinct (multi-probe can reach a vector via two buckets), global
+    (desc cosine, asc corpus_id) rank, top-k. ivf_topk and
+    ivf_index_query MUST stay bit-identical — one implementation."""
+    scored = cand.select(
+        "query_id",
+        "corpus_id",
+        F.round(_zip_dot(F.col(qvec), F.col(cvec)), 4).alias("cosine"),
+    ).distinct()
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("corpus_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", F.col("corpus_id").alias("neighbor_id"), "cosine", "rank")
+    )
+
+
 def ivf_topk(
     df: DataFrame,
     query_df: DataFrame,
@@ -244,17 +264,7 @@ def ivf_topk(
     cand = corpus.join(F.broadcast(queries), "bucket").filter(
         F.col("query_id") != F.col("corpus_id")
     )
-    scored = cand.select(
-        "query_id",
-        "corpus_id",
-        F.round(_zip_dot(F.col("__qvec"), F.col("__cvec")), 4).alias("cosine"),
-    ).distinct()  # multi-probe can reach a corpus vector via two buckets
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("corpus_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", F.col("corpus_id").alias("neighbor_id"), "cosine", "rank")
-    )
+    return _score_rank_candidates(cand, "__qvec", "__cvec", k)
 
 
 def pq_train(
@@ -795,7 +805,10 @@ def ivf_index_build(
     pivots.select(
         F.col(id_col).alias("pivot_id"), F.col(vec_col).alias("vec")
     ).write.mode("overwrite").parquet(os.path.join(index_path, "pivots"))
-    n_buckets = vectors.select("bucket").distinct().count()
+    # bucket count from the WRITTEN partition directories — a listing,
+    # not a second full assignment pass over the corpus
+    vdir = os.path.join(index_path, "vectors")
+    n_buckets = sum(1 for name in os.listdir(vdir) if name.startswith("bucket="))
     return {"path": index_path, "n_buckets": n_buckets}
 
 
@@ -829,14 +842,4 @@ def ivf_index_query(
     cand = corpus.join(F.broadcast(queries), "bucket").filter(
         F.col("query_id") != F.col("corpus_id")
     )
-    scored = cand.select(
-        "query_id",
-        "corpus_id",
-        F.round(_zip_dot(F.col("__qvec"), F.col("vec")), 4).alias("cosine"),
-    ).distinct()
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("corpus_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", F.col("corpus_id").alias("neighbor_id"), "cosine", "rank")
-    )
+    return _score_rank_candidates(cand, "__qvec", "vec", k)

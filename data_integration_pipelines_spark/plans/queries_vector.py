@@ -814,9 +814,12 @@ def ann_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     pivots = emb.filter(F.col("vec_id") < 8)
     queries = emb.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 105))
+    # pid-scoped path: concurrent processes (driver sweep overlapping a
+    # pytest run) must not overwrite an index another process' lazy
+    # plan is still reading
     idx = os.path.join(
         tempfile.gettempdir(),
-        f"ivf_index_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}",
+        f"ivf_index_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}_{os.getpid()}",
     )
     ivf_index_build(emb, pivots, idx)
     return ivf_index_query(spark, idx, queries, k=5).orderBy("query_id", "rank")

@@ -870,4 +870,7 @@ class TestIvfIndexPersistence:
         df = ivf_index_query(spark, idx, queries, k=5, nprobe=1)
         df.collect()
         plan = df._jdf.queryExecution().executedPlan().toString()
-        assert "bucket" in plan  # partition column participates in the scan
+        # the vectors FileScan must carry a DYNAMIC partition filter —
+        # "bucket" merely appearing (join key / output column) would
+        # hold even with pruning defeated
+        assert "dynamicpruning" in plan.lower(), plan
