@@ -55,6 +55,7 @@ _RISK_ORDER = [
     "tokenizer_fertility",
     "cluster_purity",
     "ann_ivf_persisted",
+    "rare_token_suppression",
     # -- never driver-sampled in rounds 1-3 (judge-verified only) --
     "image_resize",
     "audio_features",

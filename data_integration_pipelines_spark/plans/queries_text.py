@@ -996,3 +996,81 @@ def tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", "source")
     )
+
+
+@register(
+    "rare_token_suppression",
+    r"""
+    WITH toks AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+        FROM documents
+    ),
+    tok_pos AS (
+        SELECT doc_id, i AS p, t[i] AS tok
+        FROM toks, LATERAL (SELECT unnest(range(1, len(t) + 1)) AS i)
+    ),
+    total AS (SELECT COUNT(*) AS n_docs FROM documents),
+    df AS (
+        SELECT tok, COUNT(DISTINCT doc_id) AS n_docs FROM tok_pos GROUP BY tok
+    ),
+    marked AS (
+        SELECT tp.doc_id, tp.p,
+               CASE WHEN d.n_docs * 100 < 6 * t.n_docs
+                    THEN '<unk>' ELSE tp.tok END AS tok,
+               CASE WHEN d.n_docs * 100 < 6 * t.n_docs THEN 1 ELSE 0 END
+                   AS suppressed
+        FROM tok_pos tp JOIN df d ON d.tok = tp.tok CROSS JOIN total t
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(suppressed) AS BIGINT) AS n_suppressed,
+           md5(string_agg(tok, ' ' ORDER BY p)) AS redacted_md5
+    FROM marked GROUP BY doc_id ORDER BY doc_id
+    """,
+    doc="Rare-token suppression — the memorization/privacy mitigation "
+    "and min-df vocabulary-pruning stage: any token whose document "
+    "frequency is below 6% of the corpus is replaced by '<unk>' (rare "
+    "strings are where verbatim memorization and residual identifiers "
+    "live; min_df pruning is the same op under a modeling hat). The "
+    "threshold compare is pure integer arithmetic (df*100 < 6*total), "
+    "the df table is vocabulary-sized and broadcasts into the "
+    "token-stream join, and the oracle certifies the REDACTED TEXT "
+    "itself per document via an order-preserving md5 — one wrongly "
+    "kept or suppressed token hash-fails.",
+)
+def rare_token_suppression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    tok_pos = docs.select(
+        "doc_id", F.posexplode(ws_tokens(F.col("text"))).alias("p", "tok")
+    )
+    total = docs.count()  # scalar: corpus size (one cheap count job)
+    df_tbl = tok_pos.groupBy("tok").agg(
+        F.countDistinct("doc_id").alias("n_docs")
+    )
+    marked = tok_pos.join(F.broadcast(df_tbl), "tok").select(
+        "doc_id",
+        "p",
+        F.when(F.col("n_docs") * 100 < 6 * total, "<unk>")
+        .otherwise(F.col("tok"))
+        .alias("tok2"),
+        F.when(F.col("n_docs") * 100 < 6 * total, 1).otherwise(0).alias("sup"),
+    )
+    return (
+        marked.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum("sup").alias("n_suppressed"),
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct("p", F.col("tok2").alias("tok")))
+                        ),
+                        lambda x: x["tok"],
+                    ),
+                    " ",
+                )
+            ).alias("redacted_md5"),
+        )
+        .orderBy("doc_id")
+    )

@@ -50,6 +50,7 @@ _NEVER_DRIVER_VERIFIED = {
     "tokenizer_fertility",
     "cluster_purity",
     "ann_ivf_persisted",
+    "rare_token_suppression",
     "incremental_join_retract",
     "jwt_decode",
     "knn_classify",
