@@ -493,9 +493,14 @@ def cmd_ingest(args) -> int:
     verdicts = REGISTRY["incremental_ingest_dedup"].fn(spark, args.sf_dir)
     out = _out(args, "ingest_verdicts")
     verdicts.write.mode("overwrite").parquet(out)
+    # count from the parquet just written — re-aggregating the lazy
+    # plan would re-run the whole classification pipeline a second time
     counts = {
         r["verdict"]: r["n"]
-        for r in verdicts.groupBy("verdict").agg(F.count("*").alias("n")).collect()
+        for r in spark.read.parquet(out)
+        .groupBy("verdict")
+        .agg(F.count("*").alias("n"))
+        .collect()
     }
     print(json.dumps({"out": out, "counts": counts}))
     return 0

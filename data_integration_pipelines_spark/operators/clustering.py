@@ -149,15 +149,14 @@ def kmeans_fit(
             )
 
     # the guard must fire BEFORE the k-row seed collect (which pulls
-    # exactly the k*D cells it bounds): any embedding has dim >= 1, so
-    # k alone can trip it; a huge-but-legal k pays one 1-row probe to
-    # learn the true dim first
-    _cell_guard(1)
-    if k > 1024:
-        probe = df.select(vec_col).first()
-        if probe is None:
-            raise ValueError("kmeans_fit on an empty DataFrame")
-        _cell_guard(len(probe[0]))
+    # exactly the k*D cells it bounds) — and the bound needs the TRUE
+    # dim: a modest k with huge-D vectors blows the cap just as surely
+    # as a huge k. One 1-row probe job is the price of never collecting
+    # an unbounded seed.
+    probe = df.select(vec_col).first()
+    if probe is None:
+        raise ValueError("kmeans_fit on an empty DataFrame")
+    _cell_guard(len(probe[0]))
 
     qdf = bounded_persist(
         df.select(

@@ -58,12 +58,18 @@ def _cells(df: DataFrame, value_col: str, width: int, depth: int, *extra: str) -
 def cms_build(
     df: DataFrame, value_col: str, width: int = 64, depth: int = 3
 ) -> DataFrame:
-    """Count-min grid (d, bucket, cnt) over every row's value (bag
-    semantics — duplicates count). One grid-sized shuffle."""
+    """Count-min grid (d, bucket, cnt, width, depth) over every row's
+    value (bag semantics — duplicates count). One grid-sized shuffle.
+    The (width, depth) columns are the grid's self-describing
+    parameters: ``cms_estimate`` validates them against its own
+    arguments, because probing a grid with a DIFFERENT width silently
+    breaks the one-sided estimate>=truth guarantee (probe buckets miss
+    the grid's cells and read 0)."""
     return (
         _cells(df, value_col, width, depth)
         .groupBy("d", "bucket")
         .agg(F.count("*").alias("cnt"))
+        .select("*", F.lit(width).alias("width"), F.lit(depth).alias("depth"))
     )
 
 
@@ -74,7 +80,12 @@ def cms_merge(*grids: DataFrame) -> DataFrame:
     out = next(it)
     for g in it:
         out = out.unionAll(g)
-    return out.groupBy("d", "bucket").agg(F.sum("cnt").alias("cnt"))
+    # (width, depth) ride through the groupBy: merging grids of
+    # DIFFERENT parameters yields multiple (width, depth) tuples,
+    # which cms_estimate's validation rejects loudly
+    return out.groupBy("d", "bucket", "width", "depth").agg(
+        F.sum("cnt").alias("cnt")
+    )
 
 
 def cms_estimate(
@@ -88,9 +99,17 @@ def cms_estimate(
     ``depth`` cells. Missing cells count 0 (an un-hit bucket means the
     value was never inserted). The grid is depth*width rows — Spark
     broadcasts it; the probe side stays shuffle-free."""
+    meta = grid.select("width", "depth").distinct().collect()
+    if len(meta) != 1 or (meta[0]["width"], meta[0]["depth"]) != (width, depth):
+        raise ValueError(
+            f"grid parameters {[(m['width'], m['depth']) for m in meta]} do "
+            f"not match estimate arguments (width={width}, depth={depth}) — "
+            "a mismatched probe silently underestimates, violating the "
+            "one-sided CMS guarantee"
+        )
     cells = _cells(probes, value_col, width, depth, value_col)
     return (
-        cells.join(F.broadcast(grid), ["d", "bucket"], "left")
+        cells.join(F.broadcast(grid.drop("width", "depth")), ["d", "bucket"], "left")
         .groupBy(value_col)
         .agg(F.min(F.coalesce("cnt", F.lit(0))).alias("cms_est"))
     )

@@ -37,8 +37,7 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_table(spark, sf_dir, "documents")
 
 
-_SW_SQL = ", ".join(f"'{w}'" for w in STOPWORDS)
-
+from ..functions.text import SW_SQL as _SW_SQL  # noqa: E402
 from ..functions.text import quality_features_sql, quality_logit_sql  # noqa: E402
 
 

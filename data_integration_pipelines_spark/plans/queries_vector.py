@@ -816,10 +816,21 @@ def ann_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 105))
     # pid-scoped path: concurrent processes (driver sweep overlapping a
     # pytest run) must not overwrite an index another process' lazy
-    # plan is still reading
-    idx = os.path.join(
-        tempfile.gettempdir(),
-        f"ivf_index_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}_{os.getpid()}",
-    )
+    # plan is still reading. Indexes left by DEAD pids are reaped here
+    # so repeated sweeps don't accumulate embeddings copies in /tmp.
+    import shutil
+
+    sf_tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    tmp = tempfile.gettempdir()
+    for name in os.listdir(tmp):
+        if name.startswith(f"ivf_index_{sf_tag}_"):
+            try:
+                pid = int(name.rsplit("_", 1)[-1])
+                os.kill(pid, 0)  # raises if the owning process is gone
+            except (ValueError, ProcessLookupError):
+                shutil.rmtree(os.path.join(tmp, name), ignore_errors=True)
+            except PermissionError:
+                pass  # live process owned by someone else — leave it
+    idx = os.path.join(tmp, f"ivf_index_{sf_tag}_{os.getpid()}")
     ivf_index_build(emb, pivots, idx)
     return ivf_index_query(spark, idx, queries, k=5).orderBy("query_id", "rank")

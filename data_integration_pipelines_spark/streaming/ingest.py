@@ -87,17 +87,33 @@ def streaming_ingest_verdicts(
 
     class _Drain:
         """awaitTermination wrapper that releases the staged corpus
-        caches when the availableNow drain finishes."""
+        caches once the drain has actually TERMINATED — a timed-out
+        poll (awaitTermination(t) -> False) must leave them pinned or
+        every remaining micro-batch re-pays the corpus staging; a
+        failed drain (exception) releases too. ``release()`` is public
+        for callers that stop the query through other paths."""
 
         def __init__(self, q):
             self._q = q
+            self._released = False
+
+        def release(self) -> None:
+            if not self._released:
+                self._released = True
+                corpus_fp.unpersist(blocking=False)
+                corpus_sh.unpersist(blocking=False)
 
         def awaitTermination(self, timeout=None):
             try:
-                return self._q.awaitTermination(timeout)
-            finally:
-                corpus_fp.unpersist(blocking=False)
-                corpus_sh.unpersist(blocking=False)
+                result = self._q.awaitTermination(timeout)
+            except Exception:
+                self.release()
+                raise
+            # None-timeout blocks until termination; a timed call only
+            # terminated if it returned True
+            if timeout is None or result:
+                self.release()
+            return result
 
         def __getattr__(self, name):
             return getattr(self._q, name)

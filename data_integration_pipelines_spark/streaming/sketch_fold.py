@@ -40,6 +40,60 @@ def fold_cms_batch(
     return partial if existing is None else cms_merge(existing, partial)
 
 
+def fold_into_store(
+    batch_df: DataFrame,
+    batch_id: int,
+    store_path: str,
+    checkpoint_path: str,
+    value_col: str,
+    width: int = 64,
+    depth: int = 3,
+) -> None:
+    """One micro-batch fold against the versioned store (the
+    foreachBatch body, module-level so replay semantics are directly
+    testable).
+
+    Two safety layers:
+    - **lineage binding**: batch-id idempotence is only sound WITHIN
+      one checkpoint lineage — a fresh checkpoint re-batches the
+      staging dir from batch 0 with a possibly different file mix, so
+      skipping "already seen" ids against an old store would silently
+      drop some events and double-fold others. The store records its
+      checkpoint on first write and REFUSES a different one.
+    - **replay idempotence**: the version IS the micro-batch id; if
+      the query died after writing v=K but before committing the
+      checkpoint, the redelivered batch K finds its version complete
+      and skips — counts fold exactly once (grid cells have no row
+      identity to dedup on downstream)."""
+    import json
+
+    spark = batch_df.sparkSession
+    marker = os.path.join(store_path, "_checkpoint.json")
+    if os.path.exists(marker):
+        bound = json.load(open(marker))["checkpoint"]
+        if bound != checkpoint_path:
+            raise ValueError(
+                f"CMS store at {store_path!r} is bound to checkpoint "
+                f"{bound!r}; folding from {checkpoint_path!r} would "
+                "mix lineages and corrupt counts — use a fresh store"
+            )
+    else:
+        os.makedirs(store_path, exist_ok=True)
+        with open(marker, "w") as fh:
+            json.dump({"checkpoint": checkpoint_path}, fh)
+    if batch_id in _versions(store_path):
+        return
+    prior = [v for v in _versions(store_path) if v < batch_id]
+    existing = (
+        read_store(spark, store_path, version=prior[-1]) if prior else None
+    )
+    merged = fold_cms_batch(existing, batch_df, value_col, width, depth)
+    # the grid is depth*width rows — one file is the right layout
+    merged.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(store_path, f"v={batch_id}")
+    )
+
+
 def streaming_cms(
     stream_df: DataFrame,
     value_col: str,
@@ -52,24 +106,9 @@ def streaming_cms(
     into the CMS store. Returns the StreamingQuery."""
 
     def fold(batch_df: DataFrame, batch_id: int) -> None:
-        spark = batch_df.sparkSession
-        # idempotent under at-least-once replay: the version IS the
-        # micro-batch id. If the query died after writing v=K but
-        # before committing the checkpoint, the redelivered batch K
-        # finds its version complete and skips — counts fold exactly
-        # once (unlike counters, grid cells have no identity to dedup
-        # on downstream, so double-merging would silently break the
-        # certified overshoot bound).
-        if batch_id in _versions(store_path):
-            return
-        prior = [v for v in _versions(store_path) if v < batch_id]
-        existing = (
-            read_store(spark, store_path, version=prior[-1]) if prior else None
-        )
-        merged = fold_cms_batch(existing, batch_df, value_col, width, depth)
-        # the grid is depth*width rows — one file is the right layout
-        merged.coalesce(1).write.mode("overwrite").parquet(
-            os.path.join(store_path, f"v={batch_id}")
+        fold_into_store(
+            batch_df, batch_id, store_path, checkpoint_path,
+            value_col, width, depth,
         )
 
     return (

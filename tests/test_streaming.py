@@ -393,44 +393,44 @@ def test_streaming_ingest_verdicts_match_batch(spark, sf_small, tmp_path):
 
 def test_streaming_cms_replay_is_idempotent(spark, sf_small, tmp_path):
     """At-least-once replay of a micro-batch must not double-count:
-    the store version is keyed on batch_id, so a redelivered batch
-    finds its version complete and skips (sketch_fold.py)."""
+    within one checkpoint lineage the store version is keyed on
+    batch_id, so a redelivered batch finds its version complete and
+    skips (sketch_fold.fold_into_store — the foreachBatch body,
+    exercised directly to simulate the post-crash redelivery)."""
     from data_integration_pipelines_spark.operators.sketches import cms_build
-    from data_integration_pipelines_spark.streaming.dedup import (
-        read_staged_events_stream,
-    )
     from data_integration_pipelines_spark.streaming.sketch_fold import (
-        streaming_cms,
+        fold_into_store,
     )
     from data_integration_pipelines_spark.streaming.upsert import read_store
 
-    events = load_table(spark, sf_small, "events").select(
-        "event_id", "ts", "user_id", "event_type", "value"
-    )
-    staging = str(tmp_path / "staged")
+    events = load_table(spark, sf_small, "events").select("event_type")
     store = str(tmp_path / "store")
-    events.write.mode("overwrite").parquet(staging)
-
-    def drain(ckpt):
-        q = streaming_cms(
-            read_staged_events_stream(spark, staging).select("event_type"),
-            value_col="event_type",
-            store_path=store,
-            checkpoint_path=str(tmp_path / ckpt),
-        )
-        q.awaitTermination(120)
-
-    drain("ckpt1")
-    # simulate redelivery of the SAME batch 0: a fresh checkpoint makes
-    # the source replay everything as batch 0 against the same store
-    drain("ckpt2")
+    ckpt = str(tmp_path / "ckpt")
+    fold_into_store(events, 0, store, ckpt, "event_type")
+    # redelivery of the SAME batch id after a crash-before-commit
+    fold_into_store(events, 0, store, ckpt, "event_type")
 
     got = {(r.d, r.bucket): r.cnt for r in read_store(spark, store).collect()}
     want = {
-        (r.d, r.bucket): r.cnt
-        for r in cms_build(events.select("event_type"), "event_type").collect()
+        (r.d, r.bucket): r.cnt for r in cms_build(events, "event_type").collect()
     }
     assert got == want  # folded once, not twice
+
+
+def test_streaming_cms_refuses_foreign_checkpoint(spark, sf_small, tmp_path):
+    """A store is bound to its checkpoint lineage: a DIFFERENT
+    checkpoint re-batches the backlog from 0 with a possibly different
+    file mix, so folding it into the same store would silently corrupt
+    counts — it must fail loudly instead."""
+    from data_integration_pipelines_spark.streaming.sketch_fold import (
+        fold_into_store,
+    )
+
+    events = load_table(spark, sf_small, "events").select("event_type")
+    store = str(tmp_path / "store")
+    fold_into_store(events, 0, store, str(tmp_path / "ckpt1"), "event_type")
+    with pytest.raises(ValueError, match="bound to checkpoint"):
+        fold_into_store(events, 0, store, str(tmp_path / "ckpt2"), "event_type")
 
 
 def test_streaming_cluster_assign_matches_batch(spark, sf_small, tmp_path):
