@@ -1,0 +1,80 @@
+"""Hash-proof output quantization: scaled-BIGINT emission of computed
+doubles.
+
+The driver's correctness gate hashes result VALUES after a pandas
+round-trip; a DOUBLE column that is bit-identical across engines can
+still hash-differently in an environment whose DuckDB/pandas renders
+rounded doubles differently (round-4 post-mortem: the only red row was
+four ``ROUND(double, 4)`` columns whose underlying values were
+bit-equal).  The robust contract is therefore: queries never OUTPUT a
+rounded double for a computed ratio / dot product / score — they emit
+the value quantized to an integer number of basis points (``*_e4``
+columns, BIGINT), computed by the IDENTICAL IEEE expression on both
+engines:
+
+    e4(x) = sign(x) * floor(|x| * 10000 + 0.5)        (half away from 0)
+
+``abs``, one multiply by the exactly-representable constant 10000.0,
+one add of 0.5, ``floor`` — every step is a deterministic IEEE-754
+operation, so identical input bits give identical integers on Spark,
+DuckDB and numpy.  Half-away-from-zero matches the convention of
+Spark/DuckDB ``ROUND``,
+so switching an output column from ``ROUND(x, 4)`` to ``e4(x)`` never
+changes which bucket a value lands in — only the (now drift-immune)
+representation.
+
+Exempt from this rule: money aggregates rounded in exact DECIMAL
+arithmetic before the cast (the TPC-H answer columns), where the round
+happens in exact base-10 space and has been driver-stable since round 1.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+E4_SCALE = 10_000
+
+
+def quantized(col: Column | str, decimals: int = 4) -> Column:
+    """Quantize a computed double to a scaled BIGINT (``x * 10^d``,
+    half away from zero) — the Spark side of the shared convention."""
+    c = F.col(col) if isinstance(col, str) else col
+    scale = float(10**decimals)  # exact power-of-10 double
+    return (F.signum(c) * F.floor(F.abs(c) * F.lit(scale) + F.lit(0.5))).cast("long")
+
+
+def quantized_sql(expr: str, decimals: int = 4) -> str:
+    """The DuckDB mirror of :func:`quantized` — identical IEEE ops,
+    same half-away-from-zero convention."""
+    scale = 10**decimals
+    return f"CAST(SIGN({expr}) * FLOOR(ABS({expr}) * {scale} + 0.5) AS BIGINT)"
+
+
+def e4(col: Column | str) -> Column:
+    """Basis-point quantization — ``quantized(col, 4)``."""
+    return quantized(col, 4)
+
+
+def e4_sql(expr: str) -> str:
+    """DuckDB mirror of :func:`e4`."""
+    return quantized_sql(expr, 4)
+
+
+def np_quantized(vals, decimals: int = 4):
+    """numpy mirror of :func:`quantized` for applyInPandas /
+    mapInPandas kernels — returns int64 scaled units."""
+    import numpy as np
+
+    scale = float(10**decimals)
+    return (np.sign(vals) * np.floor(np.abs(vals) * scale + 0.5)).astype(np.int64)
+
+
+def np_e4(vals):
+    """numpy mirror of :func:`e4` — int64 basis points."""
+    return np_quantized(vals, 4)
+
+
+def np_e6(vals):
+    """numpy mirror of ``quantized(col, 6)`` — int64 micro-units."""
+    return np_quantized(vals, 6)

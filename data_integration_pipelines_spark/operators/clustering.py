@@ -200,32 +200,21 @@ def kmeans_fit(
     return assign_clusters(qdf, centroids), centroids
 
 
-_PAIR_SCHEMA = "cluster bigint, id_a bigint, id_b bigint, cosine double"
+_PAIR_SCHEMA = "cluster bigint, id_a bigint, id_b bigint, cosine_e4 bigint"
+
+#: clusters above this row count route through the blocked kernel
+#: (``semdedup_pairs_blocked``) so one skewed/duplicate-heavy cluster
+#: can never materialize an unbounded gram matrix in a single task.
+DEFAULT_MAX_BLOCK = 4096
 
 
-def semdedup_pairs(
+def _pairs_unblocked(
     assigned: DataFrame,
     threshold: float,
     qvec_col: str = "qvec",
 ) -> DataFrame:
-    """Within-cluster cosine near-duplicate pairs over the quantized
-    vectors: ONE shuffle groups each cluster onto an executor, then a
-    vectorized numpy gram matrix scores all intra-cluster pairs (the
-    SemDeDup paper's kernel — candidates are ~N*cluster_size, never
-    N^2; at 100 TB k grows with N so each group stays matmul-sized).
-
-    Engine-exact despite numpy: quantized components are integers, so
-    every product (<= 4e7) and every partial sum (<= 3e9) is an
-    integer far below 2^53 — dgemm order and FMA cannot perturb an
-    exact integer result. Norms are one IEEE sqrt each, the cosine one
-    multiply + one divide — bit-identical to the SQL engines, so the
-    threshold compare cannot flip. Returns
-    (cluster, id_a, id_b, cosine-rounded-4).
-
-    A JVM-only formulation (zip_with/aggregate folds per pair) gives
-    the same bits but ~3x the time at fixture scale: higher-order
-    array functions are interpreted per pair, while this kernel is one
-    BLAS call per cluster."""
+    """One applyInPandas group per cluster, one gram matrix per group —
+    the fast path for clusters that fit the per-task memory budget."""
     import numpy as np
     import pandas as pd
 
@@ -240,14 +229,14 @@ def semdedup_pairs(
         iu, ju = np.triu_indices(len(ids), k=1)
         vals = cos[iu, ju]
         m = vals >= threshold
-        from .similarity import _round_half_up
+        from ..functions.quantize import np_e4
 
         return pd.DataFrame(
             {
                 "cluster": np.full(int(m.sum()), int(pdf["cluster"].iloc[0])),
                 "id_a": ids[iu[m]],
                 "id_b": ids[ju[m]],
-                "cosine": _round_half_up(vals[m], 4),
+                "cosine_e4": np_e4(vals[m]),
             }
         )
 
@@ -255,6 +244,53 @@ def semdedup_pairs(
         assigned.select("cluster", "id", qvec_col)
         .groupBy("cluster")
         .applyInPandas(pairs_of, _PAIR_SCHEMA)
+    )
+
+
+def semdedup_pairs(
+    assigned: DataFrame,
+    threshold: float,
+    qvec_col: str = "qvec",
+    max_block: int | None = DEFAULT_MAX_BLOCK,
+) -> DataFrame:
+    """Within-cluster cosine near-duplicate pairs over the quantized
+    vectors: ONE shuffle groups each cluster onto an executor, then a
+    vectorized numpy gram matrix scores all intra-cluster pairs (the
+    SemDeDup paper's kernel — candidates are ~N*cluster_size, never
+    N^2; at 100 TB k grows with N so each group stays matmul-sized).
+
+    Engine-exact despite numpy: quantized components are integers, so
+    every product (<= 4e7) and every partial sum (<= 3e9) is an
+    integer far below 2^53 — dgemm order and FMA cannot perturb an
+    exact integer result. Norms are one IEEE sqrt each, the cosine one
+    multiply + one divide — bit-identical to the SQL engines, so the
+    threshold compare cannot flip. Returns (cluster, id_a, id_b,
+    cosine_e4) — the cosine as basis-point BIGINT (hash-proof output
+    contract, functions/quantize.py).
+
+    Skew safety is automatic: clusters larger than ``max_block`` rows
+    are routed through :func:`semdedup_pairs_blocked` (identical pairs
+    by construction, per-task memory hard-bounded at max_block^2 gram
+    cells) inside the SAME plan — a one-small-agg broadcast join tags
+    each row with its cluster size, the two row sets take their
+    kernels, and the union is the result. A duplicate-heavy corpus
+    that concentrates 10^6 vectors in one cluster therefore cannot OOM
+    an executor; ``max_block=None`` disables the split (plain kernel
+    for every cluster).
+
+    A JVM-only formulation (zip_with/aggregate folds per pair) gives
+    the same bits but ~3x the time at fixture scale: higher-order
+    array functions are interpreted per pair, while this kernel is one
+    BLAS call per cluster."""
+    if max_block is None:
+        return _pairs_unblocked(assigned, threshold, qvec_col)
+    sizes = assigned.groupBy("cluster").agg(F.count("*").alias("__csz"))
+    # k rows — always broadcast-sized, never a data-scaled shuffle
+    tagged = assigned.join(F.broadcast(sizes), "cluster")
+    small = tagged.filter(F.col("__csz") <= max_block).drop("__csz")
+    big = tagged.filter(F.col("__csz") > max_block).drop("__csz")
+    return _pairs_unblocked(small, threshold, qvec_col).unionByName(
+        semdedup_pairs_blocked(big, threshold, max_block, qvec_col)
     )
 
 
@@ -314,7 +350,7 @@ def semdedup_pairs_blocked(
     )
 
     def block_kernel(pdf: "pd.DataFrame") -> "pd.DataFrame":
-        from .similarity import _round_half_up
+        from ..functions.quantize import np_e4
 
         cluster = int(pdf["cluster"].iloc[0])
         bi, bj = int(pdf["bi"].iloc[0]), int(pdf["bj"].iloc[0])
@@ -332,8 +368,15 @@ def semdedup_pairs_blocked(
             ids, X = side(pdf["__blk"] == bi)
             if len(ids) < 2:
                 return pd.DataFrame(
-                    {"cluster": [], "id_a": [], "id_b": [], "cosine": []}
-                ).astype({"cluster": "int64", "id_a": "int64", "id_b": "int64"})
+                    {"cluster": [], "id_a": [], "id_b": [], "cosine_e4": []}
+                ).astype(
+                    {
+                        "cluster": "int64",
+                        "id_a": "int64",
+                        "id_b": "int64",
+                        "cosine_e4": "int64",
+                    }
+                )
             gram = X @ X.T
             nrm = np.sqrt((X * X).sum(axis=1))
             cos = gram / np.outer(nrm, nrm)
@@ -347,8 +390,15 @@ def semdedup_pairs_blocked(
             ids_b, B = side(pdf["__blk"] == bj)
             if len(ids_a) == 0 or len(ids_b) == 0:
                 return pd.DataFrame(
-                    {"cluster": [], "id_a": [], "id_b": [], "cosine": []}
-                ).astype({"cluster": "int64", "id_a": "int64", "id_b": "int64"})
+                    {"cluster": [], "id_a": [], "id_b": [], "cosine_e4": []}
+                ).astype(
+                    {
+                        "cluster": "int64",
+                        "id_a": "int64",
+                        "id_b": "int64",
+                        "cosine_e4": "int64",
+                    }
+                )
             gram = A @ B.T
             cos = gram / np.outer(
                 np.sqrt((A * A).sum(axis=1)), np.sqrt((B * B).sum(axis=1))
@@ -363,7 +413,7 @@ def semdedup_pairs_blocked(
                 "cluster": np.full(len(ia), cluster),
                 "id_a": ia,
                 "id_b": ib,
-                "cosine": _round_half_up(vals, 4),
+                "cosine_e4": np_e4(vals),
             }
         )
 

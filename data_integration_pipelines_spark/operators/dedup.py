@@ -31,6 +31,7 @@ from ..functions.text import (
     word_shingles,
     ws_tokens,
 )
+from ..functions.quantize import e4
 from .cache import bounded_persist
 
 
@@ -291,7 +292,7 @@ def classify_against_corpus(
     ``exact_dup`` (normalized-md5 fingerprint already present),
     ``near_dup`` (n-gram Jaccard >= threshold with some corpus doc via
     the asymmetric prefix join), else ``novel``. Returns (doc_id,
-    verdict, exact_match_id, n_near_dups, best_jaccard).
+    verdict, exact_match_id, n_near_dups, best_jaccard_e4).
 
     Each document's verdict depends only on (document, corpus) — never
     on what else shares its batch — so any micro-batching of a feed
@@ -333,7 +334,9 @@ def classify_against_corpus(
         .groupBy("new_id")
         .agg(
             F.count("*").alias("n_near"),
-            F.round(F.max("jaccard"), 4).alias("best_jaccard"),
+            # basis-point BIGINT, never a rounded double (hash-proof
+            # output contract, functions/quantize.py); null for novels
+            e4(F.max("jaccard")).alias("best_jaccard_e4"),
         )
         .withColumnRenamed("new_id", "doc_id")
     )
@@ -349,7 +352,7 @@ def classify_against_corpus(
             .alias("verdict"),
             "exact_match_id",
             F.coalesce("n_near", F.lit(0)).alias("n_near_dups"),
-            "best_jaccard",
+            "best_jaccard_e4",
         )
     )
 

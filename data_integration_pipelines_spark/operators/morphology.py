@@ -30,6 +30,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.quantize import e4
 from .cache import bounded_persist
 
 SOMA, AXON, BASAL, APICAL = 1, 2, 3, 4
@@ -183,7 +184,7 @@ def morphology_flags(points: DataFrame) -> DataFrame:
         F.sum(F.floor(F.col("seg_len") * 1e4 + F.lit(0.5)).cast("bigint")).alias(
             "total_length_e4"
         ),
-        F.round(F.max("seg_len"), 4).alias("max_seg_len"),
+        e4(F.max("seg_len")).alias("max_seg_len_e4"),
         F.round(F.avg(F.when(F.col("type") != SOMA, F.col("radius"))), 4).alias(
             "mean_neurite_radius"
         ),

@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ..functions.quantize import e4, np_e6, quantized
 from .cache import bounded_persist
 
 # topk_pandas collects the query set to the driver (the bounded-Q
@@ -37,7 +38,7 @@ MAX_COLLECTED_QUERIES = 100_000
 
 # shared output shape of every top-k variant (and of the empty result
 # the collected-query paths short-circuit to when the query set is empty)
-_TOPK_SCHEMA = "query_id long, neighbor_id long, cosine double, rank int"
+_TOPK_SCHEMA = "query_id long, neighbor_id long, cosine_e4 long, rank int"
 
 
 def explode_vectors(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
@@ -76,16 +77,16 @@ def brute_force_topk(
         explode_vectors(query_df, id_col, vec_col),
         explode_vectors(df, id_col, vec_col),
     ).filter(F.col("query_id") != F.col("corpus_id")).withColumn(
-        "cos_r", F.round("dot", 4)
+        "cos_e4", e4(F.col("dot"))
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cos_r"), F.asc("corpus_id"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_e4"), F.asc("corpus_id"))
     return (
         dots.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select(
             "query_id",
             F.col("corpus_id").alias("neighbor_id"),
-            F.round("dot", 4).alias("cosine"),
+            F.col("cos_e4").alias("cosine_e4"),
             "rank",
         )
     )
@@ -162,15 +163,15 @@ def topk_pandas(
 
     partial = df.select(id_col, vec_col).mapInPandas(
         score, schema="query_id long, corpus_id long, dot double"
-    ).withColumn("cos_r", F.round("dot", 4))
-    w = Window.partitionBy("query_id").orderBy(F.desc("cos_r"), F.asc("corpus_id"))
+    ).withColumn("cos_e4", e4(F.col("dot")))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_e4"), F.asc("corpus_id"))
     return (
         partial.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select(
             "query_id",
             F.col("corpus_id").alias("neighbor_id"),
-            F.round("dot", 4).alias("cosine"),
+            F.col("cos_e4").alias("cosine_e4"),
             "rank",
         )
     )
@@ -190,8 +191,11 @@ def assign_buckets(
         explode_vectors(df, id_col, vec_col).withColumnRenamed("id", "id"),
         explode_vectors(pivots, id_col, vec_col),
     ).withColumnRenamed("query_id", "id").withColumnRenamed("corpus_id", "pivot_id")
-    # round to 6 before argmax: deterministic across engines, ties -> pivot id
-    w = Window.partitionBy("id").orderBy(F.desc(F.round("dot", 6)), F.asc("pivot_id"))
+    # quantize to integer 1e-6 units before argmax: the identical IEEE
+    # expression on both engines (functions/quantize.py), ties -> pivot id
+    w = Window.partitionBy("id").orderBy(
+        F.desc(quantized(F.col("dot"), 6)), F.asc("pivot_id")
+    )
     return (
         dots.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= nprobe)
@@ -218,13 +222,13 @@ def _score_rank_candidates(
     scored = cand.select(
         "query_id",
         "corpus_id",
-        F.round(_zip_dot(F.col(qvec), F.col(cvec)), 4).alias("cosine"),
+        e4(_zip_dot(F.col(qvec), F.col(cvec))).alias("cosine_e4"),
     ).distinct()
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("corpus_id"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine_e4"), F.asc("corpus_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
-        .select("query_id", F.col("corpus_id").alias("neighbor_id"), "cosine", "rank")
+        .select("query_id", F.col("corpus_id").alias("neighbor_id"), "cosine_e4", "rank")
     )
 
 
@@ -363,16 +367,6 @@ def fixture_codebooks(
     return np.stack([X[:, j * sub : (j + 1) * sub] for j in range(m_subvectors)])
 
 
-def _round_half_up(vals, decimals: int):
-    """Round half away from zero (Spark/DuckDB ROUND), not numpy's
-    half-to-even — keeps numpy-side orderings identical to the SQL
-    engines' rounded orderings."""
-    import numpy as np
-
-    scale = 10.0**decimals
-    return np.sign(vals) * np.floor(np.abs(vals) * scale + 0.5) / scale
-
-
 def pq_encode(
     df: DataFrame,
     codebooks,
@@ -385,7 +379,7 @@ def pq_encode(
     codebooks ride to executors as a closure broadcast (m*k*sub floats).
 
     ``exact_dist=True`` computes squared distances directly as
-    sum((x-c)^2) rounded to 6 decimals before the argmin (ties -> lowest
+    sum((x-c)^2) quantized to integer 1e-6 units before the argmin (ties -> lowest
     centroid id). That is bit-stable against a SQL oracle computing the
     same sum; the default expanded form (|x|^2 - 2x.c + |c|^2, one
     matmul per subspace) is faster at scale but can differ by an ulp
@@ -407,7 +401,7 @@ def pq_encode(
                     # (B, k, sub) -> (B, k); argmin takes the FIRST
                     # minimum = lowest centroid id on rounded ties
                     d2 = ((block[:, None, :] - cb[j][None, :, :]) ** 2).sum(-1)
-                    d2 = _round_half_up(d2, 6)
+                    d2 = np_e6(d2)
                 else:
                     # squared L2 to each centroid: (B, k)
                     d2 = (
@@ -444,11 +438,11 @@ def pq_topk(
     same (rounded desc, id asc) order as ``brute_force_topk``.
 
     The candidate set is the EXACT global ADC top-``rerank`` under the
-    total order (6-decimal-rounded approx desc, corpus_id asc): each
+    total order (integer-1e-6-quantized approx desc, corpus_id asc): each
     batch prunes to its local top-``rerank`` (a superset of the global
     winners it holds), and one global window applies the same order —
     deterministic across partitionings and reproducible by a SQL
-    oracle ranking the same rounded ADC scores.
+    oracle ranking the same quantized ADC scores.
 
     Scale shape: the scan reads m bytes/vector instead of 4D; only
     rerank x Q (approx-scored) candidates leave the scan; the exact
@@ -490,7 +484,7 @@ def pq_topk(
                 approx += luts[:, j, :][:, code_mat[:, j]]
             out = []
             for qi, qid in enumerate(q_ids):
-                row = _round_half_up(approx[qi], 6)
+                row = np_e6(approx[qi])
                 mask = c_ids != qid
                 ids, vals = c_ids[mask], row[mask]
                 take = min(rerank, len(ids))
@@ -512,7 +506,7 @@ def pq_topk(
                 yield pd.concat(out)
 
     partial = codes.mapInPandas(
-        scan, schema="query_id long, corpus_id long, approx double"
+        scan, schema="query_id long, corpus_id long, approx long"
     )
     # exact global ADC top-`rerank` (batches are disjoint, no dedup
     # needed): the union of local top-`rerank` contains every global
@@ -537,13 +531,13 @@ def pq_topk(
     scored = (
         cand.join(vecs, "corpus_id")
         .join(F.broadcast(qdf), "query_id")
-        .withColumn("cosine", F.round(_zip_dot(F.col("__qvec"), F.col("__cvec")), 4))
+        .withColumn("cosine_e4", e4(_zip_dot(F.col("__qvec"), F.col("__cvec"))))
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("corpus_id"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine_e4"), F.asc("corpus_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
-        .select("query_id", F.col("corpus_id").alias("neighbor_id"), "cosine", "rank")
+        .select("query_id", F.col("corpus_id").alias("neighbor_id"), "cosine_e4", "rank")
     )
 
 
@@ -670,9 +664,9 @@ def embedding_near_dup_multiprobe(
     return (
         cand.join(va, "id_a")
         .join(vb, "id_b")
-        .withColumn("cosine", F.round(dot, 4))
-        .filter(F.col("cosine") >= threshold)
-        .select("id_a", "id_b", "cosine")
+        .withColumn("cosine_e4", e4(dot))
+        .filter(F.col("cosine_e4") >= int(round(threshold * 10000)))
+        .select("id_a", "id_b", "cosine_e4")
     )
 
 
@@ -711,9 +705,9 @@ def embedding_near_dup_pairs(
     return (
         cand.join(va, "id_a")
         .join(vb, "id_b")
-        .withColumn("cosine", F.round(dot, 4))
-        .filter(F.col("cosine") >= threshold)
-        .select("id_a", "id_b", "cosine")
+        .withColumn("cosine_e4", e4(dot))
+        .filter(F.col("cosine_e4") >= int(round(threshold * 10000)))
+        .select("id_a", "id_b", "cosine_e4")
     )
 
 
@@ -763,7 +757,7 @@ def merge_topk(
     both = batch_topk if state is None else state.unionByName(batch_topk)
     both = both.dropDuplicates(["query_id", "neighbor_id"])
     w = Window.partitionBy("query_id").orderBy(
-        F.desc("cosine"), F.asc("neighbor_id")
+        F.desc("cosine_e4"), F.asc("neighbor_id")
     )
     return (
         both.withColumn("__r", F.row_number().over(w))

@@ -20,43 +20,69 @@ from . import queries_window  # noqa: E402,F401
 
 # Registry order == the order the driver's time-budgeted CORRECTNESS
 # sweep visits queries (it stops when its budget runs out, ~50 entries
-# in rounds 1-2). Order by VERIFICATION RISK, not by module: the
-# Python-kernel / multi-stage operators (ANN, morphology, voxel,
-# window/temporal, curation) that are hardest to keep correct go
-# first; the trivial scalar-function queries that are least likely to
-# break go last. Names missing from the list (new queries) keep their
-# registration order at the end until triaged into a slot.
+# in rounds 1-2). Order by VERIFICATION RISK, not by module. Round-5
+# head: the r4 red row first, then the six queries the driver has
+# never sampled, then every query whose OUTPUT SCHEMA changed this
+# round (rounded-double columns re-emitted as quantized BIGINTs —
+# functions/quantize.py) and therefore needs a fresh green row; the
+# long-stable tail keeps its prior order.
 _RISK_ORDER = [
-    # flagship first (pays the one-off JVM/codegen warmup regardless)
     "pricing_summary",
-    # -- r4 priority: oracle-SQL fixed this round (dtype drift), must re-verify --
-    "pii_redaction",
+    "quality_classifier_score",
+    "ann_topk_incremental",
+    "incremental_agg_retract",
+    "incremental_join",
+    "incremental_join_retract",
+    "sequence_funnel",
+    "table_profile",
+    "semdedup_pairs",
+    "semdedup_survivors",
+    "cluster_purity",
+    "kmeans_clusters",
+    "incremental_ingest_dedup",
+    "corpus_card",
+    "text_quality",
+    "ngram_jaccard_pairs",
+    "tfidf_top_terms",
+    "weighted_sample",
+    "repetition_score",
+    "tokenizer_fertility",
+    "stats_battery",
+    "approx_quantile_check",
+    "json_extract",
+    "substring_heuristics",
+    "numeric_functions",
+    "national_market_share",
+    "morphology_battery",
+    "asc_morphology_battery",
+    "h5_morphology_battery",
+    "conversion_roundtrip_battery",
+    "morphology_tree_metrics",
+    "ann_bruteforce",
+    "ann_ivf",
+    "ann_ivf_multiprobe",
+    "ann_pq",
+    "ann_ivf_persisted",
+    "embedding_near_dup",
+    "embedding_near_dup_multiprobe",
+    "embedding_dup_clusters",
     "embedding_outliers",
-    # -- new in r4 --
+    "knn_classify",
+    "hybrid_search_rrf",
+    "pii_redaction",
     "region_agreement",
     "jpeg_decode_features",
     "order_priority_checking",
     "volume_shipping",
-    "national_market_share",
     "small_quantity_revenue",
     "disjunctive_brand_revenue",
     "waiting_orders_suppliers",
     "train_val_test_split",
-    "kmeans_clusters",
-    "semdedup_pairs",
-    "semdedup_survivors",
-    "incremental_ingest_dedup",
     "cms_token_freq",
-    "quality_classifier_score",
     "exact_substring_removal",
-    "corpus_card",
     "next_event_training_pairs",
     "contrastive_pairs",
-    "tokenizer_fertility",
-    "cluster_purity",
-    "ann_ivf_persisted",
     "rare_token_suppression",
-    # -- never driver-sampled in rounds 1-3 (judge-verified only) --
     "image_resize",
     "audio_features",
     "image_decode_features",
@@ -77,31 +103,9 @@ _RISK_ORDER = [
     "customer_order_distribution",
     "dormant_rich_customers",
     "decontaminate_bloom",
-    "approx_quantile_check",
-    "knn_classify",
     "nation_pagerank",
     "nation_pagerank_weighted",
-    "incremental_join",
-    "incremental_join_retract",
-    "incremental_agg_retract",
-    "ann_topk_incremental",
-    "sequence_funnel",
-    "table_profile",
-    # -- driver-green in r1-r3; heaviest / multi-stage first --
-    "ann_pq",
-    "ann_bruteforce",
-    "ann_ivf",
-    "ann_ivf_multiprobe",
-    "embedding_near_dup",
-    "embedding_near_dup_multiprobe",
-    "embedding_dup_clusters",
     "int8_quantize",
-    "hybrid_search_rrf",
-    "morphology_battery",
-    "asc_morphology_battery",
-    "h5_morphology_battery",
-    "conversion_roundtrip_battery",
-    "morphology_tree_metrics",
     "voxel_region_lookup",
     "voxel_region_histogram",
     "asof_join_events",
@@ -114,7 +118,6 @@ _RISK_ORDER = [
     "running_total",
     "lag_lead_deltas",
     "rank_battery",
-    "stats_battery",
     "value_histogram",
     "drop_duplicates",
     "count_compare",
@@ -123,13 +126,10 @@ _RISK_ORDER = [
     "pivot_event_matrix",
     "cube_census",
     "quantile_bins",
-    "tfidf_top_terms",
     "bm25_search",
     "duplicated_span_fraction",
     "mixture_temperature",
-    "weighted_sample",
     "skyline_docs",
-    "repetition_score",
     "quality_rule_battery",
     "chunk_documents",
     "curation_funnel",
@@ -138,7 +138,6 @@ _RISK_ORDER = [
     "frame_sample",
     "dup_clusters",
     "dedup_survivors",
-    "ngram_jaccard_pairs",
     "minhash_lsh_pairs",
     "simhash_pairs",
     "simhash_hamming_pairs",
@@ -149,7 +148,6 @@ _RISK_ORDER = [
     "exact_dedup",
     "doc_fingerprint",
     "char_ngram_lang_id",
-    "text_quality",
     "lang_id",
     "hierarchy_closure",
     "closure_descendant_counts",
@@ -180,10 +178,7 @@ _RISK_ORDER = [
     "regex_extract",
     "case_convert",
     "date_functions",
-    "json_extract",
     "sparse_bool_render",
-    "substring_heuristics",
-    "numeric_functions",
     "encode_normalize",
 ]
 

@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
+from ..functions.quantize import e4, e4_sql
 from ..operators.clustering import (
     Q_SCALE,
     C_SCALE,
@@ -150,8 +151,8 @@ def kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "semdedup_pairs",
     f"WITH {_kmeans_ctes()}, {_SEMDEDUP_CTES}"
-    + """
-    SELECT cluster, id_a, id_b, ROUND(cos_raw, 4) AS cosine
+    + f"""
+    SELECT cluster, id_a, id_b, {e4_sql('cos_raw')} AS cosine_e4
     FROM sim
     ORDER BY cluster, id_a, id_b
     """,
@@ -228,7 +229,7 @@ def semdedup_survivors_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT s.cluster, s.n_members,
            CAST(b.majority_label AS INT) AS majority_label,
            CAST(b.n_majority AS BIGINT) AS n_majority,
-           ROUND(CAST(b.n_majority AS DOUBLE) / s.n_members, 4) AS purity
+           {e4_sql('CAST(b.n_majority AS DOUBLE) / s.n_members')} AS purity_e4
     FROM sizes s JOIN best b ON b.cluster = s.cluster
     ORDER BY s.cluster
     """,
@@ -266,9 +267,9 @@ def cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_members",
             "majority_label",
             "n_majority",
-            F.round(
-                F.col("n_majority").cast("double") / F.col("n_members"), 4
-            ).alias("purity"),
+            e4(
+                F.col("n_majority").cast("double") / F.col("n_members")
+            ).alias("purity_e4"),
         )
         .orderBy("cluster")
     )

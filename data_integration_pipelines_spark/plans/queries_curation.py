@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
+from ..functions.quantize import e4, e4_sql, quantized, quantized_sql
 from ..functions.text import bpe_token_count, word_shingles, ws_tokens
 from ..operators.dedup import (
     connected_components,
@@ -417,7 +418,7 @@ def token_pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "tfidf_top_terms",
-    """
+    f"""
     WITH toks AS (
         SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
         FROM documents
@@ -426,15 +427,15 @@ def token_pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     df AS (SELECT tok, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
     n AS (SELECT COUNT(*) AS n FROM documents),
     scored AS (
-        SELECT doc_id, tok, tf, ROUND(tf * ln(n / df), 4) AS tfidf
+        SELECT doc_id, tok, tf, {quantized_sql('tf * ln(n / df)')} AS tfidf_e4
         FROM tf JOIN df USING (tok) CROSS JOIN n
     ),
     ranked AS (
-        SELECT doc_id, tok, tf, tfidf,
-               ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, tok) AS rnk
+        SELECT doc_id, tok, tf, tfidf_e4,
+               ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tfidf_e4 DESC, tok) AS rnk
         FROM scored
     )
-    SELECT doc_id, tok, tf, tfidf, CAST(rnk AS INT) AS rnk
+    SELECT doc_id, tok, tf, tfidf_e4, CAST(rnk AS INT) AS rnk
     FROM ranked
     WHERE rnk <= 3 AND doc_id < 40
     ORDER BY doc_id, rnk
@@ -457,7 +458,7 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.explode(ws_tokens(F.col("text"))).alias("tok")
     ).createOrReplaceTempView("toks_tfidf")
     return spark.sql(
-        """
+        f"""
         WITH tf AS (
             SELECT doc_id, tok, COUNT(*) AS tf
             FROM toks_tfidf WHERE doc_id < 40 GROUP BY doc_id, tok
@@ -465,16 +466,17 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         df AS (SELECT tok, COUNT(DISTINCT doc_id) AS df FROM toks_tfidf GROUP BY tok),
         scored AS (
             SELECT doc_id, tok, tf,
-                   ROUND(tf * ln((SELECT COUNT(*) FROM docs_tfidf) / df), 4) AS tfidf
+                   {quantized_sql('tf * ln((SELECT COUNT(*) FROM docs_tfidf) / df)')}
+                       AS tfidf_e4
             FROM tf JOIN df USING (tok)
         ),
         ranked AS (
-            SELECT doc_id, tok, tf, tfidf,
+            SELECT doc_id, tok, tf, tfidf_e4,
                    ROW_NUMBER() OVER (PARTITION BY doc_id
-                                      ORDER BY tfidf DESC, tok) AS rnk
+                                      ORDER BY tfidf_e4 DESC, tok) AS rnk
             FROM scored
         )
-        SELECT doc_id, tok, tf, tfidf, CAST(rnk AS INT) AS rnk
+        SELECT doc_id, tok, tf, tfidf_e4, CAST(rnk AS INT) AS rnk
         FROM ranked WHERE rnk <= 3
         ORDER BY doc_id, rnk
         """
@@ -483,7 +485,7 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "weighted_sample",
-    """
+    f"""
     WITH k AS (
         SELECT doc_id, source,
                POW(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
@@ -497,7 +499,8 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
                ROW_NUMBER() OVER (PARTITION BY source ORDER BY key DESC, doc_id) AS rnk
         FROM k
     )
-    SELECT doc_id, source, ROUND(key, 6) AS weight_key, CAST(rnk AS INT) AS rnk
+    SELECT doc_id, source, {quantized_sql('key', 6)} AS weight_key_e6,
+           CAST(rnk AS INT) AS rnk
     FROM r
     WHERE rnk <= 5
     ORDER BY source, rnk
@@ -522,7 +525,7 @@ def weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id",
             "source",
-            F.round("key", 6).alias("weight_key"),
+            quantized(F.col("key"), 6).alias("weight_key_e6"),
             F.col("rnk").cast("int").alias("rnk"),
         )
         .orderBy("source", "rnk")
@@ -566,7 +569,7 @@ def skyline_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "repetition_score",
-    """
+    f"""
     WITH t AS (
         SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
         FROM documents WHERE doc_id < 150
@@ -582,7 +585,7 @@ def skyline_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id,
            CAST(n_grams AS INT) AS n_grams,
            CAST(n_distinct AS INT) AS n_distinct,
-           ROUND(1.0 - n_distinct / n_grams, 4) AS rep_ratio
+           {e4_sql('1.0 - n_distinct / n_grams')} AS rep_ratio_e4
     FROM sh
     ORDER BY doc_id
     """,
@@ -603,7 +606,7 @@ def repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "n_grams",
         "n_distinct",
-        F.round(1.0 - F.col("n_distinct") / F.col("n_grams"), 4).alias("rep_ratio"),
+        e4(1.0 - F.col("n_distinct") / F.col("n_grams")).alias("rep_ratio_e4"),
     ).orderBy("doc_id")
 
 
@@ -1020,7 +1023,7 @@ def train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "incremental_ingest_dedup",
-    r"""
+    rf"""
     WITH newd AS (SELECT * FROM documents WHERE doc_id % 10 >= 8),
     oldd AS (SELECT * FROM documents WHERE doc_id % 10 < 8),
     fpo AS (
@@ -1060,7 +1063,7 @@ def train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     near AS (
         SELECT new_id, CAST(COUNT(*) AS BIGINT) AS n_near,
-               ROUND(MAX(j), 4) AS best_jaccard
+               {e4_sql('MAX(j)')} AS best_jaccard_e4
         FROM jac GROUP BY 1
     )
     SELECT d.doc_id,
@@ -1069,7 +1072,7 @@ def train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ELSE 'novel' END AS verdict,
            e.exact_match_id,
            COALESCE(near.n_near, 0) AS n_near_dups,
-           near.best_jaccard
+           near.best_jaccard_e4
     FROM newd d
     LEFT JOIN exact e ON e.doc_id = d.doc_id
     LEFT JOIN near ON near.new_id = d.doc_id
@@ -1130,7 +1133,7 @@ def incremental_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(SUM(n_toks) AS BIGINT) AS total_tokens,
            CAST(COUNT(DISTINCT fp) AS BIGINT) AS n_unique,
            CAST(SUM(keep) AS BIGINT) AS n_keep,
-           ROUND(SUM(z_bp) / (10000.0 * COUNT(*)), 4) AS mean_score
+           {e4_sql('SUM(z_bp) / (10000.0 * COUNT(*))')} AS mean_score_e4
     FROM g GROUP BY source ORDER BY source
     """,
     doc="Per-source dataset card — the one-page summary a curation run "
@@ -1162,9 +1165,9 @@ def corpus_card(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_toks").alias("total_tokens"),
             F.countDistinct("fp").alias("n_unique"),
             F.sum("keep").alias("n_keep"),
-            F.round(
-                F.sum("z_bp") / (F.lit(10000.0) * F.count("*")), 4
-            ).alias("mean_score"),
+            e4(
+                F.sum("z_bp") / (F.lit(10000.0) * F.count("*"))
+            ).alias("mean_score_e4"),
         )
         .orderBy("source")
     )

@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..catalog import load_table
+from ..functions.quantize import quantized
 from ..operators.morphology import morphology_flags, tree_metrics
 from .base import REGISTRY, register
 
@@ -115,13 +116,13 @@ def synth_points(spark: SparkSession, sf_dir: str) -> DataFrame:
                              AND (radius >= 2.0 * pradius OR radius * 2.0 <= pradius)
                         THEN 1 ELSE 0 END) AS BIGINT) AS n_radical_diameter_changes,
                ((CAST(SUM(CAST(FLOOR(seg_len * 10000 + 0.5) AS BIGINT)) AS BIGINT) + 50) // 100) / 100.0 AS total_length,
-               ROUND(MAX(seg_len), 4) AS max_seg_len
+               CAST(SIGN(MAX(seg_len)) * FLOOR(ABS(MAX(seg_len)) * 10000 + 0.5) AS BIGINT) AS max_seg_len_e4
         FROM segs GROUP BY file
     )
     SELECT p.file, n_points, n_roots, n_zero_radius, n_distinct_radii,
            has_axon, has_basal_dendrite,
            n_zero_len_segments, n_z_jumps, n_axon_trees, n_dendritic_trees,
-           n_radical_diameter_changes, total_length, max_seg_len
+           n_radical_diameter_changes, total_length, max_seg_len_e4
     FROM per_point p JOIN per_seg s ON p.file = s.file
     ORDER BY p.file
     """,
@@ -152,7 +153,7 @@ def morphology_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.expr("(total_length_e4 + 50) div 100") / F.lit(100.0)).alias(
             "total_length"
         ),
-        F.col("max_seg_len").alias("max_seg_len"),
+        F.col("max_seg_len_e4").alias("max_seg_len_e4"),
     ).orderBy("file")
 
 
@@ -258,13 +259,13 @@ _ASC_EXPECTED_POINTS = """
                              AND (radius >= 2.0 * pradius OR radius * 2.0 <= pradius)
                         THEN 1 ELSE 0 END) AS BIGINT) AS n_radical_diameter_changes,
                ((CAST(SUM(CAST(FLOOR(seg_len * 10000 + 0.5) AS BIGINT)) AS BIGINT) + 50) // 100) / 100.0 AS total_length,
-               ROUND(MAX(seg_len), 4) AS max_seg_len
+               CAST(SIGN(MAX(seg_len)) * FLOOR(ABS(MAX(seg_len)) * 10000 + 0.5) AS BIGINT) AS max_seg_len_e4
         FROM segs GROUP BY file
     )
     SELECT p.file, n_points, n_roots, n_zero_radius, n_distinct_radii,
            has_axon, has_basal_dendrite,
            n_zero_len_segments, n_z_jumps, n_axon_trees, n_dendritic_trees,
-           n_radical_diameter_changes, total_length, max_seg_len
+           n_radical_diameter_changes, total_length, max_seg_len_e4
     FROM per_point p JOIN per_seg s ON p.file = s.file
     ORDER BY p.file
     """,
@@ -314,7 +315,7 @@ def asc_morphology_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.expr("(total_length_e4 + 50) div 100") / F.lit(100.0)).alias(
             "total_length"
         ),
-        F.col("max_seg_len").alias("max_seg_len"),
+        F.col("max_seg_len_e4").alias("max_seg_len_e4"),
     ).orderBy("file")
 
 
@@ -391,13 +392,13 @@ _H5_EXPECTED_POINTS = """
                              AND (radius >= 2.0 * pradius OR radius * 2.0 <= pradius)
                         THEN 1 ELSE 0 END) AS BIGINT) AS n_radical_diameter_changes,
                ((CAST(SUM(CAST(FLOOR(seg_len * 10000 + 0.5) AS BIGINT)) AS BIGINT) + 50) // 100) / 100.0 AS total_length,
-               ROUND(MAX(seg_len), 4) AS max_seg_len
+               CAST(SIGN(MAX(seg_len)) * FLOOR(ABS(MAX(seg_len)) * 10000 + 0.5) AS BIGINT) AS max_seg_len_e4
         FROM segs GROUP BY file
     )
     SELECT p.file, n_points, n_roots, n_zero_radius, n_distinct_radii,
            has_axon, has_basal_dendrite,
            n_zero_len_segments, n_z_jumps, n_axon_trees, n_dendritic_trees,
-           n_radical_diameter_changes, total_length, max_seg_len
+           n_radical_diameter_changes, total_length, max_seg_len_e4
     FROM per_point p JOIN per_seg s ON p.file = s.file
     ORDER BY p.file
     """,
@@ -458,7 +459,7 @@ def h5_morphology_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.expr("(total_length_e4 + 50) div 100") / F.lit(100.0)).alias(
             "total_length"
         ),
-        F.col("max_seg_len").alias("max_seg_len"),
+        F.col("max_seg_len_e4").alias("max_seg_len_e4"),
     ).orderBy("file")
 
 
@@ -489,7 +490,7 @@ def h5_morphology_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_walk AS (
         SELECT file,
                CAST(MAX(branch_order) AS INT) AS max_branch_order,
-               ROUND(ROUND(MAX(path_len), 4), 2) AS max_path_length
+               CAST(SIGN(ROUND(MAX(path_len), 4)) * FLOOR(ABS(ROUND(MAX(path_len), 4)) * 100 + 0.5) AS BIGINT) AS max_path_length_x100
         FROM walk GROUP BY file
     ),
     comp AS (
@@ -505,7 +506,7 @@ def h5_morphology_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY 1
     )
     SELECT comp.file, comp.n_components, per_walk.max_branch_order,
-           per_walk.max_path_length,
+           per_walk.max_path_length_x100,
            COALESCE(tc.n_type_changes, 0) AS n_type_changes
     FROM comp
     JOIN per_walk ON per_walk.file = comp.file
@@ -526,7 +527,7 @@ def morphology_tree_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         "file",
         "n_components",
         "max_branch_order",
-        F.round("max_path_length", 2).alias("max_path_length"),
+        quantized(F.col("max_path_length"), 2).alias("max_path_length_x100"),
         "n_type_changes",
     ).orderBy("file")
 
@@ -570,5 +571,5 @@ def conversion_roundtrip_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.expr("(total_length_e4 + 50) div 100") / F.lit(100.0)).alias(
             "total_length"
         ),
-        F.col("max_seg_len").alias("max_seg_len"),
+        F.col("max_seg_len_e4").alias("max_seg_len_e4"),
     ).orderBy("file")

@@ -12,6 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
+from ..functions.quantize import e4, e4_sql, quantized, quantized_sql
 from .base import register
 
 
@@ -164,10 +165,10 @@ def date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "json_extract",
-    """
+    f"""
     SELECT event_type,
            CAST(COUNT(*) AS BIGINT)                            AS n_events,
-           ROUND(AVG(CAST(props->>'k' AS INT)), 4)             AS avg_k,
+           {e4_sql("AVG(CAST(props->>'k' AS INT))")}           AS avg_k_e4,
            CAST(MAX(CAST(props->>'k' AS INT)) AS INT)          AS max_k
     FROM events
     GROUP BY event_type
@@ -183,7 +184,7 @@ def json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy("event_type")
         .agg(
             F.count("*").alias("n_events"),
-            F.round(F.avg(k), 4).alias("avg_k"),
+            e4(F.avg(k)).alias("avg_k_e4"),
             F.max(k).alias("max_k"),
         )
         .orderBy("event_type")
@@ -219,13 +220,13 @@ def sparse_bool_render(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "substring_heuristics",
-    """
+    f"""
     SELECT CASE WHEN CONTAINS(p_type, 'ECONOMY') THEN 'economy'
                 WHEN CONTAINS(p_type, 'PROMO')   THEN 'promotional'
                 WHEN CONTAINS(p_type, 'STANDARD') THEN 'standard'
                 ELSE 'other' END AS type_class,
            CAST(COUNT(*) AS BIGINT) AS n_parts,
-           ROUND(AVG(p_retailprice), 4) AS avg_price
+           {e4_sql('AVG(p_retailprice)')} AS avg_price_e4
     FROM part
     GROUP BY type_class
     ORDER BY type_class
@@ -245,7 +246,7 @@ def substring_heuristics(spark: SparkSession, sf_dir: str) -> DataFrame:
         part.groupBy(type_class.alias("type_class"))
         .agg(
             F.count("*").alias("n_parts"),
-            F.round(F.avg("p_retailprice"), 4).alias("avg_price"),
+            e4(F.avg("p_retailprice")).alias("avg_price_e4"),
         )
         .orderBy("type_class")
     )
@@ -253,13 +254,13 @@ def substring_heuristics(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "numeric_functions",
-    """
+    f"""
     SELECT p_partkey,
-           ROUND(p_retailprice, 1)                         AS price_r1,
+           {quantized_sql('p_retailprice', 1)}             AS price_r1_x10,
            CAST(FLOOR(p_retailprice) AS BIGINT)            AS price_floor,
            CAST(CEIL(p_retailprice) AS BIGINT)             AS price_ceil,
            ABS(p_size - 25)                                AS size_dist,
-           ROUND(SQRT(p_retailprice), 4)                   AS price_sqrt,
+           {e4_sql('SQRT(p_retailprice)')}                 AS price_sqrt_e4,
            CAST(p_size % 7 AS INT)                         AS size_mod
     FROM part
     WHERE p_partkey < 200
@@ -273,11 +274,11 @@ def numeric_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = _t(spark, sf_dir, "part").filter(F.col("p_partkey") < 200)
     return part.select(
         "p_partkey",
-        F.round("p_retailprice", 1).alias("price_r1"),
+        quantized(F.col("p_retailprice"), 1).alias("price_r1_x10"),
         F.floor("p_retailprice").alias("price_floor"),
         F.ceil("p_retailprice").alias("price_ceil"),
         F.abs(F.col("p_size") - 25).alias("size_dist"),
-        F.round(F.sqrt("p_retailprice"), 4).alias("price_sqrt"),
+        e4(F.sqrt("p_retailprice")).alias("price_sqrt_e4"),
         (F.col("p_size") % 7).alias("size_mod"),
     ).orderBy("p_partkey")
 

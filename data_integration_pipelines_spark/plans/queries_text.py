@@ -39,6 +39,7 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 from ..functions.text import SW_SQL as _SW_SQL  # noqa: E402
 from ..functions.text import quality_features_sql, quality_logit_sql  # noqa: E402
+from ..functions.quantize import e4, e4_sql  # noqa: E402
 
 
 @register(
@@ -51,15 +52,17 @@ from ..functions.text import quality_features_sql, quality_logit_sql  # noqa: E4
     SELECT doc_id,
            CAST(len(toks) AS INT) AS n_tokens,
            CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS INT) AS n_bpe_tokens,
-           ROUND((length(text) - length(regexp_replace(text, '[.,!?;:''"]', '', 'g'))) / length(text), 4) AS punct_ratio,
-           ROUND(len(list_filter(toks, x -> x IN ({_SW_SQL}))) / len(toks), 4) AS stopword_ratio,
-           ROUND(list_sum(list_transform(toks, x -> length(x))) / len(toks), 4) AS avg_token_len
+           {e4_sql('''(length(text) - length(regexp_replace(text, '[.,!?;:''"]', '', 'g'))) / length(text)''')} AS punct_ratio_e4,
+           {e4_sql(f'len(list_filter(toks, x -> x IN ({_SW_SQL}))) / len(toks)')} AS stopword_ratio_e4,
+           {e4_sql('list_sum(list_transform(toks, x -> length(x))) / len(toks)')} AS avg_token_len_e4
     FROM t
     ORDER BY doc_id
     """,
     doc="Document quality scoring (length/punct/stopword ratios, token counts "
     "via whitespace + BPE-ish regex) — per-row check battery pattern of "
-    "ref src/trace/validation/validation.py:208-376, vectorized as Columns.",
+    "ref src/trace/validation/validation.py:208-376, vectorized as Columns. "
+    "Ratios emit as basis-point BIGINTs (functions/quantize.py), not "
+    "rounded doubles.",
     headline=True,
 )
 def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -69,9 +72,9 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.size(toks).alias("n_tokens"),
         bpe_token_count(F.col("text")).alias("n_bpe_tokens"),
-        F.round(punct_ratio(F.col("text")), 4).alias("punct_ratio"),
-        F.round(stopword_ratio(toks), 4).alias("stopword_ratio"),
-        F.round(avg_token_len(toks), 4).alias("avg_token_len"),
+        e4(punct_ratio(F.col("text"))).alias("punct_ratio_e4"),
+        e4(stopword_ratio(toks)).alias("stopword_ratio_e4"),
+        e4(avg_token_len(toks)).alias("avg_token_len_e4"),
     ).orderBy("doc_id")
 
 
@@ -182,7 +185,7 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", fingerprint(F.col("text")).alias("fp")).orderBy("doc_id")
 
 
-_JACCARD_ORACLE = """
+_JACCARD_ORACLE = f"""
     WITH sh AS (
         SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
         FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents),
@@ -195,7 +198,7 @@ _JACCARD_ORACLE = """
     ),
     sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id)
     SELECT id_a, id_b,
-           ROUND(n_common / (sa.sz + sb.sz - n_common), 4) AS jaccard
+           {e4_sql('n_common / (sa.sz + sb.sz - n_common)')} AS jaccard_e4
     FROM inter
     JOIN sizes sa ON sa.doc_id = id_a
     JOIN sizes sb ON sb.doc_id = id_b
@@ -210,14 +213,15 @@ _JACCARD_ORACLE = """
     doc="3-gram Jaccard near-duplicate pairs (threshold 0.8): distinct-shingle "
     "explode -> shingle equi-join -> |intersection| / |union|. At scale the "
     "shingle join is df-capped (max_doc_freq) + AQE skew-split; here the "
-    "full join is exact and finds the generator's planted near-dup pairs.",
+    "full join is exact and finds the generator's planted near-dup pairs. "
+    "Jaccard emits as basis points (BIGINT), not a rounded double.",
     headline=True,
 )
 def ngram_jaccard_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     pairs = jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.8)
     return pairs.select(
-        "id_a", "id_b", F.round("jaccard", 4).alias("jaccard")
+        "id_a", "id_b", e4(F.col("jaccard")).alias("jaccard_e4")
     ).orderBy("id_a", "id_b")
 
 
@@ -783,10 +787,10 @@ def cms_token_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
                {quality_logit_sql()} AS z
         FROM f
     )
-    SELECT doc_id, ROUND(swr, 4) AS stopword_ratio,
-           ROUND(atl, 4) AS avg_token_len,
-           ROUND(ttr, 4) AS type_token_ratio,
-           ROUND(z, 4) AS score,
+    SELECT doc_id, {e4_sql('swr')} AS stopword_ratio_e4,
+           {e4_sql('atl')} AS avg_token_len_e4,
+           {e4_sql('ttr')} AS type_token_ratio_e4,
+           {e4_sql('z')} AS score_e4,
            z >= 0.0 AS keep
     FROM s
     ORDER BY doc_id
@@ -802,7 +806,10 @@ def cms_token_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     "no sigmoid (libm exp is not cross-engine reproducible; a monotone "
     "threshold on the logit decides identically). Splits the fixture "
     "corpus ~63/37 at every SF. Swapping in real learned weights "
-    "changes only the literals.",
+    "changes only the literals. Features and score are emitted as "
+    "basis-point BIGINTs (functions/quantize.py) — never as rounded "
+    "doubles, whose driver-side hash proved environment-sensitive in "
+    "round 4.",
 )
 def quality_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.text import quality_features, quality_logit
@@ -814,10 +821,10 @@ def quality_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         docs.select(
             "doc_id",
-            F.round(feats["swr"], 4).alias("stopword_ratio"),
-            F.round(feats["atl"], 4).alias("avg_token_len"),
-            F.round(feats["ttr"], 4).alias("type_token_ratio"),
-            F.round(z, 4).alias("score"),
+            e4(feats["swr"]).alias("stopword_ratio_e4"),
+            e4(feats["atl"]).alias("avg_token_len_e4"),
+            e4(feats["ttr"]).alias("type_token_ratio_e4"),
+            e4(z).alias("score_e4"),
             (z >= F.lit(0.0)).alias("keep"),
         )
         .orderBy("doc_id")
@@ -950,7 +957,7 @@ def exact_substring_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "tokenizer_fertility",
-    r"""
+    rf"""
     WITH t AS (
         SELECT lang, source,
                octet_length(encode(text)) AS n_bytes,
@@ -962,8 +969,8 @@ def exact_substring_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(COUNT(*) AS BIGINT) AS n_docs,
            CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
            CAST(SUM(n_bpe) AS BIGINT) AS total_tokens,
-           ROUND(SUM(n_bytes) / CAST(SUM(n_bpe) AS DOUBLE), 4)
-               AS bytes_per_token
+           {e4_sql('SUM(n_bytes) / CAST(SUM(n_bpe) AS DOUBLE)')}
+               AS bytes_per_token_e4
     FROM t
     GROUP BY lang, source
     ORDER BY lang, source
@@ -989,9 +996,9 @@ def tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_docs"),
             F.sum("n_bytes").alias("total_bytes"),
             F.sum("n_bpe").alias("total_tokens"),
-            F.round(
-                F.sum("n_bytes") / F.sum("n_bpe").cast("double"), 4
-            ).alias("bytes_per_token"),
+            e4(
+                F.sum("n_bytes") / F.sum("n_bpe").cast("double")
+            ).alias("bytes_per_token_e4"),
         )
         .orderBy("lang", "source")
     )

@@ -47,6 +47,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
+from ..functions.quantize import quantized, quantized_sql
 from .base import register
 
 
@@ -562,10 +563,10 @@ def volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "national_market_share",
-    """
+    f"""
     SELECT o_year,
-           ROUND(CAST(nation_rev AS DOUBLE) / CAST(total_rev AS DOUBLE), 6)
-               AS mkt_share
+           {quantized_sql('CAST(nation_rev AS DOUBLE) / CAST(total_rev AS DOUBLE)', 6)}
+               AS mkt_share_e6
     FROM (
         SELECT CAST(YEAR(o_orderdate) AS INT) AS o_year,
                SUM(CASE WHEN n_name = 'NATION_3'
@@ -587,7 +588,8 @@ def volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     "aggregate per order year over a 5-table star restricted to one "
     "part type. Both numerator and denominator are decimal-exact sums "
     "(order-independent), so the single double division and round are "
-    "bit-identical across engines; the share needs ONE pass (a "
+    "bit-identical across engines, and the share emits as a scaled "
+    "BIGINT (e6, functions/quantize.py); it needs ONE pass (a "
     "conditional sum), not two queries. Nation broadcasts; part "
     "predicate pruned at its scan.",
 )
@@ -617,10 +619,10 @@ def national_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return agg.select(
         "o_year",
-        F.round(
+        quantized(
             F.col("nation_rev").cast("double") / F.col("total_rev").cast("double"),
             6,
-        ).alias("mkt_share"),
+        ).alias("mkt_share_e6"),
     ).orderBy("o_year")
 
 

@@ -3,9 +3,12 @@
 IVF-bucketed ANN (scale path).
 
 The oracle mirrors the relational formulation (lockstep unnest +
-position join + sum); ordering keys are ROUNDED cosines with id
-tie-breaks so ranks are reproducible across engines despite
-floating-point summation order.
+position join + sum); ordering keys are integer-QUANTIZED cosines
+(the identical sign/floor IEEE expression on both engines —
+functions/quantize.py) with id tie-breaks so ranks are reproducible
+across engines despite floating-point summation order, and every
+output cosine emits as a basis-point BIGINT (``cosine_e4``), never a
+rounded double (the round-4 float-hash postmortem).
 """
 
 from __future__ import annotations
@@ -38,13 +41,13 @@ _LONG_CTE = """
         GROUP BY 1, 2
     ),
     ranked AS (
-        SELECT query_id, corpus_id AS neighbor_id, ROUND(dot, 4) AS cosine,
+        SELECT query_id, corpus_id AS neighbor_id, CAST(SIGN(dot) * FLOOR(ABS(dot) * 10000 + 0.5) AS BIGINT) AS cosine_e4,
                CAST(ROW_NUMBER() OVER (
                     PARTITION BY query_id
-                    ORDER BY ROUND(dot, 4) DESC, corpus_id) AS INT) AS rank
+                    ORDER BY CAST(SIGN(dot) * FLOOR(ABS(dot) * 10000 + 0.5) AS BIGINT) DESC, corpus_id) AS INT) AS rank
         FROM dots
     )
-    SELECT query_id, neighbor_id, cosine, rank
+    SELECT query_id, neighbor_id, cosine_e4, rank
     FROM ranked WHERE rank <= 10
     ORDER BY query_id, rank
     """,
@@ -76,7 +79,7 @@ def ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT id, pivot_id AS bucket FROM (
             SELECT id, pivot_id,
                    ROW_NUMBER() OVER (PARTITION BY id
-                                      ORDER BY ROUND(dot, 6) DESC, pivot_id) AS rn
+                                      ORDER BY CAST(SIGN(dot) * FLOOR(ABS(dot) * 1000000 + 0.5) AS BIGINT) DESC, pivot_id) AS rn
             FROM pivot_dots
         ) WHERE rn = 1
     ),
@@ -94,13 +97,13 @@ def ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE qb.bucket = cb.bucket
     ),
     ranked AS (
-        SELECT query_id, corpus_id AS neighbor_id, ROUND(dot, 4) AS cosine,
+        SELECT query_id, corpus_id AS neighbor_id, CAST(SIGN(dot) * FLOOR(ABS(dot) * 10000 + 0.5) AS BIGINT) AS cosine_e4,
                CAST(ROW_NUMBER() OVER (
                     PARTITION BY query_id
-                    ORDER BY ROUND(dot, 4) DESC, corpus_id) AS INT) AS rank
+                    ORDER BY CAST(SIGN(dot) * FLOOR(ABS(dot) * 10000 + 0.5) AS BIGINT) DESC, corpus_id) AS INT) AS rank
         FROM in_bucket
     )
-    SELECT query_id, neighbor_id, cosine, rank
+    SELECT query_id, neighbor_id, cosine_e4, rank
     FROM ranked WHERE rank <= 5
     ORDER BY query_id, rank
     """,
@@ -133,14 +136,14 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM sig a JOIN sig b ON a.signature = b.signature AND a.vec_id < b.vec_id
     ),
     dots AS (
-        SELECT id_a, id_b, ROUND(SUM(qa.val * qb.val), 4) AS cosine
+        SELECT id_a, id_b, CAST(SIGN(SUM(qa.val * qb.val)) * FLOOR(ABS(SUM(qa.val * qb.val)) * 10000 + 0.5) AS BIGINT) AS cosine_e4
         FROM cand
         JOIN long qa ON qa.vec_id = id_a
         JOIN long qb ON qb.vec_id = id_b AND qb.pos = qa.pos
         GROUP BY id_a, id_b
     )
-    SELECT id_a, id_b, cosine FROM dots
-    WHERE cosine >= 0.35
+    SELECT id_a, id_b, cosine_e4 FROM dots
+    WHERE cosine_e4 >= 3500
     ORDER BY id_a, id_b
     """,
     doc="Embedding-cosine near-duplicate pairs: random-hyperplane LSH "
@@ -190,14 +193,14 @@ def _multiprobe_oracle(n_planes: int = 8, max_hamming: int = 1) -> str:
         WHERE {ham.replace("sig_a", "a.signature").replace("sig_b", "b.signature")} <= {max_hamming}
     ),
     dots AS (
-        SELECT id_a, id_b, ROUND(SUM(qa.val * qb.val), 4) AS cosine
+        SELECT id_a, id_b, CAST(SIGN(SUM(qa.val * qb.val)) * FLOOR(ABS(SUM(qa.val * qb.val)) * 10000 + 0.5) AS BIGINT) AS cosine_e4
         FROM cand
         JOIN long qa ON qa.vec_id = id_a
         JOIN long qb ON qb.vec_id = id_b AND qb.pos = qa.pos
         GROUP BY id_a, id_b
     )
-    SELECT id_a, id_b, cosine FROM dots
-    WHERE cosine >= 0.35
+    SELECT id_a, id_b, cosine_e4 FROM dots
+    WHERE cosine_e4 >= 3500
     ORDER BY id_a, id_b
     """
 
@@ -237,13 +240,13 @@ def embedding_near_dup_multiprobe_q(spark: SparkSession, sf_dir: str) -> DataFra
         FROM sig a JOIN sig b ON a.signature = b.signature AND a.vec_id < b.vec_id
     ),
     dots AS (
-        SELECT id_a, id_b, ROUND(SUM(qa.val * qb.val), 4) AS cosine
+        SELECT id_a, id_b, CAST(SIGN(SUM(qa.val * qb.val)) * FLOOR(ABS(SUM(qa.val * qb.val)) * 10000 + 0.5) AS BIGINT) AS cosine_e4
         FROM cand
         JOIN long qa ON qa.vec_id = id_a
         JOIN long qb ON qb.vec_id = id_b AND qb.pos = qa.pos
         GROUP BY id_a, id_b
     ),
-    pairs AS (SELECT id_a, id_b FROM dots WHERE cosine >= 0.35),
+    pairs AS (SELECT id_a, id_b FROM dots WHERE cosine_e4 >= 3500),
     edges AS (
         SELECT id_a AS u, id_b AS v FROM pairs
         UNION
@@ -296,7 +299,7 @@ def embedding_dup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked_buckets AS (
         SELECT id, pivot_id AS bucket,
                ROW_NUMBER() OVER (PARTITION BY id
-                                  ORDER BY ROUND(dot, 6) DESC, pivot_id) AS rn
+                                  ORDER BY CAST(SIGN(dot) * FLOOR(ABS(dot) * 1000000 + 0.5) AS BIGINT) DESC, pivot_id) AS rn
         FROM pivot_dots
     ),
     cbuckets AS (SELECT id, bucket FROM ranked_buckets WHERE rn = 1),
@@ -315,13 +318,13 @@ def embedding_dup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE qb.bucket = cb.bucket
     ),
     ranked AS (
-        SELECT query_id, corpus_id AS neighbor_id, ROUND(dot, 4) AS cosine,
+        SELECT query_id, corpus_id AS neighbor_id, CAST(SIGN(dot) * FLOOR(ABS(dot) * 10000 + 0.5) AS BIGINT) AS cosine_e4,
                CAST(ROW_NUMBER() OVER (
                     PARTITION BY query_id
-                    ORDER BY ROUND(dot, 4) DESC, corpus_id) AS INT) AS rank
+                    ORDER BY CAST(SIGN(dot) * FLOOR(ABS(dot) * 10000 + 0.5) AS BIGINT) DESC, corpus_id) AS INT) AS rank
         FROM in_bucket
     )
-    SELECT query_id, neighbor_id, cosine, rank
+    SELECT query_id, neighbor_id, cosine_e4, rank
     FROM ranked WHERE rank <= 5
     ORDER BY query_id, rank
     """,
@@ -350,7 +353,7 @@ def ann_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     d2 AS (  -- squared distance vector-subspace -> centroid, rounded
         SELECT v.vec_id, v.j, cb.c,
-               ROUND(SUM((v.val - cb.val) * (v.val - cb.val)), 6) AS d2
+               CAST(SIGN(SUM((v.val - cb.val) * (v.val - cb.val))) * FLOOR(ABS(SUM((v.val - cb.val) * (v.val - cb.val))) * 1000000 + 0.5) AS BIGINT) AS d2
         FROM vecsub v JOIN cb ON v.j = cb.j AND v.p = cb.p
         GROUP BY 1, 2, 3
     ),
@@ -368,7 +371,7 @@ def ann_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY 1, 2, 3
     ),
     approx AS (  -- ADC score = sum over subspaces of lut[code]
-        SELECT l.query_id, codes.vec_id AS corpus_id, ROUND(SUM(l.dot), 6) AS approx
+        SELECT l.query_id, codes.vec_id AS corpus_id, CAST(SIGN(SUM(l.dot)) * FLOOR(ABS(SUM(l.dot)) * 1000000 + 0.5) AS BIGINT) AS approx
         FROM qlut l JOIN codes ON l.j = codes.j AND l.c = codes.code
         WHERE codes.vec_id <> l.query_id
         GROUP BY 1, 2
@@ -389,13 +392,13 @@ def ann_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY 1, 2
     ),
     ranked AS (
-        SELECT query_id, corpus_id AS neighbor_id, ROUND(dot, 4) AS cosine,
+        SELECT query_id, corpus_id AS neighbor_id, CAST(SIGN(dot) * FLOOR(ABS(dot) * 10000 + 0.5) AS BIGINT) AS cosine_e4,
                CAST(ROW_NUMBER() OVER (
                     PARTITION BY query_id
-                    ORDER BY ROUND(dot, 4) DESC, corpus_id) AS INT) AS rank
+                    ORDER BY CAST(SIGN(dot) * FLOOR(ABS(dot) * 10000 + 0.5) AS BIGINT) DESC, corpus_id) AS INT) AS rank
         FROM exact
     )
-    SELECT query_id, neighbor_id, cosine, rank
+    SELECT query_id, neighbor_id, cosine_e4, rank
     FROM ranked WHERE rank <= 5
     ORDER BY query_id, rank
     """,
@@ -510,7 +513,7 @@ def int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     vec_rank AS (
         SELECT corpus_id AS doc_id,
-               CAST(ROW_NUMBER() OVER (ORDER BY ROUND(dot, 4) DESC, corpus_id) AS BIGINT) AS r
+               CAST(ROW_NUMBER() OVER (ORDER BY CAST(SIGN(dot) * FLOOR(ABS(dot) * 10000 + 0.5) AS BIGINT) DESC, corpus_id) AS BIGINT) AS r
         FROM dots
         QUALIFY r <= 25
     ),
@@ -614,7 +617,7 @@ def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT query_id, corpus_id FROM (
             SELECT query_id, corpus_id,
                    ROW_NUMBER() OVER (PARTITION BY query_id
-                        ORDER BY ROUND(dot, 4) DESC, corpus_id) AS rank
+                        ORDER BY CAST(SIGN(dot) * FLOOR(ABS(dot) * 10000 + 0.5) AS BIGINT) DESC, corpus_id) AS rank
             FROM dots
         ) WHERE rank <= 10
     ),
@@ -691,17 +694,17 @@ def knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY 1, 2
     ),
     topk AS (
-        SELECT query_id, ROUND(dot, 4) AS cos_r FROM (
+        SELECT query_id,
+               CAST(SIGN(dot) * FLOOR(ABS(dot) * 10000 + 0.5) AS BIGINT) AS cos_e4
+        FROM (
             SELECT query_id, dot,
                    ROW_NUMBER() OVER (PARTITION BY query_id
-                        ORDER BY ROUND(dot, 4) DESC, corpus_id) AS rank
+                        ORDER BY CAST(SIGN(dot) * FLOOR(ABS(dot) * 10000 + 0.5) AS BIGINT) DESC, corpus_id) AS rank
             FROM dots
         ) WHERE rank <= 10
     ),
     scored AS (
-        SELECT query_id,
-               CAST(SUM(CAST(ROUND(cos_r * 10000) AS BIGINT)) AS BIGINT)
-                   AS density_e5
+        SELECT query_id, CAST(SUM(cos_e4) AS BIGINT) AS density_e5
         FROM topk GROUP BY query_id
     )
     SELECT query_id, density_e5,
@@ -728,7 +731,7 @@ def embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") < 100)
     topk = topk_pandas(emb, queries, k=10)
     scored = topk.groupBy("query_id").agg(
-        F.sum(F.round(F.col("cosine") * 10000).cast("long")).alias("density_e5")
+        F.sum("cosine_e4").cast("long").alias("density_e5")
     )
     return (
         scored.select(
@@ -755,13 +758,13 @@ def embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY 1, 2
     ),
     ranked AS (
-        SELECT query_id, corpus_id AS neighbor_id, ROUND(dot, 4) AS cosine,
+        SELECT query_id, corpus_id AS neighbor_id, CAST(SIGN(dot) * FLOOR(ABS(dot) * 10000 + 0.5) AS BIGINT) AS cosine_e4,
                CAST(ROW_NUMBER() OVER (
                     PARTITION BY query_id
-                    ORDER BY ROUND(dot, 4) DESC, corpus_id) AS INT) AS rank
+                    ORDER BY CAST(SIGN(dot) * FLOOR(ABS(dot) * 10000 + 0.5) AS BIGINT) DESC, corpus_id) AS INT) AS rank
         FROM dots
     )
-    SELECT query_id, neighbor_id, cosine, rank
+    SELECT query_id, neighbor_id, cosine_e4, rank
     FROM ranked WHERE rank <= 10
     ORDER BY query_id, rank
     """,
@@ -785,7 +788,7 @@ def ann_topk_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     for i in range(3):
         batch = emb.filter(F.pmod(F.col("vec_id"), F.lit(3)) == i)
         state = merge_topk(state, topk_pandas(batch, queries, k=10), k=10)
-    return state.select("query_id", "neighbor_id", "cosine", "rank").orderBy(
+    return state.select("query_id", "neighbor_id", "cosine_e4", "rank").orderBy(
         "query_id", "rank"
     )
 

@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..catalog import load_table
+from ..functions.quantize import e4, e4_sql
 from ..functions.time import epoch_sec
 from ..streaming.events import windowed_counts
 from .base import REGISTRY, register
@@ -136,13 +137,13 @@ def rank_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "stats_battery",
-    """
+    f"""
     SELECT l_returnflag,
-           ROUND(MIN(l_extendedprice), 4) AS min_price,
-           ROUND(MAX(l_extendedprice), 4) AS max_price,
-           ROUND(AVG(l_extendedprice), 4) AS mean_price,
-           ROUND(STDDEV_SAMP(l_extendedprice), 4) AS std_price,
-           ROUND(QUANTILE_CONT(l_extendedprice, 0.5), 4) AS median_price,
+           MIN(l_extendedprice) AS min_price,
+           MAX(l_extendedprice) AS max_price,
+           {e4_sql('AVG(l_extendedprice)')} AS mean_price_e4,
+           {e4_sql('STDDEV_SAMP(l_extendedprice)')} AS std_price_e4,
+           {e4_sql('QUANTILE_CONT(l_extendedprice, 0.5)')} AS median_price_e4,
            ROUND(SUM(l_extendedprice), 2) AS sum_price
     FROM lineitem
     GROUP BY l_returnflag
@@ -151,18 +152,21 @@ def rank_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="A5 morphometric stats battery (min/max/mean/std/median per group); "
     "ref src/neuron_morphology/feature_annotations/morph_metrics_neurom.py:272-288. "
     "Median is the EXACT interpolated percentile (Spark percentile == DuckDB "
-    "quantile_cont); approx_percentile is the knob for 100TB scale.",
+    "quantile_cont); approx_percentile is the knob for 100TB scale. "
+    "Computed moments emit as basis-point BIGINTs (functions/quantize.py); "
+    "min/max are raw input values (no ROUND — cross-engine round of a "
+    "double is itself the exposure).",
 )
 def stats_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     return (
         li.groupBy("l_returnflag")
         .agg(
-            F.round(F.min("l_extendedprice"), 4).alias("min_price"),
-            F.round(F.max("l_extendedprice"), 4).alias("max_price"),
-            F.round(F.avg("l_extendedprice"), 4).alias("mean_price"),
-            F.round(F.stddev_samp("l_extendedprice"), 4).alias("std_price"),
-            F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("median_price"),
+            F.min("l_extendedprice").alias("min_price"),
+            F.max("l_extendedprice").alias("max_price"),
+            e4(F.avg("l_extendedprice")).alias("mean_price_e4"),
+            e4(F.stddev_samp("l_extendedprice")).alias("std_price_e4"),
+            e4(F.expr("percentile(l_extendedprice, 0.5)")).alias("median_price_e4"),
             F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
         )
         .orderBy("l_returnflag")
@@ -702,10 +706,10 @@ def windowed_counts_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "approx_quantile_check",
-    """
+    f"""
     SELECT l_returnflag,
-           ROUND(quantile_cont(l_quantity, 0.50), 4) AS exact_p50,
-           ROUND(quantile_cont(l_quantity, 0.95), 4) AS exact_p95,
+           {e4_sql('quantile_cont(l_quantity, 0.50)')} AS exact_p50_e4,
+           {e4_sql('quantile_cont(l_quantity, 0.95)')} AS exact_p95_e4,
            TRUE AS p50_within_1pct_rank,
            TRUE AS p95_within_1pct_rank
     FROM lineitem
@@ -730,8 +734,8 @@ def approx_quantile_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     # join — unpersisted, the exact percentile's per-group sort (this
     # query's own stated cost ceiling) would execute twice
     appx = bounded_persist(li.groupBy("l_returnflag").agg(
-        F.round(F.expr("percentile(l_quantity, 0.50)"), 4).alias("exact_p50"),
-        F.round(F.expr("percentile(l_quantity, 0.95)"), 4).alias("exact_p95"),
+        e4(F.expr("percentile(l_quantity, 0.50)")).alias("exact_p50_e4"),
+        e4(F.expr("percentile(l_quantity, 0.95)")).alias("exact_p95_e4"),
         F.percentile_approx("l_quantity", 0.50, 1000).alias("ap50"),
         F.percentile_approx("l_quantity", 0.95, 1000).alias("ap95"),
         F.count("*").alias("n"),
@@ -769,8 +773,8 @@ def approx_quantile_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         appx.join(ranked, "l_returnflag")
         .select(
             "l_returnflag",
-            "exact_p50",
-            "exact_p95",
+            "exact_p50_e4",
+            "exact_p95_e4",
             within("lo50", "hi50", 0.50).alias("p50_within_1pct_rank"),
             within("lo95", "hi95", 0.95).alias("p95_within_1pct_rank"),
         )

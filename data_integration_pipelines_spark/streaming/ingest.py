@@ -43,7 +43,7 @@ def streaming_ingest_verdicts(
 ):
     """Drain ``stream_docs`` with availableNow, appending each
     micro-batch's verdicts (doc_id, verdict, exact_match_id,
-    n_near_dups, best_jaccard) to the parquet result log. Returns the
+    n_near_dups, best_jaccard_e4) to the parquet result log. Returns the
     StreamingQuery."""
 
     from pyspark.sql import functions as F

@@ -4,7 +4,7 @@ Replicates the driver's comparison (row count + order-insensitive
 value compare with columns sorted by name) so mismatches are caught
 before the round gate. Usage:
 
-    python scripts/check_oracle.py [--vanilla] [sf_dir]
+    python scripts/check_oracle.py [--vanilla] [--only n1,n2,...] [sf_dir]
 
 ``--vanilla`` runs on a stock SparkSession (no tuned confs — the
 configuration the driver's CORRECTNESS sweep uses), so the gate is
@@ -29,6 +29,15 @@ def main() -> int:
     vanilla = "--vanilla" in args
     if vanilla:
         args.remove("--vanilla")
+    only: set[str] | None = None
+    if "--only" in args:
+        i = args.index("--only")
+        only = set(args[i + 1].split(","))
+        del args[i : i + 2]
+        unknown = only - set(REGISTRY)
+        if unknown:
+            print(f"unknown query names: {sorted(unknown)}")
+            return 2
     sf_dir = args[0] if args else "/root/testdata/sf0.01"
     if vanilla:
         from pyspark.sql import SparkSession
@@ -41,7 +50,8 @@ def main() -> int:
     else:
         spark = get_spark("check-oracle")
     failures = []
-    for name, q in REGISTRY.items():
+    selected = {n: q for n, q in REGISTRY.items() if only is None or n in only}
+    for name, q in selected.items():
         t0 = time.time()
         try:
             ok, msg = compare_query(spark, q, sf_dir)
@@ -52,7 +62,7 @@ def main() -> int:
         print(f"{status} {name:28s} {dt:6.2f}s  {msg}")
         if not ok:
             failures.append(name)
-    print(f"\n{len(REGISTRY) - len(failures)}/{len(REGISTRY)} queries match")
+    print(f"\n{len(selected) - len(failures)}/{len(selected)} queries match")
     if failures:
         print("failures:", ", ".join(failures))
     return 1 if failures else 0

@@ -92,13 +92,41 @@ def test_blocked_semdedup_equals_unblocked(embeddings):
 
     assigned, _ = kmeans_fit(embeddings, k=4, iters=2)
     want = {
-        (r.cluster, r.id_a, r.id_b, r.cosine)
+        (r.cluster, r.id_a, r.id_b, r.cosine_e4)
         for r in semdedup_pairs(assigned, 0.35).collect()
     }
     for max_block in (7, 30, 100000):
         got = {
-            (r.cluster, r.id_a, r.id_b, r.cosine)
+            (r.cluster, r.id_a, r.id_b, r.cosine_e4)
             for r in semdedup_pairs_blocked(assigned, 0.35, max_block).collect()
         }
         assert got == want, max_block
     assert len(want) > 0
+
+
+def test_semdedup_auto_switches_to_blocked_kernel(embeddings):
+    """``semdedup_pairs`` must route clusters larger than ``max_block``
+    through the blocked kernel INSIDE the same plan (skew safety at
+    scale: one duplicate-heavy cluster can't OOM a task), with the pair
+    set identical to the unblocked kernel."""
+    assigned, _ = kmeans_fit(embeddings, k=4, iters=2)
+    sizes = {
+        r.cluster: r.n
+        for r in assigned.groupBy("cluster").count().withColumnRenamed("count", "n").collect()
+    }
+    # pick a max_block that splits the clusters into both regimes so
+    # the union-of-kernels path (not just one branch) is exercised
+    cut = sorted(sizes.values())[len(sizes) // 2]
+    assert any(n > cut for n in sizes.values())
+    assert any(n <= cut for n in sizes.values())
+    want = {
+        (r.cluster, r.id_a, r.id_b, r.cosine_e4)
+        for r in semdedup_pairs(assigned, 0.35, max_block=None).collect()
+    }
+    got_df = semdedup_pairs(assigned, 0.35, max_block=cut)
+    got = {(r.cluster, r.id_a, r.id_b, r.cosine_e4) for r in got_df.collect()}
+    assert got == want and len(want) > 0
+    # both kernels really participate: the plan unions TWO grouped-
+    # pandas kernels (unblocked small-cluster side + blocked big side)
+    plan = got_df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("FlatMapGroupsInPandas") >= 2, plan

@@ -115,8 +115,8 @@ class TestSimilarity:
         exact = brute_force_topk(emb, queries, k=10).collect()
         fast = topk_pandas(emb, queries, k=10).collect()
         key = lambda r: (r.query_id, r.rank)  # noqa: E731
-        exact_m = {key(r): (r.neighbor_id, r.cosine) for r in exact}
-        fast_m = {key(r): (r.neighbor_id, r.cosine) for r in fast}
+        exact_m = {key(r): (r.neighbor_id, r.cosine_e4) for r in exact}
+        fast_m = {key(r): (r.neighbor_id, r.cosine_e4) for r in fast}
         assert exact_m == fast_m
 
     def test_self_excluded(self, spark, sf_small):
@@ -134,11 +134,11 @@ class TestSimilarity:
 
         emb = load_table(spark, sf_small, "embeddings")
         exact = {
-            (r.id_a, r.id_b): r.cosine
+            (r.id_a, r.id_b): r.cosine_e4
             for r in embedding_near_dup_pairs(emb, threshold=0.35).collect()
         }
         probed = {
-            (r.id_a, r.id_b): r.cosine
+            (r.id_a, r.id_b): r.cosine_e4
             for r in embedding_near_dup_multiprobe(
                 emb, threshold=0.35, max_hamming=1
             ).collect()
@@ -421,11 +421,11 @@ class TestScaleSafetyCaps:
         none = emb.filter("vec_id < 0")
         got = topk_pandas(emb, none, k=3)
         assert got.count() == 0
-        assert got.columns == ["query_id", "neighbor_id", "cosine", "rank"]
+        assert got.columns == ["query_id", "neighbor_id", "cosine_e4", "rank"]
         cb = fixture_codebooks(emb)
         got_pq = pq_topk(emb, none, cb, k=3)
         assert got_pq.count() == 0
-        assert got_pq.columns == ["query_id", "neighbor_id", "cosine", "rank"]
+        assert got_pq.columns == ["query_id", "neighbor_id", "cosine_e4", "rank"]
 
     def test_recommended_n_planes_scales(self):
         from data_integration_pipelines_spark.operators.similarity import (
@@ -694,7 +694,7 @@ class TestCrossJaccardAndIngest:
             }
         assert out[9].verdict == "exact_dup" and out[9].exact_match_id == 2
         assert out[19].verdict == "near_dup" and out[19].n_near_dups >= 1
-        assert out[29].verdict == "novel" and out[29].best_jaccard is None
+        assert out[29].verdict == "novel" and out[29].best_jaccard_e4 is None
 
 
 class TestCountMinSketch:
@@ -839,13 +839,13 @@ class TestIvfIndexPersistence:
 
         for nprobe in (1, 2):
             served = {
-                (r.query_id, r.rank): (r.neighbor_id, r.cosine)
+                (r.query_id, r.rank): (r.neighbor_id, r.cosine_e4)
                 for r in ivf_index_query(
                     spark, idx, queries, k=5, nprobe=nprobe
                 ).collect()
             }
             direct = {
-                (r.query_id, r.rank): (r.neighbor_id, r.cosine)
+                (r.query_id, r.rank): (r.neighbor_id, r.cosine_e4)
                 for r in ivf_topk(
                     emb, queries, pivots, k=5, nprobe=nprobe
                 ).collect()

@@ -323,7 +323,7 @@ def test_morphology_quality_source_agnostic(spark, tmp_path):
     points_h5 = parse_h5_frame(convert_morphologies(points_swc, to="h5"))
 
     keep = ["n_points", "n_roots", "n_multifurcations", "n_axon_trees",
-            "n_dendritic_trees", "total_length", "max_seg_len", "has_axon"]
+            "n_dendritic_trees", "total_length", "max_seg_len_e4", "has_axon"]
     a = morphology_quality(points_swc)[0].select(*keep).collect()[0]
     b = morphology_quality(points_h5)[0].select(*keep).collect()[0]
     assert a.asDict() == b.asDict()

@@ -652,7 +652,7 @@ class TestMorphologyConversion:
             "has_axon", "has_basal_dendrite", "n_zero_len_segments",
             "n_z_jumps", "n_axon_trees", "n_dendritic_trees",
             "n_radical_diameter_changes", "n_multifurcations",
-            "total_length", "max_seg_len",
+            "total_length", "max_seg_len_e4",
         ]
         return {
             os.path.basename(r["file"]).split(".")[0].removeprefix("swc_"): tuple(

@@ -383,9 +383,9 @@ def test_streaming_ingest_verdicts_match_batch(spark, sf_small, tmp_path):
     )
     q.awaitTermination(180)
 
-    got = {r.doc_id: (r.verdict, r.exact_match_id, r.n_near_dups, r.best_jaccard)
+    got = {r.doc_id: (r.verdict, r.exact_match_id, r.n_near_dups, r.best_jaccard_e4)
            for r in spark.read.parquet(out).collect()}
-    want = {r.doc_id: (r.verdict, r.exact_match_id, r.n_near_dups, r.best_jaccard)
+    want = {r.doc_id: (r.verdict, r.exact_match_id, r.n_near_dups, r.best_jaccard_e4)
             for r in classify_against_corpus(batch_new, corpus).collect()}
     assert got == want
     assert len(got) == batch_new.count()
