@@ -15,7 +15,11 @@ Spark-first shape (the textbook distributed Lloyd's):
   (``posexplode`` -> groupBy (cluster, pos) -> SUM/COUNT), producing
   exactly ``k*D`` rows — the only thing that ever returns to the
   driver. That is the bounded-collect contract (same as PQ training's
-  sample, similarity.py): guarded loudly, never corpus-sized.
+  sample, similarity.py). Above ``MAX_CENTROID_CELLS`` the fit
+  auto-switches to :func:`kmeans_fit_table`: the centroids live in a
+  per-iteration checkpointed table, the update is a DataFrame join,
+  and nothing k*D-sized ever reaches the driver — the SemDeDup
+  large-k regime (k ~ N/5000) runs as ordinary jobs.
 
 Engine-exact arithmetic (the property every oracle in this repo is
 built on): components are quantized to integers at load
@@ -43,6 +47,7 @@ import math
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from .cache import bounded_persist
 
@@ -127,36 +132,45 @@ def kmeans_fit(
     vec_col: str = "embedding",
     k: int = 8,
     iters: int = 3,
-) -> tuple[DataFrame, list[tuple[int, list[int]]]]:
+    checkpoint_dir: str | None = None,
+) -> tuple[DataFrame, list[tuple[int, list[int]]] | DataFrame]:
     """Fixed-iteration distributed Lloyd's with deterministic init:
     centroid ``c`` starts at the vector whose id is the c-th smallest
     (no RNG — reproducible across runs, engines and partitionings; the
     same convention as ``fixture_codebooks``). Returns the FINAL
-    assignment DataFrame (id, qvec, cluster, dist) and the centroid
-    list that produced it.
+    assignment DataFrame (id, qvec, cluster, dist) and the centroids
+    that produced it.
 
-    A cluster that loses all members simply drops out (inner-join
-    update semantics — well-defined and identically expressible in
-    SQL); with data-point init and small k this does not occur on the
-    fixtures, and at scale empty clusters are a signal k is too large.
+    Two regimes, auto-switched on ``k * dim``:
+
+    - ``k*D <= MAX_CENTROID_CELLS`` (the common case): the driver-loop
+      path below — map-only literal-inlined assignment, one k*D-row
+      collect per iteration. Second return value is the centroid LIST.
+      A cluster that loses all members simply drops out (inner-join
+      update semantics — well-defined and identically expressible in
+      SQL); with data-point init and small k this does not occur on
+      the fixtures.
+    - ``k*D > MAX_CENTROID_CELLS`` (SemDeDup wants k ~ N/5000, so
+      large k*D is the realistic 100 TB regime): delegates to
+      :func:`kmeans_fit_table` — the update step is a DataFrame join
+      against a per-iteration checkpointed centroid table and NOTHING
+      k*D-sized ever reaches the driver. Second return value is the
+      centroid TABLE (cluster, pos, cval). Identical fixed point to
+      the driver loop (pinned by test) plus farthest-point reseeding
+      of empty clusters.
     """
-    def _cell_guard(dim_: int) -> None:
-        if k * dim_ > MAX_CENTROID_CELLS:
-            raise ValueError(
-                f"k*D = {k * dim_} centroid cells exceeds {MAX_CENTROID_CELLS}; "
-                "the per-iteration driver collect must stay trivial — shrink k "
-                "or switch the update step to a checkpointed centroid table"
-            )
-
-    # the guard must fire BEFORE the k-row seed collect (which pulls
-    # exactly the k*D cells it bounds) — and the bound needs the TRUE
-    # dim: a modest k with huge-D vectors blows the cap just as surely
-    # as a huge k. One 1-row probe job is the price of never collecting
-    # an unbounded seed.
+    # the regime probe must run BEFORE the k-row seed collect (which
+    # pulls exactly the k*D cells the cap bounds) — and it needs the
+    # TRUE dim: a modest k with huge-D vectors blows the cap just as
+    # surely as a huge k. One 1-row probe job is the price of never
+    # collecting an unbounded seed.
     probe = df.select(vec_col).first()
     if probe is None:
         raise ValueError("kmeans_fit on an empty DataFrame")
-    _cell_guard(len(probe[0]))
+    if k * len(probe[0]) > MAX_CENTROID_CELLS:
+        return kmeans_fit_table(
+            df, id_col, vec_col, k, iters, checkpoint_dir=checkpoint_dir
+        )
 
     qdf = bounded_persist(
         df.select(
@@ -171,7 +185,6 @@ def kmeans_fit(
     if not seed_rows:
         raise ValueError("kmeans_fit on an empty DataFrame")
     dim = len(seed_rows[0]["qvec"])
-    _cell_guard(dim)
     centroids = [
         (int(r["id"]), [int(v) * C_SCALE for v in r["qvec"]]) for r in seed_rows
     ]
@@ -198,6 +211,190 @@ def kmeans_fit(
     # the returned plan still reads qdf — the pooled cache serves the
     # caller's job(s) and is evicted FIFO by later operators
     return assign_clusters(qdf, centroids), centroids
+
+
+def _round_half_away_col(x: Column) -> Column:
+    """Column mirror of :func:`_round_half_away`: half away from zero
+    on the double's TRUE value. floor(x + 0.5) is subtly wrong at
+    representation edges (x + 0.5 can round UP to exactly m + 1.0);
+    computing the fraction as x - floor(x) is exact for |x| < 2^52,
+    identical to the Python driver-loop update step."""
+    pos = F.floor(x) + F.when(x - F.floor(x) >= 0.5, 1).otherwise(0)
+    neg = F.ceil(x) - F.when(F.ceil(x) - x >= 0.5, 1).otherwise(0)
+    return F.when(x >= 0, pos).otherwise(neg).cast("long")
+
+
+def kmeans_fit_table(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    iters: int = 3,
+    checkpoint_dir: str | None = None,
+    reseed_empty: bool = True,
+) -> tuple[DataFrame, DataFrame]:
+    """Large-k*D Lloyd's: the centroids live in a per-iteration
+    CHECKPOINTED long-form table ``(cluster, pos, cval)`` and the
+    update step is a DataFrame join — nothing k*D-sized is ever
+    collected to the driver, so the regime the driver-loop guard
+    refuses (SemDeDup's k ~ N/5000 on high-D embeddings) runs as an
+    ordinary sequence of jobs.
+
+    Same deterministic fixed point as :func:`kmeans_fit` (pinned by
+    test): identical seed convention (centroid c = the vector with the
+    c-th smallest id, cid = that id), identical exact-integer distance
+    (argmin ties -> lowest cid via a struct min), and an update
+    division + half-away round expressed as the same one-multiply /
+    one-divide IEEE sequence (:func:`_round_half_away_col`).
+
+    Plan shape per iteration:
+
+    - **assignment**: the exploded data ``(id, pos, qv)`` joins the
+      broadcast centroid table on ``pos`` -> per-(id, cluster) partial
+      squared distances -> ONE partial-agg'd shuffle on ``id`` -> the
+      struct-min argmin. The centroid table broadcasts comfortably in
+      regimes where literal inlining already died of driver/codegen
+      cost (a 10^7-cell table is ~100 MB broadcast vs an unparseable
+      SQL literal); beyond broadcast limits, drop the hint and let AQE
+      side the join.
+    - **update**: assignment joins the exploded data back on ``id``
+      (both sides hash-partitioned on id by the argmin shuffle) ->
+      groupBy (cluster, pos) -> SUM/COUNT -> the new centroid table.
+    - **checkpoint**: each iteration's table materializes via
+      ``localCheckpoint`` (or reliable ``checkpoint`` into
+      ``checkpoint_dir`` on a real cluster — survives executor loss,
+      same convention as dedup.connected_components), truncating the
+      otherwise per-iteration-compounding lineage.
+
+    ``reseed_empty``: a centroid no point chose is re-seeded from the
+    FARTHEST assigned point (max dist, ties -> lowest id; the standard
+    empty-cluster fix) instead of silently dropping out; lost cids are
+    detected with one k-bounded action per iteration (which doubles as
+    the checkpoint materializer).
+
+    Returns (assignment ``(id, qvec, cluster, dist)``, final centroid
+    table ``(cluster, pos, cval)``).
+    """
+    spark = df.sparkSession
+    if checkpoint_dir is not None:
+        spark.sparkContext.setCheckpointDir(checkpoint_dir)
+
+    def _ckpt(cent: DataFrame) -> DataFrame:
+        if checkpoint_dir is not None:
+            return cent.checkpoint(eager=False)
+        return cent.localCheckpoint(eager=False)
+
+    qdf = bounded_persist(
+        df.select(
+            F.col(id_col).alias("id"), quantize_vec(F.col(vec_col)).alias("qvec")
+        )
+    )
+    long = bounded_persist(
+        qdf.select("id", F.posexplode("qvec").alias("pos", "qv"))
+    )
+    # seed WITHOUT collecting vectors: the k smallest ids become the
+    # centroid table directly (cid = id, cval = qv * C_SCALE)
+    seed_ids = qdf.select("id").orderBy("id").limit(k)
+    cent = _ckpt(
+        long.join(F.broadcast(seed_ids), "id").select(
+            F.col("id").alias("cluster"),
+            "pos",
+            (F.col("qv") * C_SCALE).alias("cval"),
+        )
+    )
+    prev_cids = [int(r[0]) for r in cent.select("cluster").distinct().collect()]
+
+    assign = None
+    for _ in range(iters):
+        # assignment: per-(id, cluster) exact integer distance, then a
+        # struct min — (dist asc, cluster asc), the same tie-break as
+        # assign_clusters' first-index-of-min over cid-ascending arrays
+        term = (F.col("qv") * C_SCALE - F.col("cval")) * (
+            F.col("qv") * C_SCALE - F.col("cval")
+        )
+        dists = (
+            long.join(F.broadcast(cent), "pos")
+            .groupBy("id", "cluster")
+            .agg(F.sum(term).alias("dist"))
+        )
+        assign = dists.groupBy("id").agg(
+            F.min(F.struct("dist", "cluster")).alias("__best")
+        ).select(
+            "id",
+            F.col("__best.cluster").alias("cluster"),
+            F.col("__best.dist").alias("dist"),
+        )
+        # update: join assignments back to the exploded data; exact
+        # integer SUM/COUNT, one IEEE multiply + divide, half-away
+        # round — the driver loop's arithmetic, verbatim
+        new_cent = (
+            assign.select("id", "cluster")
+            .join(long, "id")
+            .groupBy("cluster", "pos")
+            .agg(F.sum("qv").alias("s"), F.count("*").alias("n"))
+            .select(
+                "cluster",
+                "pos",
+                _round_half_away_col(
+                    F.col("s").cast("double") * C_SCALE / F.col("n")
+                ).alias("cval"),
+            )
+        )
+        new_cent = _ckpt(new_cent)
+        # one k-bounded action: detects lost clusters AND materializes
+        # the checkpoint (lazy checkpoints only persist when computed)
+        new_cids = {int(r[0]) for r in new_cent.select("cluster").distinct().collect()}
+        lost = sorted(set(prev_cids) - new_cids)
+        if lost and reseed_empty:
+            n_lost = len(lost)
+            # farthest assigned points (dist desc, id asc), one per
+            # lost cid — rank i re-seeds the i-th smallest lost cid
+            far = (
+                assign.orderBy(F.desc("dist"), F.asc("id"))
+                .limit(n_lost)
+                .select(
+                    "id",
+                    F.row_number()
+                    .over(Window.orderBy(F.desc("dist"), F.asc("id")))
+                    .alias("__rk"),
+                )
+            )
+            lost_sql = ",".join(str(c) for c in lost)
+            reseeded = (
+                far.join(long, "id")
+                .select(
+                    F.element_at(
+                        F.expr(f"CAST(array({lost_sql}) AS ARRAY<BIGINT>)"),
+                        F.col("__rk"),
+                    ).alias("cluster"),
+                    "pos",
+                    (F.col("qv") * C_SCALE).alias("cval"),
+                )
+            )
+            new_cent = _ckpt(new_cent.unionByName(reseeded))
+            new_cent.count()  # materialize the reseeded checkpoint
+            new_cids |= set(lost)
+        cent = new_cent
+        prev_cids = sorted(new_cids)
+
+    # final assignment against the final centroids, carrying qvec to
+    # mirror kmeans_fit's (id, qvec, cluster, dist) contract
+    term = (F.col("qv") * C_SCALE - F.col("cval")) * (
+        F.col("qv") * C_SCALE - F.col("cval")
+    )
+    final = (
+        long.join(F.broadcast(cent), "pos")
+        .groupBy("id", "cluster")
+        .agg(F.sum(term).alias("dist"))
+        .groupBy("id")
+        .agg(F.min(F.struct("dist", "cluster")).alias("__best"))
+        .select(
+            "id",
+            F.col("__best.cluster").alias("cluster"),
+            F.col("__best.dist").alias("dist"),
+        )
+    )
+    return qdf.join(final, "id").select("id", "qvec", "cluster", "dist"), cent
 
 
 _PAIR_SCHEMA = "cluster bigint, id_a bigint, id_b bigint, cosine_e4 bigint"

@@ -77,9 +77,79 @@ def test_semdedup_survivor_accounting(embeddings):
     assert n_removed == len({key for key in removed_expected})
 
 
-def test_kmeans_centroid_cell_guard(embeddings):
-    with pytest.raises(ValueError, match="centroid cells"):
-        kmeans_fit(embeddings, k=100_000, iters=1)
+def test_kmeans_table_path_equals_driver_loop(embeddings):
+    """The checkpointed centroid-table path must reach the EXACT fixed
+    point of the driver-loop path: same assignment, same distances,
+    same centroid values — the large-k*D regime changes the plan, not
+    the algorithm."""
+    from data_integration_pipelines_spark.operators.clustering import (
+        kmeans_fit_table,
+    )
+
+    assigned_d, cents_d = kmeans_fit(embeddings, k=4, iters=2)
+    assigned_t, cent_tbl = kmeans_fit_table(embeddings, k=4, iters=2)
+    want = {
+        r["id"]: (r["cluster"], r["dist"])
+        for r in assigned_d.select("id", "cluster", "dist").collect()
+    }
+    got = {
+        r["id"]: (r["cluster"], r["dist"])
+        for r in assigned_t.select("id", "cluster", "dist").collect()
+    }
+    assert got == want
+    want_cells = {
+        (cid, pos, val)
+        for cid, comps in cents_d
+        for pos, val in enumerate(comps)
+    }
+    got_cells = {
+        (r["cluster"], r["pos"], r["cval"]) for r in cent_tbl.collect()
+    }
+    assert got_cells == want_cells
+
+
+def test_kmeans_auto_switches_above_cell_cap(embeddings, monkeypatch):
+    """Above MAX_CENTROID_CELLS kmeans_fit must NOT raise: it delegates
+    to the centroid-table path (the guard message's promised escape
+    hatch) and still reaches the driver-loop fixed point."""
+    from data_integration_pipelines_spark.operators import clustering
+
+    want, _ = kmeans_fit(embeddings, k=4, iters=2)
+    want = {r["id"]: r["cluster"] for r in want.select("id", "cluster").collect()}
+    monkeypatch.setattr(clustering, "MAX_CENTROID_CELLS", 8)
+    assigned, cents = clustering.kmeans_fit(embeddings, k=4, iters=2)
+    from pyspark.sql import DataFrame
+
+    assert isinstance(cents, DataFrame)  # table mode engaged
+    got = {r["id"]: r["cluster"] for r in assigned.select("id", "cluster").collect()}
+    assert got == want
+
+
+def test_kmeans_table_reseeds_empty_cluster(spark):
+    """A centroid no point chooses re-seeds from the farthest assigned
+    point instead of silently dropping out: duplicate seed vectors make
+    cluster 1 empty on the first assignment (ties break to cid 0)."""
+    from data_integration_pipelines_spark.operators.clustering import (
+        kmeans_fit_table,
+    )
+
+    rows = [
+        Row(vec_id=0, embedding=[0.0, 0.0]),
+        Row(vec_id=1, embedding=[0.0, 0.0]),  # duplicate of seed 0
+        Row(vec_id=2, embedding=[10.0, 10.0]),
+        Row(vec_id=3, embedding=[10.2, 10.2]),
+    ]
+    df = spark.createDataFrame(rows)
+    assigned, cent = kmeans_fit_table(df, k=3, iters=1, reseed_empty=True)
+    got = {r["id"]: r["cluster"] for r in assigned.collect()}
+    # cluster 1 re-seeded at the farthest point (id 3), which then
+    # claims it at distance 0
+    assert got[3] == 1
+    assert {r[0] for r in cent.select("cluster").distinct().collect()} == {0, 1, 2}
+
+    dropped, cent_nr = kmeans_fit_table(df, k=3, iters=1, reseed_empty=False)
+    assert {r[0] for r in cent_nr.select("cluster").distinct().collect()} == {0, 2}
+    assert {r["cluster"] for r in dropped.collect()} == {0, 2}
 
 
 def test_blocked_semdedup_equals_unblocked(embeddings):
