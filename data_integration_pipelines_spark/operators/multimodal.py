@@ -152,9 +152,11 @@ def _pil_decode(content: bytes) -> tuple[int, int, int, bytes]:
 def _decode_any(content: bytes) -> tuple:
     """(width, height, channels, pixel bytes, decoded, format).
 
-    Decode order: the native PNG codec for PNG bytes (deterministic
-    everywhere, no dependency), PIL for the other recognized image
-    containers (JPEG/GIF/BMP/WEBP/TIFF) when importable. A recognized
+    Decode order: the native PNG codec for PNG bytes and the native
+    baseline-JPEG codec for JPEG bytes (``png_lite`` / ``jpeg_lite`` —
+    deterministic everywhere, no dependency), then PIL for the other
+    recognized image containers (GIF/BMP/WEBP/TIFF, plus non-baseline
+    JPEG profiles) when importable. A recognized
     container that cannot be decoded (no PIL, or corrupt) yields an
     HONEST failure row — ``decoded=False`` with null geometry and the
     raw payload as the feature source — never a digest fake: faking
@@ -172,6 +174,15 @@ def _decode_any(content: bytes) -> tuple:
             return w, h, ch, arr.tobytes(), True, fmt
         except Exception:
             pass  # malformed PNG -> try PIL, then honest failure
+    if fmt == "jpeg":
+        try:
+            from .jpeg_lite import decode_jpeg
+
+            arr = decode_jpeg(content)
+            h, w, ch = arr.shape
+            return w, h, ch, arr.tobytes(), True, fmt
+        except Exception:
+            pass  # non-baseline/corrupt JPEG -> try PIL, then honest failure
     if fmt != "unknown":
         try:
             width, height, ch, pix = _pil_decode(content)
@@ -253,8 +264,9 @@ def resize_images(
 ) -> DataFrame:
     """Resize stage: (id, width, height, thumb_md5).
 
-    PNG payloads decode + nearest-neighbor resize natively
-    (``png_lite`` — deterministic across environments, no dependency);
+    PNG and baseline-JPEG payloads decode + nearest-neighbor resize
+    natively (``png_lite`` / ``jpeg_lite`` — deterministic across
+    environments, no dependency);
     other formats go through PIL when importable; bytes nothing can
     decode — and every row when ``deterministic=True`` — fall back to
     the fake digest (payload hex + target box), which is what the SQL
@@ -285,6 +297,15 @@ def resize_images(
                         from .png_lite import decode_png, resize_nearest
 
                         small = resize_nearest(decode_png(c), (tw, th))
+                        thumb = hashlib.md5(small.tobytes()).hexdigest()
+                    except Exception:
+                        thumb = None
+                if thumb is None and not deterministic and c[:3] == b"\xff\xd8\xff":
+                    try:
+                        from .jpeg_lite import decode_jpeg
+                        from .png_lite import resize_nearest
+
+                        small = resize_nearest(decode_jpeg(c), (tw, th))
                         thumb = hashlib.md5(small.tobytes()).hexdigest()
                     except Exception:
                         thumb = None

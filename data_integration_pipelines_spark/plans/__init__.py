@@ -69,6 +69,7 @@ _RISK_ORDER = [
     "embedding_outliers",
     "knn_classify",
     "hybrid_search_rrf",
+    "jpeg_native_decode",
     "pii_redaction",
     "region_agreement",
     "jpeg_decode_features",

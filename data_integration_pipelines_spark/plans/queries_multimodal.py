@@ -342,3 +342,90 @@ def jpeg_decode_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("content"),
     )
     return extract_image_features(assets, crc_domain="hex").orderBy("id")
+
+
+@register(
+    "jpeg_native_decode",
+    f"""
+    WITH g AS (
+        SELECT doc_id AS id, CAST((doc_id * 7 + 13) % 256 AS BIGINT) AS gray
+        FROM documents WHERE doc_id < 150
+    ),
+    chain AS (
+        -- the encoder/decoder DC chain for a solid block, closed form:
+        -- level*8 exact integer FDCT DC -> half-away quantize by
+        -- Q[0,0]=16 (Annex K at quality 50) -> dequantize -> integer
+        -- IDCT of a DC-only block = floor((dc+4)/8) -> +128, clamp
+        SELECT id, gray,
+               CAST(SIGN((gray - 128) / 2.0)
+                    * FLOOR(ABS((gray - 128) / 2.0) + 0.5) AS BIGINT) AS qdc
+        FROM g
+    ),
+    v AS (
+        SELECT id,
+               LEAST(255, GREATEST(0,
+                   CAST(FLOOR((qdc * 16 + 4) / 8.0) AS BIGINT) + 128)) AS px
+        FROM chain
+    )
+    SELECT id,
+           CAST(16 AS INT) AS width,
+           CAST(8 AS INT) AS height,
+           CAST(1 AS INT) AS n_channels,
+           CAST(px * 10000 AS BIGINT) AS mean_intensity_e4,
+           md5(repeat(lpad(lower(to_hex(px)), 2, '0'), 128)) AS feature_crc,
+           TRUE AS decoded,
+           'jpeg' AS format
+    FROM v
+    ORDER BY id
+    """,
+    doc="REAL baseline-JPEG decode, fully oracle-certified: per-doc "
+    "solid-gray 16x8 images encode to genuine JFIF bytes "
+    "(operators/jpeg_lite — Annex-K tables, typical Huffman tables, "
+    "integer FDCT) and decode back through extract_image_features' "
+    "native JPEG path. A solid block survives the lossy pipeline in "
+    "CLOSED FORM (every AC coefficient is exactly 0; the integer IDCT "
+    "of a DC-only block is floor((dc+4)/8)+128), so the oracle derives "
+    "the decoded pixel value, the e4 mean and the pixel-hex digest "
+    "from doc_id alone — any drift in marker parsing, Huffman tables, "
+    "quantization or the IDCT descale hash-mismatches. The "
+    "dependency-free JPEG floor for a 100 TB image corpus; gradient / "
+    "color / 4:2:0 / restart-marker coverage is pinned in "
+    "tests/test_jpeg_lite.py, PIL cross-parity under @realdeps.",
+)
+def jpeg_native_decode_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    from ..functions.quantize import e4
+    from ..operators.multimodal import extract_image_features
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
+    grays = docs.select(
+        F.col("doc_id").alias("id"),
+        ((F.col("doc_id") * 7 + 13) % 256).cast("int").alias("gray"),
+    )
+
+    def encode(batches):
+        import numpy as np
+
+        from ..operators.jpeg_lite import encode_jpeg
+
+        for pdf in batches:
+            out_id, out_jpg = [], []
+            for i, gv in zip(pdf["id"], pdf["gray"]):
+                img = np.full((8, 16), int(gv), dtype=np.uint8)
+                out_id.append(int(i))
+                out_jpg.append(bytearray(encode_jpeg(img, quality=50)))
+            yield pd.DataFrame({"id": out_id, "content": out_jpg})
+
+    encoded = grays.mapInPandas(encode, schema="id bigint, content binary")
+    feats = extract_image_features(encoded, crc_domain="hex")
+    return feats.select(
+        "id",
+        "width",
+        "height",
+        "n_channels",
+        e4(F.col("mean_intensity")).alias("mean_intensity_e4"),
+        "feature_crc",
+        "decoded",
+        "format",
+    ).orderBy("id")

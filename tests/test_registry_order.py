@@ -61,6 +61,8 @@ _NEVER_DRIVER_VERIFIED = {
     "embedding_outliers",
     "knn_classify",
     "hybrid_search_rrf",
+    # new in r5
+    "jpeg_native_decode",
 }
 
 
