@@ -393,15 +393,18 @@ def extract_audio_features(
 ) -> DataFrame:
     """Audio decode: (id, sample_rate, n_samples, rms, decoded, format).
 
-    With soundfile importable the payload is decoded for real (native
-    sample rate, per-sample RMS over the first channel). A payload
-    carrying a RECOGNIZED audio magic that cannot be decoded (no
-    soundfile, corrupt body, or ``deterministic=True``) yields an
-    honest failure — ``decoded=False`` with null rate/samples/rms —
-    never the byte fake: fake sample counts for a real-but-unreadable
-    recording would poison any duration/quality filter keyed on them.
-    Only unrecognized payloads (the synthetic fixtures) take the
-    deterministic u8-at-16kHz fake, flagged ``decoded=False`` with
+    Decode order mirrors the image side: 16-bit PCM WAV parses NATIVELY
+    (``wav_lite`` — a chunk walk, no codec, works everywhere; RMS over
+    the first channel from an exact int64 sum of squares, one divide,
+    one sqrt — no float summation order), then soundfile where
+    importable (other formats / non-16-bit WAV). A payload carrying a
+    RECOGNIZED audio magic that cannot be decoded (no soundfile,
+    corrupt body, or ``deterministic=True``) yields an honest failure
+    — ``decoded=False`` with null rate/samples/rms — never the byte
+    fake: fake sample counts for a real-but-unreadable recording would
+    poison any duration/quality filter keyed on them. Only unrecognized
+    payloads (the synthetic fixtures) take the deterministic
+    u8-at-16kHz fake, flagged ``decoded=False`` with
     ``format='unknown'`` — which the SQL oracle recomputes."""
     if deterministic:
         have_sf = False
@@ -422,7 +425,29 @@ def extract_audio_features(
                 c = bytes(c)
                 fmt = detect_audio_format(c)
                 result = None
-                if have_sf:
+                if fmt == "wav" and not deterministic:
+                    import math
+
+                    import numpy as np
+
+                    from .wav_lite import decode_wav
+
+                    try:
+                        rate, samples = decode_wav(c)
+                        first = samples[:, 0]
+                        nf = int(first.shape[0])
+                        # soundfile's int16 convention (x / 32768), but
+                        # through an EXACT integer sum of squares
+                        sumsq = int(np.sum(first.astype(np.int64) ** 2))
+                        rms = (
+                            math.sqrt(sumsq / (nf * 32768.0 * 32768.0))
+                            if nf
+                            else 0.0
+                        )
+                        result = (int(rate), nf, rms, True)
+                    except Exception:
+                        result = None  # -> soundfile, then honest failure
+                if result is None and have_sf:
                     import soundfile as sf
 
                     try:

@@ -70,6 +70,7 @@ _RISK_ORDER = [
     "knn_classify",
     "hybrid_search_rrf",
     "jpeg_native_decode",
+    "wav_native_audio",
     "pii_redaction",
     "region_agreement",
     "jpeg_decode_features",

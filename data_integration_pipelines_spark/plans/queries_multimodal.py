@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
+from ..functions.quantize import e4_sql
 from ..operators.multimodal import (
     extract_audio_features,
     extract_image_features,
@@ -173,6 +174,75 @@ def image_resize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 def audio_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     assets = _assets(spark, sf_dir, 200)
     return extract_audio_features(assets, deterministic=True).orderBy("id")
+
+
+@register(
+    "wav_native_audio",
+    f"""
+    WITH s AS (
+        SELECT doc_id AS id,
+               CAST(8000 + (doc_id % 3) * 4000 AS INT) AS rate,
+               list_transform(range(0, 64),
+                   k -> (doc_id * 131 + k * 997) % 65536 - 32768) AS samples
+        FROM documents WHERE doc_id < 150
+    )
+    SELECT id,
+           rate AS sample_rate,
+           CAST(64 AS INT) AS n_samples,
+           {e4_sql('SQRT(list_sum(list_transform(samples, x -> CAST(x*x AS DOUBLE)))'
+                   ' / (64 * 32768.0 * 32768.0))')} AS rms_e4,
+           TRUE AS decoded,
+           'wav' AS format
+    FROM s
+    ORDER BY id
+    """,
+    doc="REAL audio decode, fully oracle-certified: per-doc int16 PCM "
+    "sample trains encode to genuine RIFF/WAVE bytes (operators/"
+    "wav_lite) and decode back through extract_audio_features' native "
+    "WAV path — PCM is lossless, so the oracle recomputes rate, frame "
+    "count and RMS from the ORIGINAL samples. RMS is an exact int64 "
+    "sum of squares -> one divide -> one sqrt (identical IEEE sequence "
+    "in the kernel and the SQL), emitted as e4 basis points. The "
+    "dependency-free audio floor next to jpeg_native_decode; container "
+    "edge cases (extra chunks, padding, stereo, truncation, non-PCM "
+    "rejection) are pinned in tests/test_multimodal.py, soundfile "
+    "cross-parity under @realdeps.",
+)
+def wav_native_audio_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    from ..functions.quantize import e4
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
+    seeds = docs.select(
+        F.col("doc_id").alias("id"),
+        (8000 + (F.col("doc_id") % 3) * 4000).cast("int").alias("rate"),
+    )
+
+    def encode(batches):
+        import numpy as np
+
+        from ..operators.wav_lite import encode_wav
+
+        for pdf in batches:
+            out_id, out_wav = [], []
+            for i, rt in zip(pdf["id"], pdf["rate"]):
+                k = np.arange(64, dtype=np.int64)
+                s = ((int(i) * 131 + k * 997) % 65536 - 32768).astype(np.int16)
+                out_id.append(int(i))
+                out_wav.append(bytearray(encode_wav(s, int(rt))))
+            yield pd.DataFrame({"id": out_id, "content": out_wav})
+
+    encoded = seeds.mapInPandas(encode, schema="id bigint, content binary")
+    feats = extract_audio_features(encoded)
+    return feats.select(
+        "id",
+        "sample_rate",
+        "n_samples",
+        e4(F.col("rms")).alias("rms_e4"),
+        "decoded",
+        "format",
+    ).orderBy("id")
 
 
 @register(

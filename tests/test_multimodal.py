@@ -277,3 +277,125 @@ class TestSweepThumbnails:
         assert (one == 0).sum() == 1
         flat = rasterize_series(np.full(10, 3.3), 64, 16)
         assert (flat == 0).sum() >= 64  # horizontal line
+
+
+class TestWavLite:
+    """Native RIFF/PCM parser (operators/wav_lite) + the audio decode
+    chain preferring it over soundfile/fake."""
+
+    def test_roundtrip_exact_mono_and_stereo(self):
+        import numpy as np
+
+        from data_integration_pipelines_spark.operators.wav_lite import (
+            decode_wav,
+            encode_wav,
+        )
+
+        rng = np.random.RandomState(2)
+        mono = rng.randint(-32768, 32768, 64).astype(np.int16)
+        rate, back = decode_wav(encode_wav(mono, 8000))
+        assert rate == 8000 and back.shape == (64, 1)
+        np.testing.assert_array_equal(back[:, 0], mono)  # PCM is lossless
+        stereo = rng.randint(-32768, 32768, (50, 2)).astype(np.int16)
+        rate, back = decode_wav(encode_wav(stereo, 44100))
+        assert rate == 44100
+        np.testing.assert_array_equal(back, stereo)
+
+    def test_extra_chunks_and_padding_tolerated(self):
+        import struct
+
+        import numpy as np
+
+        from data_integration_pipelines_spark.operators.wav_lite import (
+            decode_wav,
+            encode_wav,
+        )
+
+        s = np.arange(-5, 6, dtype=np.int16)  # 11 samples -> odd data len
+        data = encode_wav(s, 16000)
+        # splice a LIST chunk (odd body length -> exercises word
+        # alignment) between fmt and data
+        fmt_end = data.index(b"data")
+        extra = b"LIST" + struct.pack("<I", 5) + b"INFOx" + b"\x00"
+        spliced = data[:fmt_end] + extra + data[fmt_end:]
+        spliced = spliced[:4] + struct.pack("<I", len(spliced) - 8) + spliced[8:]
+        rate, back = decode_wav(spliced)
+        assert rate == 16000
+        np.testing.assert_array_equal(back[:, 0], s)
+
+    def test_unsupported_and_malformed_raise(self):
+        import struct
+
+        import numpy as np
+        import pytest as _pytest
+
+        from data_integration_pipelines_spark.operators.wav_lite import (
+            WavError,
+            decode_wav,
+            encode_wav,
+        )
+
+        with _pytest.raises(WavError):
+            decode_wav(b"RIFFxxxxNOPE")
+        good = encode_wav(np.zeros(8, np.int16), 8000)
+        with _pytest.raises(WavError):
+            decode_wav(good[:20])  # truncated fmt
+        # non-PCM format tag must be refused, not mis-scaled
+        i = good.index(b"fmt ") + 8
+        float_fmt = good[:i] + struct.pack("<H", 3) + good[i + 2 :]
+        with _pytest.raises(WavError, match="non-PCM"):
+            decode_wav(float_fmt)
+        # 8-bit PCM: refused (16-bit convention only on the native path)
+        j = good.index(b"fmt ") + 8 + 14
+        eight = good[:j] + struct.pack("<H", 8) + good[j + 2 :]
+        with _pytest.raises(WavError, match="8-bit"):
+            decode_wav(eight)
+
+    def test_audio_chain_prefers_native_wav(self, spark):
+        import math
+
+        import numpy as np
+
+        from data_integration_pipelines_spark.operators.multimodal import (
+            extract_audio_features,
+        )
+        from data_integration_pipelines_spark.operators.wav_lite import encode_wav
+
+        s = np.array([1000, -2000, 3000, -4000], dtype=np.int16)
+        df = spark.createDataFrame([(1, bytearray(encode_wav(s, 22050)))], "id long, content binary")
+        row = extract_audio_features(df).collect()[0]
+        assert (row["sample_rate"], row["n_samples"], row["decoded"]) == (22050, 4, True)
+        assert row["format"] == "wav"
+        sumsq = int((s.astype(np.int64) ** 2).sum())
+        assert row["rms"] == math.sqrt(sumsq / (4 * 32768.0 * 32768.0))
+        # truncated WAV with valid magic -> honest failure
+        bad = bytes(encode_wav(s, 22050))[:24]
+        df2 = spark.createDataFrame([(2, bytearray(bad))], "id long, content binary")
+        row2 = extract_audio_features(df2).collect()[0]
+        assert row2["decoded"] is False and row2["rms"] is None
+        assert row2["format"] == "wav"
+
+    @pytest.mark.realdeps
+    def test_soundfile_parity(self):
+        import io
+        import math
+
+        import numpy as np
+
+        sf = pytest.importorskip("soundfile")
+        from data_integration_pipelines_spark.operators.wav_lite import (
+            decode_wav,
+            encode_wav,
+        )
+
+        rng = np.random.RandomState(17)
+        s = rng.randint(-32768, 32768, 256).astype(np.int16)
+        data = encode_wav(s, 16000)
+        ref, rate = sf.read(io.BytesIO(data))
+        assert rate == 16000
+        got_rate, got = decode_wav(data)
+        np.testing.assert_allclose(got[:, 0] / 32768.0, ref, atol=0)
+        sumsq = int((s.astype(np.int64) ** 2).sum())
+        ours = math.sqrt(sumsq / (len(s) * 32768.0 * 32768.0))
+        theirs = float((ref.astype("float64") ** 2).mean() ** 0.5)
+        assert abs(ours - theirs) < 1e-12

@@ -63,6 +63,7 @@ _NEVER_DRIVER_VERIFIED = {
     "hybrid_search_rrf",
     # new in r5
     "jpeg_native_decode",
+    "wav_native_audio",
 }
 
 
