@@ -62,6 +62,7 @@ def write_zordered(
     *cols: str,
     n_files: int = 8,
     bits: int = 10,
+    tie_breaker: str | None = None,
 ) -> None:
     """Write ``df`` as ``n_files`` parquet files clustered on the
     Morton curve of ``cols`` (2 or more clustering keys).
@@ -70,6 +71,14 @@ def write_zordered(
     interleaving, so arbitrary numeric/temporal domains and skewed
     distributions still spread evenly along the curve. One shuffle
     (the range repartition); the z column is dropped before writing.
+
+    Each ntile window carries a STABLE tie-break — the remaining
+    clustering keys, then ``tie_breaker`` (pass a unique id column
+    when rows can collide on every clustering key): ``Window.orderBy``
+    on a non-unique key alone gives partition-order-dependent ranks,
+    and the produced file layout / ``zorder_stats`` fractions would
+    vary run to run — off-tone for an engine whose contract is
+    determinism everywhere else.
 
     Scale note: ntile needs a total order per key — computed with a
     single window over the key only (no partitioning), which is a
@@ -84,8 +93,11 @@ def write_zordered(
     rank_cols = []
     for idx, c in enumerate(cols):
         rc = f"__r{idx}"
+        order = [F.col(c)] + [F.col(o) for o in cols if o != c]
+        if tie_breaker is not None:
+            order.append(F.col(tie_breaker))
         with_z = with_z.withColumn(
-            rc, F.ntile(n_buckets).over(Window.orderBy(F.col(c))) - 1
+            rc, F.ntile(n_buckets).over(Window.orderBy(*order)) - 1
         )
         rank_cols.append(rc)
     with_z = with_z.withColumn(

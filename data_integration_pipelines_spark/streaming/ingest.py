@@ -41,10 +41,19 @@ def streaming_ingest_verdicts(
     n: int = 3,
     threshold: float = 0.5,
 ):
-    """Drain ``stream_docs`` with availableNow, appending each
+    """Drain ``stream_docs`` with availableNow, writing each
     micro-batch's verdicts (doc_id, verdict, exact_match_id,
     n_near_dups, best_jaccard_e4) to the parquet result log. Returns the
-    StreamingQuery."""
+    StreamingQuery.
+
+    The log uses the versioned-write convention (same as
+    sketch_fold's store): each batch lands in its own
+    ``batch_id=<id>`` partition — a batch whose partition is already
+    complete (``_SUCCESS`` present) is skipped, and an incomplete one
+    is OVERWRITTEN, so a crash between the write and the checkpoint
+    commit cannot duplicate verdict rows on redelivery. A bare
+    ``append`` would rely entirely on downstream doc_id dedup; the
+    log itself is now equal to the one-big-batch answer."""
 
     from pyspark.sql import functions as F
 
@@ -65,8 +74,13 @@ def streaming_ingest_verdicts(
     ).persist()
 
     def classify(batch_df: DataFrame, batch_id: int) -> None:
+        import os
+
         if not batch_df.take(1):
             return
+        part_dir = os.path.join(out_path, f"batch_id={batch_id}")
+        if os.path.exists(os.path.join(part_dir, "_SUCCESS")):
+            return  # redelivered batch: its partition is already complete
         classify_against_corpus(
             batch_df,
             corpus_docs,
@@ -76,7 +90,7 @@ def streaming_ingest_verdicts(
             threshold,
             corpus_fp=corpus_fp,
             corpus_shingles=corpus_sh,
-        ).write.mode("append").parquet(out_path)
+        ).write.mode("overwrite").parquet(part_dir)
 
     query = (
         stream_docs.writeStream.foreachBatch(classify)

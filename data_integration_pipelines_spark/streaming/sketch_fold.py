@@ -40,6 +40,38 @@ def fold_cms_batch(
     return partial if existing is None else cms_merge(existing, partial)
 
 
+def _lineage_identity(checkpoint_path: str) -> str:
+    """A string that changes whenever the checkpoint at this path is a
+    NEW lineage: the StreamingQuery id from ``<ckpt>/metadata`` (Spark
+    mints a fresh id when the dir is recreated). When the metadata is
+    not there yet (direct foreachBatch-body tests), a uuid nonce is
+    stamped once into the checkpoint dir and reused — deleting the
+    checkpoint deletes the nonce, so recreation still reads as a new
+    lineage. Binding to the PATH alone would let delete-and-recreate
+    at the same path pass the guard and silently double-fold."""
+    import json
+    import uuid
+
+    meta = os.path.join(checkpoint_path, "metadata")
+    try:
+        with open(meta) as fh:
+            qid = json.load(fh).get("id")
+        if qid:
+            return f"query:{qid}"
+    except (OSError, ValueError):
+        pass
+    nonce_path = os.path.join(checkpoint_path, "_lineage_nonce")
+    try:
+        with open(nonce_path) as fh:
+            return f"nonce:{fh.read().strip()}"
+    except OSError:
+        os.makedirs(checkpoint_path, exist_ok=True)
+        nonce = uuid.uuid4().hex
+        with open(nonce_path, "w") as fh:
+            fh.write(nonce)
+        return f"nonce:{nonce}"
+
+
 def fold_into_store(
     batch_df: DataFrame,
     batch_id: int,
@@ -59,7 +91,13 @@ def fold_into_store(
       staging dir from batch 0 with a possibly different file mix, so
       skipping "already seen" ids against an old store would silently
       drop some events and double-fold others. The store records its
-      checkpoint on first write and REFUSES a different one.
+      checkpoint LINEAGE IDENTITY on first write and REFUSES a
+      different one. The identity is the StreamingQuery id from the
+      checkpoint's own ``metadata`` file (Spark writes it at query
+      start and mints a NEW id when a checkpoint is deleted and
+      recreated at the same path), falling back to a creation nonce
+      this module stamps into the checkpoint dir — so same-path
+      recreation is caught, not just a different path.
     - **replay idempotence**: the version IS the micro-batch id; if
       the query died after writing v=K but before committing the
       checkpoint, the redelivered batch K finds its version complete
@@ -68,19 +106,22 @@ def fold_into_store(
     import json
 
     spark = batch_df.sparkSession
+    lineage = _lineage_identity(checkpoint_path)
     marker = os.path.join(store_path, "_checkpoint.json")
     if os.path.exists(marker):
-        bound = json.load(open(marker))["checkpoint"]
-        if bound != checkpoint_path:
+        bound = json.load(open(marker))
+        bound_id = bound.get("lineage", bound.get("checkpoint"))
+        if bound_id != lineage:
             raise ValueError(
                 f"CMS store at {store_path!r} is bound to checkpoint "
-                f"{bound!r}; folding from {checkpoint_path!r} would "
-                "mix lineages and corrupt counts — use a fresh store"
+                f"lineage {bound_id!r}; folding from {lineage!r} "
+                f"(checkpoint {checkpoint_path!r}) would mix lineages "
+                "and corrupt counts — use a fresh store"
             )
     else:
         os.makedirs(store_path, exist_ok=True)
         with open(marker, "w") as fh:
-            json.dump({"checkpoint": checkpoint_path}, fh)
+            json.dump({"checkpoint": checkpoint_path, "lineage": lineage}, fh)
     if batch_id in _versions(store_path):
         return
     prior = [v for v in _versions(store_path) if v < batch_id]

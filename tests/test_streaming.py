@@ -390,6 +390,27 @@ def test_streaming_ingest_verdicts_match_batch(spark, sf_small, tmp_path):
     assert got == want
     assert len(got) == batch_new.count()
 
+    # redelivery idempotence: wipe the checkpoint (every micro-batch
+    # redelivers from 0 over the same staged files) but keep the log —
+    # completed batch_id partitions are skipped/overwritten, never
+    # appended, so the log stays equal to the one-big-batch answer
+    # instead of doubling (the versioned-write convention)
+    import shutil
+
+    shutil.rmtree(str(tmp_path / "ckpt"))
+    q2 = streaming_ingest_verdicts(
+        read_staged_docs_stream(spark, staging, max_files_per_trigger=1),
+        corpus,
+        out_path=out,
+        checkpoint_path=str(tmp_path / "ckpt"),
+    )
+    q2.awaitTermination(180)
+    redelivered = spark.read.parquet(out)
+    assert redelivered.count() == batch_new.count()  # no duplicate rows
+    got2 = {r.doc_id: (r.verdict, r.exact_match_id, r.n_near_dups, r.best_jaccard_e4)
+            for r in redelivered.collect()}
+    assert got2 == want
+
 
 def test_streaming_cms_replay_is_idempotent(spark, sf_small, tmp_path):
     """At-least-once replay of a micro-batch must not double-count:
@@ -431,6 +452,30 @@ def test_streaming_cms_refuses_foreign_checkpoint(spark, sf_small, tmp_path):
     fold_into_store(events, 0, store, str(tmp_path / "ckpt1"), "event_type")
     with pytest.raises(ValueError, match="bound to checkpoint"):
         fold_into_store(events, 0, store, str(tmp_path / "ckpt2"), "event_type")
+
+
+def test_streaming_cms_refuses_recreated_checkpoint(spark, sf_small, tmp_path):
+    """Lineage binding must survive delete-and-recreate AT THE SAME
+    PATH: a fresh checkpoint re-batches from 0 with a possibly
+    different file mix, so the guard binds to the lineage IDENTITY
+    (query id / creation nonce), not the path string — the exact
+    corruption a path-bound guard would wave through."""
+    import shutil
+
+    from data_integration_pipelines_spark.streaming.sketch_fold import (
+        fold_into_store,
+    )
+
+    events = load_table(spark, sf_small, "events").select("event_type")
+    store = str(tmp_path / "store")
+    ckpt = str(tmp_path / "ckpt")
+    fold_into_store(events, 0, store, ckpt, "event_type")
+    # same path, same lineage -> replay still fine
+    fold_into_store(events, 1, store, ckpt, "event_type")
+    # delete + recreate the checkpoint: NEW lineage at the OLD path
+    shutil.rmtree(ckpt)
+    with pytest.raises(ValueError, match="bound to checkpoint lineage"):
+        fold_into_store(events, 0, store, ckpt, "event_type")
 
 
 def test_streaming_cluster_assign_matches_batch(spark, sf_small, tmp_path):
