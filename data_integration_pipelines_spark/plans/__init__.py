@@ -71,6 +71,7 @@ _RISK_ORDER = [
     "hybrid_search_rrf",
     "jpeg_native_decode",
     "wav_native_audio",
+    "kmeans_clusters_table",
     "pii_redaction",
     "region_agreement",
     "jpeg_decode_features",

@@ -23,7 +23,7 @@ from ..operators.clustering import (
     semdedup_pairs,
     semdedup_survivors,
 )
-from .base import register
+from .base import REGISTRY, register
 
 _K = 8
 _ITERS = 3
@@ -138,6 +138,36 @@ _SEMDEDUP_CTES = f"""
 def kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     assigned, _ = kmeans_fit(emb, k=_K, iters=_ITERS)
+    return (
+        assigned.groupBy("cluster")
+        .agg(
+            F.count("*").alias("n_members"),
+            F.sum("dist").alias("inertia_scaled"),
+        )
+        .orderBy("cluster")
+    )
+
+
+@register(
+    "kmeans_clusters_table",
+    REGISTRY["kmeans_clusters"].oracle,
+    doc="The SAME k-means fixed point through the large-k*D execution "
+    "path (operators/clustering.kmeans_fit_table): centroids live in a "
+    "per-iteration checkpointed table, assignment is a broadcast join "
+    "+ struct-min argmin, the update a DataFrame join — nothing "
+    "k*D-sized ever reaches the driver, which is the regime SemDeDup's "
+    "k ~ N/5000 demands at 100 TB. Identical assignments/inertia to "
+    "the driver-loop path by construction (also pinned cell-for-cell "
+    "in tests/test_clustering.py), so it shares kmeans_clusters' "
+    "unrolled-CTE oracle verbatim — the driver row certifies the "
+    "table path independently.",
+    time_build=True,
+)
+def kmeans_clusters_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.clustering import kmeans_fit_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    assigned, _ = kmeans_fit_table(emb, k=_K, iters=_ITERS)
     return (
         assigned.groupBy("cluster")
         .agg(

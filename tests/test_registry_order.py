@@ -64,6 +64,7 @@ _NEVER_DRIVER_VERIFIED = {
     # new in r5
     "jpeg_native_decode",
     "wav_native_audio",
+    "kmeans_clusters_table",
 }
 
 
