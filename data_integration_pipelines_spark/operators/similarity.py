@@ -541,6 +541,130 @@ def pq_topk(
     )
 
 
+def ivf_pq_topk(
+    df: DataFrame,
+    query_df: DataFrame,
+    pivots: DataFrame,
+    codebooks,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    rerank: int = 50,
+    nprobe: int = 1,
+    exact_dist: bool = False,
+    max_queries: int = MAX_COLLECTED_QUERIES,
+) -> DataFrame:
+    """IVF + PQ composite ANN (the FAISS IVFPQ layout — the canonical
+    billion-vector architecture): the coarse quantizer restricts each
+    query to its ``nprobe`` nearest cells, and WITHIN those cells the
+    scan reads m-byte PQ codes instead of 4D-byte vectors, so cost
+    shrinks multiplicatively — ~nprobe/n_pivots of the corpus touched,
+    at D*4/m times less data per touched row. Exact re-rank of the
+    per-query ADC top-``rerank`` recovers ranking quality, identical
+    tail to ``pq_topk``/``brute_force_topk`` ((cosine_e4 desc, id asc)
+    under the engine-shared quantized order).
+
+    Plan shape: one bucket assignment pass over the corpus (reusable —
+    ``ivf_index_build`` persists the same thing), one PQ encode pass,
+    then a per-batch numpy gather restricted to queries probing that
+    row's bucket; only rerank*Q approx-scored candidate ids leave the
+    scan. The query set (and its Q x m x k LUT tensor) is collected to
+    the driver — bounded-Q contract with the usual loud guard."""
+    import numpy as np
+
+    m, kc, sub = codebooks.shape
+    cb = codebooks.astype(np.float64)
+    n_queries = query_df.count()
+    if n_queries > max_queries:
+        raise ValueError(
+            f"ivf_pq_topk collects the query set (and a Q x m x k ADC "
+            f"LUT tensor) to the driver: got {n_queries} queries > "
+            f"max_queries={max_queries}; shard the query set instead"
+        )
+    queries = query_df.select(id_col, vec_col).collect()
+    if not queries:
+        return df.sparkSession.createDataFrame([], _TOPK_SCHEMA)
+    q_ids = np.array([r[0] for r in queries])
+    q_mat = np.array([r[1] for r in queries], dtype=np.float64)  # (Q, D)
+    luts = np.stack(
+        [q_mat[:, j * sub : (j + 1) * sub] @ cb[j].T for j in range(m)], axis=1
+    )
+
+    # probe sets: query -> nprobe buckets (k-bounded broadcast-side
+    # collect — the pivots table is tiny by contract)
+    qb_rows = assign_buckets(query_df, pivots, id_col, vec_col, nprobe=nprobe).collect()
+    probes: dict[int, set] = {}
+    for r in qb_rows:
+        probes.setdefault(int(r["id"]), set()).add(int(r["bucket"]))
+
+    cbuckets = assign_buckets(df, pivots, id_col, vec_col).select(
+        F.col("id").alias("id"), "bucket"
+    )
+    codes = pq_encode(df, codebooks, id_col, vec_col, exact_dist=exact_dist).join(
+        cbuckets, "id"
+    )
+
+    def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..functions.quantize import np_e6
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            c_ids = pdf["id"].to_numpy()
+            c_buckets = pdf["bucket"].to_numpy()
+            code_mat = np.array(list(pdf["codes"]), dtype=np.int64)  # (B, m)
+            approx = np.zeros((len(q_ids), len(c_ids)))
+            for j in range(m):
+                approx += luts[:, j, :][:, code_mat[:, j]]
+            out = []
+            for qi, qid in enumerate(q_ids):
+                probe = probes.get(int(qid), set())
+                mask = np.isin(c_buckets, list(probe)) & (c_ids != qid)
+                if not mask.any():
+                    continue
+                ids, vals = c_ids[mask], np_e6(approx[qi][mask])
+                take = min(rerank, len(ids))
+                order = np.lexsort((ids, -vals))[:take]
+                out.append(
+                    pd.DataFrame(
+                        {"query_id": qid, "corpus_id": ids[order], "approx": vals[order]}
+                    )
+                )
+            if out:
+                yield pd.concat(out)
+
+    partial = codes.mapInPandas(
+        scan, schema="query_id long, corpus_id long, approx long"
+    )
+    w_cand = Window.partitionBy("query_id").orderBy(
+        F.desc("approx"), F.asc("corpus_id")
+    )
+    cand = (
+        partial.withColumn("__rn", F.row_number().over(w_cand))
+        .filter(F.col("__rn") <= rerank)
+        .select("query_id", "corpus_id")
+    )
+    vecs = df.select(
+        F.col(id_col).alias("corpus_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("__cvec"),
+    )
+    qdf = query_df.select(
+        F.col(id_col).alias("query_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("__qvec"),
+    )
+    scored = (
+        cand.join(vecs, "corpus_id")
+        .join(F.broadcast(qdf), "query_id")
+        .withColumn("cosine_e4", e4(_zip_dot(F.col("__qvec"), F.col("__cvec"))))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine_e4"), F.asc("corpus_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", F.col("corpus_id").alias("neighbor_id"), "cosine_e4", "rank")
+    )
+
+
 def recommended_n_planes(n_vectors: int, target_bucket: int = 256) -> int:
     """Planes for hyperplane-LSH candidate generation, sized to keep
     per-bucket self-join work flat as the corpus grows: bucket count is

@@ -72,6 +72,7 @@ _RISK_ORDER = [
     "jpeg_native_decode",
     "wav_native_audio",
     "kmeans_clusters_table",
+    "ann_ivf_pq",
     "pii_redaction",
     "region_agreement",
     "jpeg_decode_features",

@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..catalog import load_table
+from ..functions.quantize import e4_sql, quantized_sql
 from ..operators.similarity import ivf_topk, topk_pandas
 from .base import REGISTRY, register
 
@@ -837,3 +838,106 @@ def ann_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx = os.path.join(tmp, f"ivf_index_{sf_tag}_{os.getpid()}")
     ivf_index_build(emb, pivots, idx)
     return ivf_index_query(spark, idx, queries, k=5).orderBy("query_id", "rank")
+
+
+@register(
+    "ann_ivf_pq",
+    f"""
+    WITH {_LONG_CTE},
+    vecsub AS (
+        SELECT vec_id, (pos - 1) // 8 AS j, (pos - 1) % 8 AS p, val FROM long
+    ),
+    cb AS (  -- fixture codebooks: subvectors of vec_id 0..15
+        SELECT vec_id AS c, j, p, val FROM vecsub WHERE vec_id < 16
+    ),
+    d2 AS (
+        SELECT v.vec_id, v.j, cb.c,
+               {quantized_sql('SUM((v.val - cb.val) * (v.val - cb.val))', 6)} AS d2
+        FROM vecsub v JOIN cb ON v.j = cb.j AND v.p = cb.p
+        GROUP BY 1, 2, 3
+    ),
+    codes AS (
+        SELECT vec_id, j, c AS code FROM (
+            SELECT vec_id, j, c,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id, j ORDER BY d2, c) AS rn
+            FROM d2
+        ) WHERE rn = 1
+    ),
+    pivot_dots AS (  -- coarse quantizer: 8 pivot vectors
+        SELECT v.vec_id AS id, pv.vec_id AS pivot_id, SUM(v.val * pv.val) AS dot
+        FROM long v JOIN long pv ON v.pos = pv.pos
+        WHERE pv.vec_id < 8
+        GROUP BY 1, 2
+    ),
+    ranked_buckets AS (
+        SELECT id, pivot_id AS bucket,
+               ROW_NUMBER() OVER (PARTITION BY id
+                                  ORDER BY {quantized_sql('dot', 6)} DESC, pivot_id) AS rn
+        FROM pivot_dots
+    ),
+    cbuckets AS (SELECT id, bucket FROM ranked_buckets WHERE rn = 1),
+    qbuckets AS (SELECT id, bucket FROM ranked_buckets WHERE rn <= 2),
+    qlut AS (
+        SELECT q.vec_id AS query_id, cb.j, cb.c, SUM(q.val * cb.val) AS dot
+        FROM vecsub q JOIN cb ON q.j = cb.j AND q.p = cb.p
+        WHERE q.vec_id < 5
+        GROUP BY 1, 2, 3
+    ),
+    approx AS (  -- ADC score, restricted to the query's probed cells
+        SELECT l.query_id, codes.vec_id AS corpus_id,
+               {quantized_sql('SUM(l.dot)', 6)} AS approx
+        FROM qlut l
+        JOIN codes ON l.j = codes.j AND l.c = codes.code
+        JOIN cbuckets cbk ON cbk.id = codes.vec_id
+        JOIN qbuckets qbk ON qbk.id = l.query_id AND qbk.bucket = cbk.bucket
+        WHERE codes.vec_id <> l.query_id
+        GROUP BY 1, 2
+    ),
+    cand AS (
+        SELECT query_id, corpus_id FROM (
+            SELECT query_id, corpus_id,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY approx DESC, corpus_id) AS rn
+            FROM approx
+        ) WHERE rn <= 50
+    ),
+    exact AS (
+        SELECT cand.query_id, cand.corpus_id, SUM(q.val * c.val) AS dot
+        FROM cand
+        JOIN long q ON q.vec_id = cand.query_id
+        JOIN long c ON c.vec_id = cand.corpus_id AND c.pos = q.pos
+        GROUP BY 1, 2
+    ),
+    ranked AS (
+        SELECT query_id, corpus_id AS neighbor_id, {e4_sql('dot')} AS cosine_e4,
+               CAST(ROW_NUMBER() OVER (
+                    PARTITION BY query_id
+                    ORDER BY {e4_sql('dot')} DESC, corpus_id) AS INT) AS rank
+        FROM exact
+    )
+    SELECT query_id, neighbor_id, cosine_e4, rank
+    FROM ranked WHERE rank <= 5
+    ORDER BY query_id, rank
+    """,
+    doc="IVF + PQ composite ANN (the FAISS IVFPQ architecture — the "
+    "canonical billion-vector index): the coarse quantizer restricts "
+    "each query to its 2 nearest cells AND within those cells the scan "
+    "reads m-byte PQ codes instead of raw vectors, so cost shrinks "
+    "multiplicatively (~nprobe/n_pivots of the corpus touched, at "
+    "D*4/m less data per touched row); exact re-rank of the per-query "
+    "ADC top-50 restores ranking quality. Fixture codebooks + "
+    "quantized integer rank keys make the WHOLE composite — coarse "
+    "assignment, PQ encode, bucket-restricted ADC scan, candidate cut, "
+    "re-rank — differentially verified against the SQL oracle "
+    "(operators/similarity.ivf_pq_topk).",
+)
+def ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import fixture_codebooks, ivf_pq_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pivots = emb.filter(F.col("vec_id") < 8)
+    queries = emb.filter(F.col("vec_id") < 5)
+    cbk = fixture_codebooks(emb, m_subvectors=8, k_centroids=16)
+    return ivf_pq_topk(
+        emb, queries, pivots, cbk, k=5, rerank=50, nprobe=2, exact_dist=True
+    ).orderBy("query_id", "rank")

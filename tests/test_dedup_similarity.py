@@ -457,6 +457,59 @@ class TestBoundedPersistPool:
 
 
 class TestProductQuantization:
+    def test_ivf_pq_full_probe_equals_brute_force(self, spark, sf_small):
+        """IVFPQ with nprobe = n_pivots (every cell probed) and a
+        corpus-sized rerank budget degrades to exact brute force — the
+        bucket restriction and the ADC cut must only ever REMOVE
+        candidates, never perturb scores or order."""
+        from data_integration_pipelines_spark.operators.similarity import (
+            brute_force_topk,
+            fixture_codebooks,
+            ivf_pq_topk,
+        )
+
+        emb = load_table(spark, sf_small, "embeddings")
+        queries = emb.filter(F.col("vec_id") < 5)
+        pivots = emb.filter(F.col("vec_id") < 8)
+        cbk = fixture_codebooks(emb, m_subvectors=8, k_centroids=16)
+        n = emb.count()
+        got = {
+            (r.query_id, r.rank): (r.neighbor_id, r.cosine_e4)
+            for r in ivf_pq_topk(
+                emb, queries, pivots, cbk, k=5, rerank=n, nprobe=8,
+                exact_dist=True,
+            ).collect()
+        }
+        want = {
+            (r.query_id, r.rank): (r.neighbor_id, r.cosine_e4)
+            for r in brute_force_topk(emb, queries, k=5).collect()
+        }
+        assert got == want and len(want) == 25
+
+    def test_ivf_pq_candidates_stay_in_probed_cells(self, spark, sf_small):
+        """Every IVFPQ neighbor must come from a cell the query probed
+        — the restriction that buys the ~nprobe/n_pivots scan."""
+        from data_integration_pipelines_spark.operators.similarity import (
+            assign_buckets,
+            fixture_codebooks,
+            ivf_pq_topk,
+        )
+
+        emb = load_table(spark, sf_small, "embeddings")
+        queries = emb.filter(F.col("vec_id") < 5)
+        pivots = emb.filter(F.col("vec_id") < 8)
+        cbk = fixture_codebooks(emb, m_subvectors=8, k_centroids=16)
+        out = ivf_pq_topk(
+            emb, queries, pivots, cbk, k=5, rerank=50, nprobe=2, exact_dist=True
+        ).collect()
+        cb_map = {r["id"]: r["bucket"] for r in assign_buckets(emb, pivots).collect()}
+        qb: dict[int, set] = {}
+        for r in assign_buckets(queries, pivots, nprobe=2).collect():
+            qb.setdefault(r["id"], set()).add(r["bucket"])
+        assert out
+        for r in out:
+            assert cb_map[r.neighbor_id] in qb[r.query_id]
+
     def test_pq_recall_with_rerank(self, spark, sf_small):
         from data_integration_pipelines_spark.operators.similarity import (
             brute_force_topk,

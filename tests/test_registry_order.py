@@ -65,6 +65,7 @@ _NEVER_DRIVER_VERIFIED = {
     "jpeg_native_decode",
     "wav_native_audio",
     "kmeans_clusters_table",
+    "ann_ivf_pq",
 }
 
 
