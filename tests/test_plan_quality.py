@@ -66,8 +66,11 @@ def test_python_stages_only_where_declared(plans):
         "embedding_outliers",  # density screen over the same ranker
         "ann_topk_incremental",  # batched folds of the same ranker
         "ann_pq",  # PQ encode + ADC scan kernels (numpy per Arrow batch)
+        "ann_ivf_pq",  # probe-restricted ADC scan kernel (IVFPQ)
         "image_decode_features",
         "jpeg_decode_features",  # magic-sniff + honest-fail decode kernel
+        "jpeg_native_decode",  # native JPEG encode+decode kernel (jpeg_lite)
+        "wav_native_audio",  # native RIFF/PCM parse kernel (wav_lite)
         "image_resize",
         "frame_sample",
         "audio_features",
