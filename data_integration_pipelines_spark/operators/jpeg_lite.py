@@ -278,11 +278,17 @@ def _extend(v: int, t: int) -> int:
     return v if v >= (1 << (t - 1)) else v - (1 << t) + 1
 
 
-def decode_jpeg(data: bytes) -> np.ndarray:
+#: decode-side allocation guard: a corrupt/hostile SOF claiming
+#: 65535x65535 must raise, not allocate gigabytes in an executor
+MAX_DECODE_PIXELS = 1 << 26  # 64 Mpx ~ 192 MB RGB
+
+
+def decode_jpeg(data: bytes, max_pixels: int = MAX_DECODE_PIXELS) -> np.ndarray:
     """Decode a baseline-sequential JPEG to uint8 pixels with shape
     (H, W, 1) for grayscale or (H, W, 3) RGB. Deterministic: integer
     IDCT + integer color transform (module docstring). Raises
-    :class:`JpegError` on anything outside the baseline profile."""
+    :class:`JpegError` on anything outside the baseline profile, and
+    on frames claiming more than ``max_pixels`` (allocation guard)."""
     if data[:2] != b"\xff\xd8":
         raise JpegError("not a JPEG (missing SOI)")
     pos = 2
@@ -326,13 +332,20 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             if prec != 8:
                 raise JpegError("only 8-bit precision supported")
             h, w = struct.unpack(">HH", seg[1:5])
+            if h == 0 or w == 0:
+                raise JpegError("zero frame dimension")
+            if h * w > max_pixels:
+                raise JpegError(f"frame {w}x{h} exceeds max_pixels={max_pixels}")
             nc = seg[5]
             if nc not in (1, 3):
                 raise JpegError(f"{nc}-component images unsupported")
             comps = []
             for ci in range(nc):
                 cid, hv, tq_ = seg[6 + 3 * ci : 9 + 3 * ci]
-                comps.append((cid, hv >> 4, hv & 0x0F, tq_))
+                hs_, vs_ = hv >> 4, hv & 0x0F
+                if not (1 <= hs_ <= 4 and 1 <= vs_ <= 4):
+                    raise JpegError(f"sampling factors {hs_}x{vs_} out of range")
+                comps.append((cid, hs_, vs_, tq_))
             frame = (h, w, comps)
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):

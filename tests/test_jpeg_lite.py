@@ -152,3 +152,51 @@ def test_we_decode_pil_encodes():
     pil = np.asarray(PIL.open(io.BytesIO(data)).convert("RGB"))
     assert ours.shape == pil.shape
     assert np.abs(pil.astype(int) - ours.astype(int)).max() <= 2
+
+
+def test_allocation_guard_and_sampling_validation():
+    import struct
+
+    good = encode_jpeg(np.full((8, 8), 50, np.uint8))
+    i = good.index(b"\xff\xc0") + 5  # SOF0 h,w offset
+    huge = good[:i] + struct.pack(">HH", 65535, 65535) + good[i + 4 :]
+    with pytest.raises(JpegError, match="max_pixels"):
+        decode_jpeg(huge)
+    zero = good[:i] + struct.pack(">HH", 0, 8) + good[i + 4 :]
+    with pytest.raises(JpegError, match="zero frame"):
+        decode_jpeg(zero)
+    # hv byte sits 6 past the height offset (h2 w2 nc1 cid1 -> hv)
+    bad_sampling = good[: i + 6] + bytes([0x05]) + good[i + 7 :]
+    with pytest.raises(JpegError, match="sampling factors"):
+        decode_jpeg(bad_sampling)
+
+
+def test_fuzz_never_hangs_or_crashes():
+    """Arbitrary bytes behind a SOI marker must either decode or raise
+    JpegError — never hang, never surface a foreign exception (the
+    executor-safety contract of a decode kernel over untrusted data)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=200, deadline=2000)
+    @given(st.binary(min_size=0, max_size=300))
+    def run(body):
+        try:
+            out = decode_jpeg(b"\xff\xd8" + body)
+            assert out.dtype == np.uint8
+        except JpegError:
+            pass
+
+    run()
+
+
+def test_fuzz_truncations_of_valid_stream():
+    """Every prefix of a real JPEG must decode (if complete) or raise
+    JpegError — truncation anywhere in marker or entropy space."""
+    rng = np.random.RandomState(23)
+    data = encode_jpeg(rng.randint(0, 256, (16, 16, 3)).astype(np.uint8), 70)
+    for cut in range(0, len(data), 7):
+        try:
+            decode_jpeg(data[:cut])
+        except JpegError:
+            pass

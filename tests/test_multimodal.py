@@ -399,3 +399,24 @@ class TestWavLite:
         ours = math.sqrt(sumsq / (len(s) * 32768.0 * 32768.0))
         theirs = float((ref.astype("float64") ** 2).mean() ** 0.5)
         assert abs(ours - theirs) < 1e-12
+
+    def test_wav_fuzz_never_crashes(self):
+        """Arbitrary bytes behind a RIFF/WAVE header must parse or
+        raise WavError — never a foreign exception."""
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from data_integration_pipelines_spark.operators.wav_lite import (
+            WavError,
+            decode_wav,
+        )
+
+        @settings(max_examples=200, deadline=1000)
+        @given(st.binary(min_size=0, max_size=200))
+        def run(body):
+            try:
+                decode_wav(b"RIFF\x00\x01\x00\x00WAVE" + body)
+            except WavError:
+                pass
+
+        run()
