@@ -73,6 +73,8 @@ _RISK_ORDER = [
     "wav_native_audio",
     "kmeans_clusters_table",
     "ann_ivf_pq",
+    "dedup_consensus",
+    "domain_reweight",
     "pii_redaction",
     "region_agreement",
     "jpeg_decode_features",

@@ -16,7 +16,13 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from ..functions.quantize import e4, e4_sql, quantized, quantized_sql
-from ..functions.text import bpe_token_count, word_shingles, ws_tokens
+from ..functions.text import (
+    bpe_token_count,
+    quality_features_sql,
+    quality_logit_sql,
+    word_shingles,
+    ws_tokens,
+)
 from ..operators.dedup import (
     connected_components,
     jaccard_pairs,
@@ -1267,3 +1273,176 @@ def contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(F.concat_ws("|", "front", "neg_back")).alias("pair_md5"),
     )
     return pos.unionAll(negs).orderBy("anchor_id", F.desc("label"))
+
+
+@register(
+    "dedup_consensus",
+    f"""
+    WITH sh AS (
+        SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+        FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents),
+             LATERAL (SELECT unnest(range(1, len(t) - 1)) AS i)
+    ),
+    inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(COUNT(*) AS BIGINT) AS n_common
+        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+    tpairs AS (
+        SELECT id_a, id_b, {e4_sql('n_common / (sa.sz + sb.sz - n_common)')} AS jaccard_e4
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE n_common / (sa.sz + sb.sz - n_common) >= 0.8
+    ),
+    long AS (
+        SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+               CAST(unnest(embedding) AS DOUBLE) AS val
+        FROM embeddings
+    ),
+    sig AS (
+        SELECT vec_id,
+               string_agg(CASE WHEN dotj > 0 THEN '1' ELSE '0' END, '' ORDER BY j) AS signature
+        FROM (
+            SELECT vec_id, j, SUM(val * (((j*31 + (pos-1)*7) % 11) - 5)) AS dotj
+            FROM long, UNNEST(range(8)) AS t(j)
+            GROUP BY vec_id, j
+        ) GROUP BY vec_id
+    ),
+    ecand AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM sig a JOIN sig b ON a.signature = b.signature AND a.vec_id < b.vec_id
+    ),
+    epairs AS (
+        SELECT id_a, id_b, cosine_e4 FROM (
+            SELECT id_a, id_b,
+                   {e4_sql('SUM(qa.val * qb.val)')} AS cosine_e4
+            FROM ecand
+            JOIN long qa ON qa.vec_id = id_a
+            JOIN long qb ON qb.vec_id = id_b AND qb.pos = qa.pos
+            GROUP BY id_a, id_b
+        ) WHERE cosine_e4 >= 3500
+    )
+    SELECT COALESCE(t.id_a, e.id_a) AS id_a,
+           COALESCE(t.id_b, e.id_b) AS id_b,
+           t.jaccard_e4,
+           e.cosine_e4,
+           CASE WHEN t.id_a IS NOT NULL AND e.id_a IS NOT NULL THEN 'both'
+                WHEN t.id_a IS NOT NULL THEN 'text_only'
+                ELSE 'embedding_only' END AS verdict
+    FROM tpairs t
+    FULL OUTER JOIN epairs e ON t.id_a = e.id_a AND t.id_b = e.id_b
+    ORDER BY id_a, id_b
+    """,
+    doc="Cross-modal dedup consensus: the text-side 3-gram-Jaccard "
+    "near-dup pairs (>= 0.8) full-outer-joined with the embedding-side "
+    "LSH-cosine pairs (>= 0.35) over the paired doc_id/vec_id domain — "
+    "each pair graded 'both' / 'text_only' / 'embedding_only'. The "
+    "verification screen a curation run uses before destructive "
+    "dedup: 'both' pairs are safe drops, single-modality pairs go to "
+    "review (surface rewrites pass the embedding check but fail "
+    "n-grams; template collisions do the reverse). Composes the two "
+    "certified pair generators; each side stays candidate-bounded, "
+    "and the consensus join is pair-keyed (output-sized, never N^2).",
+)
+def dedup_consensus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import jaccard_pairs
+    from ..operators.similarity import embedding_near_dup_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    t = jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.8).select(
+        "id_a", "id_b", e4(F.col("jaccard")).alias("jaccard_e4")
+    )
+    e = embedding_near_dup_pairs(emb, threshold=0.35)
+    return (
+        t.join(e, ["id_a", "id_b"], "full_outer")
+        .select(
+            "id_a",
+            "id_b",
+            "jaccard_e4",
+            "cosine_e4",
+            F.when(
+                F.col("jaccard_e4").isNotNull() & F.col("cosine_e4").isNotNull(),
+                "both",
+            )
+            .when(F.col("jaccard_e4").isNotNull(), "text_only")
+            .otherwise("embedding_only")
+            .alias("verdict"),
+        )
+        .orderBy("id_a", "id_b")
+    )
+
+
+@register(
+    "domain_reweight",
+    f"""
+    WITH t AS (
+        SELECT doc_id, source, regexp_split_to_array(trim(text), '\\s+') AS toks
+        FROM documents
+    ),
+    f AS (
+        SELECT doc_id, source,
+               {quality_features_sql('toks')}
+        FROM t
+    ),
+    kept AS (
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(CASE WHEN {quality_logit_sql()} >= 0.0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_keep
+        FROM f GROUP BY source
+    ),
+    tot AS (
+        SELECT CAST(SUM(n_docs) AS BIGINT) AS total_docs,
+               CAST(SUM(n_keep) AS BIGINT) AS total_keep
+        FROM kept
+    )
+    SELECT source, n_docs, n_keep,
+           {e4_sql('CAST(n_keep AS DOUBLE) / total_keep')} AS weight_e4,
+           {e4_sql('(CAST(n_keep AS DOUBLE) / total_keep)'
+                   ' / (CAST(n_docs AS DOUBLE) / total_docs)')} AS resample_factor_e4
+    FROM kept, tot
+    ORDER BY source
+    """,
+    doc="Quality-weighted domain reweighting (the mixture-rebalancing "
+    "step of a training run, DoReMi-flavored but deterministic): each "
+    "source's new sampling weight is its share of QUALITY-SURVIVING "
+    "documents (the fixed-weight classifier's keep set), and "
+    "resample_factor = new weight / natural count share tells the "
+    "sampler how far to up/down-sample each domain. Two exact integer "
+    "ratios per source, emitted as e4 basis points — at 100 TB this is "
+    "one pass over per-doc features plus a sources-sized aggregate.",
+)
+def domain_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import quality_logit
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = ws_tokens(F.col("text"))
+    kept = (
+        docs.select(
+            "source", (quality_logit(toks) >= F.lit(0.0)).cast("long").alias("keep")
+        )
+        .groupBy("source")
+        .agg(F.count("*").alias("n_docs"), F.sum("keep").alias("n_keep"))
+    )
+    tot = kept.agg(
+        F.sum("n_docs").alias("total_docs"), F.sum("n_keep").alias("total_keep")
+    )
+    return (
+        kept.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_docs",
+            "n_keep",
+            e4(F.col("n_keep").cast("double") / F.col("total_keep")).alias(
+                "weight_e4"
+            ),
+            e4(
+                (F.col("n_keep").cast("double") / F.col("total_keep"))
+                / (F.col("n_docs").cast("double") / F.col("total_docs"))
+            ).alias("resample_factor_e4"),
+        )
+        .orderBy("source")
+    )

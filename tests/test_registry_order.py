@@ -66,6 +66,8 @@ _NEVER_DRIVER_VERIFIED = {
     "wav_native_audio",
     "kmeans_clusters_table",
     "ann_ivf_pq",
+    "dedup_consensus",
+    "domain_reweight",
 }
 
 
