@@ -155,9 +155,10 @@ def kmeans_fit(
       :func:`kmeans_fit_table` — the update step is a DataFrame join
       against a per-iteration checkpointed centroid table and NOTHING
       k*D-sized ever reaches the driver. Second return value is the
-      centroid TABLE (cluster, pos, cval). Identical fixed point to
-      the driver loop (pinned by test) plus farthest-point reseeding
-      of empty clusters.
+      centroid TABLE (cluster, pos, cval). Identical fixed point AND
+      identical empty-cluster drop-out semantics to the driver loop
+      (pinned by test; farthest-point reseeding is opt-in via
+      :func:`kmeans_fit_table` directly).
     """
     # the regime probe must run BEFORE the k-row seed collect (which
     # pulls exactly the k*D cells the cap bounds) — and it needs the
@@ -168,8 +169,18 @@ def kmeans_fit(
     if probe is None:
         raise ValueError("kmeans_fit on an empty DataFrame")
     if k * len(probe[0]) > MAX_CENTROID_CELLS:
+        # reseed_empty=False: the auto-switch must preserve the driver
+        # loop's drop-out semantics EXACTLY (same function, same
+        # answer, whichever side of the cap k*D lands on); callers who
+        # want reseeding opt in via kmeans_fit_table directly
         return kmeans_fit_table(
-            df, id_col, vec_col, k, iters, checkpoint_dir=checkpoint_dir
+            df,
+            id_col,
+            vec_col,
+            k,
+            iters,
+            checkpoint_dir=checkpoint_dir,
+            reseed_empty=False,
         )
 
     qdf = bounded_persist(

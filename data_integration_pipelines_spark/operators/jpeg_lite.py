@@ -287,8 +287,21 @@ def decode_jpeg(data: bytes, max_pixels: int = MAX_DECODE_PIXELS) -> np.ndarray:
     """Decode a baseline-sequential JPEG to uint8 pixels with shape
     (H, W, 1) for grayscale or (H, W, 3) RGB. Deterministic: integer
     IDCT + integer color transform (module docstring). Raises
-    :class:`JpegError` on anything outside the baseline profile, and
-    on frames claiming more than ``max_pixels`` (allocation guard)."""
+    :class:`JpegError` on anything outside the baseline profile, on
+    frames claiming more than ``max_pixels`` (allocation guard), and
+    on ANY malformed stream — the executor-safety contract is
+    decode-or-JpegError, never a foreign exception, enforced by
+    explicit segment validation plus a conversion net (a decode
+    kernel over untrusted corpus bytes must be total)."""
+    try:
+        return _decode_jpeg(data, max_pixels)
+    except JpegError:
+        raise
+    except (IndexError, ValueError, KeyError, OverflowError, struct.error) as e:
+        raise JpegError(f"malformed JPEG stream: {type(e).__name__}: {e}") from e
+
+
+def _decode_jpeg(data: bytes, max_pixels: int) -> np.ndarray:
     if data[:2] != b"\xff\xd8":
         raise JpegError("not a JPEG (missing SOI)")
     pos = 2
@@ -328,6 +341,8 @@ def decode_jpeg(data: bytes, max_pixels: int = MAX_DECODE_PIXELS) -> np.ndarray:
                 qt[tq] = nat
                 p += 65
         elif marker == 0xC0:  # SOF0 baseline
+            if len(seg) < 6:
+                raise JpegError("short SOF0 segment")
             prec = seg[0]
             if prec != 8:
                 raise JpegError("only 8-bit precision supported")
@@ -339,6 +354,8 @@ def decode_jpeg(data: bytes, max_pixels: int = MAX_DECODE_PIXELS) -> np.ndarray:
             nc = seg[5]
             if nc not in (1, 3):
                 raise JpegError(f"{nc}-component images unsupported")
+            if len(seg) < 6 + 3 * nc:
+                raise JpegError("short SOF0 component list")
             comps = []
             for ci in range(nc):
                 cid, hv, tq_ = seg[6 + 3 * ci : 9 + 3 * ci]
@@ -355,17 +372,27 @@ def decode_jpeg(data: bytes, max_pixels: int = MAX_DECODE_PIXELS) -> np.ndarray:
             while p < len(seg):
                 tc, th = seg[p] >> 4, seg[p] & 0x0F
                 bits = list(seg[p + 1 : p + 17])
+                if len(bits) != 16:
+                    raise JpegError("short DHT bits table")
                 nv = sum(bits)
                 vals = list(seg[p + 17 : p + 17 + nv])
+                if len(vals) != nv:
+                    raise JpegError("short DHT value table")
                 lut = _build_huff(bits, vals)
                 (huff_dc if tc == 0 else huff_ac)[th] = lut
                 p += 17 + nv
         elif marker == 0xDD:  # DRI
+            if len(seg) < 2:
+                raise JpegError("short DRI segment")
             restart_interval = struct.unpack(">H", seg[:2])[0]
         elif marker == 0xDA:  # SOS
             if frame is None:
                 raise JpegError("SOS before SOF0")
+            if len(seg) < 1:
+                raise JpegError("empty SOS segment")
             ns = seg[0]
+            if len(seg) < 1 + 2 * ns:
+                raise JpegError("short SOS component list")
             scan = []
             for si in range(ns):
                 cs, tdta = seg[1 + 2 * si : 3 + 2 * si]

@@ -449,6 +449,33 @@ def pq_topk(
     re-rank joins vectors for candidates only. The query set is
     collected to the driver (bounded-Q contract, same as
     ``topk_pandas``); ``max_queries`` fails loudly before the collect."""
+    codes = pq_encode(df, codebooks, id_col, vec_col, exact_dist=exact_dist)
+    return _pq_adc_topk(
+        df, query_df, codes, codebooks, id_col, vec_col, k, rerank,
+        probes=None, max_queries=max_queries, caller="pq_topk",
+    )
+
+
+def _pq_adc_topk(
+    df: DataFrame,
+    query_df: DataFrame,
+    codes: DataFrame,
+    codebooks,
+    id_col: str,
+    vec_col: str,
+    k: int,
+    rerank: int,
+    probes: dict[int, set] | None,
+    max_queries: int,
+    caller: str,
+) -> DataFrame:
+    """Shared ADC machinery behind ``pq_topk`` (probes=None: every
+    query scores every code row) and ``ivf_pq_topk`` (probes: a
+    query's scores are restricted to code rows whose ``bucket`` column
+    is in its probed set). One implementation — the guard, the LUT
+    build, the scan's local prune order, the global candidate window
+    and the exact re-rank MUST stay bit-identical between the two
+    entry points."""
     import numpy as np
 
     m, kc, sub = codebooks.shape
@@ -456,7 +483,7 @@ def pq_topk(
     n_queries = query_df.count()
     if n_queries > max_queries:
         raise ValueError(
-            f"pq_topk collects the query set (and a Q x m x k ADC LUT "
+            f"{caller} collects the query set (and a Q x m x k ADC LUT "
             f"tensor) to the driver: got {n_queries} queries > "
             f"max_queries={max_queries}; shard the query set instead"
         )
@@ -470,13 +497,12 @@ def pq_topk(
         [q_mat[:, j * sub : (j + 1) * sub] @ cb[j].T for j in range(m)], axis=1
     )
 
-    codes = pq_encode(df, codebooks, id_col, vec_col, exact_dist=exact_dist)
-
     def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if pdf.empty:
                 continue
             c_ids = pdf["id"].to_numpy()
+            c_buckets = pdf["bucket"].to_numpy() if probes is not None else None
             code_mat = np.array(list(pdf["codes"]), dtype=np.int64)  # (B, m)
             # approx dot = sum_j lut[q, j, code[b, j]] -> (Q, B)
             approx = np.zeros((len(q_ids), len(c_ids)))
@@ -484,14 +510,16 @@ def pq_topk(
                 approx += luts[:, j, :][:, code_mat[:, j]]
             out = []
             for qi, qid in enumerate(q_ids):
-                row = np_e6(approx[qi])
                 mask = c_ids != qid
-                ids, vals = c_ids[mask], row[mask]
-                take = min(rerank, len(ids))
-                if take == 0:
+                if probes is not None:
+                    probe = probes.get(int(qid), set())
+                    mask &= np.isin(c_buckets, list(probe))
+                if not mask.any():
                     continue
+                ids, vals = c_ids[mask], np_e6(approx[qi][mask])
+                take = min(rerank, len(ids))
                 # local prune under the SAME total order the global
-                # window applies below (rounded approx desc, id asc)
+                # window applies below (quantized approx desc, id asc)
                 order = np.lexsort((ids, -vals))[:take]
                 out.append(
                     pd.DataFrame(
@@ -569,27 +597,11 @@ def ivf_pq_topk(
     then a per-batch numpy gather restricted to queries probing that
     row's bucket; only rerank*Q approx-scored candidate ids leave the
     scan. The query set (and its Q x m x k LUT tensor) is collected to
-    the driver — bounded-Q contract with the usual loud guard."""
-    import numpy as np
+    the driver — bounded-Q contract with the usual loud guard.
 
-    m, kc, sub = codebooks.shape
-    cb = codebooks.astype(np.float64)
-    n_queries = query_df.count()
-    if n_queries > max_queries:
-        raise ValueError(
-            f"ivf_pq_topk collects the query set (and a Q x m x k ADC "
-            f"LUT tensor) to the driver: got {n_queries} queries > "
-            f"max_queries={max_queries}; shard the query set instead"
-        )
-    queries = query_df.select(id_col, vec_col).collect()
-    if not queries:
-        return df.sparkSession.createDataFrame([], _TOPK_SCHEMA)
-    q_ids = np.array([r[0] for r in queries])
-    q_mat = np.array([r[1] for r in queries], dtype=np.float64)  # (Q, D)
-    luts = np.stack(
-        [q_mat[:, j * sub : (j + 1) * sub] @ cb[j].T for j in range(m)], axis=1
-    )
-
+    One implementation with ``pq_topk``: everything except the probe
+    prologue lives in ``_pq_adc_topk`` (probe restriction = a bucket
+    mask inside the shared scan), so the two paths cannot drift."""
     # probe sets: query -> nprobe buckets (k-bounded broadcast-side
     # collect — the pivots table is tiny by contract)
     qb_rows = assign_buckets(query_df, pivots, id_col, vec_col, nprobe=nprobe).collect()
@@ -603,65 +615,9 @@ def ivf_pq_topk(
     codes = pq_encode(df, codebooks, id_col, vec_col, exact_dist=exact_dist).join(
         cbuckets, "id"
     )
-
-    def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from ..functions.quantize import np_e6
-
-        for pdf in batches:
-            if pdf.empty:
-                continue
-            c_ids = pdf["id"].to_numpy()
-            c_buckets = pdf["bucket"].to_numpy()
-            code_mat = np.array(list(pdf["codes"]), dtype=np.int64)  # (B, m)
-            approx = np.zeros((len(q_ids), len(c_ids)))
-            for j in range(m):
-                approx += luts[:, j, :][:, code_mat[:, j]]
-            out = []
-            for qi, qid in enumerate(q_ids):
-                probe = probes.get(int(qid), set())
-                mask = np.isin(c_buckets, list(probe)) & (c_ids != qid)
-                if not mask.any():
-                    continue
-                ids, vals = c_ids[mask], np_e6(approx[qi][mask])
-                take = min(rerank, len(ids))
-                order = np.lexsort((ids, -vals))[:take]
-                out.append(
-                    pd.DataFrame(
-                        {"query_id": qid, "corpus_id": ids[order], "approx": vals[order]}
-                    )
-                )
-            if out:
-                yield pd.concat(out)
-
-    partial = codes.mapInPandas(
-        scan, schema="query_id long, corpus_id long, approx long"
-    )
-    w_cand = Window.partitionBy("query_id").orderBy(
-        F.desc("approx"), F.asc("corpus_id")
-    )
-    cand = (
-        partial.withColumn("__rn", F.row_number().over(w_cand))
-        .filter(F.col("__rn") <= rerank)
-        .select("query_id", "corpus_id")
-    )
-    vecs = df.select(
-        F.col(id_col).alias("corpus_id"),
-        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("__cvec"),
-    )
-    qdf = query_df.select(
-        F.col(id_col).alias("query_id"),
-        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("__qvec"),
-    )
-    scored = (
-        cand.join(vecs, "corpus_id")
-        .join(F.broadcast(qdf), "query_id")
-        .withColumn("cosine_e4", e4(_zip_dot(F.col("__qvec"), F.col("__cvec"))))
-    )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine_e4"), F.asc("corpus_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", F.col("corpus_id").alias("neighbor_id"), "cosine_e4", "rank")
+    return _pq_adc_topk(
+        df, query_df, codes, codebooks, id_col, vec_col, k, rerank,
+        probes=probes, max_queries=max_queries, caller="ivf_pq_topk",
     )
 
 

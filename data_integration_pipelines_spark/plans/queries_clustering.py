@@ -167,7 +167,11 @@ def kmeans_clusters_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.clustering import kmeans_fit_table
 
     emb = load_table(spark, sf_dir, "embeddings")
-    assigned, _ = kmeans_fit_table(emb, k=_K, iters=_ITERS)
+    # reseed_empty=False: this entry SHARES kmeans_clusters' oracle,
+    # which models the driver loop's inner-join drop-out semantics —
+    # reseeding would add a row the SQL cannot produce the first time
+    # a fixture/SF empties a cluster
+    assigned, _ = kmeans_fit_table(emb, k=_K, iters=_ITERS, reseed_empty=False)
     return (
         assigned.groupBy("cluster")
         .agg(

@@ -16,7 +16,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..catalog import load_table
-from ..functions.quantize import quantized
+from ..functions.quantize import e4_sql, quantized, quantized_sql
 from ..operators.morphology import morphology_flags, tree_metrics
 from .base import REGISTRY, register
 
@@ -116,7 +116,7 @@ def synth_points(spark: SparkSession, sf_dir: str) -> DataFrame:
                              AND (radius >= 2.0 * pradius OR radius * 2.0 <= pradius)
                         THEN 1 ELSE 0 END) AS BIGINT) AS n_radical_diameter_changes,
                ((CAST(SUM(CAST(FLOOR(seg_len * 10000 + 0.5) AS BIGINT)) AS BIGINT) + 50) // 100) / 100.0 AS total_length,
-               CAST(SIGN(MAX(seg_len)) * FLOOR(ABS(MAX(seg_len)) * 10000 + 0.5) AS BIGINT) AS max_seg_len_e4
+               {e4_sql('MAX(seg_len)')} AS max_seg_len_e4
         FROM segs GROUP BY file
     )
     SELECT p.file, n_points, n_roots, n_zero_radius, n_distinct_radii,
@@ -259,7 +259,7 @@ _ASC_EXPECTED_POINTS = """
                              AND (radius >= 2.0 * pradius OR radius * 2.0 <= pradius)
                         THEN 1 ELSE 0 END) AS BIGINT) AS n_radical_diameter_changes,
                ((CAST(SUM(CAST(FLOOR(seg_len * 10000 + 0.5) AS BIGINT)) AS BIGINT) + 50) // 100) / 100.0 AS total_length,
-               CAST(SIGN(MAX(seg_len)) * FLOOR(ABS(MAX(seg_len)) * 10000 + 0.5) AS BIGINT) AS max_seg_len_e4
+               {e4_sql('MAX(seg_len)')} AS max_seg_len_e4
         FROM segs GROUP BY file
     )
     SELECT p.file, n_points, n_roots, n_zero_radius, n_distinct_radii,
@@ -392,7 +392,7 @@ _H5_EXPECTED_POINTS = """
                              AND (radius >= 2.0 * pradius OR radius * 2.0 <= pradius)
                         THEN 1 ELSE 0 END) AS BIGINT) AS n_radical_diameter_changes,
                ((CAST(SUM(CAST(FLOOR(seg_len * 10000 + 0.5) AS BIGINT)) AS BIGINT) + 50) // 100) / 100.0 AS total_length,
-               CAST(SIGN(MAX(seg_len)) * FLOOR(ABS(MAX(seg_len)) * 10000 + 0.5) AS BIGINT) AS max_seg_len_e4
+               {e4_sql('MAX(seg_len)')} AS max_seg_len_e4
         FROM segs GROUP BY file
     )
     SELECT p.file, n_points, n_roots, n_zero_radius, n_distinct_radii,
@@ -490,7 +490,7 @@ def h5_morphology_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_walk AS (
         SELECT file,
                CAST(MAX(branch_order) AS INT) AS max_branch_order,
-               CAST(SIGN(ROUND(MAX(path_len), 4)) * FLOOR(ABS(ROUND(MAX(path_len), 4)) * 100 + 0.5) AS BIGINT) AS max_path_length_x100
+               {quantized_sql('ROUND(MAX(path_len), 4)', 2)} AS max_path_length_x100
         FROM walk GROUP BY file
     ),
     comp AS (

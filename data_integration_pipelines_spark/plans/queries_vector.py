@@ -42,10 +42,10 @@ _LONG_CTE = """
         GROUP BY 1, 2
     ),
     ranked AS (
-        SELECT query_id, corpus_id AS neighbor_id, CAST(SIGN(dot) * FLOOR(ABS(dot) * 10000 + 0.5) AS BIGINT) AS cosine_e4,
+        SELECT query_id, corpus_id AS neighbor_id, {e4_sql('dot')} AS cosine_e4,
                CAST(ROW_NUMBER() OVER (
                     PARTITION BY query_id
-                    ORDER BY CAST(SIGN(dot) * FLOOR(ABS(dot) * 10000 + 0.5) AS BIGINT) DESC, corpus_id) AS INT) AS rank
+                    ORDER BY {e4_sql('dot')} DESC, corpus_id) AS INT) AS rank
         FROM dots
     )
     SELECT query_id, neighbor_id, cosine_e4, rank
@@ -80,7 +80,7 @@ def ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT id, pivot_id AS bucket FROM (
             SELECT id, pivot_id,
                    ROW_NUMBER() OVER (PARTITION BY id
-                                      ORDER BY CAST(SIGN(dot) * FLOOR(ABS(dot) * 1000000 + 0.5) AS BIGINT) DESC, pivot_id) AS rn
+                                      ORDER BY {quantized_sql('dot', 6)} DESC, pivot_id) AS rn
             FROM pivot_dots
         ) WHERE rn = 1
     ),
@@ -98,10 +98,10 @@ def ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE qb.bucket = cb.bucket
     ),
     ranked AS (
-        SELECT query_id, corpus_id AS neighbor_id, CAST(SIGN(dot) * FLOOR(ABS(dot) * 10000 + 0.5) AS BIGINT) AS cosine_e4,
+        SELECT query_id, corpus_id AS neighbor_id, {e4_sql('dot')} AS cosine_e4,
                CAST(ROW_NUMBER() OVER (
                     PARTITION BY query_id
-                    ORDER BY CAST(SIGN(dot) * FLOOR(ABS(dot) * 10000 + 0.5) AS BIGINT) DESC, corpus_id) AS INT) AS rank
+                    ORDER BY {e4_sql('dot')} DESC, corpus_id) AS INT) AS rank
         FROM in_bucket
     )
     SELECT query_id, neighbor_id, cosine_e4, rank
@@ -137,7 +137,7 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM sig a JOIN sig b ON a.signature = b.signature AND a.vec_id < b.vec_id
     ),
     dots AS (
-        SELECT id_a, id_b, CAST(SIGN(SUM(qa.val * qb.val)) * FLOOR(ABS(SUM(qa.val * qb.val)) * 10000 + 0.5) AS BIGINT) AS cosine_e4
+        SELECT id_a, id_b, {e4_sql('SUM(qa.val * qb.val)')} AS cosine_e4
         FROM cand
         JOIN long qa ON qa.vec_id = id_a
         JOIN long qb ON qb.vec_id = id_b AND qb.pos = qa.pos
@@ -194,7 +194,7 @@ def _multiprobe_oracle(n_planes: int = 8, max_hamming: int = 1) -> str:
         WHERE {ham.replace("sig_a", "a.signature").replace("sig_b", "b.signature")} <= {max_hamming}
     ),
     dots AS (
-        SELECT id_a, id_b, CAST(SIGN(SUM(qa.val * qb.val)) * FLOOR(ABS(SUM(qa.val * qb.val)) * 10000 + 0.5) AS BIGINT) AS cosine_e4
+        SELECT id_a, id_b, {e4_sql('SUM(qa.val * qb.val)')} AS cosine_e4
         FROM cand
         JOIN long qa ON qa.vec_id = id_a
         JOIN long qb ON qb.vec_id = id_b AND qb.pos = qa.pos
@@ -241,7 +241,7 @@ def embedding_near_dup_multiprobe_q(spark: SparkSession, sf_dir: str) -> DataFra
         FROM sig a JOIN sig b ON a.signature = b.signature AND a.vec_id < b.vec_id
     ),
     dots AS (
-        SELECT id_a, id_b, CAST(SIGN(SUM(qa.val * qb.val)) * FLOOR(ABS(SUM(qa.val * qb.val)) * 10000 + 0.5) AS BIGINT) AS cosine_e4
+        SELECT id_a, id_b, {e4_sql('SUM(qa.val * qb.val)')} AS cosine_e4
         FROM cand
         JOIN long qa ON qa.vec_id = id_a
         JOIN long qb ON qb.vec_id = id_b AND qb.pos = qa.pos
@@ -300,7 +300,7 @@ def embedding_dup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked_buckets AS (
         SELECT id, pivot_id AS bucket,
                ROW_NUMBER() OVER (PARTITION BY id
-                                  ORDER BY CAST(SIGN(dot) * FLOOR(ABS(dot) * 1000000 + 0.5) AS BIGINT) DESC, pivot_id) AS rn
+                                  ORDER BY {quantized_sql('dot', 6)} DESC, pivot_id) AS rn
         FROM pivot_dots
     ),
     cbuckets AS (SELECT id, bucket FROM ranked_buckets WHERE rn = 1),
@@ -319,10 +319,10 @@ def embedding_dup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE qb.bucket = cb.bucket
     ),
     ranked AS (
-        SELECT query_id, corpus_id AS neighbor_id, CAST(SIGN(dot) * FLOOR(ABS(dot) * 10000 + 0.5) AS BIGINT) AS cosine_e4,
+        SELECT query_id, corpus_id AS neighbor_id, {e4_sql('dot')} AS cosine_e4,
                CAST(ROW_NUMBER() OVER (
                     PARTITION BY query_id
-                    ORDER BY CAST(SIGN(dot) * FLOOR(ABS(dot) * 10000 + 0.5) AS BIGINT) DESC, corpus_id) AS INT) AS rank
+                    ORDER BY {e4_sql('dot')} DESC, corpus_id) AS INT) AS rank
         FROM in_bucket
     )
     SELECT query_id, neighbor_id, cosine_e4, rank
@@ -354,7 +354,7 @@ def ann_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     d2 AS (  -- squared distance vector-subspace -> centroid, rounded
         SELECT v.vec_id, v.j, cb.c,
-               CAST(SIGN(SUM((v.val - cb.val) * (v.val - cb.val))) * FLOOR(ABS(SUM((v.val - cb.val) * (v.val - cb.val))) * 1000000 + 0.5) AS BIGINT) AS d2
+               {quantized_sql('SUM((v.val - cb.val) * (v.val - cb.val))', 6)} AS d2
         FROM vecsub v JOIN cb ON v.j = cb.j AND v.p = cb.p
         GROUP BY 1, 2, 3
     ),
@@ -372,7 +372,7 @@ def ann_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY 1, 2, 3
     ),
     approx AS (  -- ADC score = sum over subspaces of lut[code]
-        SELECT l.query_id, codes.vec_id AS corpus_id, CAST(SIGN(SUM(l.dot)) * FLOOR(ABS(SUM(l.dot)) * 1000000 + 0.5) AS BIGINT) AS approx
+        SELECT l.query_id, codes.vec_id AS corpus_id, {quantized_sql('SUM(l.dot)', 6)} AS approx
         FROM qlut l JOIN codes ON l.j = codes.j AND l.c = codes.code
         WHERE codes.vec_id <> l.query_id
         GROUP BY 1, 2
@@ -393,10 +393,10 @@ def ann_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY 1, 2
     ),
     ranked AS (
-        SELECT query_id, corpus_id AS neighbor_id, CAST(SIGN(dot) * FLOOR(ABS(dot) * 10000 + 0.5) AS BIGINT) AS cosine_e4,
+        SELECT query_id, corpus_id AS neighbor_id, {e4_sql('dot')} AS cosine_e4,
                CAST(ROW_NUMBER() OVER (
                     PARTITION BY query_id
-                    ORDER BY CAST(SIGN(dot) * FLOOR(ABS(dot) * 10000 + 0.5) AS BIGINT) DESC, corpus_id) AS INT) AS rank
+                    ORDER BY {e4_sql('dot')} DESC, corpus_id) AS INT) AS rank
         FROM exact
     )
     SELECT query_id, neighbor_id, cosine_e4, rank
@@ -514,7 +514,7 @@ def int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     vec_rank AS (
         SELECT corpus_id AS doc_id,
-               CAST(ROW_NUMBER() OVER (ORDER BY CAST(SIGN(dot) * FLOOR(ABS(dot) * 10000 + 0.5) AS BIGINT) DESC, corpus_id) AS BIGINT) AS r
+               CAST(ROW_NUMBER() OVER (ORDER BY {e4_sql('dot')} DESC, corpus_id) AS BIGINT) AS r
         FROM dots
         QUALIFY r <= 25
     ),
@@ -618,7 +618,7 @@ def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT query_id, corpus_id FROM (
             SELECT query_id, corpus_id,
                    ROW_NUMBER() OVER (PARTITION BY query_id
-                        ORDER BY CAST(SIGN(dot) * FLOOR(ABS(dot) * 10000 + 0.5) AS BIGINT) DESC, corpus_id) AS rank
+                        ORDER BY {e4_sql('dot')} DESC, corpus_id) AS rank
             FROM dots
         ) WHERE rank <= 10
     ),
@@ -696,11 +696,11 @@ def knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     topk AS (
         SELECT query_id,
-               CAST(SIGN(dot) * FLOOR(ABS(dot) * 10000 + 0.5) AS BIGINT) AS cos_e4
+               {e4_sql('dot')} AS cos_e4
         FROM (
             SELECT query_id, dot,
                    ROW_NUMBER() OVER (PARTITION BY query_id
-                        ORDER BY CAST(SIGN(dot) * FLOOR(ABS(dot) * 10000 + 0.5) AS BIGINT) DESC, corpus_id) AS rank
+                        ORDER BY {e4_sql('dot')} DESC, corpus_id) AS rank
             FROM dots
         ) WHERE rank <= 10
     ),
@@ -759,10 +759,10 @@ def embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY 1, 2
     ),
     ranked AS (
-        SELECT query_id, corpus_id AS neighbor_id, CAST(SIGN(dot) * FLOOR(ABS(dot) * 10000 + 0.5) AS BIGINT) AS cosine_e4,
+        SELECT query_id, corpus_id AS neighbor_id, {e4_sql('dot')} AS cosine_e4,
                CAST(ROW_NUMBER() OVER (
                     PARTITION BY query_id
-                    ORDER BY CAST(SIGN(dot) * FLOOR(ABS(dot) * 10000 + 0.5) AS BIGINT) DESC, corpus_id) AS INT) AS rank
+                    ORDER BY {e4_sql('dot')} DESC, corpus_id) AS INT) AS rank
         FROM dots
     )
     SELECT query_id, neighbor_id, cosine_e4, rank

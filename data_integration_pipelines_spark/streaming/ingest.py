@@ -53,7 +53,15 @@ def streaming_ingest_verdicts(
     is OVERWRITTEN, so a crash between the write and the checkpoint
     commit cannot duplicate verdict rows on redelivery. A bare
     ``append`` would rely entirely on downstream doc_id dedup; the
-    log itself is now equal to the one-big-batch answer."""
+    log itself is now equal to the one-big-batch answer.
+
+    Batch-id idempotence is only sound WITHIN one checkpoint lineage
+    (a recreated checkpoint re-batches the staging dir from 0 with a
+    possibly different file mix, so skipping "complete" partitions
+    would leave stale/missing rows): the log records its lineage
+    identity (sketch_fold._lineage_identity — StreamingQuery id or
+    creation nonce, not the path string) on first write and REFUSES a
+    different one — use a fresh log for a fresh lineage."""
 
     from pyspark.sql import functions as F
 
@@ -74,8 +82,26 @@ def streaming_ingest_verdicts(
     ).persist()
 
     def classify(batch_df: DataFrame, batch_id: int) -> None:
+        import json
         import os
 
+        from .sketch_fold import _lineage_identity
+
+        lineage = _lineage_identity(checkpoint_path)
+        marker = os.path.join(out_path, "_lineage.json")
+        if os.path.exists(marker):
+            bound = json.load(open(marker))["lineage"]
+            if bound != lineage:
+                raise ValueError(
+                    f"verdict log at {out_path!r} is bound to checkpoint "
+                    f"lineage {bound!r}; writing batches from {lineage!r} "
+                    "would mix batch-id spaces and leave stale/missing "
+                    "rows — use a fresh log"
+                )
+        else:
+            os.makedirs(out_path, exist_ok=True)
+            with open(marker, "w") as fh:
+                json.dump({"lineage": lineage, "checkpoint": checkpoint_path}, fh)
         if not batch_df.take(1):
             return
         part_dir = os.path.join(out_path, f"batch_id={batch_id}")

@@ -49,27 +49,42 @@ def _lineage_identity(checkpoint_path: str) -> str:
     checkpoint deletes the nonce, so recreation still reads as a new
     lineage. Binding to the PATH alone would let delete-and-recreate
     at the same path pass the guard and silently double-fold."""
+    return _lineage_identities(checkpoint_path)[0]
+
+
+def _lineage_identities(checkpoint_path: str) -> list[str]:
+    """All identities that denote the CURRENT lineage at this path,
+    preferred first. More than one exists when a checkpoint was first
+    used via a direct foreachBatch-body call (nonce stamped) and later
+    driven by a real StreamingQuery (Spark writes ``metadata`` with a
+    query id into the SAME still-live dir): both ids then name one
+    lineage, and a store bound under either must keep folding. A
+    recreated dir loses both the old metadata and the old nonce, so
+    every stale identity still mismatches."""
     import json
     import uuid
 
+    ids: list[str] = []
     meta = os.path.join(checkpoint_path, "metadata")
     try:
         with open(meta) as fh:
             qid = json.load(fh).get("id")
         if qid:
-            return f"query:{qid}"
+            ids.append(f"query:{qid}")
     except (OSError, ValueError):
         pass
     nonce_path = os.path.join(checkpoint_path, "_lineage_nonce")
     try:
         with open(nonce_path) as fh:
-            return f"nonce:{fh.read().strip()}"
+            ids.append(f"nonce:{fh.read().strip()}")
     except OSError:
-        os.makedirs(checkpoint_path, exist_ok=True)
-        nonce = uuid.uuid4().hex
-        with open(nonce_path, "w") as fh:
-            fh.write(nonce)
-        return f"nonce:{nonce}"
+        if not ids:
+            os.makedirs(checkpoint_path, exist_ok=True)
+            nonce = uuid.uuid4().hex
+            with open(nonce_path, "w") as fh:
+                fh.write(nonce)
+            ids.append(f"nonce:{nonce}")
+    return ids
 
 
 def fold_into_store(
@@ -106,18 +121,33 @@ def fold_into_store(
     import json
 
     spark = batch_df.sparkSession
-    lineage = _lineage_identity(checkpoint_path)
+    identities = _lineage_identities(checkpoint_path)
+    lineage = identities[0]
     marker = os.path.join(store_path, "_checkpoint.json")
     if os.path.exists(marker):
         bound = json.load(open(marker))
-        bound_id = bound.get("lineage", bound.get("checkpoint"))
-        if bound_id != lineage:
+        bound_id = bound.get("lineage")
+        if bound_id is None:
+            # pre-lineage marker (path-bound): accept a matching path
+            # ONCE and upgrade in place — refusing would strand every
+            # store written before the identity guard existed
+            accept = bound.get("checkpoint") == checkpoint_path
+        else:
+            # any identity of the current lineage matches (a nonce-
+            # bound store stays valid after Spark later writes the
+            # query-id metadata into the same still-live checkpoint)
+            accept = bound_id in identities
+        if not accept:
             raise ValueError(
                 f"CMS store at {store_path!r} is bound to checkpoint "
-                f"lineage {bound_id!r}; folding from {lineage!r} "
-                f"(checkpoint {checkpoint_path!r}) would mix lineages "
-                "and corrupt counts — use a fresh store"
+                f"lineage {bound_id or bound.get('checkpoint')!r}; "
+                f"folding from {lineage!r} (checkpoint "
+                f"{checkpoint_path!r}) would mix lineages and corrupt "
+                "counts — use a fresh store"
             )
+        if bound_id != lineage:
+            with open(marker, "w") as fh:
+                json.dump({"checkpoint": checkpoint_path, "lineage": lineage}, fh)
     else:
         os.makedirs(store_path, exist_ok=True)
         with open(marker, "w") as fh:

@@ -32,6 +32,9 @@ def main() -> int:
     only: set[str] | None = None
     if "--only" in args:
         i = args.index("--only")
+        if i + 1 >= len(args):
+            print("--only requires a comma-separated list of query names")
+            return 2
         only = set(args[i + 1].split(","))
         del args[i : i + 2]
         unknown = only - set(REGISTRY)

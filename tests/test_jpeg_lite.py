@@ -200,3 +200,21 @@ def test_fuzz_truncations_of_valid_stream():
             decode_jpeg(data[:cut])
         except JpegError:
             pass
+
+
+def test_malformed_segments_raise_jpeg_error_not_foreign():
+    """Malformed-but-plausible headers must raise JpegError, never a
+    foreign IndexError/ValueError/struct.error (the executor-safety
+    contract; each case targets one segment validator)."""
+    cases = [
+        b"\xff\xd8\xff\xc0\x00\x02",  # SOF0 with empty body
+        b"\xff\xd8\xff\xc0\x00\x08\x08\x00\x08\x00\x08",  # short SOF header
+        # SOF declaring 3 components but a short component list
+        b"\xff\xd8\xff\xc0\x00\x0b\x08\x00\x08\x00\x08\x03\x01\x11\x00",
+        b"\xff\xd8\xff\xc4\x00\x05\x00\xff\xff",  # DHT bits overflow
+        b"\xff\xd8\xff\xdd\x00\x03\x01",  # short DRI
+        b"\xff\xd8\xff\xda\x00\x03\x02",  # short SOS
+    ]
+    for c in cases:
+        with pytest.raises(JpegError):
+            decode_jpeg(c)

@@ -390,14 +390,10 @@ def test_streaming_ingest_verdicts_match_batch(spark, sf_small, tmp_path):
     assert got == want
     assert len(got) == batch_new.count()
 
-    # redelivery idempotence: wipe the checkpoint (every micro-batch
-    # redelivers from 0 over the same staged files) but keep the log —
-    # completed batch_id partitions are skipped/overwritten, never
-    # appended, so the log stays equal to the one-big-batch answer
-    # instead of doubling (the versioned-write convention)
-    import shutil
-
-    shutil.rmtree(str(tmp_path / "ckpt"))
+    # same-lineage restart: the checkpoint remembers the drained
+    # files, the completed batch_id partitions are skipped — the log
+    # stays equal to the one-big-batch answer, never doubled (the
+    # versioned-write convention)
     q2 = streaming_ingest_verdicts(
         read_staged_docs_stream(spark, staging, max_files_per_trigger=1),
         corpus,
@@ -410,6 +406,23 @@ def test_streaming_ingest_verdicts_match_batch(spark, sf_small, tmp_path):
     got2 = {r.doc_id: (r.verdict, r.exact_match_id, r.n_near_dups, r.best_jaccard_e4)
             for r in redelivered.collect()}
     assert got2 == want
+
+    # a RECREATED checkpoint is a new lineage with a possibly
+    # different doc-to-batch mapping: folding it into the same log
+    # must fail loudly (stale/missing-row corruption otherwise) —
+    # the same identity binding as sketch_fold's CMS store
+    import shutil
+
+    shutil.rmtree(str(tmp_path / "ckpt"))
+    q3 = streaming_ingest_verdicts(
+        read_staged_docs_stream(spark, staging, max_files_per_trigger=1),
+        corpus,
+        out_path=out,
+        checkpoint_path=str(tmp_path / "ckpt"),
+    )
+    with pytest.raises(Exception, match="bound to checkpoint lineage"):
+        q3.awaitTermination(180)
+        raise AssertionError("new-lineage fold into an existing log did not fail")
 
 
 def test_streaming_cms_replay_is_idempotent(spark, sf_small, tmp_path):
@@ -476,6 +489,44 @@ def test_streaming_cms_refuses_recreated_checkpoint(spark, sf_small, tmp_path):
     shutil.rmtree(ckpt)
     with pytest.raises(ValueError, match="bound to checkpoint lineage"):
         fold_into_store(events, 0, store, ckpt, "event_type")
+
+
+def test_streaming_cms_lineage_migrations_accepted(spark, sf_small, tmp_path):
+    """Legitimate same-lineage continuations must NOT be refused:
+    (a) a store written before the identity guard (path-bound marker)
+    upgrades in place on its first post-upgrade fold; (b) a store
+    nonce-bound via a direct fold keeps folding after Spark writes the
+    query-id metadata into the SAME still-live checkpoint dir."""
+    import json
+    import os
+
+    from data_integration_pipelines_spark.streaming.sketch_fold import (
+        fold_into_store,
+    )
+
+    events = load_table(spark, sf_small, "events").select("event_type")
+
+    # (a) legacy path-bound marker -> accepted once, upgraded
+    store_a = str(tmp_path / "store_a")
+    ckpt_a = str(tmp_path / "ckpt_a")
+    fold_into_store(events, 0, store_a, ckpt_a, "event_type")
+    marker = os.path.join(store_a, "_checkpoint.json")
+    json.dump({"checkpoint": ckpt_a}, open(marker, "w"))  # strip lineage
+    fold_into_store(events, 1, store_a, ckpt_a, "event_type")  # no raise
+    upgraded = json.load(open(marker))
+    assert "lineage" in upgraded  # marker upgraded in place
+    with pytest.raises(ValueError):  # a DIFFERENT path still refuses
+        fold_into_store(events, 2, store_a, str(tmp_path / "other"), "event_type")
+
+    # (b) nonce-bound store survives the query-id metadata appearing
+    store_b = str(tmp_path / "store_b")
+    ckpt_b = str(tmp_path / "ckpt_b")
+    fold_into_store(events, 0, store_b, ckpt_b, "event_type")  # nonce-bound
+    json.dump({"id": "11111111-2222-3333-4444-555555555555"},
+              open(os.path.join(ckpt_b, "metadata"), "w"))
+    fold_into_store(events, 1, store_b, ckpt_b, "event_type")  # no raise
+    rebound = json.load(open(os.path.join(store_b, "_checkpoint.json")))
+    assert rebound["lineage"].startswith("query:")  # upgraded to query id
 
 
 def test_streaming_cluster_assign_matches_batch(spark, sf_small, tmp_path):
