@@ -1427,11 +1427,15 @@ def domain_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source")
         .agg(F.count("*").alias("n_docs"), F.sum("keep").alias("n_keep"))
     )
-    tot = kept.agg(
-        F.sum("n_docs").alias("total_docs"), F.sum("n_keep").alias("total_keep")
+    # totals as an unpartitioned window over the SOURCES-sized
+    # aggregate (bounded domain count — never data-scaled), not a
+    # 1-row cross join: keeps the no-BNLJ plan gate strict
+    wall = Window.partitionBy()
+    tot = kept.withColumn("total_docs", F.sum("n_docs").over(wall)).withColumn(
+        "total_keep", F.sum("n_keep").over(wall)
     )
     return (
-        kept.crossJoin(F.broadcast(tot))
+        tot
         .select(
             "source",
             "n_docs",
