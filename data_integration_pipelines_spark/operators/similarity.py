@@ -886,6 +886,47 @@ def ivf_index_build(
     return {"path": index_path, "n_buckets": n_buckets}
 
 
+def ivf_index_append(
+    spark,
+    index_path: str,
+    new_df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict:
+    """Fold a batch of NEW vectors into a persisted IVF index without
+    rebuilding: assign the batch against the index's OWN pivots (the
+    coarse quantizer is frozen at build time — the FAISS convention;
+    re-training pivots would silently re-shard every existing cell),
+    then append-write into the bucket-partitioned store. Existing data
+    files are untouched, so continuous ingestion costs one batch-sized
+    assignment + write per day instead of a corpus rebuild, and
+    ``ivf_index_query`` answers over build+appends are IDENTICAL to a
+    fresh build over the union (pinned by test — bucket assignment is
+    a pure function of (vector, pivots)).
+
+    Returns the refreshed manifest. At 100 TB the append is the whole
+    point of the persisted layout: the build's full-corpus shuffle
+    happens once; appends touch only the new rows and the footer
+    listing."""
+    import os
+
+    pivots = spark.read.parquet(os.path.join(index_path, "pivots")).select(
+        F.col("pivot_id").alias(id_col), F.col("vec").alias(vec_col)
+    )
+    nb = assign_buckets(new_df, pivots, id_col, vec_col).select(
+        F.col("id").alias("corpus_id"), "bucket"
+    )
+    vectors = new_df.select(
+        F.col(id_col).alias("corpus_id"), F.col(vec_col).alias("vec")
+    ).join(nb, "corpus_id")
+    vectors.write.mode("append").partitionBy("bucket").parquet(
+        os.path.join(index_path, "vectors")
+    )
+    vdir = os.path.join(index_path, "vectors")
+    n_buckets = sum(1 for name in os.listdir(vdir) if name.startswith("bucket="))
+    return {"path": index_path, "n_buckets": n_buckets}
+
+
 def ivf_index_query(
     spark,
     index_path: str,

@@ -75,6 +75,7 @@ _RISK_ORDER = [
     "ann_ivf_pq",
     "dedup_consensus",
     "domain_reweight",
+    "drift_psi",
     "pii_redaction",
     "region_agreement",
     "jpeg_decode_features",

@@ -1450,3 +1450,98 @@ def domain_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "drift_psi",
+    f"""
+    WITH snap AS (
+        SELECT source, doc_id % 2 AS snap,
+               LEAST(n_chars // 200, 9) AS bin
+        FROM documents
+    ),
+    cells AS (
+        SELECT source, bin,
+               CAST(SUM(CASE WHEN snap = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_old,
+               CAST(SUM(CASE WHEN snap = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_new
+        FROM snap GROUP BY source, bin
+    ),
+    tot AS (
+        SELECT source,
+               CAST(SUM(n_old) AS BIGINT) AS tot_old,
+               CAST(SUM(n_new) AS BIGINT) AS tot_new,
+               CAST(COUNT(*) AS BIGINT) AS n_bins
+        FROM cells GROUP BY source
+    ),
+    terms AS (
+        -- add-one smoothed shares so empty bins stay finite; each
+        -- PSI term quantized to integer micro-units BEFORE the sum
+        -- (bigint sums are exact and order-independent)
+        SELECT c.source,
+               {quantized_sql(
+                   '((c.n_new + 1.0) / (t.tot_new + t.n_bins)'
+                   ' - (c.n_old + 1.0) / (t.tot_old + t.n_bins))'
+                   ' * ln(((c.n_new + 1.0) / (t.tot_new + t.n_bins))'
+                   '      / ((c.n_old + 1.0) / (t.tot_old + t.n_bins)))', 6)}
+                   AS term_e6
+        FROM cells c JOIN tot t ON t.source = c.source
+    )
+    SELECT source, CAST(SUM(term_e6) AS BIGINT) AS psi_e6,
+           CASE WHEN SUM(term_e6) >= 250000 THEN 'shifted'
+                WHEN SUM(term_e6) >= 100000 THEN 'drifting'
+                ELSE 'stable' END AS verdict
+    FROM terms
+    GROUP BY source
+    ORDER BY source
+    """,
+    doc="Dataset drift monitor: per-source Population Stability Index "
+    "between two corpus snapshots (doc_id parity stands in for "
+    "yesterday/today) over banded document-length distributions, with "
+    "add-one smoothing so sparse bins stay finite and the standard "
+    "0.10/0.25 alert thresholds. Each PSI term is quantized to integer "
+    "micro-units BEFORE summation (order-independent, engine-exact) — "
+    "the continuous-ingestion health check that catches a source "
+    "changing shape before it poisons the training mixture. At 100 TB "
+    "this is one pass to banded counts plus a sources*bins-sized "
+    "aggregate.",
+)
+def drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.quantize import quantized
+
+    docs = load_table(spark, sf_dir, "documents")
+    snap = docs.select(
+        "source",
+        (F.col("doc_id") % 2).alias("snap"),
+        F.least(F.col("n_chars") / F.lit(200), F.lit(9))
+        .cast("long")
+        .alias("bin"),
+    )
+    cells = snap.groupBy("source", "bin").agg(
+        F.sum(F.when(F.col("snap") == 0, 1).otherwise(0)).alias("n_old"),
+        F.sum(F.when(F.col("snap") == 1, 1).otherwise(0)).alias("n_new"),
+    )
+    w = Window.partitionBy("source")
+    tot = (
+        cells.withColumn("tot_old", F.sum("n_old").over(w))
+        .withColumn("tot_new", F.sum("n_new").over(w))
+        .withColumn("n_bins", F.count("*").over(w))
+    )
+    p_new = (F.col("n_new") + 1.0) / (F.col("tot_new") + F.col("n_bins"))
+    p_old = (F.col("n_old") + 1.0) / (F.col("tot_old") + F.col("n_bins"))
+    terms = tot.select(
+        "source",
+        quantized((p_new - p_old) * F.log(p_new / p_old), 6).alias("term_e6"),
+    )
+    return (
+        terms.groupBy("source")
+        .agg(F.sum("term_e6").cast("long").alias("psi_e6"))
+        .select(
+            "source",
+            "psi_e6",
+            F.when(F.col("psi_e6") >= 250000, "shifted")
+            .when(F.col("psi_e6") >= 100000, "drifting")
+            .otherwise("stable")
+            .alias("verdict"),
+        )
+        .orderBy("source")
+    )

@@ -906,6 +906,47 @@ class TestIvfIndexPersistence:
             assert served == direct
             assert len(served) > 0
 
+    def test_index_append_equals_fresh_build(self, spark, sf_small, tmp_path):
+        """Incremental maintenance: build on a corpus prefix, append
+        the remainder in two batches — queries over the appended index
+        must equal a fresh build over the whole corpus (the frozen
+        coarse quantizer makes bucket assignment a pure function of
+        (vector, pivots), so append order cannot matter)."""
+        from data_integration_pipelines_spark.operators.similarity import (
+            ivf_index_append,
+            ivf_index_build,
+            ivf_index_query,
+        )
+
+        emb = load_table(spark, sf_small, "embeddings")
+        pivots = emb.filter(F.col("vec_id") < 8)
+        queries = emb.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 105))
+
+        grown = str(tmp_path / "ivf_grown")
+        ivf_index_build(emb.filter(F.col("vec_id") % 3 == 0), pivots, grown)
+        ivf_index_append(spark, grown, emb.filter(F.col("vec_id") % 3 == 1))
+        manifest = ivf_index_append(
+            spark, grown, emb.filter(F.col("vec_id") % 3 == 2)
+        )
+        assert manifest["n_buckets"] <= 8
+
+        fresh = str(tmp_path / "ivf_fresh")
+        ivf_index_build(emb, pivots, fresh)
+        for nprobe in (1, 2):
+            got = {
+                (r.query_id, r.rank): (r.neighbor_id, r.cosine_e4)
+                for r in ivf_index_query(
+                    spark, grown, queries, k=5, nprobe=nprobe
+                ).collect()
+            }
+            want = {
+                (r.query_id, r.rank): (r.neighbor_id, r.cosine_e4)
+                for r in ivf_index_query(
+                    spark, fresh, queries, k=5, nprobe=nprobe
+                ).collect()
+            }
+            assert got == want and len(want) > 0
+
     def test_index_query_prunes_partitions(self, spark, sf_small, tmp_path):
         """The bucket join against the partitioned store must show a
         partition filter at the scan — the on-disk analogue of the

@@ -68,6 +68,7 @@ _NEVER_DRIVER_VERIFIED = {
     "ann_ivf_pq",
     "dedup_consensus",
     "domain_reweight",
+    "drift_psi",
 }
 
 
