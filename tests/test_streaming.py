@@ -562,3 +562,70 @@ def test_streaming_cluster_assign_matches_batch(spark, sf_small, tmp_path):
     got = {r.id: (r.cluster, r.dist) for r in spark.read.parquet(out).collect()}
     assert got == want
     assert len(got) == emb.count()
+
+
+def test_streaming_topk_matches_batch_bruteforce(spark, sf_small, tmp_path):
+    """Streaming ANN fold == one-shot brute force: the corpus arrives
+    as micro-batches, each batch's top-k folds into the versioned
+    running answer via the top-k monoid — the final store version must
+    be the exact brute-force top-k over everything drained
+    (streaming/ann.py; the streaming twin of ann_topk_incremental)."""
+    from data_integration_pipelines_spark.operators.similarity import (
+        brute_force_topk,
+    )
+    from data_integration_pipelines_spark.streaming.ann import (
+        fold_topk_batch,
+        read_staged_vectors_stream,
+        streaming_topk,
+    )
+    from data_integration_pipelines_spark.streaming.upsert import read_store
+
+    emb = load_table(spark, sf_small, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    staging = str(tmp_path / "staged_vecs")
+    for i in range(3):  # three files -> three micro-batches
+        emb.filter(F.pmod(F.col("vec_id"), F.lit(3)) == i).write.mode(
+            "append"
+        ).parquet(staging)
+    store = str(tmp_path / "topk_store")
+    ckpt = str(tmp_path / "ckpt")
+    q = streaming_topk(
+        read_staged_vectors_stream(spark, staging, max_files_per_trigger=1),
+        queries,
+        store_path=store,
+        checkpoint_path=ckpt,
+        k=10,
+    )
+    q.awaitTermination(180)
+
+    got = {
+        (r.query_id, r.rank): (r.neighbor_id, r.cosine_e4)
+        for r in read_store(spark, store).collect()
+    }
+    want = {
+        (r.query_id, r.rank): (r.neighbor_id, r.cosine_e4)
+        for r in brute_force_topk(emb, queries, k=10).collect()
+    }
+    assert got == want and len(want) == 50
+
+    # replay idempotence: redeliver the last batch id directly — the
+    # complete version is found and skipped, the answer unchanged
+    last_v = max(
+        int(n.split("=")[1])
+        for n in __import__("os").listdir(store)
+        if n.startswith("v=")
+    )
+    fold_topk_batch(emb.limit(7), last_v, queries, store, ckpt, k=10)
+    again = {
+        (r.query_id, r.rank): (r.neighbor_id, r.cosine_e4)
+        for r in read_store(spark, store).collect()
+    }
+    assert again == want
+
+    # a recreated checkpoint is a new lineage: folding into the same
+    # store must refuse
+    import shutil
+
+    shutil.rmtree(ckpt)
+    with pytest.raises(ValueError, match="bound to checkpoint lineage"):
+        fold_topk_batch(emb.limit(7), 0, queries, store, ckpt, k=10)
