@@ -610,8 +610,9 @@ def encode_jpeg(
 ) -> bytes:
     """Encode uint8 pixels — (H, W) / (H, W, 1) grayscale or (H, W, 3)
     RGB — as a baseline-sequential JFIF JPEG (Annex-K tables scaled by
-    ``quality``, typical Huffman tables, optional 4:2:0;
-    ``restart_interval`` > 0 emits DRI + RSTn every N MCUs)."""
+    ``quality``, typical Huffman tables, optional 4:2:2 / 4:2:0 chroma
+    subsampling; ``restart_interval`` > 0 emits DRI + RSTn every N
+    MCUs)."""
     px = np.asarray(pixels, dtype=np.uint8)
     if px.ndim == 3 and px.shape[2] == 1:
         px = px[:, :, 0]
@@ -621,8 +622,8 @@ def encode_jpeg(
     h, w = px.shape[:2]
     if h == 0 or w == 0:
         raise ValueError("empty image")
-    if subsampling not in ("4:4:4", "4:2:0"):
-        raise ValueError("subsampling must be '4:4:4' or '4:2:0'")
+    if subsampling not in ("4:4:4", "4:2:2", "4:2:0"):
+        raise ValueError("subsampling must be '4:4:4', '4:2:2' or '4:2:0'")
 
     qluma = quality_scaled(K1_LUMA, quality)
     qchroma = quality_scaled(K2_CHROMA, quality)
@@ -636,8 +637,10 @@ def encode_jpeg(
     if gray:
         comps = [(1, 1, 1, 0)]
     else:
-        cs = 2 if subsampling == "4:2:0" else 1
-        comps = [(1, cs, cs, 0), (2, 1, 1, 1), (3, 1, 1, 1)]
+        # luma sampling factors per mode: 4:4:4 -> 1x1, 4:2:2 -> 2x1
+        # (horizontal-only chroma decimation), 4:2:0 -> 2x2
+        hs0, vs0 = {"4:4:4": (1, 1), "4:2:2": (2, 1), "4:2:0": (2, 2)}[subsampling]
+        comps = [(1, hs0, vs0, 0), (2, 1, 1, 1), (3, 1, 1, 1)]
     sof = bytes([8]) + struct.pack(">HH", h, w) + bytes([len(comps)])
     for cid, hs, vs, tq in comps:
         sof += bytes([cid, (hs << 4) | vs, tq])

@@ -46,7 +46,7 @@ def test_gray_gradient_roundtrip_quality():
     assert err.max() <= 2
 
 
-@pytest.mark.parametrize("sub", ["4:4:4", "4:2:0"])
+@pytest.mark.parametrize("sub", ["4:4:4", "4:2:2", "4:2:0"])
 def test_color_roundtrip_and_odd_dims(sub):
     rng = np.random.RandomState(3)
     smooth = np.zeros((16, 16, 3), np.uint8)

@@ -408,3 +408,52 @@ def test_z_value_n_roundtrip(spark, coords):
         for j in range(d):
             back[j] |= ((z >> (i * d + j)) & 1) << i
     assert back == coords
+
+
+@settings(max_examples=40, deadline=None, derandomize=True)
+@given(
+    st.lists(
+        st.floats(
+            min_value=-1e6,
+            max_value=1e6,
+            allow_nan=False,
+            allow_infinity=False,
+        ),
+        min_size=1,
+        max_size=8,
+    ),
+    st.sampled_from([1, 2, 4, 6]),
+)
+def test_quantized_tri_engine_equivalence(spark, vals, decimals):
+    """The hash-proof output contract's core claim: quantized() (Spark
+    Column), quantized_sql() (DuckDB) and np_quantized() (numpy) give
+    the IDENTICAL int64 for the same double bits — the whole r5
+    correctness surface rests on this expression being one function
+    across three engines."""
+    import duckdb
+    import numpy as np
+    from pyspark.sql import Row
+    from pyspark.sql import functions as F
+
+    from data_integration_pipelines_spark.functions.quantize import (
+        np_quantized,
+        quantized,
+        quantized_sql,
+    )
+
+    df = spark.createDataFrame([Row(x=float(v)) for v in vals])
+    got_spark = [
+        r[0]
+        for r in df.select(quantized(F.col("x"), decimals)).collect()
+    ]
+    got_np = list(np_quantized(np.array(vals, dtype=np.float64), decimals))
+    con = duckdb.connect()
+    got_db = [
+        con.execute(
+            f"SELECT {quantized_sql('x', decimals)} "
+            "FROM (SELECT CAST(? AS DOUBLE) AS x)",
+            [float(v)],
+        ).fetchone()[0]
+        for v in vals
+    ]
+    assert got_spark == got_np == got_db, (vals, decimals)
