@@ -365,6 +365,29 @@ def cmd_curate(args) -> int:
     return 0
 
 
+def cmd_monitor(args) -> int:
+    """Corpus-health monitoring as one batch job: the per-source drift
+    report (PSI between snapshots), the quality-weighted mixture
+    reweighting table, and the cross-modal dedup-consensus pair
+    grades — the three reports an ingestion owner reads before
+    promoting a new snapshot into the training mixture. All are
+    registered, oracle-checked queries; this command lands them as
+    files."""
+    from .plans import REGISTRY
+    from .sources.sinks import write_csv
+
+    spark = _session(args)
+    for qname, fname in (
+        ("drift_psi", "drift_report.csv"),
+        ("domain_reweight", "mixture_weights.csv"),
+        ("dedup_consensus", "dedup_consensus.csv"),
+    ):
+        df = REGISTRY[qname].fn(spark, args.sf_dir).limit(args.limit)
+        write_csv(df, _out(args, fname), single_file=True)
+    print(args.output_dir)
+    return 0
+
+
 def cmd_profile(args) -> int:
     """ANALYZE-style profile of any catalog table: per-column
     null/distinct/min-max in ONE pass (sources/sinks.profile_table) —
@@ -634,6 +657,13 @@ def build_parser() -> argparse.ArgumentParser:
     )
     common(sp)
     sp.set_defaults(fn=cmd_curate)
+
+    sp = sub.add_parser(
+        "monitor",
+        help="drift (PSI) + mixture-reweight + dedup-consensus reports",
+    )
+    common(sp)
+    sp.set_defaults(fn=cmd_monitor)
 
     sp = sub.add_parser("explain", help="show a query's physical plan")
     sp.add_argument("name")

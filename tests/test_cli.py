@@ -195,6 +195,20 @@ class TestCLI:
         assert _csv_rows(os.path.join(out, "survivors.csv"))
         assert _csv_rows(os.path.join(out, "contaminated.csv"))
 
+    def test_monitor(self, spark, tmp_path):
+        out = _run(tmp_path, "monitor")
+        drift = _csv_rows(os.path.join(out, "drift_report.csv"))
+        assert drift and {r["verdict"] for r in drift} <= {
+            "stable", "drifting", "shifted"
+        }
+        weights = _csv_rows(os.path.join(out, "mixture_weights.csv"))
+        # the new mixture weights are a (basis-point) distribution
+        assert abs(sum(int(r["weight_e4"]) for r in weights) - 10000) <= len(weights)
+        consensus = _csv_rows(os.path.join(out, "dedup_consensus.csv"))
+        assert consensus and {r["verdict"] for r in consensus} <= {
+            "both", "text_only", "embedding_only"
+        }
+
     def test_export_shards(self, spark, tmp_path):
         """Deterministic shard membership, in-shard ordering, manifest
         consistent with the files."""
