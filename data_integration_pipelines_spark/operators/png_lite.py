@@ -104,12 +104,14 @@ def decode_png(data: bytes) -> np.ndarray:
     color_type = bit_depth = interlace = None
     idat = bytearray()
     palette: bytes | None = None
-    while pos < len(data):
+    while pos + 8 <= len(data):
         (length,) = struct.unpack(">I", data[pos : pos + 4])
         tag = data[pos + 4 : pos + 8]
         body = data[pos + 8 : pos + 8 + length]
         pos += 12 + length
         if tag == b"IHDR":
+            if len(body) != 13:
+                raise ValueError("malformed IHDR chunk")
             width, height, bit_depth, color_type, _, _, interlace = struct.unpack(
                 ">IIBBBBB", body
             )
@@ -128,8 +130,18 @@ def decode_png(data: bytes) -> np.ndarray:
     if color_type not in _CHANNELS:
         raise ValueError(f"unsupported color type {color_type}")
     c = _CHANNELS[color_type]
+    # frame allocation guard + total-decode contract shared with
+    # jpeg_lite: a hostile IHDR must not allocate gigabytes, and a
+    # corrupt stream must raise ValueError, never a raw zlib.error
+    if width == 0 or height == 0:
+        raise ValueError("zero frame dimension")
+    if width * height > (1 << 26):
+        raise ValueError(f"frame {width}x{height} exceeds 64 Mpx guard")
     stride = width * c
-    raw = zlib.decompress(bytes(idat))
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as e:
+        raise ValueError(f"corrupt IDAT stream: {e}") from e
     if len(raw) < height * (stride + 1):
         raise ValueError("truncated pixel data")
 

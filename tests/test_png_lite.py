@@ -90,3 +90,28 @@ def test_resize_images_real_png_path(spark):
 
     want = resize_nearest(img, (2, 2)).tobytes()
     assert row["thumb_md5"] == hashlib.md5(want).hexdigest()
+
+
+def test_png_fuzz_raises_only_value_error():
+    """decode-or-ValueError for arbitrary bytes behind the PNG
+    signature (the executor-safety contract shared with jpeg_lite):
+    no raw zlib.error / struct.error, no hostile-IHDR allocation."""
+    import struct
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=200, deadline=2000)
+    @given(st.binary(min_size=0, max_size=200))
+    def run(body):
+        try:
+            decode_png(b"\x89PNG\r\n\x1a\n" + body)
+        except ValueError:
+            pass
+
+    run()
+    # hostile IHDR claiming 65535x65535 must raise, not allocate
+    ihdr = struct.pack(">IIBBBBB", 65535, 65535, 8, 2, 0, 0, 0)
+    chunk = struct.pack(">I", 13) + b"IHDR" + ihdr + b"\x00\x00\x00\x00"
+    with pytest.raises(ValueError, match="64 Mpx"):
+        decode_png(b"\x89PNG\r\n\x1a\n" + chunk)
