@@ -17,11 +17,15 @@ engines:
 ``abs``, one multiply by the exactly-representable constant 10000.0,
 one add of 0.5, ``floor`` — every step is a deterministic IEEE-754
 operation, so identical input bits give identical integers on Spark,
-DuckDB and numpy.  Half-away-from-zero matches the convention of
-Spark/DuckDB ``ROUND``,
-so switching an output column from ``ROUND(x, 4)`` to ``e4(x)`` never
-changes which bucket a value lands in — only the (now drift-immune)
-representation.
+DuckDB and numpy.  That determinism is the contract; exact agreement
+with true ``ROUND(x, 4)`` is NOT: at representation edges where
+``|x|*10000`` lands just below a half-integer, adding 0.5 can carry
+up to exactly ``m+1.0`` and ``e4`` lands one unit above true
+half-away rounding (the same edge ``clustering._round_half_away``
+documents, and why it computes the fraction via ``x - floor(x)``
+instead).  Cross-engine hashes are unaffected — both engines run the
+IDENTICAL expression on identical bits — but ``e4`` is its own
+(deterministic) bucketing, not a bit-for-bit ``ROUND`` replacement.
 
 Exempt from this rule: money aggregates rounded in exact DECIMAL
 arithmetic before the cast (the TPC-H answer columns), where the round
@@ -78,3 +82,29 @@ def np_e4(vals):
 def np_e6(vals):
     """numpy mirror of ``quantized(col, 6)`` — int64 micro-units."""
     return np_quantized(vals, 6)
+
+
+# --------------------------------------------------------------------------
+# Exact-decimal money aggregates (the TPC-H convention, queries_tpch.py)
+# --------------------------------------------------------------------------
+#
+# DECIMAL(18,6) per-term quantization before summation: decimal addition
+# is exact and order-independent, so Spark's partial-agg tree and
+# DuckDB's sequential sum produce the SAME total — double sums can
+# differ in the last cent when a group lands on a .xx5 boundary.  The
+# final ROUND happens in exact base-10 space; the cast back to DOUBLE
+# is the identical nearest-double conversion on both engines.
+
+MONEY_DEC = "decimal(18,6)"
+
+
+def money_sum(col: Column | str, decimals: int = 2) -> Column:
+    """Order-independent exact money SUM emitted as a rounded DOUBLE —
+    the Spark side of the shared convention."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.round(F.sum(c.cast(MONEY_DEC)), decimals).cast("double")
+
+
+def money_sum_sql(expr: str, decimals: int = 2) -> str:
+    """The DuckDB mirror of :func:`money_sum`."""
+    return f"CAST(ROUND(SUM(CAST({expr} AS DECIMAL(18,6))), {decimals}) AS DOUBLE)"

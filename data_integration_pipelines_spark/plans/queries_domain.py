@@ -21,6 +21,7 @@ from ..operators.closure import (
     siblings,
     transitive_closure,
 )
+from ..functions.quantize import quantized, quantized_sql
 from ..operators.filter_dsl import Filter, search
 from ..operators.merge import merge_classify
 from .base import register
@@ -308,13 +309,15 @@ def region_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "upsert_classify",
-    """
+    f"""
     WITH existing AS (
-        SELECT c_custkey AS key, ROUND(c_acctbal, 2) AS val
+        SELECT c_custkey AS key,
+               {quantized_sql('c_acctbal', 2)} AS val
         FROM customer WHERE c_custkey < 1000
     ),
     computed AS (
-        SELECT o_custkey AS key, ROUND(SUM(o_totalprice), 2) AS val
+        SELECT o_custkey AS key,
+               {quantized_sql('CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)', 2)} AS val
         FROM orders WHERE o_custkey < 1200
         GROUP BY o_custkey
     )
@@ -331,18 +334,27 @@ def region_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     "full-outer merge on compartment); ref src/neuron_morphology/validation/"
     "quality_metric_resource.py:107-135, src/neuron_morphology/"
     "feature_annotations/create_update_annotations.py:110-142. "
-    "Feeds Delta MERGE INTO on a lakehouse deployment.",
+    "Feeds Delta MERGE INTO on a lakehouse deployment. The compared value "
+    "is cent-quantized to BIGINT on both sides (functions/quantize): the "
+    "keep/update verdict is an EQUALITY on a computed aggregate, so it must "
+    "never ride on a double whose summation order can differ per engine — "
+    "the sum itself is exact DECIMAL(18,6) before the quantize.",
 )
 def upsert_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = _t(spark, sf_dir, "customer")
     orders = _t(spark, sf_dir, "orders")
     existing = cust.filter(F.col("c_custkey") < 1000).select(
-        F.col("c_custkey").alias("key"), F.round("c_acctbal", 2).alias("val")
+        F.col("c_custkey").alias("key"),
+        quantized(F.col("c_acctbal"), 2).alias("val"),
     )
     computed = (
         orders.filter(F.col("o_custkey") < 1200)
         .groupBy(F.col("o_custkey").alias("key"))
-        .agg(F.round(F.sum("o_totalprice"), 2).alias("val"))
+        .agg(
+            quantized(
+                F.sum(F.col("o_totalprice").cast("decimal(18,6)")).cast("double"), 2
+            ).alias("val")
+        )
     )
     classified = merge_classify(existing, computed, key_cols=["key"], compare_cols=["val"])
     return classified.groupBy("action").agg(F.count("*").alias("n")).orderBy("action")

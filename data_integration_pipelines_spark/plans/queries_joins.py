@@ -83,7 +83,7 @@ def part_of_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT c_mktsegment,
            CAST(COUNT(DISTINCT c_custkey) AS BIGINT) AS n_customers,
            CAST(COUNT(*) AS BIGINT) AS n_lines,
-           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+           CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue
     FROM customer
     JOIN orders ON o_custkey = c_custkey AND o_orderstatus = 'O'
     JOIN lineitem ON l_orderkey = o_orderkey AND l_returnflag = 'N'
@@ -107,8 +107,13 @@ def two_hop_follow(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("c_custkey").alias("n_customers"),
             F.count("*").alias("n_lines"),
             F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue"),
+                F.sum(
+                    (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                        "decimal(18,6)"
+                    )
+                ),
+                2,
+            ).cast("double").alias("revenue"),
         )
         .orderBy("c_mktsegment")
     )
@@ -120,7 +125,7 @@ def two_hop_follow(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT c_mktsegment,
            CAST(COUNT(DISTINCT c_custkey) AS BIGINT) AS n_customers,
            CAST(COUNT(*) AS BIGINT) AS n_lines,
-           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+           CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue
     FROM customer
     JOIN orders ON o_custkey = c_custkey AND o_orderstatus = 'O'
     JOIN lineitem ON l_orderkey = o_orderkey AND l_returnflag = 'N'
@@ -153,8 +158,13 @@ def two_hop_follow_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("c_custkey").alias("n_customers"),
             F.count("*").alias("n_lines"),
             F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue"),
+                F.sum(
+                    (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                        "decimal(18,6)"
+                    )
+                ),
+                2,
+            ).cast("double").alias("revenue"),
         )
         .orderBy("c_mktsegment")
     )

@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..catalog import load_table
+from ..functions.quantize import e4, e4_sql, money_sum, money_sum_sql
 from .base import register
 
 
@@ -32,14 +33,14 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 @register(
     "pricing_summary",
-    """
+    f"""
     SELECT l_returnflag, l_linestatus,
-           ROUND(SUM(l_quantity), 2)                                   AS sum_qty,
-           ROUND(SUM(l_extendedprice), 2)                              AS sum_base_price,
-           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)           AS sum_disc_price,
-           ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
-           ROUND(AVG(l_quantity), 4)                                   AS avg_qty,
-           ROUND(AVG(l_extendedprice), 4)                              AS avg_price,
+           {money_sum_sql('l_quantity')}                                   AS sum_qty,
+           {money_sum_sql('l_extendedprice')}                              AS sum_base_price,
+           {money_sum_sql('l_extendedprice * (1 - l_discount)')}           AS sum_disc_price,
+           {money_sum_sql('l_extendedprice * (1 - l_discount) * (1 + l_tax)')} AS sum_charge,
+           {e4_sql('CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)')}      AS avg_qty_e4,
+           {e4_sql('CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)')} AS avg_price_e4,
            CAST(COUNT(*) AS BIGINT)                                    AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '2024-09-02 00:00:00'
@@ -47,22 +48,29 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     ORDER BY l_returnflag, l_linestatus
     """,
     doc="A5/A6 morphometric-stats battery shape (min/max/avg/sum per group); "
-    "ref src/neuron_morphology/feature_annotations/morph_metrics_neurom.py:272-288",
+    "ref src/neuron_morphology/feature_annotations/morph_metrics_neurom.py:272-288. "
+    "Money sums use the exact-DECIMAL(18,6) convention (functions/quantize."
+    "money_sum — order-independent, so Spark's partial-agg tree and DuckDB's "
+    "sequential sum agree to the bit); averages emit as basis-point BIGINTs "
+    "computed from the exact decimal sum (one deterministic IEEE divide).",
     headline=True,
 )
 def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    exact_qty = F.sum(F.col("l_quantity").cast("decimal(18,6)"))
+    exact_price = F.sum(F.col("l_extendedprice").cast("decimal(18,6)"))
+    n = F.count("*")
     return (
         li.filter(F.col("l_shipdate") <= F.lit("2024-09-02 00:00:00").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
-            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            money_sum("l_quantity").alias("sum_qty"),
+            money_sum("l_extendedprice").alias("sum_base_price"),
+            money_sum(disc_price).alias("sum_disc_price"),
+            money_sum(disc_price * (1 + F.col("l_tax"))).alias("sum_charge"),
+            e4(exact_qty.cast("double") / n).alias("avg_qty_e4"),
+            e4(exact_price.cast("double") / n).alias("avg_price_e4"),
             F.count("*").alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
@@ -122,29 +130,32 @@ def census_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH per_bucket AS (
         SELECT c_mktsegment, c_nationkey,
                CAST(COUNT(*) AS BIGINT) AS n,
-               ROUND(SUM(c_acctbal), 2) AS bal
+               ROUND(SUM(CAST(c_acctbal AS DECIMAL(18,6))), 2) AS bal
         FROM customer GROUP BY c_mktsegment, c_nationkey
     )
     SELECT c_mktsegment,
            CAST(SUM(n) AS BIGINT) AS total_customers,
-           ROUND(SUM(bal), 2) AS total_balance,
+           CAST(ROUND(SUM(bal), 2) AS DOUBLE) AS total_balance,
            CAST(COUNT(*) AS BIGINT) AS n_nations
     FROM per_bucket
     GROUP BY c_mktsegment
     ORDER BY c_mktsegment
     """,
-    doc="A3 two-level bucket->global rollup; ref src/schemas/getters.py:143-167",
+    doc="A3 two-level bucket->global rollup; ref src/schemas/getters.py:143-167. "
+    "Both levels stay in exact DECIMAL until the final DOUBLE emission "
+    "(the money_sum convention) so neither rollup depends on summation order.",
 )
 def cross_bucket_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = _t(spark, sf_dir, "customer")
     per_bucket = cust.groupBy("c_mktsegment", "c_nationkey").agg(
-        F.count("*").alias("n"), F.round(F.sum("c_acctbal"), 2).alias("bal")
+        F.count("*").alias("n"),
+        F.round(F.sum(F.col("c_acctbal").cast("decimal(18,6)")), 2).alias("bal"),
     )
     return (
         per_bucket.groupBy("c_mktsegment")
         .agg(
             F.sum("n").alias("total_customers"),
-            F.round(F.sum("bal"), 2).alias("total_balance"),
+            F.round(F.sum("bal"), 2).cast("double").alias("total_balance"),
             F.count("*").alias("n_nations"),
         )
         .orderBy("c_mktsegment")
@@ -219,7 +230,7 @@ def error_grouping(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT r_name, n_name,
            CAST(COUNT(*) AS BIGINT) AS n_customers,
-           ROUND(SUM(c_acctbal), 2) AS total_acctbal
+           CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_acctbal
     FROM customer
     JOIN nation ON c_nationkey = n_nationkey
     JOIN region ON n_regionkey = r_regionkey
@@ -242,7 +253,7 @@ def join_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("r_name", "n_name")
         .agg(
             F.count("*").alias("n_customers"),
-            F.round(F.sum("c_acctbal"), 2).alias("total_acctbal"),
+            money_sum("c_acctbal").alias("total_acctbal"),
         )
         .orderBy("r_name", "n_name")
     )
@@ -531,7 +542,7 @@ def union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT r_name, n_name,
            CAST(COUNT(*) AS BIGINT) AS n_customers,
-           ROUND(SUM(c_acctbal), 2) AS total_acctbal
+           CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_acctbal
     FROM customer
     JOIN nation ON n_nationkey = c_nationkey
     JOIN region ON r_regionkey = n_regionkey
@@ -554,7 +565,7 @@ def census_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .rollup("r_name", "n_name")
         .agg(
             F.count("*").alias("n_customers"),
-            F.round(F.sum("c_acctbal"), 2).alias("total_acctbal"),
+            money_sum("c_acctbal").alias("total_acctbal"),
         )
         .orderBy(F.col("r_name").asc_nulls_first(), F.col("n_name").asc_nulls_first())
     )
@@ -600,7 +611,7 @@ def approx_distinct_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT l_returnflag,
            CAST(COUNT(*) AS BIGINT) AS n_rows,
-           ROUND(SUM(l_quantity), 2) AS total_qty
+           CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_qty
     FROM lineitem
     GROUP BY l_returnflag
     ORDER BY l_returnflag
@@ -614,18 +625,22 @@ def approx_distinct_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 def salted_aggregation(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.skew import salted_agg
 
-    li = _t(spark, sf_dir, "lineitem")
+    # decimal per-term before the two-phase sum: partial-merge order is
+    # then irrelevant (exact decimal addition), matching the oracle
+    li = _t(spark, sf_dir, "lineitem").withColumn(
+        "l_quantity_dec", F.col("l_quantity").cast("decimal(18,6)")
+    )
     return (
         salted_agg(
             li,
             ["l_returnflag"],
-            {"n_rows": ("count", "*"), "total_qty_raw": ("sum", "l_quantity")},
+            {"n_rows": ("count", "*"), "total_qty_raw": ("sum", "l_quantity_dec")},
             n_salts=16,
         )
         .select(
             "l_returnflag",
             "n_rows",
-            F.round("total_qty_raw", 2).alias("total_qty"),
+            F.round("total_qty_raw", 2).cast("double").alias("total_qty"),
         )
         .orderBy("l_returnflag")
     )

@@ -30,7 +30,7 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     SELECT STRFTIME(time_bucket(INTERVAL 1 HOUR, ts), '%Y-%m-%d %H:%M:%S') AS window_start,
            event_type,
            CAST(COUNT(*) AS BIGINT) AS n_events,
-           ROUND(SUM(value), 2) AS total_value
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_value
     FROM events
     GROUP BY 1, 2
     ORDER BY window_start, event_type
@@ -50,9 +50,9 @@ def windowed_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT user_id,
            event_id,
-           ROUND(SUM(value) OVER (
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))) OVER (
                PARTITION BY user_id ORDER BY ts, event_id
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_value,
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS DOUBLE) AS running_value,
            CAST(ROW_NUMBER() OVER (
                PARTITION BY user_id ORDER BY ts, event_id) AS INT) AS seq
     FROM events
@@ -70,7 +70,9 @@ def running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.select(
             "user_id",
             "event_id",
-            F.round(F.sum("value").over(frame), 2).alias("running_value"),
+            F.round(F.sum(F.col("value").cast("decimal(18,6)")).over(frame), 2)
+            .cast("double")
+            .alias("running_value"),
             F.row_number().over(w).alias("seq"),
         )
         .orderBy("user_id", "seq")
@@ -144,7 +146,7 @@ def rank_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
            {e4_sql('AVG(l_extendedprice)')} AS mean_price_e4,
            {e4_sql('STDDEV_SAMP(l_extendedprice)')} AS std_price_e4,
            {e4_sql('QUANTILE_CONT(l_extendedprice, 0.5)')} AS median_price_e4,
-           ROUND(SUM(l_extendedprice), 2) AS sum_price
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_price
     FROM lineitem
     GROUP BY l_returnflag
     ORDER BY l_returnflag
@@ -167,7 +169,9 @@ def stats_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
             e4(F.avg("l_extendedprice")).alias("mean_price_e4"),
             e4(F.stddev_samp("l_extendedprice")).alias("std_price_e4"),
             e4(F.expr("percentile(l_extendedprice, 0.5)")).alias("median_price_e4"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+            F.round(F.sum(F.col("l_extendedprice").cast("decimal(18,6)")), 2)
+            .cast("double")
+            .alias("sum_price"),
         )
         .orderBy("l_returnflag")
     )
@@ -379,7 +383,7 @@ def asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT band,
            CAST(COUNT(*) AS BIGINT) AS n_lines,
-           ROUND(SUM(l_extendedprice), 2) AS total_price
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_price
     FROM lineitem JOIN bands ON l_quantity >= lo AND l_quantity < hi
     GROUP BY band
     ORDER BY band
@@ -414,7 +418,9 @@ def range_join_binned_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         joined.groupBy("band")
         .agg(
             F.count("*").alias("n_lines"),
-            F.round(F.sum("l_extendedprice"), 2).alias("total_price"),
+            F.round(F.sum(F.col("l_extendedprice").cast("decimal(18,6)")), 2)
+            .cast("double")
+            .alias("total_price"),
         )
         .orderBy("band")
     )
@@ -591,7 +597,7 @@ def cube_census(spark: SparkSession, sf_dir: str) -> DataFrame:
                 WHEN l_extendedprice < q3 THEN 'p50_75'
                 ELSE 'p75_100' END AS bin,
            CAST(COUNT(*) AS BIGINT) AS n,
-           ROUND(SUM(l_extendedprice), 2) AS total
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS total
     FROM lineitem, q
     GROUP BY bin
     ORDER BY bin
@@ -615,7 +621,7 @@ def quantile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
                     WHEN l_extendedprice < q.q3 THEN 'p50_75'
                     ELSE 'p75_100' END AS bin,
                COUNT(*) AS n,
-               ROUND(SUM(l_extendedprice), 2) AS total
+               CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS total
         FROM lineitem_qb,
              LATERAL (SELECT (SELECT struct(
                         percentile(l_extendedprice, 0.25) AS q1,
@@ -676,7 +682,7 @@ def asof_join_events_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT STRFTIME(time_bucket(INTERVAL 1 HOUR, ts), '%Y-%m-%d %H:%M:%S') AS window_start,
            event_type,
            CAST(COUNT(*) AS BIGINT) AS n_events,
-           ROUND(SUM(value), 2) AS total_value
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_value
     FROM events
     WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-05' AND DATE '2024-01-07'
     GROUP BY 1, 2
