@@ -602,8 +602,17 @@ def ivf_pq_topk(
     One implementation with ``pq_topk``: everything except the probe
     prologue lives in ``_pq_adc_topk`` (probe restriction = a bucket
     mask inside the shared scan), so the two paths cannot drift."""
-    # probe sets: query -> nprobe buckets (k-bounded broadcast-side
-    # collect — the pivots table is tiny by contract)
+    # Guard BEFORE any query-scaled collect: the probe-set collect below
+    # is Q*nprobe rows, so an oversized query set must fail here, not
+    # after _pq_adc_topk's own check (which would run post-collect).
+    n_queries = query_df.count()
+    if n_queries > max_queries:
+        raise ValueError(
+            f"ivf_pq_topk collects the query set (probe sets + a Q x m x k "
+            f"ADC LUT tensor) to the driver: got {n_queries} queries > "
+            f"max_queries={max_queries}; shard the query set instead"
+        )
+    # probe sets: query -> nprobe buckets (Q*nprobe rows, now bounded)
     qb_rows = assign_buckets(query_df, pivots, id_col, vec_col, nprobe=nprobe).collect()
     probes: dict[int, set] = {}
     for r in qb_rows:

@@ -85,19 +85,31 @@ def streaming_ingest_verdicts(
         import json
         import os
 
-        from .sketch_fold import _lineage_identity
+        from .sketch_fold import _lineage_identities
 
-        lineage = _lineage_identity(checkpoint_path)
+        # Accept ANY identity of the current lineage and upgrade the
+        # marker to the preferred one (mirrors fold_into_store): a log
+        # first written via a direct foreachBatch-body call is nonce-
+        # bound; when a real StreamingQuery later drives the same
+        # still-live checkpoint, the query-id identity must not be
+        # spuriously refused.
+        identities = _lineage_identities(checkpoint_path)
+        lineage = identities[0]
         marker = os.path.join(out_path, "_lineage.json")
         if os.path.exists(marker):
             bound = json.load(open(marker))["lineage"]
-            if bound != lineage:
+            if bound not in identities:
                 raise ValueError(
                     f"verdict log at {out_path!r} is bound to checkpoint "
                     f"lineage {bound!r}; writing batches from {lineage!r} "
                     "would mix batch-id spaces and leave stale/missing "
                     "rows — use a fresh log"
                 )
+            if bound != lineage:
+                with open(marker, "w") as fh:
+                    json.dump(
+                        {"lineage": lineage, "checkpoint": checkpoint_path}, fh
+                    )
         else:
             os.makedirs(out_path, exist_ok=True)
             with open(marker, "w") as fh:

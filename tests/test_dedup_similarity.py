@@ -411,6 +411,42 @@ class TestScaleSafetyCaps:
         with pytest.raises(ValueError, match="max_queries"):
             topk_pandas(emb, emb, k=3, max_queries=5)
 
+    def test_doc_freq_cap_exprs_are_concurrency_safe(self, spark, sf_small):
+        """Two live cap expressions in one session must each count
+        their OWN corpus: a fixed backing-view name would let the
+        second registration hijack the first expression's scalar
+        subquery (round-5 verdict item 8). Both caps are built before
+        either is evaluated — exactly the collision window."""
+        from data_integration_pipelines_spark.operators.dedup import (
+            relative_doc_freq_cap_expr,
+        )
+
+        docs = load_table(spark, sf_small, "documents")
+        corpus_a = docs.filter(F.col("doc_id") < 5)
+        corpus_b = docs.filter(F.col("doc_id") < 9)
+        cap_a = relative_doc_freq_cap_expr(corpus_a, fraction=1.0, floor=1)
+        cap_b = relative_doc_freq_cap_expr(corpus_b, fraction=1.0, floor=1)
+        got_a = spark.range(1).select(cap_a.alias("cap")).collect()[0]["cap"]
+        got_b = spark.range(1).select(cap_b.alias("cap")).collect()[0]["cap"]
+        assert (got_a, got_b) == (5, 9)
+
+    def test_ivf_pq_guard_fires_before_probe_collect(self, spark, sf_small):
+        """ivf_pq_topk's bounded-Q guard must run BEFORE the Q*nprobe
+        probe-set collect, not only inside _pq_adc_topk (round-5
+        advisory: an oversized query set would do an unbounded driver
+        collect before the loud failure). The top-of-function guard has
+        its own message naming the probe sets."""
+        from data_integration_pipelines_spark.operators.similarity import (
+            fixture_codebooks,
+            ivf_pq_topk,
+        )
+
+        emb = load_table(spark, sf_small, "embeddings")
+        pivots = emb.filter(F.col("vec_id") < 8)
+        cb = fixture_codebooks(emb, m_subvectors=8, k_centroids=16)
+        with pytest.raises(ValueError, match="probe sets"):
+            ivf_pq_topk(emb, emb, pivots, cb, k=3, max_queries=5)
+
     def test_empty_query_set_returns_empty(self, spark, sf_small):
         from data_integration_pipelines_spark.operators.similarity import (
             fixture_codebooks,

@@ -425,6 +425,58 @@ def test_streaming_ingest_verdicts_match_batch(spark, sf_small, tmp_path):
         raise AssertionError("new-lineage fold into an existing log did not fail")
 
 
+def test_streaming_ingest_nonce_bound_log_survives_query_id(spark, sf_small, tmp_path):
+    """A verdict log nonce-bound via a direct foreachBatch-body call
+    must keep accepting batches after a real StreamingQuery drives the
+    SAME still-live checkpoint (Spark writes query-id metadata into the
+    dir — a second identity for the SAME lineage, not a new lineage).
+    Mirrors fold_into_store's any-identity acceptance + in-place marker
+    upgrade; strict single-identity comparison spuriously fail-closed
+    here (round-5 advisory)."""
+    import json
+    import os
+
+    from data_integration_pipelines_spark.streaming.ingest import (
+        read_staged_docs_stream,
+        streaming_ingest_verdicts,
+    )
+    from data_integration_pipelines_spark.streaming.sketch_fold import (
+        _lineage_identities,
+    )
+
+    docs = load_table(spark, sf_small, "documents")
+    corpus = docs.filter(F.col("doc_id") % 10 < 8)
+    batch_new = docs.filter(F.col("doc_id") % 10 >= 8)
+
+    staging = str(tmp_path / "staged")
+    out = str(tmp_path / "verdicts")
+    ckpt = str(tmp_path / "ckpt")
+    batch_new.write.mode("overwrite").parquet(staging)
+
+    # direct-body era: checkpoint has no metadata yet -> nonce identity;
+    # the log is bound under that nonce
+    nonce_id = _lineage_identities(ckpt)[0]
+    assert nonce_id.startswith("nonce:")
+    os.makedirs(out, exist_ok=True)
+    json.dump(
+        {"lineage": nonce_id, "checkpoint": ckpt},
+        open(os.path.join(out, "_lineage.json"), "w"),
+    )
+
+    # a real StreamingQuery now drives the same still-live checkpoint
+    # (Spark writes metadata with a query id) — must NOT be refused
+    q = streaming_ingest_verdicts(
+        read_staged_docs_stream(spark, staging),
+        corpus,
+        out_path=out,
+        checkpoint_path=ckpt,
+    )
+    q.awaitTermination(180)
+    assert spark.read.parquet(out).count() == batch_new.count()
+    rebound = json.load(open(os.path.join(out, "_lineage.json")))
+    assert rebound["lineage"].startswith("query:")  # upgraded in place
+
+
 def test_streaming_cms_replay_is_idempotent(spark, sf_small, tmp_path):
     """At-least-once replay of a micro-batch must not double-count:
     within one checkpoint lineage the store version is keyed on
