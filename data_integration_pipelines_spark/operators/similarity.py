@@ -292,8 +292,36 @@ def pq_train(
     PQ is the billion-vector scale path: vectors compress to m bytes
     (k<=256) instead of 4D, so the scan that scores candidates reads
     ~D*4/m x less data; recall is recovered by exact re-ranking of the
-    ADC top-C (``pq_topk``)."""
+    ADC top-C (``pq_topk``).
+
+    Bounded-collect contract with auto-switch (the ``kmeans_fit``
+    convention): when the sample this path would collect exceeds
+    ``MAX_CENTROID_CELLS`` numbers (``sample_limit * dim``, or
+    ``sample_limit=None`` = train on the full corpus), training routes
+    through :func:`pq_train_distributed` — per-subspace distributed
+    Lloyd's over ``clustering.kmeans_fit``/``kmeans_fit_table`` — and
+    only the finished m*k*(D/m) codebook ever reaches the driver."""
     import numpy as np
+
+    from .clustering import MAX_CENTROID_CELLS
+
+    # regime probe BEFORE the sample collect (kmeans_fit convention):
+    # a big sample_limit — or None, meaning the whole corpus — must
+    # never reach the driver
+    probe = df.select(vec_col).first()
+    if probe is None:
+        raise ValueError("pq_train on an empty DataFrame")
+    dim = len(probe[0])
+    if sample_limit is None or sample_limit * dim > MAX_CENTROID_CELLS:
+        return pq_train_distributed(
+            df,
+            id_col,
+            vec_col,
+            m_subvectors=m_subvectors,
+            k_centroids=k_centroids,
+            iters=iters,
+            sample_limit=sample_limit,
+        )
 
     # Deterministic sample: Spark's bare limit() takes whatever rows
     # arrive first (scan/partition order), but kmeans++ seeding indexes
@@ -329,6 +357,109 @@ def pq_train(
     return np.stack(
         [kmeans(X_all[:, j * sub : (j + 1) * sub]) for j in range(m_subvectors)]
     )
+
+
+def pq_train_distributed(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m_subvectors: int = 8,
+    k_centroids: int = 16,
+    iters: int = 15,
+    sample_limit: int | None = None,
+    checkpoint_dir: str | None = None,
+    use_table: bool | None = None,
+):
+    """Distributed PQ codebook training — the large-sample / large-m*k
+    regime :func:`pq_train`'s driver collect refuses. Each subspace j
+    is a ``slice(vec)`` projection fed to the repo's certified
+    distributed Lloyd's (``clustering.kmeans_fit``): deterministic
+    data-point seeding (centroid c = subvector of the c-th smallest
+    id — the ``fixture_codebooks`` convention), exact integer distance
+    on Q_SCALE-quantized components, identical per-iteration arithmetic
+    whichever backend runs it. Nothing sample-sized reaches the driver;
+    only the finished k x D/m centroid block per subspace (k*D cells
+    total — the codebook itself, which must exist driver-side to
+    broadcast into ``pq_encode``) is collected.
+
+    ``use_table``: None = let ``kmeans_fit`` auto-switch on the
+    k*D cell cap (the default); True = force the checkpointed
+    centroid-TABLE backend (``kmeans_fit_table``); False = force the
+    driver-loop backend. Both backends share a pinned fixed point, so
+    the trained codebooks are identical either way (tested).
+
+    Codebook values are the quantized-integer centroids mapped back to
+    floats (``cval / (C_SCALE * Q_SCALE)``) — bit-identical across
+    backends because the integers are.
+
+    vs ``pq_train``'s kmeans++ sample path: seeding is data-point
+    deterministic rather than D^2-weighted, which costs a little
+    codebook quality at equal k but removes every RNG and every
+    sample-sized collect; the exact re-rank in ``pq_topk`` recovers
+    ranking quality (recall pinned by test)."""
+    import numpy as np
+
+    from .clustering import C_SCALE, Q_SCALE, kmeans_fit, kmeans_fit_table
+
+    probe = df.select(vec_col).first()
+    if probe is None:
+        raise ValueError("pq_train_distributed on an empty DataFrame")
+    dim = len(probe[0])
+    if dim % m_subvectors != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m_subvectors}")
+    sub = dim // m_subvectors
+
+    src = df.select(F.col(id_col).alias("__pid"), F.col(vec_col).alias("__pvec"))
+    if sample_limit is not None:
+        # deterministic sample as a DATAFRAME (no collect): global
+        # top-k by id via TakeOrderedAndProject, same rows the driver
+        # path would train on
+        src = src.orderBy("__pid").limit(sample_limit)
+
+    denom = float(C_SCALE * Q_SCALE)
+    books = []
+    for j in range(m_subvectors):
+        sub_df = src.select(
+            "__pid", F.slice("__pvec", j * sub + 1, sub).alias("__pvec")
+        )
+        if use_table is True:
+            _, cent = kmeans_fit_table(
+                sub_df, "__pid", "__pvec", k_centroids, iters,
+                checkpoint_dir=checkpoint_dir, reseed_empty=False,
+            )
+            cent_rows = [
+                (int(r["cluster"]), int(r["pos"]), int(r["cval"]))
+                for r in cent.collect()
+            ]
+        else:
+            _, cents = kmeans_fit(
+                sub_df, "__pid", "__pvec", k_centroids, iters,
+                checkpoint_dir=checkpoint_dir,
+            )
+            if isinstance(cents, DataFrame):  # auto-switched to table
+                cent_rows = [
+                    (int(r["cluster"]), int(r["pos"]), int(r["cval"]))
+                    for r in cents.collect()
+                ]
+            else:
+                cent_rows = [
+                    (int(cid), p, int(v))
+                    for cid, comps in cents
+                    for p, v in enumerate(comps)
+                ]
+        cids = sorted({c for c, _, _ in cent_rows})
+        if len(cids) != k_centroids:
+            raise ValueError(
+                f"subspace {j}: {len(cids)} surviving centroids != "
+                f"k={k_centroids} (empty-cluster drop-out); lower k or "
+                "train via kmeans_fit_table(reseed_empty=True)"
+            )
+        block = np.zeros((k_centroids, sub), dtype=np.float64)
+        cidx = {c: i for i, c in enumerate(cids)}
+        for c, p, v in cent_rows:
+            block[cidx[c], p] = v / denom
+        books.append(block)
+    return np.stack(books)
 
 
 def fixture_codebooks(

@@ -577,6 +577,53 @@ class TestProductQuantization:
         ) / len(exact)
         assert recall >= 0.8, f"PQ recall {recall:.2f}"
 
+    def test_pq_train_distributed_table_equals_driver_loop(self, spark, sf_small):
+        """The distributed PQ trainer must produce BIT-IDENTICAL
+        codebooks whichever Lloyd's backend runs each subspace fit —
+        the kmeans_fit == kmeans_fit_table fixed-point guarantee lifted
+        to the PQ level (round-5 verdict task 2)."""
+        import numpy as np
+
+        from data_integration_pipelines_spark.operators.similarity import (
+            pq_train_distributed,
+        )
+
+        emb = load_table(spark, sf_small, "embeddings")
+        a = pq_train_distributed(emb, m_subvectors=8, k_centroids=8, iters=2)
+        b = pq_train_distributed(
+            emb, m_subvectors=8, k_centroids=8, iters=2, use_table=True
+        )
+        assert a.shape == b.shape == (8, 8, 8)
+        assert np.array_equal(a, b)
+
+    def test_pq_train_routes_large_samples_through_distributed(
+        self, spark, sf_small, monkeypatch
+    ):
+        """pq_train must never collect a sample above MAX_CENTROID_CELLS
+        numbers: above the cap (or with sample_limit=None = full-corpus
+        training) it routes through pq_train_distributed and returns
+        that trainer's codebooks exactly."""
+        import numpy as np
+
+        from data_integration_pipelines_spark.operators import clustering
+        from data_integration_pipelines_spark.operators.similarity import (
+            pq_train,
+            pq_train_distributed,
+        )
+
+        emb = load_table(spark, sf_small, "embeddings")
+        want = pq_train_distributed(emb, m_subvectors=8, k_centroids=8, iters=2)
+        # sample_limit=None: full-corpus training, always distributed
+        got = pq_train(emb, m_subvectors=8, k_centroids=8, iters=2, sample_limit=None)
+        assert np.array_equal(got, want)
+        # an over-cap sample_limit routes the same way (cap shrunk so
+        # the fixture crosses it)
+        monkeypatch.setattr(clustering, "MAX_CENTROID_CELLS", 100)
+        got2 = pq_train(
+            emb, m_subvectors=8, k_centroids=8, iters=2, sample_limit=10_000
+        )
+        assert np.array_equal(got2, want)
+
     def test_pq_codes_compress(self, spark, sf_small):
         from data_integration_pipelines_spark.operators.similarity import (
             pq_encode,
