@@ -56,38 +56,19 @@ def z_value(col_a: Column, col_b: Column, bits: int = 16) -> Column:
     return z_value_n([col_a, col_b], bits)
 
 
-def write_zordered(
-    df: DataFrame,
-    path: str,
-    *cols: str,
-    n_files: int = 8,
-    bits: int = 10,
-    tie_breaker: str | None = None,
-) -> None:
-    """Write ``df`` as ``n_files`` parquet files clustered on the
-    Morton curve of ``cols`` (2 or more clustering keys).
+#: row count above which ``method="auto"`` switches from the exact
+#: ntile ranking (one global-window sort per key) to approx-quantile
+#: bucketing (no global window anywhere in the plan)
+ZORDER_AUTO_THRESHOLD = 10_000_000
 
-    Keys are rank-normalized into [0, 2^bits) with ``ntile`` before
-    interleaving, so arbitrary numeric/temporal domains and skewed
-    distributions still spread evenly along the curve. One shuffle
-    (the range repartition); the z column is dropped before writing.
 
-    Each ntile window carries a STABLE tie-break — the remaining
-    clustering keys, then ``tie_breaker`` (pass a unique id column
-    when rows can collide on every clustering key): ``Window.orderBy``
-    on a non-unique key alone gives partition-order-dependent ranks,
-    and the produced file layout / ``zorder_stats`` fractions would
-    vary run to run — off-tone for an engine whose contract is
-    determinism everywhere else.
-
-    Scale note: ntile needs a total order per key — computed with a
-    single window over the key only (no partitioning), which is a
-    sort, not a collect; for petabyte inputs swap in approx quantile
-    bucketing (``F.ntile`` -> precomputed range bounds) with the same
-    downstream layout.
-    """
-    if len(cols) < 2:
-        raise ValueError("z-ordering needs at least 2 clustering keys")
+def _zordered_ntile(
+    df: DataFrame, cols: tuple[str, ...], bits: int, tie_breaker: str | None
+) -> DataFrame:
+    """Exact rank-normalization: ntile over one unpartitioned window
+    per key (a distributed sort, not a collect — but every row passes
+    through a single task per window, so this is the SMALL-table
+    path)."""
     n_buckets = 1 << bits
     with_z = df
     rank_cols = []
@@ -100,13 +81,160 @@ def write_zordered(
             rc, F.ntile(n_buckets).over(Window.orderBy(*order)) - 1
         )
         rank_cols.append(rc)
-    with_z = with_z.withColumn(
+    return with_z.withColumn(
         "__z", z_value_n([F.col(rc) for rc in rank_cols], bits)
     ).drop(*rank_cols)
-    (
+
+
+def _zordered_quantile(
+    df: DataFrame, cols: tuple[str, ...], bits: int, relative_error: float
+) -> DataFrame:
+    """Scale path: rank-normalize via PRECOMPUTED approx-quantile range
+    bounds instead of a global window. One Greenwald-Khanna sketch pass
+    over the keys (``approxQuantile`` — mergeable map-side partials,
+    ~(1/relative_error) numbers per key to the driver, never rows),
+    then each row binary-searches its 2^bits bucket bounds JVM-side
+    (``pyspark.ml.feature.Bucketizer``). NO single-partition stage
+    anywhere: the only wide exchange in the plan is the final z-value
+    range repartition, identical to the ntile path's output shuffle.
+
+    Equal key values always land in the same bucket, so the layout is
+    deterministic given the computed bounds; the bounds themselves are
+    the sketch's — re-running on a differently-partitioned copy of the
+    same rows may shift a bucket boundary by up to ``relative_error``
+    of the rank range (layout-only drift; file contents never depend
+    on it). Keys are sketched as doubles — integer keys above 2^53
+    quantize (fine for bucketing: neighboring ids belong in the same
+    bucket anyway)."""
+    from pyspark.ml.feature import Bucketizer
+
+    n_buckets = 1 << bits
+    probs = [i / n_buckets for i in range(n_buckets + 1)]
+    as_double = df.select(
+        *[F.col(c).cast("double").alias(f"__d{i}") for i, c in enumerate(cols)]
+    )
+    all_bounds = as_double.stat.approxQuantile(
+        [f"__d{i}" for i in range(len(cols))], probs, relative_error
+    )
+
+    splits_array = []
+    for bounds in all_bounds:
+        finite = sorted({b for b in bounds if b == b})  # drop NaN, dedup
+        splits = [float("-inf"), *finite, float("inf")]
+        if len(splits) < 3:  # all-null key: one catch-all bucket pair
+            splits = [float("-inf"), 0.0, float("inf")]
+        splits_array.append(splits)
+
+    in_cols = [f"__q{i}" for i in range(len(cols))]
+    out_cols = [f"__b{i}" for i in range(len(cols))]
+    staged = df.select(
+        "*", *[F.col(c).cast("double").alias(ic) for c, ic in zip(cols, in_cols)]
+    )
+    bucketizer = Bucketizer(
+        inputCols=in_cols,
+        outputCols=out_cols,
+        splitsArray=splits_array,
+        handleInvalid="keep",  # null/NaN -> extra top bucket, clamped below
+    )
+    bucketed = bucketizer.transform(staged)
+    # Re-scale each key's bucket index onto the FULL [0, 2^bits) range:
+    # a low-cardinality key dedups to far fewer than 2^bits splits, and
+    # left as-is its index would occupy only the LOW interleave bits —
+    # the other key's high bits would then totally order the curve and
+    # that dimension would go unpruned (observed: a 15-user key left
+    # every file spanning 100% of users). floor(b * 2^bits / nb) spreads
+    # nb real buckets across the high bits instead. The handleInvalid
+    # bucket (one past the last interval) is clamped into the top real
+    # bucket first.
+    rank_cols = []
+    for bc, splits in zip(out_cols, splits_array):
+        nb = len(splits) - 1
+        clamped = F.least(F.col(bc).cast("long"), F.lit(nb - 1))
+        rank_cols.append(
+            F.floor(clamped * F.lit(n_buckets) / F.lit(nb)).cast("long")
+        )
+    return bucketed.withColumn("__z", z_value_n(rank_cols, bits)).drop(
+        *in_cols, *out_cols
+    )
+
+
+def zordered_df(
+    df: DataFrame,
+    *cols: str,
+    n_files: int = 8,
+    bits: int = 10,
+    tie_breaker: str | None = None,
+    method: str = "auto",
+    relative_error: float = 0.001,
+) -> DataFrame:
+    """The z-ordered layout as a DataFrame (rows clustered into
+    ``n_files`` range partitions sorted by the Morton value, z column
+    dropped) — ``write_zordered`` minus the write, exposed so plans
+    and tests can inspect the physical shape.
+
+    ``method``: ``"ntile"`` = exact per-key rank via one global window
+    per key; ``"quantile"`` = precomputed approx-quantile bounds +
+    JVM-side bucket search, no global window in the plan (the petabyte
+    path — an unpartitioned ntile window funnels every row through ONE
+    task per key, which at 100 TB is the whole job serialized);
+    ``"auto"`` (default) = ntile below ``ZORDER_AUTO_THRESHOLD`` rows,
+    quantile above (one metadata-cheap count decides)."""
+    if len(cols) < 2:
+        raise ValueError("z-ordering needs at least 2 clustering keys")
+    if method not in ("auto", "ntile", "quantile"):
+        raise ValueError(f"unknown z-order method {method!r}")
+    if method == "auto":
+        method = "quantile" if df.count() > ZORDER_AUTO_THRESHOLD else "ntile"
+    if method == "ntile":
+        with_z = _zordered_ntile(df, cols, bits, tie_breaker)
+    else:
+        with_z = _zordered_quantile(df, cols, bits, relative_error)
+    return (
         with_z.repartitionByRange(n_files, "__z")
         .sortWithinPartitions("__z")
         .drop("__z")
+    )
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    *cols: str,
+    n_files: int = 8,
+    bits: int = 10,
+    tie_breaker: str | None = None,
+    method: str = "auto",
+    relative_error: float = 0.001,
+) -> None:
+    """Write ``df`` as ``n_files`` parquet files clustered on the
+    Morton curve of ``cols`` (2 or more clustering keys).
+
+    Keys are rank-normalized into [0, 2^bits) before interleaving, so
+    arbitrary numeric/temporal domains and skewed distributions still
+    spread evenly along the curve. See :func:`zordered_df` for the
+    ``method`` knob: exact ``ntile`` ranking (small tables) vs
+    approx-quantile bucketing (no global window — the petabyte path),
+    auto-switched on a row-count threshold by default.
+
+    On the ntile path each window carries a STABLE tie-break — the
+    remaining clustering keys, then ``tie_breaker`` (pass a unique id
+    column when rows can collide on every clustering key):
+    ``Window.orderBy`` on a non-unique key alone gives
+    partition-order-dependent ranks, and the produced file layout /
+    ``zorder_stats`` fractions would vary run to run — off-tone for an
+    engine whose contract is determinism everywhere else. (The
+    quantile path needs no tie-break: equal values share a bucket by
+    construction.)"""
+    (
+        zordered_df(
+            df,
+            *cols,
+            n_files=n_files,
+            bits=bits,
+            tie_breaker=tie_breaker,
+            method=method,
+            relative_error=relative_error,
+        )
         .write.mode("overwrite")
         .parquet(path)
     )
