@@ -240,6 +240,7 @@ def ivf_topk(
     vec_col: str = "embedding",
     k: int = 5,
     nprobe: int = 1,
+    broadcast_queries: bool = True,
 ) -> DataFrame:
     """ANN: search only the query's ``nprobe`` nearest coarse buckets.
     Returns (query_id, neighbor_id, cosine, rank).
@@ -252,7 +253,17 @@ def ivf_topk(
     expression per candidate, no position explode, no per-pair
     aggregation shuffle. Multi-probe (nprobe > 1) buys recall for a
     proportional candidate increase (same trade as IVF nprobe in Faiss
-    or multi-probe LSH, Lv et al. VLDB'07)."""
+    or multi-probe LSH, Lv et al. VLDB'07).
+
+    ``broadcast_queries``: True (default — serving-sized query sets)
+    hints the query side broadcast so the corpus never shuffles for the
+    candidate join; False (batch-inference-sized query sets, see
+    :func:`topk_join`) leaves both sides unhinted — the candidate join
+    becomes a plain bucket-keyed shuffle hash join and AQE sides it,
+    so a query set far beyond broadcast limits still never collects or
+    OOMs an executor. Results are identical either way (hints are
+    physical)."""
+    maybe_b = F.broadcast if broadcast_queries else (lambda d: d)
     cb = assign_buckets(df, pivots, id_col, vec_col).select(
         F.col("id").alias("corpus_id"), "bucket"
     )
@@ -264,11 +275,44 @@ def ivf_topk(
     ).join(cb, "corpus_id")
     queries = query_df.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qvec")
-    ).join(F.broadcast(qb), "query_id")
-    cand = corpus.join(F.broadcast(queries), "bucket").filter(
+    ).join(maybe_b(qb), "query_id")
+    cand = corpus.join(maybe_b(queries), "bucket").filter(
         F.col("query_id") != F.col("corpus_id")
     )
     return _score_rank_candidates(cand, "__qvec", "__cvec", k)
+
+
+def topk_join(
+    df: DataFrame,
+    query_df: DataFrame,
+    pivots: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    nprobe: int = 1,
+) -> DataFrame:
+    """Bulk ANN for batch-inference-sized query sets — the collect-free
+    twin of the serving paths (``topk_pandas``/``pq_topk``/
+    ``ivf_pq_topk`` collect the query set under the bounded-Q
+    contract; this path has NO such bound because nothing query-sized
+    ever reaches the driver). The query set stays a DataFrame
+    end-to-end: queries and corpus meet through the IVF bucket key
+    (``ivf_topk``'s join shape) as an unhinted shuffle hash join, so a
+    10^8-row query table is just another fact side. Use this to
+    nearest-neighbor a whole corpus against a whole corpus (kNN graph
+    construction, full-dataset retrieval augmentation); use the
+    collect paths for online serving batches.
+
+    Identical results to ``ivf_topk`` with the same (pivots, nprobe) —
+    pinned by test and by the shared oracle row; with
+    nprobe = n_pivots it degrades to exact brute force (every cell
+    probed). For exact bulk scoring without a pivot table, use
+    ``brute_force_topk`` (position-join formulation — also
+    collect-free)."""
+    return ivf_topk(
+        df, query_df, pivots, id_col, vec_col, k, nprobe,
+        broadcast_queries=False,
+    )
 
 
 def pq_train(

@@ -20,14 +20,29 @@ from . import queries_window  # noqa: E402,F401
 
 # Registry order == the order the driver's time-budgeted CORRECTNESS
 # sweep visits queries (it stops when its budget runs out, ~50 entries
-# in rounds 1-2). Order by VERIFICATION RISK, not by module. Round-5
-# head: the r4 red row first, then the six queries the driver has
-# never sampled, then every query whose OUTPUT SCHEMA changed this
-# round (rounded-double columns re-emitted as quantized BIGINTs —
-# functions/quantize.py) and therefore needs a fresh green row; the
-# long-stable tail keeps its prior order.
+# in rounds 1-2). Order by VERIFICATION RISK, not by module. Round-6
+# head: every query whose OUTPUT was rebuilt this round (the
+# quantized-sum back-port — money sums re-emitted through exact
+# DECIMAL(18,6), pricing_summary's averages as basis-point BIGINTs,
+# upsert_classify's compared value as cent BIGINTs) plus the queries
+# NEW in r6, so each gets a fresh green driver row; the long-stable
+# tail keeps its prior (r5) order.
 _RISK_ORDER = [
     "pricing_summary",
+    "upsert_classify",
+    "two_hop_follow",
+    "two_hop_follow_bucketed",
+    "cross_bucket_rollup",
+    "join_enrich",
+    "census_rollup",
+    "salted_aggregation",
+    "windowed_event_counts",
+    "windowed_counts_pruned",
+    "running_total",
+    "stats_battery",
+    "range_join_binned",
+    "quantile_bins",
+    "ann_topk_join_bulk",
     "quality_classifier_score",
     "ann_topk_incremental",
     "incremental_agg_retract",
@@ -47,7 +62,6 @@ _RISK_ORDER = [
     "weighted_sample",
     "repetition_score",
     "tokenizer_fertility",
-    "stats_battery",
     "approx_quantile_check",
     "json_extract",
     "substring_heuristics",
@@ -96,8 +110,6 @@ _RISK_ORDER = [
     "png_decode_features",
     "jwt_decode",
     "part_of_expansion",
-    "two_hop_follow",
-    "two_hop_follow_bucketed",
     "relationship_assign",
     "anti_join_orphans",
     "shipping_priority",
@@ -117,12 +129,8 @@ _RISK_ORDER = [
     "voxel_region_histogram",
     "asof_join_events",
     "asof_join_events_chunked",
-    "range_join_binned",
     "session_stats",
     "session_window_counts",
-    "windowed_event_counts",
-    "windowed_counts_pruned",
-    "running_total",
     "lag_lead_deltas",
     "rank_battery",
     "value_histogram",
@@ -132,7 +140,6 @@ _RISK_ORDER = [
     "event_funnel",
     "pivot_event_matrix",
     "cube_census",
-    "quantile_bins",
     "bm25_search",
     "duplicated_span_fraction",
     "mixture_temperature",
@@ -159,7 +166,6 @@ _RISK_ORDER = [
     "hierarchy_closure",
     "closure_descendant_counts",
     "sibling_pairs",
-    "upsert_classify",
     "completeness_check",
     "keep_latest",
     "keep_latest_salted",
@@ -167,13 +173,9 @@ _RISK_ORDER = [
     "link_integrity",
     "set_discrepancy",
     "union_distinct",
-    "join_enrich",
     "exists_filter",
     "optional_bound",
     "approx_distinct_check",
-    "salted_aggregation",
-    "census_rollup",
-    "cross_bucket_rollup",
     "type_census",
     "census_filtered",
     "bool_folds",

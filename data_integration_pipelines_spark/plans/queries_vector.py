@@ -841,6 +841,28 @@ def ann_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ann_topk_join_bulk",
+    REGISTRY["ann_ivf"].oracle,
+    doc="Bulk ANN with the query set staying a DATAFRAME end-to-end "
+    "(operators/similarity.topk_join): the IVF bucket-keyed candidate "
+    "join with no broadcast hint and no driver collect anywhere — the "
+    "batch-inference path for query sets beyond the bounded-Q serving "
+    "contract (kNN graph construction, corpus-vs-corpus retrieval). "
+    "Semantics identical to ann_ivf (same pivots, same tie-breaks), so "
+    "it shares that query's oracle verbatim; the no-collect property "
+    "is pinned by tests/test_dedup_similarity.py (DataFrame.collect/"
+    "count/take/first monkeypatched to fail during plan construction).",
+)
+def ann_topk_join_bulk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import topk_join
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pivots = emb.filter(F.col("vec_id") < 8)
+    queries = emb.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 105))
+    return topk_join(emb, queries, pivots, k=5).orderBy("query_id", "rank")
+
+
+@register(
     "ann_ivf_pq",
     f"""
     WITH {_LONG_CTE},

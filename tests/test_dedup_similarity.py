@@ -411,6 +411,40 @@ class TestScaleSafetyCaps:
         with pytest.raises(ValueError, match="max_queries"):
             topk_pandas(emb, emb, k=3, max_queries=5)
 
+    def test_topk_join_bulk_path_never_collects(self, spark, sf_small, monkeypatch):
+        """topk_join is the batch-inference ANN path: the query set
+        stays a DataFrame end-to-end, so building the plan must run NO
+        driver action at all (collect/count/take/first all trapped).
+        Results must equal ivf_topk with the same pivots/nprobe —
+        broadcast hints are physical, never semantic."""
+        from pyspark.sql import DataFrame as _DF
+
+        from data_integration_pipelines_spark.operators.similarity import (
+            ivf_topk,
+            topk_join,
+        )
+
+        emb = load_table(spark, sf_small, "embeddings")
+        pivots = emb.filter(F.col("vec_id") < 8)
+        queries = emb.filter(F.col("vec_id") < 50)
+
+        def _boom(name):
+            def fail(self, *a, **kw):
+                raise AssertionError(f"driver action {name}() in bulk ANN path")
+            return fail
+
+        with monkeypatch.context() as m:
+            for action in ("collect", "count", "take", "first", "toPandas"):
+                m.setattr(_DF, action, _boom(action))
+            out = topk_join(emb, queries, pivots, k=5, nprobe=2)
+        assert isinstance(out, _DF)
+
+        got = {(r.query_id, r.rank): (r.neighbor_id, r.cosine_e4)
+               for r in out.collect()}
+        want = {(r.query_id, r.rank): (r.neighbor_id, r.cosine_e4)
+                for r in ivf_topk(emb, queries, pivots, k=5, nprobe=2).collect()}
+        assert got == want and len(want) >= 200
+
     def test_doc_freq_cap_exprs_are_concurrency_safe(self, spark, sf_small):
         """Two live cap expressions in one session must each count
         their OWN corpus: a fixed backing-view name would let the

@@ -12,63 +12,29 @@ from __future__ import annotations
 from data_integration_pipelines_spark.plans import _RISK_ORDER, REGISTRY
 
 # Every query needing a fresh GREEN driver CORRECTNESS row after round
-# 4: the six queries the driver has never sampled, the one red row of
-# r4 (quality_classifier_score, float-hash — output rebuilt as scaled
-# BIGINTs in r5), and every query whose output schema was quantized in
-# r5 (rounded-double columns re-emitted as *_e4/_e6/_x10 BIGINTs), so
-# the old green rows no longer attest the current output.
+# 5: queries whose OUTPUT was rebuilt by the round-6 quantized-sum
+# back-port (money sums now emitted through exact DECIMAL(18,6);
+# pricing_summary's averages became *_e4 BIGINT columns;
+# upsert_classify's compared value became cent BIGINTs — old green
+# rows no longer attest the current output), plus queries new in r6.
 _NEVER_DRIVER_VERIFIED = {
-    # never sampled r1-r4
-    "ann_topk_incremental",
-    "incremental_agg_retract",
-    "incremental_join",
-    "incremental_join_retract",
-    "sequence_funnel",
-    "table_profile",
-    # red in r4
-    "quality_classifier_score",
-    # output schema quantized in r5
-    "semdedup_pairs",
-    "semdedup_survivors",
-    "cluster_purity",
-    "incremental_ingest_dedup",
-    "corpus_card",
-    "text_quality",
-    "ngram_jaccard_pairs",
-    "tfidf_top_terms",
-    "weighted_sample",
-    "repetition_score",
-    "tokenizer_fertility",
+    # output rebuilt in r6 (quantized-sum back-port)
+    "pricing_summary",
+    "upsert_classify",
+    "two_hop_follow",
+    "two_hop_follow_bucketed",
+    "cross_bucket_rollup",
+    "join_enrich",
+    "census_rollup",
+    "salted_aggregation",
+    "windowed_event_counts",
+    "windowed_counts_pruned",
+    "running_total",
     "stats_battery",
-    "approx_quantile_check",
-    "json_extract",
-    "substring_heuristics",
-    "numeric_functions",
-    "national_market_share",
-    "morphology_battery",
-    "asc_morphology_battery",
-    "h5_morphology_battery",
-    "conversion_roundtrip_battery",
-    "morphology_tree_metrics",
-    "ann_bruteforce",
-    "ann_ivf",
-    "ann_ivf_multiprobe",
-    "ann_pq",
-    "ann_ivf_persisted",
-    "embedding_near_dup",
-    "embedding_near_dup_multiprobe",
-    "embedding_dup_clusters",
-    "embedding_outliers",
-    "knn_classify",
-    "hybrid_search_rrf",
-    # new in r5
-    "jpeg_native_decode",
-    "wav_native_audio",
-    "kmeans_clusters_table",
-    "ann_ivf_pq",
-    "dedup_consensus",
-    "domain_reweight",
-    "drift_psi",
+    "range_join_binned",
+    "quantile_bins",
+    # new in r6
+    "ann_topk_join_bulk",
 }
 
 
