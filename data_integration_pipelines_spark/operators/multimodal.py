@@ -396,8 +396,11 @@ def extract_audio_features(
     Decode order mirrors the image side: 16-bit PCM WAV parses NATIVELY
     (``wav_lite`` — a chunk walk, no codec, works everywhere; RMS over
     the first channel from an exact int64 sum of squares, one divide,
-    one sqrt — no float summation order), then soundfile where
-    importable (other formats / non-16-bit WAV). A payload carrying a
+    one sqrt — no float summation order), FLAC decodes NATIVELY
+    (``flac_lite`` — constant/verbatim/fixed/LPC subframes, Rice
+    residuals, stereo decorrelation, CRC-verified; lossless, so the
+    same exact-int64 RMS applies), then soundfile where importable
+    (remaining formats / exotic bit depths). A payload carrying a
     RECOGNIZED audio magic that cannot be decoded (no soundfile,
     corrupt body, or ``deterministic=True``) yields an honest failure
     — ``decoded=False`` with null rate/samples/rms — never the byte
@@ -441,6 +444,32 @@ def extract_audio_features(
                         sumsq = int(np.sum(first.astype(np.int64) ** 2))
                         rms = (
                             math.sqrt(sumsq / (nf * 32768.0 * 32768.0))
+                            if nf
+                            else 0.0
+                        )
+                        result = (int(rate), nf, rms, True)
+                    except Exception:
+                        result = None  # -> soundfile, then honest failure
+                if fmt == "flac" and result is None and not deterministic:
+                    import math
+
+                    import numpy as np
+
+                    from .flac_lite import decode_flac, stream_info
+
+                    try:
+                        scale = float(1 << (stream_info(c)["bits_per_sample"] - 1))
+                        rate, samples = decode_flac(c)
+                        first = samples[:, 0]
+                        nf = int(first.shape[0])
+                        # same exact-int64 RMS convention as the WAV
+                        # path (normalized by 2^(bps-1), soundfile's
+                        # convention); FLAC is lossless so the samples
+                        # are bit-equal to the encoder's input and the
+                        # oracle recomputes this from the source train
+                        sumsq = int(np.sum(first.astype(np.int64) ** 2))
+                        rms = (
+                            math.sqrt(sumsq / (nf * scale * scale))
                             if nf
                             else 0.0
                         )

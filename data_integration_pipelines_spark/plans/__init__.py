@@ -43,6 +43,7 @@ _RISK_ORDER = [
     "range_join_binned",
     "quantile_bins",
     "ann_topk_join_bulk",
+    "flac_native_audio",
     "quality_classifier_score",
     "ann_topk_incremental",
     "incremental_agg_retract",

@@ -246,6 +246,78 @@ def wav_native_audio_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "flac_native_audio",
+    f"""
+    WITH s AS (
+        SELECT doc_id AS id,
+               CAST(8000 + (doc_id % 4) * 8000 AS INT) AS rate,
+               list_transform(range(0, 96),
+                   k -> (doc_id * 257 + k * k * 31) % 65536 - 32768) AS samples
+        FROM documents WHERE doc_id < 150
+    )
+    SELECT id,
+           rate AS sample_rate,
+           CAST(96 AS INT) AS n_samples,
+           {e4_sql('SQRT(list_sum(list_transform(samples, x -> CAST(x*x AS DOUBLE)))'
+                   ' / (96 * 32768.0 * 32768.0))')} AS rms_e4,
+           TRUE AS decoded,
+           'flac' AS format
+    FROM s
+    ORDER BY id
+    """,
+    doc="REAL FLAC decode, fully oracle-certified (the wav_native_audio "
+    "pattern lifted to a COMPRESSED lossless codec): per-doc int16 "
+    "sample trains encode to spec-conforming FLAC bytes (operators/"
+    "flac_lite — fixed-predictor + Rice frames, CRC-8/16, STREAMINFO "
+    "MD5) and decode back through extract_audio_features' native FLAC "
+    "path. Losslessness means the oracle recomputes rate, frame count "
+    "and exact-int64 RMS from the ORIGINAL samples — the decoder's "
+    "prediction/Rice/CRC machinery must reproduce every input bit to "
+    "hash-match. Quadratic phase in the train defeats the order-1/2 "
+    "predictors on some blocks, so frames mix FIXED and VERBATIM "
+    "subframes. LPC/mid-side/rice2/partitioned-residual decode paths "
+    "(which this encoder never emits) are pinned by hand-assembled "
+    "spec frames in tests/test_multimodal.py; soundfile cross-parity "
+    "under @realdeps.",
+)
+def flac_native_audio_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    from ..functions.quantize import e4
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
+    seeds = docs.select(
+        F.col("doc_id").alias("id"),
+        (8000 + (F.col("doc_id") % 4) * 8000).cast("int").alias("rate"),
+    )
+
+    def encode(batches):
+        import numpy as np
+
+        from ..operators.flac_lite import encode_flac
+
+        for pdf in batches:
+            out_id, out_flac = [], []
+            for i, rt in zip(pdf["id"], pdf["rate"]):
+                k = np.arange(96, dtype=np.int64)
+                s = ((int(i) * 257 + k * k * 31) % 65536 - 32768).astype(np.int16)
+                out_id.append(int(i))
+                out_flac.append(bytearray(encode_flac(s, int(rt), block_size=32)))
+            yield pd.DataFrame({"id": out_id, "content": out_flac})
+
+    encoded = seeds.mapInPandas(encode, schema="id bigint, content binary")
+    feats = extract_audio_features(encoded)
+    return feats.select(
+        "id",
+        "sample_rate",
+        "n_samples",
+        e4(F.col("rms")).alias("rms_e4"),
+        "decoded",
+        "format",
+    ).orderBy("id")
+
+
+@register(
     "image_decode_features",
     _ASSET_CTE.format(limit=200)
     + f"""

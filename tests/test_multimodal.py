@@ -420,3 +420,304 @@ class TestWavLite:
                 pass
 
         run()
+
+
+class TestFlacLite:
+    """operators/flac_lite.py — native FLAC codec. Roundtrips pin the
+    encoder's subset (constant/fixed+rice/verbatim); hand-assembled
+    spec frames pin the decoder paths real encoders emit but ours
+    doesn't (LPC, stereo decorrelation, rice2, partitioned/escaped
+    residuals, wasted bits); corruption must raise, never mis-decode."""
+
+    # -- helpers: build spec-conforming streams bit by bit ---------------
+
+    @staticmethod
+    def _streaminfo(block_size, rate, n_ch, bps, total, md5=b"\x00" * 16):
+        import struct
+
+        si = struct.pack(">HH", block_size, block_size) + b"\x00" * 6
+        packed = (rate << 44) | ((n_ch - 1) << 41) | ((bps - 1) << 36) | total
+        si += packed.to_bytes(8, "big") + md5
+        return b"fLaC" + bytes([0x80]) + struct.pack(">I", 34)[1:] + si
+
+    @staticmethod
+    def _frame(body_fn, ch_code, block_size, bps_code=4):
+        import struct
+
+        from data_integration_pipelines_spark.operators.flac_lite import (
+            _BitWriter,
+            crc8,
+            crc16,
+        )
+
+        w = _BitWriter()
+        w.write(0x3FFE, 14)
+        w.write(0, 1)
+        w.write(0, 1)  # fixed blocking
+        w.write(7, 4)  # block size: 16-bit value-1 follows
+        w.write(0, 4)  # rate from STREAMINFO
+        w.write(ch_code, 4)
+        w.write(bps_code, 3)
+        w.write(0, 1)
+        w.write(0, 8)  # frame number 0
+        w.write(block_size - 1, 16)
+        w.align()
+        header = w.getvalue()
+        w2 = _BitWriter()
+        body_fn(w2)
+        w2.align()
+        frame = header + bytes([crc8(header)]) + w2.getvalue()
+        return frame + struct.pack(">H", crc16(frame))
+
+    # -- roundtrips ------------------------------------------------------
+
+    def test_roundtrip_battery(self):
+        import numpy as np
+
+        from data_integration_pipelines_spark.operators.flac_lite import (
+            decode_flac,
+            encode_flac,
+            stream_info,
+        )
+
+        rng = np.random.RandomState(3)
+        signals = {
+            "ramp": (np.arange(5000) % 7000 - 3500).astype(np.int16),
+            "const": np.full(300, -123, np.int16),
+            "noise": rng.randint(-32768, 32768, 5000).astype(np.int16),
+            "sine": (3000 * np.sin(np.arange(10000) / 20.0)).astype(np.int16),
+            "tiny": np.arange(1, 17, dtype=np.int16),
+        }
+        for name, s in signals.items():
+            data = encode_flac(s, 44100)
+            rate, out = decode_flac(data)
+            assert rate == 44100, name
+            np.testing.assert_array_equal(out[:, 0], s.astype(np.int32))
+        # smooth signals must actually COMPRESS (fixed predictors live)
+        assert len(encode_flac(signals["ramp"], 44100)) < 2 * 5000 // 4
+        # multi-frame stereo with a partial last block
+        st = np.stack(
+            [np.arange(9000) % 500 - 250, rng.randint(-100, 100, 9000)], axis=1
+        ).astype(np.int16)
+        data = encode_flac(st, 16000, block_size=1024)
+        rate, out = decode_flac(data)
+        assert rate == 16000 and out.shape == (9000, 2)
+        np.testing.assert_array_equal(out, st.astype(np.int32))
+        info = stream_info(data)
+        assert (info["n_channels"], info["total_samples"]) == (2, 9000)
+
+    # -- hand-assembled decoder-only paths -------------------------------
+
+    def test_lpc_subframe_decodes(self):
+        import numpy as np
+
+        from data_integration_pipelines_spark.operators.flac_lite import (
+            decode_flac,
+        )
+
+        # x[i] = r[i] + ((2*x[i-1] - 1*x[i-2]) >> 0): warmup 10,20 with
+        # zero residuals -> arithmetic ramp 10,20,...,160
+        def body(w):
+            w.write(0, 1)
+            w.write(32 | (2 - 1), 6)  # LPC order 2
+            w.write(0, 1)  # no wasted bits
+            w.write(10, 16)
+            w.write(20, 16)
+            w.write(3, 4)  # precision-1 -> 4-bit coeffs
+            w.write(0, 5)  # shift 0
+            w.write(2, 4)  # coeff 2
+            w.write(-1 & 0xF, 4)  # coeff -1
+            w.write(0, 2)  # residual method 0
+            w.write(0, 4)  # partition order 0
+            w.write(0, 4)  # rice param 0
+            for _ in range(14):
+                w.write(1, 1)  # zigzag(0) in unary
+        data = self._streaminfo(16, 8000, 1, 16, 16) + self._frame(body, 0, 16)
+        rate, out = decode_flac(data)
+        assert rate == 8000
+        np.testing.assert_array_equal(out[:, 0], np.arange(10, 170, 10))
+
+    def test_stereo_decorrelation_modes(self):
+        import numpy as np
+
+        from data_integration_pipelines_spark.operators.flac_lite import (
+            decode_flac,
+        )
+
+        rng = np.random.RandomState(11)
+        left = rng.randint(-2000, 2000, 16).astype(np.int64)
+        right = rng.randint(-2000, 2000, 16).astype(np.int64)
+        side = left - right
+
+        def verbatim(w, vals, bits):
+            w.write(0, 1)
+            w.write(1, 6)
+            w.write(0, 1)
+            for v in vals:
+                w.write(int(v), bits)
+
+        # left/side (code 8): ch0 = left @16, ch1 = side @17
+        data = self._streaminfo(16, 8000, 2, 16, 16) + self._frame(
+            lambda w: (verbatim(w, left, 16), verbatim(w, side, 17)), 8, 16
+        )
+        _, out = decode_flac(data)
+        np.testing.assert_array_equal(out[:, 0], left)
+        np.testing.assert_array_equal(out[:, 1], right)
+
+        # right/side (code 9): ch0 = side @17, ch1 = right @16
+        data = self._streaminfo(16, 8000, 2, 16, 16) + self._frame(
+            lambda w: (verbatim(w, side, 17), verbatim(w, right, 16)), 9, 16
+        )
+        _, out = decode_flac(data)
+        np.testing.assert_array_equal(out[:, 0], left)
+        np.testing.assert_array_equal(out[:, 1], right)
+
+        # mid/side (code 10): ch0 = mid @16, ch1 = side @17
+        mid = (left + right) >> 1
+        data = self._streaminfo(16, 8000, 2, 16, 16) + self._frame(
+            lambda w: (verbatim(w, mid, 16), verbatim(w, side, 17)), 10, 16
+        )
+        _, out = decode_flac(data)
+        np.testing.assert_array_equal(out[:, 0], left)
+        np.testing.assert_array_equal(out[:, 1], right)
+
+    def test_rice2_partitions_and_escape(self):
+        import numpy as np
+
+        from data_integration_pipelines_spark.operators.flac_lite import (
+            decode_flac,
+        )
+
+        vals = list(range(-8, 8))  # 16 samples
+
+        def body(w):
+            w.write(0, 1)
+            w.write(8, 6)  # FIXED order 0 (residuals ARE the samples)
+            w.write(0, 1)
+            w.write(1, 2)  # residual method 1: rice2, 5-bit params
+            w.write(1, 4)  # partition order 1 -> two partitions of 8
+            w.write(2, 5)  # partition 0: rice param 2
+            for v in vals[:8]:
+                u = (abs(v) << 1) - (1 if v < 0 else 0)
+                w.write_unary(u >> 2)
+                w.write(u, 2)
+            w.write(31, 5)  # partition 1: escape
+            w.write(7, 5)  # raw 7-bit residuals
+            for v in vals[8:]:
+                w.write(v & 0x7F, 7)
+        data = self._streaminfo(16, 8000, 1, 16, 16) + self._frame(body, 0, 16)
+        _, out = decode_flac(data)
+        np.testing.assert_array_equal(out[:, 0], np.array(vals))
+
+    def test_wasted_bits_shift(self):
+        import numpy as np
+
+        from data_integration_pipelines_spark.operators.flac_lite import (
+            decode_flac,
+        )
+
+        def body(w):
+            w.write(0, 1)
+            w.write(0, 6)  # CONSTANT
+            w.write(1, 1)  # wasted-bits flag
+            w.write(1, 1)  # unary 0 -> 1 wasted bit
+            w.write(21, 15)  # 16-1 effective bits
+        data = self._streaminfo(16, 8000, 1, 16, 16) + self._frame(body, 0, 16)
+        _, out = decode_flac(data)
+        np.testing.assert_array_equal(out[:, 0], np.full(16, 42))
+
+    # -- integrity: corruption raises, never mis-decodes -----------------
+
+    def test_corruption_and_rejection(self):
+        import numpy as np
+        import pytest as _pytest
+
+        from data_integration_pipelines_spark.operators.flac_lite import (
+            FlacError,
+            decode_flac,
+            encode_flac,
+        )
+
+        s = (np.arange(600) % 100 - 50).astype(np.int16)
+        good = encode_flac(s, 8000, block_size=256)
+
+        with _pytest.raises(FlacError, match="not a FLAC"):
+            decode_flac(b"OggS" + good[4:])
+        with _pytest.raises(FlacError):
+            decode_flac(good[:40])  # truncated metadata/frames
+        # flip a byte in the first frame payload -> CRC-16 mismatch
+        bad = bytearray(good)
+        bad[60] ^= 0xFF
+        with _pytest.raises(FlacError):
+            decode_flac(bytes(bad))
+        # flip a STREAMINFO md5 byte -> MD5 mismatch on an otherwise
+        # clean decode
+        bad2 = bytearray(good)
+        bad2[30] ^= 0x01
+        with _pytest.raises(FlacError, match="MD5"):
+            decode_flac(bytes(bad2))
+        # stream cut mid-frames -> truncation error
+        with _pytest.raises(FlacError):
+            decode_flac(good[: len(good) - 10])
+
+    def test_audio_chain_prefers_native_flac(self, spark):
+        import math
+
+        import numpy as np
+
+        from data_integration_pipelines_spark.operators.flac_lite import (
+            encode_flac,
+        )
+        from data_integration_pipelines_spark.operators.multimodal import (
+            extract_audio_features,
+        )
+
+        s = np.array([1000, -2000, 3000, -4000] * 8, dtype=np.int16)
+        df = spark.createDataFrame(
+            [(1, bytearray(encode_flac(s, 22050, block_size=16)))],
+            "id long, content binary",
+        )
+        row = extract_audio_features(df).collect()[0]
+        assert (row["sample_rate"], row["n_samples"], row["decoded"]) == (
+            22050,
+            32,
+            True,
+        )
+        assert row["format"] == "flac"
+        sumsq = int((s.astype(np.int64) ** 2).sum())
+        assert row["rms"] == math.sqrt(sumsq / (32 * 32768.0 * 32768.0))
+        # corrupt FLAC with valid magic -> honest failure, not a fake
+        bad = bytes(encode_flac(s, 22050))[:30]
+        df2 = spark.createDataFrame([(2, bytearray(bad))], "id long, content binary")
+        row2 = extract_audio_features(df2).collect()[0]
+        assert row2["decoded"] is False and row2["rms"] is None
+        assert row2["format"] == "flac"
+
+    @pytest.mark.realdeps
+    def test_soundfile_parity(self):
+        import io
+
+        import numpy as np
+
+        sf = pytest.importorskip("soundfile")
+        from data_integration_pipelines_spark.operators.flac_lite import (
+            decode_flac,
+            encode_flac,
+        )
+
+        rng = np.random.RandomState(17)
+        s = (rng.randint(-2000, 2000, 4096).cumsum() % 30000 - 15000).astype(
+            np.int16
+        )
+        # our encoder's output must decode identically in libsndfile
+        data = encode_flac(s, 16000)
+        ref, rate = sf.read(io.BytesIO(data), dtype="int16")
+        assert rate == 16000
+        np.testing.assert_array_equal(ref, s)
+        # and a libsndfile-ENCODED stream (real LPC frames) must decode
+        # identically in ours
+        buf = io.BytesIO()
+        sf.write(buf, s, 16000, format="FLAC", subtype="PCM_16")
+        got_rate, got = decode_flac(buf.getvalue())
+        assert got_rate == 16000
+        np.testing.assert_array_equal(got[:, 0], s.astype(np.int32))

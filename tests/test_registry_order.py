@@ -35,6 +35,7 @@ _NEVER_DRIVER_VERIFIED = {
     "quantile_bins",
     # new in r6
     "ann_topk_join_bulk",
+    "flac_native_audio",
 }
 
 
