@@ -9,11 +9,21 @@ value per user in the RocksDB store (incremental checkpoints, spill to
 disk — the store survives state larger than executor memory, which the
 HDFS-backed map used by the v1 API does not).
 
-Environment note: the transformWithState driver worker needs
-``google.protobuf`` (the state-server wire protocol), absent in this
-container — the equivalence test is ``@realdeps``-gated and runs
-wherever protobuf exists; the v1 ``applyInPandasWithState`` operator
-remains the always-runnable path and is equivalence-tested everywhere.
+EXPERIMENTAL — verification status (be explicit, SCALE.md §state-v2):
+the transformWithState driver worker needs ``google.protobuf`` (the
+state-server wire protocol), absent in this container, so the
+END-TO-END path (wire protocol + RocksDB store) has NEVER executed in
+this environment; the ``@realdeps`` equivalence test runs wherever
+protobuf exists. What IS verified here: ``RunningTotalsProcessor``'s
+state arithmetic runs in-process against a stub state handle and is
+pinned equal to the v1 operator and the batch aggregate
+(tests/test_streaming.py::test_state_v2_processor_logic_matches_v1).
+We deliberately do NOT vendor a protobuf shim: a fake
+``google.protobuf`` package could shadow the real one in a production
+environment and corrupt the wire bytes silently — a skipped test is
+honest, a plausible-but-wrong state server is not. The v1
+``applyInPandasWithState`` operator remains the always-runnable path
+and is equivalence-tested everywhere.
 """
 
 from __future__ import annotations

@@ -261,6 +261,77 @@ def test_stream_stream_attribution_matches_batch(spark, sf_small):
     assert all(0 <= us <= 3_600_000_000 for *_, us in batch)
 
 
+def test_state_v2_processor_logic_matches_v1(spark, sf_small):
+    """The transformWithState PROCESSOR's arithmetic, executed
+    in-process against a stub state handle: feeding each user's rows in
+    two micro-batch-sized chunks must land on the same final totals as
+    the batch aggregate (and hence as the v1 operator, which is pinned
+    to batch elsewhere). This runs in THIS sandbox — it verifies
+    everything except Spark's protobuf wire layer and the RocksDB
+    store, which only the @realdeps end-to-end test can cover
+    (state_v2.py docstring / SCALE.md caveat)."""
+    import pandas as pd
+
+    from data_integration_pipelines_spark.streaming.state_v2 import (
+        RunningTotalsProcessor,
+    )
+
+    class _StubValueState:
+        def __init__(self):
+            self._v = None
+
+        def exists(self):
+            return self._v is not None
+
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+
+    class _StubHandle:
+        def __init__(self):
+            self.states = {}
+
+        def getValueState(self, name, schema):
+            return self.states.setdefault(name, _StubValueState())
+
+    events = load_table(spark, sf_small, "events").select("user_id", "value")
+    pdf = events.toPandas()
+    expected = {
+        int(r.user_id): (int(r.n), round(float(r.total), 6))
+        for r in events.groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("total"))
+        .collect()
+    }
+
+    final = {}
+    for uid, rows in pdf.groupby("user_id"):
+        proc = RunningTotalsProcessor()
+        proc.init(_StubHandle())
+        half = len(rows) // 2
+        out = None
+        for chunk in (rows.iloc[:half], rows.iloc[half:]):
+            # handleInputRows receives an iterator of pandas batches
+            out = list(
+                proc.handleInputRows((int(uid),), iter([chunk]), None)
+            )[-1]
+        proc.close()
+        final[int(out["user_id"][0])] = (
+            int(out["n_events"][0]),
+            round(float(out["total_value"][0]), 6),
+        )
+    # float-sum chunk order can differ from Spark's partial-agg order
+    # by an ulp before the round(6); compare at the rounded precision
+    # the operator itself emits
+    assert final.keys() == expected.keys()
+    for uid in expected:
+        n_exp, t_exp = expected[uid]
+        n_got, t_got = final[uid]
+        assert n_got == n_exp
+        assert abs(t_got - t_exp) < 1e-5, (uid, t_got, t_exp)
+
+
 @pytest.mark.realdeps
 def test_transform_with_state_matches_v1_and_batch(spark, sf_small, tmp_path):
     """Spark 4 transformWithStateInPandas (RocksDB state) must produce
