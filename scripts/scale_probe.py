@@ -18,10 +18,23 @@ valid and every planted relationship recurs once per copy):
 - documents.text: every token suffixed "_k" per copy, so shingle sets
   are copy-disjoint — near-dup PAIRS scale exactly linearly instead of
   exploding cross-copy (each copy is its own dup neighborhood).
+- embeddings.embedding: copy i is reflected through the diagonal ±1
+  matrix whose sign pattern is parity(popcount(dim & i)). A diagonal
+  orthogonal transform preserves every WITHIN-copy dot product exactly
+  (the planted near-dup neighborhoods recur bit-identically per copy)
+  while cross-copy cosines of the same base vector decorrelate —
+  without this, verbatim copies make every (copy_i, copy_j) pair of
+  one vector a cosine-1.0 near-dup and the pair output grows ~k²/2
+  (a replica artifact the r6 dedup_consensus probe surfaced, 5.4× at
+  10× data; with the reflection the output is linear in k again).
 - dimension tables (region/nation/part/supplier) stay single-copy:
   dims don't grow 10× when facts do, and they must stay broadcastable.
 
-Usage: python scripts/scale_probe.py [K] [base_sf_dir]
+A `_replica_v2` marker file versions the layout: probes rebuild any
+replica directory that predates the embedding reflection.
+
+Usage: python scripts/scale_probe.py [--only q1,q2] [K] [base_sf_dir]
+(--only times the named registry queries instead of the headline set)
 Writes the replica under /tmp/spark-graft-scale{K}x (rebuilt if absent).
 """
 
@@ -66,6 +79,9 @@ _KEY_FAMILY = {
 }
 
 
+_REPLICA_MARKER = "_replica_v2"  # bumped when the layout scheme changes
+
+
 def build_replica(spark, base_dir: str, out_dir: str, k: int) -> None:
     os.makedirs(out_dir, exist_ok=True)
     # one offset per key family, shared across tables so joins stay valid
@@ -94,27 +110,99 @@ def build_replica(spark, base_dir: str, out_dir: str, k: int) -> None:
                 c = c.withColumn(
                     "text", F.regexp_replace("text", r"(\S+)", f"$1_{i}")
                 )
+            if table == "embeddings" and i > 0:
+                # diagonal ±1 reflection: orthogonal, so within-copy dot
+                # products (and hence the planted near-dup pairs) are
+                # preserved bit-exactly; cross-copy cosines decorrelate.
+                c = c.withColumn(
+                    "embedding",
+                    F.expr(
+                        "transform(embedding, (v, d) -> CASE WHEN"
+                        f" pmod(bit_count(d & {i}), 2) = 1"
+                        " THEN -v ELSE v END)"
+                    ),
+                )
             copies.append(c)
         out = copies[0]
         for c in copies[1:]:
             out = out.unionByName(c)
         out.write.parquet(dst)
+    Path(os.path.join(out_dir, _REPLICA_MARKER)).touch()
 
 
-def time_queries(spark, sf_dir: str) -> dict[str, float]:
+def _dedup_consensus_scaled_planes(spark, sf_dir: str):
+    """dedup_consensus with PRODUCTION LSH sizing: the registry query
+    pins n_planes=8 because the DuckDB oracle must replicate the exact
+    signature bits (and 8 IS recommended_n_planes at fixture scale);
+    at 10×/30× data a fixed signature width makes the candidate join
+    quadratic (bucket population grows with N), which the r6 probe
+    measured at 48.8× wall at 30× data. This probe-only twin sizes the
+    signature with recommended_n_planes(N) — the documented production
+    contract — so bucket populations stay flat as the corpus grows."""
+    from data_integration_pipelines_spark.catalog import load_table
+    from data_integration_pipelines_spark.functions.quantize import e4
+    from data_integration_pipelines_spark.operators.dedup import jaccard_pairs
+    from data_integration_pipelines_spark.operators.similarity import (
+        embedding_near_dup_pairs,
+        recommended_n_planes,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    planes = recommended_n_planes(emb.count())
+    t = jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.8).select(
+        "id_a", "id_b", e4(F.col("jaccard")).alias("jaccard_e4")
+    )
+    e = embedding_near_dup_pairs(emb, threshold=0.35, n_planes=planes)
+    return (
+        t.join(e, ["id_a", "id_b"], "full_outer")
+        .select(
+            "id_a",
+            "id_b",
+            "jaccard_e4",
+            "cosine_e4",
+            F.when(
+                F.col("jaccard_e4").isNotNull() & F.col("cosine_e4").isNotNull(),
+                "both",
+            )
+            .when(F.col("jaccard_e4").isNotNull(), "text_only")
+            .otherwise("embedding_only")
+            .alias("verdict"),
+        )
+        .orderBy("id_a", "id_b")
+    )
+
+
+# probe-only variants: (fn, time_build) — not registry queries (their
+# parameters depend on corpus size, which the oracle contract forbids)
+_EXTRA_PROBES = {
+    "dedup_consensus_scaled_planes": (_dedup_consensus_scaled_planes, True),
+}
+
+
+def time_queries(
+    spark, sf_dir: str, only: set[str] | None = None
+) -> dict[str, float]:
+    fns: dict[str, tuple] = {
+        name: (q.fn, q.time_build)
+        for name, q in REGISTRY.items()
+        if (only is None and q.headline) or (only is not None and name in only)
+    }
+    for name in _EXTRA_PROBES:
+        if only is not None and name in only:
+            fns[name] = _EXTRA_PROBES[name]
     frames = {}
-    for name, q in REGISTRY.items():
-        if q.headline:
-            frames[name] = q.fn(spark, sf_dir)
-            frames[name].write.format("noop").mode("overwrite").save()
+    for name, (fn, _) in fns.items():
+        frames[name] = fn(spark, sf_dir)
+        frames[name].write.format("noop").mode("overwrite").save()
     timings: dict[str, float] = {}
     for _ in range(2):
         for name, df in frames.items():
             t0 = time.time()
-            if REGISTRY[name].time_build:
+            if fns[name][1]:
                 # driver-loop algorithms do real work in fn() — time it
                 # (same honesty rule as bench.py)
-                df = REGISTRY[name].fn(spark, sf_dir)
+                df = fns[name][0](spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
             dt = round(time.time() - t0, 3)
             timings[name] = min(timings.get(name, dt), dt)
@@ -122,14 +210,26 @@ def time_queries(spark, sf_dir: str) -> dict[str, float]:
 
 
 def main() -> None:
-    k = int(sys.argv[1]) if len(sys.argv) > 1 else 10
-    base = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
+    args = sys.argv[1:]
+    only: set[str] | None = None
+    if "--only" in args:
+        i = args.index("--only")
+        only = set(args[i + 1].split(","))
+        del args[i : i + 2]
+        unknown = only - set(REGISTRY) - set(_EXTRA_PROBES)
+        if unknown:
+            raise SystemExit(f"unknown query names: {sorted(unknown)}")
+    k = int(args[0]) if args else 10
+    base = args[1] if len(args) > 1 else "/root/testdata/sf0.1"
     out = f"/tmp/spark-graft-scale{k}x"
     spark = get_spark("scale-probe")
     spark.sparkContext.setLogLevel("ERROR")
-    if not os.path.exists(os.path.join(out, "embeddings.parquet")):
+    if not (
+        os.path.exists(os.path.join(out, "embeddings.parquet"))
+        and os.path.exists(os.path.join(out, _REPLICA_MARKER))
+    ):
         build_replica(spark, base, out, k)
-    base_t = time_queries(spark, base)
+    base_t = time_queries(spark, base, only)
     # drop the persist pool AND the catalog cache between phases: in
     # local mode storage and broadcast builds share ONE heap, and the
     # base phase's pooled tables otherwise squeeze the 30x phase's
@@ -139,7 +239,7 @@ def main() -> None:
 
     release_cached()
     spark.catalog.clearCache()
-    scaled_t = time_queries(spark, out)
+    scaled_t = time_queries(spark, out, only)
     report = {
         name: {
             "base_s": base_t[name],
