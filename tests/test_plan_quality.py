@@ -71,6 +71,7 @@ def test_python_stages_only_where_declared(plans):
         "jpeg_decode_features",  # magic-sniff + honest-fail decode kernel
         "jpeg_native_decode",  # native JPEG encode+decode kernel (jpeg_lite)
         "wav_native_audio",  # native RIFF/PCM parse kernel (wav_lite)
+        "flac_native_audio",  # native FLAC decode kernel (flac_lite)
         "image_resize",
         "frame_sample",
         "audio_features",
