@@ -23,8 +23,9 @@ from . import queries_window  # noqa: E402,F401
 # in rounds 1-2). Order by VERIFICATION RISK, not by module. Round-6
 # head: every query whose OUTPUT was rebuilt this round (the
 # quantized-sum back-port — money sums re-emitted through exact
-# DECIMAL(18,6), pricing_summary's averages as basis-point BIGINTs,
-# upsert_classify's compared value as cent BIGINTs) plus the queries
+# DECIMAL(18,6) or, for the hot pricing_summary scan-agg, per-term
+# scaled-BIGINT sums (quantized_sum), its averages as basis-point
+# BIGINTs, upsert_classify's compared value as cent BIGINTs) plus the queries
 # NEW in r6, so each gets a fresh green driver row; the long-stable
 # tail keeps its prior (r5) order.
 _RISK_ORDER = [

@@ -33,8 +33,10 @@ valid and every planted relationship recurs once per copy):
 A `_replica_v2` marker file versions the layout: probes rebuild any
 replica directory that predates the embedding reflection.
 
-Usage: python scripts/scale_probe.py [--only q1,q2] [K] [base_sf_dir]
-(--only times the named registry queries instead of the headline set)
+Usage: python scripts/scale_probe.py [--only q1,q2 | --all] [K] [base_sf_dir]
+(--only times the named registry queries instead of the headline set;
+--all times EVERY registry query — per-query failures are recorded as
+NaN growth instead of aborting the run)
 Writes the replica under /tmp/spark-graft-scale{K}x (rebuilt if absent).
 """
 
@@ -192,9 +194,14 @@ def time_queries(
         if only is not None and name in only:
             fns[name] = _EXTRA_PROBES[name]
     frames = {}
+    failures: dict[str, str] = {}
     for name, (fn, _) in fns.items():
-        frames[name] = fn(spark, sf_dir)
-        frames[name].write.format("noop").mode("overwrite").save()
+        try:
+            frames[name] = fn(spark, sf_dir)
+            frames[name].write.format("noop").mode("overwrite").save()
+        except Exception as exc:  # full-registry runs: record, keep going
+            failures[name] = f"{type(exc).__name__}: {exc}"[:300]
+            print(f"FAIL {name}: {failures[name]}", file=sys.stderr)
     timings: dict[str, float] = {}
     for _ in range(2):
         for name, df in frames.items():
@@ -206,13 +213,18 @@ def time_queries(
             df.write.format("noop").mode("overwrite").save()
             dt = round(time.time() - t0, 3)
             timings[name] = min(timings.get(name, dt), dt)
+    for name, err in failures.items():
+        timings[name] = float("nan")
     return timings
 
 
 def main() -> None:
     args = sys.argv[1:]
     only: set[str] | None = None
-    if "--only" in args:
+    if "--all" in args:
+        args.remove("--all")
+        only = set(REGISTRY)
+    elif "--only" in args:
         i = args.index("--only")
         only = set(args[i + 1].split(","))
         del args[i : i + 2]
