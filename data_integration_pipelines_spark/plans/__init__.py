@@ -45,6 +45,8 @@ _RISK_ORDER = [
     "quantile_bins",
     "ann_topk_join_bulk",
     "flac_native_audio",
+    "bpe_train_merges",
+    "bpe_encode_tokens",
     "quality_classifier_score",
     "ann_topk_incremental",
     "incremental_agg_retract",

@@ -1080,3 +1080,55 @@ def rare_token_suppression(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "bpe_train_merges",
+    None,  # iterative driver-loop algorithm: no SQL form (rows-only
+    # driver check); exact-parity vs a pure-Python reference BPE
+    # trainer is pinned in tests/test_bpe.py instead
+    doc="Distributed BPE tokenizer training (operators/bpe.bpe_train; "
+    "Sennrich et al. 2016): learn 24 merge rules from the documents "
+    "corpus. The corpus is scanned ONCE into a distinct-word frequency "
+    "table; each merge is one vocab-sized pair-count shuffle plus a "
+    "single-row argmax action (k-means driver-loop contract). "
+    "Deterministic tie-break (freq DESC, left, right) so the merge "
+    "table is engine- and partitioning-independent. Extends "
+    "tokenizer_fertility (APPLIES a fixed tokenizer) with the step "
+    "that LEARNS one — the 100 TB tokenizer-training design.",
+    time_build=True,
+)
+def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.bpe import bpe_train
+
+    return bpe_train(_docs(spark, sf_dir), n_merges=24)
+
+
+@register(
+    "bpe_encode_tokens",
+    None,  # composes the trained merge table (no SQL form) with the
+    # Arrow-batch encode kernel; train==encode parity pinned in tests
+    doc="BPE train -> encode round trip: learn 16 merges on the corpus, "
+    "then tokenize every document with them (operators/bpe.bpe_encode "
+    "— sequential rank-order application, the literal trainer "
+    "semantics, memoized per word, Arrow-batched). Emits per-doc BPE "
+    "token count, whitespace token count and the md5 of the joined "
+    "token stream — the compression-ratio evidence a tokenizer "
+    "handoff ships.",
+    time_build=True,
+)
+def bpe_encode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.bpe import bpe_encode, bpe_train
+
+    docs = _docs(spark, sf_dir)
+    merges = [
+        (r["left"], r["right"])
+        for r in bpe_train(docs, n_merges=16).collect()
+    ]
+    enc = bpe_encode(docs, merges)
+    return enc.select(
+        "doc_id",
+        F.size("bpe_tokens").alias("n_bpe_tokens"),
+        F.size(ws_tokens(F.col("text"))).alias("n_ws_tokens"),
+        F.md5(F.array_join("bpe_tokens", " ")).alias("tokens_md5"),
+    ).orderBy("doc_id")

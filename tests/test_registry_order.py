@@ -36,6 +36,8 @@ _NEVER_DRIVER_VERIFIED = {
     # new in r6
     "ann_topk_join_bulk",
     "flac_native_audio",
+    "bpe_train_merges",
+    "bpe_encode_tokens",
 }
 
 
