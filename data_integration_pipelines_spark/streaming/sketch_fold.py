@@ -118,6 +118,31 @@ def fold_into_store(
       checkpoint, the redelivered batch K finds its version complete
       and skips — counts fold exactly once (grid cells have no row
       identity to dedup on downstream)."""
+    versioned_fold(
+        batch_df,
+        batch_id,
+        store_path,
+        checkpoint_path,
+        lambda existing, batch: fold_cms_batch(
+            existing, batch, value_col, width, depth
+        ),
+    )
+
+
+def versioned_fold(
+    batch_df: DataFrame,
+    batch_id: int,
+    store_path: str,
+    checkpoint_path: str,
+    fold_fn,
+) -> None:
+    """Lineage binding + batch-id idempotence + versioned write around
+    an arbitrary mergeable fold ``fold_fn(existing_or_None, batch_df)
+    -> DataFrame`` — the exactly-once monoid-store contract shared by
+    every foreachBatch fold in this package (CMS grids, drift band
+    counts, ANN top-k partials). See ``fold_into_store`` for the two
+    safety layers' rationale; this is its generic core, factored so a
+    new folded state type cannot re-implement the guards subtly wrong."""
     import json
 
     spark = batch_df.sparkSession
@@ -139,7 +164,7 @@ def fold_into_store(
             accept = bound_id in identities
         if not accept:
             raise ValueError(
-                f"CMS store at {store_path!r} is bound to checkpoint "
+                f"folded store at {store_path!r} is bound to checkpoint "
                 f"lineage {bound_id or bound.get('checkpoint')!r}; "
                 f"folding from {lineage!r} (checkpoint "
                 f"{checkpoint_path!r}) would mix lineages and corrupt "
@@ -158,8 +183,9 @@ def fold_into_store(
     existing = (
         read_store(spark, store_path, version=prior[-1]) if prior else None
     )
-    merged = fold_cms_batch(existing, batch_df, value_col, width, depth)
-    # the grid is depth*width rows — one file is the right layout
+    merged = fold_fn(existing, batch_df)
+    # folded state is bounded by contract (grid cells / band counts /
+    # top-k rows) — one file is the right layout
     merged.coalesce(1).write.mode("overwrite").parquet(
         os.path.join(store_path, f"v={batch_id}")
     )

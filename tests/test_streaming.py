@@ -752,3 +752,146 @@ def test_streaming_topk_matches_batch_bruteforce(spark, sf_small, tmp_path):
     shutil.rmtree(ckpt)
     with pytest.raises(ValueError, match="bound to checkpoint lineage"):
         fold_topk_batch(emb.limit(7), 0, queries, store, ckpt, k=10)
+
+
+def test_streaming_drift_psi_matches_batch_query(spark, sf_medium, tmp_path):
+    """Drift PSI from micro-batch-folded band counts == the registry
+    drift_psi batch query on the same snapshot split: the folded
+    (source, bin) monoid plus the report arithmetic must reproduce the
+    batch answer bit-for-bit (streaming/drift.py)."""
+    from data_integration_pipelines_spark.plans import REGISTRY
+    from data_integration_pipelines_spark.streaming.drift import (
+        band_counts,
+        drift_psi_report,
+        streaming_band_counts,
+    )
+    from data_integration_pipelines_spark.streaming.ingest import (
+        read_staged_docs_stream,
+    )
+
+    docs = load_table(spark, sf_medium, "documents")
+    reference = band_counts(docs.filter(F.col("doc_id") % 2 == 0))
+    new = docs.filter(F.col("doc_id") % 2 == 1)
+
+    staging = str(tmp_path / "staged")
+    store = str(tmp_path / "store")
+    # two files -> maxFilesPerTrigger=1 forces two micro-batches
+    new.filter(F.col("doc_id") % 4 == 1).write.mode("overwrite").parquet(staging)
+    new.filter(F.col("doc_id") % 4 == 3).write.mode("append").parquet(staging)
+    q = streaming_band_counts(
+        read_staged_docs_stream(spark, staging, max_files_per_trigger=1),
+        store_path=store,
+        checkpoint_path=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(120)
+
+    got = [
+        tuple(r)
+        for r in drift_psi_report(spark, reference, store).collect()
+    ]
+    want = [
+        tuple(r) for r in REGISTRY["drift_psi"].fn(spark, sf_medium).collect()
+    ]
+    assert got == want
+    assert len(got) > 0
+    # the fixture is non-vacuous: counts actually folded across >1 batch
+    from data_integration_pipelines_spark.streaming.upsert import _versions
+
+    assert len(_versions(store)) >= 2
+
+
+def test_streaming_drift_batching_invariant(spark, sf_small, tmp_path):
+    """One big micro-batch vs many small ones must fold to the same
+    band-count state and hence the same PSI report (monoid merge is
+    associative; the fold must not depend on delivery slicing)."""
+    from data_integration_pipelines_spark.streaming.drift import (
+        band_counts,
+        drift_psi_report,
+        streaming_band_counts,
+    )
+    from data_integration_pipelines_spark.streaming.ingest import (
+        read_staged_docs_stream,
+    )
+
+    docs = load_table(spark, sf_small, "documents")
+    reference = band_counts(docs.filter(F.col("doc_id") % 2 == 0))
+    new = docs.filter(F.col("doc_id") % 2 == 1)
+
+    reports = {}
+    for label, mfpt in (("many", 1), ("one", None)):
+        staging = str(tmp_path / f"staged_{label}")
+        store = str(tmp_path / f"store_{label}")
+        new.filter(F.col("doc_id") % 4 == 1).write.mode("overwrite").parquet(staging)
+        new.filter(F.col("doc_id") % 4 == 3).write.mode("append").parquet(staging)
+        q = streaming_band_counts(
+            read_staged_docs_stream(spark, staging, max_files_per_trigger=mfpt),
+            store_path=store,
+            checkpoint_path=str(tmp_path / f"ckpt_{label}"),
+        )
+        q.awaitTermination(120)
+        reports[label] = [
+            tuple(r) for r in drift_psi_report(spark, reference, store).collect()
+        ]
+    assert reports["many"] == reports["one"]
+
+
+def test_streaming_drift_time_travel_and_lineage_refusal(
+    spark, sf_small, tmp_path
+):
+    """Every fold version stays readable (the drift trajectory is
+    time-travelable), and a recreated checkpoint must be refused by the
+    store (versioned_fold's lineage binding covers the new state type)."""
+    import shutil
+
+    from data_integration_pipelines_spark.streaming.drift import (
+        band_counts,
+        drift_psi_report,
+        streaming_band_counts,
+    )
+    from data_integration_pipelines_spark.streaming.ingest import (
+        read_staged_docs_stream,
+    )
+    from data_integration_pipelines_spark.streaming.upsert import (
+        _versions,
+        read_store,
+    )
+
+    docs = load_table(spark, sf_small, "documents")
+    reference = band_counts(docs.filter(F.col("doc_id") % 2 == 0))
+    new = docs.filter(F.col("doc_id") % 2 == 1)
+
+    staging = str(tmp_path / "staged")
+    store = str(tmp_path / "store")
+    new.filter(F.col("doc_id") % 4 == 1).write.mode("overwrite").parquet(staging)
+    new.filter(F.col("doc_id") % 4 == 3).write.mode("append").parquet(staging)
+    q = streaming_band_counts(
+        read_staged_docs_stream(spark, staging, max_files_per_trigger=1),
+        store_path=store,
+        checkpoint_path=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(120)
+
+    versions = _versions(store)
+    assert len(versions) >= 2
+    # earlier version reflects strictly fewer folded documents
+    n_first = read_store(spark, store, version=versions[0]).agg(
+        F.sum("n")
+    ).collect()[0][0]
+    n_last = read_store(spark, store, version=versions[-1]).agg(
+        F.sum("n")
+    ).collect()[0][0]
+    assert n_first < n_last == new.count()
+    # the report is computable at any version
+    early = drift_psi_report(spark, reference, store, version=versions[0])
+    assert early.count() > 0
+
+    # recreated checkpoint = new lineage: the store must refuse it
+    shutil.rmtree(str(tmp_path / "ckpt"))
+    q2 = streaming_band_counts(
+        read_staged_docs_stream(spark, staging, max_files_per_trigger=1),
+        store_path=store,
+        checkpoint_path=str(tmp_path / "ckpt"),
+    )
+    with pytest.raises(Exception, match="bound to checkpoint lineage"):
+        q2.awaitTermination(120)
+        raise AssertionError("new-lineage fold into an existing store did not fail")
