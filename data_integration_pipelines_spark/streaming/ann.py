@@ -20,7 +20,6 @@ readable forever (time travel, same as the upsert store).
 
 from __future__ import annotations
 
-import os
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -47,44 +46,21 @@ def fold_topk_batch(
     """One micro-batch fold (the foreachBatch body, module-level so
     replay semantics are directly testable): score the batch against
     the bounded query set, merge into the latest complete store
-    version, write ``v=<batch_id>``. Lineage-bound and replay-
-    idempotent exactly like sketch_fold.fold_into_store."""
-    import json
-
+    version, write ``v=<batch_id>``. Lineage binding and replay
+    idempotence come from ``sketch_fold.versioned_fold`` — the shared
+    exactly-once monoid-store core (this function carried its own copy
+    of the marker logic until r6)."""
     from ..operators.similarity import merge_topk, topk_pandas
-    from .sketch_fold import _lineage_identities
-    from .upsert import _versions, read_store
+    from .sketch_fold import versioned_fold
 
-    spark = batch_df.sparkSession
-    identities = _lineage_identities(checkpoint_path)
-    lineage = identities[0]
-    marker = os.path.join(store_path, "_checkpoint.json")
-    if os.path.exists(marker):
-        bound = json.load(open(marker))
-        bound_id = bound.get("lineage")
-        if bound_id not in identities:
-            raise ValueError(
-                f"top-k store at {store_path!r} is bound to checkpoint "
-                f"lineage {bound_id!r}; folding from {lineage!r} would "
-                "mix batch-id spaces and corrupt the running answer — "
-                "use a fresh store"
-            )
-        if bound_id != lineage:
-            with open(marker, "w") as fh:
-                json.dump({"checkpoint": checkpoint_path, "lineage": lineage}, fh)
-    else:
-        os.makedirs(store_path, exist_ok=True)
-        with open(marker, "w") as fh:
-            json.dump({"checkpoint": checkpoint_path, "lineage": lineage}, fh)
-    if batch_id in _versions(store_path):
-        return  # redelivered batch: its version is already complete
-    prior = [v for v in _versions(store_path) if v < batch_id]
-    state = read_store(spark, store_path, version=prior[-1]) if prior else None
-    batch_topk = topk_pandas(batch_df, query_df, k=k)
-    merged = merge_topk(state, batch_topk, k=k)
-    # k*Q rows — one file is the right layout
-    merged.coalesce(1).write.mode("overwrite").parquet(
-        os.path.join(store_path, f"v={batch_id}")
+    versioned_fold(
+        batch_df,
+        batch_id,
+        store_path,
+        checkpoint_path,
+        lambda state, batch: merge_topk(
+            state, topk_pandas(batch, query_df, k=k), k=k
+        ),
     )
 
 
