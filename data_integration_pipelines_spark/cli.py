@@ -479,6 +479,61 @@ def cmd_cluster(args) -> int:
     return 0
 
 
+def cmd_tokenizer(args) -> int:
+    """Tokenizer jobs (operators/bpe.py): ``train`` learns a BPE merge
+    table from the documents corpus (one corpus pass, vocab-sized merge
+    iterations) and writes it as parquet; ``encode`` tokenizes every
+    document with a merge table (training one first when --merges-dir
+    is not given) and writes (doc_id, bpe_tokens), printing the corpus
+    fertility (BPE tokens per whitespace token)."""
+    from .catalog import load_table
+    from .operators.bpe import bpe_encode, bpe_train
+
+    spark = _session(args)
+    docs = load_table(spark, args.sf_dir, "documents")
+    if args.action == "train":
+        merges = bpe_train(docs, n_merges=args.merges)
+        out = _out(args, "bpe_merges")
+        merges.write.mode("overwrite").parquet(out)
+        rows = merges.collect()
+        print(
+            json.dumps(
+                {
+                    "out": out,
+                    "n_merges": len(rows),
+                    "top": [
+                        [r["left"], r["right"], r["pair_freq"]] for r in rows[:5]
+                    ],
+                }
+            )
+        )
+        return 0
+    if args.merges_dir:
+        mdf = spark.read.parquet(args.merges_dir).orderBy("rank")
+    else:
+        mdf = bpe_train(docs, n_merges=args.merges)
+    merge_list = [(r["left"], r["right"]) for r in mdf.collect()]
+    enc = bpe_encode(docs, merge_list)
+    out = _out(args, "bpe_tokens")
+    enc.select("doc_id", "bpe_tokens").write.mode("overwrite").parquet(out)
+    stats = enc.agg(
+        F.sum(F.size("bpe_tokens")).alias("bpe"),
+        F.sum(F.size(F.split(F.trim("text"), r"\s+"))).alias("ws"),
+    ).collect()[0]
+    print(
+        json.dumps(
+            {
+                "out": out,
+                "n_merges": len(merge_list),
+                "bpe_tokens": int(stats["bpe"]),
+                "ws_tokens": int(stats["ws"]),
+                "fertility_e4": int(round(stats["bpe"] / stats["ws"] * 10000)),
+            }
+        )
+    )
+    return 0
+
+
 def cmd_compact(args) -> int:
     """Small-file compaction job: rewrite a table into ~target-size
     parquet files (sources/zorder.compact) and print the before/after
@@ -708,6 +763,19 @@ def build_parser() -> argparse.ArgumentParser:
     sp.set_defaults(fn=cmd_cluster)
 
     sp = sub.add_parser(
+        "tokenizer", help="BPE tokenizer: train a merge table / encode the corpus"
+    )
+    sp.add_argument("action", choices=("train", "encode"))
+    sp.add_argument("--merges", type=int, default=32, help="merge rules to learn")
+    sp.add_argument(
+        "--merges-dir",
+        default=None,
+        help="encode with a previously trained merge table (parquet dir)",
+    )
+    common(sp)
+    sp.set_defaults(fn=cmd_tokenizer)
+
+    sp = sub.add_parser(
         "compact", help="rewrite a table into ~target-size parquet files"
     )
     sp.add_argument("table")
@@ -758,6 +826,7 @@ def main(argv: list[str] | None = None) -> int:
         "compact",
         "cluster",
         "index",
+        "tokenizer",
     )
     if needs_out and not args.output_dir:
         args.output_dir = "out"

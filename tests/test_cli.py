@@ -326,3 +326,35 @@ class TestIndexCLI:
         rows = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
         assert {r["query_id"] for r in rows} == {100, 101}
         assert all(1 <= r["rank"] <= 3 for r in rows)
+
+
+class TestTokenizerCLI:
+    def test_train_then_encode_with_stored_merges(self, spark, tmp_path, capsys):
+        out = _run(tmp_path, "tokenizer", "train", "--merges", "10")
+        manifest = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert manifest["n_merges"] == 10
+        merges = spark.read.parquet(os.path.join(out, "bpe_merges"))
+        assert merges.count() == 10
+        assert set(merges.columns) == {"rank", "left", "right", "merged", "pair_freq"}
+
+        rc = main(
+            [
+                "tokenizer",
+                "encode",
+                "--merges-dir",
+                os.path.join(out, "bpe_merges"),
+                "--sf-dir",
+                "/root/testdata/sf0.001",
+                "--output-dir",
+                str(tmp_path / "enc"),
+            ]
+        )
+        assert rc == 0
+        stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        # BPE merges strictly compress the char stream but each word is
+        # >= 1 token, so fertility (BPE per ws token) stays >= 1.0
+        assert stats["bpe_tokens"] >= stats["ws_tokens"]
+        assert stats["fertility_e4"] >= 10000
+        enc = spark.read.parquet(str(tmp_path / "enc" / "bpe_tokens"))
+        assert enc.count() == 500
+        assert set(enc.columns) == {"doc_id", "bpe_tokens"}
