@@ -457,3 +457,78 @@ def test_quantized_tri_engine_equivalence(spark, vals, decimals):
         for v in vals
     ]
     assert got_spark == got_np == got_db, (vals, decimals)
+
+
+# --- BPE merge fold & encode ----------------------------------------------
+
+
+def _py_apply_merge(toks, a, b):
+    out, i = [], 0
+    while i < len(toks):
+        if i + 1 < len(toks) and toks[i] == a and toks[i + 1] == b:
+            out.append(a + b)
+            i += 2
+        else:
+            out.append(toks[i])
+            i += 1
+    return out
+
+
+@settings(max_examples=12, deadline=None, derandomize=True)
+@given(
+    st.lists(
+        st.lists(st.sampled_from(["a", "b", "ab", "ba"]), min_size=0, max_size=8),
+        min_size=1,
+        max_size=24,
+    ),
+    st.sampled_from([("a", "a"), ("a", "b"), ("ab", "a"), ("b", "ab")]),
+)
+def test_bpe_apply_merge_matches_python_fold(spark, arrays, pair):
+    """The JVM higher-order aggregate fold in operators/bpe.apply_merge
+    must equal the greedy left-to-right non-overlapping Python scan on
+    arbitrary token runs — including empty arrays, overlapping-run
+    cases (aaa under (a,a)) and multi-char symbols that embed the left
+    symbol as a substring (the F.get NULL-tail and string-equality
+    edges)."""
+    from pyspark.sql import functions as F
+
+    from data_integration_pipelines_spark.operators.bpe import apply_merge
+
+    df = spark.createDataFrame([(a,) for a in arrays], "tokens array<string>")
+    got = [
+        r[0]
+        for r in df.select(apply_merge(F.col("tokens"), *pair)).collect()
+    ]
+    assert got == [_py_apply_merge(a, *pair) for a in arrays]
+
+
+@settings(max_examples=10, deadline=None, derandomize=True)
+@given(
+    st.lists(
+        st.text(alphabet="abcd", min_size=1, max_size=7),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_bpe_encode_matches_sequential_reference(spark, words):
+    """bpe_encode with a reference-trained merge list must tokenize
+    every word exactly as sequential rank-order merge application does
+    (the trainer's own semantics), for random corpora over a small
+    alphabet — where same-symbol runs and merge-chains (a+b -> ab,
+    ab+c -> abc) are dense."""
+    from data_integration_pipelines_spark.operators.bpe import EOW, bpe_encode
+    from tests.test_bpe import ref_bpe_train
+
+    corpus = [" ".join(words)]
+    merges, _ = ref_bpe_train(corpus, n_merges=8, min_freq=2)
+    rules = [(m[1], m[2]) for m in merges]
+
+    def py_encode(word):
+        toks = list(word) + [EOW]
+        for a, b in rules:
+            toks = _py_apply_merge(toks, a, b)
+        return toks
+
+    df = spark.createDataFrame([(w,) for w in set(words)], "text string")
+    got = {r["text"]: r["bpe_tokens"] for r in bpe_encode(df, rules).collect()}
+    assert got == {w: py_encode(w) for w in set(words)}
