@@ -23,7 +23,7 @@ from collections.abc import Iterator
 
 import pandas as pd
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
@@ -867,6 +867,85 @@ def hyperplane_signatures(
         dot_j = F.aggregate(weighted, F.lit(0.0), lambda acc, v: acc + v)
         bits.append(F.when(dot_j > 0, "1").otherwise("0"))
     return df.select(F.col(id_col).alias("id"), F.concat(*bits).alias("signature"))
+
+
+def signature_probes(sig: Column, n_planes: int, max_hamming: int = 1) -> Column:
+    """The probe set of one LSH signature: itself plus every signature
+    within ``max_hamming`` bit flips — n_planes+1 strings for the
+    standard h=1. Query-side probing is the multiprobe strategy that
+    SCALES (the one ``recommended_n_planes`` prescribes): probes join
+    against EXACT full-width signatures, so candidate volume is
+    ~(n_planes+1) * N * (bucket population), which stays flat when
+    planes grow with log2(N) — where the pigeonhole-block join
+    (``embedding_near_dup_multiprobe``) keys on blocks only
+    n_planes/(h+1) bits wide and is quadratic in N no matter how many
+    total planes (measured: 247x wall at 30x data vs this variant's
+    near-linear growth; SCALE.md 1c)."""
+    if max_hamming != 1:
+        raise ValueError(
+            "signature_probes implements the standard h=1 probing; "
+            f"got max_hamming={max_hamming} (h>=2 probe sets grow "
+            "C(n_planes, h) — use more planes + h=1 instead)"
+        )
+    probes = [sig]
+    for j in range(n_planes):
+        flipped = F.when(F.substring(sig, j + 1, 1) == "1", "0").otherwise("1")
+        probes.append(
+            F.concat(
+                F.substring(sig, 1, j), flipped, F.substring(sig, j + 2, n_planes - j - 1)
+            )
+        )
+    return F.array(*probes)
+
+
+def embedding_near_dup_probed(
+    df: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 8,
+    max_hamming: int = 1,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Hamming-tolerant embedding near-dup via QUERY-SIDE signature
+    probing: each vector's probe set (its signature + every 1-bit
+    flip, ``signature_probes``) equi-joins against the corpus's exact
+    full-width signatures, then exact cosine verifies. Semantically
+    identical to ``embedding_near_dup_multiprobe`` (both emit exactly
+    the Hamming<=1 candidate pairs passing the cosine threshold —
+    pinned by test) but scalable: candidates are bounded by
+    (n_planes+1) x N x bucket-population, flat under the
+    ``recommended_n_planes`` sizing, where block joins go quadratic.
+
+    A Hamming<=1 pair matches on exactly ONE probe per orientation and
+    only the id_a < id_b orientation survives, so no distinct is
+    needed — one fewer shuffle than the block-join variant."""
+    sig = bounded_persist(hyperplane_signatures(df, id_col, vec_col, n_planes))
+    sig = _cap_buckets(sig, ["signature"], max_bucket)
+    probes = sig.select(
+        F.col("id").alias("id_a"),
+        F.explode(
+            signature_probes(F.col("signature"), n_planes, max_hamming)
+        ).alias("probe"),
+    )
+    exact = sig.select(F.col("id").alias("id_b"), F.col("signature").alias("probe"))
+    cand = probes.join(exact, "probe").filter(F.col("id_a") < F.col("id_b"))
+    vecs = df.select(
+        F.col(id_col).alias("vid"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+    )
+    va = vecs.select(F.col("vid").alias("id_a"), F.col("v").alias("va"))
+    vb = vecs.select(F.col("vid").alias("id_b"), F.col("v").alias("vb"))
+    dot = F.aggregate(
+        F.zip_with("va", "vb", lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .withColumn("cosine_e4", e4(dot))
+        .filter(F.col("cosine_e4") >= int(round(threshold * 10000)))
+        .select("id_a", "id_b", "cosine_e4")
+    )
 
 
 def embedding_near_dup_multiprobe(

@@ -47,6 +47,7 @@ _RISK_ORDER = [
     "flac_native_audio",
     "bpe_train_merges",
     "bpe_encode_tokens",
+    "embedding_near_dup_probed",
     "quality_classifier_score",
     "ann_topk_incremental",
     "incremental_agg_retract",

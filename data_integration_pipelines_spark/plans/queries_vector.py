@@ -224,6 +224,30 @@ def embedding_near_dup_multiprobe_q(spark: SparkSession, sf_dir: str) -> DataFra
 
 
 @register(
+    "embedding_near_dup_probed",
+    _multiprobe_oracle(8, 1),
+    doc="The SAME Hamming<=1 near-dup semantics as "
+    "embedding_near_dup_multiprobe — identical oracle — via QUERY-SIDE "
+    "signature probing (operators/similarity.embedding_near_dup_probed, "
+    "r6): each vector's n_planes+1 probe signatures equi-join the "
+    "corpus's exact full-width signatures, so candidates stay "
+    "(planes+1)*N*bucket-sized and FLAT under recommended_n_planes "
+    "sizing, where the pigeonhole-block join keys on planes/(h+1)-bit "
+    "blocks and is quadratic in N at any total width (probe-measured "
+    "247x wall at 30x data vs this plan's near-linear; SCALE.md 1c). "
+    "Candidate strategy is physical, never semantic — the r6 "
+    "ann_topk_join_bulk / two_hop_follow_bucketed precedent.",
+)
+def embedding_near_dup_probed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import embedding_near_dup_probed
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return embedding_near_dup_probed(
+        emb, threshold=0.35, n_planes=8, max_hamming=1
+    ).orderBy("id_a", "id_b")
+
+
+@register(
     "embedding_dup_clusters",
     f"""
     WITH RECURSIVE {_LONG_CTE.strip()},

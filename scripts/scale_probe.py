@@ -175,10 +175,75 @@ def _dedup_consensus_scaled_planes(spark, sf_dir: str):
     )
 
 
+def _embedding_near_dup_scaled_planes(spark, sf_dir: str):
+    """embedding_near_dup with production LSH sizing (see the
+    dedup_consensus twin's docstring for the rationale)."""
+    from data_integration_pipelines_spark.catalog import load_table
+    from data_integration_pipelines_spark.operators.similarity import (
+        embedding_near_dup_pairs,
+        recommended_n_planes,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    planes = recommended_n_planes(emb.count())
+    return embedding_near_dup_pairs(emb, threshold=0.35, n_planes=planes).orderBy(
+        "id_a", "id_b"
+    )
+
+
+def _embedding_near_dup_probed_scaled_planes(spark, sf_dir: str):
+    """embedding_near_dup_probed with production LSH sizing — the
+    query-side-probing variant whose candidates stay (planes+1)*N*
+    bucket-sized: the combination recommended_n_planes prescribes.
+    Contrast row for the block-join twin below."""
+    from data_integration_pipelines_spark.catalog import load_table
+    from data_integration_pipelines_spark.operators.similarity import (
+        embedding_near_dup_probed,
+        recommended_n_planes,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    planes = recommended_n_planes(emb.count())
+    return embedding_near_dup_probed(
+        emb, threshold=0.35, n_planes=planes, max_hamming=1
+    ).orderBy("id_a", "id_b")
+
+
+def _embedding_near_dup_multiprobe_scaled_planes(spark, sf_dir: str):
+    """embedding_near_dup_multiprobe with production LSH sizing — the
+    registry query's fixed 8 planes make Hamming-1 block candidates
+    quadratic in N (247× wall at 30× data, the r6 full-probe's worst
+    row); the production rule holds block populations flat, recovering
+    recall via probing without unbounded candidate growth."""
+    from data_integration_pipelines_spark.catalog import load_table
+    from data_integration_pipelines_spark.operators.similarity import (
+        embedding_near_dup_multiprobe,
+        recommended_n_planes,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    planes = recommended_n_planes(emb.count())
+    return embedding_near_dup_multiprobe(
+        emb, threshold=0.35, n_planes=planes, max_hamming=1
+    ).orderBy("id_a", "id_b")
+
+
 # probe-only variants: (fn, time_build) — not registry queries (their
 # parameters depend on corpus size, which the oracle contract forbids)
 _EXTRA_PROBES = {
     "dedup_consensus_scaled_planes": (_dedup_consensus_scaled_planes, True),
+    "embedding_near_dup_scaled_planes": (
+        _embedding_near_dup_scaled_planes,
+        True,
+    ),
+    "embedding_near_dup_multiprobe_scaled_planes": (
+        _embedding_near_dup_multiprobe_scaled_planes,
+        True,
+    ),
+    "embedding_near_dup_probed_scaled_planes": (
+        _embedding_near_dup_probed_scaled_planes,
+        True,
+    ),
 }
 
 

@@ -148,6 +148,44 @@ class TestSimilarity:
         assert set(exact) <= set(probed)
         assert all(probed[p] == c for p, c in exact.items())
 
+    def test_signature_probing_equals_block_join_multiprobe(self, spark, sf_small):
+        """embedding_near_dup_probed (query-side signature probing, the
+        recommended_n_planes scale path) must emit EXACTLY the block-join
+        multiprobe's pairs and scores — candidate strategy is physical,
+        never semantic. Checked at two plane widths so the equality is
+        not an 8-plane coincidence."""
+        from data_integration_pipelines_spark.operators.similarity import (
+            embedding_near_dup_multiprobe,
+            embedding_near_dup_probed,
+        )
+
+        emb = load_table(spark, sf_small, "embeddings")
+        for planes in (8, 11):
+            block = {
+                (r.id_a, r.id_b): r.cosine_e4
+                for r in embedding_near_dup_multiprobe(
+                    emb, threshold=0.35, n_planes=planes, max_hamming=1
+                ).collect()
+            }
+            probed = {
+                (r.id_a, r.id_b): r.cosine_e4
+                for r in embedding_near_dup_probed(
+                    emb, threshold=0.35, n_planes=planes, max_hamming=1
+                ).collect()
+            }
+            assert probed == block, f"divergence at n_planes={planes}"
+            assert len(probed) > 0
+
+    def test_signature_probes_h2_rejected(self, spark):
+        import pytest as _pytest
+
+        from data_integration_pipelines_spark.operators.similarity import (
+            signature_probes,
+        )
+
+        with _pytest.raises(ValueError, match="h=1"):
+            signature_probes(F.lit("0101"), 4, max_hamming=2)
+
 
 def _union_find_clusters(pairs: list[tuple[int, int]]) -> dict[int, int]:
     """Reference union-find: node -> min member of its component."""

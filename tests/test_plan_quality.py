@@ -72,6 +72,7 @@ def test_python_stages_only_where_declared(plans):
         "jpeg_native_decode",  # native JPEG encode+decode kernel (jpeg_lite)
         "wav_native_audio",  # native RIFF/PCM parse kernel (wav_lite)
         "flac_native_audio",  # native FLAC decode kernel (flac_lite)
+        "bpe_encode_tokens",  # BPE encode kernel (Arrow-batched, word-memoized)
         "image_resize",
         "frame_sample",
         "audio_features",

@@ -38,6 +38,7 @@ _NEVER_DRIVER_VERIFIED = {
     "flac_native_audio",
     "bpe_train_merges",
     "bpe_encode_tokens",
+    "embedding_near_dup_probed",
 }
 
 
