@@ -413,16 +413,32 @@ def cmd_export_shards(args) -> int:
     """Trainer-facing dataset export: the curated document set written
     as N deterministic shards (hash of doc_id -> shard), each
     internally sorted by token count (length bucketing for packing),
-    plus _manifest.json. sources/shard_export.py."""
+    plus _manifest.json. With ``--tokenize M`` the export is
+    training-ready: a BPE tokenizer is trained on the corpus (M
+    merges), every document carries its real token array, shards sort
+    by TRUE token count, and the merge table ships beside the shards —
+    the handoff a pretraining job consumes directly.
+    sources/shard_export.py + operators/bpe.py."""
     from .catalog import load_table
     from .sources.shard_export import export_sharded
 
     spark = _session(args)
     from .functions.text import ws_tokens
 
-    docs = load_table(spark, args.sf_dir, "documents").withColumn(
-        "n_tokens", F.size(ws_tokens(F.col("text")))
-    )
+    docs = load_table(spark, args.sf_dir, "documents")
+    tokenizer_out = None
+    if args.tokenize:
+        from .operators.bpe import bpe_encode, bpe_train
+
+        merges_df = bpe_train(docs, n_merges=args.tokenize)
+        tokenizer_out = _out(args, "bpe_merges")
+        merges_df.write.mode("overwrite").parquet(tokenizer_out)
+        merge_list = [(r["left"], r["right"]) for r in merges_df.collect()]
+        docs = bpe_encode(docs, merge_list).withColumn(
+            "n_tokens", F.size("bpe_tokens")
+        )
+    else:
+        docs = docs.withColumn("n_tokens", F.size(ws_tokens(F.col("text"))))
     manifest = export_sharded(
         docs,
         _out(args, "shards"),
@@ -430,7 +446,15 @@ def cmd_export_shards(args) -> int:
         sort_col="n_tokens",
         n_shards=args.shards,
     )
-    print(json.dumps({"n_shards": manifest["n_shards"], "rows": sum(v["n_rows"] for v in manifest["shards"].values())}))
+    print(
+        json.dumps(
+            {
+                "n_shards": manifest["n_shards"],
+                "rows": sum(v["n_rows"] for v in manifest["shards"].values()),
+                "tokenizer": tokenizer_out,
+            }
+        )
+    )
     return 0
 
 
@@ -704,6 +728,14 @@ def build_parser() -> argparse.ArgumentParser:
         "export-shards", help="write the corpus as N sorted shards + manifest"
     )
     sp.add_argument("--shards", type=int, default=8)
+    sp.add_argument(
+        "--tokenize",
+        type=int,
+        default=0,
+        metavar="M",
+        help="train an M-merge BPE tokenizer, export real token arrays "
+        "sorted by true token count, ship the merge table beside the shards",
+    )
     common(sp)
     sp.set_defaults(fn=cmd_export_shards)
 

@@ -358,3 +358,40 @@ class TestTokenizerCLI:
         enc = spark.read.parquet(str(tmp_path / "enc" / "bpe_tokens"))
         assert enc.count() == 500
         assert set(enc.columns) == {"doc_id", "bpe_tokens"}
+
+
+class TestTokenizedExport:
+    def test_export_shards_tokenized(self, spark, tmp_path, capsys):
+        """--tokenize M ships training-ready shards: real BPE token
+        arrays, in-shard sort by TRUE token count, and the merge table
+        beside the shards; tokens re-encode identically with the
+        shipped merges (the handoff is self-contained)."""
+        out = _run(
+            tmp_path, "export-shards", "--shards", "2", "--tokenize", "8"
+        )
+        manifest = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert manifest["tokenizer"] == os.path.join(out, "bpe_merges")
+
+        merges_df = spark.read.parquet(manifest["tokenizer"]).orderBy("rank")
+        merges = [(r["left"], r["right"]) for r in merges_df.collect()]
+        assert len(merges) == 8
+
+        df = spark.read.parquet(os.path.join(out, "shards"))
+        assert "bpe_tokens" in df.columns
+        from pyspark.sql import functions as F
+
+        rows = df.select("doc_id", "text", "bpe_tokens", "n_tokens").collect()
+        assert len(rows) == 500
+        assert all(r.n_tokens == len(r.bpe_tokens) for r in rows)
+
+        # re-encoding with the SHIPPED merge table reproduces the
+        # exported token arrays exactly
+        from data_integration_pipelines_spark.operators.bpe import bpe_encode
+
+        re_enc = {
+            r["doc_id"]: r["re_tokens"]
+            for r in bpe_encode(
+                df.select("doc_id", "text"), merges, out_col="re_tokens"
+            ).collect()
+        }
+        assert all(re_enc[r.doc_id] == list(r.bpe_tokens) for r in rows)
