@@ -214,3 +214,44 @@ def streaming_cms(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def streaming_distinct(
+    stream_df: DataFrame,
+    keys: list[str],
+    value_col: str,
+    store_path: str,
+    checkpoint_path: str,
+):
+    """Streaming per-group distinct counting in bounded state: fold
+    each micro-batch's HLL sketches (operators/incremental.
+    partial_distinct_sketch — Datasketches HLL, a few KB per group)
+    into the versioned store through ``versioned_fold``. Exact
+    count(DISTINCT) cannot fold incrementally (it needs the full value
+    set); the sketch union is associative and its estimate is
+    deterministic for a given algorithm/seed, so the drained estimate
+    equals the one-shot batch estimate EXACTLY (pinned by test), in
+    O(groups x sketch) state forever. Read the answer with
+    ``incremental.finalize_distinct(read_store(...), keys)``."""
+    from ..operators.incremental import (
+        merge_distinct_sketches,
+        partial_distinct_sketch,
+    )
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        versioned_fold(
+            batch_df,
+            batch_id,
+            store_path,
+            checkpoint_path,
+            lambda state, batch: merge_distinct_sketches(
+                state, partial_distinct_sketch(batch, keys, value_col), keys
+            ),
+        )
+
+    return (
+        stream_df.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )

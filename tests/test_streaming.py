@@ -895,3 +895,65 @@ def test_streaming_drift_time_travel_and_lineage_refusal(
     with pytest.raises(Exception, match="bound to checkpoint lineage"):
         q2.awaitTermination(120)
         raise AssertionError("new-lineage fold into an existing store did not fail")
+
+
+def test_streaming_distinct_sketch_matches_one_shot(spark, sf_small, tmp_path):
+    """HLL distinct counting folded over micro-batches == the one-shot
+    batch sketch estimate, EXACTLY (sketch union is associative and the
+    estimate is deterministic for a given algorithm/seed) — per-group
+    distinct users per event_type in bounded state
+    (streaming/sketch_fold.streaming_distinct on versioned_fold)."""
+    from data_integration_pipelines_spark.operators.incremental import (
+        finalize_distinct,
+        merge_distinct_sketches,
+        partial_distinct_sketch,
+    )
+    from data_integration_pipelines_spark.streaming.dedup import (
+        read_staged_events_stream,
+    )
+    from data_integration_pipelines_spark.streaming.sketch_fold import (
+        streaming_distinct,
+    )
+    from data_integration_pipelines_spark.streaming.upsert import (
+        _versions,
+        read_store,
+    )
+
+    events = load_table(spark, sf_small, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    staging = str(tmp_path / "staged")
+    store = str(tmp_path / "store")
+    events.filter(F.col("event_id") % 2 == 0).write.mode("overwrite").parquet(staging)
+    events.filter(F.col("event_id") % 2 == 1).write.mode("append").parquet(staging)
+    q = streaming_distinct(
+        read_staged_events_stream(spark, staging, max_files_per_trigger=1).select(
+            "event_type", "user_id"
+        ),
+        keys=["event_type"],
+        value_col="user_id",
+        store_path=store,
+        checkpoint_path=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(120)
+    assert len(_versions(store)) >= 2  # the fold really ran multi-batch
+
+    got = {
+        r.event_type: r.n_distinct_est
+        for r in finalize_distinct(
+            read_store(spark, store), ["event_type"]
+        ).collect()
+    }
+    want = {
+        r.event_type: r.n_distinct_est
+        for r in finalize_distinct(
+            merge_distinct_sketches(
+                None,
+                partial_distinct_sketch(events, ["event_type"], "user_id"),
+                ["event_type"],
+            ),
+            ["event_type"],
+        ).collect()
+    }
+    assert got == want
+    assert len(got) > 0
