@@ -48,6 +48,7 @@ _RISK_ORDER = [
     "bpe_train_merges",
     "bpe_encode_tokens",
     "embedding_near_dup_probed",
+    "training_chunks",
     "quality_classifier_score",
     "ann_topk_incremental",
     "incremental_agg_retract",

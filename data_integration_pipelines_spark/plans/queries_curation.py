@@ -423,6 +423,103 @@ def token_pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "training_chunks",
+    """
+    WITH t AS (
+        SELECT doc_id, source,
+               CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tokens
+        FROM documents
+    ),
+    spans AS (
+        SELECT source, doc_id, n_tokens,
+               SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                                   ROWS UNBOUNDED PRECEDING) - n_tokens AS tok_start,
+               SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                                   ROWS UNBOUNDED PRECEDING) AS tok_end
+        FROM t WHERE n_tokens > 0
+    ),
+    contrib AS (
+        SELECT source, doc_id, tok_start, tok_end, chunk,
+               LEAST(tok_end, (chunk + 1) * 256) - GREATEST(tok_start, chunk * 256)
+                   AS n_contrib
+        FROM spans,
+             LATERAL (SELECT UNNEST(range(CAST(FLOOR(tok_start / 256.0) AS BIGINT),
+                                          CAST(FLOOR((tok_end - 1) / 256.0) AS BIGINT) + 1))
+                      AS chunk)
+    )
+    SELECT source, CAST(chunk AS BIGINT) AS chunk,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_contrib) AS BIGINT) AS chunk_tokens,
+           CAST(SUM(CASE WHEN tok_start < chunk * 256
+                           OR tok_end > (chunk + 1) * 256
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_boundary_docs
+    FROM contrib
+    GROUP BY source, chunk
+    ORDER BY source, chunk
+    """,
+    doc="GPT-style training-sequence construction (concat-and-chunk): "
+    "docs concatenate in deterministic order within each source shard "
+    "and split into fixed 256-token chunks, docs CROSSING a boundary "
+    "contributing to both sides — the step that actually feeds a "
+    "pretraining dataloader, where token_pack_bins only assigns whole "
+    "docs to bins. Emits per chunk its composition (contributing docs, "
+    "token total — exactly 256 everywhere but each shard's tail — and "
+    "boundary-split count). One window + one explode of (doc x spanned "
+    "chunks), both source-shard-local: no global running sum, chunking "
+    "parallelizes across shards at corpus scale like the packer.",
+)
+def training_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    L = 256
+    docs = _docs(spark, sf_dir)
+    t = docs.select(
+        "doc_id",
+        "source",
+        F.size(ws_tokens(F.col("text"))).cast("long").alias("n_tokens"),
+    ).filter(F.col("n_tokens") > 0)
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    spans = t.select(
+        "source",
+        "doc_id",
+        (F.sum("n_tokens").over(w) - F.col("n_tokens")).alias("tok_start"),
+        F.sum("n_tokens").over(w).alias("tok_end"),
+    )
+    contrib = spans.select(
+        "source",
+        "tok_start",
+        "tok_end",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("tok_start") / L),
+                F.floor((F.col("tok_end") - 1) / L),
+            )
+        ).alias("chunk"),
+    ).withColumn(
+        "n_contrib",
+        F.least(F.col("tok_end"), (F.col("chunk") + 1) * L)
+        - F.greatest(F.col("tok_start"), F.col("chunk") * L),
+    )
+    return (
+        contrib.groupBy("source", "chunk")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_contrib").alias("chunk_tokens"),
+            F.sum(
+                F.when(
+                    (F.col("tok_start") < F.col("chunk") * L)
+                    | (F.col("tok_end") > (F.col("chunk") + 1) * L),
+                    1,
+                ).otherwise(0)
+            ).alias("n_boundary_docs"),
+        )
+        .orderBy("source", "chunk")
+    )
+
+
+@register(
     "tfidf_top_terms",
     f"""
     WITH toks AS (

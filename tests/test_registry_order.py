@@ -39,6 +39,7 @@ _NEVER_DRIVER_VERIFIED = {
     "bpe_train_merges",
     "bpe_encode_tokens",
     "embedding_near_dup_probed",
+    "training_chunks",
 }
 
 
