@@ -49,6 +49,7 @@ _RISK_ORDER = [
     "bpe_encode_tokens",
     "embedding_near_dup_probed",
     "training_chunks",
+    "contamination_fraction",
     "quality_classifier_score",
     "ann_topk_incremental",
     "incremental_agg_retract",

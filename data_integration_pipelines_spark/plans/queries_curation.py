@@ -217,6 +217,79 @@ def decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "contamination_fraction",
+    f"""
+    WITH sh AS (
+        SELECT DISTINCT doc_id, source,
+               t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] AS s
+        FROM (SELECT doc_id, source, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents),
+             LATERAL (SELECT unnest(range(1, len(t) - 2)) AS i)
+    ),
+    ev AS (SELECT DISTINCT s FROM sh WHERE source = 'src0'),
+    tr AS (SELECT doc_id, s FROM sh WHERE source <> 'src0'),
+    tot AS (SELECT doc_id, CAST(COUNT(DISTINCT s) AS BIGINT) AS n_ngrams
+            FROM tr GROUP BY doc_id),
+    hit AS (SELECT tr.doc_id, CAST(COUNT(DISTINCT tr.s) AS BIGINT) AS n_shared
+            FROM tr JOIN ev ON tr.s = ev.s GROUP BY tr.doc_id)
+    SELECT tot.doc_id, n_ngrams,
+           CAST(COALESCE(n_shared, 0) AS BIGINT) AS n_shared,
+           {e4_sql('COALESCE(n_shared, 0) / n_ngrams')} AS contamination_e4,
+           CASE WHEN {e4_sql('COALESCE(n_shared, 0) / n_ngrams')} >= 5000 THEN 'drop'
+                WHEN {e4_sql('COALESCE(n_shared, 0) / n_ngrams')} >= 500 THEN 'review'
+                ELSE 'keep' END AS verdict
+    FROM tot LEFT JOIN hit ON tot.doc_id = hit.doc_id
+    ORDER BY tot.doc_id
+    """,
+    doc="Per-document contamination FRACTION: the share of a training "
+    "doc's distinct 4-grams found in the held-out eval source, graded "
+    "keep (<5%) / review / drop (>=50%) — partial-contamination "
+    "grading where decontaminate is a binary flag (a doc quoting one "
+    "eval sentence is review-and-trim material, not an automatic "
+    "drop). Covers EVERY training doc, zero-filled via left join. "
+    "Same machinery and scale shape as decontaminate: one persisted "
+    "hashed-shingle table feeds both sides, the eval set broadcasts, "
+    "and the added per-doc total is a map-side-combined count over "
+    "already-distinct shingles.",
+)
+def contamination_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.cache import bounded_persist
+
+    docs = _docs(spark, sf_dir)
+    hashed = F.array_distinct(
+        F.transform(
+            word_shingles(ws_tokens(F.col("text")), 4), lambda s: F.xxhash64(s)
+        )
+    )
+    sh = bounded_persist(
+        docs.select("doc_id", "source", F.explode(hashed).alias("s"))
+    )
+    train = sh.filter(F.col("source") != "src0").drop("source")
+    holdout = sh.filter(F.col("source") == "src0").select("s").distinct()
+    tot = train.groupBy("doc_id").agg(F.countDistinct("s").alias("n_ngrams"))
+    hit = (
+        train.join(F.broadcast(holdout), "s")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("s").alias("n_shared"))
+    )
+    frac = e4(F.col("n_shared") / F.col("n_ngrams"))
+    return (
+        tot.join(hit, "doc_id", "left")
+        .withColumn("n_shared", F.coalesce("n_shared", F.lit(0)))
+        .select(
+            "doc_id",
+            "n_ngrams",
+            "n_shared",
+            frac.alias("contamination_e4"),
+            F.when(frac >= 5000, "drop")
+            .when(frac >= 500, "review")
+            .otherwise("keep")
+            .alias("verdict"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
     "corpus_sample_mix",
     """
     WITH s AS (

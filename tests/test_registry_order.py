@@ -40,6 +40,7 @@ _NEVER_DRIVER_VERIFIED = {
     "bpe_encode_tokens",
     "embedding_near_dup_probed",
     "training_chunks",
+    "contamination_fraction",
 }
 
 
