@@ -903,23 +903,34 @@ def embedding_near_dup_probed(
     threshold: float,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_planes: int = 8,
+    n_planes: int | None = 8,
     max_hamming: int = 1,
     max_bucket: int | None = None,
 ) -> DataFrame:
-    """Hamming-tolerant embedding near-dup via QUERY-SIDE signature
-    probing: each vector's probe set (its signature + every 1-bit
-    flip, ``signature_probes``) equi-joins against the corpus's exact
-    full-width signatures, then exact cosine verifies. Semantically
-    identical to ``embedding_near_dup_multiprobe`` (both emit exactly
-    the Hamming<=1 candidate pairs passing the cosine threshold —
-    pinned by test) but scalable: candidates are bounded by
+    """THE default embedding near-dup kernel (r7): Hamming-tolerant
+    near-dup via QUERY-SIDE signature probing — each vector's probe
+    set (its signature + every 1-bit flip, ``signature_probes``)
+    equi-joins against the corpus's exact full-width signatures, then
+    exact cosine verifies. Semantically identical to
+    ``embedding_near_dup_multiprobe`` (both emit exactly the
+    Hamming<=1 candidate pairs passing the cosine threshold — pinned
+    by test) but scalable: candidates are bounded by
     (n_planes+1) x N x bucket-population, flat under the
-    ``recommended_n_planes`` sizing, where block joins go quadratic.
+    ``recommended_n_planes`` sizing, where block joins go quadratic
+    (measured 89x wall at 30x data even with scaled planes vs 30.0x
+    here; SCALE.md 1c). Compositions (``dedup_consensus``,
+    ``embedding_dup_clusters``) route through this kernel.
+
+    ``n_planes=None`` sizes production runs automatically via
+    ``recommended_n_planes(df.count())`` — one metadata-cheap count at
+    plan-build time, the ``zordered_df`` auto-method precedent. The
+    oracle-pinned registry queries pass the fixture width explicitly.
 
     A Hamming<=1 pair matches on exactly ONE probe per orientation and
     only the id_a < id_b orientation survives, so no distinct is
     needed — one fewer shuffle than the block-join variant."""
+    if n_planes is None:
+        n_planes = recommended_n_planes(df.count())
     sig = bounded_persist(hyperplane_signatures(df, id_col, vec_col, n_planes))
     sig = _cap_buckets(sig, ["signature"], max_bucket)
     probes = sig.select(
@@ -957,13 +968,16 @@ def embedding_near_dup_multiprobe(
     max_hamming: int = 1,
     max_bucket: int | None = None,
 ) -> DataFrame:
-    """Like ``embedding_near_dup_pairs`` but tolerant of signature
-    near-misses: hyperplane LSH drops a true near-dup whenever ONE
-    hyperplane splits the pair, so candidates here are pairs whose
-    signatures are within ``max_hamming`` bits (pigeonhole block join —
-    see dedup.simhash_hamming_pairs / Manku et al. WWW'07), then exact
-    cosine verifies. Recall rises from p^k to ~p^k + k(1-p)p^(k-1) per
-    pair at the cost of (max_hamming+1) bounded bucket joins."""
+    """DIFFERENTIAL TWIN of ``embedding_near_dup_probed`` (not a scale
+    path — demoted r7): identical Hamming<=``max_hamming`` semantics
+    via a pigeonhole BLOCK join (dedup.simhash_hamming_pairs / Manku
+    et al. WWW'07) instead of query-side probing. The block join keys
+    on blocks only n_planes/(h+1) bits wide, so it is structurally
+    superlinear in N at ANY total plane count (measured 89x wall at
+    30x data under production sizing vs the probed kernel's 30.0x —
+    SCALE.md 1c). Kept because two independent candidate generators
+    reaching the same pair set is the cheapest full-recall
+    cross-check; use the probed kernel for real corpora."""
     from .dedup import simhash_blocks
 
     sig = bounded_persist(hyperplane_signatures(df, id_col, vec_col, n_planes))
@@ -1021,16 +1035,19 @@ def embedding_near_dup_pairs(
     n_planes: int = 8,
     max_bucket: int | None = None,
 ) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs: LSH-signature bucketing
-    (candidate generation — only same-bucket vectors pair, never the
-    full N^2) followed by an exact cosine verify on the candidates.
-    Returns (id_a, id_b, cosine) with cosine rounded to 4 decimals and
-    >= threshold. At scale the verify joins fetch only candidate
-    vectors; bucket sizes are ~N/2^n_planes — size ``n_planes`` with
-    ``recommended_n_planes(N)`` so that ratio stays flat as the corpus
-    grows, and/or set ``max_bucket`` to hard-cap degenerate buckets
-    (mass-duplicate embeddings) the way jaccard_pairs caps stop
-    shingles."""
+    """Embedding-cosine near-duplicate pairs, EXACT-signature variant
+    (Hamming=0 candidates only — single-bucket recall): LSH-signature
+    bucketing followed by an exact cosine verify on the candidates.
+    Returns (id_a, id_b, cosine_e4) with cosine >= threshold. Bucket
+    sizes are ~N/2^n_planes — size ``n_planes`` with
+    ``recommended_n_planes(N)`` and/or set ``max_bucket`` to hard-cap
+    degenerate buckets (mass-duplicate embeddings) the way
+    jaccard_pairs caps stop shingles.
+
+    Since r7 compositions default to ``embedding_near_dup_probed``
+    (Hamming<=1 recall at the same bounded-candidate cost); this
+    single-bucket variant remains as the recall floor's own
+    oracle-pinned query and the probe family's differential base."""
     sig = hyperplane_signatures(df, id_col, vec_col, n_planes)
     sig = _cap_buckets(sig, ["signature"], max_bucket)
     a = sig.select(F.col("id").alias("id_a"), "signature")

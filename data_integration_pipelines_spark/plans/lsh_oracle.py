@@ -1,0 +1,66 @@
+"""Shared DuckDB-oracle SQL fragments for hyperplane-LSH embedding
+near-dup candidate generation, so every consumer query pins the SAME
+semantics from one definition.
+
+Two fragments compose after a ``long`` CTE (vec_id, pos, val over the
+``embeddings`` table):
+
+- :func:`lsh_sig_cte` — the n_planes-bit signature per vector (the
+  identical integer-hyperplane expression as
+  ``operators/similarity.hyperplane_signatures``).
+- :func:`hamming_cand_cte` — the DISTINCT Hamming<=h candidate pair
+  set. The oracle generates it via pigeonhole block probes + an exact
+  Hamming verify (the only formulation DuckDB can run without an N^2
+  self-join); the engine generates the same set via QUERY-SIDE
+  signature probing (``operators/similarity.embedding_near_dup_probed``
+  — the linear-at-scale default kernel) or the block multiprobe twin.
+  Candidate strategy is physical, never semantic: all three emit
+  exactly the Hamming<=h pairs, so one oracle covers them all.
+
+Consumers: ``embedding_near_dup_probed`` / ``_multiprobe``
+(queries_vector), ``dedup_consensus`` and ``embedding_dup_clusters``
+(recomposed onto the probed kernel in round 7).
+"""
+
+from __future__ import annotations
+
+
+def lsh_sig_cte(n_planes: int = 8) -> str:
+    """CTE ``sig(vec_id, signature)``: the n_planes-bit hyperplane-LSH
+    signature, bit j = sign(sum(val * (((j*31 + dim*7) % 11) - 5)))."""
+    return f"""
+    sig AS (
+        SELECT vec_id,
+               string_agg(CASE WHEN dotj > 0 THEN '1' ELSE '0' END, '' ORDER BY j) AS signature
+        FROM (
+            SELECT vec_id, j, SUM(val * (((j*31 + (pos-1)*7) % 11) - 5)) AS dotj
+            FROM long, UNNEST(range({n_planes})) AS t(j)
+            GROUP BY vec_id, j
+        ) GROUP BY vec_id
+    )"""
+
+
+def hamming_cand_cte(n_planes: int = 8, max_hamming: int = 1) -> str:
+    """CTEs ``probes`` + ``cand(id_a, id_b)``: the distinct pairs whose
+    signatures differ in <= max_hamming bits (requires ``sig``)."""
+    from ..operators.dedup import simhash_blocks
+
+    probe_selects = "\n        UNION ALL\n".join(
+        f"        SELECT vec_id, signature, {b} AS block,"
+        f" substr(signature, {start}, {length}) AS bits FROM sig"
+        for b, (start, length) in enumerate(simhash_blocks(n_planes, max_hamming + 1))
+    )
+    ham = (
+        f"len([i FOR i IN range(1, {n_planes + 1}) "
+        "IF substr(a.signature, CAST(i AS INT), 1) <> substr(b.signature, CAST(i AS INT), 1)])"
+    )
+    return f"""
+    probes AS (
+{probe_selects}
+    ),
+    cand AS (
+        SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM probes a JOIN probes b
+          ON a.block = b.block AND a.bits = b.bits AND a.vec_id < b.vec_id
+        WHERE {ham} <= {max_hamming}
+    )"""

@@ -29,6 +29,7 @@ from ..operators.dedup import (
     relative_doc_freq_cap_expr,
 )
 from .base import register
+from .lsh_oracle import hamming_cand_cte, lsh_sig_cte
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1471,24 +1472,13 @@ def contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(unnest(embedding) AS DOUBLE) AS val
         FROM embeddings
     ),
-    sig AS (
-        SELECT vec_id,
-               string_agg(CASE WHEN dotj > 0 THEN '1' ELSE '0' END, '' ORDER BY j) AS signature
-        FROM (
-            SELECT vec_id, j, SUM(val * (((j*31 + (pos-1)*7) % 11) - 5)) AS dotj
-            FROM long, UNNEST(range(8)) AS t(j)
-            GROUP BY vec_id, j
-        ) GROUP BY vec_id
-    ),
-    ecand AS (
-        SELECT a.vec_id AS id_a, b.vec_id AS id_b
-        FROM sig a JOIN sig b ON a.signature = b.signature AND a.vec_id < b.vec_id
-    ),
+    {lsh_sig_cte(8).strip()},
+    {hamming_cand_cte(8, 1).strip()},
     epairs AS (
         SELECT id_a, id_b, cosine_e4 FROM (
             SELECT id_a, id_b,
                    {e4_sql('SUM(qa.val * qb.val)')} AS cosine_e4
-            FROM ecand
+            FROM cand
             JOIN long qa ON qa.vec_id = id_a
             JOIN long qb ON qb.vec_id = id_b AND qb.pos = qa.pos
             GROUP BY id_a, id_b
@@ -1514,18 +1504,23 @@ def contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "review (surface rewrites pass the embedding check but fail "
     "n-grams; template collisions do the reverse). Composes the two "
     "certified pair generators; each side stays candidate-bounded, "
-    "and the consensus join is pair-keyed (output-sized, never N^2).",
+    "and the consensus join is pair-keyed (output-sized, never N^2). "
+    "Since r7 the embedding side is the Hamming<=1 PROBED kernel "
+    "(operators/similarity.embedding_near_dup_probed — query-side "
+    "signature probing, the measured-linear variant at 30x data; the "
+    "fixed-signature block join it replaces measured quadratic, "
+    "SCALE.md 1c), so the consensus inherits the scalable default.",
 )
 def dedup_consensus(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import jaccard_pairs
-    from ..operators.similarity import embedding_near_dup_pairs
+    from ..operators.similarity import embedding_near_dup_probed
 
     docs = load_table(spark, sf_dir, "documents")
     emb = load_table(spark, sf_dir, "embeddings")
     t = jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.8).select(
         "id_a", "id_b", e4(F.col("jaccard")).alias("jaccard_e4")
     )
-    e = embedding_near_dup_pairs(emb, threshold=0.35)
+    e = embedding_near_dup_probed(emb, threshold=0.35, n_planes=8)
     return (
         t.join(e, ["id_a", "id_b"], "full_outer")
         .select(

@@ -21,6 +21,7 @@ from ..catalog import load_table
 from ..functions.quantize import e4_sql, quantized_sql
 from ..operators.similarity import ivf_topk, topk_pandas
 from .base import REGISTRY, register
+from .lsh_oracle import hamming_cand_cte, lsh_sig_cte
 
 _LONG_CTE = """
     long AS (
@@ -147,10 +148,13 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE cosine_e4 >= 3500
     ORDER BY id_a, id_b
     """,
-    doc="Embedding-cosine near-duplicate pairs: random-hyperplane LSH "
-    "signatures (integer hyperplanes, JVM-side array folds) bucket the "
-    "corpus; exact cosine verifies only same-bucket candidates — never "
-    "the full N^2. The near-dup leg of the dedup suite over vectors.",
+    doc="Embedding-cosine near-duplicate pairs, EXACT-signature variant "
+    "(Hamming=0 candidates only): random-hyperplane LSH signatures "
+    "(integer hyperplanes, JVM-side array folds) bucket the corpus; "
+    "exact cosine verifies only same-bucket candidates — never the full "
+    "N^2. Since r7 this is the differential twin of the recall-complete "
+    "family: compositions (dedup_consensus, embedding_dup_clusters) "
+    "default to the Hamming<=1 PROBED kernel (embedding_near_dup_probed).",
 )
 def embedding_near_dup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import embedding_near_dup_pairs
@@ -160,39 +164,12 @@ def embedding_near_dup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _multiprobe_oracle(n_planes: int = 8, max_hamming: int = 1) -> str:
-    from ..operators.dedup import simhash_blocks
+    from .lsh_oracle import hamming_cand_cte, lsh_sig_cte
 
-    probe_selects = "\n        UNION ALL\n".join(
-        f"        SELECT vec_id, signature, {b} AS block,"
-        f" substr(signature, {start}, {length}) AS bits FROM sig"
-        for b, (start, length) in enumerate(
-            simhash_blocks(n_planes, max_hamming + 1)
-        )
-    )
-    ham = (
-        f"len([i FOR i IN range(1, {n_planes + 1}) "
-        "IF substr(sig_a, CAST(i AS INT), 1) <> substr(sig_b, CAST(i AS INT), 1)])"
-    )
     return f"""
     WITH {_LONG_CTE},
-    sig AS (
-        SELECT vec_id,
-               string_agg(CASE WHEN dotj > 0 THEN '1' ELSE '0' END, '' ORDER BY j) AS signature
-        FROM (
-            SELECT vec_id, j, SUM(val * (((j*31 + (pos-1)*7) % 11) - 5)) AS dotj
-            FROM long, UNNEST(range({n_planes})) AS t(j)
-            GROUP BY vec_id, j
-        ) GROUP BY vec_id
-    ),
-    probes AS (
-{probe_selects}
-    ),
-    cand AS (
-        SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
-        FROM probes a JOIN probes b
-          ON a.block = b.block AND a.bits = b.bits AND a.vec_id < b.vec_id
-        WHERE {ham.replace("sig_a", "a.signature").replace("sig_b", "b.signature")} <= {max_hamming}
-    ),
+    {lsh_sig_cte(n_planes)},
+    {hamming_cand_cte(n_planes, max_hamming)},
     dots AS (
         SELECT id_a, id_b, {e4_sql('SUM(qa.val * qb.val)')} AS cosine_e4
         FROM cand
@@ -251,19 +228,8 @@ def embedding_near_dup_probed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     "embedding_dup_clusters",
     f"""
     WITH RECURSIVE {_LONG_CTE.strip()},
-    sig AS (
-        SELECT vec_id,
-               string_agg(CASE WHEN dotj > 0 THEN '1' ELSE '0' END, '' ORDER BY j) AS signature
-        FROM (
-            SELECT vec_id, j, SUM(val * (((j*31 + (pos-1)*7) % 11) - 5)) AS dotj
-            FROM long, UNNEST(range(8)) AS t(j)
-            GROUP BY vec_id, j
-        ) GROUP BY vec_id
-    ),
-    cand AS (
-        SELECT a.vec_id AS id_a, b.vec_id AS id_b
-        FROM sig a JOIN sig b ON a.signature = b.signature AND a.vec_id < b.vec_id
-    ),
+    {lsh_sig_cte(8)},
+    {hamming_cand_cte(8, 1)},
     dots AS (
         SELECT id_a, id_b, {e4_sql('SUM(qa.val * qb.val)')} AS cosine_e4
         FROM cand
@@ -288,19 +254,22 @@ def embedding_near_dup_probed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM labels
     ORDER BY vec_id
     """,
-    doc="Embedding-side duplicate clustering: hyperplane-LSH cosine pairs "
-    "(>= 0.35) -> connected components -> (vector, cluster, size). The same "
-    "pairs->clusters resolution as the text side (dup_clusters), proving the "
-    "component operator composes across candidate generators.",
+    doc="Embedding-side duplicate clustering: Hamming<=1 hyperplane-LSH "
+    "cosine pairs (>= 0.35) from the PROBED kernel (the linear-at-scale "
+    "default since r7 — query-side signature probing, operators/"
+    "similarity.embedding_near_dup_probed) -> connected components -> "
+    "(vector, cluster, size). The same pairs->clusters resolution as the "
+    "text side (dup_clusters), proving the component operator composes "
+    "across candidate generators.",
 )
 def embedding_dup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     from ..operators.dedup import connected_components
-    from ..operators.similarity import embedding_near_dup_pairs
+    from ..operators.similarity import embedding_near_dup_probed
 
     emb = load_table(spark, sf_dir, "embeddings")
-    pairs = embedding_near_dup_pairs(emb, threshold=0.35)
+    pairs = embedding_near_dup_probed(emb, threshold=0.35, n_planes=8)
     cc = connected_components(pairs, "id_a", "id_b")
     return (
         cc.select(F.col("id").alias("vec_id"), "cluster_id")

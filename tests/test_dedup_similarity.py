@@ -176,6 +176,29 @@ class TestSimilarity:
             assert probed == block, f"divergence at n_planes={planes}"
             assert len(probed) > 0
 
+    def test_probed_auto_planes_matches_explicit(self, spark, sf_small):
+        """n_planes=None sizes via recommended_n_planes(N) at plan build
+        (the production default since r7) — must equal the explicitly
+        sized call at the same width."""
+        from data_integration_pipelines_spark.operators.similarity import (
+            embedding_near_dup_probed,
+            recommended_n_planes,
+        )
+
+        emb = load_table(spark, sf_small, "embeddings")
+        width = recommended_n_planes(emb.count())
+        auto = {
+            (r.id_a, r.id_b): r.cosine_e4
+            for r in embedding_near_dup_probed(emb, threshold=0.35, n_planes=None).collect()
+        }
+        explicit = {
+            (r.id_a, r.id_b): r.cosine_e4
+            for r in embedding_near_dup_probed(
+                emb, threshold=0.35, n_planes=width
+            ).collect()
+        }
+        assert auto == explicit
+
     def test_signature_probes_h2_rejected(self, spark):
         import pytest as _pytest
 
