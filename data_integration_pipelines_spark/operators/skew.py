@@ -127,7 +127,7 @@ def grouped_topk_salted(
     df: DataFrame,
     key_cols: list[str],
     order_by: list[Column],
-    k: int,
+    k: int | Column,
     n_salts: int = 16,
 ) -> DataFrame:
     """Top-k rows per key that survives a hot key.
@@ -137,7 +137,13 @@ def grouped_topk_salted(
     (key, salt) — the hot key spreads over ``n_salts`` sort tasks —
     and keeps k rows per salt; phase 2 ranks the <= n_salts*k
     survivors per key. ``order_by`` must totally order rows within a
-    key (include a unique tiebreak) for deterministic output."""
+    key (include a unique tiebreak) for deterministic output.
+
+    ``k`` may be a Column for PER-KEY cut sizes (e.g. a fractional cut
+    ``floor(cnt * 2/5)`` joined in from a per-key count) — it must be
+    constant within each key, and the re-association still holds: any
+    row with global per-key rank <= k has per-(key, salt) rank <= k,
+    so phase 1 never drops a survivor."""
     salt = F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(n_salts))
     from pyspark.sql.window import Window as W
 

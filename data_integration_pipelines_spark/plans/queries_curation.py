@@ -360,30 +360,33 @@ def corpus_sample_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="Stratified quality sampling: keep the top 40% of docs per language "
     "stratum by BPE-ish token count, deterministic tie-break on doc_id, "
-    "integer-exact 40% cut (rn*5 <= cnt*2 — no float threshold drift). One "
-    "shuffle on lang; skewed strata are the AQE skew-join/salting case "
-    "documented in SCALE.md.",
+    "integer-exact 40% cut (rank <= floor(cnt*2/5), exactly rn*5 <= cnt*2 "
+    "— no float threshold drift). Since r7 the per-stratum rank runs "
+    "through the SALTED TWO-PHASE top-k (operators/skew."
+    "grouped_topk_salted): languages are few and Zipf-sized, so the "
+    "single-window ROW_NUMBER sort measured 14.0x at 30x data (SCALE.md "
+    "1c) — phase 1 ranks within (lang, salt) over 16 tasks per stratum, "
+    "phase 2 re-ranks only the per-salt survivors. The per-stratum k is "
+    "a Column (floor of the broadcast per-lang count), constant within "
+    "each key, so the re-association is exact.",
 )
 def quality_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.skew import grouped_topk_salted
+
     docs = _docs(spark, sf_dir)
     scored = docs.select(
         "doc_id", "lang", bpe_token_count(F.col("text")).alias("quality")
     )
-    w = Window.partitionBy("lang")
-    ranked = scored.select(
-        "doc_id",
-        "lang",
-        "quality",
-        F.row_number()
-        .over(w.orderBy(F.desc("quality"), F.asc("doc_id")))
-        .alias("rn"),
-        F.count("*").over(w).alias("cnt"),
+    # languages-sized count table — always broadcastable
+    cnt = scored.groupBy("lang").agg(F.count("*").alias("cnt"))
+    withk = scored.join(F.broadcast(cnt), "lang")
+    sampled = grouped_topk_salted(
+        withk,
+        ["lang"],
+        [F.desc("quality"), F.asc("doc_id")],
+        k=F.expr("(cnt * 2) div 5"),  # integer floor division — exact
     )
-    return (
-        ranked.filter(F.col("rn") * 5 <= F.col("cnt") * 2)
-        .select("doc_id", "lang", "quality")
-        .orderBy("doc_id")
-    )
+    return sampled.select("doc_id", "lang", "quality").orderBy("doc_id")
 
 
 @register(

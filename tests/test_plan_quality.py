@@ -292,3 +292,15 @@ def test_time_partitioned_events_prune_at_planning(spark, sf_small):
     assert "PartitionFilters: [" in plan
     pf = plan.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
     assert "event_date" in pf, plan[:1500]
+
+
+def test_stratified_sample_two_phase_salted(plans):
+    """quality_stratified_sample must carry the salted two-phase top-k
+    shape (r7): phase-1 row_number over (lang, __salt) then phase-2
+    over lang — NOT one global per-stratum sort (few Zipf-sized
+    strata serialize through single window tasks; measured 14.0x at
+    30x data pre-change, SCALE.md 1c)."""
+    plan = plans["quality_stratified_sample"]
+    assert "__salt" in plan, plan[:2000]
+    # two row_number windows: (lang, salt) then (lang)
+    assert plan.count("row_number()") >= 2, plan[:2000]
