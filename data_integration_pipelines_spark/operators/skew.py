@@ -159,6 +159,70 @@ def grouped_topk_salted(
     )
 
 
+def two_level_running_offsets(
+    df: DataFrame,
+    part_cols: list[str],
+    order_col: str,
+    val_col: str,
+    start_col: str = "tok_start",
+    end_col: str = "tok_end",
+    sub_width: int = 65536,
+) -> DataFrame:
+    """Per-group running offsets (exclusive ``start``, inclusive
+    ``end`` of a prefix sum over ``val_col`` in ``order_col`` order)
+    WITHOUT serializing a whole group through one window task.
+
+    A plain ``Window.partitionBy(group).orderBy(order)`` running sum
+    puts each group's ENTIRE row set on one task — a corpus whose
+    documents live in one giant source shard would serialize its whole
+    offset scan. This is the classic two-level (work-efficient) prefix
+    sum over sub-shards:
+
+    1. rows sub-shard by ``floor(order_col / sub_width)`` — a MONOTONE
+       function of the (numeric, unique-per-group) order column, so
+       ordering by (sub, order) == ordering by order;
+    2. phase 1: the running sum WITHIN each (group, sub) — parallel
+       across sub-shards;
+    3. phase 2: per-(group, sub) totals (a tiny aggregate, rows =
+       n_rows / sub_width) get their own per-group prefix offsets —
+       the only sequential scan left is over sub-shard TOTALS, 10^12
+       rows become ~10^7 at the default width;
+    4. the offset table joins back on (group, sub) — unhinted, so AQE
+       broadcasts it while small and shuffles when not (it reuses the
+       (group, sub) partitioning phase 1 already established).
+
+    Output is IDENTICAL for any ``sub_width`` (the width is physical,
+    never semantic — pinned by tests); ``order_col`` must be numeric
+    and unique within a group for a deterministic total order."""
+    from pyspark.sql.window import Window as W
+
+    sub = F.floor(F.col(order_col) / sub_width).alias("__sub")
+    rows = df.withColumn("__sub", sub)
+    w1 = (
+        W.partitionBy(*part_cols, "__sub")
+        .orderBy(order_col)
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    rows = rows.withColumn("__local_end", F.sum(val_col).over(w1))
+    totals = rows.groupBy(*part_cols, "__sub").agg(
+        F.sum(val_col).alias("__sub_tot")
+    )
+    w2 = (
+        W.partitionBy(*part_cols)
+        .orderBy("__sub")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    offsets = totals.withColumn(
+        "__off", F.sum("__sub_tot").over(w2) - F.col("__sub_tot")
+    ).select(*part_cols, "__sub", "__off")
+    return (
+        rows.join(offsets, [*part_cols, "__sub"])
+        .withColumn(end_col, F.col("__off") + F.col("__local_end"))
+        .withColumn(start_col, F.col(end_col) - F.col(val_col))
+        .drop("__sub", "__local_end", "__off")
+    )
+
+
 def skew_proof_count_distinct(
     df: DataFrame,
     key_cols: list[str],

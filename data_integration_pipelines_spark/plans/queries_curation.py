@@ -469,25 +469,28 @@ def dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY source, bin
     """,
     doc="Sequence packing for training batches: greedy assignment of docs to "
-    "256-token bins by running token offset WITHIN each source shard — the "
-    "window partitions by source, so no global (single-partition) running "
-    "sum; bins are shard-local, which is how packing parallelizes at "
-    "corpus scale.",
+    "256-token bins by running token offset WITHIN each source shard. "
+    "Since r7 the offset is a TWO-LEVEL prefix sum (operators/skew."
+    "two_level_running_offsets): phase 1 runs per (source, sub-shard) in "
+    "parallel, phase 2 prefixes only the tiny sub-shard totals — one "
+    "giant source no longer serializes its whole offset scan through a "
+    "single window task (output identical at any sub-shard width).",
 )
 def token_pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.skew import two_level_running_offsets
+
     docs = _docs(spark, sf_dir)
     t = docs.select(
         "doc_id", "source", F.size(ws_tokens(F.col("text"))).cast("long").alias("n_tokens")
     )
-    w = (
-        Window.partitionBy("source")
-        .orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    placed = t.select(
+    # sub_width=128 so the cross-shard offset arithmetic is exercised
+    # under the driver gate at fixture scale, not only in unit tests
+    placed = two_level_running_offsets(
+        t, ["source"], "doc_id", "n_tokens", sub_width=128
+    ).select(
         "source",
         "n_tokens",
-        F.floor((F.sum("n_tokens").over(w) - F.col("n_tokens")) / 256.0).alias("bin"),
+        F.floor(F.col("tok_start") / 256.0).alias("bin"),
     )
     return (
         placed.groupBy("source", "bin")
@@ -541,28 +544,33 @@ def token_pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pretraining dataloader, where token_pack_bins only assigns whole "
     "docs to bins. Emits per chunk its composition (contributing docs, "
     "token total — exactly 256 everywhere but each shard's tail — and "
-    "boundary-split count). One window + one explode of (doc x spanned "
-    "chunks), both source-shard-local: no global running sum, chunking "
-    "parallelizes across shards at corpus scale like the packer.",
+    "boundary-split count). The running offset is the TWO-LEVEL prefix "
+    "sum (operators/skew.two_level_running_offsets, r7): phase 1 is "
+    "per-(source, sub-shard) parallel, phase 2 prefixes only sub-shard "
+    "totals, so chunking parallelizes WITHIN a giant source too — no "
+    "single-task offset scan anywhere; then one explode of (doc x "
+    "spanned chunks).",
 )
 def training_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
-    L = 256
     docs = _docs(spark, sf_dir)
+    return _training_chunks_plan(docs)
+
+
+def _training_chunks_plan(docs: DataFrame) -> DataFrame:
+    """Shared chunking plan: the single-source twin reuses it verbatim
+    with a constant source column."""
+    from ..operators.skew import two_level_running_offsets
+
+    L = 256
     t = docs.select(
         "doc_id",
         "source",
         F.size(ws_tokens(F.col("text"))).cast("long").alias("n_tokens"),
     ).filter(F.col("n_tokens") > 0)
-    w = (
-        Window.partitionBy("source")
-        .orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    spans = t.select(
-        "source",
-        "doc_id",
-        (F.sum("n_tokens").over(w) - F.col("n_tokens")).alias("tok_start"),
-        F.sum("n_tokens").over(w).alias("tok_end"),
+    # sub_width=128: multiple sub-shards per source at fixture scale so
+    # the driver row certifies the cross-shard arithmetic end-to-end
+    spans = two_level_running_offsets(
+        t, ["source"], "doc_id", "n_tokens", sub_width=128
     )
     contrib = spans.select(
         "source",
@@ -594,6 +602,56 @@ def training_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source", "chunk")
     )
+
+
+@register(
+    "training_chunks_single_source",
+    """
+    WITH t AS (
+        SELECT doc_id, 'all' AS source,
+               CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tokens
+        FROM documents
+    ),
+    spans AS (
+        SELECT source, doc_id, n_tokens,
+               SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                                   ROWS UNBOUNDED PRECEDING) - n_tokens AS tok_start,
+               SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                                   ROWS UNBOUNDED PRECEDING) AS tok_end
+        FROM t WHERE n_tokens > 0
+    ),
+    contrib AS (
+        SELECT source, doc_id, tok_start, tok_end, chunk,
+               LEAST(tok_end, (chunk + 1) * 256) - GREATEST(tok_start, chunk * 256)
+                   AS n_contrib
+        FROM spans,
+             LATERAL (SELECT UNNEST(range(CAST(FLOOR(tok_start / 256.0) AS BIGINT),
+                                          CAST(FLOOR((tok_end - 1) / 256.0) AS BIGINT) + 1))
+                      AS chunk)
+    )
+    SELECT source, CAST(chunk AS BIGINT) AS chunk,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_contrib) AS BIGINT) AS chunk_tokens,
+           CAST(SUM(CASE WHEN tok_start < chunk * 256
+                           OR tok_end > (chunk + 1) * 256
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_boundary_docs
+    FROM contrib
+    GROUP BY source, chunk
+    ORDER BY source, chunk
+    """,
+    doc="training_chunks over ONE GIANT SOURCE (every doc re-labeled to "
+    "a single shard) — the adversarial layout for sequence "
+    "construction, where a per-source window would serialize the "
+    "entire corpus through one task. Exercises the two-level prefix "
+    "sum's scale claim directly: phase 1 stays parallel across "
+    "sub-shards even with a single source, phase 2 prefixes only the "
+    "sub-shard totals. The scale_probe twin for VERDICT r6 task 2; "
+    "same plan as training_chunks (shared _training_chunks_plan), "
+    "oracle = the single-window SQL over the constant source.",
+)
+def training_chunks_single_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir).withColumn("source", F.lit("all"))
+    return _training_chunks_plan(docs)
 
 
 @register(
