@@ -1,0 +1,87 @@
+"""Equi-depth (quantile) binning with a scale-aware cut strategy.
+
+Mirrors the z-order auto-method precedent (sources/zorder.py): exact
+``percentile`` below a row threshold — a full per-column sort, the
+right answer while it is cheap and the oracle-pinnable one — and
+``approx_percentile`` (Greenwald-Khanna epsilon-sketch: fixed-size,
+mergeable map-side, one pass) above it, where the exact percentile's
+sort is the job's cost ceiling. One metadata-cheap count decides.
+
+The cut points fold in as a LATERAL scalar subquery, never a join
+node: a 1-row broadcast crossJoin would plan a
+BroadcastNestedLoopJoin, which the plan gate forbids
+(tests/test_plan_quality.py).
+
+The approx path ships with a RANK-ERROR CERTIFICATE
+(``quartile_mass_certificate``): each bin's mass must sit within 1%
+rank of the ideal quarter — checked with exact integer arithmetic
+(|100*n - 25*total| <= total), 100x looser than the sketch's
+configured eps=1e-4, the approx_quantile_check pattern.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+#: above this row count ``method='auto'`` switches the cuts to the
+#: one-pass mergeable sketch (the exact path is a full sort per call)
+EXACT_QUANTILE_THRESHOLD = 10_000_000
+
+
+def with_quartile_bin(
+    spark: SparkSession,
+    view: str,
+    value_col: str,
+    method: str = "auto",
+    accuracy: int = 10000,
+    threshold: int = EXACT_QUANTILE_THRESHOLD,
+) -> DataFrame:
+    """All rows of ``view`` with a ``bin`` column in
+    {p00_25, p25_50, p50_75, p75_100} from quartile cuts of
+    ``value_col``. ``method``: exact | approx | auto (count decides)."""
+    if method not in ("auto", "exact", "approx"):
+        raise ValueError(f"unknown quantile method {method!r}")
+    if method == "auto":
+        method = (
+            "exact" if spark.table(view).count() <= threshold else "approx"
+        )
+    if method == "exact":
+        q = lambda p: f"percentile({value_col}, {p})"  # noqa: E731
+    else:
+        q = lambda p: f"approx_percentile({value_col}, {p}, {accuracy})"  # noqa: E731
+    return spark.sql(
+        f"""
+        SELECT *, CASE WHEN {value_col} < q.q1 THEN 'p00_25'
+                       WHEN {value_col} < q.q2 THEN 'p25_50'
+                       WHEN {value_col} < q.q3 THEN 'p50_75'
+                       ELSE 'p75_100' END AS bin
+        FROM {view},
+             LATERAL (SELECT (SELECT struct(
+                        {q(0.25)} AS q1,
+                        {q(0.50)} AS q2,
+                        {q(0.75)} AS q3)
+                      FROM {view}) AS q)
+        """
+    )
+
+
+def quartile_mass_certificate(binned: DataFrame) -> DataFrame:
+    """Per-bin rank-error certificate over a ``with_quartile_bin``
+    result: mass_within_1pct_rank = |100*n - 25*total| <= total,
+    exact integer arithmetic (no float share drift). The GK sketch
+    guarantees each CUT within eps rank, so each bin's mass is within
+    2*eps of a quarter — at the configured eps=1e-4 the 1% assertion
+    has 50x headroom, yet any broken sketch/binning turns it false."""
+    from pyspark.sql.window import Window
+
+    per_bin = binned.groupBy("bin").agg(F.count("*").alias("n"))
+    # bins-sized table (4 rows) — the unpartitioned window is bounded
+    total = F.sum("n").over(Window.partitionBy())
+    return per_bin.select(
+        "bin",
+        total.cast("bigint").alias("n_total"),
+        (F.abs(F.col("n") * 100 - total * 25) <= total).alias(
+            "mass_within_1pct_rank"
+        ),
+    )

@@ -602,36 +602,64 @@ def cube_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY bin
     ORDER BY bin
     """,
-    doc="Equi-depth (quantile) binning: pass 1 computes exact quartiles "
-    "(Spark percentile == DuckDB quantile_cont, a single-row broadcast), "
-    "pass 2 bins every row against them — the histogram whose buckets "
-    "hold equal mass. At 100 TB pass 1 switches to approx_percentile "
-    "(t-digest sketch, mergeable map-side) with identical plan shape.",
+    doc="Equi-depth (quantile) binning through the AUTO-SWITCHING cut "
+    "strategy (operators/quantiles.with_quartile_bin, r7): exact "
+    "percentile below EXACT_QUANTILE_THRESHOLD rows (Spark percentile "
+    "== DuckDB quantile_cont — the oracle-pinned regime, and where this "
+    "fixture lands), approx_percentile (Greenwald-Khanna sketch, "
+    "mergeable map-side, one pass) above it — one metadata-cheap count "
+    "decides, the zordered_df auto-method precedent. The certified "
+    "approx regime is its own query (quantile_bins_approx). Cuts fold "
+    "in as a LATERAL scalar subquery, never a join node.",
 )
 def quantile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # scalar subquery, not a crossJoin against the 1-row aggregate: the
-    # subquery runs once as its own job and its result substitutes into
-    # the main plan as literals -- no join node (a broadcast crossJoin
-    # would plan a BroadcastNestedLoopJoin, which the plan gate forbids)
+    from ..operators.quantiles import with_quartile_bin
+
     _t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_qb")
-    return spark.sql(
-        """
-        SELECT CASE WHEN l_extendedprice < q.q1 THEN 'p00_25'
-                    WHEN l_extendedprice < q.q2 THEN 'p25_50'
-                    WHEN l_extendedprice < q.q3 THEN 'p50_75'
-                    ELSE 'p75_100' END AS bin,
-               COUNT(*) AS n,
-               CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS total
-        FROM lineitem_qb,
-             LATERAL (SELECT (SELECT struct(
-                        percentile(l_extendedprice, 0.25) AS q1,
-                        percentile(l_extendedprice, 0.50) AS q2,
-                        percentile(l_extendedprice, 0.75) AS q3)
-                      FROM lineitem_qb) AS q)
-        GROUP BY bin
-        ORDER BY bin
-        """
+    binned = with_quartile_bin(spark, "lineitem_qb", "l_extendedprice", "auto")
+    return (
+        binned.groupBy("bin")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(
+                F.sum(F.col("l_extendedprice").cast("decimal(18,6)")), 2
+            )
+            .cast("double")
+            .alias("total"),
+        )
+        .orderBy("bin")
     )
+
+
+@register(
+    "quantile_bins_approx",
+    """
+    WITH b AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM lineitem
+    )
+    SELECT bin, n_total, TRUE AS mass_within_1pct_rank
+    FROM b, UNNEST(['p00_25', 'p25_50', 'p50_75', 'p75_100']) AS t(bin)
+    ORDER BY bin
+    """,
+    doc="The quantile_bins APPROX regime, certified: cuts forced onto "
+    "approx_percentile (the 100 TB path — the exact percentile's "
+    "per-call sort is the cost ceiling the auto-switch avoids) and "
+    "each bin's mass checked within 1% RANK error of the ideal "
+    "quarter with exact integer arithmetic (|100n - 25*total| <= "
+    "total; operators/quantiles.quartile_mass_certificate — the "
+    "approx_quantile_check pattern: certify the sketch's actual "
+    "rank-error guarantee, don't hash sketch-dependent values). The "
+    "oracle pins the bin domain, the exact row total and the "
+    "certificate verdicts.",
+)
+def quantile_bins_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.quantiles import quartile_mass_certificate, with_quartile_bin
+
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_qba")
+    binned = with_quartile_bin(
+        spark, "lineitem_qba", "l_extendedprice", "approx"
+    )
+    return quartile_mass_certificate(binned).orderBy("bin")
 
 
 # Chunked variant against the SAME ASOF oracle — the skew layout must

@@ -560,6 +560,53 @@ class TestTwoLevelRunningOffsets:
             assert rs[-1].tok_end == sum(r.v for r in rs)
 
 
+class TestQuartileBins:
+    """Auto-switching equi-depth cuts (operators/quantiles, r7)."""
+
+    def _view(self, spark, name):
+        spark.range(100000).select(
+            (F.col("id") * 37 % 9973).cast("double").alias("v")
+        ).createOrReplaceTempView(name)
+
+    def test_auto_picks_exact_below_threshold(self, spark):
+        from data_integration_pipelines_spark.operators.quantiles import (
+            with_quartile_bin,
+        )
+
+        self._view(spark, "qb_t1")
+        auto = with_quartile_bin(spark, "qb_t1", "v", "auto")
+        exact = with_quartile_bin(spark, "qb_t1", "v", "exact")
+        a = {r.v: r.bin for r in auto.collect()}
+        e = {r.v: r.bin for r in exact.collect()}
+        assert a == e
+
+    def test_auto_picks_approx_above_threshold(self, spark):
+        from data_integration_pipelines_spark.operators.quantiles import (
+            quartile_mass_certificate,
+            with_quartile_bin,
+        )
+
+        self._view(spark, "qb_t2")
+        # force the switch with a tiny threshold: the approx regime must
+        # still certify every bin within 1% rank mass
+        binned = with_quartile_bin(spark, "qb_t2", "v", "auto", threshold=10)
+        cert = quartile_mass_certificate(binned).collect()
+        assert len(cert) == 4
+        assert all(r.mass_within_1pct_rank for r in cert)
+        assert all(r.n_total == 100000 for r in cert)
+
+    def test_unknown_method_rejected(self, spark):
+        import pytest as _pytest
+
+        from data_integration_pipelines_spark.operators.quantiles import (
+            with_quartile_bin,
+        )
+
+        self._view(spark, "qb_t3")
+        with _pytest.raises(ValueError):
+            with_quartile_bin(spark, "qb_t3", "v", "tdigest")
+
+
 class TestJwtDecode:
     def test_claim_from_externally_minted_token(self, spark):
         """Interop beyond self-roundtrip: decode the canonical example
