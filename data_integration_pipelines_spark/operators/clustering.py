@@ -408,6 +408,24 @@ def kmeans_fit_table(
     return qdf.join(final, "id").select("id", "qvec", "cluster", "dist"), cent
 
 
+#: SemDeDup's production sizing: clusters hold ~this many vectors, so
+#: k grows with N and per-cluster (quadratic) work stays bounded. 64
+#: (vs the paper's ~N/5000 on LAION) keeps the fixture regime honest:
+#: the sf0.01 corpus (N=500) resolves to the SAME k=8 the unrolled-CTE
+#: oracle pins, while a 30x probe resolves to k=235 — bounded clusters
+#: instead of 30x-bigger ones.
+SEMDEDUP_TARGET_CLUSTER = 64
+
+
+def auto_k(n_vectors: int, target_cluster_size: int = SEMDEDUP_TARGET_CLUSTER) -> int:
+    """Scale-aware cluster count: k = ceil(N / target_cluster_size),
+    floored at 2. The SemDeDup contract is per-cluster work ~ cluster
+    size squared, so k MUST grow with N — a fixed k makes intra-cluster
+    gram work grow quadratically at scale (measured 9.5x at 30x data
+    with the oracle-pinned k=8; SCALE.md 1c)."""
+    return max(2, math.ceil(n_vectors / target_cluster_size))
+
+
 _PAIR_SCHEMA = "cluster bigint, id_a bigint, id_b bigint, cosine_e4 bigint"
 
 #: clusters above this row count route through the blocked kernel

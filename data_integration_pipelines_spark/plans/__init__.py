@@ -43,12 +43,14 @@ _RISK_ORDER = [
     "stats_battery",
     "range_join_binned",
     "quantile_bins",
+    "quantile_bins_approx",
     "ann_topk_join_bulk",
     "flac_native_audio",
     "bpe_train_merges",
     "bpe_encode_tokens",
     "embedding_near_dup_probed",
     "training_chunks",
+    "training_chunks_single_source",
     "contamination_fraction",
     "quality_classifier_score",
     "ann_topk_incremental",
@@ -59,6 +61,7 @@ _RISK_ORDER = [
     "table_profile",
     "semdedup_pairs",
     "semdedup_survivors",
+    "semdedup_survivors_auto_k",
     "cluster_purity",
     "kmeans_clusters",
     "incremental_ingest_dedup",

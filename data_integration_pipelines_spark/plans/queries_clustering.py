@@ -238,6 +238,36 @@ def semdedup_survivors_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "semdedup_survivors_auto_k",
+    REGISTRY["semdedup_survivors"].oracle,
+    doc="SemDeDup with SCALE-AWARE k (operators/clustering.auto_k, r7): "
+    "k = ceil(N / 64) so cluster sizes — and the quadratic per-cluster "
+    "gram work — stay bounded as the corpus grows, where the "
+    "oracle-pinned fixed k=8 measured 9.5x intra-cluster growth at 30x "
+    "data (SCALE.md 1c). Runs the centroid-TABLE fit (the large-k*D "
+    "path, nothing k*D-sized on the driver — the regime auto-k enters "
+    "at scale). At the driver's sf0.01 comparison N=500 resolves to "
+    "exactly k=8 (pinned by pytest), so it shares semdedup_survivors' "
+    "unrolled-CTE oracle verbatim; at probe scale k grows with N, "
+    "which is the twin's whole point.",
+    time_build=True,
+)
+def semdedup_survivors_auto_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.clustering import auto_k, kmeans_fit_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    k = auto_k(emb.count())
+    # reseed_empty=False: shares the driver-loop oracle's inner-join
+    # drop-out semantics (the kmeans_clusters_table precedent)
+    assigned, _ = kmeans_fit_table(emb, k=k, iters=_ITERS, reseed_empty=False)
+    return (
+        semdedup_survivors(assigned, _SEMDEDUP_THRESHOLD)
+        .select("cluster", "n_members", "n_removed", "n_kept")
+        .orderBy("cluster")
+    )
+
+
+@register(
     "cluster_purity",
     f"WITH {_kmeans_ctes()},"
     + f"""

@@ -200,3 +200,22 @@ def test_semdedup_auto_switches_to_blocked_kernel(embeddings):
     # pandas kernels (unblocked small-cluster side + blocked big side)
     plan = got_df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("FlatMapGroupsInPandas") >= 2, plan
+
+
+def test_auto_k_resolution():
+    """auto_k pins: the sf0.01 fixture (N=500) MUST resolve to the
+    oracle's k=8 (semdedup_survivors_auto_k shares the unrolled k=8
+    CTE oracle at the driver's comparison SF), and k must grow
+    linearly with N (the SemDeDup bounded-cluster contract)."""
+    from data_integration_pipelines_spark.operators.clustering import (
+        SEMDEDUP_TARGET_CLUSTER,
+        auto_k,
+    )
+
+    assert SEMDEDUP_TARGET_CLUSTER == 64
+    assert auto_k(500) == 8  # the driver-gate fixture regime
+    assert auto_k(1) == 2 and auto_k(100) == 2  # floor
+    assert auto_k(500 * 30) == 235  # 30x probe: k grows with N
+    # bounded clusters: N / auto_k(N) <= target for all regimes
+    for n in (1, 500, 10_000, 10**9):
+        assert n / auto_k(n) <= 64
