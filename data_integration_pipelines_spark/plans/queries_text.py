@@ -1082,11 +1082,75 @@ def rare_token_suppression(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bpe_golden() -> dict:
+    import json
+    from pathlib import Path
+
+    return json.loads((Path(__file__).parent / "bpe_golden.json").read_text())
+
+
+def _sq(s: str) -> str:
+    return "'" + s.replace("'", "''") + "'"
+
+
+def _bpe_train_oracle() -> str:
+    """GOLDEN-TABLE oracle: the merge table the INDEPENDENT pure-Python
+    reference trainer (tests/test_bpe.py) produced for this corpus,
+    checked in as literal VALUES keyed by a corpus digest (BPE training
+    is iterative — no direct SQL form exists). An unknown corpus joins
+    to zero golden rows -> loud row-count red; regenerate with
+    scripts/make_bpe_golden.py after a fixture refresh."""
+    vals = ",\n        ".join(
+        f"({_sq(h)}, {r}, {_sq(l)}, {_sq(rt)}, {_sq(m)}, {f})"
+        for h, d in _bpe_golden().items()
+        for r, l, rt, m, f in d["train24"]
+    )
+    return f"""
+    WITH corpus AS (
+        SELECT md5(string_agg(text, '|' ORDER BY doc_id)) AS h FROM documents
+    ),
+    g(h, rank, lft, rgt, merged, pair_freq) AS (VALUES
+        {vals}
+    )
+    SELECT CAST(rank AS INT) AS rank, lft AS "left", rgt AS "right",
+           merged, CAST(pair_freq AS BIGINT) AS pair_freq
+    FROM g JOIN corpus USING (h)
+    ORDER BY rank
+    """
+
+
+def _bpe_encode_oracle() -> str:
+    """GOLDEN-TABLE oracle for the train->encode round trip: per-doc
+    token counts + token-stream md5 from the pure-Python reference
+    encoder over the reference-trained 16 merges (same digest-keyed
+    VALUES scheme as _bpe_train_oracle)."""
+    vals = ",\n        ".join(
+        f"({_sq(h)}, {d_}, {nb}, {nw}, {_sq(md5)})"
+        for h, d in _bpe_golden().items()
+        for d_, nb, nw, md5 in d["encode16"]
+    )
+    return f"""
+    WITH corpus AS (
+        SELECT md5(string_agg(text, '|' ORDER BY doc_id)) AS h FROM documents
+    ),
+    g(h, doc_id, n_bpe_tokens, n_ws_tokens, tokens_md5) AS (VALUES
+        {vals}
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(n_bpe_tokens AS INT) AS n_bpe_tokens,
+           CAST(n_ws_tokens AS INT) AS n_ws_tokens,
+           tokens_md5
+    FROM g JOIN corpus USING (h)
+    ORDER BY doc_id
+    """
+
+
 @register(
     "bpe_train_merges",
-    None,  # iterative driver-loop algorithm: no SQL form (rows-only
-    # driver check); exact-parity vs a pure-Python reference BPE
-    # trainer is pinned in tests/test_bpe.py instead
+    _bpe_train_oracle(),  # golden-table oracle (r7): the iterative
+    # trainer has no SQL form, so the driver row compares against the
+    # checked-in output of the INDEPENDENT pure-Python reference
+    # trainer — a real red on regression, not a rows-only count
     doc="Distributed BPE tokenizer training (operators/bpe.bpe_train; "
     "Sennrich et al. 2016): learn 24 merge rules from the documents "
     "corpus. The corpus is scanned ONCE into a distinct-word frequency "
@@ -1095,7 +1159,9 @@ def rare_token_suppression(spark: SparkSession, sf_dir: str) -> DataFrame:
     "Deterministic tie-break (freq DESC, left, right) so the merge "
     "table is engine- and partitioning-independent. Extends "
     "tokenizer_fertility (APPLIES a fixed tokenizer) with the step "
-    "that LEARNS one — the 100 TB tokenizer-training design.",
+    "that LEARNS one — the 100 TB tokenizer-training design. Oracle = "
+    "corpus-digest-keyed GOLDEN merge table from the independent "
+    "pure-Python trainer (tests/test_bpe.py; VERDICT r6 task 6).",
     time_build=True,
 )
 def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1106,8 +1172,8 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "bpe_encode_tokens",
-    None,  # composes the trained merge table (no SQL form) with the
-    # Arrow-batch encode kernel; train==encode parity pinned in tests
+    _bpe_encode_oracle(),  # golden-table oracle (r7) — digest-keyed
+    # per-doc counts + token-stream md5 from the pure-Python reference
     doc="BPE train -> encode round trip: learn 16 merges on the corpus, "
     "then tokenize every document with them (operators/bpe.bpe_encode "
     "— sequential rank-order application, the literal trainer "
