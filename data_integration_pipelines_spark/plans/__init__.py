@@ -52,6 +52,7 @@ _RISK_ORDER = [
     "training_chunks",
     "training_chunks_single_source",
     "contamination_fraction",
+    "contamination_fraction_wide_eval",
     "quality_classifier_score",
     "ann_topk_incremental",
     "incremental_agg_retract",

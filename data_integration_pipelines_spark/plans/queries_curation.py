@@ -291,6 +291,80 @@ def contamination_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "contamination_fraction_wide_eval",
+    f"""
+    WITH sh AS (
+        SELECT DISTINCT doc_id, source,
+               t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] AS s
+        FROM (SELECT doc_id, source, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents),
+             LATERAL (SELECT unnest(range(1, len(t) - 2)) AS i)
+    ),
+    ev AS (SELECT DISTINCT s FROM sh WHERE source IN ('src0', 'src1')),
+    tr AS (SELECT doc_id, s FROM sh WHERE source NOT IN ('src0', 'src1')),
+    tot AS (SELECT doc_id, CAST(COUNT(DISTINCT s) AS BIGINT) AS n_ngrams
+            FROM tr GROUP BY doc_id),
+    hit AS (SELECT tr.doc_id, CAST(COUNT(DISTINCT tr.s) AS BIGINT) AS n_shared
+            FROM tr JOIN ev ON tr.s = ev.s GROUP BY tr.doc_id)
+    SELECT tot.doc_id, n_ngrams,
+           CAST(COALESCE(n_shared, 0) AS BIGINT) AS n_shared,
+           {e4_sql('COALESCE(n_shared, 0) / n_ngrams')} AS contamination_e4,
+           CASE WHEN {e4_sql('COALESCE(n_shared, 0) / n_ngrams')} >= 5000 THEN 'drop'
+                WHEN {e4_sql('COALESCE(n_shared, 0) / n_ngrams')} >= 500 THEN 'review'
+                ELSE 'keep' END AS verdict
+    FROM tot LEFT JOIN hit ON tot.doc_id = hit.doc_id
+    ORDER BY tot.doc_id
+    """,
+    doc="contamination_fraction with a WIDE eval holdout (two sources "
+    "instead of one — the regime where the eval suite outgrows a "
+    "comfortable row broadcast at corpus scale): the hit join runs "
+    "UNHINTED, so AQE broadcasts the holdout while it is genuinely "
+    "small and degrades to a shuffle join when it is not, instead of "
+    "OOMing on a forced broadcast (the dedup_survivors loser-set "
+    "precedent). The scale_probe twin for the r6 verdict's "
+    "contamination watch item; grading semantics identical to "
+    "contamination_fraction.",
+)
+def contamination_fraction_wide_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.cache import bounded_persist
+
+    docs = _docs(spark, sf_dir)
+    hashed = F.array_distinct(
+        F.transform(
+            word_shingles(ws_tokens(F.col("text")), 4), lambda s: F.xxhash64(s)
+        )
+    )
+    sh = bounded_persist(
+        docs.select("doc_id", "source", F.explode(hashed).alias("s"))
+    )
+    eval_srcs = ("src0", "src1")
+    train = sh.filter(~F.col("source").isin(*eval_srcs)).drop("source")
+    holdout = sh.filter(F.col("source").isin(*eval_srcs)).select("s").distinct()
+    tot = train.groupBy("doc_id").agg(F.countDistinct("s").alias("n_ngrams"))
+    # unhinted: the wide holdout must not be FORCED into a broadcast
+    hit = (
+        train.join(holdout, "s")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("s").alias("n_shared"))
+    )
+    frac = e4(F.col("n_shared") / F.col("n_ngrams"))
+    return (
+        tot.join(hit, "doc_id", "left")
+        .withColumn("n_shared", F.coalesce("n_shared", F.lit(0)))
+        .select(
+            "doc_id",
+            "n_ngrams",
+            "n_shared",
+            frac.alias("contamination_e4"),
+            F.when(frac >= 5000, "drop")
+            .when(frac >= 500, "review")
+            .otherwise("keep")
+            .alias("verdict"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
     "corpus_sample_mix",
     """
     WITH s AS (
