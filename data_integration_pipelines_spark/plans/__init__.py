@@ -20,15 +20,30 @@ from . import queries_window  # noqa: E402,F401
 
 # Registry order == the order the driver's time-budgeted CORRECTNESS
 # sweep visits queries (it stops when its budget runs out, ~50 entries
-# in rounds 1-2). Order by VERIFICATION RISK, not by module. Round-6
-# head: every query whose OUTPUT was rebuilt this round (the
-# quantized-sum back-port — money sums re-emitted through exact
-# DECIMAL(18,6) or, for the hot pricing_summary scan-agg, per-term
-# scaled-BIGINT sums (quantized_sum), its averages as basis-point
-# BIGINTs, upsert_classify's compared value as cent BIGINTs) plus the queries
-# NEW in r6, so each gets a fresh green driver row; the long-stable
-# tail keeps its prior (r5) order.
+# in rounds 1-2). Order by VERIFICATION RISK, not by module. Round-7
+# head: queries whose OUTPUT changed this round (dedup_consensus and
+# embedding_dup_clusters moved to the Hamming<=1 probed kernel; the
+# bpe pair gained golden-table oracles and is hash-compared for the
+# first time), the queries NEW in r7 (single-source chunking twin,
+# certified approx quantiles, auto-k SemDeDup, wide-eval
+# contamination), and the output-identical plan rewrites
+# (salted stratified rank, two-level offsets, auto quantile cuts) so
+# each gets a fresh green driver row under its new plan; the
+# long-stable tail keeps its prior order.
 _RISK_ORDER = [
+    "dedup_consensus",
+    "embedding_dup_clusters",
+    "bpe_train_merges",
+    "bpe_encode_tokens",
+    "training_chunks_single_source",
+    "quantile_bins_approx",
+    "semdedup_survivors_auto_k",
+    "contamination_fraction_wide_eval",
+    "quality_stratified_sample",
+    "token_pack_bins",
+    "training_chunks",
+    "quantile_bins",
+    "embedding_near_dup_probed",
     "pricing_summary",
     "upsert_classify",
     "two_hop_follow",
@@ -42,17 +57,9 @@ _RISK_ORDER = [
     "running_total",
     "stats_battery",
     "range_join_binned",
-    "quantile_bins",
-    "quantile_bins_approx",
     "ann_topk_join_bulk",
     "flac_native_audio",
-    "bpe_train_merges",
-    "bpe_encode_tokens",
-    "embedding_near_dup_probed",
-    "training_chunks",
-    "training_chunks_single_source",
     "contamination_fraction",
-    "contamination_fraction_wide_eval",
     "quality_classifier_score",
     "ann_topk_incremental",
     "incremental_agg_retract",
@@ -62,7 +69,6 @@ _RISK_ORDER = [
     "table_profile",
     "semdedup_pairs",
     "semdedup_survivors",
-    "semdedup_survivors_auto_k",
     "cluster_purity",
     "kmeans_clusters",
     "incremental_ingest_dedup",
@@ -90,7 +96,6 @@ _RISK_ORDER = [
     "ann_ivf_persisted",
     "embedding_near_dup",
     "embedding_near_dup_multiprobe",
-    "embedding_dup_clusters",
     "embedding_outliers",
     "knn_classify",
     "hybrid_search_rrf",
@@ -98,7 +103,6 @@ _RISK_ORDER = [
     "wav_native_audio",
     "kmeans_clusters_table",
     "ann_ivf_pq",
-    "dedup_consensus",
     "domain_reweight",
     "drift_psi",
     "pii_redaction",
@@ -168,8 +172,6 @@ _RISK_ORDER = [
     "simhash_hamming_pairs",
     "decontaminate",
     "corpus_sample_mix",
-    "quality_stratified_sample",
-    "token_pack_bins",
     "exact_dedup",
     "doc_fingerprint",
     "char_ngram_lang_id",

@@ -136,26 +136,24 @@ def _dedup_consensus_scaled_planes(spark, sf_dir: str):
     """dedup_consensus with PRODUCTION LSH sizing: the registry query
     pins n_planes=8 because the DuckDB oracle must replicate the exact
     signature bits (and 8 IS recommended_n_planes at fixture scale);
-    at 10×/30× data a fixed signature width makes the candidate join
-    quadratic (bucket population grows with N), which the r6 probe
-    measured at 48.8× wall at 30× data. This probe-only twin sizes the
-    signature with recommended_n_planes(N) — the documented production
-    contract — so bucket populations stay flat as the corpus grows."""
+    at 10×/30× data a fixed signature width makes any candidate join
+    quadratic (bucket population grows with N). Since r7 the registry
+    query composes the PROBED kernel, so this twin is the same
+    composition under n_planes=None (auto recommended_n_planes) — the
+    production default path, end to end."""
     from data_integration_pipelines_spark.catalog import load_table
     from data_integration_pipelines_spark.functions.quantize import e4
     from data_integration_pipelines_spark.operators.dedup import jaccard_pairs
     from data_integration_pipelines_spark.operators.similarity import (
-        embedding_near_dup_pairs,
-        recommended_n_planes,
+        embedding_near_dup_probed,
     )
 
     docs = load_table(spark, sf_dir, "documents")
     emb = load_table(spark, sf_dir, "embeddings")
-    planes = recommended_n_planes(emb.count())
     t = jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.8).select(
         "id_a", "id_b", e4(F.col("jaccard")).alias("jaccard_e4")
     )
-    e = embedding_near_dup_pairs(emb, threshold=0.35, n_planes=planes)
+    e = embedding_near_dup_probed(emb, threshold=0.35, n_planes=None)
     return (
         t.join(e, ["id_a", "id_b"], "full_outer")
         .select(
@@ -228,9 +226,49 @@ def _embedding_near_dup_multiprobe_scaled_planes(spark, sf_dir: str):
     ).orderBy("id_a", "id_b")
 
 
+def _semdedup_gram(spark, sf_dir: str, k_mode: str):
+    """SemDeDup gram-stage probe with a FIXED deterministic assignment
+    (cluster = pmod(xxhash64(vec_id), k)) so the probe isolates the
+    per-cluster pairwise work from the k-means fit cost. k_mode:
+    'auto' = auto_k(N) (bounded ~64-vector clusters at any N — the r7
+    production sizing), 'fixed' = the oracle-pinned k=8 (cluster size
+    grows with N, gram work quadratic). The pair demonstrates VERDICT
+    r6 task 5's claim directly: bounded per-cluster work at 30×."""
+    from data_integration_pipelines_spark.catalog import load_table
+    from data_integration_pipelines_spark.operators.clustering import (
+        auto_k,
+        quantize_vec,
+        semdedup_pairs,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    k = auto_k(emb.count()) if k_mode == "auto" else 8
+    assigned = emb.select(
+        F.col("vec_id").alias("id"),
+        quantize_vec(F.col("embedding")).alias("qvec"),
+        F.pmod(F.xxhash64("vec_id"), F.lit(k)).alias("cluster"),
+    )
+    return (
+        semdedup_pairs(assigned, 0.35)
+        .groupBy("cluster")
+        .agg(F.count("*").alias("n_pairs"))
+        .orderBy("cluster")
+    )
+
+
+def _semdedup_gram_auto_k(spark, sf_dir: str):
+    return _semdedup_gram(spark, sf_dir, "auto")
+
+
+def _semdedup_gram_fixed_k(spark, sf_dir: str):
+    return _semdedup_gram(spark, sf_dir, "fixed")
+
+
 # probe-only variants: (fn, time_build) — not registry queries (their
 # parameters depend on corpus size, which the oracle contract forbids)
 _EXTRA_PROBES = {
+    "semdedup_gram_auto_k": (_semdedup_gram_auto_k, True),
+    "semdedup_gram_fixed_k": (_semdedup_gram_fixed_k, True),
     "dedup_consensus_scaled_planes": (_dedup_consensus_scaled_planes, True),
     "embedding_near_dup_scaled_planes": (
         _embedding_near_dup_scaled_planes,

@@ -11,36 +11,25 @@ from __future__ import annotations
 
 from data_integration_pipelines_spark.plans import _RISK_ORDER, REGISTRY
 
-# Every query needing a fresh GREEN driver CORRECTNESS row after round
-# 5: queries whose OUTPUT was rebuilt by the round-6 quantized-sum
-# back-port (money sums now emitted through exact DECIMAL(18,6);
-# pricing_summary's averages became *_e4 BIGINT columns;
-# upsert_classify's compared value became cent BIGINTs — old green
-# rows no longer attest the current output), plus queries new in r6.
+# Every query needing a fresh GREEN driver CORRECTNESS row after
+# round 6: queries whose OUTPUT changed in r7 (the probed-kernel
+# recomposition made dedup_consensus/embedding_dup_clusters emit the
+# Hamming<=1 pair set; the BPE pair is hash-compared for the first
+# time via golden-table oracles) plus queries new in r7. The r7 plan
+# rewrites with IDENTICAL output (salted stratified rank, two-level
+# offsets, auto quantile cuts) sit directly behind them in the head.
 _NEVER_DRIVER_VERIFIED = {
-    # output rebuilt in r6 (quantized-sum back-port)
-    "pricing_summary",
-    "upsert_classify",
-    "two_hop_follow",
-    "two_hop_follow_bucketed",
-    "cross_bucket_rollup",
-    "join_enrich",
-    "census_rollup",
-    "salted_aggregation",
-    "windowed_event_counts",
-    "windowed_counts_pruned",
-    "running_total",
-    "stats_battery",
-    "range_join_binned",
-    "quantile_bins",
-    # new in r6
-    "ann_topk_join_bulk",
-    "flac_native_audio",
+    # output changed in r7 (probed-kernel recomposition)
+    "dedup_consensus",
+    "embedding_dup_clusters",
+    # hash-compared for the first time in r7 (golden-table oracles)
     "bpe_train_merges",
     "bpe_encode_tokens",
-    "embedding_near_dup_probed",
-    "training_chunks",
-    "contamination_fraction",
+    # new in r7
+    "training_chunks_single_source",
+    "quantile_bins_approx",
+    "semdedup_survivors_auto_k",
+    "contamination_fraction_wide_eval",
 }
 
 
