@@ -408,6 +408,104 @@ def kmeans_fit_table(
     return qdf.join(final, "id").select("id", "qvec", "cluster", "dist"), cent
 
 
+def assign_clusters_pivoted(
+    df: DataFrame,
+    cent: DataFrame,
+    n_super: int,
+    nprobe: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-style APPROXIMATE nearest-centroid assignment for the
+    large-k regime (r7): a flat assignment joins every vector against
+    every centroid — N·k·D work, and with the SemDeDup sizing k ~ N/64
+    that is quadratic in N. Here the centroid table itself gets a
+    coarse quantizer (the ann_ivf pattern turned inward):
+
+    1. ``n_super`` SUPER-pivots = the centroids with the n_super
+       smallest cluster ids (the fit's own deterministic seed
+       convention);
+    2. each centroid joins its ONE nearest super-bucket (k·n_super·D —
+       centroid-table-sized, never data-scaled);
+    3. each vector probes its ``nprobe`` nearest super-buckets
+       (N·n_super·D) and computes exact distances ONLY against the
+       centroids in those buckets (~N·D·nprobe·k/n_super).
+
+    With n_super ~ sqrt(k·nprobe) the assignment is O(N·D·sqrt(k)) —
+    the piece that makes auto_k's k-grows-with-N contract affordable
+    end-to-end. Approximate by construction (the true nearest centroid
+    can live outside the probed buckets — the standard IVF recall
+    trade); EXACT when every centroid is a super or every bucket is
+    probed (n_super >= k or nprobe >= n_super — pinned by pytest).
+    Every arithmetic step is the fit's exact integer fixed point, and
+    every tie-break is (dist, id) — deterministic, SQL-replicable, so
+    the composition is oracle-pinnable (plans/queries_clustering.
+    kmeans_assign_pivoted).
+
+    ``cent`` is the long-form centroid table (cluster, pos, cval) that
+    ``kmeans_fit_table`` returns. Returns (id, cluster, dist)."""
+    long = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(quantize_vec(F.col(vec_col))).alias("pos", "qv"),
+    )
+    sup_ids = cent.select("cluster").distinct().orderBy("cluster").limit(n_super)
+    sup = cent.join(F.broadcast(sup_ids), "cluster").select(
+        F.col("cluster").alias("scid"), "pos", F.col("cval").alias("sval")
+    )
+    # centroid -> nearest super bucket (centroid-table-sized join)
+    c2s = (
+        cent.join(F.broadcast(sup), "pos")
+        .groupBy("cluster", "scid")
+        .agg(
+            F.sum(
+                (F.col("cval") - F.col("sval")) * (F.col("cval") - F.col("sval"))
+            ).alias("sdist")
+        )
+        .groupBy("cluster")
+        .agg(F.min(F.struct("sdist", "scid")).alias("__b"))
+        .select("cluster", F.col("__b.scid").alias("scid"))
+    )
+    # vector -> nprobe nearest super buckets
+    vterm = (F.col("qv") * C_SCALE - F.col("sval")) * (
+        F.col("qv") * C_SCALE - F.col("sval")
+    )
+    v2s = (
+        long.join(F.broadcast(sup), "pos")
+        .groupBy("id", "scid")
+        .agg(F.sum(vterm).alias("sdist"))
+    )
+    wprobe = Window.partitionBy("id").orderBy("sdist", "scid")
+    probes = (
+        v2s.withColumn("__rn", F.row_number().over(wprobe))
+        .filter(F.col("__rn") <= nprobe)
+        .select("id", "scid")
+    )
+    # candidates: only centroids sharing a probed bucket; distinct is
+    # unnecessary (a centroid lives in exactly ONE bucket, so an (id,
+    # cluster) pair arises from at most one probe). The c2s and cent
+    # joins stay UNHINTED: both are k-scaled, and with auto_k the
+    # centroid table grows with the corpus — AQE broadcasts while they
+    # are genuinely small and shuffles when they are not (the
+    # kmeans_fit_table "beyond broadcast limits" contract).
+    cand = probes.join(c2s, "scid").select("id", "cluster")
+    term = (F.col("qv") * C_SCALE - F.col("cval")) * (
+        F.col("qv") * C_SCALE - F.col("cval")
+    )
+    return (
+        cand.join(long, "id")
+        .join(cent, ["cluster", "pos"])
+        .groupBy("id", "cluster")
+        .agg(F.sum(term).alias("dist"))
+        .groupBy("id")
+        .agg(F.min(F.struct("dist", "cluster")).alias("__best"))
+        .select(
+            "id",
+            F.col("__best.cluster").alias("cluster"),
+            F.col("__best.dist").alias("dist"),
+        )
+    )
+
+
 #: SemDeDup's production sizing: clusters hold ~this many vectors, so
 #: k grows with N and per-cluster (quadratic) work stays bounded. 64
 #: (vs the paper's ~N/5000 on LAION) keeps the fixture regime honest:

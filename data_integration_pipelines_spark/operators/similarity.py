@@ -813,12 +813,16 @@ def recommended_n_planes(n_vectors: int, target_bucket: int = 256) -> int:
     ``target_bucket / 256``. The 8 extra planes trade single-bucket
     recall for bounded worst-case bucket joins; callers recover recall
     with multi-probe (``signature_probes``) rather than bigger buckets.
-    Floored at 8 planes for small corpora."""
-    import math
+    Floored at 8 planes for small corpora.
 
+    PURE-INTEGER arithmetic (r7): ceil(log2(n/t)) computed as
+    bit_length(ceil(n/t) - 1) — since r7 the DuckDB oracles size their
+    signatures with the SAME rule in SQL (plans/lsh_oracle.planes_cte),
+    and a libm log2 a last-ulp under an integer boundary would flip
+    ceil() in one engine only. Smallest m with t*2^m >= n, plus 8."""
     if n_vectors <= target_bucket:
         return 8
-    return math.ceil(math.log2(n_vectors / target_bucket)) + 8
+    return ((n_vectors + target_bucket - 1) // target_bucket - 1).bit_length() + 8
 
 
 def _cap_buckets(cand_keys: DataFrame, key_cols: list[str], max_bucket: int | None) -> DataFrame:

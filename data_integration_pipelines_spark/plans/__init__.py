@@ -38,6 +38,7 @@ _RISK_ORDER = [
     "training_chunks_single_source",
     "quantile_bins_approx",
     "semdedup_survivors_auto_k",
+    "kmeans_assign_pivoted",
     "contamination_fraction_wide_eval",
     "quality_stratified_sample",
     "token_pack_bins",

@@ -40,6 +40,65 @@ def lsh_sig_cte(n_planes: int = 8) -> str:
     )"""
 
 
+def planes_cte(target_bucket: int = 256) -> str:
+    """CTE ``p(np)``: ``recommended_n_planes(COUNT(*))`` in pure-integer
+    SQL — np = 8 for N <= target, else bit_length(ceil(N/t) - 1) + 8
+    (bit_length via length(bin(x))). EXACTLY the Python rule
+    (operators/similarity.recommended_n_planes, integer form since r7),
+    so the oracle sizes its signatures with the engine at ANY corpus
+    size — the width is no longer a fixture pin."""
+    t = target_bucket
+    return f"""
+    p AS (
+        SELECT CASE WHEN COUNT(*) <= {t} THEN 8
+               ELSE length(bin(CAST((COUNT(*) + {t - 1}) // {t} - 1 AS BIGINT))) + 8
+               END AS np
+        FROM embeddings
+    )"""
+
+
+def lsh_sig_cte_dyn() -> str:
+    """CTE ``sig(vec_id, signature)`` at the DYNAMIC width from ``p``
+    (requires :func:`planes_cte`); same hyperplane formula as
+    :func:`lsh_sig_cte`."""
+    return """
+    sig AS (
+        SELECT vec_id,
+               string_agg(CASE WHEN dotj > 0 THEN '1' ELSE '0' END, '' ORDER BY j) AS signature
+        FROM (
+            SELECT vec_id, j, SUM(val * (((j*31 + (pos-1)*7) % 11) - 5)) AS dotj
+            FROM long, p, LATERAL (SELECT UNNEST(range(p.np)) AS j) t
+            GROUP BY vec_id, j
+        ) GROUP BY vec_id
+    )"""
+
+
+def probed_cand_cte_dyn() -> str:
+    """CTEs ``probes`` + ``cand(id_a, id_b)``: Hamming<=1 candidate
+    pairs via QUERY-SIDE probing at the dynamic width — the identity
+    probe (j=0) plus every 1-bit flip equi-joins the exact full-width
+    signatures, mirroring the engine kernel
+    (operators/similarity.embedding_near_dup_probed) operation for
+    operation. A Hamming<=1 pair matches on exactly one probe per
+    orientation and only id_a < id_b survives, so no DISTINCT (the
+    same argument as the Spark plan)."""
+    return """
+    probes AS (
+        SELECT vec_id,
+               CASE WHEN j = 0 THEN signature
+                    ELSE substr(signature, 1, CAST(j - 1 AS INT))
+                         || (CASE WHEN substr(signature, CAST(j AS INT), 1) = '1'
+                             THEN '0' ELSE '1' END)
+                         || substr(signature, CAST(j + 1 AS INT))
+               END AS probe
+        FROM sig, p, LATERAL (SELECT UNNEST(range(p.np + 1)) AS j) t
+    ),
+    cand AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM probes a JOIN sig b ON a.probe = b.signature AND a.vec_id < b.vec_id
+    )"""
+
+
 def hamming_cand_cte(n_planes: int = 8, max_hamming: int = 1) -> str:
     """CTEs ``probes`` + ``cand(id_a, id_b)``: the distinct pairs whose
     signatures differ in <= max_hamming bits (requires ``sig``)."""

@@ -267,6 +267,88 @@ def semdedup_survivors_auto_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PIVOTED_CTES = f"""
+    sup AS (
+        SELECT cid, pos, cq FROM c{_ITERS}
+        WHERE cid IN (SELECT DISTINCT cid FROM c{_ITERS} ORDER BY cid LIMIT 2)
+    ),
+    c2s AS (
+        SELECT cid, scid FROM (
+            SELECT c.cid, s.cid AS scid,
+                   ROW_NUMBER() OVER (PARTITION BY c.cid
+                        ORDER BY SUM((c.cq - s.cq) * (c.cq - s.cq)), s.cid) AS rn
+            FROM c{_ITERS} c JOIN sup s ON c.pos = s.pos
+            GROUP BY c.cid, s.cid
+        ) WHERE rn = 1
+    ),
+    v2s AS (
+        SELECT id, scid FROM (
+            SELECT q.id, s.cid AS scid,
+                   ROW_NUMBER() OVER (PARTITION BY q.id
+                        ORDER BY SUM((q.qv * {C_SCALE} - s.cq) * (q.qv * {C_SCALE} - s.cq)),
+                                 s.cid) AS rn
+            FROM qlong q JOIN sup s ON q.pos = s.pos
+            GROUP BY q.id, s.cid
+        ) WHERE rn <= 1
+    ),
+    pcand AS (SELECT v.id, c.cid FROM v2s v JOIN c2s c USING (scid)),
+    pd AS (
+        SELECT q.id, pcand.cid,
+               SUM((q.qv * {C_SCALE} - c.cq) * (q.qv * {C_SCALE} - c.cq)) AS dist
+        FROM pcand
+        JOIN qlong q ON q.id = pcand.id
+        JOIN c{_ITERS} c ON c.cid = pcand.cid AND c.pos = q.pos
+        GROUP BY q.id, pcand.cid
+    ),
+    pa AS (
+        SELECT id, cid, dist FROM (
+            SELECT id, cid, dist,
+                   ROW_NUMBER() OVER (PARTITION BY id ORDER BY dist, cid) AS rn
+            FROM pd) WHERE rn = 1
+    )"""
+
+
+@register(
+    "kmeans_assign_pivoted",
+    f"WITH {_kmeans_ctes()}, {_PIVOTED_CTES}"
+    + """
+    SELECT cid AS cluster, CAST(COUNT(*) AS BIGINT) AS n_members,
+           CAST(SUM(dist) AS BIGINT) AS inertia_scaled
+    FROM pa
+    GROUP BY cid
+    ORDER BY cluster
+    """,
+    doc="IVF-style PIVOTED centroid assignment (operators/clustering."
+    "assign_clusters_pivoted, r7): the centroid table gets its own "
+    "coarse quantizer — 2 super-pivots here — and each vector computes "
+    "exact distances only against centroids in its probed "
+    "super-bucket, ~N*D*k/n_super work instead of the flat N*D*k. "
+    "This is the piece that makes auto_k's k-grows-with-N SemDeDup "
+    "sizing affordable end-to-end: with n_super ~ sqrt(k) assignment "
+    "is O(N*D*sqrt(k)) instead of quadratic in N. Deliberately "
+    "APPROXIMATE (the standard IVF recall trade; exact when n_super "
+    ">= k or nprobe >= n_super — pinned by pytest) but fully "
+    "deterministic, so the oracle unrolls the SAME super-bucket "
+    "routing over the fixture fit and the per-cluster census "
+    "hash-matches bit-for-bit.",
+    time_build=True,
+)
+def kmeans_assign_pivoted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.clustering import assign_clusters_pivoted, kmeans_fit_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    _, cent = kmeans_fit_table(emb, k=_K, iters=_ITERS, reseed_empty=False)
+    assigned = assign_clusters_pivoted(emb, cent, n_super=2, nprobe=1)
+    return (
+        assigned.groupBy("cluster")
+        .agg(
+            F.count("*").alias("n_members"),
+            F.sum("dist").alias("inertia_scaled"),
+        )
+        .orderBy("cluster")
+    )
+
+
 @register(
     "cluster_purity",
     f"WITH {_kmeans_ctes()},"

@@ -29,7 +29,7 @@ from ..operators.dedup import (
     relative_doc_freq_cap_expr,
 )
 from .base import register
-from .lsh_oracle import hamming_cand_cte, lsh_sig_cte
+from .lsh_oracle import lsh_sig_cte_dyn, planes_cte, probed_cand_cte_dyn
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1607,8 +1607,9 @@ def contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(unnest(embedding) AS DOUBLE) AS val
         FROM embeddings
     ),
-    {lsh_sig_cte(8).strip()},
-    {hamming_cand_cte(8, 1).strip()},
+    {planes_cte().strip()},
+    {lsh_sig_cte_dyn().strip()},
+    {probed_cand_cte_dyn().strip()},
     epairs AS (
         SELECT id_a, id_b, cosine_e4 FROM (
             SELECT id_a, id_b,
@@ -1644,7 +1645,10 @@ def contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(operators/similarity.embedding_near_dup_probed — query-side "
     "signature probing, the measured-linear variant at 30x data; the "
     "fixed-signature block join it replaces measured quadratic, "
-    "SCALE.md 1c), so the consensus inherits the scalable default.",
+    "SCALE.md 1c) at WIDTH-ADAPTIVE production sizing: n_planes=None "
+    "resolves recommended_n_planes(COUNT) and the oracle computes the "
+    "same integer rule in SQL, so the consensus inherits the scalable "
+    "default at any corpus size.",
 )
 def dedup_consensus(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import jaccard_pairs
@@ -1655,7 +1659,7 @@ def dedup_consensus(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.8).select(
         "id_a", "id_b", e4(F.col("jaccard")).alias("jaccard_e4")
     )
-    e = embedding_near_dup_probed(emb, threshold=0.35, n_planes=8)
+    e = embedding_near_dup_probed(emb, threshold=0.35, n_planes=None)
     return (
         t.join(e, ["id_a", "id_b"], "full_outer")
         .select(

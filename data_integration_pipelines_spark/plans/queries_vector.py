@@ -21,7 +21,7 @@ from ..catalog import load_table
 from ..functions.quantize import e4_sql, quantized_sql
 from ..operators.similarity import ivf_topk, topk_pandas
 from .base import REGISTRY, register
-from .lsh_oracle import hamming_cand_cte, lsh_sig_cte
+from .lsh_oracle import lsh_sig_cte_dyn, planes_cte, probed_cand_cte_dyn
 
 _LONG_CTE = """
     long AS (
@@ -202,25 +202,43 @@ def embedding_near_dup_multiprobe_q(spark: SparkSession, sf_dir: str) -> DataFra
 
 @register(
     "embedding_near_dup_probed",
-    _multiprobe_oracle(8, 1),
-    doc="The SAME Hamming<=1 near-dup semantics as "
-    "embedding_near_dup_multiprobe — identical oracle — via QUERY-SIDE "
-    "signature probing (operators/similarity.embedding_near_dup_probed, "
-    "r6): each vector's n_planes+1 probe signatures equi-join the "
-    "corpus's exact full-width signatures, so candidates stay "
-    "(planes+1)*N*bucket-sized and FLAT under recommended_n_planes "
-    "sizing, where the pigeonhole-block join keys on planes/(h+1)-bit "
-    "blocks and is quadratic in N at any total width (probe-measured "
-    "247x wall at 30x data vs this plan's near-linear; SCALE.md 1c). "
-    "Candidate strategy is physical, never semantic — the r6 "
-    "ann_topk_join_bulk / two_hop_follow_bucketed precedent.",
+    f"""
+    WITH {_LONG_CTE},
+    {planes_cte()},
+    {lsh_sig_cte_dyn()},
+    {probed_cand_cte_dyn()},
+    dots AS (
+        SELECT id_a, id_b, {e4_sql('SUM(qa.val * qb.val)')} AS cosine_e4
+        FROM cand
+        JOIN long qa ON qa.vec_id = id_a
+        JOIN long qb ON qb.vec_id = id_b AND qb.pos = qa.pos
+        GROUP BY id_a, id_b
+    )
+    SELECT id_a, id_b, cosine_e4 FROM dots
+    WHERE cosine_e4 >= 3500
+    ORDER BY id_a, id_b
+    """,
+    doc="Hamming<=1 embedding near-dup via QUERY-SIDE signature probing "
+    "(operators/similarity.embedding_near_dup_probed) at the "
+    "WIDTH-ADAPTIVE production sizing (r7): n_planes=None resolves "
+    "recommended_n_planes(COUNT) in the engine, and the oracle computes "
+    "the SAME pure-integer rule in SQL (plans/lsh_oracle.planes_cte) "
+    "then mirrors the probe join operation for operation — so the "
+    "registry query IS the production configuration at any corpus "
+    "size, and the fixed-width quadratic artifact the r6 probes "
+    "measured (159x wall at 30x data at pinned 8 planes) is gone from "
+    "the registry: candidates stay (planes+1)*N*bucket-sized, measured "
+    "near-linear (SCALE.md 1d). The pigeonhole-block twin "
+    "(embedding_near_dup_multiprobe) keys on planes/(h+1)-bit blocks "
+    "and is quadratic at ANY width — kept fixed-width as the "
+    "differential cross-check.",
 )
 def embedding_near_dup_probed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import embedding_near_dup_probed
 
     emb = load_table(spark, sf_dir, "embeddings")
     return embedding_near_dup_probed(
-        emb, threshold=0.35, n_planes=8, max_hamming=1
+        emb, threshold=0.35, n_planes=None, max_hamming=1
     ).orderBy("id_a", "id_b")
 
 
@@ -228,8 +246,9 @@ def embedding_near_dup_probed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     "embedding_dup_clusters",
     f"""
     WITH RECURSIVE {_LONG_CTE.strip()},
-    {lsh_sig_cte(8)},
-    {hamming_cand_cte(8, 1)},
+    {planes_cte()},
+    {lsh_sig_cte_dyn()},
+    {probed_cand_cte_dyn()},
     dots AS (
         SELECT id_a, id_b, {e4_sql('SUM(qa.val * qb.val)')} AS cosine_e4
         FROM cand
@@ -255,12 +274,14 @@ def embedding_near_dup_probed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY vec_id
     """,
     doc="Embedding-side duplicate clustering: Hamming<=1 hyperplane-LSH "
-    "cosine pairs (>= 0.35) from the PROBED kernel (the linear-at-scale "
-    "default since r7 — query-side signature probing, operators/"
-    "similarity.embedding_near_dup_probed) -> connected components -> "
-    "(vector, cluster, size). The same pairs->clusters resolution as the "
-    "text side (dup_clusters), proving the component operator composes "
-    "across candidate generators.",
+    "cosine pairs (>= 0.35) from the PROBED kernel at width-adaptive "
+    "production sizing (the linear-at-scale default since r7 — "
+    "query-side signature probing, operators/similarity."
+    "embedding_near_dup_probed with recommended_n_planes; the oracle "
+    "computes the same integer sizing rule in SQL) -> connected "
+    "components -> (vector, cluster, size). The same pairs->clusters "
+    "resolution as the text side (dup_clusters), proving the component "
+    "operator composes across candidate generators.",
 )
 def embedding_dup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
@@ -269,7 +290,7 @@ def embedding_dup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import embedding_near_dup_probed
 
     emb = load_table(spark, sf_dir, "embeddings")
-    pairs = embedding_near_dup_probed(emb, threshold=0.35, n_planes=8)
+    pairs = embedding_near_dup_probed(emb, threshold=0.35, n_planes=None)
     cc = connected_components(pairs, "id_a", "id_b")
     return (
         cc.select(F.col("id").alias("vec_id"), "cluster_id")

@@ -219,3 +219,67 @@ def test_auto_k_resolution():
     # bounded clusters: N / auto_k(N) <= target for all regimes
     for n in (1, 500, 10_000, 10**9):
         assert n / auto_k(n) <= 64
+
+
+class TestPivotedAssignment:
+    """IVF-style centroid assignment (assign_clusters_pivoted, r7)."""
+
+    def test_exact_when_all_buckets_probed(self, embeddings):
+        """nprobe >= n_super (every super-bucket probed) must reproduce
+        the flat exact assignment bit-for-bit — the approximation is
+        ONLY the probe restriction."""
+        from data_integration_pipelines_spark.operators.clustering import (
+            assign_clusters_pivoted,
+            kmeans_fit_table,
+        )
+
+        exact, cent = kmeans_fit_table(embeddings, k=8, iters=2, reseed_empty=False)
+        want = {(r.id, r.cluster, r.dist) for r in exact.collect()}
+        got = {
+            (r.id, r.cluster, r.dist)
+            for r in assign_clusters_pivoted(
+                embeddings, cent, n_super=4, nprobe=4
+            ).collect()
+        }
+        assert got == want
+
+    def test_exact_when_every_centroid_is_a_super(self, embeddings):
+        from data_integration_pipelines_spark.operators.clustering import (
+            assign_clusters_pivoted,
+            kmeans_fit_table,
+        )
+
+        exact, cent = kmeans_fit_table(embeddings, k=8, iters=2, reseed_empty=False)
+        want = {(r.id, r.cluster, r.dist) for r in exact.collect()}
+        got = {
+            (r.id, r.cluster, r.dist)
+            for r in assign_clusters_pivoted(
+                embeddings, cent, n_super=8, nprobe=1
+            ).collect()
+        }
+        assert got == want
+
+    def test_probe_restriction_properties(self, embeddings):
+        """The approximate regime must (a) assign EVERY vector, (b) only
+        ever assign a vector to a centroid of a probed bucket, and (c)
+        report the exact distance for whatever centroid it picked
+        (approximation narrows the candidate set, never corrupts the
+        scores)."""
+        from data_integration_pipelines_spark.operators.clustering import (
+            assign_clusters_pivoted,
+            kmeans_fit_table,
+        )
+
+        exact, cent = kmeans_fit_table(embeddings, k=8, iters=2, reseed_empty=False)
+        approx = assign_clusters_pivoted(embeddings, cent, n_super=2, nprobe=1)
+        got = {r.id: (r.cluster, r.dist) for r in approx.collect()}
+        want = {r.id: (r.cluster, r.dist) for r in exact.collect()}
+        assert set(got) == set(want)  # every vector assigned
+        # exact-score property: where the pick agrees, the dist agrees
+        agree = [i for i in got if got[i][0] == want[i][0]]
+        assert all(got[i][1] == want[i][1] for i in agree)
+        # approximate dist is never better than the true minimum
+        assert all(got[i][1] >= want[i][1] for i in got)
+        # and the restriction bites without destroying quality on the
+        # fixture: most vectors still get their true nearest centroid
+        assert len(agree) >= int(0.5 * len(got))

@@ -29,6 +29,7 @@ _NEVER_DRIVER_VERIFIED = {
     "training_chunks_single_source",
     "quantile_bins_approx",
     "semdedup_survivors_auto_k",
+    "kmeans_assign_pivoted",
     "contamination_fraction_wide_eval",
 }
 
