@@ -515,6 +515,14 @@ def assign_clusters_pivoted(
 SEMDEDUP_TARGET_CLUSTER = 64
 
 
+def recommended_n_super(k: int, nprobe: int = 1) -> int:
+    """Super-pivot count minimizing pivoted-assignment work: the
+    N·D·(n_super + nprobe·k/n_super) cost of
+    :func:`assign_clusters_pivoted` is minimized at
+    n_super = sqrt(k·nprobe). Integer sqrt, floored at 1."""
+    return max(1, math.isqrt(k * nprobe))
+
+
 def auto_k(n_vectors: int, target_cluster_size: int = SEMDEDUP_TARGET_CLUSTER) -> int:
     """Scale-aware cluster count: k = ceil(N / target_cluster_size),
     floored at 2. The SemDeDup contract is per-cluster work ~ cluster

@@ -256,6 +256,44 @@ def _semdedup_gram(spark, sf_dir: str, k_mode: str):
     )
 
 
+def _semdedup_pivoted_pipeline(spark, sf_dir: str):
+    """The FULL linear-path SemDeDup composition at production sizing —
+    the end-to-end answer to the flat-assignment N·k·D term that
+    semdedup_survivors_auto_k measures (37.4× at 30×, SCALE.md 1d):
+    centroids fit on a BOUNDED deterministic sample (the pq_train
+    precedent; sample ≥ 8k rows so every cluster can seed), k grown
+    with N (auto_k), the full corpus assigned via PIVOTED probing
+    (O(N·D·√k)), then bounded-cluster gram dedup."""
+    from data_integration_pipelines_spark.catalog import load_table
+    from data_integration_pipelines_spark.operators.clustering import (
+        assign_clusters_pivoted,
+        auto_k,
+        kmeans_fit_table,
+        quantize_vec,
+        recommended_n_super,
+        semdedup_pairs,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.count()
+    k = auto_k(n)
+    step = max(1, n // max(4096, 8 * k))
+    sample = emb.filter(F.pmod(F.col("vec_id"), F.lit(step)) == 0)
+    _, cent = kmeans_fit_table(sample, k=k, iters=2, reseed_empty=False)
+    assigned = assign_clusters_pivoted(
+        emb, cent, n_super=recommended_n_super(k), nprobe=1
+    )
+    qdf = emb.select(
+        F.col("vec_id").alias("id"), quantize_vec(F.col("embedding")).alias("qvec")
+    )
+    pairs = semdedup_pairs(assigned.select("id", "cluster").join(qdf, "id"), 0.35)
+    return (
+        pairs.groupBy("cluster")
+        .agg(F.count("*").alias("n_pairs"))
+        .orderBy("cluster")
+    )
+
+
 def _semdedup_gram_auto_k(spark, sf_dir: str):
     return _semdedup_gram(spark, sf_dir, "auto")
 
@@ -269,6 +307,7 @@ def _semdedup_gram_fixed_k(spark, sf_dir: str):
 _EXTRA_PROBES = {
     "semdedup_gram_auto_k": (_semdedup_gram_auto_k, True),
     "semdedup_gram_fixed_k": (_semdedup_gram_fixed_k, True),
+    "semdedup_pivoted_pipeline": (_semdedup_pivoted_pipeline, True),
     "dedup_consensus_scaled_planes": (_dedup_consensus_scaled_planes, True),
     "embedding_near_dup_scaled_planes": (
         _embedding_near_dup_scaled_planes,
