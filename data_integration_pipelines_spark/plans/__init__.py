@@ -39,6 +39,7 @@ _RISK_ORDER = [
     "quantile_bins_approx",
     "semdedup_survivors_auto_k",
     "kmeans_assign_pivoted",
+    "semdedup_survivors_pivoted",
     "contamination_fraction_wide_eval",
     "quality_stratified_sample",
     "token_pack_bins",

@@ -82,14 +82,20 @@ def _kmeans_ctes(k: int = _K, iters: int = _ITERS) -> str:
 
 _FINAL = f"a{_ITERS}"
 
-_SEMDEDUP_CTES = f"""
+
+def _semdedup_ctes(src: str) -> str:
+    """SemDeDup pair CTEs over ANY assignment CTE exposing (id, cid) —
+    the exact fit's final assignment (a{iters}) or the pivoted
+    approximate one (pa), so the production-path composition shares
+    one oracle definition."""
+    return f"""
     qn AS (
         SELECT id, SQRT(CAST(SUM(qv * qv) AS DOUBLE)) AS nrm
         FROM qlong GROUP BY id
     ),
     cand AS (
         SELECT x.cid AS cluster, x.id AS id_a, y.id AS id_b
-        FROM {_FINAL} x JOIN {_FINAL} y ON x.cid = y.cid AND x.id < y.id
+        FROM {src} x JOIN {src} y ON x.cid = y.cid AND x.id < y.id
     ),
     dots AS (
         SELECT p.cluster, p.id_a, p.id_b, SUM(qa.qv * qb.qv) AS dq
@@ -107,6 +113,9 @@ _SEMDEDUP_CTES = f"""
         WHERE CAST(d.dq AS DOUBLE) / (na.nrm * nb.nrm)
               >= {_SEMDEDUP_THRESHOLD}
     )"""
+
+
+_SEMDEDUP_CTES = _semdedup_ctes(_FINAL)
 
 
 @register(
@@ -345,6 +354,54 @@ def kmeans_assign_pivoted(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_members"),
             F.sum("dist").alias("inertia_scaled"),
         )
+        .orderBy("cluster")
+    )
+
+
+@register(
+    "semdedup_survivors_pivoted",
+    f"WITH {_kmeans_ctes()}, {_PIVOTED_CTES}, {_semdedup_ctes('pa')},"
+    + """
+    removed AS (
+        SELECT DISTINCT cluster, id_b AS id FROM sim
+    )
+    SELECT a.cid AS cluster, CAST(COUNT(*) AS BIGINT) AS n_members,
+           CAST(COUNT(r.id) AS BIGINT) AS n_removed,
+           CAST(COUNT(*) - COUNT(r.id) AS BIGINT) AS n_kept
+    FROM pa a
+    LEFT JOIN removed r ON r.cluster = a.cid AND r.id = a.id
+    GROUP BY 1
+    ORDER BY 1
+    """,
+    doc="The PRODUCTION SemDeDup path end-to-end as one oracle-pinned "
+    "query (r7): centroid-table fit -> IVF-style PIVOTED assignment "
+    "(assign_clusters_pivoted — the O(N*D*sqrt(k)) piece) -> keep-one "
+    "dedup within the pivoted clusters. The oracle composes the "
+    "unrolled k-means CTEs, the super-bucket routing CTEs and the "
+    "SemDeDup pair CTEs over the pivoted assignment, so the WHOLE "
+    "composition — not just each stage — hash-matches bit-for-bit. "
+    "The probe-only twin semdedup_pivoted_pipeline adds auto_k + "
+    "sample-fit sizing and measures 7.13x wall at 30x data vs the "
+    "flat-assignment twin's 37.4x (SCALE.md 1d).",
+    time_build=True,
+)
+def semdedup_survivors_pivoted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.clustering import (
+        assign_clusters_pivoted,
+        kmeans_fit_table,
+        quantize_vec,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    _, cent = kmeans_fit_table(emb, k=_K, iters=_ITERS, reseed_empty=False)
+    assigned = assign_clusters_pivoted(emb, cent, n_super=2, nprobe=1)
+    qdf = emb.select(
+        F.col("vec_id").alias("id"), quantize_vec(F.col("embedding")).alias("qvec")
+    )
+    return (
+        semdedup_survivors(assigned.select("id", "cluster").join(qdf, "id"),
+                           _SEMDEDUP_THRESHOLD)
+        .select("cluster", "n_members", "n_removed", "n_kept")
         .orderBy("cluster")
     )
 

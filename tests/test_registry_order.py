@@ -30,6 +30,7 @@ _NEVER_DRIVER_VERIFIED = {
     "quantile_bins_approx",
     "semdedup_survivors_auto_k",
     "kmeans_assign_pivoted",
+    "semdedup_survivors_pivoted",
     "contamination_fraction_wide_eval",
 }
 
