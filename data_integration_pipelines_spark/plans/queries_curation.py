@@ -28,7 +28,7 @@ from ..operators.dedup import (
     jaccard_pairs,
     relative_doc_freq_cap_expr,
 )
-from .base import register
+from .base import REGISTRY, register
 from .lsh_oracle import lsh_sig_cte_dyn, planes_cte, probed_cand_cte_dyn
 
 
@@ -435,16 +435,47 @@ def corpus_sample_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Stratified quality sampling: keep the top 40% of docs per language "
     "stratum by BPE-ish token count, deterministic tie-break on doc_id, "
     "integer-exact 40% cut (rank <= floor(cnt*2/5), exactly rn*5 <= cnt*2 "
-    "— no float threshold drift). Since r7 the per-stratum rank runs "
-    "through the SALTED TWO-PHASE top-k (operators/skew."
-    "grouped_topk_salted): languages are few and Zipf-sized, so the "
-    "single-window ROW_NUMBER sort measured 14.0x at 30x data (SCALE.md "
-    "1c) — phase 1 ranks within (lang, salt) over 16 tasks per stratum, "
-    "phase 2 re-ranks only the per-salt survivors. The per-stratum k is "
-    "a Column (floor of the broadcast per-lang count), constant within "
-    "each key, so the re-association is exact.",
+    "— no float threshold drift). Since r8 the fractional cut is a "
+    "per-stratum score THRESHOLD, not a rank (operators/skew."
+    "stratified_fraction_cut): the per-(lang, quality) histogram's "
+    "cumulative count finds the boundary score q* per stratum, rows "
+    "above q* pass a plain codegen'd filter, and only the q*-tie set "
+    "takes the exact row_number tie-break by doc_id — no per-stratum "
+    "sort of data rows anywhere. The r7 salted two-phase rank was "
+    "structurally a no-op for a 40% cut (phase 1 keeps every row when "
+    "k = 0.4*cnt >= cnt/16 — VERDICT r7), so the hot-stratum "
+    "single-task sort it claimed to remove survived (8.97x at 30x "
+    "data); the rank formulation is kept as the differential twin "
+    "quality_stratified_sample_ranked.",
 )
 def quality_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.skew import stratified_fraction_cut
+
+    docs = _docs(spark, sf_dir)
+    scored = docs.select(
+        "doc_id", "lang", bpe_token_count(F.col("text")).alias("quality")
+    )
+    sampled = stratified_fraction_cut(
+        scored, ["lang"], "quality", "doc_id", num=2, den=5
+    )
+    return sampled.select("doc_id", "lang", "quality").orderBy("doc_id")
+
+
+@register(
+    "quality_stratified_sample_ranked",
+    None,  # oracle assigned below — shares quality_stratified_sample's SQL
+    doc="DIFFERENTIAL TWIN of quality_stratified_sample: the same 40% "
+    "cut as an explicit per-stratum RANK through the salted two-phase "
+    "top-k (operators/skew.grouped_topk_salted) — the r7 formulation, "
+    "kept oracle-pinned because it certifies the threshold path's "
+    "boundary-tie semantics against an independent algorithm. NOT the "
+    "scale path: for a fractional k the salted phase 1 keeps every row "
+    "(k = 0.4*cnt >= cnt/16 for every cnt) and phase 2 still sorts the "
+    "whole stratum in one task — measured 8.97x at 30x data (SCALE.md "
+    "1c); the default query's histogram-threshold algorithm is the "
+    "production shape.",
+)
+def quality_stratified_sample_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.skew import grouped_topk_salted
 
     docs = _docs(spark, sf_dir)
@@ -461,6 +492,13 @@ def quality_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=F.expr("(cnt * 2) div 5"),  # integer floor division — exact
     )
     return sampled.select("doc_id", "lang", "quality").orderBy("doc_id")
+
+
+# the twin shares the default query's oracle verbatim (same semantics,
+# independent algorithm — the differential pair certifies both)
+REGISTRY["quality_stratified_sample_ranked"].oracle = REGISTRY[
+    "quality_stratified_sample"
+].oracle
 
 
 @register(

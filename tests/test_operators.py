@@ -490,6 +490,148 @@ def test_grouped_topk_salted_per_key_k_column(spark):
     assert got == want and len(want) > 0
 
 
+def test_grouped_topk_salted_guard_raises_on_degenerate_k(spark):
+    """The r8 degeneracy guard (VERDICT r7 task 3): a fractional k on a
+    key bigger than TOPK_GUARD_MIN_ROWS makes phase 1 keep every row
+    (k*n_salts >= cnt), so the call must FAIL LOUDLY instead of
+    silently sorting the whole key in one task with an extra shuffle
+    of overhead. Small keys stay exempt (single-task sorts of small
+    keys are trivial, not degenerate)."""
+    import pytest
+
+    from data_integration_pipelines_spark.operators.skew import (
+        TOPK_GUARD_MIN_ROWS,
+        grouped_topk_salted,
+    )
+
+    n = TOPK_GUARD_MIN_ROWS + 1000
+    big = spark.range(n).select(
+        F.lit(0).alias("k"), F.col("id").alias("ord"), F.lit(n).alias("cnt")
+    )
+    with pytest.raises(Exception, match="degenerate"):
+        grouped_topk_salted(
+            big,
+            ["k"],
+            [F.asc("ord")],
+            k=F.expr("(cnt * 2) div 5"),
+            count_col="cnt",
+        ).count()
+    # a REAL top-k (k << cnt/n_salts) on the same big key passes the guard
+    ok = grouped_topk_salted(
+        big, ["k"], [F.asc("ord")], k=10, count_col="cnt"
+    )
+    assert ok.count() == 10
+    # small keys: fractional k is exempt (and exact)
+    small = spark.range(1000).select(
+        (F.col("id") % 2).alias("k"), F.col("id").alias("ord")
+    )
+    cnt = small.groupBy("k").agg(F.count("*").alias("cnt"))
+    withk = small.join(F.broadcast(cnt), "k")
+    out = grouped_topk_salted(
+        withk,
+        ["k"],
+        [F.asc("ord")],
+        k=F.expr("(cnt * 2) div 5"),
+        count_col="cnt",
+    )
+    assert out.count() == 400  # 2 keys x floor(500*2/5)
+
+
+class TestStratifiedFractionCut:
+    """Threshold-based fractional stratified cut (VERDICT r7 task 1):
+    equals the rank formulation exactly, including boundary ties, and
+    the only per-key window over DATA rows sees the boundary-tie set
+    — never the stratum."""
+
+    def _reference(self, df, num, den):
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy("k").orderBy(F.desc("score"), F.asc("ord"))
+        cnt = df.groupBy("k").agg(F.count("*").alias("cnt"))
+        return (
+            df.join(F.broadcast(cnt), "k")
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") * den <= F.col("cnt") * num)
+        )
+
+    def test_equals_rank_formulation_with_ties(self, spark):
+        from data_integration_pipelines_spark.operators.skew import (
+            stratified_fraction_cut,
+        )
+
+        # score = id*13 % 50 over 3000 rows / 7 keys -> heavy ties at
+        # every score value, including the per-key boundary
+        df = spark.range(3000).select(
+            (F.col("id") % 7).alias("k"),
+            F.col("id").alias("ord"),
+            (F.col("id") * 13 % 50).alias("score"),
+        )
+        got = {
+            (r.k, r.ord)
+            for r in stratified_fraction_cut(
+                df, ["k"], "score", "ord", num=2, den=5
+            ).collect()
+        }
+        want = {(r.k, r.ord) for r in self._reference(df, 2, 5).collect()}
+        assert got == want and len(want) > 0
+
+    def test_tiny_and_empty_strata(self, spark):
+        from data_integration_pipelines_spark.operators.skew import (
+            stratified_fraction_cut,
+        )
+
+        # keys with 1 and 2 rows: floor(cnt*2/5) = 0 -> keep nothing
+        df = spark.createDataFrame(
+            [(0, 1, 10), (1, 2, 10), (1, 3, 20)], "k int, ord int, score int"
+        )
+        assert (
+            stratified_fraction_cut(df, ["k"], "score", "ord", 2, 5).count()
+            == 0
+        )
+        # 3 rows: floor(6/5) = 1 -> exactly the best row survives
+        df3 = spark.createDataFrame(
+            [(0, 1, 10), (0, 2, 30), (0, 3, 20)], "k int, ord int, score int"
+        )
+        rows = stratified_fraction_cut(df3, ["k"], "score", "ord", 2, 5).collect()
+        assert [(r.k, r.ord, r.score) for r in rows] == [(0, 2, 30)]
+
+    def test_hot_stratum_tie_window_reduction(self, spark):
+        """The survivor-reduction gate VERDICT r7 demanded: on a hot
+        stratum the rows that reach the exact tie-break window (score
+        == q*) must be a vanishing fraction of the stratum — the
+        whole point of the threshold algorithm. Computed from the
+        same histogram the operator uses, against the reference
+        ranking's own boundary score."""
+        from pyspark.sql.window import Window
+
+        from data_integration_pipelines_spark.operators.skew import (
+            stratified_fraction_cut,
+        )
+
+        n = 200_000
+        # one hot stratum, near-unique scores (ties only by collision)
+        df = spark.range(n).select(
+            F.lit("hot").alias("k"),
+            F.col("id").alias("ord"),
+            (F.col("id") * 2654435761 % 1000003).alias("score"),
+        )
+        got = stratified_fraction_cut(df, ["k"], "score", "ord", 2, 5)
+        k = n * 2 // 5
+        assert got.count() == k
+        # boundary score from the reference ranking; tie set size is
+        # what the operator's only data-row window sees
+        w = Window.partitionBy("k").orderBy(F.desc("score"), F.asc("ord"))
+        qstar = (
+            df.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == k)
+            .collect()[0]["score"]
+        )
+        tie_rows = df.filter(F.col("score") == qstar).count()
+        assert tie_rows < n // 1000, (
+            f"tie window saw {tie_rows} of {n} rows — no reduction"
+        )
+
+
 class TestTwoLevelRunningOffsets:
     """Cross-shard offset arithmetic invariants for
     two_level_running_offsets (VERDICT r6 task 2)."""

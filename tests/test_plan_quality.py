@@ -296,13 +296,28 @@ def test_time_partitioned_events_prune_at_planning(spark, sf_small):
     assert "event_date" in pf, plan[:1500]
 
 
-def test_stratified_sample_two_phase_salted(plans):
-    """quality_stratified_sample must carry the salted two-phase top-k
-    shape (r7): phase-1 row_number over (lang, __salt) then phase-2
-    over lang — NOT one global per-stratum sort (few Zipf-sized
-    strata serialize through single window tasks; measured 14.0x at
-    30x data pre-change, SCALE.md 1c)."""
+def test_stratified_sample_threshold_shape(plans):
+    """quality_stratified_sample must carry the r8 histogram-threshold
+    shape (operators/skew.stratified_fraction_cut): a broadcast cut
+    table (__qstar/__take) filters the bulk with a plain comparison,
+    and the ONLY per-stratum row_number window is the boundary
+    tie-break — never a rank over the whole stratum. The r7 salted
+    two-phase rank was structurally a no-op for the fractional k
+    (phase 1 kept every row; VERDICT r7), so the salted shape must be
+    GONE from the default query."""
     plan = plans["quality_stratified_sample"]
+    assert "__qstar" in plan, plan[:2000]
+    assert "__take" in plan, plan[:2000]
+    assert "__salt" not in plan, plan[:2000]
+    # exactly one row_number window: the boundary tie-break
+    assert plan.count("row_number()") == 1, plan[:2000]
+
+
+def test_stratified_sample_ranked_twin_two_phase_salted(plans):
+    """The differential twin keeps the salted two-phase rank shape it
+    documents (phase-1 row_number over (lang, __salt), phase-2 over
+    lang) — the r7 formulation, retained as an independent algorithm
+    certifying the default's boundary-tie semantics."""
+    plan = plans["quality_stratified_sample_ranked"]
     assert "__salt" in plan, plan[:2000]
-    # two row_number windows: (lang, salt) then (lang)
     assert plan.count("row_number()") >= 2, plan[:2000]
