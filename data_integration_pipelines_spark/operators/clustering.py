@@ -437,6 +437,11 @@ def assign_clusters_pivoted(
     can live outside the probed buckets — the standard IVF recall
     trade); EXACT when every centroid is a super or every bucket is
     probed (n_super >= k or nprobe >= n_super — pinned by pytest).
+    MISASSIGNMENT IS THE ONLY APPROXIMATION — never row loss: every
+    super-bucket holds at least its own centroid (the c2s self-pin
+    below), so every vector's probe finds >= 1 candidate and exactly
+    one output row (pinned by pytest on a duplicate-centroid fit,
+    where pre-r8 the emptied bucket silently dropped its probers).
     Every arithmetic step is the fit's exact integer fixed point, and
     every tie-break is (dist, id) — deterministic, SQL-replicable, so
     the composition is oracle-pinnable (plans/queries_clustering.
@@ -452,7 +457,15 @@ def assign_clusters_pivoted(
     sup = cent.join(F.broadcast(sup_ids), "cluster").select(
         F.col("cluster").alias("scid"), "pos", F.col("cval").alias("sval")
     )
-    # centroid -> nearest super bucket (centroid-table-sized join)
+    # centroid -> nearest super bucket (centroid-table-sized join).
+    # SELF-PIN (r8): a super centroid always maps to ITSELF — without
+    # it, two identical super centroids tie at distance 0 and the
+    # larger-scid super ends up with an EMPTY bucket (even its own
+    # centroid breaks the tie to the smaller scid), and any vector
+    # probing that bucket would be silently dropped (no output row).
+    # The pin only reorders exact-0 ties (a non-super centroid never
+    # has cluster == scid), so non-degenerate fits are unchanged; with
+    # it every bucket holds >= 1 centroid and every vector survives.
     c2s = (
         cent.join(F.broadcast(sup), "pos")
         .groupBy("cluster", "scid")
@@ -460,6 +473,12 @@ def assign_clusters_pivoted(
             F.sum(
                 (F.col("cval") - F.col("sval")) * (F.col("cval") - F.col("sval"))
             ).alias("sdist")
+        )
+        .withColumn(
+            "sdist",
+            F.when(F.col("cluster") == F.col("scid"), F.lit(-1)).otherwise(
+                F.col("sdist")
+            ),
         )
         .groupBy("cluster")
         .agg(F.min(F.struct("sdist", "scid")).alias("__b"))
@@ -530,6 +549,100 @@ def auto_k(n_vectors: int, target_cluster_size: int = SEMDEDUP_TARGET_CLUSTER) -
     gram work grow quadratically at scale (measured 9.5x at 30x data
     with the oracle-pinned k=8; SCALE.md 1c)."""
     return max(2, math.ceil(n_vectors / target_cluster_size))
+
+
+#: N*k*D cap for the EXACT flat SemDeDup assignment: below it the
+#: full-corpus Lloyd's fit with flat per-iteration assignment is
+#: affordable (and oracle-pinnable); above it ``semdedup_assign``
+#: routes to the sample-fit + pivoted-probing composition — the same
+#: one-metadata-count auto-switch shape as kmeans_fit's centroid-cell
+#: cap, the blocked SemDeDup kernel and the quantile cut method. With
+#: auto_k (k ~ N/64) the flat term is N^2*D/64 — quadratic in N, the
+#: 37.4x-at-30x cliff the flat twin measures (SCALE.md 1d).
+FLAT_ASSIGN_CELLS = 64_000_000
+
+
+def semdedup_assign(
+    df: DataFrame,
+    k: int | str = "auto",
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    flat_cells: int = FLAT_ASSIGN_CELLS,
+) -> DataFrame:
+    """SemDeDup's clustering stage behind ONE front door (r8): returns
+    (id, qvec, cluster) ready for :func:`semdedup_pairs` /
+    :func:`semdedup_survivors`, picking the execution strategy from
+    the corpus size so callers cannot accidentally take the flat
+    N·k·D assignment to 100 TB:
+
+    - ``N*k*D <= flat_cells``: the EXACT full-corpus Lloyd's fit
+      (:func:`kmeans_fit` — itself auto-switching driver-loop vs
+      centroid-table on k*D). Deterministic and oracle-pinnable; at
+      the sf0.01 fixture with ``k='auto'`` this resolves to k=8 and
+      reproduces the unrolled-CTE oracle bit-for-bit (pinned by
+      pytest — the semdedup_survivors_auto_k precedent).
+    - above: centroids fit on a BOUNDED deterministic sample (every
+      ``step``-th id, >= max(4096, 8k) rows so every cluster can
+      seed — the pq_train precedent) through the centroid-table path,
+      then the FULL corpus assigned via :func:`assign_clusters_pivoted`
+      at n_super = :func:`recommended_n_super` — O(N·D·sqrt(k)), the
+      measured-linear pipeline (7.13x wall at 30x data vs the flat
+      twin's 37.4x, SCALE.md 1d).
+
+    ``k='auto'`` sizes k with :func:`auto_k` (bounded ~64-vector
+    clusters at any N — the production sizing); an int pins it.
+    ``id_col`` must be integral for the deterministic sample filter.
+    One count + one 1-row dim probe decide the route — metadata-cheap
+    against the clustering work either way."""
+    n = df.count()
+    probe = df.select(vec_col).first()
+    if probe is None:
+        raise ValueError("semdedup_assign on an empty DataFrame")
+    dim = len(probe[0])
+    kk = auto_k(n) if k == "auto" else int(k)
+    if n * kk * dim <= flat_cells:
+        assigned, _ = kmeans_fit(df, id_col, vec_col, k=kk, iters=iters)
+        return assigned.select("id", "qvec", "cluster")
+    step = max(1, n // max(4096, 8 * kk))
+    sample = df.filter(F.pmod(F.col(id_col), F.lit(step)) == 0)
+    _, cent = kmeans_fit_table(
+        sample, id_col, vec_col, k=kk, iters=iters, reseed_empty=False
+    )
+    assigned = assign_clusters_pivoted(
+        df,
+        cent,
+        n_super=recommended_n_super(kk),
+        nprobe=1,
+        id_col=id_col,
+        vec_col=vec_col,
+    )
+    qdf = df.select(
+        F.col(id_col).alias("id"), quantize_vec(F.col(vec_col)).alias("qvec")
+    )
+    return assigned.select("id", "cluster").join(qdf, "id").select(
+        "id", "qvec", "cluster"
+    )
+
+
+def semdedup(
+    df: DataFrame,
+    threshold: float,
+    k: int | str = "auto",
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    flat_cells: int = FLAT_ASSIGN_CELLS,
+) -> DataFrame:
+    """The SemDeDup pipeline end-to-end behind the auto-routing front
+    door: :func:`semdedup_assign` (exact flat fit below the N·k·D cap,
+    sample-fit + pivoted probing above) then the keep-one policy
+    (:func:`semdedup_survivors`, itself auto-blocking oversized
+    clusters). Returns the per-cluster (cluster, n_members, n_removed,
+    n_kept) funnel."""
+    return semdedup_survivors(
+        semdedup_assign(df, k, iters, id_col, vec_col, flat_cells), threshold
+    )
 
 
 _PAIR_SCHEMA = "cluster bigint, id_a bigint, id_b bigint, cosine_e4 bigint"

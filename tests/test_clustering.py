@@ -283,3 +283,84 @@ class TestPivotedAssignment:
         # and the restriction bites without destroying quality on the
         # fixture: most vectors still get their true nearest centroid
         assert len(agree) >= int(0.5 * len(got))
+
+
+class TestSemdedupFrontDoor:
+    """The r8 auto-routing front door (VERDICT r7 task 2): below the
+    N*k*D cell cap the EXACT flat fit, above it the sample-fit +
+    pivoted-probing composition — callers can no longer take the flat
+    quadratic assignment to scale by default."""
+
+    def test_flat_route_equals_exact_fit(self, embeddings):
+        from data_integration_pipelines_spark.operators.clustering import (
+            auto_k,
+            semdedup_assign,
+        )
+
+        n = embeddings.count()
+        assert auto_k(n) == 8  # the oracle-pinned fixture resolution
+        got = {
+            (r.id, r.cluster)
+            for r in semdedup_assign(embeddings, k="auto").collect()
+        }
+        exact, _ = kmeans_fit(embeddings, k=8, iters=3)
+        want = {(r.id, r.cluster) for r in exact.collect()}
+        assert got == want
+
+    def test_scale_route_fires_above_cap_and_loses_no_rows(self, embeddings):
+        """With the cap forced below the fixture's N*k*D, the front
+        door must take the pivoted route (approximate assignment) and
+        still emit exactly one row per vector."""
+        from data_integration_pipelines_spark.operators.clustering import (
+            semdedup_assign,
+        )
+
+        n = embeddings.count()
+        out = semdedup_assign(embeddings, k="auto", flat_cells=1)
+        rows = out.collect()
+        assert len(rows) == n
+        assert len({r.id for r in rows}) == n
+
+    def test_semdedup_pipeline_accounting_on_both_routes(self, embeddings):
+        """n_members sums to N and n_kept + n_removed == n_members on
+        the flat AND the pivoted route."""
+        from data_integration_pipelines_spark.operators.clustering import (
+            semdedup,
+        )
+
+        n = embeddings.count()
+        for cells in (64_000_000, 1):
+            surv = semdedup(embeddings, 0.35, k="auto", flat_cells=cells)
+            rows = surv.collect()
+            assert sum(r.n_members for r in rows) == n
+            assert all(r.n_kept + r.n_removed == r.n_members for r in rows)
+
+
+def test_pivoted_assignment_survives_duplicate_super_centroids(spark):
+    """ADVICE r7: two identical super centroids tie at distance 0 and
+    pre-r8 the larger-scid super's bucket ended up EMPTY (even its own
+    centroid broke the tie to the smaller scid) — any vector probing
+    that bucket was silently dropped. The c2s self-pin guarantees every
+    bucket holds >= 1 centroid, so every vector gets exactly one row."""
+    from data_integration_pipelines_spark.operators.clustering import (
+        assign_clusters_pivoted,
+    )
+
+    # centroid table with clusters 0 and 1 IDENTICAL (the degenerate
+    # duplicate-super fit) and cluster 2 distinct; D=2
+    cent = spark.createDataFrame(
+        [
+            (0, 0, 10_000_000), (0, 1, 0),
+            (1, 0, 10_000_000), (1, 1, 0),
+            (2, 0, -10_000_000), (2, 1, 0),
+        ],
+        "cluster bigint, pos int, cval bigint",
+    )
+    emb = spark.createDataFrame(
+        [Row(vec_id=i, embedding=[float(x) / 10, float(i % 3) / 10])
+         for i, x in enumerate([9, -9, 8, -8, 7, -7, 5, -5])],
+    )
+    out = assign_clusters_pivoted(emb, cent, n_super=2, nprobe=1)
+    rows = out.collect()
+    assert len(rows) == emb.count(), "row loss on duplicate supers"
+    assert len({r.id for r in rows}) == emb.count()
