@@ -39,7 +39,14 @@ def with_quartile_bin(
 ) -> DataFrame:
     """All rows of ``view`` with a ``bin`` column in
     {p00_25, p25_50, p50_75, p75_100} from quartile cuts of
-    ``value_col``. ``method``: exact | approx | auto (count decides)."""
+    ``value_col``. ``method``: exact | approx | auto (count decides).
+
+    NULL ``value_col`` rows get bin='null' (ADVICE r7): both
+    ``percentile`` and ``approx_percentile`` EXCLUDE NULLs from the
+    cuts, so letting NULLs fall through the ``<`` comparisons into the
+    ELSE branch would silently inflate p75_100 on NULL-heavy columns
+    and falsify the rank-mass certificate. The certificate checks the
+    four quartile bins against the NON-NULL total."""
     if method not in ("auto", "exact", "approx"):
         raise ValueError(f"unknown quantile method {method!r}")
     if method == "auto":
@@ -52,7 +59,8 @@ def with_quartile_bin(
         q = lambda p: f"approx_percentile({value_col}, {p}, {accuracy})"  # noqa: E731
     return spark.sql(
         f"""
-        SELECT *, CASE WHEN {value_col} < q.q1 THEN 'p00_25'
+        SELECT *, CASE WHEN {value_col} IS NULL THEN 'null'
+                       WHEN {value_col} < q.q1 THEN 'p00_25'
                        WHEN {value_col} < q.q2 THEN 'p25_50'
                        WHEN {value_col} < q.q3 THEN 'p50_75'
                        ELSE 'p75_100' END AS bin
@@ -72,10 +80,15 @@ def quartile_mass_certificate(binned: DataFrame) -> DataFrame:
     exact integer arithmetic (no float share drift). The GK sketch
     guarantees each CUT within eps rank, so each bin's mass is within
     2*eps of a quarter — at the configured eps=1e-4 the 1% assertion
-    has 50x headroom, yet any broken sketch/binning turns it false."""
+    has 50x headroom, yet any broken sketch/binning turns it false.
+    The 'null' bin (NULL value_col rows) is excluded: the cuts are
+    computed over non-null values only, so the quartile-mass contract
+    is against the non-null total."""
     from pyspark.sql.window import Window
 
-    per_bin = binned.groupBy("bin").agg(F.count("*").alias("n"))
+    per_bin = binned.filter(F.col("bin") != "null").groupBy("bin").agg(
+        F.count("*").alias("n")
+    )
     # bins-sized table (4 rows) — the unpartitioned window is bounded
     total = F.sum("n").over(Window.partitionBy())
     return per_bin.select(

@@ -9,28 +9,58 @@ columns by name before hashing values.
 from __future__ import annotations
 
 from collections.abc import Callable
-from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
+#: an oracle is ANSI SQL for DuckDB (None -> rows-only check). A
+#: CALLABLE defers expensive SQL construction (golden-table VALUES
+#: literals, multi-MB JSON parses) to first access — importing the
+#: plans package stays cheap for callers that never compare oracles
+#: (ADVICE r7: the BPE goldens parsed a 6352-line JSON at import).
+OracleSrc = "str | None | Callable[[], str]"
 
-@dataclass
+
 class Query:
-    name: str
-    fn: QueryFn
-    oracle: str | None  # ANSI SQL for DuckDB; None -> rows-only check
-    doc: str = ""  # SURVEY §2 operator ids this query exercises
-    headline: bool = False  # included in bench.py
-    # True when fn() itself runs Spark jobs (driver-loop algorithms
-    # like k-means fitting) — bench.py must then time CONSTRUCTION +
-    # execution, or the iterations would be dishonestly excluded
-    time_build: bool = False
+    """Registry entry pairing a Spark plan with its DuckDB oracle.
 
-    def __post_init__(self) -> None:
-        if self.doc and not self.fn.__doc__:
-            self.fn.__doc__ = self.doc
+    ``oracle`` resolves lazily: pass a zero-arg callable to defer SQL
+    construction to first access (cached thereafter); reading
+    ``q.oracle`` always yields ``str | None``."""
+
+    __slots__ = ("name", "fn", "_oracle", "doc", "headline", "time_build")
+
+    def __init__(
+        self,
+        name: str,
+        fn: QueryFn,
+        oracle,  # str | None | Callable[[], str]
+        doc: str = "",  # SURVEY §2 operator ids this query exercises
+        headline: bool = False,  # included in bench.py
+        # True when fn() itself runs Spark jobs (driver-loop algorithms
+        # like k-means fitting) — bench.py must then time CONSTRUCTION +
+        # execution, or the iterations would be dishonestly excluded
+        time_build: bool = False,
+    ) -> None:
+        self.name = name
+        self.fn = fn
+        self._oracle = oracle
+        self.doc = doc
+        self.headline = headline
+        self.time_build = time_build
+        if doc and not fn.__doc__:
+            fn.__doc__ = doc
+
+    @property
+    def oracle(self) -> str | None:
+        if callable(self._oracle):
+            self._oracle = self._oracle()
+        return self._oracle
+
+    @oracle.setter
+    def oracle(self, value) -> None:
+        self._oracle = value
 
 
 REGISTRY: dict[str, Query] = {}
@@ -38,7 +68,7 @@ REGISTRY: dict[str, Query] = {}
 
 def register(
     name: str,
-    oracle: str | None,
+    oracle,  # str | None | Callable[[], str]
     doc: str = "",
     headline: bool = False,
     time_build: bool = False,

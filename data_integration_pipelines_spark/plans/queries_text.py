@@ -1147,7 +1147,9 @@ def _bpe_encode_oracle() -> str:
 
 @register(
     "bpe_train_merges",
-    _bpe_train_oracle(),  # golden-table oracle (r7): the iterative
+    _bpe_train_oracle,  # LAZY golden-table oracle (r7, deferred r8:
+    # the 6352-line bpe_golden.json parse + ~1000-row VALUES literal
+    # now build on first .oracle access, not at import): the iterative
     # trainer has no SQL form, so the driver row compares against the
     # checked-in output of the INDEPENDENT pure-Python reference
     # trainer — a real red on regression, not a rows-only count
@@ -1172,8 +1174,9 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "bpe_encode_tokens",
-    _bpe_encode_oracle(),  # golden-table oracle (r7) — digest-keyed
-    # per-doc counts + token-stream md5 from the pure-Python reference
+    _bpe_encode_oracle,  # LAZY golden-table oracle (r7) — digest-keyed
+    # per-doc counts + token-stream md5 from the pure-Python reference;
+    # built on first .oracle access (ADVICE r7), not at import
     doc="BPE train -> encode round trip: learn 16 merges on the corpus, "
     "then tokenize every document with them (operators/bpe.bpe_encode "
     "— sequential rank-order application, the literal trainer "

@@ -748,6 +748,32 @@ class TestQuartileBins:
         with _pytest.raises(ValueError):
             with_quartile_bin(spark, "qb_t3", "v", "tdigest")
 
+    def test_null_values_get_null_bin_not_top_bin(self, spark):
+        """ADVICE r7: percentile/approx_percentile exclude NULLs from
+        the cuts, so NULL rows falling through the CASE into p75_100
+        silently inflated the top bin on NULL-heavy columns. NULLs now
+        get bin='null'; the certificate checks the four quartile bins
+        against the NON-NULL total."""
+        from data_integration_pipelines_spark.operators.quantiles import (
+            quartile_mass_certificate,
+            with_quartile_bin,
+        )
+
+        # 50% NULL column: pre-fix the top bin held 5/8 of all rows
+        spark.range(80000).select(
+            F.when(F.col("id") % 2 == 0, F.col("id").cast("double")).alias("v")
+        ).createOrReplaceTempView("qb_null")
+        for method in ("exact", "approx"):
+            binned = with_quartile_bin(spark, "qb_null", "v", method)
+            counts = {r.bin: r.n for r in
+                      binned.groupBy("bin").agg(F.count("*").alias("n")).collect()}
+            assert counts["null"] == 40000
+            assert counts["p75_100"] <= 10000 + 40  # a quarter of non-null
+            cert = quartile_mass_certificate(binned).collect()
+            assert len(cert) == 4  # 'null' excluded
+            assert all(r.n_total == 40000 for r in cert)
+            assert all(r.mass_within_1pct_rank for r in cert)
+
 
 class TestJwtDecode:
     def test_claim_from_externally_minted_token(self, spark):
