@@ -902,6 +902,35 @@ def signature_probes(sig: Column, n_planes: int, max_hamming: int = 1) -> Column
     return F.array(*probes)
 
 
+def probed_candidates(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int | None = 8,
+    max_hamming: int = 1,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """The CANDIDATE stage of :func:`embedding_near_dup_probed` —
+    (id_a, id_b) pairs whose signatures are within ``max_hamming``,
+    BEFORE the exact-cosine verify. Exposed separately (r8) so the
+    scale probe can record candidate-pair volume as data rather than
+    narrative: the kernel's growth claim is "candidates are bounded by
+    (n_planes+1) x N x bucket-population", and PROBE_r{N}.json rows
+    carry this count per scale factor to certify it."""
+    if n_planes is None:
+        n_planes = recommended_n_planes(df.count())
+    sig = bounded_persist(hyperplane_signatures(df, id_col, vec_col, n_planes))
+    sig = _cap_buckets(sig, ["signature"], max_bucket)
+    probes = sig.select(
+        F.col("id").alias("id_a"),
+        F.explode(
+            signature_probes(F.col("signature"), n_planes, max_hamming)
+        ).alias("probe"),
+    )
+    exact = sig.select(F.col("id").alias("id_b"), F.col("signature").alias("probe"))
+    return probes.join(exact, "probe").filter(F.col("id_a") < F.col("id_b"))
+
+
 def embedding_near_dup_probed(
     df: DataFrame,
     threshold: float,
@@ -933,18 +962,9 @@ def embedding_near_dup_probed(
     A Hamming<=1 pair matches on exactly ONE probe per orientation and
     only the id_a < id_b orientation survives, so no distinct is
     needed — one fewer shuffle than the block-join variant."""
-    if n_planes is None:
-        n_planes = recommended_n_planes(df.count())
-    sig = bounded_persist(hyperplane_signatures(df, id_col, vec_col, n_planes))
-    sig = _cap_buckets(sig, ["signature"], max_bucket)
-    probes = sig.select(
-        F.col("id").alias("id_a"),
-        F.explode(
-            signature_probes(F.col("signature"), n_planes, max_hamming)
-        ).alias("probe"),
+    cand = probed_candidates(
+        df, id_col, vec_col, n_planes, max_hamming, max_bucket
     )
-    exact = sig.select(F.col("id").alias("id_b"), F.col("signature").alias("probe"))
-    cand = probes.join(exact, "probe").filter(F.col("id_a") < F.col("id_b"))
     vecs = df.select(
         F.col(id_col).alias("vid"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),

@@ -324,7 +324,9 @@ def contamination_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     "contamination watch item; grading semantics identical to "
     "contamination_fraction.",
 )
-def contamination_fraction_wide_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+def contamination_fraction_wide_eval(
+    spark: SparkSession, sf_dir: str, shuffle_holdout: bool = False
+) -> DataFrame:
     from ..operators.cache import bounded_persist
 
     docs = _docs(spark, sf_dir)
@@ -339,6 +341,13 @@ def contamination_fraction_wide_eval(spark: SparkSession, sf_dir: str) -> DataFr
     eval_srcs = ("src0", "src1")
     train = sh.filter(~F.col("source").isin(*eval_srcs)).drop("source")
     holdout = sh.filter(F.col("source").isin(*eval_srcs)).select("s").distinct()
+    if shuffle_holdout:
+        # probe-only regime pin (r8): certify the UNHINTED join's
+        # shuffle branch — the physical strategy AQE takes once the
+        # holdout outgrows autoBroadcastJoinThreshold — without waiting
+        # for a fixture that large (scripts/scale_probe.py
+        # contamination_wide_eval_shuffle)
+        holdout = holdout.hint("shuffle_hash")
     tot = train.groupBy("doc_id").agg(F.countDistinct("s").alias("n_ngrams"))
     # unhinted: the wide holdout must not be FORCED into a broadcast
     hit = (

@@ -302,6 +302,51 @@ def _semdedup_gram_fixed_k(spark, sf_dir: str):
     return _semdedup_gram(spark, sf_dir, "fixed")
 
 
+def _contamination_wide_eval_shuffle(spark, sf_dir: str):
+    """contamination_fraction_wide_eval with the holdout side PINNED to
+    the shuffle-hash regime (VERDICT r7 task 6): the registry query is
+    deliberately unhinted — AQE broadcasts the holdout while it fits
+    autoBroadcastJoinThreshold and shuffles when it doesn't — but every
+    probe so far ran with AQE still free to broadcast, so the join's
+    OTHER branch (the one a genuinely wide eval set takes at 100 TB)
+    was never certified. The hint forces that branch at probe scale."""
+    from data_integration_pipelines_spark.plans.queries_curation import (
+        contamination_fraction_wide_eval,
+    )
+
+    return contamination_fraction_wide_eval(spark, sf_dir, shuffle_holdout=True)
+
+
+# ---- candidate-pair counters (VERDICT r7 task 4) -------------------
+# growth rows for candidate-join kernels claim "output/candidate volume
+# grows linearly" — these record the CANDIDATE counts per scale factor
+# so the claim is data, not narrative. Keyed by probe/query name; each
+# returns the candidate-pair count for that query's exact sizing.
+
+
+def _cand_probed(n_planes):
+    def count(spark, sf_dir: str) -> int:
+        from data_integration_pipelines_spark.operators.similarity import (
+            probed_candidates,
+        )
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        return probed_candidates(emb, n_planes=n_planes).count()
+
+    return count
+
+
+_CAND_COUNTERS = {
+    # registry query: fixture-pinned 8 planes (the documented
+    # differential regime at scale)
+    "embedding_near_dup_probed": _cand_probed(8),
+    # production sizing twins: recommended_n_planes(N)
+    "embedding_near_dup_probed_scaled_planes": _cand_probed(None),
+    "dedup_consensus_scaled_planes": _cand_probed(None),
+    "dedup_consensus": _cand_probed(8),
+}
+
+
 # probe-only variants: (fn, time_build) — not registry queries (their
 # parameters depend on corpus size, which the oracle contract forbids)
 _EXTRA_PROBES = {
@@ -321,12 +366,18 @@ _EXTRA_PROBES = {
         _embedding_near_dup_probed_scaled_planes,
         True,
     ),
+    "contamination_wide_eval_shuffle": (_contamination_wide_eval_shuffle, True),
 }
 
 
 def time_queries(
     spark, sf_dir: str, only: set[str] | None = None
-) -> dict[str, float]:
+) -> tuple[dict[str, float], dict[str, dict[str, int]]]:
+    """Returns (per-query best wall seconds, per-query counts). Counts
+    carry ``n_out`` (output rows, every query) and ``n_candidates``
+    (candidate pairs, kernels with a _CAND_COUNTERS entry) — recorded
+    OUTSIDE the timed passes so growth claims about output- or
+    candidate-bound queries are certified by the artifact itself."""
     fns: dict[str, tuple] = {
         name: (q.fn, q.time_build)
         for name, q in REGISTRY.items()
@@ -337,10 +388,16 @@ def time_queries(
             fns[name] = _EXTRA_PROBES[name]
     frames = {}
     failures: dict[str, str] = {}
+    counts: dict[str, dict[str, int]] = {}
     for name, (fn, _) in fns.items():
         try:
             frames[name] = fn(spark, sf_dir)
             frames[name].write.format("noop").mode("overwrite").save()
+            counts[name] = {"n_out": frames[name].count()}
+            if name in _CAND_COUNTERS:
+                counts[name]["n_candidates"] = _CAND_COUNTERS[name](
+                    spark, sf_dir
+                )
         except Exception as exc:  # full-registry runs: record, keep going
             failures[name] = f"{type(exc).__name__}: {exc}"[:300]
             print(f"FAIL {name}: {failures[name]}", file=sys.stderr)
@@ -357,7 +414,7 @@ def time_queries(
             timings[name] = min(timings.get(name, dt), dt)
     for name, err in failures.items():
         timings[name] = float("nan")
-    return timings
+    return timings, counts
 
 
 def main() -> None:
@@ -383,7 +440,7 @@ def main() -> None:
         and os.path.exists(os.path.join(out, _REPLICA_MARKER))
     ):
         build_replica(spark, base, out, k)
-    base_t = time_queries(spark, base, only)
+    base_t, base_c = time_queries(spark, base, only)
     # drop the persist pool AND the catalog cache between phases: in
     # local mode storage and broadcast builds share ONE heap, and the
     # base phase's pooled tables otherwise squeeze the 30x phase's
@@ -393,15 +450,24 @@ def main() -> None:
 
     release_cached()
     spark.catalog.clearCache()
-    scaled_t = time_queries(spark, out, only)
-    report = {
-        name: {
+    scaled_t, scaled_c = time_queries(spark, out, only)
+    report = {}
+    for name in base_t:
+        row = {
             "base_s": base_t[name],
             f"x{k}_s": scaled_t[name],
             "growth": round(scaled_t[name] / base_t[name], 2),
         }
-        for name in base_t
-    }
+        for key in ("n_out", "n_candidates"):
+            if key in base_c.get(name, {}):
+                row[f"{key}_base"] = base_c[name][key]
+            if key in scaled_c.get(name, {}):
+                row[f"{key}_x{k}"] = scaled_c[name][key]
+                if base_c.get(name, {}).get(key):
+                    row[f"{key}_growth"] = round(
+                        scaled_c[name][key] / base_c[name][key], 2
+                    )
+        report[name] = row
     print(json.dumps({"k": k, "base": base, "queries": report}, indent=2))
 
 
