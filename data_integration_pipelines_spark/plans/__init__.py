@@ -20,31 +20,52 @@ from . import queries_window  # noqa: E402,F401
 
 # Registry order == the order the driver's time-budgeted CORRECTNESS
 # sweep visits queries (it stops when its budget runs out, ~50 entries
-# in rounds 1-2). Order by VERIFICATION RISK, not by module. Round-7
-# head: queries whose OUTPUT changed this round (dedup_consensus and
-# embedding_dup_clusters moved to the Hamming<=1 probed kernel; the
-# bpe pair gained golden-table oracles and is hash-compared for the
-# first time), the queries NEW in r7 (single-source chunking twin,
-# certified approx quantiles, auto-k SemDeDup, wide-eval
-# contamination), and the output-identical plan rewrites
-# (salted stratified rank, two-level offsets, auto quantile cuts) so
-# each gets a fresh green driver row under its new plan; the
-# long-stable tail keeps its prior order.
+# in rounds 1-2). Order by VERIFICATION RISK, not by module, with a
+# ROTATION slice (r8, VERDICT r7 task 7): risk-ordering the head is
+# right, but queries that stay stable forever would otherwise never
+# earn a fresh DRIVER row again (judge sweeps cover them, the driver's
+# head hasn't since r2-r4) — so each round also cycles ~10 of the
+# longest-unvisited stable-tail queries into the head, giving every
+# query a driver-green at least every ~12 rounds. Round-8 head:
+# (a) queries whose PLAN or ORACLE changed this round — the stratified
+# sample's threshold rewrite + its new ranked twin, the SemDeDup
+# defaults now behind the auto-routing front door, the pivoted
+# assignment's self-pinned oracle, the null-bin quantile operator, the
+# BPE pair under lazy oracle construction, the wide-eval contamination
+# refactor; (b) the rotation slice: ten r2-r4-stable tail queries
+# (encode_normalize .. error_grouping); (c) the r7 head order for the
+# rest.
 _RISK_ORDER = [
-    "dedup_consensus",
-    "embedding_dup_clusters",
-    "bpe_train_merges",
-    "bpe_encode_tokens",
-    "training_chunks_single_source",
-    "quantile_bins_approx",
-    "semdedup_survivors_auto_k",
+    # (a) r8-changed plans/oracles
+    "quality_stratified_sample",
+    "quality_stratified_sample_ranked",
+    "semdedup_survivors",
+    "semdedup_pairs",
     "kmeans_assign_pivoted",
     "semdedup_survivors_pivoted",
+    "semdedup_survivors_auto_k",
+    "quantile_bins",
+    "quantile_bins_approx",
+    "bpe_train_merges",
+    "bpe_encode_tokens",
     "contamination_fraction_wide_eval",
-    "quality_stratified_sample",
+    # (b) rotation slice: stable tail, last driver row r2-r4
+    "encode_normalize",
+    "sparse_bool_render",
+    "date_functions",
+    "case_convert",
+    "regex_extract",
+    "in_list_filter",
+    "string_predicates",
+    "paginated_scan",
+    "top_k",
+    "error_grouping",
+    # (c) the r7 risk head, minus entries moved above
+    "dedup_consensus",
+    "embedding_dup_clusters",
+    "training_chunks_single_source",
     "token_pack_bins",
     "training_chunks",
-    "quantile_bins",
     "embedding_near_dup_probed",
     "pricing_summary",
     "upsert_classify",
@@ -69,8 +90,6 @@ _RISK_ORDER = [
     "incremental_join_retract",
     "sequence_funnel",
     "table_profile",
-    "semdedup_pairs",
-    "semdedup_survivors",
     "cluster_purity",
     "kmeans_clusters",
     "incremental_ingest_dedup",
@@ -194,16 +213,6 @@ _RISK_ORDER = [
     "type_census",
     "census_filtered",
     "bool_folds",
-    "error_grouping",
-    "top_k",
-    "paginated_scan",
-    "string_predicates",
-    "in_list_filter",
-    "regex_extract",
-    "case_convert",
-    "date_functions",
-    "sparse_bool_render",
-    "encode_normalize",
 ]
 
 
