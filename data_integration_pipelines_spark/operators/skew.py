@@ -245,9 +245,19 @@ def stratified_fraction_cut(
     would leave the histogram and the data filter disagreeing);
     ``tiebreak_col`` must be unique within a key. k = 0 keys (N_key <
     den/num) keep nothing — the cut table has no row for them and both
-    branches filter against a null q*."""
+    branches filter against a null q*.
+
+    ``df`` feeds THREE consumers (histogram, bulk filter, tie branch),
+    so it is pooled-persisted here (operators/cache.bounded_persist —
+    the jaccard_pairs/LSH-table precedent): without the barrier an
+    expensive score expression upstream (a regex tokenizer, a model
+    logit) executes three times and the threshold path costs more
+    than the single sort it replaces."""
     from pyspark.sql.window import Window as W
 
+    from .cache import bounded_persist
+
+    df = bounded_persist(df)
     hist = df.groupBy(*key_cols, score_col).agg(F.count("*").alias("__nq"))
     wcum = W.partitionBy(*key_cols).orderBy(F.desc(score_col))
     cum = hist.withColumn("__cum", F.sum("__nq").over(wcum))

@@ -37,6 +37,7 @@ from . import queries_window  # noqa: E402,F401
 # rest.
 _RISK_ORDER = [
     # (a) r8-changed plans/oracles
+    "embedding_near_dup_probed_capped",
     "quality_stratified_sample",
     "quality_stratified_sample_ranked",
     "semdedup_survivors",

@@ -73,7 +73,23 @@ def lsh_sig_cte_dyn() -> str:
     )"""
 
 
-def probed_cand_cte_dyn() -> str:
+def capped_sig_cte(max_bucket: int, src: str = "sig") -> str:
+    """CTE ``sigc``: ``src`` minus every signature bucket with
+    population > max_bucket — EXACTLY operators/similarity._cap_buckets
+    (drop candidate generation in degenerate buckets; the jaccard
+    max_doc_freq precedent). Both the probe side and the exact side of
+    the candidate join must read ``sigc``, mirroring the engine."""
+    return f"""
+    sigc AS (
+        SELECT s.vec_id, s.signature
+        FROM {src} s
+        JOIN (SELECT signature FROM {src}
+              GROUP BY signature HAVING COUNT(*) <= {max_bucket}) ok
+          ON s.signature = ok.signature
+    )"""
+
+
+def probed_cand_cte_dyn(src: str = "sig") -> str:
     """CTEs ``probes`` + ``cand(id_a, id_b)``: Hamming<=1 candidate
     pairs via QUERY-SIDE probing at the dynamic width — the identity
     probe (j=0) plus every 1-bit flip equi-joins the exact full-width
@@ -82,7 +98,7 @@ def probed_cand_cte_dyn() -> str:
     operation. A Hamming<=1 pair matches on exactly one probe per
     orientation and only id_a < id_b survives, so no DISTINCT (the
     same argument as the Spark plan)."""
-    return """
+    return f"""
     probes AS (
         SELECT vec_id,
                CASE WHEN j = 0 THEN signature
@@ -91,11 +107,11 @@ def probed_cand_cte_dyn() -> str:
                              THEN '0' ELSE '1' END)
                          || substr(signature, CAST(j + 1 AS INT))
                END AS probe
-        FROM sig, p, LATERAL (SELECT UNNEST(range(p.np + 1)) AS j) t
+        FROM {src}, p, LATERAL (SELECT UNNEST(range(p.np + 1)) AS j) t
     ),
     cand AS (
         SELECT a.vec_id AS id_a, b.vec_id AS id_b
-        FROM probes a JOIN sig b ON a.probe = b.signature AND a.vec_id < b.vec_id
+        FROM probes a JOIN {src} b ON a.probe = b.signature AND a.vec_id < b.vec_id
     )"""
 
 

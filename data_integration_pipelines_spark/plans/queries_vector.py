@@ -21,7 +21,12 @@ from ..catalog import load_table
 from ..functions.quantize import e4_sql, quantized_sql
 from ..operators.similarity import ivf_topk, topk_pandas
 from .base import REGISTRY, register
-from .lsh_oracle import lsh_sig_cte_dyn, planes_cte, probed_cand_cte_dyn
+from .lsh_oracle import (
+    capped_sig_cte,
+    lsh_sig_cte_dyn,
+    planes_cte,
+    probed_cand_cte_dyn,
+)
 
 _LONG_CTE = """
     long AS (
@@ -239,6 +244,53 @@ def embedding_near_dup_probed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return embedding_near_dup_probed(
         emb, threshold=0.35, n_planes=None, max_hamming=1
+    ).orderBy("id_a", "id_b")
+
+
+@register(
+    "embedding_near_dup_probed_capped",
+    f"""
+    WITH {_LONG_CTE},
+    {planes_cte()},
+    {lsh_sig_cte_dyn()},
+    {capped_sig_cte(16)},
+    {probed_cand_cte_dyn(src='sigc')},
+    dots AS (
+        SELECT id_a, id_b, {e4_sql('SUM(qa.val * qb.val)')} AS cosine_e4
+        FROM cand
+        JOIN long qa ON qa.vec_id = id_a
+        JOIN long qb ON qb.vec_id = id_b AND qb.pos = qa.pos
+        GROUP BY id_a, id_b
+    )
+    SELECT id_a, id_b, cosine_e4 FROM dots
+    WHERE cosine_e4 >= 3500
+    ORDER BY id_a, id_b
+    """,
+    doc="The probed near-dup kernel with its BUCKET CAP engaged "
+    "(operators/similarity._cap_buckets, max_bucket=16 — BINDING at "
+    "the fixture: the two hottest signature buckets hold 19-20 of 500 "
+    "vectors and are dropped on both the probe and the exact side; "
+    "the oracle replicates the cap as a HAVING filter, "
+    "plans/lsh_oracle.capped_sig_cte). Why this is a first-class "
+    "query (r8): the probe's new candidate counts showed that on a "
+    "CLUSTERED embedding space width-adaptive sizing alone does not "
+    "hold candidate volume linear — heavy buckets are cluster cores "
+    "that grow with N (candidates 537x at 30x data; SCALE.md 1e). "
+    "The cap is the kernel's documented mitigation (degenerate "
+    "buckets lose candidate generation BY DESIGN; recall for "
+    "in-hot-bucket pairs is traded — run exact dedup first for "
+    "mass-duplicate handling, or SemDeDup for cluster-core dedup), "
+    "and this row pins its drop semantics cross-engine at a cap that "
+    "actually bites.",
+)
+def embedding_near_dup_probed_capped_q(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.similarity import embedding_near_dup_probed
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return embedding_near_dup_probed(
+        emb, threshold=0.35, n_planes=None, max_hamming=1, max_bucket=16
     ).orderBy("id_a", "id_b")
 
 

@@ -302,6 +302,28 @@ def _semdedup_gram_fixed_k(spark, sf_dir: str):
     return _semdedup_gram(spark, sf_dir, "fixed")
 
 
+def _embedding_near_dup_probed_capped(spark, sf_dir: str):
+    """embedding_near_dup_probed at production sizing WITH the bucket
+    cap engaged (r8): the r8 candidate counts showed that on a
+    CLUSTERED embedding space the recommended_n_planes sizing alone
+    does not hold candidate volume linear — heavy LSH buckets (cluster
+    cores) grow with N, so candidates grew 537x at 30x data. The
+    documented mitigation is the kernel's max_bucket knob
+    (similarity._cap_buckets — drop candidate generation in buckets
+    over the cap, the jaccard max_doc_freq precedent; recall for
+    in-hot-bucket pairs is traded away, run exact dedup first). This
+    twin certifies that the CAPPED path's candidates and wall stay
+    ~linear on the same replica."""
+    from data_integration_pipelines_spark.operators.similarity import (
+        embedding_near_dup_probed,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return embedding_near_dup_probed(
+        emb, threshold=0.35, n_planes=None, max_bucket=256
+    ).orderBy("id_a", "id_b")
+
+
 def _contamination_wide_eval_shuffle(spark, sf_dir: str):
     """contamination_fraction_wide_eval with the holdout side PINNED to
     the shuffle-hash regime (VERDICT r7 task 6): the registry query is
@@ -324,26 +346,31 @@ def _contamination_wide_eval_shuffle(spark, sf_dir: str):
 # returns the candidate-pair count for that query's exact sizing.
 
 
-def _cand_probed(n_planes):
+def _cand_probed(n_planes, max_bucket=None):
     def count(spark, sf_dir: str) -> int:
         from data_integration_pipelines_spark.operators.similarity import (
             probed_candidates,
         )
 
         emb = load_table(spark, sf_dir, "embeddings")
-        return probed_candidates(emb, n_planes=n_planes).count()
+        return probed_candidates(
+            emb, n_planes=n_planes, max_bucket=max_bucket
+        ).count()
 
     return count
 
 
 _CAND_COUNTERS = {
-    # registry query: fixture-pinned 8 planes (the documented
-    # differential regime at scale)
-    "embedding_near_dup_probed": _cand_probed(8),
-    # production sizing twins: recommended_n_planes(N)
+    # the registry queries and their probe twins are ALL width-adaptive
+    # since r7 (n_planes=None -> recommended_n_planes(N) in both
+    # engines); the fixed-8 rows are the embedding_near_dup /
+    # _multiprobe differential twins, which have no counter here
+    "embedding_near_dup_probed": _cand_probed(None),
     "embedding_near_dup_probed_scaled_planes": _cand_probed(None),
     "dedup_consensus_scaled_planes": _cand_probed(None),
-    "dedup_consensus": _cand_probed(8),
+    "dedup_consensus": _cand_probed(None),
+    # production sizing + bucket cap (the clustered-space mitigation)
+    "embedding_near_dup_probed_capped": _cand_probed(None, max_bucket=256),
 }
 
 
@@ -367,6 +394,7 @@ _EXTRA_PROBES = {
         True,
     ),
     "contamination_wide_eval_shuffle": (_contamination_wide_eval_shuffle, True),
+    "embedding_near_dup_probed_capped": (_embedding_near_dup_probed_capped, True),
 }
 
 
