@@ -12,26 +12,18 @@ from __future__ import annotations
 from data_integration_pipelines_spark.plans import _RISK_ORDER, REGISTRY
 
 # Every query needing a fresh GREEN driver CORRECTNESS row after
-# round 6: queries whose OUTPUT changed in r7 (the probed-kernel
-# recomposition made dedup_consensus/embedding_dup_clusters emit the
-# Hamming<=1 pair set; the BPE pair is hash-compared for the first
-# time via golden-table oracles) plus queries new in r7. The r7 plan
-# rewrites with IDENTICAL output (salted stratified rank, two-level
-# offsets, auto quantile cuts) sit directly behind them in the head.
+# round 7 (the r7 set — probed-kernel recomposition, BPE goldens, the
+# r7-new queries — all earned green rows in CORRECTNESS_r07): the
+# queries NEW in r8, which have never been driver-compared. The r8
+# plan/oracle rewrites with IDENTICAL fixture output (threshold
+# stratified cut, front-doored SemDeDup defaults, self-pinned pivoted
+# oracle, null-bin quantiles, lazy BPE oracles) sit directly behind
+# them in the head, followed by the r8 rotation slice (ten stable-tail
+# queries whose last driver row dates to r2-r4).
 _NEVER_DRIVER_VERIFIED = {
-    # output changed in r7 (probed-kernel recomposition)
-    "dedup_consensus",
-    "embedding_dup_clusters",
-    # hash-compared for the first time in r7 (golden-table oracles)
-    "bpe_train_merges",
-    "bpe_encode_tokens",
-    # new in r7
-    "training_chunks_single_source",
-    "quantile_bins_approx",
-    "semdedup_survivors_auto_k",
-    "kmeans_assign_pivoted",
-    "semdedup_survivors_pivoted",
-    "contamination_fraction_wide_eval",
+    # new in r8
+    "embedding_near_dup_probed_capped",
+    "quality_stratified_sample_ranked",
 }
 
 
@@ -50,9 +42,10 @@ def test_risk_order_covers_registry():
 
 def test_never_verified_queries_inside_sweep_budget():
     order = list(REGISTRY)
-    # +2: the flagship (pricing_summary, always first) and
-    # kmeans_clusters (kept beside the semdedup family it shares its
-    # fit with) sit in the head without needing re-verification
+    # +2: changed-plan-same-output entries may interleave with the
+    # never-verified ones at the very head (r8: the threshold-rewritten
+    # quality_stratified_sample sits between its new ranked twin and
+    # the new capped kernel)
     window = set(order[: len(_NEVER_DRIVER_VERIFIED) + 2])
     outside = sorted(_NEVER_DRIVER_VERIFIED - window)
     assert not outside, (
