@@ -33,10 +33,18 @@ valid and every planted relationship recurs once per copy):
 A `_replica_v2` marker file versions the layout: probes rebuild any
 replica directory that predates the embedding reflection.
 
-Usage: python scripts/scale_probe.py [--only q1,q2 | --all] [K] [base_sf_dir]
+Usage: python scripts/scale_probe.py [--only q1,q2 | --all] [--isolate]
+       [K] [base_sf_dir]
 (--only times the named registry queries instead of the headline set;
 --all times EVERY registry query — per-query failures are recorded as
-NaN growth instead of aborting the run)
+NaN growth instead of aborting the run; --isolate runs each query's
+build + warm-up + timed passes + counts as its own unit and drops the
+persist pool between queries — the r8 probes showed that in a long
+phase-at-a-time session the bounded-persist pool evicts a query's
+barrier during the ~90 later frame builds and a heavy twin's GC
+pressure bleeds into every later small row, inflating e.g.
+quality_stratified_sample from 2.47x to 7.28x; use --isolate for hot
+rows, the default for cross-round-comparable full sweeps)
 Writes the replica under /tmp/spark-graft-scale{K}x (rebuilt if absent).
 """
 
@@ -399,13 +407,18 @@ _EXTRA_PROBES = {
 
 
 def time_queries(
-    spark, sf_dir: str, only: set[str] | None = None
+    spark, sf_dir: str, only: set[str] | None = None, isolate: bool = False
 ) -> tuple[dict[str, float], dict[str, dict[str, int]]]:
     """Returns (per-query best wall seconds, per-query counts). Counts
     carry ``n_out`` (output rows, every query) and ``n_candidates``
     (candidate pairs, kernels with a _CAND_COUNTERS entry) — recorded
     OUTSIDE the timed passes so growth claims about output- or
-    candidate-bound queries are certified by the artifact itself."""
+    candidate-bound queries are certified by the artifact itself.
+
+    ``isolate=True`` runs each query's build + warm + timed passes +
+    counts back-to-back and drops the persist pool between queries
+    (see the module docstring: the phase-at-a-time default lets pool
+    eviction + heavy-twin GC pollute small rows in long sessions)."""
     fns: dict[str, tuple] = {
         name: (q.fn, q.time_build)
         for name, q in REGISTRY.items()
@@ -414,9 +427,45 @@ def time_queries(
     for name in _EXTRA_PROBES:
         if only is not None and name in only:
             fns[name] = _EXTRA_PROBES[name]
+    timings: dict[str, float] = {}
+    counts: dict[str, dict[str, int]] = {}
+
+    def run_one(name, fn, time_build, df):
+        for _ in range(2):
+            t0 = time.time()
+            if time_build:
+                # driver-loop algorithms do real work in fn() — time it
+                # (same honesty rule as bench.py)
+                df = fn(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            dt = round(time.time() - t0, 3)
+            timings[name] = min(timings.get(name, dt), dt)
+
+    if isolate:
+        from data_integration_pipelines_spark.operators.cache import (
+            release_cached,
+        )
+
+        for name, (fn, time_build) in fns.items():
+            try:
+                df = fn(spark, sf_dir)
+                df.write.format("noop").mode("overwrite").save()
+                run_one(name, fn, time_build, df)
+                counts[name] = {"n_out": df.count()}
+                if name in _CAND_COUNTERS:
+                    counts[name]["n_candidates"] = _CAND_COUNTERS[name](
+                        spark, sf_dir
+                    )
+            except Exception as exc:
+                print(f"FAIL {name}: {type(exc).__name__}: {exc}"[:300],
+                      file=sys.stderr)
+                timings[name] = float("nan")
+            release_cached()
+            spark.catalog.clearCache()
+        return timings, counts
+
     frames = {}
     failures: dict[str, str] = {}
-    counts: dict[str, dict[str, int]] = {}
     for name, (fn, _) in fns.items():
         try:
             frames[name] = fn(spark, sf_dir)
@@ -429,13 +478,13 @@ def time_queries(
         except Exception as exc:  # full-registry runs: record, keep going
             failures[name] = f"{type(exc).__name__}: {exc}"[:300]
             print(f"FAIL {name}: {failures[name]}", file=sys.stderr)
-    timings: dict[str, float] = {}
+    # default: INTERLEAVED passes (pass 1 over every query, then pass
+    # 2) — the methodology every prior round's full sweep used; keep it
+    # so cross-round growth numbers stay comparable
     for _ in range(2):
         for name, df in frames.items():
             t0 = time.time()
             if fns[name][1]:
-                # driver-loop algorithms do real work in fn() — time it
-                # (same honesty rule as bench.py)
                 df = fns[name][0](spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
             dt = round(time.time() - t0, 3)
@@ -448,6 +497,9 @@ def time_queries(
 def main() -> None:
     args = sys.argv[1:]
     only: set[str] | None = None
+    isolate = "--isolate" in args
+    if isolate:
+        args.remove("--isolate")
     if "--all" in args:
         args.remove("--all")
         only = set(REGISTRY)
@@ -468,7 +520,7 @@ def main() -> None:
         and os.path.exists(os.path.join(out, _REPLICA_MARKER))
     ):
         build_replica(spark, base, out, k)
-    base_t, base_c = time_queries(spark, base, only)
+    base_t, base_c = time_queries(spark, base, only, isolate)
     # drop the persist pool AND the catalog cache between phases: in
     # local mode storage and broadcast builds share ONE heap, and the
     # base phase's pooled tables otherwise squeeze the 30x phase's
@@ -478,7 +530,7 @@ def main() -> None:
 
     release_cached()
     spark.catalog.clearCache()
-    scaled_t, scaled_c = time_queries(spark, out, only)
+    scaled_t, scaled_c = time_queries(spark, out, only, isolate)
     report = {}
     for name in base_t:
         row = {
