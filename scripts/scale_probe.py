@@ -332,6 +332,31 @@ def _embedding_near_dup_probed_capped(spark, sf_dir: str):
     ).orderBy("id_a", "id_b")
 
 
+def _stratified_single_stratum(spark, sf_dir: str):
+    """quality_stratified_sample's threshold cut under the adversarial
+    ONE-GIANT-STRATUM layout (every doc in one lang — the
+    training_chunks_single_source precedent): the r7 rank formulation
+    serialized the whole corpus through one window task here by
+    construction; the r8 histogram-threshold path must hold because
+    the only per-stratum window runs over the SCORE HISTOGRAM (and
+    boundary ties), never data rows."""
+    from data_integration_pipelines_spark.catalog import load_table
+    from data_integration_pipelines_spark.functions.text import bpe_token_count
+    from data_integration_pipelines_spark.operators.skew import (
+        stratified_fraction_cut,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        F.lit("xx").alias("lang"),
+        bpe_token_count(F.col("text")).alias("quality"),
+    )
+    return stratified_fraction_cut(
+        scored, ["lang"], "quality", "doc_id", num=2, den=5
+    ).orderBy("doc_id")
+
+
 def _contamination_wide_eval_shuffle(spark, sf_dir: str):
     """contamination_fraction_wide_eval with the holdout side PINNED to
     the shuffle-hash regime (VERDICT r7 task 6): the registry query is
@@ -403,6 +428,7 @@ _EXTRA_PROBES = {
     ),
     "contamination_wide_eval_shuffle": (_contamination_wide_eval_shuffle, True),
     "embedding_near_dup_probed_capped": (_embedding_near_dup_probed_capped, True),
+    "stratified_single_stratum": (_stratified_single_stratum, False),
 }
 
 
