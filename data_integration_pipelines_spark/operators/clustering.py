@@ -867,6 +867,23 @@ def semdedup_pairs_blocked(
     )
 
 
+def semdedup_keep(assigned: DataFrame, threshold: float) -> DataFrame:
+    """The SemDeDup keep LIST — (id, cluster) of every vector that
+    SURVIVES the keep-one policy (no smaller-id clustermate clears the
+    similarity bar). This is what a production run actually joins
+    against the corpus to drop duplicates; :func:`semdedup_survivors`
+    reports the per-cluster accounting of the same decision. The
+    anti-join is unhinted: the removed set scales with the corpus's
+    duplicate mass, so AQE must be free to pick broadcast vs shuffle
+    (the dedup_survivors loser-set precedent)."""
+    removed = semdedup_pairs(assigned, threshold).select(
+        "cluster", F.col("id_b").alias("id")
+    ).distinct()
+    return assigned.select("id", "cluster").join(
+        removed, ["cluster", "id"], "left_anti"
+    )
+
+
 def semdedup_survivors(assigned: DataFrame, threshold: float) -> DataFrame:
     """SemDeDup keep-one policy: within each cluster, a vector is
     REMOVED iff some smaller-id vector in the same cluster clears the

@@ -38,6 +38,7 @@ from . import queries_window  # noqa: E402,F401
 _RISK_ORDER = [
     # (a) r8-changed plans/oracles
     "embedding_near_dup_probed_capped",
+    "semdedup_keep_ids",
     "quality_stratified_sample",
     "quality_stratified_sample_ranked",
     "semdedup_survivors",

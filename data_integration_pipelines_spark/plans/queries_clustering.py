@@ -293,6 +293,41 @@ def semdedup_survivors_auto_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "semdedup_keep_ids",
+    f"WITH {_kmeans_ctes()}, {_SEMDEDUP_CTES},"
+    + f"""
+    removed AS (
+        SELECT DISTINCT cluster, id_b AS id FROM sim
+    )
+    SELECT a.id AS vec_id, a.cid AS cluster
+    FROM {_FINAL} a
+    LEFT JOIN removed r ON r.cluster = a.cid AND r.id = a.id
+    WHERE r.id IS NULL
+    ORDER BY vec_id
+    """,
+    doc="The SemDeDup keep LIST (r8): the per-vector survivor ids a "
+    "production run joins against the corpus to drop duplicates — "
+    "semdedup_survivors reports the same decision as per-cluster "
+    "accounting, this emits the decision itself. Runs through the "
+    "auto-routing front door (semdedup_assign) then an UNHINTED "
+    "anti-join against the removed set (duplicate mass scales with "
+    "the corpus, so AQE picks broadcast vs shuffle — the "
+    "dedup_survivors loser-set precedent).",
+    time_build=True,
+)
+def semdedup_keep_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.clustering import semdedup_assign, semdedup_keep
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    assigned = semdedup_assign(emb, k="auto", iters=_ITERS)
+    return (
+        semdedup_keep(assigned, _SEMDEDUP_THRESHOLD)
+        .select(F.col("id").alias("vec_id"), "cluster")
+        .orderBy("vec_id")
+    )
+
+
 _PIVOTED_CTES = f"""
     sup AS (
         SELECT cid, pos, cq FROM c{_ITERS}

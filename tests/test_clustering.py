@@ -364,3 +364,33 @@ def test_pivoted_assignment_survives_duplicate_super_centroids(spark):
     rows = out.collect()
     assert len(rows) == emb.count(), "row loss on duplicate supers"
     assert len({r.id for r in rows}) == emb.count()
+
+
+def test_semdedup_keep_list_matches_survivor_accounting(embeddings):
+    """The keep LIST (semdedup_keep, r8) and the per-cluster funnel
+    (semdedup_survivors) are two views of ONE decision: per cluster,
+    len(keep ids) == n_kept, and no kept id appears as a removed
+    id_b. Also pins the keep-one policy directly: the smallest id of
+    every cluster always survives."""
+    from data_integration_pipelines_spark.operators.clustering import (
+        semdedup_keep,
+        semdedup_survivors,
+    )
+
+    assigned, _ = kmeans_fit(embeddings, k=8, iters=3)
+    kept = semdedup_keep(assigned, 0.35).collect()
+    funnel = {r.cluster: r for r in semdedup_survivors(assigned, 0.35).collect()}
+    by_cluster: dict[int, list[int]] = {}
+    for r in kept:
+        by_cluster.setdefault(r.cluster, []).append(r.id)
+    assert {c: len(ids) for c, ids in by_cluster.items()} == {
+        c: r.n_kept for c, r in funnel.items() if r.n_kept > 0
+    }
+    mins = {
+        r.cluster: r.id
+        for r in assigned.groupBy("cluster")
+        .agg(F.min("id").alias("id"))
+        .collect()
+    }
+    for c, lo in mins.items():
+        assert lo in by_cluster.get(c, []), f"cluster {c} min id removed"

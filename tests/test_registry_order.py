@@ -23,6 +23,7 @@ from data_integration_pipelines_spark.plans import _RISK_ORDER, REGISTRY
 _NEVER_DRIVER_VERIFIED = {
     # new in r8
     "embedding_near_dup_probed_capped",
+    "semdedup_keep_ids",
     "quality_stratified_sample_ranked",
 }
 
