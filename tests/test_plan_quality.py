@@ -82,6 +82,7 @@ def test_python_stages_only_where_declared(plans):
         "semdedup_survivors",  # builds on the same pair kernel
         "semdedup_survivors_auto_k",  # same pair kernel at auto-k sizing
         "semdedup_survivors_pivoted",  # same pair kernel over pivoted assignment
+        "semdedup_keep_ids",  # same pair kernel feeding the keep-list anti-join
     }
     pythonic = {
         n
