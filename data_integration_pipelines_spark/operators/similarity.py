@@ -825,6 +825,27 @@ def recommended_n_planes(n_vectors: int, target_bucket: int = 256) -> int:
     return ((n_vectors + target_bucket - 1) // target_bucket - 1).bit_length() + 8
 
 
+def auto_max_bucket(n_vectors: int, n_planes: int, mult: int = 16) -> int:
+    """The DEFAULT bucket cap for probed near-dup candidate generation
+    (r9 — routes the r8 ``_cap_buckets`` mitigation): ``mult`` times the
+    ceiling MEAN bucket population, ``mult * max(1, ceil(N / 2^planes))``.
+
+    Under the ``recommended_n_planes`` sizing the mean population is
+    deliberately oversharded to ~1, so the cap resolves to ``mult`` at
+    any corpus size; with an explicitly pinned width it scales with the
+    mean instead of silently strangling recall. A bucket holding more
+    than ``mult``x the mean is a duplicate-cluster core whose candidate
+    volume is quadratic in cluster mass (measured: candidates grow 870x
+    at 30x data uncapped vs 92x capped on the clustered fixture,
+    PROBE_r8/SCALE.md 1e) — wider signatures cannot split true
+    duplicates, only this cap (or upstream exact dedup) bounds them.
+
+    PURE-INTEGER arithmetic, mirrored in SQL by the DuckDB oracles
+    (plans/lsh_oracle.cap_cte) — the recommended_n_planes precedent:
+    the cap stays dynamic with N in BOTH engines, never a fixture pin."""
+    return mult * max(1, -(-n_vectors // (1 << n_planes)))
+
+
 def _cap_buckets(cand_keys: DataFrame, key_cols: list[str], max_bucket: int | None) -> DataFrame:
     """Drop candidate-generation buckets with population > max_bucket
     (mirrors dedup.jaccard_pairs max_doc_freq df-capping): a degenerate
@@ -908,7 +929,7 @@ def probed_candidates(
     vec_col: str = "embedding",
     n_planes: int | None = 8,
     max_hamming: int = 1,
-    max_bucket: int | None = None,
+    max_bucket: int | str | None = "auto",
 ) -> DataFrame:
     """The CANDIDATE stage of :func:`embedding_near_dup_probed` —
     (id_a, id_b) pairs whose signatures are within ``max_hamming``,
@@ -916,9 +937,18 @@ def probed_candidates(
     scale probe can record candidate-pair volume as data rather than
     narrative: the kernel's growth claim is "candidates are bounded by
     (n_planes+1) x N x bucket-population", and PROBE_r{N}.json rows
-    carry this count per scale factor to certify it."""
+    carry this count per scale factor to certify it.
+
+    ``max_bucket="auto"`` (the default since r9) engages the bucket cap
+    at :func:`auto_max_bucket` — see that docstring for why uncapped is
+    a measured scale-killer on clustered spaces; ``None`` disables the
+    cap (the recall-exact differential twin), an int pins it."""
+    if n_planes is None or max_bucket == "auto":
+        n = df.count()
     if n_planes is None:
-        n_planes = recommended_n_planes(df.count())
+        n_planes = recommended_n_planes(n)
+    if max_bucket == "auto":
+        max_bucket = auto_max_bucket(n, n_planes)
     sig = bounded_persist(hyperplane_signatures(df, id_col, vec_col, n_planes))
     sig = _cap_buckets(sig, ["signature"], max_bucket)
     probes = sig.select(
@@ -938,7 +968,7 @@ def embedding_near_dup_probed(
     vec_col: str = "embedding",
     n_planes: int | None = 8,
     max_hamming: int = 1,
-    max_bucket: int | None = None,
+    max_bucket: int | str | None = "auto",
 ) -> DataFrame:
     """THE default embedding near-dup kernel (r7): Hamming-tolerant
     near-dup via QUERY-SIDE signature probing — each vector's probe
@@ -958,6 +988,16 @@ def embedding_near_dup_probed(
     ``recommended_n_planes(df.count())`` — one metadata-cheap count at
     plan-build time, the ``zordered_df`` auto-method precedent. The
     oracle-pinned registry queries pass the fixture width explicitly.
+
+    ``max_bucket="auto"`` (the DEFAULT since r9) engages the bucket cap
+    at :func:`auto_max_bucket`: width-adaptive sizing alone does NOT
+    hold candidates linear on a clustered space — heavy buckets are
+    duplicate-cluster cores growing with N (measured 870x candidates /
+    17.5x wall at 30x data uncapped vs 92x / 3.94x capped; PROBE_r8,
+    SCALE.md 1e). The cap is recall-changing BY DESIGN (skipped heavy
+    buckets are exactly the mass-duplicate cores): run exact dedup
+    first — the pinned ``exact_then_near_dup`` composition — or pass
+    ``max_bucket=None`` for the recall-exact differential twin.
 
     A Hamming<=1 pair matches on exactly ONE probe per orientation and
     only the id_a < id_b orientation survives, so no distinct is

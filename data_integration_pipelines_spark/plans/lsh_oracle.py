@@ -40,20 +40,35 @@ def lsh_sig_cte(n_planes: int = 8) -> str:
     )"""
 
 
-def planes_cte(target_bucket: int = 256) -> str:
+def planes_cte(target_bucket: int = 256, src: str = "embeddings") -> str:
     """CTE ``p(np)``: ``recommended_n_planes(COUNT(*))`` in pure-integer
     SQL — np = 8 for N <= target, else bit_length(ceil(N/t) - 1) + 8
     (bit_length via length(bin(x))). EXACTLY the Python rule
     (operators/similarity.recommended_n_planes, integer form since r7),
     so the oracle sizes its signatures with the engine at ANY corpus
-    size — the width is no longer a fixture pin."""
+    size — the width is no longer a fixture pin. ``src`` lets a
+    composition size over its own survivor set (exact_then_near_dup)."""
     t = target_bucket
     return f"""
     p AS (
         SELECT CASE WHEN COUNT(*) <= {t} THEN 8
                ELSE length(bin(CAST((COUNT(*) + {t - 1}) // {t} - 1 AS BIGINT))) + 8
                END AS np
-        FROM embeddings
+        FROM {src}
+    )"""
+
+
+def cap_cte(mult: int = 16, src: str = "embeddings") -> str:
+    """CTE ``c(cap)``: ``auto_max_bucket(COUNT(*), np)`` in pure-integer
+    SQL — cap = mult * max(1, ceil(N / 2^np)) — EXACTLY the Python rule
+    (operators/similarity.auto_max_bucket, the DEFAULT bucket cap since
+    r9), composing after :func:`planes_cte`. Like the width, the cap
+    stays dynamic with N in both engines, never a fixture pin."""
+    return f"""
+    c AS (
+        SELECT {mult} * GREATEST(1, CAST((COUNT(*) + (1 << p.np) - 1) // (1 << p.np) AS BIGINT)) AS cap
+        FROM {src}, p
+        GROUP BY p.np
     )"""
 
 
@@ -85,6 +100,22 @@ def capped_sig_cte(max_bucket: int, src: str = "sig") -> str:
         FROM {src} s
         JOIN (SELECT signature FROM {src}
               GROUP BY signature HAVING COUNT(*) <= {max_bucket}) ok
+          ON s.signature = ok.signature
+    )"""
+
+
+def capped_sig_cte_dyn(src: str = "sig") -> str:
+    """CTE ``sigc``: ``src`` minus every signature bucket with
+    population > the DYNAMIC cap from :func:`cap_cte` — the r9 default
+    routing of operators/similarity._cap_buckets (auto_max_bucket).
+    Both the probe side and the exact side of the candidate join must
+    read ``sigc``, mirroring the engine."""
+    return f"""
+    sigc AS (
+        SELECT s.vec_id, s.signature
+        FROM {src} s
+        JOIN (SELECT signature FROM {src}, c
+              GROUP BY signature, c.cap HAVING COUNT(*) <= c.cap) ok
           ON s.signature = ok.signature
     )"""
 

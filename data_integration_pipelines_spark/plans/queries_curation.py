@@ -29,7 +29,13 @@ from ..operators.dedup import (
     relative_doc_freq_cap_expr,
 )
 from .base import REGISTRY, register
-from .lsh_oracle import lsh_sig_cte_dyn, planes_cte, probed_cand_cte_dyn
+from .lsh_oracle import (
+    cap_cte,
+    capped_sig_cte_dyn,
+    lsh_sig_cte_dyn,
+    planes_cte,
+    probed_cand_cte_dyn,
+)
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1655,8 +1661,10 @@ def contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM embeddings
     ),
     {planes_cte().strip()},
+    {cap_cte().strip()},
     {lsh_sig_cte_dyn().strip()},
-    {probed_cand_cte_dyn().strip()},
+    {capped_sig_cte_dyn().strip()},
+    {probed_cand_cte_dyn(src='sigc').strip()},
     epairs AS (
         SELECT id_a, id_b, cosine_e4 FROM (
             SELECT id_a, id_b,
@@ -1692,10 +1700,15 @@ def contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(operators/similarity.embedding_near_dup_probed — query-side "
     "signature probing, the measured-linear variant at 30x data; the "
     "fixed-signature block join it replaces measured quadratic, "
-    "SCALE.md 1c) at WIDTH-ADAPTIVE production sizing: n_planes=None "
-    "resolves recommended_n_planes(COUNT) and the oracle computes the "
-    "same integer rule in SQL, so the consensus inherits the scalable "
-    "default at any corpus size.",
+    "SCALE.md 1c) at the FULL production configuration: n_planes=None "
+    "resolves recommended_n_planes(COUNT) and — since r9 — "
+    "max_bucket='auto' resolves auto_max_bucket(COUNT, planes), the "
+    "routed r8 bucket cap (uncapped candidates grew 870x at 30x data "
+    "on the clustered fixture, PROBE_r8); the oracle computes both "
+    "integer rules in SQL and caps both join sides, so the consensus "
+    "inherits the scalable default at any corpus size. Pairs inside "
+    "over-cap mass-dup cores are graded by the TEXT side alone here — "
+    "run exact dedup upstream (exact_then_near_dup) to clear them.",
 )
 def dedup_consensus(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import jaccard_pairs
@@ -1706,7 +1719,9 @@ def dedup_consensus(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.8).select(
         "id_a", "id_b", e4(F.col("jaccard")).alias("jaccard_e4")
     )
-    e = embedding_near_dup_probed(emb, threshold=0.35, n_planes=None)
+    e = embedding_near_dup_probed(
+        emb, threshold=0.35, n_planes=None, max_bucket="auto"
+    )
     return (
         t.join(e, ["id_a", "id_b"], "full_outer")
         .select(
@@ -1724,6 +1739,80 @@ def dedup_consensus(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("id_a", "id_b")
     )
+
+
+@register(
+    "exact_then_near_dup",
+    f"""
+    WITH fp AS (
+        SELECT doc_id,
+               md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp
+        FROM documents
+    ),
+    surv AS (SELECT MIN(doc_id) AS vec_id FROM fp GROUP BY fp),
+    embs AS (
+        SELECT e.vec_id, e.embedding
+        FROM embeddings e JOIN surv s ON e.vec_id = s.vec_id
+    ),
+    long AS (
+        SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+               CAST(unnest(embedding) AS DOUBLE) AS val
+        FROM embs
+    ),
+    {planes_cte(src='embs').strip()},
+    {cap_cte(src='embs').strip()},
+    {lsh_sig_cte_dyn().strip()},
+    {capped_sig_cte_dyn().strip()},
+    {probed_cand_cte_dyn(src='sigc').strip()},
+    dots AS (
+        SELECT id_a, id_b, {e4_sql('SUM(qa.val * qb.val)')} AS cosine_e4
+        FROM cand
+        JOIN long qa ON qa.vec_id = id_a
+        JOIN long qb ON qb.vec_id = id_b AND qb.pos = qa.pos
+        GROUP BY id_a, id_b
+    )
+    SELECT id_a, id_b, cosine_e4 FROM dots
+    WHERE cosine_e4 >= 3500
+    ORDER BY id_a, id_b
+    """,
+    doc="THE production dedup composition for mass-duplicate corpora "
+    "(r9 — pins in code what SCALE.md prescribed in prose): exact "
+    "dedup FIRST (operators/dedup.exact_dedup — normalized-text md5 "
+    "fingerprint groupBy, one skew-free shuffle on a uniform 32-hex "
+    "key; min-id survivor per fingerprint), THEN the bucket-CAPPED "
+    "probed near-dup kernel on the SURVIVORS' embeddings "
+    "(doc_id == vec_id domain), width and cap auto-sized over the "
+    "SURVIVOR count in both engines (plans/lsh_oracle planes_cte + "
+    "cap_cte over the survivor CTE). Why this order is the 100 TB "
+    "path: the cap drops candidate generation in over-cap LSH "
+    "buckets, and on a raw corpus those are exactly the mass-"
+    "duplicate cores — exact dedup collapses each verbatim-copy "
+    "pile to one representative upstream, shrinking those buckets "
+    "back under the cap so the capped kernel RECOVERS the true "
+    "near-dup pairs among survivors (pinned by pytest on a "
+    "constructed mass-dup corpus; the cap's only remaining losses "
+    "are organic clustered-space cores, the SemDeDup regime). "
+    "Fixture note: like incremental_ingest_dedup's exact tier, the "
+    "exact stage drops ZERO docs at sf<=0.01 (the fixture has no "
+    "exact dups below sf0.1 by construction) — the oracle still "
+    "verifies the full composition SQL including the survivor join; "
+    "the stage's bite is unit-tested with constructed duplicates.",
+)
+def exact_then_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import exact_dedup
+    from ..operators.similarity import embedding_near_dup_probed
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    surv = exact_dedup(docs, "text", "doc_id").select(
+        F.col("survivor_id").alias("vec_id")
+    )
+    # unhinted equi-join: survivors scale with the corpus, AQE picks
+    # broadcast vs shuffle (the dedup_survivors loser-set precedent)
+    emb_s = emb.join(surv, "vec_id")
+    return embedding_near_dup_probed(
+        emb_s, threshold=0.35, n_planes=None, max_hamming=1, max_bucket="auto"
+    ).orderBy("id_a", "id_b")
 
 
 @register(

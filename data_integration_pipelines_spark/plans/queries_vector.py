@@ -22,7 +22,9 @@ from ..functions.quantize import e4_sql, quantized_sql
 from ..operators.similarity import ivf_topk, topk_pandas
 from .base import REGISTRY, register
 from .lsh_oracle import (
+    cap_cte,
     capped_sig_cte,
+    capped_sig_cte_dyn,
     lsh_sig_cte_dyn,
     planes_cte,
     probed_cand_cte_dyn,
@@ -210,6 +212,55 @@ def embedding_near_dup_multiprobe_q(spark: SparkSession, sf_dir: str) -> DataFra
     f"""
     WITH {_LONG_CTE},
     {planes_cte()},
+    {cap_cte()},
+    {lsh_sig_cte_dyn()},
+    {capped_sig_cte_dyn()},
+    {probed_cand_cte_dyn(src='sigc')},
+    dots AS (
+        SELECT id_a, id_b, {e4_sql('SUM(qa.val * qb.val)')} AS cosine_e4
+        FROM cand
+        JOIN long qa ON qa.vec_id = id_a
+        JOIN long qb ON qb.vec_id = id_b AND qb.pos = qa.pos
+        GROUP BY id_a, id_b
+    )
+    SELECT id_a, id_b, cosine_e4 FROM dots
+    WHERE cosine_e4 >= 3500
+    ORDER BY id_a, id_b
+    """,
+    doc="Hamming<=1 embedding near-dup via QUERY-SIDE signature probing "
+    "(operators/similarity.embedding_near_dup_probed) at the FULL "
+    "production configuration: WIDTH-ADAPTIVE sizing (r7 — "
+    "n_planes=None resolves recommended_n_planes(COUNT)) AND the "
+    "AUTO-SIZED bucket cap (r9 — max_bucket='auto' resolves "
+    "auto_max_bucket(COUNT, planes), routing the r8 _cap_buckets "
+    "mitigation as the default: uncapped, heavy LSH buckets are "
+    "duplicate-cluster cores whose candidates grew 870x at 30x data "
+    "on the clustered fixture vs 92x capped, PROBE_r8/SCALE.md 1e). "
+    "The oracle computes BOTH pure-integer rules in SQL "
+    "(plans/lsh_oracle.planes_cte + cap_cte, applied to both join "
+    "sides via capped_sig_cte_dyn) then mirrors the probe join "
+    "operation for operation — the registry query IS the production "
+    "configuration at any corpus size, nothing fixture-pinned. The "
+    "cap BINDS at the fixture (the two hottest buckets hold 19-20 of "
+    "500 vectors and are dropped). The cap trades recall for the "
+    "mass-dup cores BY DESIGN — the recall-exact differential twin is "
+    "embedding_near_dup_probed_uncapped, and exact_then_near_dup pins "
+    "the recommended exact-dedup-first composition.",
+)
+def embedding_near_dup_probed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import embedding_near_dup_probed
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return embedding_near_dup_probed(
+        emb, threshold=0.35, n_planes=None, max_hamming=1, max_bucket="auto"
+    ).orderBy("id_a", "id_b")
+
+
+@register(
+    "embedding_near_dup_probed_uncapped",
+    f"""
+    WITH {_LONG_CTE},
+    {planes_cte()},
     {lsh_sig_cte_dyn()},
     {probed_cand_cte_dyn()},
     dots AS (
@@ -223,27 +274,26 @@ def embedding_near_dup_multiprobe_q(spark: SparkSession, sf_dir: str) -> DataFra
     WHERE cosine_e4 >= 3500
     ORDER BY id_a, id_b
     """,
-    doc="Hamming<=1 embedding near-dup via QUERY-SIDE signature probing "
-    "(operators/similarity.embedding_near_dup_probed) at the "
-    "WIDTH-ADAPTIVE production sizing (r7): n_planes=None resolves "
-    "recommended_n_planes(COUNT) in the engine, and the oracle computes "
-    "the SAME pure-integer rule in SQL (plans/lsh_oracle.planes_cte) "
-    "then mirrors the probe join operation for operation — so the "
-    "registry query IS the production configuration at any corpus "
-    "size, and the fixed-width quadratic artifact the r6 probes "
-    "measured (159x wall at 30x data at pinned 8 planes) is gone from "
-    "the registry: candidates stay (planes+1)*N*bucket-sized, measured "
-    "near-linear (SCALE.md 1d). The pigeonhole-block twin "
-    "(embedding_near_dup_multiprobe) keys on planes/(h+1)-bit blocks "
-    "and is quadratic at ANY width — kept fixed-width as the "
-    "differential cross-check.",
+    doc="The RECALL-EXACT differential twin of embedding_near_dup_probed "
+    "(r9 — the pre-r9 default, demoted when the auto bucket cap became "
+    "the production configuration): identical width-adaptive "
+    "query-side probing with NO bucket cap (max_bucket=None), so every "
+    "Hamming<=1 pair — including those inside mass-duplicate cluster "
+    "cores — reaches the cosine verify. NOT a scale path: candidates "
+    "grow 870x at 30x data on the clustered fixture (PROBE_r8, "
+    "SCALE.md 1e). Kept because the capped default's drop semantics "
+    "need an exact reference (capped result = this result minus pairs "
+    "whose ids share an over-cap bucket — pinned by pytest), and the "
+    "probe's contrast row.",
 )
-def embedding_near_dup_probed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+def embedding_near_dup_probed_uncapped_q(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
     from ..operators.similarity import embedding_near_dup_probed
 
     emb = load_table(spark, sf_dir, "embeddings")
     return embedding_near_dup_probed(
-        emb, threshold=0.35, n_planes=None, max_hamming=1
+        emb, threshold=0.35, n_planes=None, max_hamming=1, max_bucket=None
     ).orderBy("id_a", "id_b")
 
 
@@ -299,8 +349,10 @@ def embedding_near_dup_probed_capped_q(
     f"""
     WITH RECURSIVE {_LONG_CTE.strip()},
     {planes_cte()},
+    {cap_cte()},
     {lsh_sig_cte_dyn()},
-    {probed_cand_cte_dyn()},
+    {capped_sig_cte_dyn()},
+    {probed_cand_cte_dyn(src='sigc')},
     dots AS (
         SELECT id_a, id_b, {e4_sql('SUM(qa.val * qb.val)')} AS cosine_e4
         FROM cand
@@ -326,14 +378,17 @@ def embedding_near_dup_probed_capped_q(
     ORDER BY vec_id
     """,
     doc="Embedding-side duplicate clustering: Hamming<=1 hyperplane-LSH "
-    "cosine pairs (>= 0.35) from the PROBED kernel at width-adaptive "
-    "production sizing (the linear-at-scale default since r7 — "
-    "query-side signature probing, operators/similarity."
-    "embedding_near_dup_probed with recommended_n_planes; the oracle "
-    "computes the same integer sizing rule in SQL) -> connected "
-    "components -> (vector, cluster, size). The same pairs->clusters "
-    "resolution as the text side (dup_clusters), proving the component "
-    "operator composes across candidate generators.",
+    "cosine pairs (>= 0.35) from the PROBED kernel at the FULL "
+    "production configuration (width-adaptive sizing since r7, "
+    "auto-sized bucket cap since r9 — operators/similarity."
+    "embedding_near_dup_probed with recommended_n_planes + "
+    "auto_max_bucket; the oracle computes the same integer rules in "
+    "SQL and caps both join sides) -> connected components -> "
+    "(vector, cluster, size). The same pairs->clusters resolution as "
+    "the text side (dup_clusters), proving the component operator "
+    "composes across candidate generators. Mass-dup cluster cores "
+    "above the cap are dropped from candidate generation BY DESIGN — "
+    "run exact dedup upstream (exact_then_near_dup) for those.",
 )
 def embedding_dup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
@@ -342,7 +397,9 @@ def embedding_dup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import embedding_near_dup_probed
 
     emb = load_table(spark, sf_dir, "embeddings")
-    pairs = embedding_near_dup_probed(emb, threshold=0.35, n_planes=None)
+    pairs = embedding_near_dup_probed(
+        emb, threshold=0.35, n_planes=None, max_bucket="auto"
+    )
     cc = connected_components(pairs, "id_a", "id_b")
     return (
         cc.select(F.col("id").alias("vec_id"), "cluster_id")

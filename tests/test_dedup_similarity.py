@@ -169,8 +169,12 @@ class TestSimilarity:
             }
             probed = {
                 (r.id_a, r.id_b): r.cosine_e4
+                # max_bucket=None: this test pins recall-EXACT pair
+                # equality across candidate strategies; the multiprobe
+                # twin is uncapped, so the probed side must be too
                 for r in embedding_near_dup_probed(
-                    emb, threshold=0.35, n_planes=planes, max_hamming=1
+                    emb, threshold=0.35, n_planes=planes, max_hamming=1,
+                    max_bucket=None,
                 ).collect()
             }
             assert probed == block, f"divergence at n_planes={planes}"
@@ -466,6 +470,137 @@ class TestScaleSafetyCaps:
         got = {(r.id_a, r.id_b) for r in capped.collect()}
         assert (100, 101) in got
         assert not any(a < 50 and b < 50 for a, b in got)
+
+    def test_auto_max_bucket_rule(self):
+        """auto_max_bucket = mult * max(1, ceil(N / 2^planes)) — pure
+        integers, mirrored by the DuckDB oracles (lsh_oracle.cap_cte)."""
+        from data_integration_pipelines_spark.operators.similarity import (
+            auto_max_bucket,
+            recommended_n_planes,
+        )
+
+        assert auto_max_bucket(500, 9) == 16  # mean <= 1 under rec sizing
+        assert auto_max_bucket(500, 8) == 32  # ceil(500/256) = 2
+        assert auto_max_bucket(43, 8) == 16
+        # under recommended_n_planes the mean population is oversharded
+        # to ~1, so the auto cap is the constant mult at ANY corpus size
+        for n in (100, 10_000, 10_000_000, 10_000_000_000):
+            assert auto_max_bucket(n, recommended_n_planes(n)) == 16
+
+    def test_probed_auto_cap_semantics(self, spark, sf_medium):
+        """The r9 default (max_bucket='auto') must equal the explicit
+        auto_max_bucket(N, planes) cap, and equal the uncapped twin
+        minus exactly the pairs with an endpoint in an over-cap
+        signature bucket. Runs at sf0.01 — the cap (16) binds there
+        (hottest buckets hold 18-19 of 500); at sf0.001 the hottest
+        bucket is exactly 16 and the cap is a no-op."""
+        from data_integration_pipelines_spark.operators.similarity import (
+            auto_max_bucket,
+            embedding_near_dup_probed,
+            hyperplane_signatures,
+            recommended_n_planes,
+        )
+
+        emb = load_table(spark, sf_medium, "embeddings")
+        n = emb.count()
+        planes = recommended_n_planes(n)
+        cap = auto_max_bucket(n, planes)
+        auto = {
+            (r.id_a, r.id_b): r.cosine_e4
+            for r in embedding_near_dup_probed(
+                emb, threshold=0.35, n_planes=None, max_bucket="auto"
+            ).collect()
+        }
+        explicit = {
+            (r.id_a, r.id_b): r.cosine_e4
+            for r in embedding_near_dup_probed(
+                emb, threshold=0.35, n_planes=planes, max_bucket=cap
+            ).collect()
+        }
+        assert auto == explicit
+        uncapped = {
+            (r.id_a, r.id_b): r.cosine_e4
+            for r in embedding_near_dup_probed(
+                emb, threshold=0.35, n_planes=None, max_bucket=None
+            ).collect()
+        }
+        sig = hyperplane_signatures(emb, n_planes=planes)
+        pops = sig.groupBy("signature").count().collect()
+        hot = {r["signature"] for r in pops if r["count"] > cap}
+        assert hot, "fixture must have over-cap buckets or this test is vacuous"
+        in_hot = {
+            r["id"] for r in sig.collect() if r["signature"] in hot
+        }
+        lost = set(uncapped) - set(auto)
+        assert lost, "cap must BIND at the fixture"
+        # capped keeps scores identical for surviving pairs, and every
+        # lost pair had at least one endpoint inside an over-cap bucket
+        assert all(uncapped[p] == c for p, c in auto.items())
+        assert all(a in in_hot or b in in_hot for a, b in lost)
+
+    def test_exact_then_near_dup_recovers_capped_losses(self, spark):
+        """THE production composition's money property (r9): on a
+        mass-duplicate corpus the capped kernel alone loses the true
+        near-dup pairs inside the mass bucket, but exact dedup FIRST
+        collapses the verbatim pile to one representative, the bucket
+        falls back under the cap, and the capped kernel on survivors
+        recovers them — the cap's recall loss is bounded to in-bucket
+        exact-dups already removed upstream."""
+        from data_integration_pipelines_spark.operators.dedup import exact_dedup
+        from data_integration_pipelines_spark.operators.similarity import (
+            embedding_near_dup_probed,
+        )
+
+        docs = spark.createDataFrame(
+            [(i, "mass duplicate text") for i in range(40)]
+            + [(50, "organic neighbor"), (100, "other a"), (101, "other b")],
+            ["doc_id", "text"],
+        )
+        emb = spark.createDataFrame(
+            [(i, [1.0, 0.0, 0.0, 0.0]) for i in range(40)]
+            + [
+                (50, [1.0, 0.001, 0.0, 0.0]),  # organic near-dup of the pile
+                (100, [0.0, 1.0, 0.0, 0.0]),
+                (101, [0.0, 0.995, 0.0998, 0.0]),
+            ],
+            ["vec_id", "embedding"],
+        )
+        capped_raw = {
+            (r.id_a, r.id_b)
+            for r in embedding_near_dup_probed(
+                emb, threshold=0.9, n_planes=None, max_bucket="auto"
+            ).collect()
+        }
+        # the mass bucket (41 > cap=16) is dropped: the organic pair
+        # (0, 50) is lost, the well-behaved bucket survives
+        assert (100, 101) in capped_raw
+        assert not any(a <= 50 and b <= 50 for a, b in capped_raw)
+
+        # the composition: exact dedup -> survivors -> capped near-dup
+        surv = exact_dedup(docs, "text", "doc_id").select(
+            F.col("survivor_id").alias("vec_id")
+        )
+        comp = {
+            (r.id_a, r.id_b)
+            for r in embedding_near_dup_probed(
+                emb.join(surv, "vec_id"),
+                threshold=0.9,
+                n_planes=None,
+                max_bucket="auto",
+            ).collect()
+        }
+        assert comp == {(0, 50), (100, 101)}
+        # and on survivors the cap no longer binds: capped == uncapped
+        uncapped_surv = {
+            (r.id_a, r.id_b)
+            for r in embedding_near_dup_probed(
+                emb.join(surv, "vec_id"),
+                threshold=0.9,
+                n_planes=None,
+                max_bucket=None,
+            ).collect()
+        }
+        assert comp == uncapped_surv
 
     def test_topk_pandas_rejects_oversized_query_set(self, spark, sf_small):
         emb = load_table(spark, sf_small, "embeddings")
