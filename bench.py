@@ -71,8 +71,35 @@ def main() -> None:
         except OSError:  # non-Linux fallback
             return list(os.getloadavg())
 
+    # load-aware start (r9, VERDICT r8 task 4): BENCH_r08 shipped a
+    # 12.1 s headline with loadavg 12 on 32 CPUs — the hygiene fields
+    # exposed it, but dashboards still read the polluted number. If the
+    # box is busy at bench start (1-min load > cpus/4), wait once for
+    # it to drain and re-read; if still busy, run EXTRA passes so the
+    # per-query minima (the headline is their sum) get more chances to
+    # land in a quiet window. Self-correcting, and self-documenting:
+    # the JSON carries the retry and the post-wait load.
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 32))
+    load_retried = False
+    extra_passes = 0
     load_start = loadavg()
-    n_passes = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "3"))
+    if load_start[0] > cpus / 4:
+        print(
+            f"bench: loadavg {load_start[0]:.2f} > {cpus}/4 at start — "
+            "waiting 45 s for the box to drain",
+            file=sys.stderr,
+        )
+        load_retried = True
+        time.sleep(45)
+        load_start = loadavg()
+        if load_start[0] > cpus / 4:
+            extra_passes = 2
+            print(
+                f"bench: still loaded ({load_start[0]:.2f}) — adding "
+                f"{extra_passes} extra passes",
+                file=sys.stderr,
+            )
+    n_passes = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "3")) + extra_passes
     timings: dict[str, float] = {}
     passes: dict[str, list[float]] = {name: [] for name in frames}
     for _pass in range(n_passes):
@@ -102,6 +129,7 @@ def main() -> None:
                 ],
                 "loadavg_start": load_start,
                 "loadavg_end": loadavg(),
+                "load_retried": load_retried,
             }
         )
     )

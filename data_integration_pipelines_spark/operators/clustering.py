@@ -592,9 +592,17 @@ def semdedup_assign(
 
     ``k='auto'`` sizes k with :func:`auto_k` (bounded ~64-vector
     clusters at any N — the production sizing); an int pins it.
-    ``id_col`` must be integral for the deterministic sample filter.
     One count + one 1-row dim probe decide the route — metadata-cheap
-    against the clustering work either way."""
+    against the clustering work either way.
+
+    The scale-route sample filter keys on ``xxhash64(id)`` mod step,
+    not ``id`` mod step (ADVICE r8): raw-id modulo assumes ids are
+    dense/uniform — sparse or structured integer ids (content hashes,
+    timestamps, all-even surrogate keys) would bias or empty the
+    sample. Hashing first is deterministic but id-distribution-
+    independent; a loud guard still verifies the sample can seed all
+    ``kk`` clusters before fitting (an empty/undershot sample would
+    otherwise surface as kmeans_fit_table's opaque seed error)."""
     n = df.count()
     probe = df.select(vec_col).first()
     if probe is None:
@@ -605,7 +613,15 @@ def semdedup_assign(
         assigned, _ = kmeans_fit(df, id_col, vec_col, k=kk, iters=iters)
         return assigned.select("id", "qvec", "cluster")
     step = max(1, n // max(4096, 8 * kk))
-    sample = df.filter(F.pmod(F.col(id_col), F.lit(step)) == 0)
+    sample = df.filter(F.pmod(F.xxhash64(F.col(id_col)), F.lit(step)) == 0)
+    n_sample = sample.count()
+    if n_sample < kk:
+        raise ValueError(
+            f"semdedup_assign scale route: hash-sample at step={step} "
+            f"yielded {n_sample} rows < k={kk} seeds (N={n}); the id "
+            f"column {id_col!r} may be near-constant under xxhash64 — "
+            "pass a smaller k or pre-sample explicitly"
+        )
     _, cent = kmeans_fit_table(
         sample, id_col, vec_col, k=kk, iters=iters, reseed_empty=False
     )
@@ -867,7 +883,9 @@ def semdedup_pairs_blocked(
     )
 
 
-def semdedup_keep(assigned: DataFrame, threshold: float) -> DataFrame:
+def semdedup_keep(
+    assigned: DataFrame, threshold: float, pairs: DataFrame | None = None
+) -> DataFrame:
     """The SemDeDup keep LIST — (id, cluster) of every vector that
     SURVIVES the keep-one policy (no smaller-id clustermate clears the
     similarity bar). This is what a production run actually joins
@@ -875,24 +893,31 @@ def semdedup_keep(assigned: DataFrame, threshold: float) -> DataFrame:
     reports the per-cluster accounting of the same decision. The
     anti-join is unhinted: the removed set scales with the corpus's
     duplicate mass, so AQE must be free to pick broadcast vs shuffle
-    (the dedup_survivors loser-set precedent)."""
-    removed = semdedup_pairs(assigned, threshold).select(
-        "cluster", F.col("id_b").alias("id")
-    ).distinct()
+    (the dedup_survivors loser-set precedent).
+
+    ``pairs`` lets a caller computing BOTH outputs (the funnel and the
+    keep list) pay the applyInPandas gram kernel once —
+    :func:`semdedup_decisions` is that caller; default recomputes."""
+    if pairs is None:
+        pairs = semdedup_pairs(assigned, threshold)
+    removed = pairs.select("cluster", F.col("id_b").alias("id")).distinct()
     return assigned.select("id", "cluster").join(
         removed, ["cluster", "id"], "left_anti"
     )
 
 
-def semdedup_survivors(assigned: DataFrame, threshold: float) -> DataFrame:
+def semdedup_survivors(
+    assigned: DataFrame, threshold: float, pairs: DataFrame | None = None
+) -> DataFrame:
     """SemDeDup keep-one policy: within each cluster, a vector is
     REMOVED iff some smaller-id vector in the same cluster clears the
     similarity threshold with it (the deterministic analogue of the
     paper's keep-one-per-duplicate-group). Returns per-cluster
-    (cluster, n_members, n_removed, n_kept)."""
-    removed = semdedup_pairs(assigned, threshold).select(
-        "cluster", F.col("id_b").alias("id")
-    ).distinct()
+    (cluster, n_members, n_removed, n_kept). ``pairs`` as in
+    :func:`semdedup_keep` (the shared-kernel path)."""
+    if pairs is None:
+        pairs = semdedup_pairs(assigned, threshold)
+    removed = pairs.select("cluster", F.col("id_b").alias("id")).distinct()
     flagged = assigned.select("cluster", "id").join(
         removed.withColumn("rm", F.lit(1)), ["cluster", "id"], "left"
     )
@@ -904,4 +929,25 @@ def semdedup_survivors(assigned: DataFrame, threshold: float) -> DataFrame:
             F.count("rm").alias("n_removed"),
         )
         .withColumn("n_kept", F.col("n_members") - F.col("n_removed"))
+    )
+
+
+def semdedup_decisions(
+    assigned: DataFrame, threshold: float
+) -> tuple[DataFrame, DataFrame]:
+    """Both SemDeDup outputs — (keep_list, per-cluster funnel) — from
+    ONE gram-kernel pass (r9, VERDICT r8 note): ``semdedup_keep`` and
+    ``semdedup_survivors`` each recompute ``semdedup_pairs`` when
+    called separately, so a pipeline wanting the production keep list
+    AND its accounting paid the applyInPandas kernel twice. Here the
+    pairs DF is pooled-persisted once (operators/cache.bounded_persist
+    — the stratified_fraction_cut barrier precedent) and fed to both
+    consumers; a pytest pins the single-kernel claim by counting
+    semdedup_pairs invocations."""
+    from .cache import bounded_persist
+
+    pairs = bounded_persist(semdedup_pairs(assigned, threshold))
+    return (
+        semdedup_keep(assigned, threshold, pairs=pairs),
+        semdedup_survivors(assigned, threshold, pairs=pairs),
     )

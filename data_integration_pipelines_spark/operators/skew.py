@@ -241,11 +241,27 @@ def stratified_fraction_cut(
 
     Output is exactly the rank formulation's: rows with
     ROW_NUMBER() OVER (PARTITION BY key ORDER BY score DESC, tiebreak)
-    <= floor(N_key*num/den). ``score_col`` must be non-null (NULLs
-    would leave the histogram and the data filter disagreeing);
-    ``tiebreak_col`` must be unique within a key. k = 0 keys (N_key <
-    den/num) keep nothing — the cut table has no row for them and both
-    branches filter against a null q*.
+    <= floor(N_key*num/den). ``score_col`` must be non-null — ENFORCED
+    (ADVICE r8): a NULL score leaves the histogram and the data filter
+    disagreeing, so a codegen'd per-row guard raises on the first NULL
+    instead of silently dropping rows (the grouped_topk_salted
+    raise_error precedent). ``tiebreak_col`` must be unique within a
+    key. k = 0 keys (N_key < den/num) keep nothing — the cut table has
+    no row for them and both branches filter against a null q*.
+
+    DEGENERATE CASE (ADVICE r8, documented not guarded): a hot stratum
+    whose score column has very FEW distinct values makes the q*-tie
+    set a large fraction of the stratum — in the limit (one distinct
+    score) the tie branch's row_number window sees the whole stratum
+    and the single-task sort this algorithm exists to avoid resurfaces.
+    That is inherent to EXACT fractional cuts on low-cardinality
+    scores (any exact algorithm must totally order ties somehow); when
+    ties need no exact resolution, widen the score's resolution (more
+    quality-feature bits) or accept the histogram boundary as-is.
+    Integer token/quality scores on real corpora have hundreds of
+    distinct values per stratum, keeping the tie set a sliver — the
+    adversarial single-stratum probe (stratified_single_stratum, 1.2x
+    wall at 30x data) certifies the non-degenerate shape.
 
     ``df`` feeds THREE consumers (histogram, bulk filter, tie branch),
     so it is pooled-persisted here (operators/cache.bounded_persist —
@@ -257,6 +273,21 @@ def stratified_fraction_cut(
 
     from .cache import bounded_persist
 
+    # loud NULL guard: codegen'd per-row compare, no Python in the path
+    df = df.withColumn(
+        score_col,
+        F.when(
+            F.col(score_col).isNull(),
+            F.raise_error(
+                F.lit(
+                    f"stratified_fraction_cut: NULL in score_col "
+                    f"{score_col!r} — the histogram threshold and the "
+                    "data filter would disagree; filter or impute NULL "
+                    "scores upstream"
+                )
+            ),
+        ).otherwise(F.col(score_col)),
+    )
     df = bounded_persist(df)
     hist = df.groupBy(*key_cols, score_col).agg(F.count("*").alias("__nq"))
     wcum = W.partitionBy(*key_cols).orderBy(F.desc(score_col))

@@ -26,32 +26,55 @@ from . import queries_window  # noqa: E402,F401
 # earn a fresh DRIVER row again (judge sweeps cover them, the driver's
 # head hasn't since r2-r4) — so each round also cycles ~10 of the
 # longest-unvisited stable-tail queries into the head, giving every
-# query a driver-green at least every ~12 rounds. Round-8 head:
-# (a) queries whose PLAN or ORACLE changed this round — the stratified
-# sample's threshold rewrite + its new ranked twin, the SemDeDup
-# defaults now behind the auto-routing front door, the pivoted
-# assignment's self-pinned oracle, the null-bin quantile operator, the
-# BPE pair under lazy oracle construction, the wide-eval contamination
-# refactor; (b) the rotation slice: ten r2-r4-stable tail queries
-# (encode_normalize .. error_grouping); (c) the r7 head order for the
-# rest.
+# query a driver-green at least every ~12 rounds. Round-9 head:
+# (a) queries whose PLAN or ORACLE changed this round — the bucket cap
+# routed as the probed near-dup default (kernel + dedup_consensus +
+# embedding_dup_clusters, cap rule in both engines), the NEW
+# exact_then_near_dup production composition and
+# embedding_near_dup_probed_uncapped exact twin, the stratified NULL
+# guard, the quantile 'null' oracle branch, the shared-gram-kernel
+# SemDeDup refactor; (b) the rotation slice: ten r2-stable tail
+# queries (exact_dedup .. lang_id — the text-dedup family); (c) the
+# r8 head order for the rest.
 _RISK_ORDER = [
-    # (a) r8-changed plans/oracles
+    # (a) r9-changed plans/oracles: the routed bucket cap (probed
+    # kernel + both compositions, oracles recap both join sides),
+    # the two NEW queries (production composition + uncapped twin),
+    # the stratified NULL guard (plan change, same fixture output),
+    # the quantile 'null' oracle branch, the shared-kernel SemDeDup
+    # refactor (pairs param; same outputs)
+    "exact_then_near_dup",
+    "embedding_near_dup_probed_uncapped",
+    "embedding_near_dup_probed",
+    "dedup_consensus",
+    "embedding_dup_clusters",
     "embedding_near_dup_probed_capped",
-    "semdedup_keep_ids",
     "quality_stratified_sample",
     "quality_stratified_sample_ranked",
+    "quantile_bins",
+    "semdedup_keep_ids",
     "semdedup_survivors",
     "semdedup_pairs",
+    # (b) rotation slice: stable tail, last driver row r2 — the
+    # text-dedup family, thematically adjacent to this round's work
+    "exact_dedup",
+    "doc_fingerprint",
+    "dedup_survivors",
+    "dup_clusters",
+    "minhash_lsh_pairs",
+    "simhash_pairs",
+    "simhash_hamming_pairs",
+    "decontaminate",
+    "char_ngram_lang_id",
+    "lang_id",
+    # (c) the r8 head order for the rest, minus entries moved above
     "kmeans_assign_pivoted",
     "semdedup_survivors_pivoted",
     "semdedup_survivors_auto_k",
-    "quantile_bins",
     "quantile_bins_approx",
     "bpe_train_merges",
     "bpe_encode_tokens",
     "contamination_fraction_wide_eval",
-    # (b) rotation slice: stable tail, last driver row r2-r4
     "encode_normalize",
     "sparse_bool_render",
     "date_functions",
@@ -62,13 +85,9 @@ _RISK_ORDER = [
     "paginated_scan",
     "top_k",
     "error_grouping",
-    # (c) the r7 risk head, minus entries moved above
-    "dedup_consensus",
-    "embedding_dup_clusters",
     "training_chunks_single_source",
     "token_pack_bins",
     "training_chunks",
-    "embedding_near_dup_probed",
     "pricing_summary",
     "upsert_classify",
     "two_hop_follow",
@@ -188,17 +207,7 @@ _RISK_ORDER = [
     "incremental_agg",
     "multimodal_meta",
     "frame_sample",
-    "dup_clusters",
-    "dedup_survivors",
-    "minhash_lsh_pairs",
-    "simhash_pairs",
-    "simhash_hamming_pairs",
-    "decontaminate",
     "corpus_sample_mix",
-    "exact_dedup",
-    "doc_fingerprint",
-    "char_ngram_lang_id",
-    "lang_id",
     "hierarchy_closure",
     "closure_descendant_counts",
     "sibling_pairs",

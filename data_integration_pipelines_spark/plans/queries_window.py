@@ -592,7 +592,8 @@ def cube_census(spark: SparkSession, sf_dir: str) -> DataFrame:
                QUANTILE_CONT(l_extendedprice, 0.75) AS q3
         FROM lineitem
     )
-    SELECT CASE WHEN l_extendedprice < q1 THEN 'p00_25'
+    SELECT CASE WHEN l_extendedprice IS NULL THEN 'null'
+                WHEN l_extendedprice < q1 THEN 'p00_25'
                 WHEN l_extendedprice < q2 THEN 'p25_50'
                 WHEN l_extendedprice < q3 THEN 'p50_75'
                 ELSE 'p75_100' END AS bin,
@@ -610,7 +611,10 @@ def cube_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     "mergeable map-side, one pass) above it — one metadata-cheap count "
     "decides, the zordered_df auto-method precedent. The certified "
     "approx regime is its own query (quantile_bins_approx). Cuts fold "
-    "in as a LATERAL scalar subquery, never a join node.",
+    "in as a LATERAL scalar subquery, never a join node. The oracle "
+    "carries the engine's 'null' bin branch (r9, ADVICE r8) — a no-op "
+    "on this non-null column, but the definitions stay aligned if a "
+    "future fixture grows NULLs.",
 )
 def quantile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.quantiles import with_quartile_bin

@@ -147,8 +147,10 @@ def _dedup_consensus_scaled_planes(spark, sf_dir: str):
     at 10×/30× data a fixed signature width makes any candidate join
     quadratic (bucket population grows with N). Since r7 the registry
     query composes the PROBED kernel, so this twin is the same
-    composition under n_planes=None (auto recommended_n_planes) — the
-    production default path, end to end."""
+    composition under n_planes=None (auto recommended_n_planes). Since
+    r9 the registry default ALSO auto-caps (max_bucket='auto'), so this
+    twin now pins max_bucket=None — the UNCAPPED contrast for the
+    consensus composition, no longer the production path."""
     from data_integration_pipelines_spark.catalog import load_table
     from data_integration_pipelines_spark.functions.quantize import e4
     from data_integration_pipelines_spark.operators.dedup import jaccard_pairs
@@ -161,7 +163,9 @@ def _dedup_consensus_scaled_planes(spark, sf_dir: str):
     t = jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.8).select(
         "id_a", "id_b", e4(F.col("jaccard")).alias("jaccard_e4")
     )
-    e = embedding_near_dup_probed(emb, threshold=0.35, n_planes=None)
+    e = embedding_near_dup_probed(
+        emb, threshold=0.35, n_planes=None, max_bucket=None
+    )
     return (
         t.join(e, ["id_a", "id_b"], "full_outer")
         .select(
@@ -198,10 +202,13 @@ def _embedding_near_dup_scaled_planes(spark, sf_dir: str):
 
 
 def _embedding_near_dup_probed_scaled_planes(spark, sf_dir: str):
-    """embedding_near_dup_probed with production LSH sizing — the
-    query-side-probing variant whose candidates stay (planes+1)*N*
-    bucket-sized: the combination recommended_n_planes prescribes.
-    Contrast row for the block-join twin below."""
+    """embedding_near_dup_probed at production widths with the bucket
+    cap DISABLED — since r9 the registry default auto-caps
+    (max_bucket='auto'), so this twin is the UNCAPPED contrast row:
+    it measures the path the pre-r9 default took (17.5x wall / 870x
+    candidates at 30x on the clustered replica) against the capped
+    registry row's ~linear growth. Also the contrast row for the
+    block-join twin below."""
     from data_integration_pipelines_spark.catalog import load_table
     from data_integration_pipelines_spark.operators.similarity import (
         embedding_near_dup_probed,
@@ -211,7 +218,7 @@ def _embedding_near_dup_probed_scaled_planes(spark, sf_dir: str):
     emb = load_table(spark, sf_dir, "embeddings")
     planes = recommended_n_planes(emb.count())
     return embedding_near_dup_probed(
-        emb, threshold=0.35, n_planes=planes, max_hamming=1
+        emb, threshold=0.35, n_planes=planes, max_hamming=1, max_bucket=None
     ).orderBy("id_a", "id_b")
 
 
@@ -286,7 +293,9 @@ def _semdedup_pivoted_pipeline(spark, sf_dir: str):
     n = emb.count()
     k = auto_k(n)
     step = max(1, n // max(4096, 8 * k))
-    sample = emb.filter(F.pmod(F.col("vec_id"), F.lit(step)) == 0)
+    # hash-first sample — matches semdedup_assign's r9 id-distribution-
+    # independent filter (ADVICE r8)
+    sample = emb.filter(F.pmod(F.xxhash64(F.col("vec_id")), F.lit(step)) == 0)
     _, cent = kmeans_fit_table(sample, k=k, iters=2, reseed_empty=False)
     assigned = assign_clusters_pivoted(
         emb, cent, n_super=recommended_n_super(k), nprobe=1
@@ -396,14 +405,48 @@ def _cand_probed(n_planes, max_bucket=None):
 _CAND_COUNTERS = {
     # the registry queries and their probe twins are ALL width-adaptive
     # since r7 (n_planes=None -> recommended_n_planes(N) in both
-    # engines); the fixed-8 rows are the embedding_near_dup /
-    # _multiprobe differential twins, which have no counter here
-    "embedding_near_dup_probed": _cand_probed(None),
-    "embedding_near_dup_probed_scaled_planes": _cand_probed(None),
-    "dedup_consensus_scaled_planes": _cand_probed(None),
-    "dedup_consensus": _cand_probed(None),
-    # production sizing + bucket cap (the clustered-space mitigation)
+    # engines) and AUTO-CAPPED since r9 (max_bucket='auto' ->
+    # auto_max_bucket(N, planes) — the routed r8 mitigation); the
+    # fixed-8 rows are the embedding_near_dup / _multiprobe
+    # differential twins, which have no counter here
+    "embedding_near_dup_probed": _cand_probed(None, max_bucket="auto"),
+    "dedup_consensus": _cand_probed(None, max_bucket="auto"),
+    # the demoted pre-r9 default — the uncapped contrast rows
+    "embedding_near_dup_probed_uncapped": _cand_probed(None, max_bucket=None),
+    "embedding_near_dup_probed_scaled_planes": _cand_probed(
+        None, max_bucket=None
+    ),
+    "dedup_consensus_scaled_planes": _cand_probed(None, max_bucket=None),
+    # fixed-cap contrast (the r8 pre-routing twin, cap pinned at 256)
     "embedding_near_dup_probed_capped": _cand_probed(None, max_bucket=256),
+}
+
+
+def _semdedup_route(spark, sf_dir: str) -> str:
+    """Which branch the semdedup_assign front door takes at this corpus
+    size — recorded per scale factor so 'the pivoted route fired at
+    30x' is artifact data, not arithmetic in prose (VERDICT r8 task 5).
+    Recomputes the front door's own decision inputs (one count + one
+    1-row dim probe) without running the clustering."""
+    from data_integration_pipelines_spark.operators.clustering import (
+        FLAT_ASSIGN_CELLS,
+        auto_k,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.count()
+    dim = len(emb.select("embedding").first()[0])
+    kk = auto_k(n)
+    return "flat" if n * kk * dim <= FLAT_ASSIGN_CELLS else "pivoted"
+
+
+# extra per-scale metadata recorded next to the counts: query name ->
+# fn(spark, sf_dir) -> str. Strings are copied into the report verbatim
+# per scale factor (no growth ratio).
+_META_PROBES = {
+    "semdedup_survivors": _semdedup_route,
+    "semdedup_pairs": _semdedup_route,
+    "semdedup_keep_ids": _semdedup_route,
 }
 
 
@@ -467,6 +510,34 @@ def time_queries(
             dt = round(time.time() - t0, 3)
             timings[name] = min(timings.get(name, dt), dt)
 
+    def measure_counts(name, df):
+        # counting failures must never discard a valid timing (ADVICE
+        # r8): counts get their own try, a miss records only the
+        # missing count
+        try:
+            counts[name] = {"n_out": df.count()}
+        except Exception as exc:
+            print(f"COUNT-FAIL {name}.n_out: {type(exc).__name__}: {exc}"[:300],
+                  file=sys.stderr)
+            counts[name] = {}
+        if name in _CAND_COUNTERS:
+            try:
+                counts[name]["n_candidates"] = _CAND_COUNTERS[name](
+                    spark, sf_dir
+                )
+            except Exception as exc:
+                print(
+                    f"COUNT-FAIL {name}.n_candidates: "
+                    f"{type(exc).__name__}: {exc}"[:300],
+                    file=sys.stderr,
+                )
+        if name in _META_PROBES:
+            try:
+                counts[name]["route"] = _META_PROBES[name](spark, sf_dir)
+            except Exception as exc:
+                print(f"META-FAIL {name}.route: {type(exc).__name__}: {exc}"[:300],
+                      file=sys.stderr)
+
     if isolate:
         from data_integration_pipelines_spark.operators.cache import (
             release_cached,
@@ -477,15 +548,12 @@ def time_queries(
                 df = fn(spark, sf_dir)
                 df.write.format("noop").mode("overwrite").save()
                 run_one(name, fn, time_build, df)
-                counts[name] = {"n_out": df.count()}
-                if name in _CAND_COUNTERS:
-                    counts[name]["n_candidates"] = _CAND_COUNTERS[name](
-                        spark, sf_dir
-                    )
             except Exception as exc:
                 print(f"FAIL {name}: {type(exc).__name__}: {exc}"[:300],
                       file=sys.stderr)
                 timings[name] = float("nan")
+            else:
+                measure_counts(name, df)
             release_cached()
             spark.catalog.clearCache()
         return timings, counts
@@ -496,11 +564,6 @@ def time_queries(
         try:
             frames[name] = fn(spark, sf_dir)
             frames[name].write.format("noop").mode("overwrite").save()
-            counts[name] = {"n_out": frames[name].count()}
-            if name in _CAND_COUNTERS:
-                counts[name]["n_candidates"] = _CAND_COUNTERS[name](
-                    spark, sf_dir
-                )
         except Exception as exc:  # full-registry runs: record, keep going
             failures[name] = f"{type(exc).__name__}: {exc}"[:300]
             print(f"FAIL {name}: {failures[name]}", file=sys.stderr)
@@ -515,6 +578,13 @@ def time_queries(
             df.write.format("noop").mode("overwrite").save()
             dt = round(time.time() - t0, 3)
             timings[name] = min(timings.get(name, dt), dt)
+    # counts run AFTER the timed passes (ADVICE r8): probed_candidates
+    # bounded_persists its own signature table, and count actions add
+    # exactly the persist-pool pressure the isolate docstring blames
+    # for polluting small rows — measuring last keeps the interleaved
+    # timings comparable across rounds
+    for name, df in frames.items():
+        measure_counts(name, df)
     for name, err in failures.items():
         timings[name] = float("nan")
     return timings, counts
@@ -564,15 +634,17 @@ def main() -> None:
             f"x{k}_s": scaled_t[name],
             "growth": round(scaled_t[name] / base_t[name], 2),
         }
-        for key in ("n_out", "n_candidates"):
-            if key in base_c.get(name, {}):
-                row[f"{key}_base"] = base_c[name][key]
-            if key in scaled_c.get(name, {}):
-                row[f"{key}_x{k}"] = scaled_c[name][key]
-                if base_c.get(name, {}).get(key):
-                    row[f"{key}_growth"] = round(
-                        scaled_c[name][key] / base_c[name][key], 2
-                    )
+        keys = set(base_c.get(name, {})) | set(scaled_c.get(name, {}))
+        for key in sorted(keys):
+            bv = base_c.get(name, {}).get(key)
+            sv = scaled_c.get(name, {}).get(key)
+            if bv is not None:
+                row[f"{key}_base"] = bv
+            if sv is not None:
+                row[f"{key}_x{k}"] = sv
+                # growth ratios only for numeric counts (route is a str)
+                if isinstance(sv, (int, float)) and isinstance(bv, (int, float)) and bv:
+                    row[f"{key}_growth"] = round(sv / bv, 2)
         report[name] = row
     print(json.dumps({"k": k, "base": base, "queries": report}, indent=2))
 

@@ -394,3 +394,61 @@ def test_semdedup_keep_list_matches_survivor_accounting(embeddings):
     }
     for c, lo in mins.items():
         assert lo in by_cluster.get(c, []), f"cluster {c} min id removed"
+
+
+def test_semdedup_decisions_single_kernel_pass(embeddings, monkeypatch):
+    """semdedup_decisions (r9) must run the applyInPandas gram kernel
+    ONCE for both outputs — keep list and funnel — and those outputs
+    must equal the independently computed ones (VERDICT r8 note: the
+    separate calls each recomputed semdedup_pairs)."""
+    import data_integration_pipelines_spark.operators.clustering as cl
+
+    assigned, _ = kmeans_fit(embeddings, k=8, iters=3)
+    want_keep = {
+        (r.id, r.cluster) for r in cl.semdedup_keep(assigned, 0.35).collect()
+    }
+    want_funnel = {
+        (r.cluster, r.n_members, r.n_removed, r.n_kept)
+        for r in cl.semdedup_survivors(assigned, 0.35).collect()
+    }
+
+    calls = {"n": 0}
+    real_pairs = cl.semdedup_pairs
+
+    def counting_pairs(*a, **kw):
+        calls["n"] += 1
+        return real_pairs(*a, **kw)
+
+    monkeypatch.setattr(cl, "semdedup_pairs", counting_pairs)
+    keep, funnel = cl.semdedup_decisions(assigned, 0.35)
+    assert calls["n"] == 1, "gram kernel built more than once"
+    assert {(r.id, r.cluster) for r in keep.collect()} == want_keep
+    assert {
+        (r.cluster, r.n_members, r.n_removed, r.n_kept)
+        for r in funnel.collect()
+    } == want_funnel
+
+
+def test_semdedup_assign_scale_route_survives_structured_ids(spark):
+    """ADVICE r8: the scale-route sample filter used pmod(id, step)==0,
+    which returns an EMPTY sample when ids are structured (here: all
+    odd, step even) — the hash-based filter (xxhash64 first) must
+    sample regardless of the id distribution and assign every row."""
+    from data_integration_pipelines_spark.operators.clustering import (
+        semdedup_assign,
+    )
+
+    n = 8192
+    emb = spark.range(n).select(
+        (F.col("id") * 2 + 1).alias("vec_id"),  # every id odd
+        F.array(
+            (F.col("id") % 17).cast("float"),
+            (F.col("id") % 5).cast("float"),
+            ((F.col("id") * 3) % 7).cast("float"),
+            F.lit(1.0).cast("float"),
+        ).alias("embedding"),
+    )
+    out = semdedup_assign(emb, k=4, iters=1, flat_cells=1)
+    rows = out.select("id").collect()
+    assert len(rows) == n
+    assert len({r.id for r in rows}) == n

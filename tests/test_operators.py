@@ -631,6 +631,22 @@ class TestStratifiedFractionCut:
             f"tie window saw {tie_rows} of {n} rows — no reduction"
         )
 
+    def test_null_score_fails_loudly(self, spark):
+        """ADVICE r8: NULL scores previously vanished silently (the
+        histogram and the data filter both drop them, so the cut was
+        computed over a different population than documented). The
+        codegen'd guard must raise on the first NULL instead."""
+        from data_integration_pipelines_spark.operators.skew import (
+            stratified_fraction_cut,
+        )
+
+        df = spark.createDataFrame(
+            [(0, 1, 10), (0, 2, None), (0, 3, 20), (0, 4, 30), (0, 5, 40)],
+            "k int, ord int, score int",
+        )
+        with pytest.raises(Exception, match="NULL in score_col"):
+            stratified_fraction_cut(df, ["k"], "score", "ord", 2, 5).collect()
+
 
 class TestTwoLevelRunningOffsets:
     """Cross-shard offset arithmetic invariants for

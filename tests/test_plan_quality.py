@@ -322,3 +322,22 @@ def test_stratified_sample_ranked_twin_two_phase_salted(plans):
     plan = plans["quality_stratified_sample_ranked"]
     assert "__salt" in plan, plan[:2000]
     assert plan.count("row_number()") >= 2, plan[:2000]
+
+
+def test_probed_near_dup_capped_default_plan_shape(plans):
+    """The registry default embedding_near_dup_probed must carry the r9
+    AUTO-CAP shape (operators/similarity._cap_buckets via
+    auto_max_bucket): a population aggregate over signatures (__pop)
+    filtered against the cap, joined back on BOTH sides of the
+    candidate probe join. The uncapped exact twin must NOT carry it —
+    its whole point is recall-exact candidates."""
+    capped = plans["embedding_near_dup_probed"]
+    uncapped = plans["embedding_near_dup_probed_uncapped"]
+    assert "__pop" in capped, capped[:2000]
+    assert "__pop" not in uncapped, uncapped[:2000]
+    # the production composition routes through the same capped kernel
+    # (embedding_dup_clusters does too, but its connected-components
+    # checkpoint truncates the pairs lineage from the final plan — its
+    # cap is pinned by the capped ORACLE instead)
+    assert "__pop" in plans["exact_then_near_dup"]
+    assert "__pop" in plans["dedup_consensus"]

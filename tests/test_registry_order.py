@@ -12,19 +12,18 @@ from __future__ import annotations
 from data_integration_pipelines_spark.plans import _RISK_ORDER, REGISTRY
 
 # Every query needing a fresh GREEN driver CORRECTNESS row after
-# round 7 (the r7 set — probed-kernel recomposition, BPE goldens, the
-# r7-new queries — all earned green rows in CORRECTNESS_r07): the
-# queries NEW in r8, which have never been driver-compared. The r8
-# plan/oracle rewrites with IDENTICAL fixture output (threshold
-# stratified cut, front-doored SemDeDup defaults, self-pinned pivoted
-# oracle, null-bin quantiles, lazy BPE oracles) sit directly behind
-# them in the head, followed by the r8 rotation slice (ten stable-tail
-# queries whose last driver row dates to r2-r4).
+# round 8 (the r8 set — capped kernel, keep list, ranked twin — all
+# earned green rows in CORRECTNESS_r08; the r1-r8 union covers all 176
+# pre-r9 queries with zero never-passed entries, VERDICT r8): the
+# queries NEW in r9, which have never been driver-compared. The r9
+# plan/oracle changes with CHANGED fixture output (the cap-routed
+# probed default and both compositions — 18 rows where the uncapped
+# default emitted 27) sit directly behind them in the head, followed
+# by the r9 rotation slice (ten r2-stable text-dedup queries).
 _NEVER_DRIVER_VERIFIED = {
-    # new in r8
-    "embedding_near_dup_probed_capped",
-    "semdedup_keep_ids",
-    "quality_stratified_sample_ranked",
+    # new in r9
+    "exact_then_near_dup",
+    "embedding_near_dup_probed_uncapped",
 }
 
 
