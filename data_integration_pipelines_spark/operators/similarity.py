@@ -943,6 +943,10 @@ def probed_candidates(
     at :func:`auto_max_bucket` — see that docstring for why uncapped is
     a measured scale-killer on clustered spaces; ``None`` disables the
     cap (the recall-exact differential twin), an int pins it."""
+    if isinstance(max_bucket, str) and max_bucket != "auto":
+        raise ValueError(
+            f"max_bucket must be 'auto', an int, or None; got {max_bucket!r}"
+        )
     if n_planes is None or max_bucket == "auto":
         n = df.count()
     if n_planes is None:
