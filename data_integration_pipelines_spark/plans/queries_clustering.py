@@ -30,10 +30,30 @@ _ITERS = 3
 _SEMDEDUP_THRESHOLD = 0.35  # same bar as the LSH near-dup family
 
 
-def _kmeans_ctes(k: int = _K, iters: int = _ITERS) -> str:
+def _auto_k_sql() -> str:
+    """``auto_k(COUNT(*))`` in pure-integer SQL — GREATEST(2,
+    ceil(N / SEMDEDUP_TARGET_CLUSTER)) — EXACTLY the Python rule
+    (operators/clustering.auto_k), usable as a scalar-subquery LIMIT.
+    With it the unrolled Lloyd's oracle is k-DYNAMIC (r9): k is only
+    structural in the seed CTE's LIMIT (centroids are ROWS), so the
+    semdedup oracles now track the engine's k='auto' at ANY corpus
+    size — pre-r9 they pinned k=8 and only matched at N<=512 fixtures
+    (auto_k(500)=8 — the sf0.1 sweep exposed the divergence at
+    auto_k(2000)=32)."""
+    from ..operators.clustering import SEMDEDUP_TARGET_CLUSTER as t
+
+    return (
+        f"(SELECT GREATEST(2, CAST((COUNT(*) + {t - 1}) // {t} AS BIGINT))"
+        " FROM embeddings)"
+    )
+
+
+def _kmeans_ctes(k: int | str = _K, iters: int = _ITERS) -> str:
     """Unrolled Lloyd's as SQL CTEs: c0 (data-point init), then per
     iteration (assign d{i}/a{i}, update c{i+1}), then the final
-    assignment a{iters} from the final centroids."""
+    assignment a{iters} from the final centroids. ``k`` may be an int
+    or a SQL scalar-subquery string (:func:`_auto_k_sql`) — k shapes
+    only the seed LIMIT, never the CTE structure."""
     parts = [
         f"""
     qlong AS (
@@ -193,7 +213,7 @@ def kmeans_clusters_table(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "semdedup_pairs",
-    f"WITH {_kmeans_ctes()}, {_SEMDEDUP_CTES}"
+    f"WITH {_kmeans_ctes(_auto_k_sql())}, {_SEMDEDUP_CTES}"
     + f"""
     SELECT cluster, id_a, id_b, {e4_sql('cos_raw')} AS cosine_e4
     FROM sim
@@ -227,7 +247,7 @@ def semdedup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "semdedup_survivors",
-    f"WITH {_kmeans_ctes()}, {_SEMDEDUP_CTES},"
+    f"WITH {_kmeans_ctes(_auto_k_sql())}, {_SEMDEDUP_CTES},"
     + f"""
     removed AS (
         SELECT DISTINCT cluster, id_b AS id FROM sim
@@ -295,7 +315,7 @@ def semdedup_survivors_auto_k(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "semdedup_keep_ids",
-    f"WITH {_kmeans_ctes()}, {_SEMDEDUP_CTES},"
+    f"WITH {_kmeans_ctes(_auto_k_sql())}, {_SEMDEDUP_CTES},"
     + f"""
     removed AS (
         SELECT DISTINCT cluster, id_b AS id FROM sim

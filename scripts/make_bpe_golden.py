@@ -11,8 +11,10 @@ Writes data_integration_pipelines_spark/plans/bpe_golden.json:
         "encode16": [[doc_id, n_bpe_tokens, n_ws_tokens, tokens_md5], ...]
     }, ... }
 
-Covered corpora: sf0.001 (pytest oracle sweep) and sf0.01 (the
-driver's CORRECTNESS comparison SF). Re-run after any fixture change.
+Covered corpora: sf0.001 (pytest oracle sweep), sf0.01 (the
+driver's CORRECTNESS comparison SF) and sf0.1 (bench SF — so the
+full-sweep cross-check at sf0.1 stays 100% green; r9). Re-run after
+any fixture change.
 """
 
 from __future__ import annotations
@@ -83,7 +85,11 @@ def golden_for(sf_dir: str) -> tuple[str, dict]:
 
 def main() -> None:
     golden: dict[str, dict] = {}
-    for sf_dir in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+    for sf_dir in (
+        "/root/testdata/sf0.001",
+        "/root/testdata/sf0.01",
+        "/root/testdata/sf0.1",
+    ):
         h, g = golden_for(sf_dir)
         golden[h] = g
         print(f"{sf_dir}: corpus md5 {h}, {len(g['train24'])} merges, "
