@@ -341,6 +341,89 @@ def _embedding_near_dup_probed_capped(spark, sf_dir: str):
     ).orderBy("id_a", "id_b")
 
 
+def _massdup_tables(spark, sf_dir: str):
+    """A MASS-DUPLICATE corpus derived from the fixture: the minimum-id
+    document/vector is replicated verbatim N/10 times (new ids above
+    the existing id range), so the duplicate pile's mass GROWS WITH N —
+    the adversarial regime the bucket cap exists for (constant-fraction
+    per-vector duplication would stay linear; one pile growing with N
+    is what makes uncapped candidate generation quadratic). Returns
+    (docs', emb') with doc/vec domains consistent."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.count()
+    m = max(1, n // 10)
+    lo_v = emb.agg(F.min("vec_id")).collect()[0][0]
+    hi_v = emb.agg(F.max("vec_id")).collect()[0][0]
+    hi_d = docs.agg(F.max("doc_id")).collect()[0][0]
+    off = max(hi_v, hi_d) + 1
+    copies_e = (
+        emb.filter(F.col("vec_id") == lo_v)
+        .crossJoin(spark.range(m).select(F.col("id").alias("__c")))
+        .select((F.lit(off) + F.col("__c")).alias("vec_id"),
+                *[c for c in emb.columns if c != "vec_id"])
+    )
+    lo_doc = docs.filter(F.col("doc_id") == lo_v)
+    copies_d = (
+        lo_doc.crossJoin(spark.range(m).select(F.col("id").alias("__c")))
+        .select((F.lit(off) + F.col("__c")).alias("doc_id"), "text")
+    )
+    return docs.unionByName(copies_d), emb.unionByName(copies_e.select(emb.columns))
+
+
+def _near_dup_massdup_uncapped(spark, sf_dir: str):
+    """The UNCAPPED probed kernel on the mass-dup corpus — the
+    quadratic counterfactual: the pile shares one signature bucket
+    whose population is 0.1*N, so candidates grow ~N^2/200 and the
+    pair OUTPUT itself is quadratic (every copy pair passes the cosine
+    bar at 1.0)."""
+    from data_integration_pipelines_spark.operators.similarity import (
+        embedding_near_dup_probed,
+    )
+
+    _, emb = _massdup_tables(spark, sf_dir)
+    return embedding_near_dup_probed(
+        emb, threshold=0.35, n_planes=None, max_bucket=None
+    )
+
+
+def _near_dup_massdup_capped(spark, sf_dir: str):
+    """The CAPPED DEFAULT on the mass-dup corpus — wall stays bounded
+    (the pile's bucket is dropped) at the cost of every in-pile pair
+    INCLUDING the organic neighbors of the duplicated vector: recall
+    loss, which the composition below repairs."""
+    from data_integration_pipelines_spark.operators.similarity import (
+        embedding_near_dup_probed,
+    )
+
+    _, emb = _massdup_tables(spark, sf_dir)
+    return embedding_near_dup_probed(
+        emb, threshold=0.35, n_planes=None, max_bucket="auto"
+    )
+
+
+def _exact_then_near_dup_massdup(spark, sf_dir: str):
+    """THE PRODUCTION COMPOSITION (exact_then_near_dup) on the mass-dup
+    corpus: exact fingerprint dedup collapses the verbatim pile to its
+    min-id representative, the pile's bucket falls back under the cap,
+    and the capped kernel on survivors recovers the representative's
+    organic near-dup pairs — linear wall AND full survivor recall,
+    probe-certified at the scale the unit test pins symbolically."""
+    from data_integration_pipelines_spark.operators.dedup import exact_dedup
+    from data_integration_pipelines_spark.operators.similarity import (
+        embedding_near_dup_probed,
+    )
+
+    docs, emb = _massdup_tables(spark, sf_dir)
+    surv = exact_dedup(docs, "text", "doc_id").select(
+        F.col("survivor_id").alias("vec_id")
+    )
+    return embedding_near_dup_probed(
+        emb.join(surv, "vec_id"),
+        threshold=0.35, n_planes=None, max_hamming=1, max_bucket="auto",
+    )
+
+
 def _stratified_single_stratum(spark, sf_dir: str):
     """quality_stratified_sample's threshold cut under the adversarial
     ONE-GIANT-STRATUM layout (every doc in one lang — the
@@ -422,6 +505,25 @@ _CAND_COUNTERS = {
 }
 
 
+def _cand_exact_then_near_dup(spark, sf_dir: str) -> int:
+    from data_integration_pipelines_spark.operators.dedup import exact_dedup
+    from data_integration_pipelines_spark.operators.similarity import (
+        probed_candidates,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    surv = exact_dedup(docs, "text", "doc_id").select(
+        F.col("survivor_id").alias("vec_id")
+    )
+    return probed_candidates(
+        emb.join(surv, "vec_id"), n_planes=None, max_bucket="auto"
+    ).count()
+
+
+_CAND_COUNTERS["exact_then_near_dup"] = _cand_exact_then_near_dup
+
+
 def _semdedup_route(spark, sf_dir: str) -> str:
     """Which branch the semdedup_assign front door takes at this corpus
     size — recorded per scale factor so 'the pivoted route fired at
@@ -472,6 +574,13 @@ _EXTRA_PROBES = {
     "contamination_wide_eval_shuffle": (_contamination_wide_eval_shuffle, True),
     "embedding_near_dup_probed_capped": (_embedding_near_dup_probed_capped, True),
     "stratified_single_stratum": (_stratified_single_stratum, False),
+    # the mass-duplicate trio (r9): one pile growing with N — uncapped
+    # quadratic counterfactual, capped-only recall loss, composition
+    # repair. time_build=True: the table construction (count + 3 tiny
+    # collects) is part of the path being measured.
+    "near_dup_massdup_uncapped": (_near_dup_massdup_uncapped, True),
+    "near_dup_massdup_capped": (_near_dup_massdup_capped, True),
+    "exact_then_near_dup_massdup": (_exact_then_near_dup_massdup, True),
 }
 
 
@@ -608,7 +717,9 @@ def main() -> None:
             raise SystemExit(f"unknown query names: {sorted(unknown)}")
     k = int(args[0]) if args else 10
     base = args[1] if len(args) > 1 else "/root/testdata/sf0.1"
-    out = f"/tmp/spark-graft-scale{k}x"
+    # the replica dir encodes the BASE too (r9): different-base runs at
+    # the same K previously reused whichever replica was built first
+    out = f"/tmp/spark-graft-scale{k}x-{os.path.basename(base.rstrip('/'))}"
     spark = get_spark("scale-probe")
     spark.sparkContext.setLogLevel("ERROR")
     if not (
