@@ -1027,6 +1027,91 @@ def embedding_near_dup_probed(
     )
 
 
+def classify_embeddings_against_corpus(
+    new_df: DataFrame,
+    corpus_df: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int | None = None,
+    max_bucket: int | str | None = "auto",
+) -> DataFrame:
+    """INCREMENTAL embedding near-dup classification (r9 — the
+    embedding tier of the ingest-dedup family, completing
+    dedup.classify_against_corpus's exact/jaccard text tiers): each
+    NEW vector is graded against the EXISTING corpus — (vec_id,
+    n_near, max_cosine_e4, verdict 'near_dup'|'unique') — without ever
+    pairing new×new or old×old. The production daily-ingest shape: the
+    corpus side is the persisted index, so width and cap are sized
+    over the CORPUS count (the index's configuration — a new batch
+    must be probed at the index's width, not its own), hot corpus
+    buckets are dropped by the same auto cap as the batch kernel
+    (``auto_max_bucket``; a new vector probing into a mass-dup core
+    gets no candidates — run exact dedup upstream, the
+    exact_then_near_dup composition), and candidates are bounded by
+    (planes+1) x |new| x cap regardless of batch or corpus size.
+
+    A Hamming<=1 (new, old) pair matches on exactly ONE of the new
+    side's probes (identity for Hamming 0, the flipped position for
+    Hamming 1), so no distinct is needed — same argument as
+    :func:`embedding_near_dup_probed`."""
+    if n_planes is None or max_bucket == "auto":
+        n = corpus_df.count()
+    if n_planes is None:
+        n_planes = recommended_n_planes(n)
+    if max_bucket == "auto":
+        max_bucket = auto_max_bucket(n, n_planes)
+    corp_sig = bounded_persist(
+        hyperplane_signatures(corpus_df, id_col, vec_col, n_planes)
+    )
+    corp_sig = _cap_buckets(corp_sig, ["signature"], max_bucket)
+    new_sig = hyperplane_signatures(new_df, id_col, vec_col, n_planes)
+    probes = new_sig.select(
+        F.col("id").alias("new_id"),
+        F.explode(
+            signature_probes(F.col("signature"), n_planes, 1)
+        ).alias("probe"),
+    )
+    exact = corp_sig.select(
+        F.col("id").alias("old_id"), F.col("signature").alias("probe")
+    )
+    cand = probes.join(exact, "probe").select("new_id", "old_id")
+    vn = new_df.select(
+        F.col(id_col).alias("new_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("va"),
+    )
+    vo = corpus_df.select(
+        F.col(id_col).alias("old_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("vb"),
+    )
+    dot = F.aggregate(
+        F.zip_with("va", "vb", lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
+    near = (
+        cand.join(vn, "new_id")
+        .join(vo, "old_id")
+        .withColumn("cosine_e4", e4(dot))
+        .filter(F.col("cosine_e4") >= int(round(threshold * 10000)))
+        .groupBy("new_id")
+        .agg(
+            F.count("*").alias("n_near"),
+            F.max("cosine_e4").alias("max_cosine_e4"),
+        )
+    )
+    return (
+        new_df.select(F.col(id_col).alias("vec_id"))
+        .join(near.withColumnRenamed("new_id", "vec_id"), "vec_id", "left")
+        .select(
+            "vec_id",
+            F.coalesce(F.col("n_near"), F.lit(0).cast("long")).alias("n_near"),
+            "max_cosine_e4",
+            F.when(F.col("n_near").isNotNull(), "near_dup")
+            .otherwise("unique")
+            .alias("verdict"),
+        )
+    )
+
+
 def embedding_near_dup_multiprobe(
     df: DataFrame,
     threshold: float,

@@ -45,6 +45,7 @@ _RISK_ORDER = [
     # refactor (pairs param; same outputs)
     "exact_then_near_dup",
     "embedding_near_dup_probed_uncapped",
+    "incremental_embedding_dedup",
     "embedding_near_dup_probed",
     "dedup_consensus",
     "embedding_dup_clusters",

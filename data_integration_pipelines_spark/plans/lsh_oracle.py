@@ -72,17 +72,19 @@ def cap_cte(mult: int = 16, src: str = "embeddings") -> str:
     )"""
 
 
-def lsh_sig_cte_dyn() -> str:
-    """CTE ``sig(vec_id, signature)`` at the DYNAMIC width from ``p``
+def lsh_sig_cte_dyn(long_src: str = "long", name: str = "sig") -> str:
+    """CTE ``{name}(vec_id, signature)`` at the DYNAMIC width from ``p``
     (requires :func:`planes_cte`); same hyperplane formula as
-    :func:`lsh_sig_cte`."""
-    return """
-    sig AS (
+    :func:`lsh_sig_cte`. ``long_src``/``name`` let two-sided consumers
+    (incremental_embedding_dedup: a new-batch side and a corpus side)
+    stamp the identical formula over both long tables."""
+    return f"""
+    {name} AS (
         SELECT vec_id,
                string_agg(CASE WHEN dotj > 0 THEN '1' ELSE '0' END, '' ORDER BY j) AS signature
         FROM (
             SELECT vec_id, j, SUM(val * (((j*31 + (pos-1)*7) % 11) - 5)) AS dotj
-            FROM long, p, LATERAL (SELECT UNNEST(range(p.np)) AS j) t
+            FROM {long_src}, p, LATERAL (SELECT UNNEST(range(p.np)) AS j) t
             GROUP BY vec_id, j
         ) GROUP BY vec_id
     )"""
@@ -104,14 +106,16 @@ def capped_sig_cte(max_bucket: int, src: str = "sig") -> str:
     )"""
 
 
-def capped_sig_cte_dyn(src: str = "sig") -> str:
+def capped_sig_cte_dyn(src: str = "sig", name: str = "sigc") -> str:
     """CTE ``sigc``: ``src`` minus every signature bucket with
     population > the DYNAMIC cap from :func:`cap_cte` — the r9 default
     routing of operators/similarity._cap_buckets (auto_max_bucket).
     Both the probe side and the exact side of the candidate join must
-    read ``sigc``, mirroring the engine."""
+    read the capped CTE, mirroring the engine (one-sided consumers —
+    incremental_embedding_dedup — cap only the corpus/index side, which
+    alone bounds candidates at (planes+1) x |new| x cap)."""
     return f"""
-    sigc AS (
+    {name} AS (
         SELECT s.vec_id, s.signature
         FROM {src} s
         JOIN (SELECT signature FROM {src}, c

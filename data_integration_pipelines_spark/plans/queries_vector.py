@@ -298,6 +298,85 @@ def embedding_near_dup_probed_uncapped_q(
 
 
 @register(
+    "incremental_embedding_dedup",
+    f"""
+    WITH newe AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 10 >= 8),
+    olde AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 10 < 8),
+    longo AS (
+        SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+               CAST(unnest(embedding) AS DOUBLE) AS val
+        FROM olde
+    ),
+    longn AS (
+        SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+               CAST(unnest(embedding) AS DOUBLE) AS val
+        FROM newe
+    ),
+    {planes_cte(src='olde').strip()},
+    {cap_cte(src='olde').strip()},
+    {lsh_sig_cte_dyn(long_src='longo', name='sigo').strip()},
+    {lsh_sig_cte_dyn(long_src='longn', name='sign2').strip()},
+    {capped_sig_cte_dyn(src='sigo', name='sigoc').strip()},
+    probes AS (
+        SELECT vec_id,
+               CASE WHEN j = 0 THEN signature
+                    ELSE substr(signature, 1, CAST(j - 1 AS INT))
+                         || (CASE WHEN substr(signature, CAST(j AS INT), 1) = '1'
+                             THEN '0' ELSE '1' END)
+                         || substr(signature, CAST(j + 1 AS INT))
+               END AS probe
+        FROM sign2, p, LATERAL (SELECT UNNEST(range(p.np + 1)) AS j) t
+    ),
+    cand AS (
+        SELECT a.vec_id AS new_id, b.vec_id AS old_id
+        FROM probes a JOIN sigoc b ON a.probe = b.signature
+    ),
+    dots AS (
+        SELECT new_id, old_id, {e4_sql('SUM(qa.val * qb.val)')} AS cosine_e4
+        FROM cand
+        JOIN longn qa ON qa.vec_id = new_id
+        JOIN longo qb ON qb.vec_id = old_id AND qb.pos = qa.pos
+        GROUP BY 1, 2
+    ),
+    near AS (
+        SELECT new_id, CAST(COUNT(*) AS BIGINT) AS n_near,
+               MAX(cosine_e4) AS max_cosine_e4
+        FROM dots WHERE cosine_e4 >= 3500 GROUP BY 1
+    )
+    SELECT n.vec_id,
+           CAST(COALESCE(r.n_near, 0) AS BIGINT) AS n_near,
+           r.max_cosine_e4,
+           CASE WHEN r.n_near > 0 THEN 'near_dup' ELSE 'unique' END AS verdict
+    FROM newe n LEFT JOIN near r ON r.new_id = n.vec_id
+    ORDER BY vec_id
+    """,
+    doc="INCREMENTAL embedding ingest dedup (r9 — the embedding tier of "
+    "the ingest family, beside incremental_ingest_dedup's exact/"
+    "jaccard text tiers): the NEW batch (vec_id % 10 >= 8, the same "
+    "fixture split) is classified against the EXISTING corpus via the "
+    "capped probed kernel — (vec_id, n_near, max_cosine_e4, verdict) "
+    "per new vector, never pairing new x new or old x old. Production "
+    "shape: width and cap are sized over the CORPUS count (the "
+    "persisted index's configuration — a batch must probe at the "
+    "index's width, not its own), only the corpus side is capped "
+    "(that alone bounds candidates at (planes+1) x |new| x cap at any "
+    "batch or corpus size), and the batch side needs NO persisted "
+    "state. The oracle stamps the identical signature formula over "
+    "both sides and computes both sizing rules in SQL "
+    "(operators/similarity.classify_embeddings_against_corpus).",
+)
+def incremental_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import classify_embeddings_against_corpus
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    new = emb.filter(F.col("vec_id") % 10 >= 8)
+    old = emb.filter(F.col("vec_id") % 10 < 8)
+    return classify_embeddings_against_corpus(
+        new, old, threshold=0.35, n_planes=None, max_bucket="auto"
+    ).orderBy("vec_id")
+
+
+@register(
     "embedding_near_dup_probed_capped",
     f"""
     WITH {_LONG_CTE},

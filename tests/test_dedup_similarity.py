@@ -1281,3 +1281,64 @@ class TestIvfIndexPersistence:
         # "bucket" merely appearing (join key / output column) would
         # hold even with pruning defeated
         assert "dynamicpruning" in plan.lower(), plan
+
+
+class TestIncrementalEmbeddingDedup:
+    """classify_embeddings_against_corpus (r9): the embedding tier of
+    the ingest-dedup family — new batch vs persisted corpus, capped
+    probed kernel, index-side sizing."""
+
+    def _cls(self, spark, new_rows, old_rows, **kw):
+        from data_integration_pipelines_spark.operators.similarity import (
+            classify_embeddings_against_corpus,
+        )
+
+        new = spark.createDataFrame(new_rows, ["vec_id", "embedding"])
+        old = spark.createDataFrame(old_rows, ["vec_id", "embedding"])
+        return {
+            r.vec_id: r
+            for r in classify_embeddings_against_corpus(
+                new, old, threshold=0.9, **kw
+            ).collect()
+        }
+
+    def test_exact_copy_flagged_orthogonal_unique(self, spark):
+        old = [(i, [1.0, 0.0, 0.0, 0.0]) for i in range(3)]
+        old += [(10, [0.0, 1.0, 0.0, 0.0])]
+        new = [
+            (100, [1.0, 0.0, 0.0, 0.0]),   # verbatim copy of the 1-dir
+            (101, [0.0, 0.0, 1.0, 0.0]),   # orthogonal to everything
+        ]
+        got = self._cls(spark, new, old)
+        assert got[100].verdict == "near_dup"
+        assert got[100].max_cosine_e4 == 10000
+        assert got[100].n_near == 3  # all three identical corpus rows
+        assert got[101].verdict == "unique"
+        assert got[101].n_near == 0 and got[101].max_cosine_e4 is None
+
+    def test_corpus_cap_drops_mass_bucket_candidates(self, spark):
+        # 50 identical corpus vectors form an over-cap bucket; a new
+        # copy of that direction probes into it and must get NOTHING
+        # (the capped contract: mass cores are exact-dedup's job) while
+        # a new vector near a small corpus bucket is still flagged.
+        old = [(i, [1.0, 0.0, 0.0, 0.0]) for i in range(50)]
+        old += [(100, [0.0, 1.0, 0.0, 0.0])]
+        new = [
+            (200, [1.0, 0.0, 0.0, 0.0]),
+            (201, [0.0, 0.995, 0.0998, 0.0]),
+        ]
+        got = self._cls(spark, new, old, max_bucket=10)
+        assert got[200].verdict == "unique"  # mass bucket capped away
+        assert got[201].verdict == "near_dup"
+        # and with the cap off, the mass copy IS flagged (differential)
+        got_uncapped = self._cls(spark, new, old, max_bucket=None)
+        assert got_uncapped[200].verdict == "near_dup"
+        assert got_uncapped[200].n_near == 50
+
+    def test_never_pairs_within_sides(self, spark):
+        # two identical NEW vectors with no corpus neighbor: new x new
+        # must not pair (both unique)
+        old = [(0, [0.0, 1.0, 0.0, 0.0])]
+        new = [(10, [1.0, 0.0, 0.0, 0.0]), (11, [1.0, 0.0, 0.0, 0.0])]
+        got = self._cls(spark, new, old)
+        assert got[10].verdict == "unique" and got[11].verdict == "unique"

@@ -24,6 +24,7 @@ _NEVER_DRIVER_VERIFIED = {
     # new in r9
     "exact_then_near_dup",
     "embedding_near_dup_probed_uncapped",
+    "incremental_embedding_dedup",
 }
 
 
