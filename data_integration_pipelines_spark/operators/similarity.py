@@ -1035,6 +1035,7 @@ def classify_embeddings_against_corpus(
     vec_col: str = "embedding",
     n_planes: int | None = None,
     max_bucket: int | str | None = "auto",
+    corpus_sig: DataFrame | None = None,
 ) -> DataFrame:
     """INCREMENTAL embedding near-dup classification (r9 — the
     embedding tier of the ingest-dedup family, completing
@@ -1054,17 +1055,31 @@ def classify_embeddings_against_corpus(
     A Hamming<=1 (new, old) pair matches on exactly ONE of the new
     side's probes (identity for Hamming 0, the flipped position for
     Hamming 1), so no distinct is needed — same argument as
-    :func:`embedding_near_dup_probed`."""
-    if n_planes is None or max_bucket == "auto":
-        n = corpus_df.count()
-    if n_planes is None:
-        n_planes = recommended_n_planes(n)
-    if max_bucket == "auto":
-        max_bucket = auto_max_bucket(n, n_planes)
-    corp_sig = bounded_persist(
-        hyperplane_signatures(corpus_df, id_col, vec_col, n_planes)
-    )
-    corp_sig = _cap_buckets(corp_sig, ["signature"], max_bucket)
+    :func:`embedding_near_dup_probed`.
+
+    ``corpus_sig`` accepts a PRE-STAGED (already capped) corpus
+    signature table so a streaming caller
+    (streaming/ingest.streaming_embedding_verdicts) can pin the index
+    once across micro-batches instead of re-signaturing the corpus per
+    batch; ``n_planes`` must then be the width it was built at."""
+    if corpus_sig is not None:
+        if n_planes is None:
+            raise ValueError(
+                "classify_embeddings_against_corpus: a pre-staged "
+                "corpus_sig requires the explicit n_planes it was built at"
+            )
+        corp_sig = corpus_sig
+    else:
+        if n_planes is None or max_bucket == "auto":
+            n = corpus_df.count()
+        if n_planes is None:
+            n_planes = recommended_n_planes(n)
+        if max_bucket == "auto":
+            max_bucket = auto_max_bucket(n, n_planes)
+        corp_sig = bounded_persist(
+            hyperplane_signatures(corpus_df, id_col, vec_col, n_planes)
+        )
+        corp_sig = _cap_buckets(corp_sig, ["signature"], max_bucket)
     new_sig = hyperplane_signatures(new_df, id_col, vec_col, n_planes)
     probes = new_sig.select(
         F.col("id").alias("new_id"),

@@ -33,6 +33,107 @@ def read_staged_docs_stream(spark, path: str, max_files_per_trigger: int | None 
     return read_staged_stream(spark, path, DOCS_SCHEMA, max_files_per_trigger)
 
 
+def _versioned_drain(
+    stream_df: DataFrame,
+    out_path: str,
+    checkpoint_path: str,
+    classify_fn,
+    release_fn,
+):
+    """Shared foreachBatch runner for ingest classifiers (r9 — factored
+    from streaming_ingest_verdicts so the embedding tier reuses the
+    exact lineage/idempotence contract): drains ``stream_df`` with
+    availableNow, writing ``classify_fn(batch_df)`` to the versioned
+    parquet result log — per-batch ``batch_id=<id>`` partitions,
+    complete (``_SUCCESS``) partitions skipped on redelivery,
+    incomplete ones overwritten, the log lineage-bound to the
+    checkpoint (sketch_fold._lineage_identities) so a recreated
+    checkpoint cannot mix batch-id spaces. ``release_fn()`` runs once
+    the drain terminates (or fails) — the caller's staged corpus
+    caches."""
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        import json
+        import os
+
+        from .sketch_fold import _lineage_identities
+
+        # Accept ANY identity of the current lineage and upgrade the
+        # marker to the preferred one (mirrors fold_into_store): a log
+        # first written via a direct foreachBatch-body call is nonce-
+        # bound; when a real StreamingQuery later drives the same
+        # still-live checkpoint, the query-id identity must not be
+        # spuriously refused.
+        identities = _lineage_identities(checkpoint_path)
+        lineage = identities[0]
+        marker = os.path.join(out_path, "_lineage.json")
+        if os.path.exists(marker):
+            bound = json.load(open(marker))["lineage"]
+            if bound not in identities:
+                raise ValueError(
+                    f"verdict log at {out_path!r} is bound to checkpoint "
+                    f"lineage {bound!r}; writing batches from {lineage!r} "
+                    "would mix batch-id spaces and leave stale/missing "
+                    "rows — use a fresh log"
+                )
+            if bound != lineage:
+                with open(marker, "w") as fh:
+                    json.dump(
+                        {"lineage": lineage, "checkpoint": checkpoint_path}, fh
+                    )
+        else:
+            os.makedirs(out_path, exist_ok=True)
+            with open(marker, "w") as fh:
+                json.dump({"lineage": lineage, "checkpoint": checkpoint_path}, fh)
+        if not batch_df.take(1):
+            return
+        part_dir = os.path.join(out_path, f"batch_id={batch_id}")
+        if os.path.exists(os.path.join(part_dir, "_SUCCESS")):
+            return  # redelivered batch: its partition is already complete
+        classify_fn(batch_df).write.mode("overwrite").parquet(part_dir)
+
+    query = (
+        stream_df.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+    class _Drain:
+        """awaitTermination wrapper that releases the staged corpus
+        caches once the drain has actually TERMINATED — a timed-out
+        poll (awaitTermination(t) -> False) must leave them pinned or
+        every remaining micro-batch re-pays the corpus staging; a
+        failed drain (exception) releases too. ``release()`` is public
+        for callers that stop the query through other paths."""
+
+        def __init__(self, q):
+            self._q = q
+            self._released = False
+
+        def release(self) -> None:
+            if not self._released:
+                self._released = True
+                release_fn()
+
+        def awaitTermination(self, timeout=None):
+            try:
+                result = self._q.awaitTermination(timeout)
+            except Exception:
+                self.release()
+                raise
+            # None-timeout blocks until termination; a timed call only
+            # terminated if it returned True
+            if timeout is None or result:
+                self.release()
+            return result
+
+        def __getattr__(self, name):
+            return getattr(self._q, name)
+
+    return _Drain(query)
+
+
 def streaming_ingest_verdicts(
     stream_docs: DataFrame,
     corpus_docs: DataFrame,
@@ -81,45 +182,8 @@ def streaming_ingest_verdicts(
         corpus_docs, "text", "doc_id", n, out_id="old_id", persist=False
     ).persist()
 
-    def classify(batch_df: DataFrame, batch_id: int) -> None:
-        import json
-        import os
-
-        from .sketch_fold import _lineage_identities
-
-        # Accept ANY identity of the current lineage and upgrade the
-        # marker to the preferred one (mirrors fold_into_store): a log
-        # first written via a direct foreachBatch-body call is nonce-
-        # bound; when a real StreamingQuery later drives the same
-        # still-live checkpoint, the query-id identity must not be
-        # spuriously refused.
-        identities = _lineage_identities(checkpoint_path)
-        lineage = identities[0]
-        marker = os.path.join(out_path, "_lineage.json")
-        if os.path.exists(marker):
-            bound = json.load(open(marker))["lineage"]
-            if bound not in identities:
-                raise ValueError(
-                    f"verdict log at {out_path!r} is bound to checkpoint "
-                    f"lineage {bound!r}; writing batches from {lineage!r} "
-                    "would mix batch-id spaces and leave stale/missing "
-                    "rows — use a fresh log"
-                )
-            if bound != lineage:
-                with open(marker, "w") as fh:
-                    json.dump(
-                        {"lineage": lineage, "checkpoint": checkpoint_path}, fh
-                    )
-        else:
-            os.makedirs(out_path, exist_ok=True)
-            with open(marker, "w") as fh:
-                json.dump({"lineage": lineage, "checkpoint": checkpoint_path}, fh)
-        if not batch_df.take(1):
-            return
-        part_dir = os.path.join(out_path, f"batch_id={batch_id}")
-        if os.path.exists(os.path.join(part_dir, "_SUCCESS")):
-            return  # redelivered batch: its partition is already complete
-        classify_against_corpus(
+    def classify_fn(batch_df: DataFrame) -> DataFrame:
+        return classify_against_corpus(
             batch_df,
             corpus_docs,
             "text",
@@ -128,46 +192,78 @@ def streaming_ingest_verdicts(
             threshold,
             corpus_fp=corpus_fp,
             corpus_shingles=corpus_sh,
-        ).write.mode("overwrite").parquet(part_dir)
+        )
 
-    query = (
-        stream_docs.writeStream.foreachBatch(classify)
-        .option("checkpointLocation", checkpoint_path)
-        .trigger(availableNow=True)
-        .start()
+    def release_fn() -> None:
+        corpus_fp.unpersist(blocking=False)
+        corpus_sh.unpersist(blocking=False)
+
+    return _versioned_drain(
+        stream_docs, out_path, checkpoint_path, classify_fn, release_fn
     )
 
-    class _Drain:
-        """awaitTermination wrapper that releases the staged corpus
-        caches once the drain has actually TERMINATED — a timed-out
-        poll (awaitTermination(t) -> False) must leave them pinned or
-        every remaining micro-batch re-pays the corpus staging; a
-        failed drain (exception) releases too. ``release()`` is public
-        for callers that stop the query through other paths."""
 
-        def __init__(self, q):
-            self._q = q
-            self._released = False
+EMB_SCHEMA = "vec_id bigint, embedding array<float>, label int"
 
-        def release(self) -> None:
-            if not self._released:
-                self._released = True
-                corpus_fp.unpersist(blocking=False)
-                corpus_sh.unpersist(blocking=False)
 
-        def awaitTermination(self, timeout=None):
-            try:
-                result = self._q.awaitTermination(timeout)
-            except Exception:
-                self.release()
-                raise
-            # None-timeout blocks until termination; a timed call only
-            # terminated if it returned True
-            if timeout is None or result:
-                self.release()
-            return result
+def read_staged_embeddings_stream(
+    spark, path: str, max_files_per_trigger: int | None = None
+):
+    """Streaming scan of a staged directory of embedding parquet files."""
+    from .staged import read_staged_stream
 
-        def __getattr__(self, name):
-            return getattr(self._q, name)
+    return read_staged_stream(spark, path, EMB_SCHEMA, max_files_per_trigger)
 
-    return _Drain(query)
+
+def streaming_embedding_verdicts(
+    stream_emb: DataFrame,
+    corpus_emb: DataFrame,
+    out_path: str,
+    checkpoint_path: str,
+    threshold: float = 0.35,
+):
+    """The EMBEDDING tier of streaming ingest dedup (r9): drain a
+    vector feed with availableNow, classifying each micro-batch against
+    the standing corpus via the capped probed kernel
+    (operators/similarity.classify_embeddings_against_corpus) into the
+    same versioned verdict log as the text tier. Delta-shaped like the
+    text classifier — a vector's verdict depends only on (vector,
+    corpus), never on batchmates — so any feed partitioning is
+    byte-identical to one big batch (stream==batch pytest).
+
+    The corpus-side CAPPED signature table — the persisted index — is
+    staged ONCE and pinned outside the FIFO persist pool: width and cap
+    resolve from the CORPUS count exactly as the batch registry query
+    (incremental_embedding_dedup), and every micro-batch probes the
+    pinned index instead of re-signaturing the corpus (O(batches)
+    corpus passes otherwise)."""
+    from ..operators.similarity import (
+        _cap_buckets,
+        auto_max_bucket,
+        classify_embeddings_against_corpus,
+        hyperplane_signatures,
+        recommended_n_planes,
+    )
+
+    n = corpus_emb.count()
+    planes = recommended_n_planes(n)
+    cap = auto_max_bucket(n, planes)
+    corp_sig = _cap_buckets(
+        hyperplane_signatures(corpus_emb, n_planes=planes), ["signature"], cap
+    ).persist()
+
+    def classify_fn(batch_df: DataFrame) -> DataFrame:
+        return classify_embeddings_against_corpus(
+            batch_df,
+            corpus_emb,
+            threshold=threshold,
+            n_planes=planes,
+            corpus_sig=corp_sig,
+        )
+
+    def release_fn() -> None:
+        corp_sig.unpersist(blocking=False)
+
+    return _versioned_drain(
+        stream_emb, out_path, checkpoint_path, classify_fn, release_fn
+    )

@@ -957,3 +957,58 @@ def test_streaming_distinct_sketch_matches_one_shot(spark, sf_small, tmp_path):
     }
     assert got == want
     assert len(got) > 0
+
+
+def test_streaming_embedding_verdicts_match_batch(spark, sf_small, tmp_path):
+    """The embedding tier of streaming ingest dedup (r9): vector feed
+    drained as micro-batches == one-shot batch classification — each
+    vector's verdict depends only on (vector, corpus), so feed
+    partitioning must not change a row; and the versioned log stays
+    equal (never doubled) across a same-lineage restart."""
+    from data_integration_pipelines_spark.operators.similarity import (
+        classify_embeddings_against_corpus,
+    )
+    from data_integration_pipelines_spark.streaming.ingest import (
+        read_staged_embeddings_stream,
+        streaming_embedding_verdicts,
+    )
+
+    emb = load_table(spark, sf_small, "embeddings")
+    corpus = emb.filter(F.col("vec_id") % 10 < 8)
+    batch_new = emb.filter(F.col("vec_id") % 10 >= 8)
+
+    staging = str(tmp_path / "staged")
+    out = str(tmp_path / "verdicts")
+    batch_new.filter(F.col("vec_id") % 20 >= 10).write.mode("overwrite").parquet(staging)
+    batch_new.filter(F.col("vec_id") % 20 < 10).write.mode("append").parquet(staging)
+
+    q = streaming_embedding_verdicts(
+        read_staged_embeddings_stream(spark, staging, max_files_per_trigger=1),
+        corpus,
+        out_path=out,
+        checkpoint_path=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(180)
+
+    def key(rows):
+        return {r.vec_id: (r.n_near, r.max_cosine_e4, r.verdict) for r in rows}
+
+    got = key(spark.read.parquet(out).collect())
+    want = key(
+        classify_embeddings_against_corpus(batch_new, corpus, threshold=0.35).collect()
+    )
+    assert got == want
+    assert len(got) == batch_new.count()
+    assert any(v[2] == "near_dup" for v in got.values()), "fixture must plant cross-split near-dups"
+
+    # same-lineage restart: completed batch_id partitions are skipped
+    q2 = streaming_embedding_verdicts(
+        read_staged_embeddings_stream(spark, staging, max_files_per_trigger=1),
+        corpus,
+        out_path=out,
+        checkpoint_path=str(tmp_path / "ckpt"),
+    )
+    q2.awaitTermination(180)
+    redelivered = spark.read.parquet(out)
+    assert redelivered.count() == batch_new.count()
+    assert key(redelivered.collect()) == want
