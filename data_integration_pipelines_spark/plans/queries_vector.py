@@ -395,22 +395,21 @@ def incremental_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE cosine_e4 >= 3500
     ORDER BY id_a, id_b
     """,
-    doc="The probed near-dup kernel with its BUCKET CAP engaged "
-    "(operators/similarity._cap_buckets, max_bucket=16 — BINDING at "
-    "the fixture: the two hottest signature buckets hold 19-20 of 500 "
-    "vectors and are dropped on both the probe and the exact side; "
-    "the oracle replicates the cap as a HAVING filter, "
-    "plans/lsh_oracle.capped_sig_cte). Why this is a first-class "
-    "query (r8): the probe's new candidate counts showed that on a "
-    "CLUSTERED embedding space width-adaptive sizing alone does not "
-    "hold candidate volume linear — heavy buckets are cluster cores "
-    "that grow with N (candidates 537x at 30x data; SCALE.md 1e). "
-    "The cap is the kernel's documented mitigation (degenerate "
-    "buckets lose candidate generation BY DESIGN; recall for "
-    "in-hot-bucket pairs is traded — run exact dedup first for "
-    "mass-duplicate handling, or SemDeDup for cluster-core dedup), "
-    "and this row pins its drop semantics cross-engine at a cap that "
-    "actually bites.",
+    doc="The probed near-dup kernel with a FIXED bucket cap "
+    "(operators/similarity._cap_buckets, max_bucket=16 pinned — "
+    "BINDING at the fixture: the two hottest signature buckets hold "
+    "19-20 of 500 vectors and are dropped on both the probe and the "
+    "exact side; the oracle replicates the cap as a HAVING filter, "
+    "plans/lsh_oracle.capped_sig_cte). Born r8 as the measured "
+    "mitigation for the clustered-space candidate blow-up (537x at "
+    "30x); since r9 the DEFAULT query carries the cap via the DYNAMIC "
+    "auto_max_bucket rule, which resolves to the same 16 under "
+    "recommended_n_planes sizing at any N — so at this fixture the "
+    "two rows coincide BY RULE, and this row's remaining job is the "
+    "cap-IMPLEMENTATION differential: it pins the fixed-constant "
+    "HAVING path against the dynamic cap_cte computation, so a drift "
+    "in auto_max_bucket or cap_cte on either engine side turns "
+    "exactly one of the two rows red.",
 )
 def embedding_near_dup_probed_capped_q(
     spark: SparkSession, sf_dir: str
