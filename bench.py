@@ -93,10 +93,16 @@ def main() -> None:
         time.sleep(45)
         load_start = loadavg()
         if load_start[0] > cpus / 4:
-            extra_passes = 2
+            # extra passes only on the DEFAULT pass count: an explicit
+            # SPARK_GRAFT_BENCH_PASSES is an operator instruction the
+            # harness must not silently triple
+            if "SPARK_GRAFT_BENCH_PASSES" not in os.environ:
+                extra_passes = 2
             print(
-                f"bench: still loaded ({load_start[0]:.2f}) — adding "
-                f"{extra_passes} extra passes",
+                f"bench: still loaded ({load_start[0]:.2f}) — "
+                + (f"adding {extra_passes} extra passes" if extra_passes
+                   else "pass count pinned by SPARK_GRAFT_BENCH_PASSES, "
+                        "reading will carry the load in its JSON fields"),
                 file=sys.stderr,
             )
     n_passes = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "3")) + extra_passes

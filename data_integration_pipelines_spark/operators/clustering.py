@@ -562,6 +562,18 @@ def auto_k(n_vectors: int, target_cluster_size: int = SEMDEDUP_TARGET_CLUSTER) -
 FLAT_ASSIGN_CELLS = 64_000_000
 
 
+def semdedup_route(
+    n: int, k: int, dim: int, flat_cells: int = FLAT_ASSIGN_CELLS
+) -> str:
+    """Which branch :func:`semdedup_assign` takes for a corpus of ``n``
+    ``dim``-dimensional vectors at ``k`` clusters — 'flat' (exact
+    full-corpus fit) or 'pivoted' (sample-fit + pivoted probing). ONE
+    definition shared by the operator and the scale probe's route
+    recorder (scripts/scale_probe._semdedup_route), so the recorded
+    route can never drift from the front door's actual decision."""
+    return "flat" if n * k * dim <= flat_cells else "pivoted"
+
+
 def semdedup_assign(
     df: DataFrame,
     k: int | str = "auto",
@@ -609,11 +621,16 @@ def semdedup_assign(
         raise ValueError("semdedup_assign on an empty DataFrame")
     dim = len(probe[0])
     kk = auto_k(n) if k == "auto" else int(k)
-    if n * kk * dim <= flat_cells:
+    if semdedup_route(n, kk, dim, flat_cells) == "flat":
         assigned, _ = kmeans_fit(df, id_col, vec_col, k=kk, iters=iters)
         return assigned.select("id", "qvec", "cluster")
     step = max(1, n // max(4096, 8 * kk))
-    sample = df.filter(F.pmod(F.xxhash64(F.col(id_col)), F.lit(step)) == 0)
+    # pooled-persist the sample: the seed guard's count and the fit's
+    # iterations otherwise each re-pay the full corpus scan + hash
+    # filter (ADVICE via r9 self-review)
+    sample = bounded_persist(
+        df.filter(F.pmod(F.xxhash64(F.col(id_col)), F.lit(step)) == 0)
+    )
     n_sample = sample.count()
     if n_sample < kk:
         raise ValueError(
@@ -897,7 +914,10 @@ def semdedup_keep(
 
     ``pairs`` lets a caller computing BOTH outputs (the funnel and the
     keep list) pay the applyInPandas gram kernel once —
-    :func:`semdedup_decisions` is that caller; default recomputes."""
+    :func:`semdedup_decisions` is that caller; default recomputes.
+    When ``pairs`` is supplied, ``threshold`` is DEAD — the pairs were
+    thresholded when built, and this function cannot re-check them;
+    pass the same threshold to both or the call site lies."""
     if pairs is None:
         pairs = semdedup_pairs(assigned, threshold)
     removed = pairs.select("cluster", F.col("id_b").alias("id")).distinct()
@@ -914,7 +934,8 @@ def semdedup_survivors(
     similarity threshold with it (the deterministic analogue of the
     paper's keep-one-per-duplicate-group). Returns per-cluster
     (cluster, n_members, n_removed, n_kept). ``pairs`` as in
-    :func:`semdedup_keep` (the shared-kernel path)."""
+    :func:`semdedup_keep` (the shared-kernel path; ``threshold`` is
+    dead when ``pairs`` is supplied)."""
     if pairs is None:
         pairs = semdedup_pairs(assigned, threshold)
     removed = pairs.select("cluster", F.col("id_b").alias("id")).distinct()
@@ -944,8 +965,6 @@ def semdedup_decisions(
     — the stratified_fraction_cut barrier precedent) and fed to both
     consumers; a pytest pins the single-kernel claim by counting
     semdedup_pairs invocations."""
-    from .cache import bounded_persist
-
     pairs = bounded_persist(semdedup_pairs(assigned, threshold))
     return (
         semdedup_keep(assigned, threshold, pairs=pairs),

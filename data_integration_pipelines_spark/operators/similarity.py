@@ -923,6 +923,65 @@ def signature_probes(sig: Column, n_planes: int, max_hamming: int = 1) -> Column
     return F.array(*probes)
 
 
+def _probe_exact_join(
+    probe_sig: DataFrame,
+    exact_sig: DataFrame,
+    n_planes: int,
+    left_name: str,
+    right_name: str,
+    max_hamming: int = 1,
+) -> DataFrame:
+    """Hamming<=``max_hamming`` candidate join between a probing side
+    and an exact-signature side — (left_name, right_name) id pairs.
+    ONE definition shared by the pair kernel (both sides the same
+    corpus) and the incremental classifier (new batch -> corpus), so
+    the probe semantics cannot drift between them. A matching pair
+    matches on exactly ONE probe (identity at Hamming 0, the flipped
+    position at Hamming 1), so no distinct is needed."""
+    probes = probe_sig.select(
+        F.col("id").alias(left_name),
+        F.explode(
+            signature_probes(F.col("signature"), n_planes, max_hamming)
+        ).alias("probe"),
+    )
+    exact = exact_sig.select(
+        F.col("id").alias(right_name), F.col("signature").alias("probe")
+    )
+    return probes.join(exact, "probe").select(left_name, right_name)
+
+
+def _cosine_e4_on_pairs(
+    cand: DataFrame,
+    left_src: DataFrame,
+    right_src: DataFrame,
+    left_key: str,
+    right_key: str,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Append the quantized exact cosine (``cosine_e4``) to an id-pair
+    candidate table — the verify stage every near-dup consumer shares
+    (pair kernel, incremental classifier), one definition so the
+    zip_with/aggregate dot and the e4 quantization cannot drift."""
+    va = left_src.select(
+        F.col(id_col).alias(left_key),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("va"),
+    )
+    vb = right_src.select(
+        F.col(id_col).alias(right_key),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("vb"),
+    )
+    dot = F.aggregate(
+        F.zip_with("va", "vb", lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
+    return (
+        cand.join(va, left_key)
+        .join(vb, right_key)
+        .withColumn("cosine_e4", e4(dot))
+        .drop("va", "vb")
+    )
+
+
 def probed_candidates(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -955,14 +1014,9 @@ def probed_candidates(
         max_bucket = auto_max_bucket(n, n_planes)
     sig = bounded_persist(hyperplane_signatures(df, id_col, vec_col, n_planes))
     sig = _cap_buckets(sig, ["signature"], max_bucket)
-    probes = sig.select(
-        F.col("id").alias("id_a"),
-        F.explode(
-            signature_probes(F.col("signature"), n_planes, max_hamming)
-        ).alias("probe"),
+    return _probe_exact_join(sig, sig, n_planes, "id_a", "id_b", max_hamming).filter(
+        F.col("id_a") < F.col("id_b")
     )
-    exact = sig.select(F.col("id").alias("id_b"), F.col("signature").alias("probe"))
-    return probes.join(exact, "probe").filter(F.col("id_a") < F.col("id_b"))
 
 
 def embedding_near_dup_probed(
@@ -1009,19 +1063,8 @@ def embedding_near_dup_probed(
     cand = probed_candidates(
         df, id_col, vec_col, n_planes, max_hamming, max_bucket
     )
-    vecs = df.select(
-        F.col(id_col).alias("vid"),
-        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
-    )
-    va = vecs.select(F.col("vid").alias("id_a"), F.col("v").alias("va"))
-    vb = vecs.select(F.col("vid").alias("id_b"), F.col("v").alias("vb"))
-    dot = F.aggregate(
-        F.zip_with("va", "vb", lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
-    )
     return (
-        cand.join(va, "id_a")
-        .join(vb, "id_b")
-        .withColumn("cosine_e4", e4(dot))
+        _cosine_e4_on_pairs(cand, df, df, "id_a", "id_b", id_col, vec_col)
         .filter(F.col("cosine_e4") >= int(round(threshold * 10000)))
         .select("id_a", "id_b", "cosine_e4")
     )
@@ -1062,6 +1105,10 @@ def classify_embeddings_against_corpus(
     (streaming/ingest.streaming_embedding_verdicts) can pin the index
     once across micro-batches instead of re-signaturing the corpus per
     batch; ``n_planes`` must then be the width it was built at."""
+    if isinstance(max_bucket, str) and max_bucket != "auto":
+        raise ValueError(
+            f"max_bucket must be 'auto', an int, or None; got {max_bucket!r}"
+        )
     if corpus_sig is not None:
         if n_planes is None:
             raise ValueError(
@@ -1081,31 +1128,11 @@ def classify_embeddings_against_corpus(
         )
         corp_sig = _cap_buckets(corp_sig, ["signature"], max_bucket)
     new_sig = hyperplane_signatures(new_df, id_col, vec_col, n_planes)
-    probes = new_sig.select(
-        F.col("id").alias("new_id"),
-        F.explode(
-            signature_probes(F.col("signature"), n_planes, 1)
-        ).alias("probe"),
-    )
-    exact = corp_sig.select(
-        F.col("id").alias("old_id"), F.col("signature").alias("probe")
-    )
-    cand = probes.join(exact, "probe").select("new_id", "old_id")
-    vn = new_df.select(
-        F.col(id_col).alias("new_id"),
-        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("va"),
-    )
-    vo = corpus_df.select(
-        F.col(id_col).alias("old_id"),
-        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("vb"),
-    )
-    dot = F.aggregate(
-        F.zip_with("va", "vb", lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
-    )
+    cand = _probe_exact_join(new_sig, corp_sig, n_planes, "new_id", "old_id")
     near = (
-        cand.join(vn, "new_id")
-        .join(vo, "old_id")
-        .withColumn("cosine_e4", e4(dot))
+        _cosine_e4_on_pairs(
+            cand, new_df, corpus_df, "new_id", "old_id", id_col, vec_col
+        )
         .filter(F.col("cosine_e4") >= int(round(threshold * 10000)))
         .groupBy("new_id")
         .agg(

@@ -245,17 +245,22 @@ def streaming_embedding_verdicts(
         recommended_n_planes,
     )
 
-    n = corpus_emb.count()
+    # pin BOTH staged corpus sides across micro-batches (the text
+    # tier's corpus_fp/corpus_sh precedent): the signature table feeds
+    # the candidate join, and the raw vectors feed the per-batch cosine
+    # verify — unpinned, every batch re-pays a full corpus scan + cast
+    corpus_pinned = corpus_emb.persist()
+    n = corpus_pinned.count()
     planes = recommended_n_planes(n)
     cap = auto_max_bucket(n, planes)
     corp_sig = _cap_buckets(
-        hyperplane_signatures(corpus_emb, n_planes=planes), ["signature"], cap
+        hyperplane_signatures(corpus_pinned, n_planes=planes), ["signature"], cap
     ).persist()
 
     def classify_fn(batch_df: DataFrame) -> DataFrame:
         return classify_embeddings_against_corpus(
             batch_df,
-            corpus_emb,
+            corpus_pinned,
             threshold=threshold,
             n_planes=planes,
             corpus_sig=corp_sig,
@@ -263,6 +268,7 @@ def streaming_embedding_verdicts(
 
     def release_fn() -> None:
         corp_sig.unpersist(blocking=False)
+        corpus_pinned.unpersist(blocking=False)
 
     return _versioned_drain(
         stream_emb, out_path, checkpoint_path, classify_fn, release_fn

@@ -364,6 +364,13 @@ def _massdup_tables(spark, sf_dir: str):
                 *[c for c in emb.columns if c != "vec_id"])
     )
     lo_doc = docs.filter(F.col("doc_id") == lo_v)
+    if not lo_doc.take(1):
+        raise ValueError(
+            f"_massdup_tables: no document with doc_id == min vec_id "
+            f"({lo_v}) — on a fixture with disjoint doc/vec id domains "
+            "the composition would drop the pile by JOIN OMISSION and "
+            "the probe would certify nothing about exact-dedup recovery"
+        )
     copies_d = (
         lo_doc.crossJoin(spark.range(m).select(F.col("id").alias("__c")))
         .select((F.lit(off) + F.col("__c")).alias("doc_id"), "text")
@@ -531,15 +538,16 @@ def _semdedup_route(spark, sf_dir: str) -> str:
     Recomputes the front door's own decision inputs (one count + one
     1-row dim probe) without running the clustering."""
     from data_integration_pipelines_spark.operators.clustering import (
-        FLAT_ASSIGN_CELLS,
         auto_k,
+        semdedup_route,
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
     n = emb.count()
     dim = len(emb.select("embedding").first()[0])
-    kk = auto_k(n)
-    return "flat" if n * kk * dim <= FLAT_ASSIGN_CELLS else "pivoted"
+    # semdedup_route IS the front door's own predicate (one shared
+    # definition) — the recorded route cannot drift from the decision
+    return semdedup_route(n, auto_k(n), dim)
 
 
 # extra per-scale metadata recorded next to the counts: query name ->
