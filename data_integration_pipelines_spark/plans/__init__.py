@@ -43,6 +43,10 @@ _RISK_ORDER = [
     # the stratified NULL guard (plan change, same fixture output),
     # the quantile 'null' oracle branch, the shared-kernel SemDeDup
     # refactor (pairs param; same outputs)
+    # newest first: the boilerplate segment family (NEW mid-r9, never
+    # driver-compared), then the rest of the r9-changed head
+    "boilerplate_removal",
+    "boilerplate_segments",
     "exact_then_near_dup",
     "embedding_near_dup_probed_uncapped",
     "incremental_embedding_dedup",

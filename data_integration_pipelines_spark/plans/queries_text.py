@@ -1201,3 +1201,93 @@ def bpe_encode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(ws_tokens(F.col("text"))).alias("n_ws_tokens"),
         F.md5(F.array_join("bpe_tokens", " ")).alias("tokens_md5"),
     ).orderBy("doc_id")
+
+
+_SEG_CTE = r"""
+    toks AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+        FROM documents
+    ),
+    seg AS (
+        SELECT doc_id, (i-1)//6 AS seg_id,
+               string_agg(t[i], ' ' ORDER BY i) AS seg
+        FROM toks, LATERAL (SELECT unnest(range(1, len(t)+1)) AS i)
+        GROUP BY doc_id, (i-1)//6
+    )
+"""
+
+
+@register(
+    "boilerplate_segments",
+    f"""
+    WITH {_SEG_CTE}
+    SELECT seg, CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+    FROM seg GROUP BY seg HAVING COUNT(*) >= 3
+    ORDER BY n_occurrences DESC, seg
+    """,
+    doc="Corpus-frequency boilerplate REPORT (CCNet-style line dedup, "
+    "detection half): documents split into non-overlapping 6-token "
+    "segments (the line surrogate on the single-line fixture — the "
+    "segmenter is one split('\\n') swap on real multi-line corpora), "
+    "total-occurrence counts over the whole corpus, every segment at "
+    "or above min_df=3 reported with its occurrence and distinct-doc "
+    "counts. Plan: per-row transform segmentation (no shuffle), one "
+    "groupBy keyed on xxhash64(seg) — collision-proofed by grouping "
+    "(hash, text) — with map-side partial agg; output bounded by "
+    "total_segments/min_df. 28 segments / 105 occurrences at sf0.01.",
+)
+def boilerplate_segments_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.boilerplate import doc_segments, segment_frequency_table
+
+    segs = doc_segments(_docs(spark, sf_dir), seg_tokens=6)
+    return segment_frequency_table(segs, min_df=3).orderBy(
+        F.desc("n_occurrences"), "seg"
+    )
+
+
+@register(
+    "boilerplate_removal",
+    f"""
+    WITH {_SEG_CTE},
+    heavy AS (
+        SELECT seg FROM seg GROUP BY seg HAVING COUNT(*) >= 3
+    ),
+    kept AS (
+        SELECT s.doc_id, s.seg_id, s.seg
+        FROM seg s LEFT JOIN heavy h ON s.seg = h.seg
+        WHERE h.seg IS NULL
+    ),
+    agg AS (
+        SELECT doc_id, COUNT(*) AS n_kept,
+               md5(string_agg(seg, ' ' ORDER BY seg_id)) AS cleaned_md5
+        FROM kept GROUP BY doc_id
+    ),
+    tot AS (
+        SELECT doc_id, COUNT(*) AS n_segments FROM seg GROUP BY doc_id
+    )
+    SELECT t.doc_id, CAST(t.n_segments AS BIGINT) AS n_segments,
+           CAST(t.n_segments - COALESCE(a.n_kept, 0) AS BIGINT) AS n_removed,
+           COALESCE(a.cleaned_md5, md5('')) AS cleaned_md5
+    FROM tot t LEFT JOIN agg a USING (doc_id)
+    ORDER BY t.doc_id
+    """,
+    doc="Corpus-frequency boilerplate REMOVAL (CCNet-style line dedup, "
+    "the applied transformation): every 6-token segment whose corpus "
+    "occurrence count reaches min_df=3 is dropped WHOLE — the "
+    "line-level decision web pipelines apply to nav bars and cookie "
+    "banners, distinct from the span-level Lee-et-al. removal "
+    "(exact_substring_removal: any df>1 window, partial-token cover). "
+    "The oracle certifies the RESULT: per-doc segment/removed counts "
+    "plus an md5 of the cleaned order-preserved text. Plan: the heavy "
+    "set is bounded by total_segments/min_df, so the decision join is "
+    "an unhinted left_anti AQE sides at runtime (never a corpus-sized "
+    "broadcast hint); reassembly is one per-doc sort-by-position fold. "
+    "68 docs touched at sf0.01 — detection and removal non-vacuous.",
+)
+def boilerplate_removal_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.boilerplate import remove_boilerplate_segments
+
+    return remove_boilerplate_segments(
+        _docs(spark, sf_dir), seg_tokens=6, min_df=3
+    ).orderBy("doc_id")

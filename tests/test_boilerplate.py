@@ -1,0 +1,142 @@
+"""Boilerplate segment removal (operators/boilerplate.py): semantics
+beyond the oracle hash — segmentation partition laws, whole-unit
+removal, conservation, and the degenerate/edge documents the fixture
+doesn't exercise."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_integration_pipelines_spark.operators.boilerplate import (
+    doc_segments,
+    remove_boilerplate_segments,
+    segment_frequency_table,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def test_segmentation_is_a_partition(spark):
+    """Segments tile the token stream: non-overlapping, order-preserved,
+    final partial segment kept, rejoining reproduces the token stream."""
+    rows = [
+        (1, "a b c d e f g h i j k l m"),  # 13 tokens -> 6+6+1
+        (2, "a b c"),  # shorter than one segment
+        (3, "x y z x y z"),  # exactly one segment
+    ]
+    segs = doc_segments(_docs(spark, rows), seg_tokens=6).collect()
+    by_doc: dict[int, list] = {}
+    for r in segs:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert [len(by_doc[d]) for d in (1, 2, 3)] == [3, 1, 1]
+    for doc_id, text in rows:
+        parts = sorted(by_doc[doc_id], key=lambda r: r.seg_id)
+        assert [p.seg_id for p in parts] == list(range(len(parts)))
+        assert " ".join(p.seg for p in parts) == text
+
+
+def test_removal_is_whole_segment_and_conserving(spark):
+    """A heavy segment disappears WHOLE everywhere it occurs (including
+    within-doc repeats); counts conserve; untouched docs keep their
+    exact text digest."""
+    boiler = "the cookie banner text here now"  # 6 tokens
+    rows = [
+        (1, f"{boiler} unique one two three four five"),
+        (2, f"{boiler} other words in this document here"),
+        # within-doc repeat: two aligned occurrences in one doc
+        (3, f"{boiler} {boiler}"),
+        (4, "entirely unique text nothing shared at all"),
+    ]
+    out = {
+        r.doc_id: r
+        for r in remove_boilerplate_segments(
+            _docs(spark, rows), seg_tokens=6, min_df=3
+        ).collect()
+    }
+    assert out[1].n_segments == 2 and out[1].n_removed == 1
+    assert out[2].n_segments == 2 and out[2].n_removed == 1
+    assert out[3].n_segments == 2 and out[3].n_removed == 2
+    assert out[4].n_segments == 2 and out[4].n_removed == 0
+    # doc 3 fully emptied -> digest of empty string
+    assert out[3].cleaned_md5 == hashlib.md5(b"").hexdigest()
+    # doc 4 untouched -> digest of its canonical (space-joined) text
+    assert out[4].cleaned_md5 == hashlib.md5(rows[3][1].encode()).hexdigest()
+    # doc 1 keeps exactly the non-boilerplate remainder
+    assert (
+        out[1].cleaned_md5
+        == hashlib.md5(b"unique one two three four five").hexdigest()
+    )
+
+
+def test_below_threshold_segments_survive(spark):
+    """df=2 < min_df=3: nothing is removed — this is the line that
+    separates boilerplate removal from exact_substring_removal's df>1
+    span rule."""
+    shared = "one two three four five six"
+    rows = [(1, f"{shared} a b c d e f"), (2, f"{shared} g h i j k l")]
+    out = remove_boilerplate_segments(
+        _docs(spark, rows), seg_tokens=6, min_df=3
+    ).collect()
+    assert all(r.n_removed == 0 for r in out)
+
+
+def test_frequency_table_counts_occurrences_and_docs(spark):
+    boiler = "the cookie banner text here now"
+    rows = [
+        (1, f"{boiler} unique one two three four five"),
+        (2, f"{boiler} {boiler}"),
+    ]
+    segs = doc_segments(_docs(spark, rows), seg_tokens=6)
+    freq = {
+        r.seg: r
+        for r in segment_frequency_table(segs, min_df=3).collect()
+    }
+    assert list(freq) == [boiler]
+    assert freq[boiler].n_occurrences == 3
+    assert freq[boiler].n_docs == 2
+
+
+def test_min_df_below_two_rejected(spark):
+    with pytest.raises(ValueError, match="min_df"):
+        remove_boilerplate_segments(
+            _docs(spark, [(1, "a b")]), seg_tokens=6, min_df=1
+        )
+
+
+def test_misaligned_repeat_not_removed(spark):
+    """The same 6 words at a different SEGMENT ALIGNMENT are a different
+    segment — the whole-line decision is positional, exactly like real
+    line dedup (a nav bar mid-sentence is not a line)."""
+    boiler = "the cookie banner text here now"
+    rows = [
+        (1, f"{boiler} tail words pad pad pad pad"),
+        (2, f"{boiler} tail words pad pad pad pad"),
+        (3, f"shift {boiler} words pad pad pad pad"),  # off by one token
+    ]
+    out = {
+        r.doc_id: r.n_removed
+        for r in remove_boilerplate_segments(
+            _docs(spark, rows), seg_tokens=6, min_df=2
+        ).collect()
+    }
+    # docs 1/2 share both aligned segments (df=2 each); doc 3's shifted
+    # copy aligns differently and survives
+    assert out[1] == 2 and out[2] == 2 and out[3] == 0
+
+
+def test_fixture_non_vacuous(spark, sf_medium):
+    """sf0.01 exercises detection AND removal (28 heavy segments, 68
+    docs touched — pinned in the registry docstrings)."""
+    from data_integration_pipelines_spark.plans import REGISTRY
+
+    freq = REGISTRY["boilerplate_segments"].fn(spark, sf_medium)
+    assert freq.count() == 28
+    removal = REGISTRY["boilerplate_removal"].fn(spark, sf_medium)
+    touched = removal.filter(F.col("n_removed") > 0).count()
+    assert touched == 68
+    assert removal.count() == 500  # one row per document, always

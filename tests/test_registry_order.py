@@ -22,6 +22,8 @@ from data_integration_pipelines_spark.plans import _RISK_ORDER, REGISTRY
 # by the r9 rotation slice (ten r2-stable text-dedup queries).
 _NEVER_DRIVER_VERIFIED = {
     # new in r9
+    "boilerplate_removal",
+    "boilerplate_segments",
     "exact_then_near_dup",
     "embedding_near_dup_probed_uncapped",
     "incremental_embedding_dedup",
