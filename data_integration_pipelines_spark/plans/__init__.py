@@ -43,8 +43,12 @@ _RISK_ORDER = [
     # the stratified NULL guard (plan change, same fixture output),
     # the quantile 'null' oracle branch, the shared-kernel SemDeDup
     # refactor (pairs param; same outputs)
-    # newest first: the boilerplate segment family (NEW mid-r9, never
-    # driver-compared), then the rest of the r9-changed head
+    # newest first: the DSIR importance-resampling family and the
+    # boilerplate segment family (NEW mid-r9, never driver-compared),
+    # then the rest of the r9-changed head
+    "dsir_resample_topk",
+    "dsir_importance_scores",
+    "dsir_bucket_model",
     "boilerplate_removal",
     "boilerplate_segments",
     "exact_then_near_dup",

@@ -1985,3 +1985,139 @@ def drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --- DSIR importance resampling (operators/dsir.py) -----------------
+
+_DSIR_PRED = "lang = 'en'"
+_DSIR_B = 64
+
+_DSIR_MODEL_CTE = rf"""
+    occ AS (
+        SELECT doc_id, ({_DSIR_PRED}) AS is_tgt,
+               (('0x' || substr(md5(tok), 1, 4))::INT % {_DSIR_B}) AS bucket
+        FROM (
+            SELECT doc_id, lang,
+                   unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+            FROM documents
+        )
+    ),
+    tot AS (
+        SELECT COUNT(*) AS st,
+               SUM(CASE WHEN is_tgt THEN 1 ELSE 0 END) AS tt
+        FROM occ
+    ),
+    model AS (
+        SELECT bucket,
+               CAST(SUM(CASE WHEN is_tgt THEN 1 ELSE 0 END) AS BIGINT) AS n_target,
+               CAST(COUNT(*) AS BIGINT) AS n_source,
+               {quantized_sql(
+                   "ln(((SUM(CASE WHEN is_tgt THEN 1 ELSE 0 END) + 1.0)"
+                   f" * (ANY_VALUE(st) + {float(_DSIR_B)}))"
+                   " / ((COUNT(*) + 1.0)"
+                   f" * (ANY_VALUE(tt) + {float(_DSIR_B)})))"
+               )} AS logratio_e4
+        FROM occ, tot
+        GROUP BY bucket
+    )
+"""
+
+
+def _dsir_model_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dsir import dsir_bucket_model
+
+    docs = _docs(spark, sf_dir)
+    return dsir_bucket_model(
+        docs, F.col("lang") == "en", n_buckets=_DSIR_B
+    )
+
+
+@register(
+    "dsir_bucket_model",
+    f"""
+    WITH {_DSIR_MODEL_CTE}
+    SELECT bucket, n_target, n_source, logratio_e4
+    FROM model ORDER BY bucket
+    """,
+    doc="DSIR importance model (Xie et al. 2023, hashed-unigram "
+    "variant): token occurrences hash into 64 md5-domain buckets; "
+    "per-bucket add-one-smoothed log-ratio of the TARGET distribution "
+    "(lang='en' docs) over the full SOURCE corpus, e4-quantized ONCE "
+    "so downstream document scores are exact integer sums (ln is the "
+    "only transcendental — the BM25/tf-idf oracle precedent). The "
+    "model is n_buckets rows BY CONSTRUCTION regardless of corpus "
+    "size — the 100 TB fit is one partial-agg'd groupBy plus a "
+    "64-row broadcast.",
+)
+def dsir_bucket_model_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _dsir_model_df(spark, sf_dir).orderBy("bucket")
+
+
+@register(
+    "dsir_importance_scores",
+    f"""
+    WITH {_DSIR_MODEL_CTE},
+    scores AS (
+        SELECT o.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+               CAST(SUM(m.logratio_e4) AS BIGINT) AS score_e4
+        FROM occ o JOIN model m USING (bucket)
+        GROUP BY o.doc_id
+    )
+    SELECT doc_id, n_tokens, score_e4 FROM scores ORDER BY doc_id
+    """,
+    doc="Per-document DSIR importance score: exact integer sum of the "
+    "64-bucket model's e4 log-ratios over the doc's token occurrences "
+    "— positive means 'looks more like the target domain than the "
+    "corpus average'. Plan: token explode (linear, no shuffle) -> "
+    "explicit F.broadcast join against the 64-row model (bounded by "
+    "construction — the decontaminate fixed-bitmap precedent) -> one "
+    "groupBy(doc_id) integer sum. Order-independent and "
+    "overflow-safe: the summands are e4 BIGINTs, never doubles.",
+)
+def dsir_importance_scores_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dsir import dsir_scores
+
+    docs = _docs(spark, sf_dir)
+    model = _dsir_model_df(spark, sf_dir)
+    return dsir_scores(docs, model, n_buckets=_DSIR_B).orderBy("doc_id")
+
+
+_DSIR_GUMBEL_SQL = quantized_sql(
+    "-ln(-ln(((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT)"
+    " + 1.0) / 4294967297.0))"
+)
+
+
+@register(
+    "dsir_resample_topk",
+    f"""
+    WITH {_DSIR_MODEL_CTE},
+    scores AS (
+        SELECT o.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+               CAST(SUM(m.logratio_e4) AS BIGINT) AS score_e4
+        FROM occ o JOIN model m USING (bucket)
+        GROUP BY o.doc_id
+    )
+    SELECT doc_id, n_tokens, score_e4,
+           CAST(score_e4 + {_DSIR_GUMBEL_SQL} AS BIGINT) AS sample_key_e4
+    FROM scores
+    ORDER BY sample_key_e4 DESC, doc_id
+    LIMIT 100
+    """,
+    doc="DSIR Gumbel-top-k importance RESAMPLE — the selection DSIR "
+    "actually ships (resampling under the tilted distribution, not a "
+    "mode-collapsed plain top-k): sample key = score_e4 + e4(Gumbel) "
+    "with the Gumbel draw derived deterministically from md5(doc_id) "
+    "(u in (0,1) from the first 8 hex chars, g = -ln(-ln u)) so the "
+    "'random' sample is reproducible in the oracle. Noise and score "
+    "share the e4-nat scale, the Gumbel-max trick's requirement. "
+    "orderBy+limit plans as TakeOrdered: per-partition heaps, never "
+    "a full sort — top-k of 10B docs is safe.",
+)
+def dsir_resample_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dsir import dsir_resample, dsir_scores
+
+    docs = _docs(spark, sf_dir)
+    model = _dsir_model_df(spark, sf_dir)
+    scored = dsir_scores(docs, model, n_buckets=_DSIR_B)
+    return dsir_resample(scored, k=100)

@@ -1,0 +1,119 @@
+"""DSIR importance resampling (operators/dsir.py): model-fit laws,
+score semantics, and resample determinism beyond the oracle hash."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_integration_pipelines_spark.operators.dsir import (
+    dsir_bucket_model,
+    dsir_resample,
+    dsir_scores,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id bigint, text string, lang string")
+
+
+@pytest.fixture(scope="module")
+def tiny(spark):
+    rows = [
+        (1, "alpha beta alpha beta alpha", "en"),
+        (2, "alpha beta gamma delta", "en"),
+        (3, "gamma delta gamma delta epsilon", "de"),
+        (4, "epsilon zeta eta theta", "de"),
+    ]
+    docs = _docs(spark, rows)
+    model = dsir_bucket_model(docs, F.col("lang") == "en", n_buckets=8)
+    return docs, model
+
+
+def test_model_totals_and_bounds(tiny):
+    """Source counts cover every token occurrence; target counts are a
+    subset; the model never exceeds n_buckets rows."""
+    docs, model = tiny
+    rows = model.collect()
+    assert len(rows) <= 8
+    assert sum(r.n_source for r in rows) == 18  # total occurrences
+    assert sum(r.n_target for r in rows) == 9  # en occurrences
+    assert all(0 <= r.n_target <= r.n_source for r in rows)
+
+
+def test_logratio_matches_reference_formula(tiny):
+    """Each bucket's e4 log-ratio equals the add-one-smoothed formula
+    computed independently in Python (same IEEE ops)."""
+    docs, model = tiny
+    st, tt, b = 18.0, 9.0, 8
+    for r in model.collect():
+        lr = math.log(
+            ((r.n_target + 1.0) * (st + 1.0 * b))  # st + alpha*B
+            / ((r.n_source + 1.0) * (tt + 1.0 * b))
+        )
+        expect = int(math.copysign(math.floor(abs(lr) * 10000 + 0.5), lr))
+        assert r.logratio_e4 == expect, r
+
+
+def test_scores_are_exact_bucket_sums(tiny):
+    """A document's score is exactly the sum of its occurrences'
+    bucket log-ratios — verified doc-by-doc against the model."""
+    docs, model = tiny
+    lut = {r.bucket: r.logratio_e4 for r in model.collect()}
+    from data_integration_pipelines_spark.operators.dsir import (
+        token_bucket_col,
+    )
+    from data_integration_pipelines_spark.functions.text import ws_tokens
+
+    occ = docs.select(
+        "doc_id", F.explode(ws_tokens(F.col("text"))).alias("tok")
+    ).select("doc_id", token_bucket_col(F.col("tok"), 8).alias("bucket"))
+    expected: dict[int, int] = {}
+    for r in occ.collect():
+        expected[r.doc_id] = expected.get(r.doc_id, 0) + lut[r.bucket]
+    got = {
+        r.doc_id: r.score_e4
+        for r in dsir_scores(docs, model, n_buckets=8).collect()
+    }
+    assert got == expected
+
+
+def test_target_docs_score_higher_on_average(tiny):
+    """The tilt points the right way: mean score of target-domain docs
+    exceeds mean score of the rest (the whole point of DSIR)."""
+    docs, model = tiny
+    scores = {
+        r.doc_id: r.score_e4
+        for r in dsir_scores(docs, model, n_buckets=8).collect()
+    }
+    en = (scores[1] + scores[2]) / 2
+    de = (scores[3] + scores[4]) / 2
+    assert en > de, scores
+
+
+def test_resample_deterministic_and_keyed(tiny):
+    """Same inputs -> identical sample, twice in one session; keys are
+    score + Gumbel and the output respects the key order."""
+    docs, model = tiny
+    scored = dsir_scores(docs, model, n_buckets=8)
+    a = dsir_resample(scored, k=3).collect()
+    b = dsir_resample(scored, k=3).collect()
+    assert [r.doc_id for r in a] == [r.doc_id for r in b]
+    keys = [r.sample_key_e4 for r in a]
+    assert keys == sorted(keys, reverse=True)
+    assert len(a) == 3
+    # noise actually perturbs: at least one key differs from its score
+    assert any(r.sample_key_e4 != r.score_e4 for r in a)
+
+
+def test_fixture_model_is_64_rows_and_scores_cover_corpus(spark, sf_medium):
+    from data_integration_pipelines_spark.plans import REGISTRY
+
+    model = REGISTRY["dsir_bucket_model"].fn(spark, sf_medium)
+    assert model.count() <= 64
+    scores = REGISTRY["dsir_importance_scores"].fn(spark, sf_medium)
+    assert scores.count() == 500  # every doc scored
+    sample = REGISTRY["dsir_resample_topk"].fn(spark, sf_medium)
+    assert sample.count() == 100

@@ -22,6 +22,9 @@ from data_integration_pipelines_spark.plans import _RISK_ORDER, REGISTRY
 # by the r9 rotation slice (ten r2-stable text-dedup queries).
 _NEVER_DRIVER_VERIFIED = {
     # new in r9
+    "dsir_resample_topk",
+    "dsir_importance_scores",
+    "dsir_bucket_model",
     "boilerplate_removal",
     "boilerplate_segments",
     "exact_then_near_dup",
