@@ -45,6 +45,9 @@ __all__ = [
     "heavy_segment_hashes",
     "segment_frequency_table",
     "remove_boilerplate_segments",
+    "segment_frequency_state",
+    "merge_frequency_states",
+    "remove_boilerplate_incremental",
 ]
 
 
@@ -151,6 +154,16 @@ def remove_boilerplate_segments(
         ).withColumn("__h", F.xxhash64("seg"))
     )
     heavy = heavy_segment_hashes(segs, min_df=min_df)
+    return _removal_decisions(segs, heavy, id_col=id_col)
+
+
+def _removal_decisions(
+    segs: DataFrame, heavy: DataFrame, *, id_col: str
+) -> DataFrame:
+    """Shared removal tail: anti-join the heavy set, reassemble kept
+    segments per doc (sort by position, digest), emit one row per
+    input document. ``segs`` must carry ``(id_col, seg_id, seg, __h)``;
+    ``heavy`` is the single-column ``__h`` decision set."""
     kept = segs.join(heavy, "__h", "left_anti")
     cleaned = kept.groupBy(id_col).agg(
         F.count("*").alias("__n_kept"),
@@ -176,3 +189,66 @@ def remove_boilerplate_segments(
             F.coalesce("cleaned_md5", F.md5(F.lit(""))).alias("cleaned_md5"),
         )
     )
+
+
+def segment_frequency_state(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seg_tokens: int = 6,
+) -> DataFrame:
+    """Mergeable frequency partial for the INCREMENTAL tier: the
+    ``(__h, n)`` segment-count table of one corpus slice. Additive —
+    the state a standing pipeline persists and folds batch deltas
+    into (the operators/incremental partial_state convention)."""
+    return (
+        doc_segments(docs, text_col=text_col, id_col=id_col, seg_tokens=seg_tokens)
+        .groupBy(F.xxhash64("seg").alias("__h"))
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def merge_frequency_states(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Fold two frequency partials: union + re-sum. Exactly associative
+    and commutative (integer counts), so folded == one-shot whatever
+    the batch arrival order."""
+    return a.unionByName(b).groupBy("__h").agg(F.sum("n").alias("n"))
+
+
+def remove_boilerplate_incremental(
+    new_docs: DataFrame,
+    corpus_state: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seg_tokens: int = 6,
+    min_df: int = 3,
+) -> DataFrame:
+    """Daily-batch boilerplate removal against a standing corpus:
+    decisions for the NEW documents only, using frequencies merged
+    from the persisted ``corpus_state`` and the batch's own delta
+    (the batch contributes to corpus frequency the moment it lands —
+    one-shot parity requires counting it).
+
+    The batch side is ingest-sized; the corpus is touched only through
+    its (already aggregated, hash-keyed) frequency state — never
+    re-segmented — which is what makes continuous line-dedup
+    affordable where a full-corpus recount per batch is not.
+    """
+    from .cache import bounded_persist
+
+    if min_df < 2:
+        raise ValueError(
+            f"min_df={min_df} would remove every segment (each occurs "
+            "at least once) — boilerplate thresholds start at 2"
+        )
+    segs_new = bounded_persist(
+        doc_segments(
+            new_docs, text_col=text_col, id_col=id_col, seg_tokens=seg_tokens
+        ).withColumn("__h", F.xxhash64("seg"))
+    )
+    batch_state = segs_new.groupBy("__h").agg(F.count("*").alias("n"))
+    merged = merge_frequency_states(corpus_state, batch_state)
+    heavy = merged.filter(F.col("n") >= min_df).select("__h")
+    return _removal_decisions(segs_new, heavy, id_col=id_col)

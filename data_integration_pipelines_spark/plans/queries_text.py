@@ -1291,3 +1291,62 @@ def boilerplate_removal_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return remove_boilerplate_segments(
         _docs(spark, sf_dir), seg_tokens=6, min_df=3
     ).orderBy("doc_id")
+
+
+@register(
+    "incremental_boilerplate",
+    f"""
+    WITH {_SEG_CTE},
+    heavy AS (
+        SELECT seg FROM seg GROUP BY seg HAVING COUNT(*) >= 3
+    ),
+    newseg AS (
+        SELECT * FROM seg WHERE doc_id % 10 >= 8
+    ),
+    kept AS (
+        SELECT s.doc_id, s.seg_id, s.seg
+        FROM newseg s LEFT JOIN heavy h ON s.seg = h.seg
+        WHERE h.seg IS NULL
+    ),
+    agg AS (
+        SELECT doc_id, COUNT(*) AS n_kept,
+               md5(string_agg(seg, ' ' ORDER BY seg_id)) AS cleaned_md5
+        FROM kept GROUP BY doc_id
+    ),
+    tot AS (
+        SELECT doc_id, COUNT(*) AS n_segments FROM newseg GROUP BY doc_id
+    )
+    SELECT t.doc_id, CAST(t.n_segments AS BIGINT) AS n_segments,
+           CAST(t.n_segments - COALESCE(a.n_kept, 0) AS BIGINT) AS n_removed,
+           COALESCE(a.cleaned_md5, md5('')) AS cleaned_md5
+    FROM tot t LEFT JOIN agg a USING (doc_id)
+    ORDER BY t.doc_id
+    """,
+    doc="Incremental boilerplate removal — the daily-batch flow of the "
+    "line-dedup stage: the standing corpus (doc_id%10<8) is touched "
+    "only through its PERSISTED hash-keyed segment-frequency state "
+    "(operators/boilerplate.segment_frequency_state), the ingest batch "
+    "(doc_id%10>=8) folds its own delta in (additive integer counts — "
+    "folded == one-shot exactly, the incremental-tier invariant), and "
+    "removal decisions are emitted for the NEW docs only. The oracle "
+    "is the ONE-SHOT recount over the union restricted to batch docs, "
+    "so the green row certifies fold==recount end-to-end. Corpus cost "
+    "per batch is state-sized (distinct segments), never a re-scan — "
+    "what makes continuous line-dedup affordable on a 100 TB corpus.",
+)
+def incremental_boilerplate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.boilerplate import (
+        remove_boilerplate_incremental,
+        segment_frequency_state,
+    )
+
+    docs = _docs(spark, sf_dir)
+    corpus_state = segment_frequency_state(
+        docs.filter(F.col("doc_id") % 10 < 8), seg_tokens=6
+    )
+    return remove_boilerplate_incremental(
+        docs.filter(F.col("doc_id") % 10 >= 8),
+        corpus_state,
+        seg_tokens=6,
+        min_df=3,
+    ).orderBy("doc_id")

@@ -140,3 +140,45 @@ def test_fixture_non_vacuous(spark, sf_medium):
     touched = removal.filter(F.col("n_removed") > 0).count()
     assert touched == 68
     assert removal.count() == 500  # one row per document, always
+
+
+def test_incremental_fold_equals_one_shot(spark, sf_medium):
+    """The incremental tier's invariant: frequency state folded over
+    THREE arbitrary batches equals the one-shot state exactly, and
+    batch decisions against the folded state equal the full-recount
+    decisions restricted to the batch."""
+    from data_integration_pipelines_spark.catalog import load_table
+    from data_integration_pipelines_spark.operators.boilerplate import (
+        merge_frequency_states,
+        remove_boilerplate_incremental,
+        remove_boilerplate_segments,
+        segment_frequency_state,
+    )
+
+    docs = load_table(spark, sf_medium, "documents")
+    b0 = docs.filter(F.col("doc_id") % 3 == 0)
+    b1 = docs.filter(F.col("doc_id") % 3 == 1)
+    b2 = docs.filter(F.col("doc_id") % 3 == 2)
+    folded = merge_frequency_states(
+        merge_frequency_states(
+            segment_frequency_state(b0), segment_frequency_state(b1)
+        ),
+        segment_frequency_state(b2),
+    )
+    one_shot = segment_frequency_state(docs)
+    assert sorted(map(tuple, folded.collect())) == sorted(
+        map(tuple, one_shot.collect())
+    )
+    # decisions: batch b2 against the folded state of b0+b1 == the
+    # full recount restricted to b2's docs
+    incr = remove_boilerplate_incremental(
+        b2, merge_frequency_states(
+            segment_frequency_state(b0), segment_frequency_state(b1)
+        )
+    )
+    full = remove_boilerplate_segments(docs).join(
+        b2.select("doc_id"), "doc_id", "left_semi"
+    )
+    assert sorted(map(tuple, incr.collect())) == sorted(
+        map(tuple, full.collect())
+    )
