@@ -71,10 +71,15 @@ def doc_segments(
 
     ``seg_id`` is the 0-based position of the segment within its
     document; every doc yields ``ceil(n_tokens / seg_tokens)`` segments
-    (at least one — an empty text tokenizes to the single empty token
-    under whitespace split, mirroring the DuckDB oracle).
+    (at least one — an empty OR NULL text is coalesced to '' and
+    tokenizes to the single empty token under whitespace split, so no
+    document ever vanishes from the removal report; the oracle
+    mirrors with ``coalesce(text, '')``).
     """
-    toks = docs.select(id_col, ws_tokens(F.col(text_col)).alias("__t"))
+    toks = docs.select(
+        id_col,
+        ws_tokens(F.coalesce(F.col(text_col), F.lit(""))).alias("__t"),
+    )
     n_segs = F.ceil(F.size("__t") / F.lit(seg_tokens)).cast("int")
     return toks.select(
         id_col,
@@ -91,9 +96,16 @@ def heavy_segment_hashes(segments: DataFrame, *, min_df: int = 3) -> DataFrame:
     """Hashes of segments whose TOTAL occurrence count (within-doc
     repeats included — boilerplate repeats inside pages too) reaches
     ``min_df``. One narrow groupBy on the 8-byte xxhash64 key; output
-    is bounded by ``total_segments / min_df``."""
+    is bounded by ``total_segments / min_df``. Reuses an existing
+    ``__h`` column when the caller already derived it (the persisted
+    segments table in the removal paths) rather than re-hashing."""
+    key = (
+        F.col("__h")
+        if "__h" in segments.columns
+        else F.xxhash64("seg").alias("__h")
+    )
     return (
-        segments.groupBy(F.xxhash64("seg").alias("__h"))
+        segments.groupBy(key)
         .agg(F.count("*").alias("__n"))
         .filter(F.col("__n") >= min_df)
         .select("__h")
@@ -143,11 +155,7 @@ def remove_boilerplate_segments(
     """
     from .cache import bounded_persist
 
-    if min_df < 2:
-        raise ValueError(
-            f"min_df={min_df} would remove every segment (each occurs "
-            "at least once) — boilerplate thresholds start at 2"
-        )
+    _check_min_df(min_df)
     segs = bounded_persist(
         doc_segments(
             docs, text_col=text_col, id_col=id_col, seg_tokens=seg_tokens
@@ -155,6 +163,14 @@ def remove_boilerplate_segments(
     )
     heavy = heavy_segment_hashes(segs, min_df=min_df)
     return _removal_decisions(segs, heavy, id_col=id_col)
+
+
+def _check_min_df(min_df: int) -> None:
+    if min_df < 2:
+        raise ValueError(
+            f"min_df={min_df} would remove every segment (each occurs "
+            "at least once) — boilerplate thresholds start at 2"
+        )
 
 
 def _removal_decisions(
@@ -238,11 +254,7 @@ def remove_boilerplate_incremental(
     """
     from .cache import bounded_persist
 
-    if min_df < 2:
-        raise ValueError(
-            f"min_df={min_df} would remove every segment (each occurs "
-            "at least once) — boilerplate thresholds start at 2"
-        )
+    _check_min_df(min_df)
     segs_new = bounded_persist(
         doc_segments(
             new_docs, text_col=text_col, id_col=id_col, seg_tokens=seg_tokens

@@ -48,6 +48,7 @@ from ..functions.text import ws_tokens
 
 __all__ = [
     "token_bucket_col",
+    "dsir_occurrences",
     "dsir_bucket_model",
     "dsir_scores",
     "dsir_resample",
@@ -67,15 +68,34 @@ def token_bucket_col(tok: Column, n_buckets: int) -> Column:
     )
 
 
-def _occurrences(
-    docs: DataFrame, *, text_col: str, id_col: str, n_buckets: int
+def dsir_occurrences(
+    docs: DataFrame,
+    target_pred: Column | None = None,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 64,
 ) -> DataFrame:
-    """One row per token occurrence: ``(id_col, bucket)``."""
+    """One row per token occurrence: ``(id_col, [__is_tgt,] bucket)``.
+
+    The shared first stage of the DSIR pipeline — tokenize + md5-bucket
+    is the dominant corpus-scan cost, so callers running fit AND score
+    in one job should build this ONCE (``bounded_persist`` it) and pass
+    it to both :func:`dsir_bucket_model` and :func:`dsir_scores` via
+    their ``occ`` parameter. NULL text coalesces to '' (one
+    empty-token occurrence, the repo-wide whitespace-split convention)
+    so no document vanishes from scoring."""
+    cols = [F.col(id_col)]
+    if target_pred is not None:
+        cols.append(target_pred.alias("__is_tgt"))
     return docs.select(
-        id_col, F.explode(ws_tokens(F.col(text_col))).alias("__tok")
-    ).select(
-        id_col, token_bucket_col(F.col("__tok"), n_buckets).alias("bucket")
-    )
+        *cols,
+        F.explode(ws_tokens(F.coalesce(F.col(text_col), F.lit("")))).alias(
+            "__tok"
+        ),
+    ).withColumn(
+        "bucket", token_bucket_col(F.col("__tok"), n_buckets)
+    ).drop("__tok")
 
 
 def dsir_bucket_model(
@@ -85,6 +105,7 @@ def dsir_bucket_model(
     text_col: str = "text",
     id_col: str = "doc_id",
     n_buckets: int = 64,
+    occ: DataFrame | None = None,
 ) -> DataFrame:
     """Fit the hashed-unigram importance model: one row per OCCUPIED
     bucket with target/source occurrence counts and the e4-quantized
@@ -98,13 +119,19 @@ def dsir_bucket_model(
     Empty buckets are omitted: a bucket no token hashes to can never
     contribute to a document score, and the source total over occupied
     buckets equals the corpus total, so p̂/q̂ are unchanged.
+
+    Pass a prebuilt (ideally persisted) ``occ`` from
+    :func:`dsir_occurrences` WITH ``target_pred`` to share the corpus
+    scan with downstream scoring; ``target_pred`` is then unused here.
     """
-    occ = _occurrences(
-        docs.withColumn("__is_tgt", target_pred),
-        text_col=text_col,
-        id_col="__is_tgt",
-        n_buckets=n_buckets,
-    )
+    if occ is None:
+        occ = dsir_occurrences(
+            docs,
+            target_pred,
+            text_col=text_col,
+            id_col=id_col,
+            n_buckets=n_buckets,
+        )
     counts = occ.groupBy("bucket").agg(
         F.count("*").alias("n_source"),
         F.sum(F.when(F.col("__is_tgt"), 1).otherwise(0)).alias("n_target"),
@@ -143,19 +170,80 @@ def dsir_scores(
     text_col: str = "text",
     id_col: str = "doc_id",
     n_buckets: int = 64,
+    occ: DataFrame | None = None,
 ) -> DataFrame:
     """Per-document importance score: the exact integer sum of the
     model's e4 bucket log-ratios over the doc's token occurrences.
-    Returns ``(id_col, n_tokens, score_e4)`` — every input doc, one
-    row (a doc whose tokens all hash to unseen buckets cannot exist:
-    the model covers every occupied bucket of the same corpus)."""
-    occ = _occurrences(docs, text_col=text_col, id_col=id_col, n_buckets=n_buckets)
-    return (
-        occ.join(F.broadcast(model.select("bucket", "logratio_e4")), "bucket")
+    Returns ``(id_col, n_tokens, score_e4)`` — EVERY input doc, one
+    row, enforced by a left join from the id set (a doc scored by a
+    model fitted on a DIFFERENT corpus may hit buckets the model never
+    saw; same-corpus scoring can't, but the contract must not depend
+    on which corpus the caller passes).
+
+    Unseen buckets contribute the model's own smoothed default — the
+    log-ratio at (n_target=0, n_source=0), i.e.
+    ``ln((SRC_TOT+αB)/(TGT_TOT+αB))`` over the FIT corpus totals. The
+    model is COMPLETED to all ``n_buckets`` ids first (spark.range +
+    left join + default fill, all windows over the bounded bucket
+    table), so the corpus-side join is a plain inner broadcast join
+    that cannot miss — no per-occurrence null handling, no
+    nested-loop scalar attachment.
+
+    Pass a prebuilt ``occ`` from :func:`dsir_occurrences` to reuse the
+    tokenize+hash scan paid by the model fit."""
+    from pyspark.sql import Window
+
+    if occ is None:
+        occ = dsir_occurrences(
+            docs, text_col=text_col, id_col=id_col, n_buckets=n_buckets
+        )
+    a, b = float(ALPHA), n_buckets
+    everything = Window.partitionBy()
+    full = (
+        docs.sparkSession.range(n_buckets)
+        .select(F.col("id").cast("int").alias("bucket"))
+        .join(
+            model.select(
+                "bucket",
+                "logratio_e4",
+                F.sum("n_source").over(everything).alias("__st"),
+                F.sum("n_target").over(everything).alias("__tt"),
+            ),
+            "bucket",
+            "left",
+        )
+        # totals re-spread over the completed (still n_buckets-row)
+        # table so default rows can compute the smoothed fallback
+        .withColumn("__st", F.max("__st").over(everything))
+        .withColumn("__tt", F.max("__tt").over(everything))
+        .select(
+            "bucket",
+            F.coalesce(
+                "logratio_e4",
+                quantized(
+                    F.log(
+                        (F.col("__st") + F.lit(a * b))
+                        / (F.col("__tt") + F.lit(a * b))
+                    )
+                ),
+            ).alias("logratio_e4"),
+        )
+    )
+    scored = (
+        occ.join(F.broadcast(full), "bucket")
         .groupBy(id_col)
         .agg(
             F.count("*").cast("bigint").alias("n_tokens"),
             F.sum("logratio_e4").cast("bigint").alias("score_e4"),
+        )
+    )
+    return (
+        docs.select(id_col)
+        .join(scored, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_tokens", F.lit(0)).cast("bigint").alias("n_tokens"),
+            F.coalesce("score_e4", F.lit(0)).cast("bigint").alias("score_e4"),
         )
     )
 

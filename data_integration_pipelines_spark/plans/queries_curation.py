@@ -1994,11 +1994,13 @@ _DSIR_B = 64
 
 _DSIR_MODEL_CTE = rf"""
     occ AS (
+        -- coalesce mirrors the engine (NULL text = one empty-token
+        -- occurrence; no-op on the non-null fixture column)
         SELECT doc_id, ({_DSIR_PRED}) AS is_tgt,
                (('0x' || substr(md5(tok), 1, 4))::INT % {_DSIR_B}) AS bucket
         FROM (
             SELECT doc_id, lang,
-                   unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+                   unnest(regexp_split_to_array(trim(coalesce(text, '')), '\s+')) AS tok
             FROM documents
         )
     ),
@@ -2032,6 +2034,22 @@ def _dsir_model_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _dsir_scored_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fit + score sharing ONE tokenize/hash pass: the occurrences
+    table (the dominant corpus-scan cost) is built once and persisted,
+    feeding both the model aggregate and the scoring join (the
+    decontaminate multi-consumer bounded_persist convention)."""
+    from ..operators.cache import bounded_persist
+    from ..operators.dsir import dsir_bucket_model, dsir_occurrences, dsir_scores
+
+    docs = _docs(spark, sf_dir)
+    occ = bounded_persist(
+        dsir_occurrences(docs, F.col("lang") == "en", n_buckets=_DSIR_B)
+    )
+    model = dsir_bucket_model(docs, F.col("lang") == "en", n_buckets=_DSIR_B, occ=occ)
+    return dsir_scores(docs, model, n_buckets=_DSIR_B, occ=occ)
+
+
 @register(
     "dsir_bucket_model",
     f"""
@@ -2063,23 +2081,30 @@ def dsir_bucket_model_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM occ o JOIN model m USING (bucket)
         GROUP BY o.doc_id
     )
-    SELECT doc_id, n_tokens, score_e4 FROM scores ORDER BY doc_id
+    -- left join from the id set mirrors the engine's every-doc
+    -- contract (no-op on this fixture: every doc tokenizes)
+    SELECT d.doc_id,
+           COALESCE(s.n_tokens, 0) AS n_tokens,
+           COALESCE(s.score_e4, 0) AS score_e4
+    FROM documents d LEFT JOIN scores s USING (doc_id)
+    ORDER BY d.doc_id
     """,
     doc="Per-document DSIR importance score: exact integer sum of the "
     "64-bucket model's e4 log-ratios over the doc's token occurrences "
     "— positive means 'looks more like the target domain than the "
-    "corpus average'. Plan: token explode (linear, no shuffle) -> "
-    "explicit F.broadcast join against the 64-row model (bounded by "
+    "corpus average'. Plan: ONE tokenize+hash pass persisted and "
+    "shared between fit and scoring (the dominant corpus-scan cost — "
+    "decontaminate's multi-consumer convention) -> explicit "
+    "F.broadcast join against the 64-row model (bounded by "
     "construction — the decontaminate fixed-bitmap precedent) -> one "
-    "groupBy(doc_id) integer sum. Order-independent and "
-    "overflow-safe: the summands are e4 BIGINTs, never doubles.",
+    "groupBy(doc_id) integer sum; a left join from the id set pins "
+    "the every-doc contract, and buckets unseen by the fit corpus "
+    "score the model's smoothed default instead of silently dropping "
+    "(cross-corpus scoring). Order-independent and overflow-safe: "
+    "the summands are e4 BIGINTs, never doubles.",
 )
 def dsir_importance_scores_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.dsir import dsir_scores
-
-    docs = _docs(spark, sf_dir)
-    model = _dsir_model_df(spark, sf_dir)
-    return dsir_scores(docs, model, n_buckets=_DSIR_B).orderBy("doc_id")
+    return _dsir_scored_df(spark, sf_dir).orderBy("doc_id")
 
 
 _DSIR_GUMBEL_SQL = quantized_sql(
@@ -2097,10 +2122,16 @@ _DSIR_GUMBEL_SQL = quantized_sql(
                CAST(SUM(m.logratio_e4) AS BIGINT) AS score_e4
         FROM occ o JOIN model m USING (bucket)
         GROUP BY o.doc_id
+    ),
+    alldocs AS (
+        SELECT d.doc_id,
+               COALESCE(s.n_tokens, 0) AS n_tokens,
+               COALESCE(s.score_e4, 0) AS score_e4
+        FROM documents d LEFT JOIN scores s USING (doc_id)
     )
     SELECT doc_id, n_tokens, score_e4,
            CAST(score_e4 + {_DSIR_GUMBEL_SQL} AS BIGINT) AS sample_key_e4
-    FROM scores
+    FROM alldocs
     ORDER BY sample_key_e4 DESC, doc_id
     LIMIT 100
     """,
@@ -2115,9 +2146,6 @@ _DSIR_GUMBEL_SQL = quantized_sql(
     "a full sort — top-k of 10B docs is safe.",
 )
 def dsir_resample_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.dsir import dsir_resample, dsir_scores
+    from ..operators.dsir import dsir_resample
 
-    docs = _docs(spark, sf_dir)
-    model = _dsir_model_df(spark, sf_dir)
-    scored = dsir_scores(docs, model, n_buckets=_DSIR_B)
-    return dsir_resample(scored, k=100)
+    return dsir_resample(_dsir_scored_df(spark, sf_dir), k=100)

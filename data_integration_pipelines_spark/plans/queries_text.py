@@ -1205,7 +1205,12 @@ def bpe_encode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SEG_CTE = r"""
     toks AS (
-        SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+        -- coalesce mirrors the engine: NULL text = empty doc, which
+        -- still earns its one removal-report row (no-op on the
+        -- non-null fixture column; the quantile 'null'-branch
+        -- alignment precedent)
+        SELECT doc_id,
+               regexp_split_to_array(trim(coalesce(text, '')), '\s+') AS t
         FROM documents
     ),
     seg AS (

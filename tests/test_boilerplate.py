@@ -182,3 +182,19 @@ def test_incremental_fold_equals_one_shot(spark, sf_medium):
     assert sorted(map(tuple, incr.collect())) == sorted(
         map(tuple, full.collect())
     )
+
+
+def test_null_text_doc_keeps_report_row(spark):
+    """NULL text coalesces to '' — the doc still earns its one removal
+    row (one empty segment, nothing removable below threshold)."""
+    rows = [(1, "a b c d e f"), (2, None)]
+    out = {
+        r.doc_id: r
+        for r in remove_boilerplate_segments(
+            spark.createDataFrame(rows, "doc_id bigint, text string"),
+            seg_tokens=6,
+            min_df=3,
+        ).collect()
+    }
+    assert set(out) == {1, 2}
+    assert out[2].n_segments == 1 and out[2].n_removed == 0

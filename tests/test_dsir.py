@@ -117,3 +117,48 @@ def test_fixture_model_is_64_rows_and_scores_cover_corpus(spark, sf_medium):
     assert scores.count() == 500  # every doc scored
     sample = REGISTRY["dsir_resample_topk"].fn(spark, sf_medium)
     assert sample.count() == 100
+
+
+def test_cross_corpus_scoring_every_doc_with_default(spark):
+    """Scoring a corpus the model never saw: no doc drops, unseen
+    buckets contribute the model's smoothed default ln((ST+B)/(TT+B))
+    over the FIT corpus totals."""
+    fit = _docs(spark, [(1, "alpha beta alpha", "en"), (2, "gamma delta", "de")])
+    model = dsir_bucket_model(fit, F.col("lang") == "en", n_buckets=8)
+    # tokens chosen so at least some hash to buckets absent from the
+    # tiny fit corpus (8 buckets, 4 distinct fit tokens -> <=4 occupied)
+    new = _docs(
+        spark,
+        [
+            (10, "zzz yyy xxx www vvv uuu ttt sss", "en"),
+            (11, "alpha beta", "en"),
+        ],
+    )
+    got = {r.doc_id: r for r in dsir_scores(new, model, n_buckets=8).collect()}
+    assert set(got) == {10, 11}
+    assert got[10].n_tokens == 8  # nothing truncated
+    st, tt = 5.0, 3.0  # fit totals: 5 occurrences, 3 en
+    default = math.log((st + 8.0) / (tt + 8.0))
+    default_e4 = int(math.copysign(math.floor(abs(default) * 10000 + 0.5), default))
+    lut = {r.bucket: r.logratio_e4 for r in model.collect()}
+    from data_integration_pipelines_spark.functions.text import ws_tokens
+    from data_integration_pipelines_spark.operators.dsir import token_bucket_col
+
+    occ = new.select(
+        "doc_id", F.explode(ws_tokens(F.col("text"))).alias("tok")
+    ).select("doc_id", token_bucket_col(F.col("tok"), 8).alias("bucket"))
+    expect: dict[int, int] = {}
+    for r in occ.collect():
+        expect[r.doc_id] = expect.get(r.doc_id, 0) + lut.get(r.bucket, default_e4)
+    assert {d: r.score_e4 for d, r in got.items()} == expect
+
+
+def test_null_text_doc_still_scored(spark):
+    """NULL text coalesces to '' (one empty-token occurrence) — the
+    doc keeps its row instead of vanishing from the report."""
+    rows = [(1, "alpha beta", "en"), (2, None, "en")]
+    docs = _docs(spark, rows)
+    model = dsir_bucket_model(docs, F.col("lang") == "en", n_buckets=8)
+    got = {r.doc_id: r for r in dsir_scores(docs, model, n_buckets=8).collect()}
+    assert set(got) == {1, 2}
+    assert got[2].n_tokens == 1  # the coalesced empty token
