@@ -1355,3 +1355,148 @@ def incremental_boilerplate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         seg_tokens=6,
         min_df=3,
     ).orderBy("doc_id")
+
+
+# --- corpus frequency diagnostics (Zipf fit, frequency spectrum) ----
+
+from ..functions.quantize import quantized, quantized_sql  # noqa: E402
+
+_FREQ_CTE = r"""
+    toks AS (
+        SELECT unnest(regexp_split_to_array(trim(coalesce(text, '')), '\s+')) AS tok
+        FROM documents
+    ),
+    freq AS (
+        SELECT tok, COUNT(*) AS freq FROM toks GROUP BY tok
+    )
+"""
+
+
+@register(
+    "token_freq_spectrum",
+    f"""
+    WITH {_FREQ_CTE}
+    SELECT CAST(freq AS BIGINT) AS freq,
+           CAST(COUNT(*) AS BIGINT) AS n_types
+    FROM freq GROUP BY freq ORDER BY freq
+    """,
+    doc="Frequency-of-frequencies spectrum (the Good-Turing input "
+    "table): how many distinct token types occur exactly k times, for "
+    "every observed k. Two narrow groupBys — token then count — both "
+    "map-side combined; output is bounded by the number of DISTINCT "
+    "frequencies (<= vocab, typically O(hundreds) even at corpus "
+    "scale because high frequencies collapse).",
+)
+def token_freq_spectrum_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    freq = (
+        docs.select(
+            F.explode(
+                ws_tokens(F.coalesce(F.col("text"), F.lit("")))
+            ).alias("tok")
+        )
+        .groupBy("tok")
+        .agg(F.count("*").alias("freq"))
+    )
+    return (
+        freq.groupBy("freq")
+        .agg(F.count("*").cast("bigint").alias("n_types"))
+        .select(F.col("freq").cast("bigint").alias("freq"), "n_types")
+        .orderBy("freq")
+    )
+
+
+# identical double expression trees on both engines: the OLS terms are
+# built from e4-quantized ln(rank)/ln(freq) BIGINTs, so the sums are
+# exact integers and the only doubles are the two final divisions
+_ZIPF_SLOPE_SQL = "(n * sxy - sx * sy) / (n * sxx - sx * sx)"
+_ZIPF_INTERCEPT_SQL = f"(sy - ({_ZIPF_SLOPE_SQL}) * sx) / n"
+
+
+@register(
+    "zipf_fit",
+    f"""
+    WITH {_FREQ_CTE},
+    ranked AS (
+        SELECT tok, freq,
+               ROW_NUMBER() OVER (ORDER BY freq DESC, tok ASC) AS rank
+        FROM freq
+    ),
+    terms AS (
+        SELECT {quantized_sql('ln(CAST(rank AS DOUBLE))')} AS x_e4,
+               {quantized_sql('ln(CAST(freq AS DOUBLE))')} AS y_e4,
+               freq
+        FROM ranked
+    ),
+    s AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(freq) AS BIGINT) AS n_tokens,
+               CAST(SUM(x_e4) AS BIGINT) AS sx,
+               CAST(SUM(y_e4) AS BIGINT) AS sy,
+               CAST(SUM(x_e4 * y_e4) AS BIGINT) AS sxy,
+               CAST(SUM(x_e4 * x_e4) AS BIGINT) AS sxx
+        FROM terms
+    )
+    SELECT n AS n_types, n_tokens,
+           {quantized_sql(_ZIPF_SLOPE_SQL)} AS slope_e4,
+           {quantized_sql(_ZIPF_INTERCEPT_SQL, 0)} AS intercept_e4
+    FROM s
+    """,
+    doc="Zipf-law fit over the token frequency table: OLS of "
+    "ln(freq) on ln(rank) (rank = row_number by freq desc, token asc "
+    "— deterministic under ties on both engines). slope_e4 near "
+    "-10000 (i.e. -1.0) is the classic Zipf signature on natural "
+    "corpora; the flat 31-type synthetic fixture reads -0.18, itself "
+    "a diagnostic (a corpus whose spectrum is this flat is not "
+    "natural text). Exactness: per-type ln terms "
+    "are e4-quantized BIGINTs, the OLS sums are exact integer "
+    "aggregates (order-independent at any parallelism — the "
+    "quantized_sum convention), and the slope is scale-invariant "
+    "under the uniform e4 scaling (the 1e4 factors cancel in "
+    "cov/var), so the only doubles are two final divisions of "
+    "identical integers. The rank window sorts the VOCAB table "
+    "(types, not tokens — bounded far below corpus size; at 1e9-type "
+    "scale swap the e8 products to DECIMAL). One-row output.",
+)
+def zipf_fit_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = _docs(spark, sf_dir)
+    freq = (
+        docs.select(
+            F.explode(
+                ws_tokens(F.coalesce(F.col("text"), F.lit("")))
+            ).alias("tok")
+        )
+        .groupBy("tok")
+        .agg(F.count("*").alias("freq"))
+    )
+    ranked = freq.withColumn(
+        "rank",
+        F.row_number().over(Window.orderBy(F.desc("freq"), F.asc("tok"))),
+    )
+    terms = ranked.select(
+        quantized(F.log(F.col("rank").cast("double"))).alias("x_e4"),
+        quantized(F.log(F.col("freq").cast("double"))).alias("y_e4"),
+        "freq",
+    )
+    s = terms.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("freq").cast("bigint").alias("n_tokens"),
+        F.sum("x_e4").cast("bigint").alias("sx"),
+        F.sum("y_e4").cast("bigint").alias("sy"),
+        F.sum(F.col("x_e4") * F.col("y_e4")).cast("bigint").alias("sxy"),
+        F.sum(F.col("x_e4") * F.col("x_e4")).cast("bigint").alias("sxx"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    intercept = (F.col("sy") - slope * F.col("sx")) / F.col("n")
+    return s.select(
+        F.col("n").alias("n_types"),
+        "n_tokens",
+        quantized(slope).alias("slope_e4"),
+        # intercept is ALREADY in e4 y-units (the terms were quantized
+        # before summing) — round to integer, don't rescale
+        quantized(intercept, 0).alias("intercept_e4"),
+    )

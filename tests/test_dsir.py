@@ -162,3 +162,56 @@ def test_null_text_doc_still_scored(spark):
     got = {r.doc_id: r for r in dsir_scores(docs, model, n_buckets=8).collect()}
     assert set(got) == {1, 2}
     assert got[2].n_tokens == 1  # the coalesced empty token
+
+
+# --- corpus frequency diagnostics (registered beside DSIR: both are
+# corpus-distribution tooling over the documents table) --------------
+
+
+def test_zipf_fit_recovers_minus_one_on_zipfian_corpus(spark):
+    """A constructed corpus with freq(token_i) = floor(120/i) is
+    Zipfian by design — the fitted log-log slope must sit near -1
+    (quantization + integer floors allow small deviation)."""
+    words = []
+    for i in range(1, 13):
+        words += [f"w{i:02d}"] * (120 // i)
+    text = " ".join(words)
+    docs = spark.createDataFrame(
+        [(1, text, "en")], "doc_id bigint, text string, lang string"
+    )
+    freq = (
+        docs.select(F.explode(F.split(F.trim("text"), r"\s+")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("freq"))
+    )
+    from pyspark.sql import Window
+    from data_integration_pipelines_spark.functions.quantize import quantized
+
+    ranked = freq.withColumn(
+        "rank", F.row_number().over(Window.orderBy(F.desc("freq"), F.asc("tok")))
+    )
+    terms = ranked.select(
+        quantized(F.log(F.col("rank").cast("double"))).alias("x_e4"),
+        quantized(F.log(F.col("freq").cast("double"))).alias("y_e4"),
+    )
+    r = terms.agg(
+        F.count("*").alias("n"),
+        F.sum("x_e4").alias("sx"),
+        F.sum("y_e4").alias("sy"),
+        F.sum(F.col("x_e4") * F.col("y_e4")).alias("sxy"),
+        F.sum(F.col("x_e4") * F.col("x_e4")).alias("sxx"),
+    ).collect()[0]
+    slope = (r.n * r.sxy - r.sx * r.sy) / (r.n * r.sxx - r.sx * r.sx)
+    assert -1.1 < slope < -0.9, slope
+
+
+def test_freq_spectrum_conserves_vocab_and_tokens(spark, sf_medium):
+    """Spectrum invariants against the registered queries: sum of
+    n_types = vocabulary size, sum of freq*n_types = corpus tokens,
+    and both agree with zipf_fit's one-row totals."""
+    from data_integration_pipelines_spark.plans import REGISTRY
+
+    spec = REGISTRY["token_freq_spectrum"].fn(spark, sf_medium).collect()
+    fit = REGISTRY["zipf_fit"].fn(spark, sf_medium).collect()[0]
+    assert sum(r.n_types for r in spec) == fit.n_types
+    assert sum(r.freq * r.n_types for r in spec) == fit.n_tokens

@@ -22,6 +22,8 @@ from data_integration_pipelines_spark.plans import _RISK_ORDER, REGISTRY
 # by the r9 rotation slice (ten r2-stable text-dedup queries).
 _NEVER_DRIVER_VERIFIED = {
     # new in r9
+    "zipf_fit",
+    "token_freq_spectrum",
     "incremental_boilerplate",
     "dsir_resample_topk",
     "dsir_importance_scores",
