@@ -273,3 +273,44 @@ def streaming_embedding_verdicts(
     return _versioned_drain(
         stream_emb, out_path, checkpoint_path, classify_fn, release_fn
     )
+
+
+def streaming_dsir_scores(
+    stream_docs: DataFrame,
+    model: DataFrame,
+    out_path: str,
+    checkpoint_path: str,
+    n_buckets: int = 64,
+):
+    """Streaming DSIR scoring — the production deployment of the
+    importance model (operators/dsir.py): fit ONCE on the standing
+    corpus, then score the incoming document feed micro-batch by
+    micro-batch against the PINNED model, draining with availableNow
+    into the same versioned score log as the ingest verdict tiers.
+
+    Delta-shaped by construction: a document's (n_tokens, score_e4)
+    depends only on (document, model) — integer sums of the model's
+    frozen e4 bucket log-ratios — never on batchmates, so any feed
+    partitioning is byte-identical to one big batch (stream==batch
+    pytest) and at-least-once redelivery is safe under the versioned
+    log's batch_id idempotence.
+
+    The model is n_buckets rows BY CONSTRUCTION — pinning it costs one
+    64-row materialization, and each micro-batch pays only its own
+    tokenize + broadcast-join + per-doc sum (the per-batch model
+    completion in dsir_scores is an O(n_buckets) spark.range join,
+    noise next to the batch scan)."""
+    from ..operators.dsir import dsir_scores
+
+    model_pinned = model.persist()
+    model_pinned.count()  # materialize before the first batch
+
+    def classify_fn(batch_df: DataFrame) -> DataFrame:
+        return dsir_scores(batch_df, model_pinned, n_buckets=n_buckets)
+
+    def release_fn() -> None:
+        model_pinned.unpersist(blocking=False)
+
+    return _versioned_drain(
+        stream_docs, out_path, checkpoint_path, classify_fn, release_fn
+    )

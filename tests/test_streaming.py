@@ -1012,3 +1012,63 @@ def test_streaming_embedding_verdicts_match_batch(spark, sf_small, tmp_path):
     redelivered = spark.read.parquet(out)
     assert redelivered.count() == batch_new.count()
     assert key(redelivered.collect()) == want
+
+
+def test_streaming_dsir_scores_match_batch(spark, sf_small, tmp_path):
+    """DSIR scoring drained as micro-batches against the pinned model
+    == one-shot batch scoring: a doc's score is an integer sum over
+    (doc, model) only, so feed partitioning must not change a row
+    (streaming/ingest.streaming_dsir_scores over operators/dsir)."""
+    from data_integration_pipelines_spark.operators.dsir import (
+        dsir_bucket_model,
+        dsir_scores,
+    )
+    from data_integration_pipelines_spark.streaming.ingest import (
+        read_staged_docs_stream,
+        streaming_dsir_scores,
+    )
+
+    docs = load_table(spark, sf_small, "documents")
+    corpus = docs.filter(F.col("doc_id") % 10 < 8)
+    feed = docs.filter(F.col("doc_id") % 10 >= 8)
+    model = dsir_bucket_model(corpus, F.col("lang") == "en")
+
+    staging = str(tmp_path / "staged")
+    out = str(tmp_path / "scores")
+    # two files -> maxFilesPerTrigger=1 forces two micro-batches
+    feed.filter(F.col("doc_id") % 20 >= 10).write.mode("overwrite").parquet(staging)
+    feed.filter(F.col("doc_id") % 20 < 10).write.mode("append").parquet(staging)
+
+    q = streaming_dsir_scores(
+        read_staged_docs_stream(spark, staging, max_files_per_trigger=1),
+        model,
+        out_path=out,
+        checkpoint_path=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(180)
+
+    got = {
+        r.doc_id: (r.n_tokens, r.score_e4)
+        for r in spark.read.parquet(out).collect()
+    }
+    want = {
+        r.doc_id: (r.n_tokens, r.score_e4)
+        for r in dsir_scores(feed, model).collect()
+    }
+    assert got == want
+    assert len(got) == feed.count()
+
+    # same-lineage restart: completed batch_id partitions are skipped,
+    # the log stays equal to the one-big-batch answer, never doubled
+    q2 = streaming_dsir_scores(
+        read_staged_docs_stream(spark, staging, max_files_per_trigger=1),
+        model,
+        out_path=out,
+        checkpoint_path=str(tmp_path / "ckpt"),
+    )
+    q2.awaitTermination(180)
+    redelivered = spark.read.parquet(out)
+    assert redelivered.count() == feed.count()
+    assert {
+        r.doc_id: (r.n_tokens, r.score_e4) for r in redelivered.collect()
+    } == want
