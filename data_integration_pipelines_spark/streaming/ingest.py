@@ -314,3 +314,51 @@ def streaming_dsir_scores(
     return _versioned_drain(
         stream_docs, out_path, checkpoint_path, classify_fn, release_fn
     )
+
+
+def streaming_segment_frequency(
+    stream_docs: DataFrame,
+    out_path: str,
+    checkpoint_path: str,
+    seg_tokens: int = 6,
+):
+    """Streaming face of the boilerplate frequency state
+    (operators/boilerplate.segment_frequency_state): drain the document
+    feed with availableNow, writing each micro-batch's (hash, count)
+    DELTA to the versioned log. The live corpus state is the log's
+    re-sum (``folded_segment_frequency``) — additive integer partials,
+    so folded == one-shot EXACTLY whatever the feed partitioning, and
+    the versioned batch_id log makes redelivery fold-once (a doubled
+    delta would silently promote near-threshold segments to heavy —
+    counts have no row identity to dedup on downstream, the CMS store's
+    argument).
+
+    Unlike the verdict tiers, the DECISION is deliberately not taken
+    per batch here: a segment's heaviness depends on the WHOLE corpus
+    so far, not on (doc, state) — boilerplate removal against a
+    still-growing state is the incremental tier's
+    remove_boilerplate_incremental, run against the folded state at
+    any point (decision-parity pytest)."""
+    from ..operators.boilerplate import segment_frequency_state
+
+    def classify_fn(batch_df: DataFrame) -> DataFrame:
+        return segment_frequency_state(batch_df, seg_tokens=seg_tokens)
+
+    def release_fn() -> None:
+        pass
+
+    return _versioned_drain(
+        stream_docs, out_path, checkpoint_path, classify_fn, release_fn
+    )
+
+
+def folded_segment_frequency(spark, out_path: str) -> DataFrame:
+    """The live frequency state: re-sum the delta log (additive
+    partials; one narrow groupBy on the 8-byte hash)."""
+    from pyspark.sql import functions as F
+
+    return (
+        spark.read.parquet(out_path)
+        .groupBy("__h")
+        .agg(F.sum("n").alias("n"))
+    )

@@ -1072,3 +1072,55 @@ def test_streaming_dsir_scores_match_batch(spark, sf_small, tmp_path):
     assert {
         r.doc_id: (r.n_tokens, r.score_e4) for r in redelivered.collect()
     } == want
+
+
+def test_streaming_segment_frequency_fold_equals_one_shot(spark, sf_small, tmp_path):
+    """Boilerplate frequency deltas drained as micro-batches, then
+    re-summed == the one-shot state over the whole feed; redelivery
+    does not double any count; and incremental removal decisions for a
+    later batch against the folded state equal the batch operator's."""
+    from data_integration_pipelines_spark.operators.boilerplate import (
+        remove_boilerplate_incremental,
+        segment_frequency_state,
+    )
+    from data_integration_pipelines_spark.streaming.ingest import (
+        folded_segment_frequency,
+        read_staged_docs_stream,
+        streaming_segment_frequency,
+    )
+
+    docs = load_table(spark, sf_small, "documents")
+    staging = str(tmp_path / "staged")
+    out = str(tmp_path / "freq")
+    docs.filter(F.col("doc_id") % 2 == 0).write.mode("overwrite").parquet(staging)
+    docs.filter(F.col("doc_id") % 2 == 1).write.mode("append").parquet(staging)
+
+    q = streaming_segment_frequency(
+        read_staged_docs_stream(spark, staging, max_files_per_trigger=1),
+        out_path=out,
+        checkpoint_path=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(180)
+
+    folded = {r["__h"]: r.n for r in folded_segment_frequency(spark, out).collect()}
+    one_shot = {r["__h"]: r.n for r in segment_frequency_state(docs).collect()}
+    assert folded == one_shot
+
+    # same-lineage restart: no count doubles
+    q2 = streaming_segment_frequency(
+        read_staged_docs_stream(spark, staging, max_files_per_trigger=1),
+        out_path=out,
+        checkpoint_path=str(tmp_path / "ckpt"),
+    )
+    q2.awaitTermination(180)
+    refolded = {r["__h"]: r.n for r in folded_segment_frequency(spark, out).collect()}
+    assert refolded == one_shot
+
+    # decisions for a NEW batch against the folded state == the batch
+    # incremental operator against the equivalent state
+    new_batch = docs.limit(20)
+    incr = remove_boilerplate_incremental(
+        new_batch, folded_segment_frequency(spark, out)
+    )
+    want = remove_boilerplate_incremental(new_batch, segment_frequency_state(docs))
+    assert sorted(map(tuple, incr.collect())) == sorted(map(tuple, want.collect()))
