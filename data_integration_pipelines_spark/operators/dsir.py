@@ -40,7 +40,7 @@ pattern (per-row metric columns — cf. the check batteries, SURVEY
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.quantize import quantized
@@ -140,8 +140,6 @@ def dsir_bucket_model(
     # n_buckets rows by construction, so the single-partition window is
     # a constant-size reduction at any corpus scale (and avoids a
     # 1-row broadcast-nested-loop join, which the plan gate forbids)
-    from pyspark.sql import Window
-
     everything = Window.partitionBy()
     counts = counts.withColumn("__st", F.sum("n_source").over(everything)).withColumn(
         "__tt", F.sum("n_target").over(everything)
@@ -191,8 +189,6 @@ def dsir_scores(
 
     Pass a prebuilt ``occ`` from :func:`dsir_occurrences` to reuse the
     tokenize+hash scan paid by the model fit."""
-    from pyspark.sql import Window
-
     if occ is None:
         occ = dsir_occurrences(
             docs, text_col=text_col, id_col=id_col, n_buckets=n_buckets
@@ -203,19 +199,21 @@ def dsir_scores(
         docs.sparkSession.range(n_buckets)
         .select(F.col("id").cast("int").alias("bucket"))
         .join(
-            model.select(
-                "bucket",
-                "logratio_e4",
-                F.sum("n_source").over(everything).alias("__st"),
-                F.sum("n_target").over(everything).alias("__tt"),
-            ),
+            model.select("bucket", "n_source", "n_target", "logratio_e4"),
             "bucket",
             "left",
         )
-        # totals re-spread over the completed (still n_buckets-row)
-        # table so default rows can compute the smoothed fallback
-        .withColumn("__st", F.max("__st").over(everything))
-        .withColumn("__tt", F.max("__tt").over(everything))
+        # fit-corpus totals over the COMPLETED (still n_buckets-row)
+        # table — missing buckets contribute 0, so one window after
+        # the join replaces a pre-join window plus a re-spread
+        .withColumn(
+            "__st",
+            F.sum(F.coalesce("n_source", F.lit(0))).over(everything),
+        )
+        .withColumn(
+            "__tt",
+            F.sum(F.coalesce("n_target", F.lit(0))).over(everything),
+        )
         .select(
             "bucket",
             F.coalesce(

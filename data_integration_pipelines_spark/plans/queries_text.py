@@ -1372,6 +1372,20 @@ _FREQ_CTE = r"""
 """
 
 
+def _token_freq(docs: DataFrame) -> DataFrame:
+    """Token -> total-occurrence-count table (the shared first stage
+    of both corpus diagnostics)."""
+    return (
+        docs.select(
+            F.explode(
+                ws_tokens(F.coalesce(F.col("text"), F.lit("")))
+            ).alias("tok")
+        )
+        .groupBy("tok")
+        .agg(F.count("*").alias("freq"))
+    )
+
+
 @register(
     "token_freq_spectrum",
     f"""
@@ -1388,18 +1402,9 @@ _FREQ_CTE = r"""
     "scale because high frequencies collapse).",
 )
 def token_freq_spectrum_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _docs(spark, sf_dir)
-    freq = (
-        docs.select(
-            F.explode(
-                ws_tokens(F.coalesce(F.col("text"), F.lit("")))
-            ).alias("tok")
-        )
-        .groupBy("tok")
-        .agg(F.count("*").alias("freq"))
-    )
     return (
-        freq.groupBy("freq")
+        _token_freq(_docs(spark, sf_dir))
+        .groupBy("freq")
         .agg(F.count("*").cast("bigint").alias("n_types"))
         .select(F.col("freq").cast("bigint").alias("freq"), "n_types")
         .orderBy("freq")
@@ -1461,16 +1466,7 @@ _ZIPF_INTERCEPT_SQL = f"(sy - ({_ZIPF_SLOPE_SQL}) * sx) / n"
 def zipf_fit_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    docs = _docs(spark, sf_dir)
-    freq = (
-        docs.select(
-            F.explode(
-                ws_tokens(F.coalesce(F.col("text"), F.lit("")))
-            ).alias("tok")
-        )
-        .groupBy("tok")
-        .agg(F.count("*").alias("freq"))
-    )
+    freq = _token_freq(_docs(spark, sf_dir))
     ranked = freq.withColumn(
         "rank",
         F.row_number().over(Window.orderBy(F.desc("freq"), F.asc("tok"))),
