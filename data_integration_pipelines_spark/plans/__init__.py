@@ -46,6 +46,7 @@ _RISK_ORDER = [
     # newest first: the DSIR importance-resampling family and the
     # boilerplate segment family (NEW mid-r9, never driver-compared),
     # then the rest of the r9-changed head
+    "boilerplate_then_exact_dedup",
     "zipf_fit",
     "token_freq_spectrum",
     "incremental_boilerplate",

@@ -1496,3 +1496,68 @@ def zipf_fit_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         # before summing) — round to integer, don't rescale
         quantized(intercept, 0).alias("intercept_e4"),
     )
+
+
+@register(
+    "boilerplate_then_exact_dedup",
+    f"""
+    WITH {_SEG_CTE},
+    heavy AS (
+        SELECT seg FROM seg GROUP BY seg HAVING COUNT(*) >= 3
+    ),
+    kept AS (
+        SELECT s.doc_id, s.seg_id, s.seg
+        FROM seg s LEFT JOIN heavy h ON s.seg = h.seg
+        WHERE h.seg IS NULL
+    ),
+    cleaned AS (
+        SELECT d.doc_id, d.source,
+               md5(lower(regexp_replace(trim(coalesce(d.text, '')), '\\s+', ' ', 'g'))) AS raw_fp,
+               md5(COALESCE(k.txt, '')) AS clean_fp
+        FROM documents d LEFT JOIN (
+            SELECT doc_id, string_agg(seg, ' ' ORDER BY seg_id) AS txt
+            FROM kept GROUP BY doc_id
+        ) k USING (doc_id)
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) - COUNT(DISTINCT raw_fp) AS BIGINT) AS dupes_raw,
+           CAST(COUNT(*) - COUNT(DISTINCT clean_fp) AS BIGINT) AS dupes_cleaned,
+           CAST((COUNT(*) - COUNT(DISTINCT clean_fp))
+                - (COUNT(*) - COUNT(DISTINCT raw_fp)) AS BIGINT) AS n_exposed
+    FROM cleaned
+    """,
+    doc="Boilerplate-THEN-exact-dedup production composition (the "
+    "CCNet ordering: line dedup runs BEFORE document dedup, because "
+    "boilerplate noise masks true duplicates): CORPUS-level exact-dup "
+    "counts on the RAW normalized fingerprint vs on the CLEANED text "
+    "digest from the removal stage — corpus-level deliberately, the "
+    "masked duplicates cross source boundaries (a per-source cut "
+    "reads 0/0 on this fixture). At sf0.01: 0 raw exact dupes but 5 "
+    "AFTER cleaning — documents differing only in removed segments "
+    "collapse, the measurable reason the ordering matters. Plan: "
+    "reuses the removal stage's per-doc cleaned_md5 as the dedup "
+    "fingerprint (one segmentation pass feeds both), then one global "
+    "distinct-count aggregate (partial-agg'd on the 32-hex "
+    "fingerprint — the exact_dedup shuffle shape, minus the source "
+    "key). One-row output.",
+)
+def boilerplate_then_exact_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.boilerplate import remove_boilerplate_segments
+
+    docs = _docs(spark, sf_dir)
+    dec = remove_boilerplate_segments(docs, seg_tokens=6, min_df=3)
+    joined = docs.select(
+        "doc_id",
+        # coalesce keeps NULL-text rows countable (the oracle's
+        # coalesce(text,'') — a NULL fp would silently drop from
+        # COUNT(DISTINCT); no-op on the non-null fixture)
+        fingerprint(F.coalesce(F.col("text"), F.lit(""))).alias("raw_fp"),
+    ).join(dec.select("doc_id", "cleaned_md5"), "doc_id")
+    dupes_raw = F.count("*") - F.countDistinct("raw_fp")
+    dupes_cleaned = F.count("*") - F.countDistinct("cleaned_md5")
+    return joined.agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        dupes_raw.cast("bigint").alias("dupes_raw"),
+        dupes_cleaned.cast("bigint").alias("dupes_cleaned"),
+        (dupes_cleaned - dupes_raw).cast("bigint").alias("n_exposed"),
+    )

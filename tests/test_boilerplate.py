@@ -198,3 +198,15 @@ def test_null_text_doc_keeps_report_row(spark):
     }
     assert set(out) == {1, 2}
     assert out[2].n_segments == 1 and out[2].n_removed == 0
+
+
+def test_cleaning_exposes_masked_duplicates(spark, sf_medium):
+    """The composition's reason to exist: documents identical except
+    for boilerplate collapse to one fingerprint after cleaning. At
+    sf0.01: 0 raw exact dupes corpus-wide, 5 after cleaning."""
+    from data_integration_pipelines_spark.plans import REGISTRY
+
+    row = REGISTRY["boilerplate_then_exact_dedup"].fn(spark, sf_medium).collect()[0]
+    assert row.dupes_raw == 0
+    assert row.dupes_cleaned == 5 and row.n_exposed == 5
+    assert row.n_docs == 500

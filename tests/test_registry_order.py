@@ -22,6 +22,7 @@ from data_integration_pipelines_spark.plans import _RISK_ORDER, REGISTRY
 # by the r9 rotation slice (ten r2-stable text-dedup queries).
 _NEVER_DRIVER_VERIFIED = {
     # new in r9
+    "boilerplate_then_exact_dedup",
     "zipf_fit",
     "token_freq_spectrum",
     "incremental_boilerplate",
