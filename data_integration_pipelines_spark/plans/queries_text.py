@@ -1511,8 +1511,14 @@ def zipf_fit_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE h.seg IS NULL
     ),
     cleaned AS (
-        SELECT d.doc_id, d.source,
-               md5(lower(regexp_replace(trim(coalesce(d.text, '')), '\\s+', ' ', 'g'))) AS raw_fp,
+        -- BOTH fingerprints share one canonicalization (tokens joined
+        -- by single space, case preserved) so segment removal is the
+        -- ONLY difference between them — a case-folded raw side would
+        -- let n_exposed go negative on case-variant duplicates
+        SELECT d.doc_id,
+               md5(array_to_string(
+                   regexp_split_to_array(trim(coalesce(d.text, '')), '\\s+'),
+                   ' ')) AS raw_fp,
                md5(COALESCE(k.txt, '')) AS clean_fp
         FROM documents d LEFT JOIN (
             SELECT doc_id, string_agg(seg, ' ' ORDER BY seg_id) AS txt
@@ -1548,10 +1554,15 @@ def boilerplate_then_exact_dedup_q(spark: SparkSession, sf_dir: str) -> DataFram
     dec = remove_boilerplate_segments(docs, seg_tokens=6, min_df=3)
     joined = docs.select(
         "doc_id",
-        # coalesce keeps NULL-text rows countable (the oracle's
-        # coalesce(text,'') — a NULL fp would silently drop from
-        # COUNT(DISTINCT); no-op on the non-null fixture)
-        fingerprint(F.coalesce(F.col("text"), F.lit(""))).alias("raw_fp"),
+        # raw fingerprint uses the SAME canonical form as the cleaned
+        # digest (ws tokens joined by single space, case preserved, NULL
+        # coalesced) — removal is then the only difference between the
+        # two fingerprints, so n_exposed is a true like-for-like delta
+        F.md5(
+            F.array_join(
+                ws_tokens(F.coalesce(F.col("text"), F.lit(""))), " "
+            )
+        ).alias("raw_fp"),
     ).join(dec.select("doc_id", "cleaned_md5"), "doc_id")
     dupes_raw = F.count("*") - F.countDistinct("raw_fp")
     dupes_cleaned = F.count("*") - F.countDistinct("cleaned_md5")

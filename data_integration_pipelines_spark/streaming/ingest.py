@@ -354,9 +354,17 @@ def streaming_segment_frequency(
 
 def folded_segment_frequency(spark, out_path: str) -> DataFrame:
     """The live frequency state: re-sum the delta log (additive
-    partials; one narrow groupBy on the 8-byte hash)."""
+    partials; one narrow groupBy on the 8-byte hash). A log with no
+    batch partitions yet (feed not started, or every batch empty —
+    the drain writes only the lineage marker then) is a legitimate
+    EMPTY state, not an error."""
+    import glob
+    import os
+
     from pyspark.sql import functions as F
 
+    if not glob.glob(os.path.join(out_path, "batch_id=*")):
+        return spark.createDataFrame([], "__h bigint, n bigint")
     return (
         spark.read.parquet(out_path)
         .groupBy("__h")

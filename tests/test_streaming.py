@@ -1124,3 +1124,16 @@ def test_streaming_segment_frequency_fold_equals_one_shot(spark, sf_small, tmp_p
     )
     want = remove_boilerplate_incremental(new_batch, segment_frequency_state(docs))
     assert sorted(map(tuple, incr.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_folded_segment_frequency_empty_log(spark, tmp_path):
+    """A delta log with no batch partitions yet is a legitimate empty
+    state, not a read error."""
+    from data_integration_pipelines_spark.streaming.ingest import (
+        folded_segment_frequency,
+    )
+
+    out = str(tmp_path / "never_written")
+    df = folded_segment_frequency(spark, out)
+    assert df.columns == ["__h", "n"]
+    assert df.count() == 0
