@@ -15,6 +15,17 @@ the fixed cost (~10-100x this SF), and the engine's operator choices
 (broadcasts, partial aggregation, LSH candidate generation, salting,
 bucketing) are made for the far side of that crossover. The per-query
 deltas between rounds at a FIXED sf are the meaningful signal here.
+
+VM-drift self-normalization (r10, VERDICT r9 task 5): absolute walls
+are only comparable across rounds when the box is the same speed — it
+hasn't been (the r9 VM read ~20-30% slower than r8's on identical
+plans, both engines). So by default the harness ALSO times the DuckDB
+oracle SQL of the same headline queries on the same parquet, same
+process, best-of-N, and emits ``duckdb_total`` + ``spark_vs_duckdb_
+ratio`` in the same JSON line — the ratio is the box-independent
+number a round-over-round comparison should read. Disable with
+``--no-oracle`` or SPARK_GRAFT_BENCH_ORACLE=0 (e.g. when iterating on
+Spark plans only).
 """
 
 from __future__ import annotations
@@ -119,26 +130,84 @@ def main() -> None:
             timings[name] = min(timings.get(name, dt), dt)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "", 1).isdigit() else sf,
-                "n_passes": n_passes,
-                "passes": passes,
-                "pass_totals": [
-                    round(sum(p[i] for p in passes.values()), 3)
-                    for i in range(n_passes)
-                ],
-                "loadavg_start": load_start,
-                "loadavg_end": loadavg(),
-                "load_retried": load_retried,
-            }
+    out = {
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "", 1).isdigit() else sf,
+        "n_passes": n_passes,
+        "passes": passes,
+        "pass_totals": [
+            round(sum(p[i] for p in passes.values()), 3)
+            for i in range(n_passes)
+        ],
+        "loadavg_start": load_start,
+        "loadavg_end": loadavg(),
+        "load_retried": load_retried,
+    }
+
+    oracle_on = os.environ.get("SPARK_GRAFT_BENCH_ORACLE", "1") != "0"
+    if "--no-oracle" in sys.argv:
+        oracle_on = False
+    if "--oracle" in sys.argv:
+        oracle_on = True
+    if oracle_on:
+        dq, dpasses = _time_duckdb_oracles(
+            bench_queries, sf_dir, n_passes=min(n_passes, 3), threads=cpus
         )
-    )
+        out["duckdb_total"] = round(sum(dq.values()), 3)
+        out["duckdb_queries"] = dq
+        out["duckdb_pass_totals"] = dpasses
+        out["spark_vs_duckdb_ratio"] = (
+            round(total / out["duckdb_total"], 3) if out["duckdb_total"] else None
+        )
+
+    print(json.dumps(out))
+
+
+def _time_duckdb_oracles(
+    bench_queries, sf_dir: str, *, n_passes: int, threads: int
+):
+    """Best-of-N DuckDB wall per headline query's oracle SQL — the
+    same-box baseline that makes the Spark headline portable across VM
+    speeds. Same parquet, one in-process connection with the same
+    thread budget, results fully materialized via fetchall()."""
+    import duckdb
+
+    from data_integration_pipelines_spark.catalog import TABLES
+
+    con = duckdb.connect()
+    try:
+        con.execute(f"SET threads TO {threads}")
+        for t in TABLES:
+            path = os.path.join(sf_dir, f"{t}.parquet")
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')"
+            )
+        sqls = {
+            name: q.oracle
+            for name, q in bench_queries.items()
+            if q.oracle is not None
+        }
+        # warm-up pass: OS page cache + duckdb catalog, mirroring the
+        # Spark side's excluded JIT/codegen warm-up
+        for sql in sqls.values():
+            con.execute(sql).fetchall()
+        timings: dict[str, float] = {}
+        pass_totals: list[float] = []
+        for _ in range(n_passes):
+            pt = 0.0
+            for name, sql in sqls.items():
+                t0 = time.time()
+                con.execute(sql).fetchall()
+                dt = round(time.time() - t0, 3)
+                pt += dt
+                timings[name] = min(timings.get(name, dt), dt)
+            pass_totals.append(round(pt, 3))
+        return timings, pass_totals
+    finally:
+        con.close()
 
 
 if __name__ == "__main__":

@@ -5,12 +5,31 @@ corpus-wide frequency crosses a threshold — navigation bars, cookie
 banners, license footers repeat near-verbatim across millions of pages,
 and removing them is a whole-unit decision (the line goes or stays),
 unlike the span-level Lee-et-al. removal in
-``plans/queries_text.exact_substring_removal``. The fixture documents
-are single-line token streams, so the line surrogate here is the
-NON-OVERLAPPING fixed-width token segment (``seg_tokens`` whitespace
-tokens, final partial segment kept); on real multi-line corpora the
-segmenter is one ``split('\\n')`` swap away and every downstream stage
-is unit-agnostic.
+``plans/queries_text.exact_substring_removal``.
+
+Two segmentation UNITS, selected by ``unit=``:
+
+- ``"line"`` — the production unit: documents split on ``'\\n'``, each
+  line one removal candidate (what CCNet/RefinedWeb actually dedup).
+  Reassembly re-joins kept lines with ``'\\n'``.
+- ``"segment"`` — the single-line surrogate: non-overlapping
+  ``seg_tokens``-token windows (final partial kept), re-joined with a
+  space. Retained as the differential twin for corpora without line
+  structure (the fixture ``documents`` table is single-line).
+
+Every downstream stage — frequency state, heavy-set decision, removal,
+incremental fold, streaming delta — is unit-agnostic: only the splitter
+and the reassembly separator differ.
+
+Decision keys are the PAIR ``(xxhash64(seg), xxhash64(seg, 1))`` — 128
+independent bits (the bloom-filter ``xxhash64(key, lit(i))`` salt
+convention). A single 64-bit key at 100 TB (~10^13 segments) expects
+~10^6 colliding pairs by the birthday bound, each silently deleting an
+innocent segment that collided with a heavy one; the pair key drives
+the expectation to ~10^-13 (~never) while the shuffle still carries 16
+bytes + count, never segment text. The human-audit report
+(:func:`segment_frequency_table`) additionally groups on the text
+itself, so it is collision-proof outright.
 
 Extends the reference's per-row validation pattern (quality columns per
 document, cf. the trace/morphology check batteries, SURVEY §2.9) the
@@ -18,11 +37,10 @@ same way the rest of the curation tier does: everything is built-in
 Column expressions, reproducible in the DuckDB oracle.
 
 Scale design (100 TB):
-- Segmentation is a per-row ``transform`` over the token array — no
-  shuffle, linear in corpus size, whole-stage-codegen'd.
-- The frequency table groups on ``xxhash64(seg)`` — the 8-byte narrow
-  exchange key (the exact_substring_removal precedent), partial-agg'd
-  map-side, so the shuffle carries (hash, count) not segment text.
+- Segmentation is a per-row ``transform``/``split`` over the document —
+  no shuffle, linear in corpus size, whole-stage-codegen'd.
+- The frequency table groups on the 16-byte hash pair — partial-agg'd
+  map-side, so the shuffle carries (hashes, count) not segment text.
 - The heavy set (``count >= min_df``) is SMALL by construction — at
   most ``total_segments / min_df`` rows and in practice the boilerplate
   vocabulary — so the decision join back to the corpus is an unhinted
@@ -50,6 +68,17 @@ __all__ = [
     "remove_boilerplate_incremental",
 ]
 
+#: reassembly separator per segmentation unit — the ONLY place the
+#: units differ downstream of the splitter
+_UNIT_SEPS = {"segment": " ", "line": "\n"}
+
+
+def _check_unit(unit: str) -> None:
+    if unit not in _UNIT_SEPS:
+        raise ValueError(
+            f"unit={unit!r}: expected one of {sorted(_UNIT_SEPS)}"
+        )
+
 
 def _seg_col(tokens: Column, seg_id: Column, seg_tokens: int) -> Column:
     """Segment ``seg_id`` of the token array: tokens re-joined by a
@@ -59,27 +88,43 @@ def _seg_col(tokens: Column, seg_id: Column, seg_tokens: int) -> Column:
     )
 
 
+def _with_hashes(segments: DataFrame) -> DataFrame:
+    """Attach the 128-bit decision key: two independently-salted
+    xxhash64 columns (see module docstring for the collision math)."""
+    return segments.withColumn("__h", F.xxhash64("seg")).withColumn(
+        "__h2", F.xxhash64("seg", F.lit(1))
+    )
+
+
 def doc_segments(
     docs: DataFrame,
     *,
     text_col: str = "text",
     id_col: str = "doc_id",
     seg_tokens: int = 6,
+    unit: str = "segment",
 ) -> DataFrame:
-    """Explode documents into non-overlapping ``seg_tokens``-token
-    segments: ``(id_col, seg_id, seg)``, final partial segment kept.
+    """Explode documents into removal units: ``(id_col, seg_id, seg)``.
 
-    ``seg_id`` is the 0-based position of the segment within its
-    document; every doc yields ``ceil(n_tokens / seg_tokens)`` segments
-    (at least one — an empty OR NULL text is coalesced to '' and
-    tokenizes to the single empty token under whitespace split, so no
-    document ever vanishes from the removal report; the oracle
-    mirrors with ``coalesce(text, '')``).
+    ``unit="line"`` splits on ``'\\n'`` (the CCNet production unit; a
+    document with no newline is its own single line);
+    ``unit="segment"`` tiles the whitespace-token stream into
+    non-overlapping ``seg_tokens``-token windows, final partial kept.
+
+    ``seg_id`` is the 0-based position of the unit within its document;
+    every doc yields at least one unit — an empty OR NULL text is
+    coalesced to '' (one empty line / one empty token), so no document
+    ever vanishes from the removal report; the oracle mirrors with
+    ``coalesce(text, '')``.
     """
-    toks = docs.select(
-        id_col,
-        ws_tokens(F.coalesce(F.col(text_col), F.lit(""))).alias("__t"),
-    )
+    _check_unit(unit)
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    if unit == "line":
+        return docs.select(
+            id_col,
+            F.posexplode(F.split(text, "\n", -1)).alias("seg_id", "seg"),
+        )
+    toks = docs.select(id_col, ws_tokens(text).alias("__t"))
     n_segs = F.ceil(F.size("__t") / F.lit(seg_tokens)).cast("int")
     return toks.select(
         id_col,
@@ -93,22 +138,20 @@ def doc_segments(
 
 
 def heavy_segment_hashes(segments: DataFrame, *, min_df: int = 3) -> DataFrame:
-    """Hashes of segments whose TOTAL occurrence count (within-doc
+    """Hash pairs of segments whose TOTAL occurrence count (within-doc
     repeats included — boilerplate repeats inside pages too) reaches
-    ``min_df``. One narrow groupBy on the 8-byte xxhash64 key; output
-    is bounded by ``total_segments / min_df``. Reuses an existing
-    ``__h`` column when the caller already derived it (the persisted
-    segments table in the removal paths) rather than re-hashing."""
-    key = (
-        F.col("__h")
-        if "__h" in segments.columns
-        else F.xxhash64("seg").alias("__h")
-    )
+    ``min_df``. One narrow groupBy on the 16-byte hash-pair key; output
+    is bounded by ``total_segments / min_df``. Reuses existing
+    ``__h``/``__h2`` columns when the caller already derived them (the
+    persisted segments table in the removal paths) rather than
+    re-hashing."""
+    if "__h" not in segments.columns:
+        segments = _with_hashes(segments)
     return (
-        segments.groupBy(key)
+        segments.groupBy("__h", "__h2")
         .agg(F.count("*").alias("__n"))
         .filter(F.col("__n") >= min_df)
-        .select("__h")
+        .select("__h", "__h2")
     )
 
 
@@ -143,6 +186,7 @@ def remove_boilerplate_segments(
     id_col: str = "doc_id",
     seg_tokens: int = 6,
     min_df: int = 3,
+    unit: str = "segment",
 ) -> DataFrame:
     """Apply the removal: per document, drop every segment whose corpus
     frequency reaches ``min_df`` and certify the RESULT — segment
@@ -151,18 +195,27 @@ def remove_boilerplate_segments(
 
     Returns ``(id_col, n_segments, n_removed, cleaned_md5)`` with one
     row per input document (untouched and fully-emptied docs
-    included; an emptied doc digests the empty string).
+    included; an emptied doc digests the empty string). In
+    ``unit="line"`` mode kept lines re-join with ``'\\n'`` before
+    digesting, so the digest is of the actual cleaned document.
     """
     from .cache import bounded_persist
 
     _check_min_df(min_df)
+    _check_unit(unit)
     segs = bounded_persist(
-        doc_segments(
-            docs, text_col=text_col, id_col=id_col, seg_tokens=seg_tokens
-        ).withColumn("__h", F.xxhash64("seg"))
+        _with_hashes(
+            doc_segments(
+                docs,
+                text_col=text_col,
+                id_col=id_col,
+                seg_tokens=seg_tokens,
+                unit=unit,
+            )
+        )
     )
     heavy = heavy_segment_hashes(segs, min_df=min_df)
-    return _removal_decisions(segs, heavy, id_col=id_col)
+    return _removal_decisions(segs, heavy, id_col=id_col, sep=_UNIT_SEPS[unit])
 
 
 def _check_min_df(min_df: int) -> None:
@@ -174,13 +227,14 @@ def _check_min_df(min_df: int) -> None:
 
 
 def _removal_decisions(
-    segs: DataFrame, heavy: DataFrame, *, id_col: str
+    segs: DataFrame, heavy: DataFrame, *, id_col: str, sep: str = " "
 ) -> DataFrame:
-    """Shared removal tail: anti-join the heavy set, reassemble kept
-    segments per doc (sort by position, digest), emit one row per
-    input document. ``segs`` must carry ``(id_col, seg_id, seg, __h)``;
-    ``heavy`` is the single-column ``__h`` decision set."""
-    kept = segs.join(heavy, "__h", "left_anti")
+    """Shared removal tail: anti-join the heavy set on the 128-bit
+    hash pair, reassemble kept segments per doc (sort by position,
+    join with ``sep``, digest), emit one row per input document.
+    ``segs`` must carry ``(id_col, seg_id, seg, __h, __h2)``; ``heavy``
+    is the two-column ``(__h, __h2)`` decision set."""
+    kept = segs.join(heavy, ["__h", "__h2"], "left_anti")
     cleaned = kept.groupBy(id_col).agg(
         F.count("*").alias("__n_kept"),
         F.md5(
@@ -189,7 +243,7 @@ def _removal_decisions(
                     F.array_sort(F.collect_list(F.struct("seg_id", "seg"))),
                     lambda x: x["seg"],
                 ),
-                " ",
+                sep,
             )
         ).alias("cleaned_md5"),
     )
@@ -213,14 +267,24 @@ def segment_frequency_state(
     text_col: str = "text",
     id_col: str = "doc_id",
     seg_tokens: int = 6,
+    unit: str = "segment",
 ) -> DataFrame:
     """Mergeable frequency partial for the INCREMENTAL tier: the
-    ``(__h, n)`` segment-count table of one corpus slice. Additive —
-    the state a standing pipeline persists and folds batch deltas
-    into (the operators/incremental partial_state convention)."""
+    ``(__h, __h2, n)`` segment-count table of one corpus slice.
+    Additive — the state a standing pipeline persists and folds batch
+    deltas into (the operators/incremental partial_state convention)."""
+    _check_unit(unit)
     return (
-        doc_segments(docs, text_col=text_col, id_col=id_col, seg_tokens=seg_tokens)
-        .groupBy(F.xxhash64("seg").alias("__h"))
+        _with_hashes(
+            doc_segments(
+                docs,
+                text_col=text_col,
+                id_col=id_col,
+                seg_tokens=seg_tokens,
+                unit=unit,
+            )
+        )
+        .groupBy("__h", "__h2")
         .agg(F.count("*").alias("n"))
     )
 
@@ -229,7 +293,7 @@ def merge_frequency_states(a: DataFrame, b: DataFrame) -> DataFrame:
     """Fold two frequency partials: union + re-sum. Exactly associative
     and commutative (integer counts), so folded == one-shot whatever
     the batch arrival order."""
-    return a.unionByName(b).groupBy("__h").agg(F.sum("n").alias("n"))
+    return a.unionByName(b).groupBy("__h", "__h2").agg(F.sum("n").alias("n"))
 
 
 def remove_boilerplate_incremental(
@@ -240,6 +304,7 @@ def remove_boilerplate_incremental(
     id_col: str = "doc_id",
     seg_tokens: int = 6,
     min_df: int = 3,
+    unit: str = "segment",
 ) -> DataFrame:
     """Daily-batch boilerplate removal against a standing corpus:
     decisions for the NEW documents only, using frequencies merged
@@ -251,16 +316,27 @@ def remove_boilerplate_incremental(
     its (already aggregated, hash-keyed) frequency state — never
     re-segmented — which is what makes continuous line-dedup
     affordable where a full-corpus recount per batch is not.
+    ``corpus_state`` must have been built with the SAME ``unit`` and
+    ``seg_tokens`` (hash keys of different units never align).
     """
     from .cache import bounded_persist
 
     _check_min_df(min_df)
+    _check_unit(unit)
     segs_new = bounded_persist(
-        doc_segments(
-            new_docs, text_col=text_col, id_col=id_col, seg_tokens=seg_tokens
-        ).withColumn("__h", F.xxhash64("seg"))
+        _with_hashes(
+            doc_segments(
+                new_docs,
+                text_col=text_col,
+                id_col=id_col,
+                seg_tokens=seg_tokens,
+                unit=unit,
+            )
+        )
     )
-    batch_state = segs_new.groupBy("__h").agg(F.count("*").alias("n"))
+    batch_state = segs_new.groupBy("__h", "__h2").agg(F.count("*").alias("n"))
     merged = merge_frequency_states(corpus_state, batch_state)
-    heavy = merged.filter(F.col("n") >= min_df).select("__h")
-    return _removal_decisions(segs_new, heavy, id_col=id_col)
+    heavy = merged.filter(F.col("n") >= min_df).select("__h", "__h2")
+    return _removal_decisions(
+        segs_new, heavy, id_col=id_col, sep=_UNIT_SEPS[unit]
+    )

@@ -4,8 +4,10 @@ Implements the selection method of Xie et al. 2023, "Data Selection for
 Language Models via Importance Resampling" (DSIR), the standard recipe
 for skewing a raw crawl toward a target domain at pretraining scale:
 
-1. hash token occurrences into ``n_buckets`` feature buckets,
-2. fit add-one-smoothed unigram bucket distributions for the TARGET
+1. hash feature occurrences into ``n_buckets`` buckets — unigram
+   tokens by default, unigrams + adjacent bigrams with ``ngrams=2``
+   (the hashed unigram+bigram space the paper actually uses),
+2. fit add-one-smoothed bucket distributions for the TARGET
    subset (p̂) and the full SOURCE corpus (q̂),
 3. score every document with the importance log-ratio
    ``sum_tokens ln(p̂[b]/q̂[b])``,
@@ -75,8 +77,17 @@ def dsir_occurrences(
     text_col: str = "text",
     id_col: str = "doc_id",
     n_buckets: int = 64,
+    ngrams: int = 1,
 ) -> DataFrame:
-    """One row per token occurrence: ``(id_col, [__is_tgt,] bucket)``.
+    """One row per FEATURE occurrence: ``(id_col, [__is_tgt,] bucket)``.
+
+    ``ngrams=1`` hashes unigram tokens; ``ngrams=2`` hashes unigrams
+    AND space-joined adjacent bigrams — the feature space Xie et al.
+    2023 actually use (hashed unigram+bigram counts). The bigram array
+    is built token-array-side (``zip_with`` of the two shifted
+    ``slice`` views — per-row, shuffle-free) before the single explode,
+    so the 2-gram path costs one extra array transform, not a join: a
+    doc with n tokens emits 2n-1 feature occurrences.
 
     The shared first stage of the DSIR pipeline — tokenize + md5-bucket
     is the dominant corpus-scan cost, so callers running fit AND score
@@ -84,15 +95,30 @@ def dsir_occurrences(
     it to both :func:`dsir_bucket_model` and :func:`dsir_scores` via
     their ``occ`` parameter. NULL text coalesces to '' (one
     empty-token occurrence, the repo-wide whitespace-split convention)
-    so no document vanishes from scoring."""
+    so no document vanishes from scoring — including under ``ngrams=2``
+    (a 1-token doc has no bigrams but keeps its unigram)."""
+    if ngrams not in (1, 2):
+        raise ValueError(f"ngrams={ngrams}: only 1 (unigram) or 2 "
+                         "(unigram+bigram) feature spaces are defined")
     cols = [F.col(id_col)]
     if target_pred is not None:
         cols.append(target_pred.alias("__is_tgt"))
-    return docs.select(
-        *cols,
-        F.explode(ws_tokens(F.coalesce(F.col(text_col), F.lit("")))).alias(
-            "__tok"
-        ),
+    toks = docs.select(
+        *cols, ws_tokens(F.coalesce(F.col(text_col), F.lit(""))).alias("__t")
+    )
+    feats = F.col("__t")
+    if ngrams == 2:
+        feats = F.concat(
+            feats,
+            F.zip_with(
+                F.slice("__t", 1, F.size("__t") - 1),
+                F.slice("__t", 2, F.size("__t") - 1),
+                lambda a, b: F.concat(a, F.lit(" "), b),
+            ),
+        )
+    passthrough = [c for c in toks.columns if c != "__t"]
+    return toks.select(
+        *passthrough, F.explode(feats).alias("__tok")
     ).withColumn(
         "bucket", token_bucket_col(F.col("__tok"), n_buckets)
     ).drop("__tok")
@@ -106,8 +132,9 @@ def dsir_bucket_model(
     id_col: str = "doc_id",
     n_buckets: int = 64,
     occ: DataFrame | None = None,
+    ngrams: int = 1,
 ) -> DataFrame:
-    """Fit the hashed-unigram importance model: one row per OCCUPIED
+    """Fit the hashed-ngram importance model: one row per OCCUPIED
     bucket with target/source occurrence counts and the e4-quantized
     smoothed log-ratio ``ln(p̂[b]/q̂[b])``.
 
@@ -122,7 +149,9 @@ def dsir_bucket_model(
 
     Pass a prebuilt (ideally persisted) ``occ`` from
     :func:`dsir_occurrences` WITH ``target_pred`` to share the corpus
-    scan with downstream scoring; ``target_pred`` is then unused here.
+    scan with downstream scoring; ``target_pred`` and ``ngrams`` are
+    then unused here (the occurrence table already fixed the feature
+    space).
     """
     if occ is None:
         occ = dsir_occurrences(
@@ -131,6 +160,7 @@ def dsir_bucket_model(
             text_col=text_col,
             id_col=id_col,
             n_buckets=n_buckets,
+            ngrams=ngrams,
         )
     counts = occ.groupBy("bucket").agg(
         F.count("*").alias("n_source"),
@@ -169,6 +199,7 @@ def dsir_scores(
     id_col: str = "doc_id",
     n_buckets: int = 64,
     occ: DataFrame | None = None,
+    ngrams: int = 1,
 ) -> DataFrame:
     """Per-document importance score: the exact integer sum of the
     model's e4 bucket log-ratios over the doc's token occurrences.
@@ -187,22 +218,55 @@ def dsir_scores(
     that cannot miss — no per-occurrence null handling, no
     nested-loop scalar attachment.
 
+    A model fitted with a DIFFERENT ``n_buckets`` raises instead of
+    silently truncating (ADVICE r9): the completion join is FULL outer,
+    so a model bucket outside ``[0, n_buckets)`` survives into the
+    completed table and trips a codegen'd per-row guard — with a left
+    join it would vanish, silently skewing the ``__st``/``__tt``
+    totals and the unseen-bucket default. (The full-outer on two
+    n_buckets-row tables is a constant-size sort-merge — noise.)
+
     Pass a prebuilt ``occ`` from :func:`dsir_occurrences` to reuse the
-    tokenize+hash scan paid by the model fit."""
+    tokenize+hash scan paid by the model fit; ``ngrams`` is unused
+    when ``occ`` is given, and must otherwise match the feature space
+    the model was fitted on."""
     if occ is None:
         occ = dsir_occurrences(
-            docs, text_col=text_col, id_col=id_col, n_buckets=n_buckets
+            docs,
+            text_col=text_col,
+            id_col=id_col,
+            n_buckets=n_buckets,
+            ngrams=ngrams,
         )
     a, b = float(ALPHA), n_buckets
     everything = Window.partitionBy()
+    bucket_guard = F.when(
+        (F.col("bucket") < 0) | (F.col("bucket") >= n_buckets),
+        F.raise_error(
+            F.concat(
+                F.lit("dsir_scores: model bucket "),
+                F.col("bucket").cast("string"),
+                F.lit(
+                    f" outside [0, {n_buckets}) — the model was fitted "
+                    "with a different n_buckets"
+                ),
+            )
+        ),
+    ).otherwise(F.col("bucket"))
     full = (
         docs.sparkSession.range(n_buckets)
         .select(F.col("id").cast("int").alias("bucket"))
         .join(
-            model.select("bucket", "n_source", "n_target", "logratio_e4"),
+            model.select(
+                F.col("bucket").cast("int").alias("bucket"),
+                "n_source",
+                "n_target",
+                "logratio_e4",
+            ),
             "bucket",
-            "left",
+            "full",
         )
+        .withColumn("bucket", bucket_guard)
         # fit-corpus totals over the COMPLETED (still n_buckets-row)
         # table — missing buckets contribute 0, so one window after
         # the join replaces a pre-join window plus a re-spread

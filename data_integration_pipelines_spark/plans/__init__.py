@@ -24,36 +24,62 @@ from . import queries_window  # noqa: E402,F401
 # ROTATION slice (r8, VERDICT r7 task 7): risk-ordering the head is
 # right, but queries that stay stable forever would otherwise never
 # earn a fresh DRIVER row again (judge sweeps cover them, the driver's
-# head hasn't since r2-r4) — so each round also cycles ~10 of the
-# longest-unvisited stable-tail queries into the head, giving every
-# query a driver-green at least every ~12 rounds. Round-9 head:
-# (a) queries whose PLAN or ORACLE changed this round — the bucket cap
-# routed as the probed near-dup default (kernel + dedup_consensus +
-# embedding_dup_clusters, cap rule in both engines), the NEW
-# exact_then_near_dup production composition and
-# embedding_near_dup_probed_uncapped exact twin, the stratified NULL
-# guard, the quantile 'null' oracle branch, the shared-gram-kernel
-# SemDeDup refactor; (b) the rotation slice: ten r2-stable tail
-# queries (exact_dedup .. lang_id — the text-dedup family); (c) the
-# r8 head order for the rest.
+# head hasn't since r2-r4) — so each round also cycles the
+# longest-unvisited stable-tail queries into the head. Round-10 head:
+# (a) the four NEW queries (line-mode boilerplate — the CCNet
+# production unit — and the DSIR unigram+bigram feature space), then
+# the queries whose PLAN changed this round with unchanged fixture
+# output: the boilerplate decision key widened to the 128-bit hash
+# pair (removal/incremental/composition), the dsir_scores full-outer
+# n_buckets guard, the zipf_fit NULLIF + overflow guards;
+# (b) the rotation slice (VERDICT r9 task 3): 25 queries last
+# driver-verified r2-r3 — the relational/window tail the 10-per-round
+# pace never reached; (c) the r9 head order for the rest.
 _RISK_ORDER = [
-    # (a) r9-changed plans/oracles: the routed bucket cap (probed
-    # kernel + both compositions, oracles recap both join sides),
-    # the two NEW queries (production composition + uncapped twin),
-    # the stratified NULL guard (plan change, same fixture output),
-    # the quantile 'null' oracle branch, the shared-kernel SemDeDup
-    # refactor (pairs param; same outputs)
-    # newest first: the DSIR importance-resampling family and the
-    # boilerplate segment family (NEW mid-r9, never driver-compared),
-    # then the rest of the r9-changed head
-    "boilerplate_then_exact_dedup",
-    "zipf_fit",
-    "token_freq_spectrum",
-    "incremental_boilerplate",
-    "dsir_resample_topk",
-    "dsir_importance_scores",
-    "dsir_bucket_model",
+    # (a) new in r10, never driver-compared
+    "boilerplate_removal_lines",
+    "boilerplate_lines",
+    "dsir_importance_scores_bigram",
+    "dsir_bucket_model_bigram",
+    # r10-changed plans, same fixture output (hash-pair decision key;
+    # full-outer model-completion guard; zipf degenerate/overflow
+    # guards)
     "boilerplate_removal",
+    "incremental_boilerplate",
+    "boilerplate_then_exact_dedup",
+    "dsir_importance_scores",
+    "zipf_fit",
+    # (b) rotation slice: stable tail, last driver row r2-r3 — the
+    # relational audit + session/window families
+    "type_census",
+    "census_filtered",
+    "bool_folds",
+    "exists_filter",
+    "optional_bound",
+    "link_integrity",
+    "set_discrepancy",
+    "union_distinct",
+    "approx_distinct_check",
+    "completeness_check",
+    "filter_dsl_search",
+    "keep_latest",
+    "keep_latest_salted",
+    "hierarchy_closure",
+    "closure_descendant_counts",
+    "sibling_pairs",
+    "session_stats",
+    "session_window_counts",
+    "lag_lead_deltas",
+    "rank_battery",
+    "value_histogram",
+    "drop_duplicates",
+    "count_compare",
+    "grouped_topk",
+    "event_funnel",
+    # (c) the r9 head order for the rest, minus entries moved above
+    "token_freq_spectrum",
+    "dsir_resample_topk",
+    "dsir_bucket_model",
     "boilerplate_segments",
     "exact_then_near_dup",
     "embedding_near_dup_probed_uncapped",
@@ -68,8 +94,6 @@ _RISK_ORDER = [
     "semdedup_keep_ids",
     "semdedup_survivors",
     "semdedup_pairs",
-    # (b) rotation slice: stable tail, last driver row r2 — the
-    # text-dedup family, thematically adjacent to this round's work
     "exact_dedup",
     "doc_fingerprint",
     "dedup_survivors",
@@ -80,7 +104,6 @@ _RISK_ORDER = [
     "decontaminate",
     "char_ngram_lang_id",
     "lang_id",
-    # (c) the r8 head order for the rest, minus entries moved above
     "kmeans_assign_pivoted",
     "semdedup_survivors_pivoted",
     "semdedup_survivors_auto_k",
@@ -199,15 +222,6 @@ _RISK_ORDER = [
     "voxel_region_histogram",
     "asof_join_events",
     "asof_join_events_chunked",
-    "session_stats",
-    "session_window_counts",
-    "lag_lead_deltas",
-    "rank_battery",
-    "value_histogram",
-    "drop_duplicates",
-    "count_compare",
-    "grouped_topk",
-    "event_funnel",
     "pivot_event_matrix",
     "cube_census",
     "bm25_search",
@@ -221,22 +235,6 @@ _RISK_ORDER = [
     "multimodal_meta",
     "frame_sample",
     "corpus_sample_mix",
-    "hierarchy_closure",
-    "closure_descendant_counts",
-    "sibling_pairs",
-    "completeness_check",
-    "keep_latest",
-    "keep_latest_salted",
-    "filter_dsl_search",
-    "link_integrity",
-    "set_discrepancy",
-    "union_distinct",
-    "exists_filter",
-    "optional_bound",
-    "approx_distinct_check",
-    "type_census",
-    "census_filtered",
-    "bool_folds",
 ]
 
 

@@ -286,7 +286,9 @@ def semdedup_survivors_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "semdedup_survivors_auto_k",
     REGISTRY["semdedup_survivors"].oracle,
-    doc="DIFFERENTIAL TWIN (demoted r8): auto_k sizing but the FLAT "
+    doc="TWIN — at scale use semdedup_survivors (the auto-routing "
+    "front door; this flat variant walls 37x at 30x data). "
+    "DIFFERENTIAL TWIN (demoted r8): auto_k sizing but the FLAT "
     "full-corpus assignment through the centroid-table fit — kept to "
     "measure the N*k*D term the front door's pivoted route removes "
     "(37.4x wall at 30x data vs the pipeline's 7.13x, SCALE.md 1d). "

@@ -1992,17 +1992,40 @@ def drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DSIR_PRED = "lang = 'en'"
 _DSIR_B = 64
 
-_DSIR_MODEL_CTE = rf"""
-    occ AS (
-        -- coalesce mirrors the engine (NULL text = one empty-token
-        -- occurrence; no-op on the non-null fixture column)
-        SELECT doc_id, ({_DSIR_PRED}) AS is_tgt,
-               (('0x' || substr(md5(tok), 1, 4))::INT % {_DSIR_B}) AS bucket
-        FROM (
+# coalesce mirrors the engine (NULL text = one empty-token occurrence;
+# no-op on the non-null fixture column)
+_DSIR_UNIGRAM_FEATS = r"""
             SELECT doc_id, lang,
-                   unnest(regexp_split_to_array(trim(coalesce(text, '')), '\s+')) AS tok
+                   unnest(regexp_split_to_array(trim(coalesce(text, '')), '\s+')) AS feat
             FROM documents
-        )
+"""
+
+# Xie et al. 2023's actual feature space: hashed unigram + adjacent
+# bigram counts. Bigrams re-derive from the token array positionally
+# (1-based t[i] || ' ' || t[i+1] over i in 1..len-1), mirroring the
+# engine's zip_with of the two shifted slice views; a 1-token doc has
+# no bigrams but keeps its unigram, so no document vanishes.
+_DSIR_BIGRAM_FEATS = rf"""
+            {_DSIR_UNIGRAM_FEATS}
+            UNION ALL
+            SELECT doc_id, lang, t[i] || ' ' || t[i+1] AS feat
+            FROM (
+                SELECT doc_id, lang,
+                       regexp_split_to_array(trim(coalesce(text, '')), '\s+') AS t
+                FROM documents
+            ), LATERAL (SELECT unnest(range(1, len(t))) AS i)
+"""
+
+
+def _dsir_model_cte(feats_sql: str) -> str:
+    """The shared fit CTE over a ``(doc_id, lang, feat)`` feature
+    stream: md5-bucket each feature, corpus totals, add-one-smoothed
+    e4 log-ratio per occupied bucket."""
+    return rf"""
+    occ AS (
+        SELECT doc_id, ({_DSIR_PRED}) AS is_tgt,
+               (('0x' || substr(md5(feat), 1, 4))::INT % {_DSIR_B}) AS bucket
+        FROM ({feats_sql})
     ),
     tot AS (
         SELECT COUNT(*) AS st,
@@ -2023,6 +2046,10 @@ _DSIR_MODEL_CTE = rf"""
         GROUP BY bucket
     )
 """
+
+
+_DSIR_MODEL_CTE = _dsir_model_cte(_DSIR_UNIGRAM_FEATS)
+_DSIR_MODEL_CTE_BIGRAM = _dsir_model_cte(_DSIR_BIGRAM_FEATS)
 
 
 def _dsir_model_df(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2149,3 +2176,77 @@ def dsir_resample_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dsir import dsir_resample
 
     return dsir_resample(_dsir_scored_df(spark, sf_dir), k=100)
+
+
+@register(
+    "dsir_bucket_model_bigram",
+    f"""
+    WITH {_DSIR_MODEL_CTE_BIGRAM}
+    SELECT bucket, n_target, n_source, logratio_e4
+    FROM model ORDER BY bucket
+    """,
+    doc="DSIR importance model over the paper's FULL feature space — "
+    "hashed unigrams + adjacent bigrams (ngrams=2; Xie et al. 2023 "
+    "§3: bigram features are what make the importance model sensitive "
+    "to domain phrasing, not just vocabulary). The unigram-only "
+    "dsir_bucket_model is retained as the differential twin. Plan "
+    "cost over the twin: ONE extra per-row array transform (zip_with "
+    "of two shifted slices) before the same single explode — a doc "
+    "with n tokens emits 2n-1 occurrences, still shuffle-free into "
+    "the same 64-row groupBy; the oracle re-derives bigrams "
+    "positionally from the token array.",
+)
+def dsir_bucket_model_bigram_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dsir import dsir_bucket_model
+
+    return dsir_bucket_model(
+        _docs(spark, sf_dir),
+        F.col("lang") == "en",
+        n_buckets=_DSIR_B,
+        ngrams=2,
+    ).orderBy("bucket")
+
+
+@register(
+    "dsir_importance_scores_bigram",
+    f"""
+    WITH {_DSIR_MODEL_CTE_BIGRAM},
+    scores AS (
+        SELECT o.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+               CAST(SUM(m.logratio_e4) AS BIGINT) AS score_e4
+        FROM occ o JOIN model m USING (bucket)
+        GROUP BY o.doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(s.n_tokens, 0) AS n_tokens,
+           COALESCE(s.score_e4, 0) AS score_e4
+    FROM documents d LEFT JOIN scores s USING (doc_id)
+    ORDER BY d.doc_id
+    """,
+    doc="Per-document DSIR score under the unigram+bigram feature "
+    "space (the paper's production configuration; "
+    "dsir_importance_scores is the unigram differential twin). "
+    "n_tokens counts FEATURE occurrences — 2n-1 for an n-token doc. "
+    "Same exactness contract: integer sums of the model's e4 bucket "
+    "log-ratios, one shared tokenize+hash pass persisted across fit "
+    "and scoring, 64-row broadcast model join, every-doc left-join "
+    "pin.",
+)
+def dsir_importance_scores_bigram_q(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.cache import bounded_persist
+    from ..operators.dsir import dsir_bucket_model, dsir_occurrences, dsir_scores
+
+    docs = _docs(spark, sf_dir)
+    occ = bounded_persist(
+        dsir_occurrences(
+            docs, F.col("lang") == "en", n_buckets=_DSIR_B, ngrams=2
+        )
+    )
+    model = dsir_bucket_model(
+        docs, F.col("lang") == "en", n_buckets=_DSIR_B, occ=occ
+    )
+    return dsir_scores(docs, model, n_buckets=_DSIR_B, occ=occ).orderBy(
+        "doc_id"
+    )

@@ -1357,6 +1357,138 @@ def incremental_boilerplate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+# --- line-mode boilerplate (the CCNet production unit) --------------
+#
+# The fixture documents are single-line, so the line unit needs a
+# MULTI-LINE corpus: a deterministic derivation that mirrors what web
+# extraction actually yields — a cookie banner on some pages, the
+# page's own content, a language-targeted subscribe banner, and a
+# templated copyright footer. Built from the same fixture columns with
+# identical expression trees on both engines, so the oracle re-derives
+# the corpus rather than trusting the engine's segmentation.
+
+_LINE_CTE = r"""
+    lined AS (
+        SELECT doc_id,
+               (CASE WHEN doc_id % 2 = 0
+                     THEN 'accept cookies to continue' || chr(10)
+                     ELSE '' END)
+               || coalesce(text, '')
+               || (CASE WHEN lang = 'en'
+                        THEN chr(10) || 'subscribe to our newsletter'
+                        ELSE '' END)
+               || chr(10) || 'copyright ' || CAST(doc_id % 5 AS VARCHAR)
+               || ' footer' AS text
+        FROM documents
+    ),
+    lseg AS (
+        SELECT doc_id, (i-1) AS seg_id, l[i] AS seg
+        FROM (SELECT doc_id, string_split(text, chr(10)) AS l FROM lined),
+             LATERAL (SELECT unnest(range(1, len(l)+1)) AS i)
+    )
+"""
+
+
+def _lined_docs(docs: DataFrame) -> DataFrame:
+    """The derived multi-line corpus (see ``_LINE_CTE``): 2-4 lines per
+    document — optional cookie banner (even doc_ids), the original
+    text as the body line, optional subscribe banner (lang='en'),
+    always a templated footer (doc_id % 5 variants)."""
+    return docs.select(
+        "doc_id",
+        F.concat(
+            F.when(
+                F.col("doc_id") % 2 == 0,
+                F.lit("accept cookies to continue\n"),
+            ).otherwise(F.lit("")),
+            F.coalesce(F.col("text"), F.lit("")),
+            F.when(
+                F.col("lang") == "en",
+                F.lit("\nsubscribe to our newsletter"),
+            ).otherwise(F.lit("")),
+            F.lit("\ncopyright "),
+            (F.col("doc_id") % 5).cast("string"),
+            F.lit(" footer"),
+        ).alias("text"),
+    )
+
+
+@register(
+    "boilerplate_lines",
+    f"""
+    WITH {_LINE_CTE}
+    SELECT seg, CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+    FROM lseg GROUP BY seg HAVING COUNT(*) >= 3
+    ORDER BY n_occurrences DESC, seg
+    """,
+    doc="LINE-mode boilerplate REPORT — the production unit of "
+    "CCNet/RefinedWeb line dedup (unit='line' in "
+    "operators/boilerplate.doc_segments: split('\\n'), whole-line "
+    "decisions), run on a derived multi-line corpus (cookie banner on "
+    "even doc_ids, original text as body, subscribe banner on en docs, "
+    "doc_id%5 footer variants — re-derived independently in the "
+    "oracle). Plan identical to the segment twin: per-row split (no "
+    "shuffle), frequency groupBy keyed (hash, text) for the audit "
+    "table; heavy set bounded by total_lines/min_df. 7 heavy lines at "
+    "sf0.01 (banner 250, newsletter |en|, five footers ~100 each).",
+)
+def boilerplate_lines_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.boilerplate import doc_segments, segment_frequency_table
+
+    segs = doc_segments(_lined_docs(_docs(spark, sf_dir)), unit="line")
+    return segment_frequency_table(segs, min_df=3).orderBy(
+        F.desc("n_occurrences"), "seg"
+    )
+
+
+@register(
+    "boilerplate_removal_lines",
+    f"""
+    WITH {_LINE_CTE},
+    heavy AS (
+        SELECT seg FROM lseg GROUP BY seg HAVING COUNT(*) >= 3
+    ),
+    kept AS (
+        SELECT s.doc_id, s.seg_id, s.seg
+        FROM lseg s LEFT JOIN heavy h ON s.seg = h.seg
+        WHERE h.seg IS NULL
+    ),
+    agg AS (
+        SELECT doc_id, COUNT(*) AS n_kept,
+               md5(string_agg(seg, chr(10) ORDER BY seg_id)) AS cleaned_md5
+        FROM kept GROUP BY doc_id
+    ),
+    tot AS (
+        SELECT doc_id, COUNT(*) AS n_segments FROM lseg GROUP BY doc_id
+    )
+    SELECT t.doc_id, CAST(t.n_segments AS BIGINT) AS n_segments,
+           CAST(t.n_segments - COALESCE(a.n_kept, 0) AS BIGINT) AS n_removed,
+           COALESCE(a.cleaned_md5, md5('')) AS cleaned_md5
+    FROM tot t LEFT JOIN agg a USING (doc_id)
+    ORDER BY t.doc_id
+    """,
+    doc="LINE-mode boilerplate REMOVAL — the stage CCNet actually "
+    "ships: every line whose corpus frequency reaches min_df=3 drops "
+    "WHOLE, kept lines re-join with '\\n', and the oracle certifies "
+    "the cleaned text digest per document. On the derived corpus "
+    "every doc sheds its footer, even docs the cookie banner, en docs "
+    "the subscribe banner — n_removed varies 1-3 while every body "
+    "line survives, so the md5s pin that exactly the injected "
+    "boilerplate (and nothing else) was removed. Decisions key on the "
+    "128-bit (xxhash64, salted-xxhash64) pair — at 10^13 lines a "
+    "single 64-bit key expects ~10^6 collisions, each silently "
+    "deleting an innocent line; the pair drives that to ~never while "
+    "the shuffle still carries 16 bytes + count, not line text.",
+)
+def boilerplate_removal_lines_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.boilerplate import remove_boilerplate_segments
+
+    return remove_boilerplate_segments(
+        _lined_docs(_docs(spark, sf_dir)), unit="line", min_df=3
+    ).orderBy("doc_id")
+
+
 # --- corpus frequency diagnostics (Zipf fit, frequency spectrum) ----
 
 from ..functions.quantize import quantized, quantized_sql  # noqa: E402
@@ -1413,8 +1545,12 @@ def token_freq_spectrum_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # identical double expression trees on both engines: the OLS terms are
 # built from e4-quantized ln(rank)/ln(freq) BIGINTs, so the sums are
-# exact integers and the only doubles are the two final divisions
-_ZIPF_SLOPE_SQL = "(n * sxy - sx * sy) / (n * sxx - sx * sx)"
+# exact integers and the only doubles are the two final divisions.
+# NULLIF mirrors the degenerate one-type vocabulary on both engines
+# (ADVICE r9): n=1 makes the variance denominator exactly 0, where
+# Spark division yields NULL but DuckDB yields IEEE inf/nan — guarding
+# both sides pins the slope/intercept to NULL identically.
+_ZIPF_SLOPE_SQL = "(n * sxy - sx * sy) / NULLIF(n * sxx - sx * sx, 0)"
 _ZIPF_INTERCEPT_SQL = f"(sy - ({_ZIPF_SLOPE_SQL}) * sx) / n"
 
 
@@ -1460,8 +1596,14 @@ _ZIPF_INTERCEPT_SQL = f"(sy - ({_ZIPF_SLOPE_SQL}) * sx) / n"
     "under the uniform e4 scaling (the 1e4 factors cancel in "
     "cov/var), so the only doubles are two final divisions of "
     "identical integers. The rank window sorts the VOCAB table "
-    "(types, not tokens — bounded far below corpus size; at 1e9-type "
-    "scale swap the e8 products to DECIMAL). One-row output.",
+    "(types, not tokens — bounded far below corpus size). Guards "
+    "(ADVICE r9): a degenerate one-type vocabulary zeroes the "
+    "variance denominator — NULLIF on BOTH engines pins slope and "
+    "intercept to NULL identically instead of Spark-NULL vs DuckDB-"
+    "inf; and the engine raises loudly when n_types*max|e4 term| > "
+    "3e9 (the provable LONG-exactness bound — Spark would otherwise "
+    "wrap silently where DuckDB errors; swap the products to DECIMAL "
+    "past ~1e9 types). One-row output.",
 )
 def zipf_fit_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
@@ -1483,11 +1625,36 @@ def zipf_fit_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("y_e4").cast("bigint").alias("sy"),
         F.sum(F.col("x_e4") * F.col("y_e4")).cast("bigint").alias("sxy"),
         F.sum(F.col("x_e4") * F.col("x_e4")).cast("bigint").alias("sxx"),
+        F.greatest(
+            F.max(F.abs(F.col("x_e4"))), F.max(F.abs(F.col("y_e4")))
+        ).cast("bigint").alias("__mx"),
     )
-    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
-        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    # overflow guard (ADVICE r9): the OLS products n*sxy and sx*sy are
+    # bounded by (n*mx)^2 — requiring n*mx <= 3e9 keeps them under
+    # 9e18 < 2^63, so LONG arithmetic is provably exact. Past that
+    # Spark's long multiply would WRAP silently (DuckDB errors loudly
+    # on its own: BIGINT products overflow-check and SUM goes HUGEINT)
+    # — the raise makes the engine side fail loudly too. Headroom in
+    # practice: mx ~ ln(n_types)*1e4, so the bound trips around
+    # n_types ~ 1e4-vocabularies of 10^9+ types — the docstring's
+    # DECIMAL-swap territory.
+    n_g = F.when(
+        F.col("n") * F.col("__mx") > F.lit(3_000_000_000),
+        F.raise_error(
+            F.concat(
+                F.lit("zipf_fit: n_types * max|e4 term| = "),
+                (F.col("n") * F.col("__mx")).cast("string"),
+                F.lit(
+                    " > 3e9 — the OLS LONG products could overflow; "
+                    "swap the e8 products to DECIMAL for this corpus"
+                ),
+            )
+        ),
+    ).otherwise(F.col("n"))
+    slope = (n_g * F.col("sxy") - F.col("sx") * F.col("sy")) / F.nullif(
+        n_g * F.col("sxx") - F.col("sx") * F.col("sx"), F.lit(0).cast("bigint")
     )
-    intercept = (F.col("sy") - slope * F.col("sx")) / F.col("n")
+    intercept = (F.col("sy") - slope * F.col("sx")) / n_g
     return s.select(
         F.col("n").alias("n_types"),
         "n_tokens",

@@ -155,8 +155,10 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE cosine_e4 >= 3500
     ORDER BY id_a, id_b
     """,
-    doc="Embedding-cosine near-duplicate pairs, EXACT-signature variant "
-    "(Hamming=0 candidates only): random-hyperplane LSH signatures "
+    doc="TWIN — at scale use embedding_near_dup_probed (this fixed-"
+    "width kernel probes 8.53x wall at 10x data, PROBE_r9; retained as "
+    "the exact-signature differential). Embedding-cosine near-duplicate "
+    "pairs, Hamming=0 candidates only: random-hyperplane LSH signatures "
     "(integer hyperplanes, JVM-side array folds) bucket the corpus; "
     "exact cosine verifies only same-bucket candidates — never the full "
     "N^2. Since r7 this is the differential twin of the recall-complete "
@@ -193,10 +195,13 @@ def _multiprobe_oracle(n_planes: int = 8, max_hamming: int = 1) -> str:
 @register(
     "embedding_near_dup_multiprobe",
     _multiprobe_oracle(8, 1),
-    doc="Hamming-tolerant embedding near-dup: hyperplane-LSH signatures "
-    "within 1 bit pair via pigeonhole block joins (a single splitting "
-    "hyperplane no longer hides a true near-dup), exact cosine verifies. "
-    "Superset of embedding_near_dup's exact-signature candidates.",
+    doc="TWIN — at scale use embedding_near_dup_probed (this fixed-"
+    "width block-join variant probes 10.71x wall at 10x data, PROBE_r9; "
+    "retained as the pigeonhole-join differential). Hamming-tolerant "
+    "embedding near-dup: hyperplane-LSH signatures within 1 bit pair "
+    "via pigeonhole block joins (a single splitting hyperplane no "
+    "longer hides a true near-dup), exact cosine verifies. Superset of "
+    "embedding_near_dup's exact-signature candidates.",
 )
 def embedding_near_dup_multiprobe_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import embedding_near_dup_multiprobe
@@ -274,7 +279,10 @@ def embedding_near_dup_probed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE cosine_e4 >= 3500
     ORDER BY id_a, id_b
     """,
-    doc="The RECALL-EXACT differential twin of embedding_near_dup_probed "
+    doc="TWIN — at scale use embedding_near_dup_probed (this uncapped "
+    "variant's candidates grow 870x at 30x on clustered data; retained "
+    "as the recall-exact reference). The RECALL-EXACT differential twin "
+    "of embedding_near_dup_probed "
     "(r9 — the pre-r9 default, demoted when the auto bucket cap became "
     "the production configuration): identical width-adaptive "
     "query-side probing with NO bucket cap (max_bucket=None), so every "
@@ -395,7 +403,9 @@ def incremental_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE cosine_e4 >= 3500
     ORDER BY id_a, id_b
     """,
-    doc="The probed near-dup kernel with a FIXED bucket cap "
+    doc="TWIN — at scale use embedding_near_dup_probed (same kernel; "
+    "this row pins the fixed-constant cap against the dynamic rule). "
+    "The probed near-dup kernel with a FIXED bucket cap "
     "(operators/similarity._cap_buckets, max_bucket=16 pinned — "
     "BINDING at the fixture: the two hottest signature buckets hold "
     "19-20 of 500 vectors and are dropped on both the probe and the "

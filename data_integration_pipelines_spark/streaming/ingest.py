@@ -302,14 +302,23 @@ def streaming_dsir_scores(
     noise next to the batch scan)."""
     from ..operators.dsir import dsir_scores
 
-    model_pinned = model.persist()
-    model_pinned.count()  # materialize before the first batch
+    # snapshot a PRIVATE copy (ADVICE r9): persisting the caller's
+    # DataFrame directly would let release evict cache state the
+    # caller shares with other consumers (a no-op .select() doesn't
+    # help — it canonicalizes to the SAME cache entry). The model is
+    # n_buckets rows BY CONSTRUCTION, so a driver-side collect +
+    # local re-create is the honest pin: it decouples the drain from
+    # the caller's lineage and cache entirely, and a LocalRelation
+    # can never be recomputed against a changed corpus mid-drain.
+    model_pinned = model.sparkSession.createDataFrame(
+        model.collect(), model.schema
+    )
 
     def classify_fn(batch_df: DataFrame) -> DataFrame:
         return dsir_scores(batch_df, model_pinned, n_buckets=n_buckets)
 
     def release_fn() -> None:
-        model_pinned.unpersist(blocking=False)
+        pass  # nothing drain-owned to release: the snapshot is local
 
     return _versioned_drain(
         stream_docs, out_path, checkpoint_path, classify_fn, release_fn
@@ -321,6 +330,7 @@ def streaming_segment_frequency(
     out_path: str,
     checkpoint_path: str,
     seg_tokens: int = 6,
+    unit: str = "segment",
 ):
     """Streaming face of the boilerplate frequency state
     (operators/boilerplate.segment_frequency_state): drain the document
@@ -338,11 +348,15 @@ def streaming_segment_frequency(
     so far, not on (doc, state) — boilerplate removal against a
     still-growing state is the incremental tier's
     remove_boilerplate_incremental, run against the folded state at
-    any point (decision-parity pytest)."""
+    any point (decision-parity pytest). ``unit="line"`` drains the
+    production line-dedup state; the folded log must be consumed with
+    the same unit."""
     from ..operators.boilerplate import segment_frequency_state
 
     def classify_fn(batch_df: DataFrame) -> DataFrame:
-        return segment_frequency_state(batch_df, seg_tokens=seg_tokens)
+        return segment_frequency_state(
+            batch_df, seg_tokens=seg_tokens, unit=unit
+        )
 
     def release_fn() -> None:
         pass
@@ -364,9 +378,9 @@ def folded_segment_frequency(spark, out_path: str) -> DataFrame:
     from pyspark.sql import functions as F
 
     if not glob.glob(os.path.join(out_path, "batch_id=*")):
-        return spark.createDataFrame([], "__h bigint, n bigint")
+        return spark.createDataFrame([], "__h bigint, __h2 bigint, n bigint")
     return (
         spark.read.parquet(out_path)
-        .groupBy("__h")
+        .groupBy("__h", "__h2")
         .agg(F.sum("n").alias("n"))
     )

@@ -184,6 +184,107 @@ def test_incremental_fold_equals_one_shot(spark, sf_medium):
     )
 
 
+def test_line_segmentation_splits_on_newlines(spark):
+    """unit='line': one segment per line, 0-based positions, rejoining
+    with '\\n' reproduces the document; a doc with no newline is its
+    own single line."""
+    rows = [
+        (1, "nav bar\nreal content here\nfooter text"),
+        (2, "single line no newline"),
+        (3, "a\n\nb"),  # empty middle line is a line
+    ]
+    segs = doc_segments(_docs(spark, rows), unit="line").collect()
+    by_doc: dict[int, list] = {}
+    for r in segs:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert [len(by_doc[d]) for d in (1, 2, 3)] == [3, 1, 3]
+    for doc_id, text in rows:
+        parts = sorted(by_doc[doc_id], key=lambda r: r.seg_id)
+        assert [p.seg_id for p in parts] == list(range(len(parts)))
+        assert "\n".join(p.seg for p in parts) == text
+    assert by_doc[3][1].seg == ""
+
+
+def test_line_removal_is_whole_line_and_rejoins_with_newline(spark):
+    """A heavy LINE drops whole wherever it appears; kept lines
+    re-join with '\\n' before digesting — the digest is of the actual
+    cleaned multi-line document."""
+    banner = "accept all cookies"
+    rows = [
+        (1, f"{banner}\nunique content one"),
+        (2, f"{banner}\nother content\nmore content"),
+        (3, f"{banner}\n{banner}"),  # within-doc repeat
+        (4, "no boilerplate\nat all"),
+    ]
+    out = {
+        r.doc_id: r
+        for r in remove_boilerplate_segments(
+            _docs(spark, rows), unit="line", min_df=3
+        ).collect()
+    }
+    assert (out[1].n_segments, out[1].n_removed) == (2, 1)
+    assert (out[2].n_segments, out[2].n_removed) == (3, 1)
+    assert (out[3].n_segments, out[3].n_removed) == (2, 2)
+    assert (out[4].n_segments, out[4].n_removed) == (2, 0)
+    assert out[3].cleaned_md5 == hashlib.md5(b"").hexdigest()
+    assert (
+        out[2].cleaned_md5
+        == hashlib.md5(b"other content\nmore content").hexdigest()
+    )
+    assert out[4].cleaned_md5 == hashlib.md5(b"no boilerplate\nat all").hexdigest()
+
+
+def test_invalid_unit_rejected(spark):
+    with pytest.raises(ValueError, match="unit"):
+        doc_segments(_docs(spark, [(1, "a b")]), unit="sentence")
+
+
+def test_line_fixture_non_vacuous(spark, sf_medium):
+    """The derived multi-line corpus at sf0.01: exactly the 7 injected
+    boilerplate lines are heavy (banner 250, newsletter 218, five
+    footer variants 100 each) and EVERY doc keeps exactly its body
+    line — removal strips all injected lines and nothing else."""
+    from data_integration_pipelines_spark.plans import REGISTRY
+
+    heavy = {
+        r.seg: r.n_occurrences
+        for r in REGISTRY["boilerplate_lines"].fn(spark, sf_medium).collect()
+    }
+    assert len(heavy) == 7
+    assert heavy["accept cookies to continue"] == 250
+    assert heavy["subscribe to our newsletter"] == 218
+    assert all(heavy[f"copyright {i} footer"] == 100 for i in range(5))
+    rem = REGISTRY["boilerplate_removal_lines"].fn(spark, sf_medium).collect()
+    assert len(rem) == 500
+    assert all(r.n_segments - r.n_removed == 1 for r in rem)
+
+
+def test_line_incremental_matches_one_shot(spark, sf_medium):
+    """Decision parity in LINE mode: batch decisions against the folded
+    line-frequency state equal the one-shot recount restricted to the
+    batch — the incremental face runs the production unit, not just
+    the segment surrogate."""
+    from data_integration_pipelines_spark.catalog import load_table
+    from data_integration_pipelines_spark.operators.boilerplate import (
+        remove_boilerplate_incremental,
+        segment_frequency_state,
+    )
+    from data_integration_pipelines_spark.plans.queries_text import _lined_docs
+
+    docs = _lined_docs(load_table(spark, sf_medium, "documents"))
+    standing = docs.filter(F.col("doc_id") % 4 != 0)
+    batch = docs.filter(F.col("doc_id") % 4 == 0)
+    incr = remove_boilerplate_incremental(
+        batch, segment_frequency_state(standing, unit="line"), unit="line"
+    )
+    full = remove_boilerplate_segments(docs, unit="line").join(
+        batch.select("doc_id"), "doc_id", "left_semi"
+    )
+    assert sorted(map(tuple, incr.collect())) == sorted(
+        map(tuple, full.collect())
+    )
+
+
 def test_null_text_doc_keeps_report_row(spark):
     """NULL text coalesces to '' — the doc still earns its one removal
     row (one empty segment, nothing removable below threshold)."""

@@ -153,6 +153,89 @@ def test_cross_corpus_scoring_every_doc_with_default(spark):
     assert {d: r.score_e4 for d, r in got.items()} == expect
 
 
+def test_bigram_occurrences_are_unigrams_plus_adjacent_pairs(spark):
+    """ngrams=2 emits exactly 2n-1 features per n-token doc: every
+    unigram plus every space-joined adjacent pair, bucketed through
+    the same md5 domain — verified feature-by-feature against a
+    Python re-derivation."""
+    from data_integration_pipelines_spark.operators.dsir import (
+        dsir_occurrences,
+        token_bucket_col,
+    )
+
+    rows = [(1, "alpha beta gamma", "en"), (2, "solo", "en")]
+    docs = _docs(spark, rows)
+    occ = dsir_occurrences(docs, n_buckets=8, ngrams=2).collect()
+    counts: dict[int, int] = {}
+    for r in occ:
+        counts[r.doc_id] = counts.get(r.doc_id, 0) + 1
+    assert counts == {1: 5, 2: 1}  # 2*3-1 and 2*1-1
+    # bucket multiset matches the expected feature strings
+    feats = ["alpha", "beta", "gamma", "alpha beta", "beta gamma", "solo"]
+    want = sorted(
+        r.bucket
+        for r in spark.createDataFrame([(f,) for f in feats], "f string")
+        .select(token_bucket_col(F.col("f"), 8).alias("bucket"))
+        .collect()
+    )
+    assert sorted(r.bucket for r in occ) == want
+
+
+def test_bigram_scores_match_manual_feature_sum(spark):
+    """Bigram scoring keeps the exact-integer-sum contract: each doc's
+    score equals the sum of its 2n-1 features' model log-ratios."""
+    from data_integration_pipelines_spark.functions.text import ws_tokens
+    from data_integration_pipelines_spark.operators.dsir import (
+        dsir_bucket_model,
+        dsir_occurrences,
+        dsir_scores,
+        token_bucket_col,
+    )
+
+    rows = [
+        (1, "alpha beta alpha beta alpha", "en"),
+        (2, "alpha beta gamma delta", "en"),
+        (3, "gamma delta gamma delta epsilon", "de"),
+    ]
+    docs = _docs(spark, rows)
+    model = dsir_bucket_model(
+        docs, F.col("lang") == "en", n_buckets=8, ngrams=2
+    )
+    lut = {r.bucket: r.logratio_e4 for r in model.collect()}
+    expected: dict[int, int] = {}
+    for doc_id, text, _lang in rows:
+        toks = text.split()
+        feats = toks + [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+        fdf = spark.createDataFrame([(f,) for f in feats], "f string")
+        for r in fdf.select(token_bucket_col(F.col("f"), 8).alias("b")).collect():
+            expected[doc_id] = expected.get(doc_id, 0) + lut[r.b]
+    got = {
+        r.doc_id: r.score_e4
+        for r in dsir_scores(docs, model, n_buckets=8, ngrams=2).collect()
+    }
+    assert got == expected
+    # and n_tokens counts features, 2n-1
+    nt = {
+        r.doc_id: r.n_tokens
+        for r in dsir_scores(docs, model, n_buckets=8, ngrams=2).collect()
+    }
+    assert nt == {1: 9, 2: 7, 3: 9}
+
+
+def test_model_n_buckets_mismatch_raises(spark):
+    """A model carrying a bucket id outside [0, n_buckets) means fit
+    and score disagree on the feature space — dsir_scores raises
+    loudly (ADVICE r9) instead of silently dropping the bucket and
+    skewing the smoothed default."""
+    docs = _docs(spark, [(1, "alpha beta", "en")])
+    bad_model = spark.createDataFrame(
+        [(12, 5, 2, 1234)],
+        "bucket int, n_target bigint, n_source bigint, logratio_e4 bigint",
+    )
+    with pytest.raises(Exception, match="different n_buckets"):
+        dsir_scores(docs, bad_model, n_buckets=8).collect()
+
+
 def test_null_text_doc_still_scored(spark):
     """NULL text coalesces to '' (one empty-token occurrence) — the
     doc keeps its row instead of vanishing from the report."""
@@ -203,6 +286,43 @@ def test_zipf_fit_recovers_minus_one_on_zipfian_corpus(spark):
     ).collect()[0]
     slope = (r.n * r.sxy - r.sx * r.sy) / (r.n * r.sxx - r.sx * r.sx)
     assert -1.1 < slope < -0.9, slope
+
+
+def test_zipf_degenerate_one_type_vocabulary_nulls_identically(
+    spark, tmp_path
+):
+    """ADVICE r9: a one-type vocabulary zeroes the OLS variance
+    denominator. The NULLIF guard pins slope and intercept to NULL on
+    BOTH engines (unguarded, Spark yields NULL but DuckDB yields IEEE
+    nan — a silent oracle divergence on a pathological corpus)."""
+    import duckdb
+    import pandas as pd
+
+    from data_integration_pipelines_spark.plans import REGISTRY
+
+    docs = spark.createDataFrame(
+        [(0, "a a a a", "en", "web", 7)],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    )
+    docs.coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    q = REGISTRY["zipf_fit"]
+    row = q.fn(spark, str(tmp_path)).collect()[0]
+    assert (row.n_types, row.n_tokens) == (1, 4)
+    assert row.slope_e4 is None and row.intercept_e4 is None
+    con = duckdb.connect()
+    try:
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM read_parquet("
+            f"'{tmp_path / 'documents.parquet'}/*.parquet')"
+        )
+        odf = con.execute(q.oracle).fetchdf()
+    finally:
+        con.close()
+    orow = odf.iloc[0]
+    assert orow["n_types"] == 1
+    assert pd.isna(orow["slope_e4"]) and pd.isna(orow["intercept_e4"])
 
 
 def test_freq_spectrum_conserves_vocab_and_tokens(spark, sf_medium):

@@ -12,28 +12,21 @@ from __future__ import annotations
 from data_integration_pipelines_spark.plans import _RISK_ORDER, REGISTRY
 
 # Every query needing a fresh GREEN driver CORRECTNESS row after
-# round 8 (the r8 set — capped kernel, keep list, ranked twin — all
-# earned green rows in CORRECTNESS_r08; the r1-r8 union covers all 176
-# pre-r9 queries with zero never-passed entries, VERDICT r8): the
-# queries NEW in r9, which have never been driver-compared. The r9
-# plan/oracle changes with CHANGED fixture output (the cap-routed
-# probed default and both compositions — 18 rows where the uncapped
-# default emitted 27) sit directly behind them in the head, followed
-# by the r9 rotation slice (ten r2-stable text-dedup queries).
+# round 9 (the r9 set — boilerplate/DSIR/diagnostics families — all
+# earned green rows in CORRECTNESS_r09; the r1-r9 union covers all 188
+# pre-r10 queries with zero never-passed entries, VERDICT r9): the
+# queries NEW in r10, which have never been driver-compared. The r10
+# plan changes with UNCHANGED fixture output (the 128-bit boilerplate
+# decision key, the dsir_scores full-outer n_buckets guard, the
+# zipf_fit NULLIF/overflow guards) sit directly behind them in the
+# head, followed by the r10 rotation slice (25 r2-r3-stable
+# relational/window queries — VERDICT r9 task 3).
 _NEVER_DRIVER_VERIFIED = {
-    # new in r9
-    "boilerplate_then_exact_dedup",
-    "zipf_fit",
-    "token_freq_spectrum",
-    "incremental_boilerplate",
-    "dsir_resample_topk",
-    "dsir_importance_scores",
-    "dsir_bucket_model",
-    "boilerplate_removal",
-    "boilerplate_segments",
-    "exact_then_near_dup",
-    "embedding_near_dup_probed_uncapped",
-    "incremental_embedding_dedup",
+    # new in r10
+    "boilerplate_removal_lines",
+    "boilerplate_lines",
+    "dsir_importance_scores_bigram",
+    "dsir_bucket_model_bigram",
 }
 
 

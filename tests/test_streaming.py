@@ -1102,8 +1102,11 @@ def test_streaming_segment_frequency_fold_equals_one_shot(spark, sf_small, tmp_p
     )
     q.awaitTermination(180)
 
-    folded = {r["__h"]: r.n for r in folded_segment_frequency(spark, out).collect()}
-    one_shot = {r["__h"]: r.n for r in segment_frequency_state(docs).collect()}
+    def by_key(rows):
+        return {(r["__h"], r["__h2"]): r.n for r in rows}
+
+    folded = by_key(folded_segment_frequency(spark, out).collect())
+    one_shot = by_key(segment_frequency_state(docs).collect())
     assert folded == one_shot
 
     # same-lineage restart: no count doubles
@@ -1113,7 +1116,7 @@ def test_streaming_segment_frequency_fold_equals_one_shot(spark, sf_small, tmp_p
         checkpoint_path=str(tmp_path / "ckpt"),
     )
     q2.awaitTermination(180)
-    refolded = {r["__h"]: r.n for r in folded_segment_frequency(spark, out).collect()}
+    refolded = by_key(folded_segment_frequency(spark, out).collect())
     assert refolded == one_shot
 
     # decisions for a NEW batch against the folded state == the batch
@@ -1126,6 +1129,94 @@ def test_streaming_segment_frequency_fold_equals_one_shot(spark, sf_small, tmp_p
     assert sorted(map(tuple, incr.collect())) == sorted(map(tuple, want.collect()))
 
 
+def test_streaming_dsir_release_keeps_caller_model_pinned(
+    spark, sf_small, tmp_path
+):
+    """ADVICE r9: the drain pins a PRIVATE copy of the model — its
+    release must not evict a persist the CALLER holds on the same
+    DataFrame (a shared model serving other consumers)."""
+    from pyspark import StorageLevel
+
+    from data_integration_pipelines_spark.operators.dsir import (
+        dsir_bucket_model,
+    )
+    from data_integration_pipelines_spark.streaming.ingest import (
+        read_staged_docs_stream,
+        streaming_dsir_scores,
+    )
+
+    docs = load_table(spark, sf_small, "documents")
+    model = dsir_bucket_model(docs, F.col("lang") == "en").persist()
+    model.count()
+    try:
+        staging = str(tmp_path / "staged")
+        docs.limit(20).write.mode("overwrite").parquet(staging)
+        q = streaming_dsir_scores(
+            read_staged_docs_stream(spark, staging, max_files_per_trigger=1),
+            model,
+            out_path=str(tmp_path / "scores"),
+            checkpoint_path=str(tmp_path / "ckpt"),
+        )
+        q.awaitTermination(180)
+        # the drain's release ran (availableNow termination) — the
+        # caller's own persist must still be live
+        assert model.storageLevel != StorageLevel.NONE
+    finally:
+        model.unpersist()
+
+
+def test_streaming_segment_frequency_line_mode_parity(
+    spark, sf_small, tmp_path
+):
+    """The streaming frequency face in LINE mode: drained deltas fold
+    to the one-shot line state, and batch removal decisions against
+    the folded state match the batch operator — the production unit
+    exercised end-to-end through the stream."""
+    from data_integration_pipelines_spark.operators.boilerplate import (
+        remove_boilerplate_incremental,
+        segment_frequency_state,
+    )
+    from data_integration_pipelines_spark.plans.queries_text import _lined_docs
+    from data_integration_pipelines_spark.streaming.ingest import (
+        folded_segment_frequency,
+        read_staged_docs_stream,
+        streaming_segment_frequency,
+    )
+
+    docs = _lined_docs(load_table(spark, sf_small, "documents"))
+    staging = str(tmp_path / "staged")
+    out = str(tmp_path / "freq")
+    docs.filter(F.col("doc_id") % 2 == 0).write.mode("overwrite").parquet(staging)
+    docs.filter(F.col("doc_id") % 2 == 1).write.mode("append").parquet(staging)
+
+    q = streaming_segment_frequency(
+        read_staged_docs_stream(spark, staging, max_files_per_trigger=1),
+        out_path=out,
+        checkpoint_path=str(tmp_path / "ckpt"),
+        unit="line",
+    )
+    q.awaitTermination(180)
+
+    folded = {
+        (r["__h"], r["__h2"]): r.n
+        for r in folded_segment_frequency(spark, out).collect()
+    }
+    one_shot = {
+        (r["__h"], r["__h2"]): r.n
+        for r in segment_frequency_state(docs, unit="line").collect()
+    }
+    assert folded == one_shot
+
+    new_batch = docs.limit(15)
+    incr = remove_boilerplate_incremental(
+        new_batch, folded_segment_frequency(spark, out), unit="line"
+    )
+    want = remove_boilerplate_incremental(
+        new_batch, segment_frequency_state(docs, unit="line"), unit="line"
+    )
+    assert sorted(map(tuple, incr.collect())) == sorted(map(tuple, want.collect()))
+
+
 def test_folded_segment_frequency_empty_log(spark, tmp_path):
     """A delta log with no batch partitions yet is a legitimate empty
     state, not a read error."""
@@ -1135,5 +1226,5 @@ def test_folded_segment_frequency_empty_log(spark, tmp_path):
 
     out = str(tmp_path / "never_written")
     df = folded_segment_frequency(spark, out)
-    assert df.columns == ["__h", "n"]
+    assert df.columns == ["__h", "__h2", "n"]
     assert df.count() == 0
