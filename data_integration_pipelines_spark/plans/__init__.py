@@ -38,6 +38,7 @@ from . import queries_window  # noqa: E402,F401
 _RISK_ORDER = [
     # (a) new in r10, never driver-compared
     "boilerplate_removal_lines",
+    "incremental_boilerplate_lines",
     "boilerplate_lines",
     "dsir_importance_scores_bigram",
     "dsir_bucket_model_bigram",

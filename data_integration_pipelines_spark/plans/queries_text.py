@@ -1489,6 +1489,65 @@ def boilerplate_removal_lines_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+@register(
+    "incremental_boilerplate_lines",
+    f"""
+    WITH {_LINE_CTE},
+    heavy AS (
+        SELECT seg FROM lseg GROUP BY seg HAVING COUNT(*) >= 3
+    ),
+    newseg AS (
+        SELECT * FROM lseg WHERE doc_id % 10 >= 8
+    ),
+    kept AS (
+        SELECT s.doc_id, s.seg_id, s.seg
+        FROM newseg s LEFT JOIN heavy h ON s.seg = h.seg
+        WHERE h.seg IS NULL
+    ),
+    agg AS (
+        SELECT doc_id, COUNT(*) AS n_kept,
+               md5(string_agg(seg, chr(10) ORDER BY seg_id)) AS cleaned_md5
+        FROM kept GROUP BY doc_id
+    ),
+    tot AS (
+        SELECT doc_id, COUNT(*) AS n_segments FROM newseg GROUP BY doc_id
+    )
+    SELECT t.doc_id, CAST(t.n_segments AS BIGINT) AS n_segments,
+           CAST(t.n_segments - COALESCE(a.n_kept, 0) AS BIGINT) AS n_removed,
+           COALESCE(a.cleaned_md5, md5('')) AS cleaned_md5
+    FROM tot t LEFT JOIN agg a USING (doc_id)
+    ORDER BY t.doc_id
+    """,
+    doc="Incremental LINE-mode boilerplate removal — the daily-batch "
+    "flow of the production unit: the standing corpus (doc_id%10<8) "
+    "is touched only through its persisted 128-bit-hash-keyed LINE "
+    "frequency state, the ingest batch folds its own delta in, and "
+    "decisions are emitted for the new docs only. The oracle is the "
+    "one-shot line recount over the union restricted to batch docs — "
+    "the green row certifies fold==recount for the unit CCNet "
+    "actually dedups, closing the loop the segment-mode "
+    "incremental_boilerplate opened.",
+)
+def incremental_boilerplate_lines_q(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.boilerplate import (
+        remove_boilerplate_incremental,
+        segment_frequency_state,
+    )
+
+    docs = _lined_docs(_docs(spark, sf_dir))
+    corpus_state = segment_frequency_state(
+        docs.filter(F.col("doc_id") % 10 < 8), unit="line"
+    )
+    return remove_boilerplate_incremental(
+        docs.filter(F.col("doc_id") % 10 >= 8),
+        corpus_state,
+        unit="line",
+        min_df=3,
+    ).orderBy("doc_id")
+
+
 # --- corpus frequency diagnostics (Zipf fit, frequency spectrum) ----
 
 from ..functions.quantize import quantized, quantized_sql  # noqa: E402

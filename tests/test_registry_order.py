@@ -24,6 +24,7 @@ from data_integration_pipelines_spark.plans import _RISK_ORDER, REGISTRY
 _NEVER_DRIVER_VERIFIED = {
     # new in r10
     "boilerplate_removal_lines",
+    "incremental_boilerplate_lines",
     "boilerplate_lines",
     "dsir_importance_scores_bigram",
     "dsir_bucket_model_bigram",
