@@ -1,0 +1,206 @@
+"""Hashed bigram language-model scoring — CCNet's quality tier.
+
+CCNet (Wenzek et al. 2020) gates crawl documents on the perplexity of
+a small LM trained on the TARGET corpus (Wikipedia): fluent text
+scores low-perplexity, boilerplate/gibberish high. This module is the
+distributed, oracle-exact recast: an add-one-smoothed BIGRAM model
+over HASHED feature buckets, fit on a target subset, scoring every
+document with the exact integer sum of its bigrams' e4 log-probs.
+
+Distinct from ``operators/dsir.py`` by contract: DSIR scores the
+importance RATIO between two corpora (domain selection); this scores
+absolute fluency under one target model (quality gating). The two are
+adjacent pipeline stages in production crawls.
+
+Model structure (everything integer / md5-domain, the repo's
+cross-engine conventions):
+
+- event = adjacent token pair; context bucket ``b1 =
+  md5(w1) % ctx_buckets``, pair bucket ``b12 = md5('w1 w2') %
+  pair_buckets`` (the md5-hex domain — engine-portable).
+- conditional probability, add-one smoothed over the PAIR bucket
+  space: ``P(b12 | b1) = (c12 + 1) / (c1 + pair_buckets)`` where
+  ``c1 = sum of c12 over the context`` — so for every context the
+  probabilities sum to exactly 1 over the pair-bucket space
+  (normalization pinned by pytest in integer arithmetic).
+- unseen pair under a SEEN context: ``ln(1 / (c1 + pair_buckets))``
+  (the context's own smoothed floor); unseen context: the global
+  floor ``ln(1 / pair_buckets)``. Cross-corpus scoring (fit on
+  target, score the crawl) hits both defaults — the contract never
+  drops a document or an event.
+
+Scale design (100 TB):
+- The event stream is the DSIR bigram construction: ``zip_with`` of
+  two shifted ``slice`` views, one explode — per-row, shuffle-free.
+- The pair model is bounded BY CONSTRUCTION at ``ctx_buckets *
+  pair_buckets`` rows (64*1024 default = 65,536) regardless of corpus
+  size, the context table at ``ctx_buckets`` — both ride honest
+  ``F.broadcast`` joins (the DSIR/decontaminate bounded-model
+  precedent).
+- Per-doc scoring is one groupBy(doc) integer sum of e4 BIGINTs —
+  order-independent at any parallelism, never a float reduction.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.quantize import quantized
+from ..functions.text import ws_tokens
+
+__all__ = [
+    "bigram_events",
+    "ngram_lm_fit",
+    "ngram_lm_scores",
+    "global_floor_e4",
+]
+
+#: add-one smoothing, fixed across engines (the DSIR ALPHA precedent)
+ALPHA = 1
+CTX_BUCKETS = 64
+PAIR_BUCKETS = 1024
+
+
+def _bucket(col: Column, n: int) -> Column:
+    """md5-domain bucket (the functions/text minhash precedent)."""
+    return F.conv(F.substring(F.md5(col), 1, 4), 16, 10).cast("int") % F.lit(n)
+
+
+def global_floor_e4(pair_buckets: int = PAIR_BUCKETS) -> int:
+    """e4(ln(1/pair_buckets)) — the unseen-CONTEXT default, computed
+    once in Python with the exact ``quantized`` semantics (sign *
+    floor(|x|*1e4 + 0.5)) so the literal matches both engines."""
+    x = math.log(1.0 / pair_buckets)
+    return int(math.copysign(math.floor(abs(x) * 10000 + 0.5), x))
+
+
+def bigram_events(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ctx_buckets: int = CTX_BUCKETS,
+    pair_buckets: int = PAIR_BUCKETS,
+    extra_cols: list[str] | None = None,
+) -> DataFrame:
+    """One row per adjacent token pair: ``(id_col, [extras,] b1,
+    b12)``. Built array-side (zip_with of shifted slices -> one
+    explode) — per-row, shuffle-free; a doc with < 2 tokens emits no
+    events (its score is the empty sum, pinned by the every-doc left
+    join in :func:`ngram_lm_scores`)."""
+    toks = ws_tokens(F.coalesce(F.col(text_col), F.lit("")))
+    pairs = F.zip_with(
+        F.slice(toks, 1, F.size(toks) - 1),
+        F.slice(toks, 2, F.size(toks) - 1),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    ev = docs.select(
+        id_col, *(extra_cols or []), F.explode(pairs).alias("__p")
+    )
+    return ev.select(
+        id_col,
+        *(extra_cols or []),
+        _bucket(F.col("__p.w1"), ctx_buckets).alias("b1"),
+        _bucket(
+            F.concat(F.col("__p.w1"), F.lit(" "), F.col("__p.w2")),
+            pair_buckets,
+        ).alias("b12"),
+    )
+
+
+def ngram_lm_fit(
+    fit_events: DataFrame,
+    *,
+    pair_buckets: int = PAIR_BUCKETS,
+) -> tuple[DataFrame, DataFrame]:
+    """Fit the model from a (b1, b12) event stream: returns
+    ``(pair_model, ctx_model)``.
+
+    ``pair_model``: (b1, b12, c12, lp_e4) — one row per OBSERVED
+    (context, pair) bucket combination, bounded by ctx_buckets *
+    pair_buckets by construction.
+    ``ctx_model``: (b1, c1, floor_e4) — one row per observed context
+    with its event total and its smoothed unseen-pair floor.
+    """
+    a = float(ALPHA)
+    ctx = fit_events.groupBy("b1").agg(F.count("*").alias("c1"))
+    pairs = fit_events.groupBy("b1", "b12").agg(F.count("*").alias("c12"))
+    pair_model = (
+        pairs.join(ctx, "b1")
+        .select(
+            "b1",
+            "b12",
+            F.col("c12").cast("bigint").alias("c12"),
+            quantized(
+                F.log(
+                    (F.col("c12") + F.lit(a))
+                    / (F.col("c1") + F.lit(a * pair_buckets))
+                )
+            ).alias("lp_e4"),
+        )
+    )
+    ctx_model = ctx.select(
+        "b1",
+        F.col("c1").cast("bigint").alias("c1"),
+        quantized(
+            F.log(F.lit(a) / (F.col("c1") + F.lit(a * pair_buckets)))
+        ).alias("floor_e4"),
+    )
+    return pair_model, ctx_model
+
+
+def ngram_lm_scores(
+    docs: DataFrame,
+    pair_model: DataFrame,
+    ctx_model: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ctx_buckets: int = CTX_BUCKETS,
+    pair_buckets: int = PAIR_BUCKETS,
+) -> DataFrame:
+    """Score every document under the fitted model: ``(id_col,
+    n_bigrams, logprob_sum_e4)`` — the exact integer sum of per-event
+    e4 log-probs (more negative = less target-like; CCNet keeps the
+    low-perplexity head). Every input doc keeps its row; a doc with
+    no bigrams sums to 0 over 0 events.
+
+    Both model sides ride explicit broadcasts — bounded by
+    construction at ctx_buckets*pair_buckets and ctx_buckets rows
+    (the DSIR completed-model precedent)."""
+    ev = bigram_events(
+        docs,
+        text_col=text_col,
+        id_col=id_col,
+        ctx_buckets=ctx_buckets,
+        pair_buckets=pair_buckets,
+    )
+    floor = F.lit(global_floor_e4(pair_buckets)).cast("bigint")
+    scored = (
+        ev.join(F.broadcast(pair_model.select("b1", "b12", "lp_e4")),
+                ["b1", "b12"], "left")
+        .join(F.broadcast(ctx_model.select("b1", "floor_e4")), "b1", "left")
+        .select(
+            id_col,
+            F.coalesce("lp_e4", "floor_e4", floor).alias("__lp"),
+        )
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("bigint").alias("n_bigrams"),
+            F.sum("__lp").cast("bigint").alias("logprob_sum_e4"),
+        )
+    )
+    return (
+        docs.select(id_col)
+        .join(scored, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_bigrams", F.lit(0)).cast("bigint").alias("n_bigrams"),
+            F.coalesce("logprob_sum_e4", F.lit(0))
+            .cast("bigint")
+            .alias("logprob_sum_e4"),
+        )
+    )

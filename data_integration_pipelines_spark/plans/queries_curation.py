@@ -2250,3 +2250,121 @@ def dsir_importance_scores_bigram_q(
     return dsir_scores(docs, model, n_buckets=_DSIR_B, occ=occ).orderBy(
         "doc_id"
     )
+
+
+# --- hashed bigram LM perplexity (operators/ngram_lm.py) -------------
+#
+# CCNet's quality tier beside DSIR's selection tier: fit an add-one-
+# smoothed hashed-bigram LM on the TARGET subset (lang='en'), score
+# EVERY document with the exact integer sum of its events' e4
+# log-probs. Cross-corpus by construction — non-en docs hit unseen
+# pairs/contexts and take the smoothed floors, so both default paths
+# are exercised by the fixture.
+
+from ..operators.ngram_lm import global_floor_e4 as _lm_floor  # noqa: E402
+
+_LM_B1, _LM_B12 = 64, 1024
+
+_LM_CTES = rf"""
+    big AS (
+        SELECT doc_id, lang, t[i] AS w1, t[i+1] AS w2
+        FROM (
+            SELECT doc_id, lang,
+                   regexp_split_to_array(trim(coalesce(text, '')), '\s+') AS t
+            FROM documents
+        ), LATERAL (SELECT unnest(range(1, len(t))) AS i)
+    ),
+    ev AS (
+        SELECT doc_id, lang,
+               (('0x' || substr(md5(w1), 1, 4))::INT % {_LM_B1}) AS b1,
+               (('0x' || substr(md5(w1 || ' ' || w2), 1, 4))::INT % {_LM_B12}) AS b12
+        FROM big
+    ),
+    fit AS (SELECT b1, b12 FROM ev WHERE lang = 'en'),
+    ctx AS (SELECT b1, COUNT(*) AS c1 FROM fit GROUP BY b1),
+    pairs AS (SELECT b1, b12, COUNT(*) AS c12 FROM fit GROUP BY b1, b12),
+    model AS (
+        SELECT p.b1, p.b12,
+               {quantized_sql(f'ln((p.c12 + 1.0) / (c.c1 + {float(_LM_B12)}))')} AS lp_e4
+        FROM pairs p JOIN ctx c USING (b1)
+    ),
+    ctxd AS (
+        SELECT b1, {quantized_sql(f'ln(1.0 / (c1 + {float(_LM_B12)}))')} AS floor_e4
+        FROM ctx
+    )
+"""
+
+
+@register(
+    "ngram_lm_ctx_model",
+    f"""
+    WITH {_LM_CTES}
+    SELECT b1, CAST(c1 AS BIGINT) AS c1,
+           {quantized_sql(f'ln(1.0 / (c1 + {float(_LM_B12)}))')} AS floor_e4
+    FROM ctx ORDER BY b1
+    """,
+    doc="Context table of the hashed bigram LM (CCNet's quality-tier "
+    "model, operators/ngram_lm.py): per md5-domain context bucket, "
+    "the fit-corpus event total and the smoothed unseen-pair floor "
+    "ln(1/(c1+B12)). At most ctx_buckets=64 rows BY CONSTRUCTION at "
+    "any corpus size — with the 65,536-row-bounded pair table these "
+    "are the honest broadcasts the scoring join rides.",
+)
+def ngram_lm_ctx_model_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.ngram_lm import bigram_events, ngram_lm_fit
+
+    docs = _docs(spark, sf_dir)
+    ev = bigram_events(docs, extra_cols=["lang"])
+    _, ctx = ngram_lm_fit(ev.filter(F.col("lang") == "en").select("b1", "b12"))
+    return ctx.orderBy("b1")
+
+
+@register(
+    "ngram_lm_perplexity",
+    f"""
+    WITH {_LM_CTES},
+    scored AS (
+        SELECT e.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+               CAST(SUM(COALESCE(m.lp_e4, c.floor_e4, {_lm_floor(_LM_B12)}))
+                    AS BIGINT) AS logprob_sum_e4
+        FROM ev e
+        LEFT JOIN model m ON m.b1 = e.b1 AND m.b12 = e.b12
+        LEFT JOIN ctxd c ON c.b1 = e.b1
+        GROUP BY e.doc_id
+    )
+    SELECT d.doc_id, COALESCE(s.n_bigrams, 0) AS n_bigrams,
+           COALESCE(s.logprob_sum_e4, 0) AS logprob_sum_e4
+    FROM documents d LEFT JOIN scored s USING (doc_id)
+    ORDER BY d.doc_id
+    """,
+    doc="Hashed bigram LM document scoring — CCNet's (Wenzek et al. "
+    "2020) perplexity quality gate recast oracle-exact: add-one-"
+    "smoothed P(pair bucket | context bucket) fitted on the lang='en' "
+    "target subset, every document scored with the EXACT INTEGER sum "
+    "of its adjacent-pair e4 log-probs (more negative = less "
+    "target-like; production keeps the low-perplexity head). Distinct "
+    "from dsir_importance_scores by contract: DSIR ranks by the "
+    "target/source RATIO (domain selection), this by absolute "
+    "likelihood under one target model (fluency gating) — adjacent "
+    "stages in a real crawl pipeline. Unseen pairs under a seen "
+    "context take the context's smoothed floor, unseen contexts the "
+    "global ln(1/B12) floor — both paths exercised by the non-en "
+    "fixture docs. Plan: the event stream is the DSIR zip_with bigram "
+    "construction (per-row, one explode, shuffle-free); the model is "
+    "bounded at 64*1024 rows BY CONSTRUCTION and rides explicit "
+    "broadcasts; per-doc scoring is one groupBy integer sum — "
+    "order-independent at any parallelism.",
+)
+def ngram_lm_perplexity_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.ngram_lm import (
+        bigram_events,
+        ngram_lm_fit,
+        ngram_lm_scores,
+    )
+
+    docs = _docs(spark, sf_dir)
+    ev = bigram_events(docs, extra_cols=["lang"])
+    pair_model, ctx_model = ngram_lm_fit(
+        ev.filter(F.col("lang") == "en").select("b1", "b12")
+    )
+    return ngram_lm_scores(docs, pair_model, ctx_model).orderBy("doc_id")

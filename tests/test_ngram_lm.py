@@ -1,0 +1,131 @@
+"""Hashed bigram LM scoring (operators/ngram_lm.py): smoothing laws,
+default-path semantics, and the every-doc contract beyond the oracle
+hash."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from data_integration_pipelines_spark.operators.ngram_lm import (
+    PAIR_BUCKETS,
+    bigram_events,
+    global_floor_e4,
+    ngram_lm_fit,
+    ngram_lm_scores,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id bigint, text string, lang string")
+
+
+def _e4(x: float) -> int:
+    return int(math.copysign(math.floor(abs(x) * 10000 + 0.5), x))
+
+
+def test_event_stream_is_adjacent_pairs(spark):
+    """n-token doc emits exactly n-1 events; <2 tokens emit none."""
+    rows = [(1, "a b c d", "en"), (2, "solo", "en"), (3, None, "en")]
+    ev = bigram_events(_docs(spark, rows)).collect()
+    by_doc: dict[int, int] = {}
+    for r in ev:
+        by_doc[r.doc_id] = by_doc.get(r.doc_id, 0) + 1
+    assert by_doc == {1: 3}
+
+
+def test_smoothed_probabilities_normalize_per_context(spark):
+    """Add-one smoothing over the pair-bucket space: for every fitted
+    context, observed (c12+1) mass plus 1 for each unseen pair bucket
+    equals c1 + PAIR_BUCKETS exactly — checked in integer arithmetic,
+    the same quantities the ln expressions consume."""
+    rows = [
+        (1, "the cat sat on the mat", "en"),
+        (2, "the cat ran to the cat", "en"),
+    ]
+    ev = bigram_events(_docs(spark, rows)).select("b1", "b12")
+    pair_model, ctx_model = ngram_lm_fit(ev)
+    pairs = pair_model.collect()
+    ctx = {r.b1: r.c1 for r in ctx_model.collect()}
+    for b1, c1 in ctx.items():
+        obs = [r for r in pairs if r.b1 == b1]
+        mass = sum(r.c12 + 1 for r in obs) + (PAIR_BUCKETS - len(obs))
+        assert mass == c1 + PAIR_BUCKETS, (b1, c1)
+
+
+def test_lp_matches_reference_formula(spark):
+    """Each observed pair's e4 log-prob equals the add-one formula
+    computed independently in Python (identical IEEE ops)."""
+    rows = [(1, "x y x y x z", "en")]
+    ev = bigram_events(_docs(spark, rows)).select("b1", "b12")
+    pair_model, ctx_model = ngram_lm_fit(ev)
+    ctx = {r.b1: r.c1 for r in ctx_model.collect()}
+    for r in pair_model.collect():
+        want = _e4(math.log((r.c12 + 1.0) / (ctx[r.b1] + float(PAIR_BUCKETS))))
+        assert r.lp_e4 == want, r
+
+
+def test_unseen_context_takes_global_floor(spark):
+    """A scored doc whose contexts the fit never saw sums pure global
+    floors — ln(1/PAIR_BUCKETS) per event."""
+    fit = _docs(spark, [(1, "aaa bbb aaa", "en")])
+    ev = bigram_events(fit).select("b1", "b12")
+    pair_model, ctx_model = ngram_lm_fit(ev)
+    # craft a doc whose context buckets differ from the fit's
+    fit_b1 = {r.b1 for r in ctx_model.collect()}
+    cand = ["zz1", "zz2", "zz3", "zz4", "zz5", "zz6", "zz7", "zz8"]
+    from data_integration_pipelines_spark.operators.ngram_lm import _bucket
+
+    buckets = {
+        r.f: r.b
+        for r in spark.createDataFrame([(c,) for c in cand], "f string")
+        .select("f", _bucket(F.col("f"), 64).alias("b"))
+        .collect()
+    }
+    unseen = [c for c in cand if buckets[c] not in fit_b1][:2]
+    assert len(unseen) == 2, "fixture tokens must miss the fit contexts"
+    new = _docs(spark, [(9, f"{unseen[0]} {unseen[1]}", "de")])
+    row = ngram_lm_scores(new, pair_model, ctx_model).collect()[0]
+    assert row.n_bigrams == 1
+    assert row.logprob_sum_e4 == global_floor_e4()
+
+
+def test_unseen_pair_takes_context_floor(spark):
+    """A pair the fit never saw, under a context it did see, takes the
+    context's own smoothed floor ln(1/(c1+B12)) — not the global."""
+    fit = _docs(spark, [(1, "aaa bbb aaa bbb", "en")])
+    ev = bigram_events(fit).select("b1", "b12")
+    pair_model, ctx_model = ngram_lm_fit(ev)
+    # 'aaa <other>' keeps the context of 'aaa' but forms a new pair
+    new = _docs(spark, [(9, "aaa qqqq", "de")])
+    got = ngram_lm_scores(new, pair_model, ctx_model).collect()[0]
+    ctx = {r.b1: (r.c1, r.floor_e4) for r in ctx_model.collect()}
+    from data_integration_pipelines_spark.operators.ngram_lm import _bucket
+
+    b1 = (
+        spark.createDataFrame([("aaa",)], "f string")
+        .select(_bucket(F.col("f"), 64).alias("b"))
+        .collect()[0]
+        .b
+    )
+    # guard against an accidental pair-bucket collision making the
+    # "new" pair observed: the fit has 3 events, all (aaa,bbb)/(bbb,aaa)
+    assert got.logprob_sum_e4 == ctx[b1][1]
+    assert ctx[b1][1] == _e4(math.log(1.0 / (ctx[b1][0] + float(PAIR_BUCKETS))))
+
+
+def test_every_doc_scored_fixture(spark, sf_medium):
+    """Registry row shape at sf0.01: one row per document, n_bigrams
+    = token count - 1 (single-line fixture docs all have >= 2
+    tokens), and the fixture exercises BOTH default paths (non-en
+    docs exist, so some events miss the en-fit model)."""
+    from data_integration_pipelines_spark.plans import REGISTRY
+
+    scores = REGISTRY["ngram_lm_perplexity"].fn(spark, sf_medium)
+    rows = scores.collect()
+    assert len(rows) == 500
+    assert all(r.n_bigrams >= 1 for r in rows)
+    assert all(r.logprob_sum_e4 < 0 for r in rows)  # log-probs are negative
+    ctxm = REGISTRY["ngram_lm_ctx_model"].fn(spark, sf_medium)
+    assert ctxm.count() <= 64
