@@ -2368,3 +2368,138 @@ def ngram_lm_perplexity_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.filter(F.col("lang") == "en").select("b1", "b12")
     )
     return ngram_lm_scores(docs, pair_model, ctx_model).orderBy("doc_id")
+
+
+# --- the CCNet composition: line dedup -> LM scoring -> per-lang ----
+
+from .queries_text import _LINE_CTE as _CC_LINE_CTE  # noqa: E402
+from .queries_text import _lined_docs as _cc_lined_docs  # noqa: E402
+
+
+@register(
+    "ccnet_funnel",
+    f"""
+    WITH {_CC_LINE_CTE},
+    heavy AS (
+        SELECT seg FROM lseg GROUP BY seg HAVING COUNT(*) >= 3
+    ),
+    kept AS (
+        SELECT s.doc_id, s.seg_id, s.seg
+        FROM lseg s LEFT JOIN heavy h ON s.seg = h.seg
+        WHERE h.seg IS NULL
+    ),
+    {_LM_CTES.strip().lstrip()},
+    kev AS (
+        SELECT doc_id,
+               (('0x' || substr(md5(w1), 1, 4))::INT % {_LM_B1}) AS b1,
+               (('0x' || substr(md5(w1 || ' ' || w2), 1, 4))::INT % {_LM_B12}) AS b12
+        FROM (
+            SELECT doc_id, t[i] AS w1, t[i+1] AS w2
+            FROM (
+                SELECT doc_id,
+                       regexp_split_to_array(trim(coalesce(seg, '')), '\\s+') AS t
+                FROM kept
+            ), LATERAL (SELECT unnest(range(1, len(t))) AS i)
+        )
+    ),
+    lm AS (
+        SELECT e.doc_id, COUNT(*) AS n_bigrams,
+               SUM(COALESCE(m.lp_e4, c.floor_e4, {_lm_floor(_LM_B12)})) AS lp
+        FROM kev e
+        LEFT JOIN model m ON m.b1 = e.b1 AND m.b12 = e.b12
+        LEFT JOIN ctxd c ON c.b1 = e.b1
+        GROUP BY e.doc_id
+    ),
+    tot AS (SELECT doc_id, COUNT(*) AS n_lines FROM lseg GROUP BY doc_id),
+    keptn AS (SELECT doc_id, COUNT(*) AS n_kept FROM kept GROUP BY doc_id)
+    SELECT d.lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(t.n_lines) AS BIGINT) AS n_lines,
+           CAST(SUM(t.n_lines - COALESCE(k.n_kept, 0)) AS BIGINT) AS n_lines_removed,
+           CAST(SUM(COALESCE(l.n_bigrams, 0)) AS BIGINT) AS n_bigrams,
+           CAST(SUM(COALESCE(l.lp, 0)) AS BIGINT) AS logprob_sum_e4
+    FROM documents d
+    JOIN tot t USING (doc_id)
+    LEFT JOIN keptn k USING (doc_id)
+    LEFT JOIN lm l USING (doc_id)
+    GROUP BY d.lang ORDER BY d.lang
+    """,
+    doc="The CCNet pipeline composition in ONE plan (Wenzek et al. "
+    "2020 stage order): per-language shard rollup of LINE dedup "
+    "followed by LM quality scoring — every heavy line (min_df=3 on "
+    "the multi-line corpus) drops whole, the KEPT lines' adjacent "
+    "pairs are scored under the bigram LM fitted on the RAW en "
+    "target docs, and the funnel reports per lang: docs, total/"
+    "removed lines, scored events and the exact integer logprob sum. "
+    "Cross-corpus by construction — non-en shards score through the "
+    "smoothed floors. Plan: one segmentation pass feeds the "
+    "frequency groupBy, the anti-join AND the reassembly stats "
+    "(bounded_persist); LM events explode per kept line (per-row, "
+    "shuffle-free); the model rides the same two bounded broadcasts; "
+    "everything rolls up through two narrow groupBys (doc, then "
+    "lang). The composition is the production argument for stage "
+    "ordering: scoring BEFORE line dedup would let boilerplate "
+    "n-grams dominate the perplexity head.",
+)
+def ccnet_funnel_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.boilerplate import (
+        _with_hashes,
+        doc_segments,
+        heavy_segment_hashes,
+    )
+    from ..operators.cache import bounded_persist
+    from ..operators.ngram_lm import (
+        bigram_events,
+        global_floor_e4,
+        ngram_lm_fit,
+    )
+
+    docs = _docs(spark, sf_dir)
+    segs = bounded_persist(
+        _with_hashes(doc_segments(_cc_lined_docs(docs), unit="line"))
+    )
+    heavy = heavy_segment_hashes(segs, min_df=3)
+    kept = segs.join(heavy, ["__h", "__h2"], "left_anti")
+
+    pair_model, ctx_model = ngram_lm_fit(
+        bigram_events(docs.filter(F.col("lang") == "en")).select("b1", "b12")
+    )
+    floor = F.lit(global_floor_e4(_LM_B12)).cast("bigint")
+    per_doc_lm = (
+        bigram_events(kept.select("doc_id", "seg"), text_col="seg")
+        .join(
+            F.broadcast(pair_model.select("b1", "b12", "lp_e4")),
+            ["b1", "b12"],
+            "left",
+        )
+        .join(F.broadcast(ctx_model.select("b1", "floor_e4")), "b1", "left")
+        .select("doc_id", F.coalesce("lp_e4", "floor_e4", floor).alias("__lp"))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.sum("__lp").alias("lp"),
+        )
+    )
+    totals = segs.groupBy("doc_id").agg(F.count("*").alias("n_lines"))
+    keptn = kept.groupBy("doc_id").agg(F.count("*").alias("n_kept"))
+    return (
+        docs.select("doc_id", "lang")
+        .join(totals, "doc_id")
+        .join(keptn, "doc_id", "left")
+        .join(per_doc_lm, "doc_id", "left")
+        .groupBy("lang")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_lines").cast("bigint").alias("n_lines"),
+            F.sum(
+                F.col("n_lines") - F.coalesce("n_kept", F.lit(0))
+            ).cast("bigint").alias("n_lines_removed"),
+            F.sum(F.coalesce("n_bigrams", F.lit(0)))
+            .cast("bigint")
+            .alias("n_bigrams"),
+            F.sum(F.coalesce("lp", F.lit(0)))
+            .cast("bigint")
+            .alias("logprob_sum_e4"),
+        )
+        .orderBy("lang")
+    )

@@ -325,6 +325,50 @@ def streaming_dsir_scores(
     )
 
 
+def streaming_ngram_lm_scores(
+    stream_docs: DataFrame,
+    pair_model: DataFrame,
+    ctx_model: DataFrame,
+    out_path: str,
+    checkpoint_path: str,
+):
+    """Streaming face of the bigram-LM quality gate
+    (operators/ngram_lm.py) — CCNet's production shape: the LM is
+    fitted ONCE on the target corpus, then the crawl feed is scored
+    micro-batch by micro-batch against the PINNED model into the
+    versioned score log.
+
+    Delta-shaped by construction: a document's (n_bigrams,
+    logprob_sum_e4) depends only on (document, model) — integer sums
+    of the model's frozen e4 log-probs — never on batchmates, so any
+    feed partitioning is byte-identical to one big batch
+    (stream==batch pytest) and redelivery is safe under the versioned
+    log's batch_id idempotence.
+
+    Both model sides are BOUNDED by construction (ctx_buckets *
+    pair_buckets and ctx_buckets rows), so the pin is the same
+    driver-side snapshot the DSIR face uses (ADVICE r9): collect +
+    local re-create decouples the drain from the caller's lineage and
+    cache entirely — release can never evict shared state, and a
+    LocalRelation can't be recomputed against a moved corpus
+    mid-drain."""
+    from ..operators.ngram_lm import ngram_lm_scores
+
+    spark = pair_model.sparkSession
+    pm = spark.createDataFrame(pair_model.collect(), pair_model.schema)
+    cm = spark.createDataFrame(ctx_model.collect(), ctx_model.schema)
+
+    def classify_fn(batch_df: DataFrame) -> DataFrame:
+        return ngram_lm_scores(batch_df, pm, cm)
+
+    def release_fn() -> None:
+        pass  # nothing drain-owned to release: the snapshots are local
+
+    return _versioned_drain(
+        stream_docs, out_path, checkpoint_path, classify_fn, release_fn
+    )
+
+
 def streaming_segment_frequency(
     stream_docs: DataFrame,
     out_path: str,

@@ -115,6 +115,26 @@ def test_unseen_pair_takes_context_floor(spark):
     assert ctx[b1][1] == _e4(math.log(1.0 / (ctx[b1][0] + float(PAIR_BUCKETS))))
 
 
+def test_ccnet_funnel_conservation_laws(spark, sf_medium):
+    """The composition's invariants at sf0.01: language shards
+    partition the corpus (n_docs sums to 500); on the derived lined
+    corpus every doc keeps exactly its body line, so kept lines ==
+    n_docs per shard and n_bigrams == body tokens - 1 summed; en is
+    the fit shard and must exist alongside non-en shards (both LM
+    default paths exercised)."""
+    from data_integration_pipelines_spark.plans import REGISTRY
+
+    rows = REGISTRY["ccnet_funnel"].fn(spark, sf_medium).collect()
+    assert sum(r.n_docs for r in rows) == 500
+    langs = {r.lang for r in rows}
+    assert "en" in langs and len(langs) >= 2
+    for r in rows:
+        # every doc keeps exactly one line (its body) on this fixture
+        assert r.n_lines - r.n_lines_removed == r.n_docs, r
+        assert r.n_bigrams >= r.n_docs  # every body line has >= 2 tokens
+        assert r.logprob_sum_e4 < 0
+
+
 def test_every_doc_scored_fixture(spark, sf_medium):
     """Registry row shape at sf0.01: one row per document, n_bigrams
     = token count - 1 (single-line fixture docs all have >= 2

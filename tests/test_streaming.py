@@ -1129,6 +1129,70 @@ def test_streaming_segment_frequency_fold_equals_one_shot(spark, sf_small, tmp_p
     assert sorted(map(tuple, incr.collect())) == sorted(map(tuple, want.collect()))
 
 
+def test_streaming_ngram_lm_scores_match_batch(spark, sf_small, tmp_path):
+    """LM quality scores drained as micro-batches against the pinned
+    snapshot model == one-shot batch scoring, and a same-lineage
+    restart never doubles a row (streaming/ingest.
+    streaming_ngram_lm_scores over operators/ngram_lm)."""
+    from data_integration_pipelines_spark.operators.ngram_lm import (
+        bigram_events,
+        ngram_lm_fit,
+        ngram_lm_scores,
+    )
+    from data_integration_pipelines_spark.streaming.ingest import (
+        read_staged_docs_stream,
+        streaming_ngram_lm_scores,
+    )
+
+    docs = load_table(spark, sf_small, "documents")
+    ev = bigram_events(docs, extra_cols=["lang"])
+    pair_model, ctx_model = ngram_lm_fit(
+        ev.filter(F.col("lang") == "en").select("b1", "b12")
+    )
+    feed = docs.filter(F.col("doc_id") % 10 >= 8)
+
+    staging = str(tmp_path / "staged")
+    out = str(tmp_path / "scores")
+    feed.filter(F.col("doc_id") % 20 >= 10).write.mode("overwrite").parquet(staging)
+    feed.filter(F.col("doc_id") % 20 < 10).write.mode("append").parquet(staging)
+
+    q = streaming_ngram_lm_scores(
+        read_staged_docs_stream(spark, staging, max_files_per_trigger=1),
+        pair_model,
+        ctx_model,
+        out_path=out,
+        checkpoint_path=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(180)
+
+    got = {
+        r.doc_id: (r.n_bigrams, r.logprob_sum_e4)
+        for r in spark.read.parquet(out).collect()
+    }
+    want = {
+        r.doc_id: (r.n_bigrams, r.logprob_sum_e4)
+        for r in ngram_lm_scores(feed, pair_model, ctx_model).collect()
+    }
+    assert got == want
+    assert len(got) == feed.count()
+
+    # same-lineage restart: completed batch_id partitions are skipped
+    q2 = streaming_ngram_lm_scores(
+        read_staged_docs_stream(spark, staging, max_files_per_trigger=1),
+        pair_model,
+        ctx_model,
+        out_path=out,
+        checkpoint_path=str(tmp_path / "ckpt"),
+    )
+    q2.awaitTermination(180)
+    redelivered = spark.read.parquet(out)
+    assert redelivered.count() == feed.count()
+    assert {
+        r.doc_id: (r.n_bigrams, r.logprob_sum_e4)
+        for r in redelivered.collect()
+    } == want
+
+
 def test_streaming_dsir_release_keeps_caller_model_pinned(
     spark, sf_small, tmp_path
 ):
