@@ -2370,6 +2370,105 @@ def ngram_lm_perplexity_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_lm_scores(docs, pair_model, ctx_model).orderBy("doc_id")
 
 
+@register(
+    "ccnet_ppl_buckets",
+    f"""
+    WITH {_LM_CTES},
+    scored AS (
+        SELECT e.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+               CAST(SUM(COALESCE(m.lp_e4, c.floor_e4, {_lm_floor(_LM_B12)}))
+                    AS BIGINT) AS lp
+        FROM ev e
+        LEFT JOIN model m ON m.b1 = e.b1 AND m.b12 = e.b12
+        LEFT JOIN ctxd c ON c.b1 = e.b1
+        GROUP BY e.doc_id
+    ),
+    means AS (
+        SELECT d.doc_id, d.lang,
+               COALESCE({quantized_sql(
+                   'CAST(s.lp AS DOUBLE) / s.n_bigrams', 0
+               )}, 0) AS mean_lp_e4
+        FROM documents d LEFT JOIN scored s USING (doc_id)
+    ),
+    tiled AS (
+        SELECT lang, mean_lp_e4,
+               NTILE(3) OVER (
+                   PARTITION BY lang ORDER BY mean_lp_e4 DESC, doc_id
+               ) AS bucket
+        FROM means
+    )
+    SELECT lang, CAST(bucket AS INT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(MAX(mean_lp_e4) AS BIGINT) AS best_mean_lp_e4,
+           CAST(MIN(mean_lp_e4) AS BIGINT) AS worst_mean_lp_e4
+    FROM tiled GROUP BY lang, bucket ORDER BY lang, bucket
+    """,
+    doc="CCNet's head/middle/tail selection — the mechanism the paper "
+    "is known for: per language shard, documents rank by mean "
+    "per-event LM log-prob (e4-quantized from the exact integer sums "
+    "— the only double is one division of identical integers, then "
+    "re-quantized, so ordering and ties are engine-identical with "
+    "doc_id as the deterministic tiebreak) and NTILE(3) splits the "
+    "shard into head (bucket 1, most target-like), middle, tail; the "
+    "report carries each bucket's size and boundary means — the "
+    "thresholds a production run would publish. AT SCALE the exact "
+    "tercile becomes the approx-quantile threshold + codegen filter "
+    "(the quality_stratified_sample / quantile_bins_approx "
+    "precedent); the exact NTILE here is the oracle-checked "
+    "reference semantics, and its sort is per-lang over NARROW "
+    "(lang, mean, id) rows.",
+)
+def ccnet_ppl_buckets_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..operators.ngram_lm import (
+        bigram_events,
+        ngram_lm_fit,
+        ngram_lm_scores,
+    )
+
+    docs = _docs(spark, sf_dir)
+    pair_model, ctx_model = ngram_lm_fit(
+        bigram_events(docs.filter(F.col("lang") == "en")).select("b1", "b12")
+    )
+    scores = ngram_lm_scores(docs, pair_model, ctx_model)
+    means = scores.join(docs.select("doc_id", "lang"), "doc_id").select(
+        "doc_id",
+        "lang",
+        F.coalesce(
+            quantized(
+                F.col("logprob_sum_e4").cast("double") / F.col("n_bigrams"),
+                0,
+            ),
+            F.lit(0),
+        ).alias("mean_lp_e4"),
+    )
+    tiled = means.withColumn(
+        "bucket",
+        F.ntile(3).over(
+            Window.partitionBy("lang").orderBy(
+                F.desc("mean_lp_e4"), F.asc("doc_id")
+            )
+        ),
+    )
+    return (
+        tiled.groupBy("lang", "bucket")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.max("mean_lp_e4").cast("bigint").alias("best_mean_lp_e4"),
+            F.min("mean_lp_e4").cast("bigint").alias("worst_mean_lp_e4"),
+        )
+        .select(
+            "lang",
+            F.col("bucket").cast("int").alias("bucket"),
+            "n_docs",
+            "best_mean_lp_e4",
+            "worst_mean_lp_e4",
+        )
+        .orderBy("lang", "bucket")
+    )
+
+
 # --- the CCNet composition: line dedup -> LM scoring -> per-lang ----
 
 from .queries_text import _LINE_CTE as _CC_LINE_CTE  # noqa: E402

@@ -135,6 +135,29 @@ def test_ccnet_funnel_conservation_laws(spark, sf_medium):
         assert r.logprob_sum_e4 < 0
 
 
+def test_ccnet_ppl_buckets_partition_and_order(spark, sf_medium):
+    """Head/middle/tail invariants: buckets partition every language
+    shard with sizes differing by at most 1 (NTILE law), and bucket
+    boundaries are monotone — head's worst mean >= middle's best is
+    impossible, i.e. best/worst decrease down the buckets."""
+    from data_integration_pipelines_spark.plans import REGISTRY
+
+    rows = REGISTRY["ccnet_ppl_buckets"].fn(spark, sf_medium).collect()
+    by_lang: dict[str, list] = {}
+    for r in rows:
+        by_lang.setdefault(r.lang, []).append(r)
+    assert sum(r.n_docs for r in rows) == 500
+    for lang, rs in by_lang.items():
+        rs = sorted(rs, key=lambda r: r.bucket)
+        assert [r.bucket for r in rs] == [1, 2, 3]
+        sizes = [r.n_docs for r in rs]
+        assert max(sizes) - min(sizes) <= 1, (lang, sizes)
+        for a, b in zip(rs, rs[1:]):
+            assert a.worst_mean_lp_e4 >= b.best_mean_lp_e4, (lang, a, b)
+        for r in rs:
+            assert r.best_mean_lp_e4 >= r.worst_mean_lp_e4
+
+
 def test_every_doc_scored_fixture(spark, sf_medium):
     """Registry row shape at sf0.01: one row per document, n_bigrams
     = token count - 1 (single-line fixture docs all have >= 2
