@@ -3,10 +3,12 @@
 wall + state size, certifying the tier's design claims with rows
 instead of narration:
 
-- ``streaming_dsir_scores``: the per-batch cost depends on (batch,
-  model) ONLY — the model is n_buckets rows whatever corpus it was
-  fitted on, so scoring a FIXED feed against a model fitted on 10x
-  the corpus must be ~flat (growth ~1.0).
+- ``streaming_dsir_scores`` / ``streaming_ngram_lm_scores``: the
+  per-batch cost depends on (batch, model) ONLY — both models are
+  bounded by construction (n_buckets rows; ctx*pair buckets)
+  whatever corpus they were fitted on, so scoring a FIXED feed
+  against a model fitted on 10x the corpus must be ~flat (growth
+  ~1.0).
 - ``streaming_embedding_verdicts``: the corpus index is staged ONCE
   and pinned; a fixed feed against a 10x corpus pays candidate-join
   growth (bounded by the bucket cap), never a per-batch corpus
@@ -23,7 +25,8 @@ drains, wall = query start -> awaitTermination. Feeds are staged as a
 fixed number of files with maxFilesPerTrigger=1, so batch COUNT is
 constant across scales and growth reads per-batch work.
 
-Usage: python scripts/streaming_probe.py [K] [base_sf_dir]
+Usage: python scripts/streaming_probe.py [--faces a,b] [K] [base_sf_dir]
+(--faces filters by substring match on the face name.)
 Prints one JSON object; merge into the round's PROBE_r{N}.json runs.
 """
 
@@ -88,6 +91,50 @@ def _probe_dsir(spark, base: str, scaled: str, work: str) -> dict:
         row[f"{tag}_s"] = _drain(q)
     row["growth"] = round(row["x_s"] / row["base_s"], 2)
     row["claim"] = "fixed feed vs Kx-corpus model: flat (model is n_buckets rows)"
+    return row
+
+
+def _probe_ngram_lm(spark, base: str, scaled: str, work: str) -> dict:
+    """Fixed feed, LM fitted on 1x vs Kx target corpus (the model is
+    bounded at ctx*pair buckets whatever fit it — same flatness claim
+    as the DSIR face)."""
+    from pyspark.sql import functions as F
+
+    from data_integration_pipelines_spark.operators.ngram_lm import (
+        bigram_events,
+        ngram_lm_fit,
+    )
+    from data_integration_pipelines_spark.streaming.ingest import (
+        read_staged_docs_stream,
+        streaming_ngram_lm_scores,
+    )
+
+    feed = load_table(spark, base, "documents").filter(
+        F.col("doc_id") % 10 >= 8
+    )
+    staging = os.path.join(work, "lm_feed")
+    _stage(feed, staging)
+    row: dict = {}
+    for tag, sf in (("base", base), ("x", scaled)):
+        docs = load_table(spark, sf, "documents")
+        pm, cm = ngram_lm_fit(
+            bigram_events(docs.filter(F.col("lang") == "en")).select(
+                "b1", "b12"
+            )
+        )
+        q = streaming_ngram_lm_scores(
+            read_staged_docs_stream(spark, staging, max_files_per_trigger=1),
+            pm,
+            cm,
+            out_path=os.path.join(work, f"lm_out_{tag}"),
+            checkpoint_path=os.path.join(work, f"lm_ckpt_{tag}"),
+        )
+        row[f"{tag}_s"] = _drain(q)
+    row["growth"] = round(row["x_s"] / row["base_s"], 2)
+    row["claim"] = (
+        "fixed feed vs Kx-corpus LM: flat (model bounded at ctx*pair "
+        "buckets by construction)"
+    )
     return row
 
 
@@ -168,8 +215,31 @@ def _probe_segment_frequency(
     return row
 
 
+_FACES = {
+    "streaming_dsir_scores": _probe_dsir,
+    "streaming_ngram_lm_scores": _probe_ngram_lm,
+    "streaming_embedding_verdicts": _probe_embedding,
+    "streaming_segment_frequency": lambda s, b, x, w: _probe_segment_frequency(
+        s, b, x, w, "segment"
+    ),
+    "streaming_segment_frequency_lines": (
+        lambda s, b, x, w: _probe_segment_frequency(s, b, x, w, "line")
+    ),
+}
+
+
 def main() -> None:
     args = sys.argv[1:]
+    only: set[str] | None = None
+    if "--faces" in args:
+        i = args.index("--faces")
+        only = {f for f in args[i + 1].split(",")}
+        del args[i : i + 2]
+        unknown = {
+            f for f in only if not any(f in name for name in _FACES)
+        }
+        if unknown:
+            raise SystemExit(f"unknown faces (substring match): {unknown}")
     k = int(args[0]) if args else 10
     base = args[1] if len(args) > 1 else "/root/testdata/sf0.1"
     scaled = f"/tmp/spark-graft-scale{k}x-{os.path.basename(base.rstrip('/'))}"
@@ -186,16 +256,9 @@ def main() -> None:
     work = tempfile.mkdtemp(prefix="streaming-probe-")
     try:
         report = {
-            "streaming_dsir_scores": _probe_dsir(spark, base, scaled, work),
-            "streaming_embedding_verdicts": _probe_embedding(
-                spark, base, scaled, work
-            ),
-            "streaming_segment_frequency": _probe_segment_frequency(
-                spark, base, scaled, work, "segment"
-            ),
-            "streaming_segment_frequency_lines": _probe_segment_frequency(
-                spark, base, scaled, work, "line"
-            ),
+            name: fn(spark, base, scaled, work)
+            for name, fn in _FACES.items()
+            if only is None or any(f in name for f in only)
         }
         print(json.dumps({"k": k, "base": base, "faces": report}, indent=2))
     finally:
