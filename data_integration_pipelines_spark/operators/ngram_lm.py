@@ -45,11 +45,12 @@ from __future__ import annotations
 
 import math
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.quantize import quantized
 from ..functions.text import ws_tokens
+from .dsir import token_bucket_col as _bucket  # same md5-domain rule
 
 __all__ = [
     "bigram_events",
@@ -62,11 +63,6 @@ __all__ = [
 ALPHA = 1
 CTX_BUCKETS = 64
 PAIR_BUCKETS = 1024
-
-
-def _bucket(col: Column, n: int) -> Column:
-    """md5-domain bucket (the functions/text minhash precedent)."""
-    return F.conv(F.substring(F.md5(col), 1, 4), 16, 10).cast("int") % F.lit(n)
 
 
 def global_floor_e4(pair_buckets: int = PAIR_BUCKETS) -> int:

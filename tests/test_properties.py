@@ -532,3 +532,55 @@ def test_bpe_encode_matches_sequential_reference(spark, words):
     df = spark.createDataFrame([(w,) for w in set(words)], "text string")
     got = {r["text"]: r["bpe_tokens"] for r in bpe_encode(df, rules).collect()}
     assert got == {w: py_encode(w) for w in set(words)}
+
+
+# --- line-mode boilerplate removal ----------------------------------------
+
+_line = st.lists(
+    st.sampled_from(["a", "b", "c", "dd"]), min_size=0, max_size=4
+).map(" ".join)
+_multiline_text = st.lists(_line, min_size=1, max_size=5).map("\n".join)
+
+
+@settings(max_examples=20, deadline=None, derandomize=True)
+@given(st.lists(_multiline_text, min_size=1, max_size=8))
+def test_line_removal_matches_python(spark, texts):
+    """remove_boilerplate_segments(unit='line') against a pure-Python
+    recount on random multi-line corpora over a tiny alphabet (dense
+    line collisions, empty lines, within-doc repeats): per-doc line
+    counts, removed counts and the cleaned '\\n'-joined md5 must all
+    agree — the whole pipeline (128-bit decision keys, whole-line
+    drops, order-preserving reassembly) is integer/md5-exact, no
+    float edges."""
+    import hashlib
+
+    from data_integration_pipelines_spark.operators.boilerplate import (
+        remove_boilerplate_segments,
+    )
+
+    min_df = 2
+    counts: dict[str, int] = {}
+    for t in texts:
+        for line in t.split("\n"):
+            counts[line] = counts.get(line, 0) + 1
+    heavy = {line for line, c in counts.items() if c >= min_df}
+    expected = {}
+    for i, t in enumerate(texts):
+        lines = t.split("\n")
+        kept = [line for line in lines if line not in heavy]
+        expected[i] = (
+            len(lines),
+            len(lines) - len(kept),
+            hashlib.md5("\n".join(kept).encode()).hexdigest(),
+        )
+
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id bigint, text string"
+    )
+    got = {
+        r.doc_id: (r.n_segments, r.n_removed, r.cleaned_md5)
+        for r in remove_boilerplate_segments(
+            df, unit="line", min_df=min_df
+        ).collect()
+    }
+    assert got == expected
