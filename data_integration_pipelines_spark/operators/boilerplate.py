@@ -32,9 +32,11 @@ bytes + count, never segment text. The human-audit report
 itself, so it is collision-proof outright.
 
 Extends the reference's per-row validation pattern (quality columns per
-document, cf. the trace/morphology check batteries, SURVEY §2.9) the
-same way the rest of the curation tier does: everything is built-in
-Column expressions, reproducible in the DuckDB oracle.
+document — the whole-unit accept/reject checks of
+``src/trace/validation/validation.py:99-133``, cf. the trace/morphology
+check batteries, SURVEY §2.9) the same way the rest of the curation
+tier does: everything is built-in Column expressions, reproducible in
+the DuckDB oracle.
 
 Scale design (100 TB):
 - Segmentation is a per-row ``transform``/``split`` over the document —
@@ -107,7 +109,9 @@ def doc_segments(
     """Explode documents into removal units: ``(id_col, seg_id, seg)``.
 
     ``unit="line"`` splits on ``'\\n'`` (the CCNet production unit; a
-    document with no newline is its own single line);
+    document with no newline is its own single line — corpora with
+    CRLF endings should normalize ``'\\r'`` away at ingest, or the
+    carriage return rides into the line text and its hash);
     ``unit="segment"`` tiles the whitespace-token stream into
     non-overlapping ``seg_tokens``-token windows, final partial kept.
 

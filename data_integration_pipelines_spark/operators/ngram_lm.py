@@ -39,6 +39,12 @@ Scale design (100 TB):
   precedent).
 - Per-doc scoring is one groupBy(doc) integer sum of e4 BIGINTs —
   order-independent at any parallelism, never a float reduction.
+
+Reference anchor: extends the reference's per-row scoring/validation
+pattern (metric columns per resource, e.g.
+``src/trace/validation/validation.py:99-133``, SURVEY §2.9) to
+corpus-level language-model quality gating, the same recast the DSIR
+and boilerplate tiers made for selection and line dedup.
 """
 
 from __future__ import annotations
