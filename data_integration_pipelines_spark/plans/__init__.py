@@ -37,6 +37,7 @@ from . import queries_window  # noqa: E402,F401
 # pace never reached; (c) the r9 head order for the rest.
 _RISK_ORDER = [
     # (a) new in r10, never driver-compared
+    "leakage_safe_split",
     "ccnet_ppl_buckets",
     "ccnet_funnel",
     "ngram_lm_perplexity",

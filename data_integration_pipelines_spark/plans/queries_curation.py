@@ -1387,6 +1387,136 @@ def train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "leakage_safe_split",
+    f"""
+    WITH RECURSIVE
+    {_CLUSTER_EDGE_ORACLE.strip()},
+    edges AS (
+        SELECT id_a AS u, id_b AS v FROM pairs
+        UNION
+        SELECT id_b, id_a FROM pairs
+    ),
+    reach(src, node) AS (
+        SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+        UNION
+        SELECT r.src, e.v FROM reach r JOIN edges e ON e.u = r.node
+    ),
+    labels AS (SELECT src AS doc_id, MIN(node) AS cluster_id FROM reach GROUP BY src),
+    keyed AS (
+        SELECT d.doc_id, COALESCE(l.cluster_id, d.doc_id) AS ckey
+        FROM documents d LEFT JOIN labels l USING (doc_id)
+    ),
+    lab AS (
+        SELECT doc_id, ckey,
+               CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                          AS BIGINT) % 100 < 80 THEN 'train'
+                    WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                          AS BIGINT) % 100 < 90 THEN 'val'
+                    ELSE 'test' END AS naive_split,
+               CASE WHEN CAST(('0x' || substr(md5(CAST(ckey AS VARCHAR)), 1, 8))
+                          AS BIGINT) % 100 < 80 THEN 'train'
+                    WHEN CAST(('0x' || substr(md5(CAST(ckey AS VARCHAR)), 1, 8))
+                          AS BIGINT) % 100 < 90 THEN 'val'
+                    ELSE 'test' END AS safe_split
+        FROM keyed
+    ),
+    per_cluster AS (
+        SELECT ckey, COUNT(*) AS n,
+               COUNT(DISTINCT naive_split) AS naive_s,
+               COUNT(DISTINCT safe_split) AS safe_s,
+               MIN(safe_split) AS safe_split
+        FROM lab GROUP BY ckey
+    )
+    SELECT CAST(SUM(n) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN n >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_multi_clusters,
+           CAST(SUM(CASE WHEN n >= 2 AND naive_s > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS naive_straddling,
+           CAST(SUM(CASE WHEN safe_s > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS safe_straddling,
+           CAST(SUM(CASE WHEN safe_split = 'train' THEN n ELSE 0 END) AS BIGINT)
+               AS n_train,
+           CAST(SUM(CASE WHEN safe_split = 'val' THEN n ELSE 0 END) AS BIGINT)
+               AS n_val,
+           CAST(SUM(CASE WHEN safe_split = 'test' THEN n ELSE 0 END) AS BIGINT)
+               AS n_test
+    FROM per_cluster
+    """,
+    doc="LEAKAGE-SAFE train/val/test split — the dedup-aware "
+    "assignment a training pipeline actually needs: near-duplicate "
+    "CLUSTERS (3-gram Jaccard>=0.5 pairs -> connected components, the "
+    "dup_clusters kernel) are the split unit, every member inheriting "
+    "the md5-bucket split of its cluster representative, so a test "
+    "document can never have a near-copy in train (eval leakage). The "
+    "one-row report measures the payoff against the naive doc-keyed "
+    "policy on the same corpus: naive_straddling counts multi-member "
+    "clusters split across partitions under per-doc hashing (>0 on "
+    "any corpus with enough dup clusters), safe_straddling is 0 BY "
+    "CONSTRUCTION (and hash-verified by the oracle's independent "
+    "recursive-CTE closure). Plan: the CC runs on candidate pairs "
+    "only (banded, df-capped — never N^2); singleton docs skip the "
+    "CC entirely via the left-join coalesce to their own id; the "
+    "rollup is two narrow groupBys. Assignment stays a pure function "
+    "of stable ids — re-running on re-partitioned data or appending "
+    "documents never reassigns an existing cluster.",
+)
+def leakage_safe_split_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import connected_components
+
+    docs = _docs(spark, sf_dir)
+    pairs = jaccard_pairs(
+        docs, "text", "doc_id", n=3, threshold=0.5,
+        max_doc_freq=relative_doc_freq_cap_expr(docs),
+    )
+    cc = connected_components(pairs, "id_a", "id_b")
+    keyed = (
+        docs.select("doc_id")
+        .join(
+            cc.select(F.col("id").alias("doc_id"), "cluster_id"),
+            "doc_id",
+            "left",
+        )
+        .select(
+            "doc_id", F.coalesce("cluster_id", "doc_id").alias("ckey")
+        )
+    )
+    lab = keyed.select(
+        "doc_id",
+        "ckey",
+        split_assign(F.col("doc_id")).alias("naive_split"),
+        split_assign(F.col("ckey")).alias("safe_split"),
+    )
+    per_cluster = lab.groupBy("ckey").agg(
+        F.count("*").alias("n"),
+        F.countDistinct("naive_split").alias("naive_s"),
+        F.countDistinct("safe_split").alias("safe_s"),
+        F.min("safe_split").alias("safe_split"),
+    )
+    return per_cluster.agg(
+        F.sum("n").cast("bigint").alias("n_docs"),
+        F.sum(F.when(F.col("n") >= 2, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_multi_clusters"),
+        F.sum(
+            F.when((F.col("n") >= 2) & (F.col("naive_s") > 1), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("naive_straddling"),
+        F.sum(F.when(F.col("safe_s") > 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("safe_straddling"),
+        F.sum(F.when(F.col("safe_split") == "train", F.col("n")).otherwise(0))
+        .cast("bigint")
+        .alias("n_train"),
+        F.sum(F.when(F.col("safe_split") == "val", F.col("n")).otherwise(0))
+        .cast("bigint")
+        .alias("n_val"),
+        F.sum(F.when(F.col("safe_split") == "test", F.col("n")).otherwise(0))
+        .cast("bigint")
+        .alias("n_test"),
+    )
+
+
+@register(
     "incremental_ingest_dedup",
     rf"""
     WITH newd AS (SELECT * FROM documents WHERE doc_id % 10 >= 8),

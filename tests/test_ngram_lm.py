@@ -172,3 +172,18 @@ def test_every_doc_scored_fixture(spark, sf_medium):
     assert all(r.logprob_sum_e4 < 0 for r in rows)  # log-probs are negative
     ctxm = REGISTRY["ngram_lm_ctx_model"].fn(spark, sf_medium)
     assert ctxm.count() <= 64
+
+
+def test_leakage_safe_split_properties(spark, sf_medium):
+    """The dedup-aware split's contract: zero clusters straddle
+    partitions under cluster-keyed assignment while the naive
+    doc-keyed policy measurably leaks on the same corpus; counts
+    conserve and the ratios stay near 80/10/10."""
+    from data_integration_pipelines_spark.plans import REGISTRY
+
+    row = REGISTRY["leakage_safe_split"].fn(spark, sf_medium).collect()[0]
+    assert row.safe_straddling == 0
+    assert row.naive_straddling > 0  # the policy difference is real here
+    assert row.n_multi_clusters >= row.naive_straddling
+    assert row.n_train + row.n_val + row.n_test == row.n_docs == 500
+    assert row.n_train > row.n_val and row.n_train > row.n_test

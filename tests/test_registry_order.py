@@ -23,6 +23,7 @@ from data_integration_pipelines_spark.plans import _RISK_ORDER, REGISTRY
 # relational/window queries — VERDICT r9 task 3).
 _NEVER_DRIVER_VERIFIED = {
     # new in r10
+    "leakage_safe_split",
     "ccnet_ppl_buckets",
     "ccnet_funnel",
     "ngram_lm_perplexity",
