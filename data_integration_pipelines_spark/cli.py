@@ -647,6 +647,56 @@ def cmd_split(args) -> int:
     return 0
 
 
+def cmd_export_splits(args) -> int:
+    """Leakage-safe split export — the trainer-facing sink face of
+    leakage_split_manifest: every document labeled with its near-dup
+    CLUSTER representative's split (plans/queries_curation.
+    leakage_safe_assignment — near-copies can never straddle
+    train/test), written as one parquet dataset per split plus
+    ``_manifest.json`` carrying per-(split, lang) counts and the
+    order-canonical membership digests — the same rows the registered
+    query certifies against DuckDB, so the written artifact is
+    byte-auditable against the oracle-checked report."""
+    from .catalog import load_table
+    from .operators.cache import bounded_persist
+    from .plans.queries_curation import leakage_safe_assignment
+
+    spark = _session(args)
+    docs = load_table(spark, args.sf_dir, "documents")
+    # one materialization feeds both the writer and the manifest agg
+    # (the export_sharded precedent — no recompute, no drift window)
+    labeled = bounded_persist(docs.join(leakage_safe_assignment(docs), "doc_id"))
+    out = _out(args, "safe_splits")
+    labeled.write.mode("overwrite").partitionBy("split").parquet(out)
+    rows = (
+        labeled.groupBy("split", "lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    F.transform(
+                        F.sort_array(F.collect_list("doc_id")),
+                        lambda x: x.cast("string"),
+                    ),
+                )
+            ).alias("membership_md5"),
+        )
+        .orderBy("split", "lang")
+        .collect()
+    )
+    manifest = {
+        "policy": "near-dup-cluster-keyed md5-bucket 80/10/10",
+        "splits": [r.asDict() for r in rows],
+    }
+    # leading underscore: parquet readers globbing the dataset skip it
+    with open(os.path.join(out, "_manifest.json"), "w") as fh:
+        json.dump(manifest, fh, indent=2, default=str)
+    labeled.unpersist()
+    print(json.dumps({"out": out, "n_cells": len(rows)}))
+    return 0
+
+
 def cmd_stream_windows(args) -> int:
     """Structured-Streaming front door: drain the events backlog with an
     availableNow trigger through the watermarked windowed-count
@@ -831,6 +881,14 @@ def build_parser() -> argparse.ArgumentParser:
     )
     common(sp)
     sp.set_defaults(fn=cmd_split)
+
+    sp = sub.add_parser(
+        "export-splits",
+        help="leakage-safe train/val/test export: near-dup-cluster-keyed "
+        "splits -> parquet per split + digest manifest",
+    )
+    common(sp)
+    sp.set_defaults(fn=cmd_export_splits)
 
     sp = sub.add_parser(
         "annotate", help="EP2 write-back: upsert metrics into a versioned store"

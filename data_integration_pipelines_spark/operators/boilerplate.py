@@ -148,8 +148,23 @@ def heavy_segment_hashes(segments: DataFrame, *, min_df: int = 3) -> DataFrame:
     is bounded by ``total_segments / min_df``. Reuses existing
     ``__h``/``__h2`` columns when the caller already derived them (the
     persisted segments table in the removal paths) rather than
-    re-hashing."""
-    if "__h" not in segments.columns:
+    re-hashing; a frame carrying only ONE of the pair — e.g. a table
+    persisted under the pre-r10 single-hash contract — raises a
+    descriptive error instead of failing later with an
+    unresolved-column groupBy (ADVICE r10)."""
+    has_h, has_h2 = "__h" in segments.columns, "__h2" in segments.columns
+    if has_h != has_h2:
+        present, missing = ("__h", "__h2") if has_h else ("__h2", "__h")
+        raise ValueError(
+            f"segments frame carries {present} but not {missing}: the "
+            "decision key is the 128-bit PAIR (xxhash64(seg), "
+            "xxhash64(seg, 1)) since r10 — a frame built under the "
+            "older single-hash contract must be re-derived with "
+            "_with_hashes/doc_segments (drop the stale hash column "
+            "and re-ingest; persisted (__h, n) frequency states are "
+            "format-incompatible with the (__h, __h2, n) fold)"
+        )
+    if not has_h:
         segments = _with_hashes(segments)
     return (
         segments.groupBy("__h", "__h2")
@@ -276,7 +291,13 @@ def segment_frequency_state(
     """Mergeable frequency partial for the INCREMENTAL tier: the
     ``(__h, __h2, n)`` segment-count table of one corpus slice.
     Additive — the state a standing pipeline persists and folds batch
-    deltas into (the operators/incremental partial_state convention)."""
+    deltas into (the operators/incremental partial_state convention).
+
+    STATE-FORMAT BREAK (r10): states persisted under the pre-r10
+    single-hash contract — ``(__h, n)`` — are incompatible with this
+    schema and with :func:`merge_frequency_states`; they cannot be
+    upgraded in place (the second hash requires the segment text) and
+    must be rebuilt from the corpus once."""
     _check_unit(unit)
     return (
         _with_hashes(
@@ -296,7 +317,10 @@ def segment_frequency_state(
 def merge_frequency_states(a: DataFrame, b: DataFrame) -> DataFrame:
     """Fold two frequency partials: union + re-sum. Exactly associative
     and commutative (integer counts), so folded == one-shot whatever
-    the batch arrival order."""
+    the batch arrival order. Both sides must be the r10 ``(__h, __h2,
+    n)`` pair-key format — a pre-r10 ``(__h, n)`` state fails the
+    unionByName here; rebuild it from the corpus (see
+    :func:`segment_frequency_state`)."""
     return a.unionByName(b).groupBy("__h", "__h2").agg(F.sum("n").alias("n"))
 
 

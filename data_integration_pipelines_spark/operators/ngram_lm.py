@@ -29,6 +29,17 @@ cross-engine conventions):
   target, score the crawl) hits both defaults — the contract never
   drops a document or an event.
 
+Per-language models (``key_cols``): CCNet fits ONE LM PER LANGUAGE
+(Wikipedia-lang as the target) and scores each shard under its own
+model — a global en-target model ranks non-en shards by "how
+en-like", not by fluency. Passing ``key_cols=("lang",)`` keys both
+model tables by language: the fit groupBy gains the key, the model
+stays bounded BY CONSTRUCTION at ``n_lang * ctx_buckets *
+pair_buckets`` rows (languages are an enum, not data-sized — still
+an honest broadcast), and scoring joins events to the model of the
+event's own language. A language absent from the fit corpus scores
+entirely through the global floor — the same never-drop contract.
+
 Scale design (100 TB):
 - The event stream is the DSIR bigram construction: ``zip_with`` of
   two shifted ``slice`` views, one explode — per-row, shuffle-free.
@@ -117,22 +128,31 @@ def ngram_lm_fit(
     fit_events: DataFrame,
     *,
     pair_buckets: int = PAIR_BUCKETS,
+    key_cols: tuple[str, ...] = (),
 ) -> tuple[DataFrame, DataFrame]:
     """Fit the model from a (b1, b12) event stream: returns
     ``(pair_model, ctx_model)``.
 
-    ``pair_model``: (b1, b12, c12, lp_e4) — one row per OBSERVED
-    (context, pair) bucket combination, bounded by ctx_buckets *
-    pair_buckets by construction.
-    ``ctx_model``: (b1, c1, floor_e4) — one row per observed context
-    with its event total and its smoothed unseen-pair floor.
+    ``pair_model``: ([keys,] b1, b12, c12, lp_e4) — one row per
+    OBSERVED (context, pair) bucket combination, bounded by
+    ctx_buckets * pair_buckets (per key) by construction.
+    ``ctx_model``: ([keys,] b1, c1, floor_e4) — one row per observed
+    context with its event total and its smoothed unseen-pair floor.
+
+    ``key_cols`` (e.g. ``("lang",)``) fits one independent model per
+    key — CCNet's per-language construction; the add-one smoothing
+    and both floors apply within each key's own event totals.
     """
     a = float(ALPHA)
-    ctx = fit_events.groupBy("b1").agg(F.count("*").alias("c1"))
-    pairs = fit_events.groupBy("b1", "b12").agg(F.count("*").alias("c12"))
+    keys = list(key_cols)
+    ctx = fit_events.groupBy(*keys, "b1").agg(F.count("*").alias("c1"))
+    pairs = fit_events.groupBy(*keys, "b1", "b12").agg(
+        F.count("*").alias("c12")
+    )
     pair_model = (
-        pairs.join(ctx, "b1")
+        pairs.join(ctx, [*keys, "b1"])
         .select(
+            *keys,
             "b1",
             "b12",
             F.col("c12").cast("bigint").alias("c12"),
@@ -145,6 +165,7 @@ def ngram_lm_fit(
         )
     )
     ctx_model = ctx.select(
+        *keys,
         "b1",
         F.col("c1").cast("bigint").alias("c1"),
         quantized(
@@ -152,6 +173,34 @@ def ngram_lm_fit(
         ).alias("floor_e4"),
     )
     return pair_model, ctx_model
+
+
+def _bucket_guard(col: str, n: int, param: str):
+    """Codegen'd per-row consistency check on a BOUNDED model table: a
+    model bucket outside ``[0, n)`` means the model was fitted with a
+    different ``{param}`` than the scorer was given — without the
+    guard every event silently misses the join and floods onto the
+    smoothed floors (wrong scores, no error; the dsir_scores
+    bucket_guard precedent, ADVICE r10). Catches a LARGER fit
+    configuration structurally; a smaller one is indistinguishable
+    from sparse data, so keep fit and score parameters in one place."""
+    return (
+        F.when(
+            (F.col(col) < 0) | (F.col(col) >= n),
+            F.raise_error(
+                F.concat(
+                    F.lit(f"ngram_lm_scores: model {col} "),
+                    F.col(col).cast("string"),
+                    F.lit(
+                        f" outside [0, {n}) — the model was fitted "
+                        f"with a different {param}"
+                    ),
+                )
+            ),
+        )
+        .otherwise(F.col(col))
+        .alias(col)
+    )
 
 
 def ngram_lm_scores(
@@ -163,6 +212,7 @@ def ngram_lm_scores(
     id_col: str = "doc_id",
     ctx_buckets: int = CTX_BUCKETS,
     pair_buckets: int = PAIR_BUCKETS,
+    key_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Score every document under the fitted model: ``(id_col,
     n_bigrams, logprob_sum_e4)`` — the exact integer sum of per-event
@@ -170,21 +220,49 @@ def ngram_lm_scores(
     low-perplexity head). Every input doc keeps its row; a doc with
     no bigrams sums to 0 over 0 events.
 
+    ``key_cols`` (e.g. ``("lang",)``) must match the fit: each event
+    joins the model of its OWN key — CCNet's per-language scoring. A
+    key with no fitted model scores through the global floor.
+
     Both model sides ride explicit broadcasts — bounded by
-    construction at ctx_buckets*pair_buckets and ctx_buckets rows
-    (the DSIR completed-model precedent)."""
+    construction at ctx_buckets*pair_buckets and ctx_buckets rows per
+    key (the DSIR completed-model precedent), and both carry a
+    codegen'd bucket-range guard so a model fitted with different
+    bucket counts raises instead of silently flooring every event."""
+    keys = list(key_cols)
     ev = bigram_events(
         docs,
         text_col=text_col,
         id_col=id_col,
         ctx_buckets=ctx_buckets,
         pair_buckets=pair_buckets,
+        extra_cols=keys,
     )
     floor = F.lit(global_floor_e4(pair_buckets)).cast("bigint")
     scored = (
-        ev.join(F.broadcast(pair_model.select("b1", "b12", "lp_e4")),
-                ["b1", "b12"], "left")
-        .join(F.broadcast(ctx_model.select("b1", "floor_e4")), "b1", "left")
+        ev.join(
+            F.broadcast(
+                pair_model.select(
+                    *keys,
+                    _bucket_guard("b1", ctx_buckets, "ctx_buckets"),
+                    _bucket_guard("b12", pair_buckets, "pair_buckets"),
+                    "lp_e4",
+                )
+            ),
+            [*keys, "b1", "b12"],
+            "left",
+        )
+        .join(
+            F.broadcast(
+                ctx_model.select(
+                    *keys,
+                    _bucket_guard("b1", ctx_buckets, "ctx_buckets"),
+                    "floor_e4",
+                )
+            ),
+            [*keys, "b1"],
+            "left",
+        )
         .select(
             id_col,
             F.coalesce("lp_e4", "floor_e4", floor).alias("__lp"),

@@ -25,38 +25,99 @@ from . import queries_window  # noqa: E402,F401
 # right, but queries that stay stable forever would otherwise never
 # earn a fresh DRIVER row again (judge sweeps cover them, the driver's
 # head hasn't since r2-r4) — so each round also cycles the
-# longest-unvisited stable-tail queries into the head. Round-10 head:
-# (a) the four NEW queries (line-mode boilerplate — the CCNet
-# production unit — and the DSIR unigram+bigram feature space), then
-# the queries whose PLAN changed this round with unchanged fixture
-# output: the boilerplate decision key widened to the 128-bit hash
-# pair (removal/incremental/composition), the dsir_scores full-outer
-# n_buckets guard, the zipf_fit NULLIF + overflow guards;
-# (b) the rotation slice (VERDICT r9 task 3): 25 queries last
-# driver-verified r2-r3 — the relational/window tail the 10-per-round
-# pace never reached; (c) the r9 head order for the rest.
+# longest-unvisited stable-tail queries into the head. Round-11 head:
+# (a) the six NEW queries (per-language LM models — CCNet's actual
+# per-lang mechanism —, the at-scale approx ppl-bucket route, the
+# leakage-safe split's per-doc manifest), then the queries whose PLAN
+# changed this round with unchanged fixture output (the ngram_lm_scores
+# model bucket-range guard, ADVICE r10);
+# (b) the rotation slice (VERDICT r10 task 1): the FULL 51-query
+# r2-r4 stale tail, VERDICT-named entries and the TPC-H family first
+# then oldest-first — the driver's ~50-row budget burns it to
+# single digits this round and r12 finishes it;
+# (c) the r10 head order for the rest.
 _RISK_ORDER = [
-    # (a) new in r10, never driver-compared
-    "leakage_safe_split",
-    "ccnet_ppl_buckets",
-    "ccnet_funnel",
+    # (a) new in r11, never driver-compared: the per-language LM
+    # family (CCNet's actual per-lang construction), the registered
+    # at-scale ppl-bucket route, the leakage-safe split manifest
+    "ngram_lm_perplexity_perlang",
+    "ccnet_ppl_buckets_perlang",
+    "ccnet_funnel_perlang",
+    "ngram_lm_perlang_model",
+    "ccnet_ppl_buckets_approx",
+    "leakage_split_manifest",
+    # r11-changed plans, same fixture output: ngram_lm_scores gained
+    # the codegen'd model bucket-range guard (ADVICE r10)
     "ngram_lm_perplexity",
+    "ccnet_ppl_buckets",
+    # (b) rotation slice (VERDICT r10 task 1): the 51 queries last
+    # driver-verified r2-r4 — VERDICT-named entries and the TPC-H
+    # family first, then oldest-first (r2, r3, r4)
+    "relationship_assign",
+    "part_of_expansion",
+    "region_agreement",
+    "anti_join_orphans",
+    "jwt_decode",
+    "order_priority_checking",
+    "volume_shipping",
+    "small_quantity_revenue",
+    "disjunctive_brand_revenue",
+    "waiting_orders_suppliers",
+    "shipping_priority",
+    "local_supplier_volume",
+    "promo_revenue",
+    "top_supplier",
+    "returned_items_report",
+    "forecast_revenue",
+    "large_volume_customers",
+    "customer_order_distribution",
+    "dormant_rich_customers",
+    "corpus_sample_mix",
+    "asof_join_events",
+    "asof_join_events_chunked",
+    "bm25_search",
+    "chunk_documents",
+    "cube_census",
+    "curation_funnel",
+    "duplicated_span_fraction",
+    "frame_sample",
+    "incremental_agg",
+    "int8_quantize",
+    "mixture_temperature",
+    "multimodal_meta",
+    "pivot_event_matrix",
+    "quality_rule_battery",
+    "skyline_docs",
+    "voxel_region_histogram",
+    "voxel_region_lookup",
+    "train_val_test_split",
+    "decontaminate_bloom",
+    "nation_pagerank",
+    "nation_pagerank_weighted",
+    "cms_token_freq",
+    "exact_substring_removal",
+    "next_event_training_pairs",
+    "contrastive_pairs",
+    "rare_token_suppression",
+    "audio_features",
+    "image_resize",
+    "image_decode_features",
+    "png_decode_features",
+    "jpeg_decode_features",
+    # (c) the r10 head order for the rest, minus entries moved above
+    "leakage_safe_split",
+    "ccnet_funnel",
     "ngram_lm_ctx_model",
     "boilerplate_removal_lines",
     "incremental_boilerplate_lines",
     "boilerplate_lines",
     "dsir_importance_scores_bigram",
     "dsir_bucket_model_bigram",
-    # r10-changed plans, same fixture output (hash-pair decision key;
-    # full-outer model-completion guard; zipf degenerate/overflow
-    # guards)
     "boilerplate_removal",
     "incremental_boilerplate",
     "boilerplate_then_exact_dedup",
     "dsir_importance_scores",
     "zipf_fit",
-    # (b) rotation slice: stable tail, last driver row r2-r3 — the
-    # relational audit + session/window families
     "type_census",
     "census_filtered",
     "bool_folds",
@@ -82,7 +143,6 @@ _RISK_ORDER = [
     "count_compare",
     "grouped_topk",
     "event_funnel",
-    # (c) the r9 head order for the rest, minus entries moved above
     "token_freq_spectrum",
     "dsir_resample_topk",
     "dsir_bucket_model",
@@ -190,57 +250,6 @@ _RISK_ORDER = [
     "domain_reweight",
     "drift_psi",
     "pii_redaction",
-    "region_agreement",
-    "jpeg_decode_features",
-    "order_priority_checking",
-    "volume_shipping",
-    "small_quantity_revenue",
-    "disjunctive_brand_revenue",
-    "waiting_orders_suppliers",
-    "train_val_test_split",
-    "cms_token_freq",
-    "exact_substring_removal",
-    "next_event_training_pairs",
-    "contrastive_pairs",
-    "rare_token_suppression",
-    "image_resize",
-    "audio_features",
-    "image_decode_features",
-    "png_decode_features",
-    "jwt_decode",
-    "part_of_expansion",
-    "relationship_assign",
-    "anti_join_orphans",
-    "shipping_priority",
-    "local_supplier_volume",
-    "promo_revenue",
-    "top_supplier",
-    "returned_items_report",
-    "forecast_revenue",
-    "large_volume_customers",
-    "customer_order_distribution",
-    "dormant_rich_customers",
-    "decontaminate_bloom",
-    "nation_pagerank",
-    "nation_pagerank_weighted",
-    "int8_quantize",
-    "voxel_region_lookup",
-    "voxel_region_histogram",
-    "asof_join_events",
-    "asof_join_events_chunked",
-    "pivot_event_matrix",
-    "cube_census",
-    "bm25_search",
-    "duplicated_span_fraction",
-    "mixture_temperature",
-    "skyline_docs",
-    "quality_rule_battery",
-    "chunk_documents",
-    "curation_funnel",
-    "incremental_agg",
-    "multimodal_meta",
-    "frame_sample",
-    "corpus_sample_mix",
 ]
 
 

@@ -2533,20 +2533,20 @@ def ngram_lm_perplexity_q(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(MIN(mean_lp_e4) AS BIGINT) AS worst_mean_lp_e4
     FROM tiled GROUP BY lang, bucket ORDER BY lang, bucket
     """,
-    doc="CCNet's head/middle/tail selection — the mechanism the paper "
-    "is known for: per language shard, documents rank by mean "
-    "per-event LM log-prob (e4-quantized from the exact integer sums "
-    "— the only double is one division of identical integers, then "
-    "re-quantized, so ordering and ties are engine-identical with "
-    "doc_id as the deterministic tiebreak) and NTILE(3) splits the "
-    "shard into head (bucket 1, most target-like), middle, tail; the "
-    "report carries each bucket's size and boundary means — the "
-    "thresholds a production run would publish. AT SCALE the exact "
-    "tercile becomes the approx-quantile threshold + codegen filter "
-    "(the quality_stratified_sample / quantile_bins_approx "
-    "precedent); the exact NTILE here is the oracle-checked "
-    "reference semantics, and its sort is per-lang over NARROW "
-    "(lang, mean, id) rows.",
+    doc="TWIN — at scale use ccnet_ppl_buckets_approx (approx-quantile "
+    "thresholds + codegen filter; this exact NTILE form is the "
+    "oracle-checked reference semantics, its sort per-lang over "
+    "NARROW (lang, mean, id) rows). CCNet's head/middle/tail "
+    "selection — the mechanism the paper is known for: per language "
+    "shard, documents rank by mean per-event LM log-prob "
+    "(e4-quantized from the exact integer sums — the only double is "
+    "one division of identical integers, then re-quantized, so "
+    "ordering and ties are engine-identical with doc_id as the "
+    "deterministic tiebreak) and NTILE(3) splits the shard into head "
+    "(bucket 1, most target-like), middle, tail; the report carries "
+    "each bucket's size and boundary means — the thresholds a "
+    "production run would publish. ccnet_ppl_buckets_perlang is the "
+    "same mechanism under the per-language models.",
 )
 def ccnet_ppl_buckets_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
@@ -2731,4 +2731,536 @@ def ccnet_funnel_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("logprob_sum_e4"),
         )
         .orderBy("lang")
+    )
+
+
+# --- per-language LM models (r11 — CCNet's actual construction) ------
+#
+# Wenzek et al. fit ONE LM PER LANGUAGE on that language's target
+# corpus (Wikipedia-lang) and score each shard under its own model;
+# the r10 global en-target model ranks non-en shards by "how en-like",
+# not by fluency (VERDICT r10 gap #1). The recast: a fixed slice of
+# sources (src0-src3) plays Wikipedia's role as the per-lang target —
+# fit is keyed by lang on the target subset, scoring is cross-corpus
+# (src4+ docs hit unseen pairs/contexts, exercising both smoothed
+# floors within their own language's model). The global-model queries
+# above are retained as differential twins.
+
+_LM_TARGET_SOURCES = ("src0", "src1", "src2", "src3")
+_LM_TARGET_SQL = "source IN ('src0', 'src1', 'src2', 'src3')"
+
+_LM_PERLANG_CTES = rf"""
+    bigL AS (
+        SELECT doc_id, lang, source, t[i] AS w1, t[i+1] AS w2
+        FROM (
+            SELECT doc_id, lang, source,
+                   regexp_split_to_array(trim(coalesce(text, '')), '\s+') AS t
+            FROM documents
+        ), LATERAL (SELECT unnest(range(1, len(t))) AS i)
+    ),
+    evL AS (
+        SELECT doc_id, lang, source,
+               (('0x' || substr(md5(w1), 1, 4))::INT % {_LM_B1}) AS b1,
+               (('0x' || substr(md5(w1 || ' ' || w2), 1, 4))::INT % {_LM_B12}) AS b12
+        FROM bigL
+    ),
+    fitL AS (SELECT lang, b1, b12 FROM evL WHERE {_LM_TARGET_SQL}),
+    ctxL AS (SELECT lang, b1, COUNT(*) AS c1 FROM fitL GROUP BY lang, b1),
+    pairsL AS (
+        SELECT lang, b1, b12, COUNT(*) AS c12 FROM fitL GROUP BY lang, b1, b12
+    ),
+    modelL AS (
+        SELECT p.lang, p.b1, p.b12,
+               {quantized_sql(f'ln((p.c12 + 1.0) / (c.c1 + {float(_LM_B12)}))')} AS lp_e4
+        FROM pairsL p JOIN ctxL c ON p.lang = c.lang AND p.b1 = c.b1
+    ),
+    ctxdL AS (
+        SELECT lang, b1,
+               {quantized_sql(f'ln(1.0 / (c1 + {float(_LM_B12)}))')} AS floor_e4
+        FROM ctxL
+    ),
+    scoredL AS (
+        SELECT e.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+               CAST(SUM(COALESCE(m.lp_e4, c.floor_e4, {_lm_floor(_LM_B12)}))
+                    AS BIGINT) AS logprob_sum_e4
+        FROM evL e
+        LEFT JOIN modelL m
+          ON m.lang = e.lang AND m.b1 = e.b1 AND m.b12 = e.b12
+        LEFT JOIN ctxdL c ON c.lang = e.lang AND c.b1 = e.b1
+        GROUP BY e.doc_id
+    )
+"""
+
+
+def _lm_perlang_models(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Fit the per-language pair/ctx models on the target-source slice
+    (src0-src3 playing Wikipedia-lang). Bounded BY CONSTRUCTION at
+    n_lang * 64 * 1024 and n_lang * 64 rows — languages are an enum,
+    not data-sized, so both stay honest broadcasts."""
+    from ..operators.ngram_lm import bigram_events, ngram_lm_fit
+
+    fit_ev = bigram_events(
+        docs.filter(F.col("source").isin(*_LM_TARGET_SOURCES)),
+        extra_cols=["lang"],
+    ).select("lang", "b1", "b12")
+    return ngram_lm_fit(fit_ev, key_cols=("lang",))
+
+
+@register(
+    "ngram_lm_perlang_model",
+    f"""
+    WITH {_LM_PERLANG_CTES}
+    SELECT lang, b1, CAST(c1 AS BIGINT) AS c1,
+           {quantized_sql(f'ln(1.0 / (c1 + {float(_LM_B12)}))')} AS floor_e4
+    FROM ctxL ORDER BY lang, b1
+    """,
+    doc="Per-LANGUAGE context tables of the hashed bigram LM — CCNet's "
+    "actual construction (one LM per language, fit on that language's "
+    "own target corpus; the src0-src3 slice plays Wikipedia-lang): per "
+    "(lang, context bucket), the fit-corpus event total and the "
+    "smoothed unseen-pair floor. At most n_lang*64 rows BY "
+    "CONSTRUCTION — the language set is an enum, not data-sized, so "
+    "the per-lang models stay honest broadcasts at any corpus size "
+    "(with the n_lang*65,536-bounded pair tables).",
+)
+def ngram_lm_perlang_model_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _, ctx_model = _lm_perlang_models(_docs(spark, sf_dir))
+    return ctx_model.orderBy("lang", "b1")
+
+
+@register(
+    "ngram_lm_perplexity_perlang",
+    f"""
+    WITH {_LM_PERLANG_CTES}
+    SELECT d.doc_id, COALESCE(s.n_bigrams, 0) AS n_bigrams,
+           COALESCE(s.logprob_sum_e4, 0) AS logprob_sum_e4
+    FROM documents d LEFT JOIN scoredL s USING (doc_id)
+    ORDER BY d.doc_id
+    """,
+    doc="Per-language LM document scoring — closes the CCNet-mechanism "
+    "gap of the global twin (ngram_lm_perplexity, which fits ONE "
+    "en-target model and ranks non-en shards by how en-like they "
+    "read): every document scores under the model of its OWN "
+    "language, fit on that language's target slice (src0-src3 = "
+    "Wikipedia-lang), so each shard ranks by fluency under its own "
+    "target. Cross-corpus within each language — src4+ docs hit "
+    "unseen pairs/contexts and take that language's smoothed floors. "
+    "Same exactness contract: integer sums of e4 log-probs, every-doc "
+    "left-join pin. Plan: one zip_with event pass per side; the model "
+    "joins gain lang as a key but stay bounded broadcasts "
+    "(n_lang*65,536 rows); scoring is one groupBy integer sum.",
+)
+def ngram_lm_perplexity_perlang_q(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.ngram_lm import ngram_lm_scores
+
+    docs = _docs(spark, sf_dir)
+    pair_model, ctx_model = _lm_perlang_models(docs)
+    return ngram_lm_scores(
+        docs, pair_model, ctx_model, key_cols=("lang",)
+    ).orderBy("doc_id")
+
+
+@register(
+    "ccnet_ppl_buckets_perlang",
+    f"""
+    WITH {_LM_PERLANG_CTES},
+    means AS (
+        SELECT d.doc_id, d.lang,
+               COALESCE({quantized_sql(
+                   'CAST(s.logprob_sum_e4 AS DOUBLE) / s.n_bigrams', 0
+               )}, 0) AS mean_lp_e4
+        FROM documents d LEFT JOIN scoredL s USING (doc_id)
+    ),
+    tiled AS (
+        SELECT lang, mean_lp_e4,
+               NTILE(3) OVER (
+                   PARTITION BY lang ORDER BY mean_lp_e4 DESC, doc_id
+               ) AS bucket
+        FROM means
+    )
+    SELECT lang, CAST(bucket AS INT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(MAX(mean_lp_e4) AS BIGINT) AS best_mean_lp_e4,
+           CAST(MIN(mean_lp_e4) AS BIGINT) AS worst_mean_lp_e4
+    FROM tiled GROUP BY lang, bucket ORDER BY lang, bucket
+    """,
+    doc="CCNet's head/middle/tail selection under the PER-LANGUAGE "
+    "models — the paper's full mechanism (one LM per lang, each shard "
+    "bucketed by perplexity under its OWN target): per language, "
+    "documents rank by mean per-event e4 log-prob under their own "
+    "lang's model and NTILE(3) splits the shard into head/middle/"
+    "tail with bucket sizes and boundary means. The global-model "
+    "ccnet_ppl_buckets is the differential twin (its ranking reads "
+    "'how en-like'); ccnet_ppl_buckets_approx demonstrates the "
+    "at-scale threshold route, which keys by lang identically. The "
+    "exact NTILE sort here is per-lang over NARROW (lang, mean, id) "
+    "rows — the oracle-checked reference semantics.",
+)
+def ccnet_ppl_buckets_perlang_q(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.ngram_lm import ngram_lm_scores
+
+    docs = _docs(spark, sf_dir)
+    pair_model, ctx_model = _lm_perlang_models(docs)
+    scores = ngram_lm_scores(docs, pair_model, ctx_model, key_cols=("lang",))
+    means = scores.join(docs.select("doc_id", "lang"), "doc_id").select(
+        "doc_id",
+        "lang",
+        F.coalesce(
+            quantized(
+                F.col("logprob_sum_e4").cast("double") / F.col("n_bigrams"),
+                0,
+            ),
+            F.lit(0),
+        ).alias("mean_lp_e4"),
+    )
+    tiled = means.withColumn(
+        "bucket",
+        F.ntile(3).over(
+            Window.partitionBy("lang").orderBy(
+                F.desc("mean_lp_e4"), F.asc("doc_id")
+            )
+        ),
+    )
+    return (
+        tiled.groupBy("lang", "bucket")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.max("mean_lp_e4").cast("bigint").alias("best_mean_lp_e4"),
+            F.min("mean_lp_e4").cast("bigint").alias("worst_mean_lp_e4"),
+        )
+        .select(
+            "lang",
+            F.col("bucket").cast("int").alias("bucket"),
+            "n_docs",
+            "best_mean_lp_e4",
+            "worst_mean_lp_e4",
+        )
+        .orderBy("lang", "bucket")
+    )
+
+
+@register(
+    "ccnet_funnel_perlang",
+    f"""
+    WITH {_CC_LINE_CTE},
+    heavy AS (
+        SELECT seg FROM lseg GROUP BY seg HAVING COUNT(*) >= 3
+    ),
+    kept AS (
+        SELECT s.doc_id, s.seg_id, s.seg
+        FROM lseg s LEFT JOIN heavy h ON s.seg = h.seg
+        WHERE h.seg IS NULL
+    ),
+    {_LM_PERLANG_CTES.strip()},
+    kevL AS (
+        SELECT k.doc_id, d.lang,
+               (('0x' || substr(md5(w1), 1, 4))::INT % {_LM_B1}) AS b1,
+               (('0x' || substr(md5(w1 || ' ' || w2), 1, 4))::INT % {_LM_B12}) AS b12
+        FROM (
+            SELECT doc_id, t[i] AS w1, t[i+1] AS w2
+            FROM (
+                SELECT doc_id,
+                       regexp_split_to_array(trim(coalesce(seg, '')), '\\s+') AS t
+                FROM kept
+            ), LATERAL (SELECT unnest(range(1, len(t))) AS i)
+        ) k JOIN documents d USING (doc_id)
+    ),
+    lmL AS (
+        SELECT e.doc_id, COUNT(*) AS n_bigrams,
+               SUM(COALESCE(m.lp_e4, c.floor_e4, {_lm_floor(_LM_B12)})) AS lp
+        FROM kevL e
+        LEFT JOIN modelL m
+          ON m.lang = e.lang AND m.b1 = e.b1 AND m.b12 = e.b12
+        LEFT JOIN ctxdL c ON c.lang = e.lang AND c.b1 = e.b1
+        GROUP BY e.doc_id
+    ),
+    tot AS (SELECT doc_id, COUNT(*) AS n_lines FROM lseg GROUP BY doc_id),
+    keptn AS (SELECT doc_id, COUNT(*) AS n_kept FROM kept GROUP BY doc_id)
+    SELECT d.lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(t.n_lines) AS BIGINT) AS n_lines,
+           CAST(SUM(t.n_lines - COALESCE(k.n_kept, 0)) AS BIGINT) AS n_lines_removed,
+           CAST(SUM(COALESCE(l.n_bigrams, 0)) AS BIGINT) AS n_bigrams,
+           CAST(SUM(COALESCE(l.lp, 0)) AS BIGINT) AS logprob_sum_e4
+    FROM documents d
+    JOIN tot t USING (doc_id)
+    LEFT JOIN keptn k USING (doc_id)
+    LEFT JOIN lmL l USING (doc_id)
+    GROUP BY d.lang ORDER BY d.lang
+    """,
+    doc="The CCNet composition under the PER-LANGUAGE models — the "
+    "paper's full pipeline (line dedup, then each language shard "
+    "scored by the LM fit on ITS OWN target): heavy lines (min_df=3) "
+    "drop whole, kept lines' adjacent pairs score under the doc's own "
+    "lang model (fit on the raw src0-src3 target slice per lang), "
+    "rollup per lang reports docs, total/removed lines, scored events "
+    "and the exact integer logprob sum. ccnet_funnel (global en "
+    "model) is the differential twin. Plan: one segmentation pass via "
+    "bounded_persist feeds frequency, anti-join and stats; lang rides "
+    "an equi-join from the document table onto kept lines (AQE-sided, "
+    "at scale the lang column travels ON the document row so the join "
+    "vanishes); the per-lang models stay bounded broadcasts; two "
+    "narrow groupBys (doc, then lang).",
+)
+def ccnet_funnel_perlang_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.boilerplate import (
+        _with_hashes,
+        doc_segments,
+        heavy_segment_hashes,
+    )
+    from ..operators.cache import bounded_persist
+    from ..operators.ngram_lm import bigram_events, global_floor_e4
+
+    docs = _docs(spark, sf_dir)
+    segs = bounded_persist(
+        _with_hashes(doc_segments(_cc_lined_docs(docs), unit="line"))
+    )
+    heavy = heavy_segment_hashes(segs, min_df=3)
+    kept = segs.join(heavy, ["__h", "__h2"], "left_anti")
+
+    pair_model, ctx_model = _lm_perlang_models(docs)
+    floor = F.lit(global_floor_e4(_LM_B12)).cast("bigint")
+    kept_lang = kept.select("doc_id", "seg").join(
+        docs.select("doc_id", "lang"), "doc_id"
+    )
+    per_doc_lm = (
+        bigram_events(
+            kept_lang, text_col="seg", extra_cols=["lang"]
+        )
+        .join(
+            F.broadcast(pair_model.select("lang", "b1", "b12", "lp_e4")),
+            ["lang", "b1", "b12"],
+            "left",
+        )
+        .join(
+            F.broadcast(ctx_model.select("lang", "b1", "floor_e4")),
+            ["lang", "b1"],
+            "left",
+        )
+        .select("doc_id", F.coalesce("lp_e4", "floor_e4", floor).alias("__lp"))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.sum("__lp").alias("lp"),
+        )
+    )
+    totals = segs.groupBy("doc_id").agg(F.count("*").alias("n_lines"))
+    keptn = kept.groupBy("doc_id").agg(F.count("*").alias("n_kept"))
+    return (
+        docs.select("doc_id", "lang")
+        .join(totals, "doc_id")
+        .join(keptn, "doc_id", "left")
+        .join(per_doc_lm, "doc_id", "left")
+        .groupBy("lang")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_lines").cast("bigint").alias("n_lines"),
+            F.sum(
+                F.col("n_lines") - F.coalesce("n_kept", F.lit(0))
+            ).cast("bigint").alias("n_lines_removed"),
+            F.sum(F.coalesce("n_bigrams", F.lit(0)))
+            .cast("bigint")
+            .alias("n_bigrams"),
+            F.sum(F.coalesce("lp", F.lit(0)))
+            .cast("bigint")
+            .alias("logprob_sum_e4"),
+        )
+        .orderBy("lang")
+    )
+
+
+@register(
+    "ccnet_ppl_buckets_approx",
+    f"""
+    WITH n AS (
+        SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_lang_docs
+        FROM documents GROUP BY lang
+    )
+    SELECT lang, bucket, n_lang_docs, TRUE AS mass_within_rank_tol
+    FROM n, UNNEST([1, 2, 3]) AS t(bucket)
+    ORDER BY lang, bucket
+    """,
+    doc="The ccnet_ppl_buckets AT-SCALE regime, certified — the "
+    "production path its twin's docstring promised: per-lang tercile "
+    "THRESHOLDS from approx_percentile (Greenwald-Khanna sketch, "
+    "mergeable map-side, one pass — no per-lang global sort) and a "
+    "whole-stage-codegen'd CASE classifies every document against its "
+    "language's broadcast thresholds (an n_lang-row table). Certified "
+    "the approx_quantile_check way: never hash sketch-dependent "
+    "values — the oracle pins the (lang, bucket) domain, each "
+    "language's EXACT doc total, and a rank-mass certificate in exact "
+    "integer arithmetic (|3*n_bucket - n| within 5% of n with a "
+    "2-doc slack for boundary ties — threshold classification puts "
+    "all tied docs on one side where NTILE splits them; the sketch's "
+    "own rank error at the default accuracy is 1e-4, noise beside "
+    "the tie term). Any broken sketch, threshold or classification "
+    "turns a verdict false and hash-fails.",
+)
+def ccnet_ppl_buckets_approx_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.ngram_lm import (
+        bigram_events,
+        ngram_lm_fit,
+        ngram_lm_scores,
+    )
+
+    docs = _docs(spark, sf_dir)
+    pair_model, ctx_model = ngram_lm_fit(
+        bigram_events(docs.filter(F.col("lang") == "en")).select("b1", "b12")
+    )
+    scores = ngram_lm_scores(docs, pair_model, ctx_model)
+    means = scores.join(docs.select("doc_id", "lang"), "doc_id").select(
+        "lang",
+        F.coalesce(
+            quantized(
+                F.col("logprob_sum_e4").cast("double") / F.col("n_bigrams"),
+                0,
+            ),
+            F.lit(0),
+        ).alias("mean_lp_e4"),
+    )
+    # per-lang tercile cuts in ONE sketch pass; the result is an
+    # n_lang-row table — an honest broadcast. Ascending quantiles at
+    # 2/3 and 1/3 are the DESC-rank boundaries head|middle and
+    # middle|tail.
+    thr = means.groupBy("lang").agg(
+        F.percentile_approx(
+            "mean_lp_e4", [2.0 / 3.0, 1.0 / 3.0], 10000
+        ).alias("__t")
+    )
+    classified = means.join(F.broadcast(thr), "lang").select(
+        "lang",
+        F.when(F.col("mean_lp_e4") >= F.col("__t")[0], F.lit(1))
+        .when(F.col("mean_lp_e4") >= F.col("__t")[1], F.lit(2))
+        .otherwise(F.lit(3))
+        .alias("bucket"),
+    )
+    per_bucket = classified.groupBy("lang", "bucket").agg(
+        F.count("*").alias("__n_b")
+    )
+    totals = Window.partitionBy("lang")  # 15-row table — bounded window
+    return (
+        per_bucket.withColumn(
+            "n_lang_docs", F.sum("__n_b").over(totals).cast("bigint")
+        )
+        .select(
+            "lang",
+            F.col("bucket").cast("int").alias("bucket"),
+            "n_lang_docs",
+            (
+                F.abs(F.col("__n_b") * 3 - F.col("n_lang_docs")) * 20
+                <= F.col("n_lang_docs") * 3 + 120
+            ).alias("mass_within_rank_tol"),
+        )
+        .orderBy("lang", "bucket")
+    )
+
+
+@register(
+    "leakage_split_manifest",
+    f"""
+    WITH RECURSIVE
+    {_CLUSTER_EDGE_ORACLE.strip()},
+    edges AS (
+        SELECT id_a AS u, id_b AS v FROM pairs
+        UNION
+        SELECT id_b, id_a FROM pairs
+    ),
+    reach(src, node) AS (
+        SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+        UNION
+        SELECT r.src, e.v FROM reach r JOIN edges e ON e.u = r.node
+    ),
+    labels AS (SELECT src AS doc_id, MIN(node) AS cluster_id FROM reach GROUP BY src),
+    lab AS (
+        SELECT d.doc_id, d.lang,
+               CASE WHEN CAST(('0x' || substr(md5(CAST(
+                          COALESCE(l.cluster_id, d.doc_id) AS VARCHAR)), 1, 8))
+                          AS BIGINT) % 100 < 80 THEN 'train'
+                    WHEN CAST(('0x' || substr(md5(CAST(
+                          COALESCE(l.cluster_id, d.doc_id) AS VARCHAR)), 1, 8))
+                          AS BIGINT) % 100 < 90 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM documents d LEFT JOIN labels l USING (doc_id)
+    )
+    SELECT split, lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id))
+               AS membership_md5
+    FROM lab
+    GROUP BY split, lang
+    ORDER BY split, lang
+    """,
+    doc="The leakage-safe split's PER-DOC FACE — the artifact a "
+    "training pipeline actually consumes (leakage_safe_split, its "
+    "one-row report twin, proves safe_straddling=0 but never emits "
+    "the assignment): every document labeled with the md5-bucket "
+    "split of its near-dup CLUSTER representative (3-gram Jaccard>="
+    "0.5 pairs -> connected components; singletons key on their own "
+    "id), rolled to (split, lang, n_docs, membership_md5) rows with "
+    "the train_val_test_split digest shape — an order-canonical "
+    "membership digest per cell, so ONE swapped assignment "
+    "hash-fails, and the digests differ from the naive doc-keyed "
+    "split's exactly on straddling clusters (pinned by pytest). "
+    "Assignment is a pure function of stable ids: appending documents "
+    "that don't bridge existing clusters never reassigns an existing "
+    "doc (append-stability pinned by pytest; a bridging doc merges "
+    "two clusters and re-keys the merged one to its min member — the "
+    "correct behavior, those docs ARE now mutual leaks). The CLI "
+    "export-splits face writes the per-doc rows as split-partitioned "
+    "parquet plus this manifest. Plan: CC on banded candidate pairs "
+    "only; the rollup is one groupBy; the digest is per-(split,lang) "
+    "cell, never a global collect.",
+)
+def leakage_split_manifest_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    lab = leakage_safe_assignment(docs)
+    return (
+        lab.join(docs.select("doc_id", "lang"), "doc_id")
+        .groupBy("split", "lang")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    F.transform(
+                        F.sort_array(F.collect_list("doc_id")),
+                        lambda x: x.cast("string"),
+                    ),
+                )
+            ).alias("membership_md5"),
+        )
+        .orderBy("split", "lang")
+    )
+
+
+def leakage_safe_assignment(docs: DataFrame) -> DataFrame:
+    """(doc_id, split) under the dedup-aware policy: each doc inherits
+    the md5-bucket split of its near-dup cluster representative (min
+    member id); singletons skip the CC via the left-join coalesce to
+    their own id. Shared by leakage_split_manifest, the CLI
+    export-splits sink, and the append-stability pytest."""
+    from ..operators.dedup import connected_components
+
+    pairs = jaccard_pairs(
+        docs, "text", "doc_id", n=3, threshold=0.5,
+        max_doc_freq=relative_doc_freq_cap_expr(docs),
+    )
+    cc = connected_components(pairs, "id_a", "id_b")
+    return (
+        docs.select("doc_id")
+        .join(
+            cc.select(F.col("id").alias("doc_id"), "cluster_id"),
+            "doc_id",
+            "left",
+        )
+        .select(
+            "doc_id",
+            split_assign(
+                F.coalesce("cluster_id", "doc_id")
+            ).alias("split"),
+        )
     )

@@ -475,8 +475,16 @@ def top_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE rn > 100 AND rn <= 200
     ORDER BY rn
     """,
-    doc="W3/O1/S1 stable pagination ordering (ORDER BY id OFFSET/LIMIT loop "
-    "collapsed into one ranked scan); ref src/trace/query/query.py:28-53",
+    doc="BOUNDED-PAGE EMULATION — at scale use range partitioning + "
+    "per-partition offsets (repartitionByRange(id) then a "
+    "partition-local row_number plus cumulative per-partition counts; "
+    "the zordered_df range-layout precedent): the global "
+    "Window.orderBy(id) here funnels the whole filtered table through "
+    "ONE partition — fine for a report page over a single pruned "
+    "column, a straggler at 100 TB. W3/O1/S1 stable pagination "
+    "ordering (ORDER BY id OFFSET/LIMIT loop collapsed into one "
+    "ranked scan, which SURVEY itself calls usually unnecessary under "
+    "Spark); ref src/trace/query/query.py:28-53",
 )
 def paginated_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events").filter(F.col("event_type") == "view")

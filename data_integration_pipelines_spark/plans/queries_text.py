@@ -1655,7 +1655,13 @@ _ZIPF_INTERCEPT_SQL = f"(sy - ({_ZIPF_SLOPE_SQL}) * sx) / n"
     "under the uniform e4 scaling (the 1e4 factors cancel in "
     "cov/var), so the only doubles are two final divisions of "
     "identical integers. The rank window sorts the VOCAB table "
-    "(types, not tokens — bounded far below corpus size). Guards "
+    "(types, not tokens — bounded far below corpus size), but it IS a "
+    "single-partition global row_number: at a 100 TB vocabulary "
+    "(billions of types) swap it for a range-partitioned rank — "
+    "repartitionByRange(freq desc, tok) + partition-local row_number "
+    "+ cumulative per-partition offsets (the paginated_scan "
+    "scale-note's construction); probe-flat here because the "
+    "diagnostic's input is the distinct-token table. Guards "
     "(ADVICE r9): a degenerate one-type vocabulary zeroes the "
     "variance denominator — NULLIF on BOTH engines pins slope and "
     "intercept to NULL identically instead of Spark-NULL vs DuckDB-"

@@ -394,7 +394,13 @@ def streaming_segment_frequency(
     remove_boilerplate_incremental, run against the folded state at
     any point (decision-parity pytest). ``unit="line"`` drains the
     production line-dedup state; the folded log must be consumed with
-    the same unit."""
+    the same unit.
+
+    STATE-FORMAT BREAK (r10): the delta log schema is the 128-bit
+    pair-key ``(__h, __h2, n)``; a log written by the pre-r10
+    single-hash drain cannot be folded with post-r10 deltas — restart
+    the drain from a fresh out_path/checkpoint (the second hash needs
+    the segment text, which the log never stored)."""
     from ..operators.boilerplate import segment_frequency_state
 
     def classify_fn(batch_df: DataFrame) -> DataFrame:
@@ -412,7 +418,7 @@ def streaming_segment_frequency(
 
 def folded_segment_frequency(spark, out_path: str) -> DataFrame:
     """The live frequency state: re-sum the delta log (additive
-    partials; one narrow groupBy on the 8-byte hash). A log with no
+    partials; one narrow groupBy on the 16-byte hash pair). A log with no
     batch partitions yet (feed not started, or every batch empty —
     the drain writes only the lineage marker then) is a legitimate
     EMPTY state, not an error."""

@@ -311,3 +311,25 @@ def test_cleaning_exposes_masked_duplicates(spark, sf_medium):
     assert row.dupes_raw == 0
     assert row.dupes_cleaned == 5 and row.n_exposed == 5
     assert row.n_docs == 500
+
+
+def test_heavy_hashes_rejects_single_hash_frame(spark):
+    """ADVICE r10: a segments frame carrying only one of the 128-bit
+    pair (e.g. a table persisted under the pre-r10 single-hash
+    contract) raises a descriptive error up front instead of an
+    unresolved-column failure inside the groupBy."""
+    from data_integration_pipelines_spark.operators.boilerplate import (
+        heavy_segment_hashes,
+    )
+
+    segs = doc_segments(_docs(spark, [(1, "a b c d e f")])).withColumn(
+        "__h", F.xxhash64("seg")
+    )
+    with pytest.raises(ValueError, match="__h2"):
+        heavy_segment_hashes(segs)
+    # the mirrored direction: __h2 without __h
+    segs2 = doc_segments(_docs(spark, [(1, "a b c d e f")])).withColumn(
+        "__h2", F.xxhash64("seg", F.lit(1))
+    )
+    with pytest.raises(ValueError, match="__h"):
+        heavy_segment_hashes(segs2)

@@ -395,3 +395,35 @@ class TestTokenizedExport:
             ).collect()
         }
         assert all(re_enc[r.doc_id] == list(r.bpe_tokens) for r in rows)
+
+
+class TestExportSplits:
+    def test_export_splits_manifest_and_no_straddling(self, spark, tmp_path):
+        """The leakage-safe sink face: split-partitioned parquet whose
+        membership matches the _manifest.json digests, and no near-dup
+        cluster straddles splits (every doc's split is a pure function
+        of its cluster representative)."""
+        import hashlib
+
+        out = _run(tmp_path, "export-splits")
+        sdir = os.path.join(out, "safe_splits")
+        df = spark.read.parquet(sdir)
+        assert df.count() == 500
+        assert set(
+            r.split for r in df.select("split").distinct().collect()
+        ) == {"train", "val", "test"}
+        with open(os.path.join(sdir, "_manifest.json")) as fh:
+            manifest = json.load(fh)
+        cells = {
+            (c["split"], c["lang"]): (c["n_docs"], c["membership_md5"])
+            for c in manifest["splits"]
+        }
+        got: dict = {}
+        for r in df.select("split", "lang", "doc_id").collect():
+            got.setdefault((r.split, r.lang), []).append(r.doc_id)
+        assert set(got) == set(cells)
+        for cell, ids in got.items():
+            digest = hashlib.md5(
+                ",".join(str(i) for i in sorted(ids)).encode()
+            ).hexdigest()
+            assert cells[cell] == (len(ids), digest), cell

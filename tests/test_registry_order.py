@@ -12,27 +12,23 @@ from __future__ import annotations
 from data_integration_pipelines_spark.plans import _RISK_ORDER, REGISTRY
 
 # Every query needing a fresh GREEN driver CORRECTNESS row after
-# round 9 (the r9 set — boilerplate/DSIR/diagnostics families — all
-# earned green rows in CORRECTNESS_r09; the r1-r9 union covers all 188
-# pre-r10 queries with zero never-passed entries, VERDICT r9): the
-# queries NEW in r10, which have never been driver-compared. The r10
-# plan changes with UNCHANGED fixture output (the 128-bit boilerplate
-# decision key, the dsir_scores full-outer n_buckets guard, the
-# zipf_fit NULLIF/overflow guards) sit directly behind them in the
-# head, followed by the r10 rotation slice (25 r2-r3-stable
-# relational/window queries — VERDICT r9 task 3).
+# round 10 (the r10 set — line-mode boilerplate, DSIR bigrams, the
+# ngram-LM/CCNet tier, leakage_safe_split — all earned green rows in
+# CORRECTNESS_r10; the r1-r10 union covers all 198 pre-r11 queries
+# with zero never-passed entries, VERDICT r10): the queries NEW in
+# r11, which have never been driver-compared. The r11 plan changes
+# with UNCHANGED fixture output (the ngram_lm_scores model
+# bucket-range guard, ADVICE r10) sit directly behind them in the
+# head, followed by the r11 rotation slice (the FULL 51-query r2-r4
+# stale tail — VERDICT r10 task 1).
 _NEVER_DRIVER_VERIFIED = {
-    # new in r10
-    "leakage_safe_split",
-    "ccnet_ppl_buckets",
-    "ccnet_funnel",
-    "ngram_lm_perplexity",
-    "ngram_lm_ctx_model",
-    "boilerplate_removal_lines",
-    "incremental_boilerplate_lines",
-    "boilerplate_lines",
-    "dsir_importance_scores_bigram",
-    "dsir_bucket_model_bigram",
+    # new in r11
+    "ngram_lm_perplexity_perlang",
+    "ccnet_ppl_buckets_perlang",
+    "ccnet_funnel_perlang",
+    "ngram_lm_perlang_model",
+    "ccnet_ppl_buckets_approx",
+    "leakage_split_manifest",
 }
 
 
