@@ -331,12 +331,17 @@ def streaming_ngram_lm_scores(
     ctx_model: DataFrame,
     out_path: str,
     checkpoint_path: str,
+    key_cols: tuple[str, ...] = (),
 ):
     """Streaming face of the bigram-LM quality gate
     (operators/ngram_lm.py) — CCNet's production shape: the LM is
     fitted ONCE on the target corpus, then the crawl feed is scored
     micro-batch by micro-batch against the PINNED model into the
-    versioned score log.
+    versioned score log. ``key_cols=("lang",)`` pins the PER-LANGUAGE
+    models (CCNet's actual construction): the snapshot grows to
+    n_lang * the per-model bound — still bounded by construction, the
+    language set being an enum — and each fed document scores under
+    its own language's model.
 
     Delta-shaped by construction: a document's (n_bigrams,
     logprob_sum_e4) depends only on (document, model) — integer sums
@@ -359,7 +364,7 @@ def streaming_ngram_lm_scores(
     cm = spark.createDataFrame(ctx_model.collect(), ctx_model.schema)
 
     def classify_fn(batch_df: DataFrame) -> DataFrame:
-        return ngram_lm_scores(batch_df, pm, cm)
+        return ngram_lm_scores(batch_df, pm, cm, key_cols=key_cols)
 
     def release_fn() -> None:
         pass  # nothing drain-owned to release: the snapshots are local

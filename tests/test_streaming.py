@@ -1292,3 +1292,57 @@ def test_folded_segment_frequency_empty_log(spark, tmp_path):
     df = folded_segment_frequency(spark, out)
     assert df.columns == ["__h", "__h2", "n"]
     assert df.count() == 0
+
+
+def test_streaming_perlang_lm_scores_match_batch(spark, sf_small, tmp_path):
+    """The PER-LANGUAGE LM streaming face (key_cols=("lang",)):
+    micro-batch scoring against the pinned per-lang snapshot models ==
+    one-shot batch scoring under the same models — every fed doc
+    scores under its own language's target (CCNet's construction)."""
+    from data_integration_pipelines_spark.operators.ngram_lm import (
+        bigram_events,
+        ngram_lm_fit,
+        ngram_lm_scores,
+    )
+    from data_integration_pipelines_spark.streaming.ingest import (
+        read_staged_docs_stream,
+        streaming_ngram_lm_scores,
+    )
+
+    docs = load_table(spark, sf_small, "documents")
+    fit_ev = bigram_events(
+        docs.filter(
+            F.col("source").isin("src0", "src1", "src2", "src3")
+        ),
+        extra_cols=["lang"],
+    ).select("lang", "b1", "b12")
+    pair_model, ctx_model = ngram_lm_fit(fit_ev, key_cols=("lang",))
+    feed = docs.filter(F.col("doc_id") % 10 >= 8)
+
+    staging = str(tmp_path / "staged")
+    out = str(tmp_path / "scores")
+    feed.filter(F.col("doc_id") % 20 >= 10).write.mode("overwrite").parquet(staging)
+    feed.filter(F.col("doc_id") % 20 < 10).write.mode("append").parquet(staging)
+
+    q = streaming_ngram_lm_scores(
+        read_staged_docs_stream(spark, staging, max_files_per_trigger=1),
+        pair_model,
+        ctx_model,
+        out_path=out,
+        checkpoint_path=str(tmp_path / "ckpt"),
+        key_cols=("lang",),
+    )
+    q.awaitTermination(180)
+
+    got = {
+        r.doc_id: (r.n_bigrams, r.logprob_sum_e4)
+        for r in spark.read.parquet(out).collect()
+    }
+    want = {
+        r.doc_id: (r.n_bigrams, r.logprob_sum_e4)
+        for r in ngram_lm_scores(
+            feed, pair_model, ctx_model, key_cols=("lang",)
+        ).collect()
+    }
+    assert got == want
+    assert len(got) == feed.count()
