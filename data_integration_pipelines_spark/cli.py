@@ -458,6 +458,37 @@ def cmd_export_shards(args) -> int:
     return 0
 
 
+def cmd_export_shuffled(args) -> int:
+    """Seeded global-shuffle export — the training-order face of
+    shard_shuffle_manifest: the corpus written as N shards whose
+    membership AND in-file row order derive from md5('<doc_id>:<seed>')
+    (sources/shard_export.export_shuffled), plus _manifest.json with
+    per-shard order-canonical digests. A new epoch order is --seed+1;
+    the registered query certifies the same digests against DuckDB."""
+    from .catalog import load_table
+    from .sources.shard_export import export_shuffled
+
+    spark = _session(args)
+    docs = load_table(spark, args.sf_dir, "documents")
+    manifest = export_shuffled(
+        docs,
+        _out(args, "shuffled_shards"),
+        key_col="doc_id",
+        n_shards=args.shards,
+        seed=args.seed,
+    )
+    print(
+        json.dumps(
+            {
+                "n_shards": manifest["n_shards"],
+                "seed": manifest["seed"],
+                "rows": sum(v["n_rows"] for v in manifest["shards"].values()),
+            }
+        )
+    )
+    return 0
+
+
 def cmd_index(args) -> int:
     """Persisted-ANN jobs: ``index build`` writes the bucket-partitioned
     IVF index; ``index query`` serves a top-k batch from it
@@ -790,6 +821,20 @@ def build_parser() -> argparse.ArgumentParser:
     sp.set_defaults(fn=cmd_export_shards)
 
     sp = sub.add_parser(
+        "export-shuffled",
+        help="write the corpus as N shards in seeded md5 shuffle order",
+    )
+    sp.add_argument("--shards", type=int, default=8)
+    sp.add_argument(
+        "--seed",
+        type=int,
+        default=0,
+        help="shuffle seed; a new epoch order is seed+1 (no RNG state)",
+    )
+    common(sp)
+    sp.set_defaults(fn=cmd_export_shuffled)
+
+    sp = sub.add_parser(
         "curate", help="curation funnel report + survivor/contaminated lists"
     )
     common(sp)
@@ -910,6 +955,7 @@ def main(argv: list[str] | None = None) -> int:
         "stream-windows",
         "curate",
         "export-shards",
+        "export-shuffled",
         "zorder",
         "split",
         "ingest",

@@ -37,9 +37,13 @@ from . import queries_window  # noqa: E402,F401
 # single digits this round and r12 finishes it;
 # (c) the r10 head order for the rest.
 _RISK_ORDER = [
-    # (a) new in r11, never driver-compared: the per-language LM
-    # family (CCNet's actual per-lang construction), the registered
-    # at-scale ppl-bucket route, the leakage-safe split manifest
+    # (a) new in r11, never driver-compared: the seeded global-shuffle
+    # shard manifest, the corpus distinct-n diversity metric, the
+    # per-language LM family (CCNet's actual per-lang construction),
+    # the registered at-scale ppl-bucket route, the leakage-safe split
+    # manifest
+    "shard_shuffle_manifest",
+    "corpus_distinct_ngrams",
     "ngram_lm_perplexity_perlang",
     "ccnet_ppl_buckets_perlang",
     "ccnet_funnel_perlang",

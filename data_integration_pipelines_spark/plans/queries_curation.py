@@ -3264,3 +3264,67 @@ def leakage_safe_assignment(docs: DataFrame) -> DataFrame:
             ).alias("split"),
         )
     )
+
+
+@register(
+    "shard_shuffle_manifest",
+    """
+    WITH assigned AS (
+        SELECT doc_id, n_chars,
+               md5(CAST(doc_id AS VARCHAR) || ':0') AS k
+        FROM documents
+    ),
+    sharded AS (
+        SELECT doc_id, n_chars, k,
+               CAST(('0x' || substr(k, 1, 8)) AS BIGINT) % 8 AS shard
+        FROM assigned
+    )
+    SELECT CAST(shard AS INT) AS shard,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+           md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY k, doc_id))
+               AS order_md5
+    FROM sharded
+    GROUP BY shard
+    ORDER BY shard
+    """,
+    doc="Seeded deterministic global shuffle into training shards — "
+    "the last step of every curation pipeline (a trainer must not see "
+    "source-sorted batches; the order must replay bit-identically "
+    "across reruns and cluster sizes). Shard membership AND in-shard "
+    "order derive from md5('<doc_id>:<seed>') (sources/shard_export."
+    "shuffle_key): pure function of (id, seed), so epoch 2 is seed+1 "
+    "and no RNG state exists to checkpoint. The oracle certifies "
+    "per-shard counts and an ORDER-canonical digest (ids concatenated "
+    "in shuffle order, ties by id) — one transposed row hash-fails. "
+    "At scale the sink face (export_shuffled, CLI export-shuffled) is "
+    "one repartition(n, shard) + sortWithinPartitions: no global sort "
+    "barrier, each shard lands as one file whose row order is the "
+    "certified order. This report face's per-shard collect_list is "
+    "corpus-sized only at report SF; the production digest streams "
+    "per-shard during the write task.",
+)
+def shard_shuffle_manifest_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.shard_export import SHARD_COL, SHUFFLE_KEY_COL, assign_shuffled
+
+    docs = _docs(spark, sf_dir)
+    assigned = assign_shuffled(docs.select("doc_id", "n_chars"), "doc_id", 8, seed=0)
+    return (
+        assigned.groupBy(F.col(SHARD_COL).alias("shard"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("n_chars"),
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    F.transform(
+                        F.sort_array(
+                            F.collect_list(F.struct(SHUFFLE_KEY_COL, "doc_id"))
+                        ),
+                        lambda s: s["doc_id"].cast("string"),
+                    ),
+                )
+            ).alias("order_md5"),
+        )
+        .orderBy("shard")
+    )

@@ -1804,3 +1804,91 @@ def boilerplate_then_exact_dedup_q(spark: SparkSession, sf_dir: str) -> DataFram
         dupes_cleaned.cast("bigint").alias("dupes_cleaned"),
         (dupes_cleaned - dupes_raw).cast("bigint").alias("n_exposed"),
     )
+
+
+@register(
+    "corpus_distinct_ngrams",
+    r"""
+    WITH t AS (
+        SELECT lang, regexp_split_to_array(trim(coalesce(text, '')), '\s+') AS toks
+        FROM documents
+    ),
+    uni AS (
+        SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+               CAST(COUNT(DISTINCT tok) AS BIGINT) AS n_distinct_unigrams
+        FROM (SELECT lang, unnest(toks) AS tok FROM t)
+        GROUP BY lang
+    ),
+    big AS (
+        SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+               CAST(COUNT(DISTINCT bg) AS BIGINT) AS n_distinct_bigrams
+        FROM (
+            SELECT lang, t.toks[i] || ' ' || t.toks[i + 1] AS bg
+            FROM t, LATERAL (SELECT unnest(range(1, len(toks))) AS i)
+        )
+        GROUP BY lang
+    )
+    SELECT u.lang, u.n_tokens, u.n_distinct_unigrams,
+           b.n_bigrams, b.n_distinct_bigrams,
+           CAST(FLOOR(1000000.0 * u.n_distinct_unigrams / u.n_tokens) AS BIGINT)
+               AS distinct1_e6,
+           CAST(FLOOR(1000000.0 * b.n_distinct_bigrams / b.n_bigrams) AS BIGINT)
+               AS distinct2_e6
+    FROM uni u JOIN big b ON u.lang = b.lang
+    ORDER BY u.lang
+    """,
+    doc="Corpus-level distinct-n diversity per language shard (Li et "
+    "al. 2016's distinct-1/distinct-2, the standard lexical-diversity "
+    "gate a curation pipeline reports next to the per-document "
+    "repetition_score): distinct/total unigram and bigram ratios as "
+    "e6-scaled BIGINTs plus the raw counts. Bigrams re-derive "
+    "positionally in the oracle (1-based t[i] || ' ' || t[i+1]), "
+    "mirroring the engine's zip_with shifted-slice build (functions/"
+    "text.word_shingles — the DSIR bigram convention). Plan: two "
+    "explode->groupBy passes, each ONE shuffle on (lang, gram); "
+    "exact COUNT(DISTINCT) rewrites to a two-stage partial aggregate "
+    "under whole-stage codegen. At 100 TB swap countDistinct for "
+    "approx_count_distinct (the approx_distinct_check face) — the "
+    "ratio needs ~3 significant digits, an HLL answers with no "
+    "distinct-key shuffle.",
+)
+def corpus_distinct_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import word_shingles
+
+    docs = _docs(spark, sf_dir)
+    base = docs.select(
+        "lang", ws_tokens(F.coalesce(F.col("text"), F.lit(""))).alias("t")
+    )
+    uni = (
+        base.select("lang", F.explode("t").alias("tok"))
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.countDistinct("tok").alias("n_distinct_unigrams"),
+        )
+    )
+    big = (
+        base.select("lang", F.explode(word_shingles(F.col("t"), 2)).alias("bg"))
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.countDistinct("bg").alias("n_distinct_bigrams"),
+        )
+    )
+    return (
+        uni.join(big, "lang")
+        .select(
+            "lang",
+            "n_tokens",
+            "n_distinct_unigrams",
+            "n_bigrams",
+            "n_distinct_bigrams",
+            F.floor(
+                1000000.0 * F.col("n_distinct_unigrams") / F.col("n_tokens")
+            ).alias("distinct1_e6"),
+            F.floor(
+                1000000.0 * F.col("n_distinct_bigrams") / F.col("n_bigrams")
+            ).alias("distinct2_e6"),
+        )
+        .orderBy("lang")
+    )

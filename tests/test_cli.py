@@ -361,6 +361,38 @@ class TestTokenizerCLI:
 
 
 class TestTokenizedExport:
+    def test_export_shuffled(self, spark, tmp_path):
+        """Seeded shuffle export: each shard is ONE file whose row
+        order matches the manifest's order-canonical digest, and the
+        order is actually shuffled (not id-sorted)."""
+        out = _run(tmp_path, "export-shuffled", "--shards", "4", "--seed", "0")
+        import glob
+        import hashlib
+        import json as _json
+
+        import pyarrow.parquet as pq
+
+        shards_dir = os.path.join(out, "shuffled_shards")
+        manifest = _json.load(open(os.path.join(shards_dir, "_manifest.json")))
+        assert manifest["n_shards"] == 4 and manifest["seed"] == 0
+        total = 0
+        for sid, meta in manifest["shards"].items():
+            files = glob.glob(
+                os.path.join(shards_dir, f"__shard={sid}", "*.parquet")
+            )
+            # repartition(n, __shard) puts every row of a shard in one
+            # task, so exactly one file — the row order is well-defined
+            assert len(files) == 1
+            ids = pq.read_table(files[0], columns=["doc_id"])["doc_id"].to_pylist()
+            total += len(ids)
+            digest = hashlib.md5(
+                ",".join(str(i) for i in ids).encode()
+            ).hexdigest()
+            assert digest == meta["order_md5"]
+            # a ~125-row shard in md5 order is not id-sorted
+            assert ids != sorted(ids)
+        assert total == 500
+
     def test_export_shards_tokenized(self, spark, tmp_path, capsys):
         """--tokenize M ships training-ready shards: real BPE token
         arrays, in-shard sort by TRUE token count, and the merge table
