@@ -44,6 +44,7 @@ _RISK_ORDER = [
     # manifest
     "shard_shuffle_manifest",
     "corpus_distinct_ngrams",
+    "corpus_distinct_ngrams_approx",
     "ngram_lm_perplexity_perlang",
     "ccnet_ppl_buckets_perlang",
     "ccnet_funnel_perlang",

@@ -1847,10 +1847,10 @@ def boilerplate_then_exact_dedup_q(spark: SparkSession, sf_dir: str) -> DataFram
     "text.word_shingles — the DSIR bigram convention). Plan: two "
     "explode->groupBy passes, each ONE shuffle on (lang, gram); "
     "exact COUNT(DISTINCT) rewrites to a two-stage partial aggregate "
-    "under whole-stage codegen. At 100 TB swap countDistinct for "
-    "approx_count_distinct (the approx_distinct_check face) — the "
-    "ratio needs ~3 significant digits, an HLL answers with no "
-    "distinct-key shuffle.",
+    "under whole-stage codegen. TWIN — at 100 TB use "
+    "corpus_distinct_ngrams_approx: the ratio needs ~3 significant "
+    "digits, an HLL answers with fixed-size mergeable state instead "
+    "of the distinct-key shuffle.",
 )
 def corpus_distinct_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.text import word_shingles
@@ -1889,6 +1889,89 @@ def corpus_distinct_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(
                 1000000.0 * F.col("n_distinct_bigrams") / F.col("n_bigrams")
             ).alias("distinct2_e6"),
+        )
+        .orderBy("lang")
+    )
+
+
+@register(
+    "corpus_distinct_ngrams_approx",
+    r"""
+    WITH t AS (
+        SELECT lang, regexp_split_to_array(trim(coalesce(text, '')), '\s+') AS toks
+        FROM documents
+    ),
+    uni AS (
+        SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+               CAST(COUNT(DISTINCT tok) AS BIGINT) AS exact_distinct_unigrams
+        FROM (SELECT lang, unnest(toks) AS tok FROM t)
+        GROUP BY lang
+    ),
+    big AS (
+        SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+               CAST(COUNT(DISTINCT bg) AS BIGINT) AS exact_distinct_bigrams
+        FROM (
+            SELECT lang, t.toks[i] || ' ' || t.toks[i + 1] AS bg
+            FROM t, LATERAL (SELECT unnest(range(1, len(toks))) AS i)
+        )
+        GROUP BY lang
+    )
+    SELECT u.lang, u.n_tokens, u.exact_distinct_unigrams,
+           b.n_bigrams, b.exact_distinct_bigrams,
+           TRUE AS d1_within_5pct, TRUE AS d2_within_5pct
+    FROM uni u JOIN big b ON u.lang = b.lang
+    ORDER BY u.lang
+    """,
+    doc="At-scale route for corpus_distinct_ngrams: the distinct "
+    "unigram/bigram counts come from approx_count_distinct (HLL++, "
+    "rsd=0.02) — fixed-size mergeable sketch state per (lang, n) "
+    "group, NO shuffle keyed on the gram domain (at 100 TB the "
+    "distinct-bigram key space is corpus-sized; the exact twin's "
+    "shuffle is the cost ceiling this removes). Certified the "
+    "approx_distinct_check way: the oracle pins the exact counts and "
+    "the Spark side asserts the sketch lands within 5% relative "
+    "error (2.5x the configured rsd), so a sketch regression "
+    "hash-fails rather than drifting silently.",
+)
+def corpus_distinct_ngrams_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import word_shingles
+
+    docs = _docs(spark, sf_dir)
+    base = docs.select(
+        "lang", ws_tokens(F.coalesce(F.col("text"), F.lit(""))).alias("t")
+    )
+    uni = (
+        base.select("lang", F.explode("t").alias("tok"))
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.countDistinct("tok").alias("exact_distinct_unigrams"),
+            F.approx_count_distinct("tok", rsd=0.02).alias("a1"),
+        )
+    )
+    big = (
+        base.select("lang", F.explode(word_shingles(F.col("t"), 2)).alias("bg"))
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.countDistinct("bg").alias("exact_distinct_bigrams"),
+            F.approx_count_distinct("bg", rsd=0.02).alias("a2"),
+        )
+    )
+
+    def within(approx: str, exact: str):
+        return F.abs(F.col(approx) - F.col(exact)) <= 0.05 * F.col(exact)
+
+    return (
+        uni.join(big, "lang")
+        .select(
+            "lang",
+            "n_tokens",
+            "exact_distinct_unigrams",
+            "n_bigrams",
+            "exact_distinct_bigrams",
+            within("a1", "exact_distinct_unigrams").alias("d1_within_5pct"),
+            within("a2", "exact_distinct_bigrams").alias("d2_within_5pct"),
         )
         .orderBy("lang")
     )

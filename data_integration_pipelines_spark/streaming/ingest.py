@@ -374,6 +374,41 @@ def streaming_ngram_lm_scores(
     )
 
 
+def streaming_shard_assign(
+    stream_docs: DataFrame,
+    out_path: str,
+    checkpoint_path: str,
+    n_shards: int = 8,
+    seed: int = 0,
+):
+    """Streaming face of the seeded global-shuffle shard assignment
+    (sources/shard_export.assign_shuffled): the document feed drains
+    into the versioned log already carrying its (__shard,
+    __shuffle_key) training-order coordinates, so the downstream
+    export_shuffled write is a pure re-sort of the landed log — no
+    re-hash, no second corpus scan.
+
+    The strongest delta shape in the module: STATELESS map-only. A
+    document's (shard, key) is md5('<id>:<seed>') — a pure function of
+    (id, seed), never of batchmates, arrival order, or feed
+    partitioning — so stream==batch is exact by construction and a
+    late-arriving document lands at the same deterministic position in
+    the same shard it would have occupied in a one-shot batch deal.
+    No model to pin, no state to fold: per-batch cost is the batch's
+    own scan, flat in corpus size."""
+    from ..sources.shard_export import assign_shuffled
+
+    def classify_fn(batch_df: DataFrame) -> DataFrame:
+        return assign_shuffled(batch_df, "doc_id", n_shards, seed)
+
+    def release_fn() -> None:
+        pass  # stateless: nothing staged, nothing drain-owned
+
+    return _versioned_drain(
+        stream_docs, out_path, checkpoint_path, classify_fn, release_fn
+    )
+
+
 def streaming_segment_frequency(
     stream_docs: DataFrame,
     out_path: str,

@@ -1346,3 +1346,56 @@ def test_streaming_perlang_lm_scores_match_batch(spark, sf_small, tmp_path):
     }
     assert got == want
     assert len(got) == feed.count()
+
+def test_streaming_shard_assign_matches_batch(spark, sf_small, tmp_path):
+    """Seeded shuffle shard assignment drained as micro-batches == the
+    one-shot batch deal: (shard, key) is a pure function of (id, seed),
+    so feed partitioning and arrival order change nothing; redelivery
+    never duplicates a document (streaming/ingest.streaming_shard_assign
+    over sources/shard_export.assign_shuffled)."""
+    from data_integration_pipelines_spark.sources.shard_export import (
+        SHARD_COL,
+        SHUFFLE_KEY_COL,
+        assign_shuffled,
+    )
+    from data_integration_pipelines_spark.streaming.ingest import (
+        read_staged_docs_stream,
+        streaming_shard_assign,
+    )
+
+    docs = load_table(spark, sf_small, "documents")
+    staging = str(tmp_path / "staged")
+    out = str(tmp_path / "assigned")
+    docs.filter(F.col("doc_id") % 2 == 0).write.mode("overwrite").parquet(staging)
+    docs.filter(F.col("doc_id") % 2 == 1).write.mode("append").parquet(staging)
+
+    q = streaming_shard_assign(
+        read_staged_docs_stream(spark, staging, max_files_per_trigger=1),
+        out_path=out,
+        checkpoint_path=str(tmp_path / "ckpt"),
+        n_shards=8,
+        seed=0,
+    )
+    q.awaitTermination(180)
+
+    def by_id(rows):
+        return {r["doc_id"]: (r[SHARD_COL], r[SHUFFLE_KEY_COL]) for r in rows}
+
+    got = by_id(spark.read.parquet(out).collect())
+    want = by_id(
+        assign_shuffled(docs, "doc_id", 8, seed=0)
+        .select("doc_id", SHARD_COL, SHUFFLE_KEY_COL)
+        .collect()
+    )
+    assert got == want and len(got) == 500
+
+    # same-lineage restart: completed batch partitions skip, no dupes
+    q2 = streaming_shard_assign(
+        read_staged_docs_stream(spark, staging, max_files_per_trigger=1),
+        out_path=out,
+        checkpoint_path=str(tmp_path / "ckpt"),
+        n_shards=8,
+        seed=0,
+    )
+    q2.awaitTermination(180)
+    assert by_id(spark.read.parquet(out).collect()) == want
