@@ -42,6 +42,8 @@ _RISK_ORDER = [
     # per-language LM family (CCNet's actual per-lang construction),
     # the registered at-scale ppl-bucket route, the leakage-safe split
     # manifest
+    "quality_perceptron_train",
+    "quality_perceptron_scores",
     "shard_shuffle_manifest",
     "corpus_distinct_ngrams",
     "corpus_distinct_ngrams_approx",

@@ -1975,3 +1975,143 @@ def corpus_distinct_ngrams_approx(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("lang")
     )
+
+
+# --- batch-perceptron quality-classifier training (r11) ---------------
+# Shared oracle CTE prefix: labeled e4-integer feature frame + the
+# three unrolled training iterations. Scalar subqueries carry the
+# previous iteration's weights (the mixture_temperature convention) so
+# an iteration with zero misclassifications still yields its row.
+from ..operators.perceptron import BIAS_E4 as _P_BIAS  # noqa: E402
+from ..operators.perceptron import POSITIVE_SOURCES as _P_POS  # noqa: E402
+
+_P_POS_SQL = ", ".join(f"'{s}'" for s in _P_POS)
+
+
+def _perceptron_oracle_prefix() -> str:
+    def itn(name: str, prev: str) -> str:
+        margin = (
+            f"((SELECT w0 FROM {prev}) * f0 + (SELECT w1 FROM {prev}) * f1"
+            f" + (SELECT w2 FROM {prev}) * f2 + (SELECT w3 FROM {prev}) * f3)"
+        )
+        return f"""
+    {name} AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_miss,
+               CAST((SELECT w0 FROM {prev}) + COALESCE(SUM(y * f0), 0) AS BIGINT) AS w0,
+               CAST((SELECT w1 FROM {prev}) + COALESCE(SUM(y * f1), 0) AS BIGINT) AS w1,
+               CAST((SELECT w2 FROM {prev}) + COALESCE(SUM(y * f2), 0) AS BIGINT) AS w2,
+               CAST((SELECT w3 FROM {prev}) + COALESCE(SUM(y * f3), 0) AS BIGINT) AS w3
+        FROM f
+        WHERE y * {margin} <= 0
+    )"""
+
+    return rf"""
+    t AS (
+        SELECT doc_id,
+               CASE WHEN source IN ({_P_POS_SQL}) THEN CAST(1 AS BIGINT)
+                    ELSE CAST(-1 AS BIGINT) END AS y,
+               regexp_split_to_array(trim(coalesce(text, '')), '\s+') AS toks
+        FROM documents
+    ),
+    fr AS (
+        SELECT doc_id, y, {quality_features_sql('toks')}
+        FROM t
+    ),
+    f AS (
+        SELECT doc_id, y,
+               CAST({_P_BIAS} AS BIGINT) AS f0,
+               {e4_sql('swr')} AS f1,
+               {e4_sql('atl')} AS f2,
+               {e4_sql('ttr')} AS f3
+        FROM fr
+    ),
+    it1 AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_miss,
+               CAST(COALESCE(SUM(y * f0), 0) AS BIGINT) AS w0,
+               CAST(COALESCE(SUM(y * f1), 0) AS BIGINT) AS w1,
+               CAST(COALESCE(SUM(y * f2), 0) AS BIGINT) AS w2,
+               CAST(COALESCE(SUM(y * f3), 0) AS BIGINT) AS w3
+        FROM f
+    ),{itn('it2', 'it1')},{itn('it3', 'it2')}"""
+
+
+@register(
+    "quality_perceptron_train",
+    f"""
+    WITH {_perceptron_oracle_prefix()}
+    SELECT CAST(1 AS BIGINT) AS iter, n_miss,
+           w0 AS w_bias, w1 AS w_swr, w2 AS w_atl, w3 AS w_ttr FROM it1
+    UNION ALL
+    SELECT CAST(2 AS BIGINT), n_miss, w0, w1, w2, w3 FROM it2
+    UNION ALL
+    SELECT CAST(3 AS BIGINT), n_miss, w0, w1, w2, w3 FROM it3
+    ORDER BY iter
+    """,
+    doc="TRAINING face of the fasttext-style quality filter (the "
+    "GPT-3/LLaMA curation recipe: learn reference-vs-crawl, then "
+    "filter): a distributed batch perceptron over the quality-scorer "
+    "features as e4 BIGINTs, labels +1 for the reference-quality "
+    "sources (src0-src3, the per-language LM family's Wikipedia "
+    "stand-ins) and -1 for the crawl rest. INTEGER-EXACT end to end — "
+    "no sigmoid (libm exp is not cross-engine reproducible, the "
+    "quality_classifier_score precedent), misclassification test and "
+    "update are order-independent BIGINT sums — so the oracle's "
+    "unrolled CTEs certify the ENTIRE 3-iteration trajectory (miss "
+    "counts + weights per iteration), bit-identical across engines "
+    "and partitionings. Plan (operators/perceptron.py): per iteration "
+    "ONE codegen scan — filter on the literal-substituted margin + "
+    "5-value reduce; driver state is 4 ints (the k-means driver-loop "
+    "convention). time_build: the iterations ARE the query.",
+    time_build=True,
+)
+def quality_perceptron_train_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.perceptron import (
+        perceptron_features,
+        perceptron_history_df,
+        perceptron_train,
+    )
+
+    feats = perceptron_features(_docs(spark, sf_dir))
+    return perceptron_history_df(spark, perceptron_train(feats, n_iters=3))
+
+
+@register(
+    "quality_perceptron_scores",
+    f"""
+    WITH {_perceptron_oracle_prefix()}
+    SELECT doc_id, y, margin,
+           CAST(CASE WHEN margin > 0 THEN 1 ELSE -1 END AS BIGINT) AS predicted,
+           y * margin > 0 AS correct
+    FROM (
+        SELECT f.doc_id, f.y,
+               CAST(f.f0 * (SELECT w0 FROM it3) + f.f1 * (SELECT w1 FROM it3)
+                  + f.f2 * (SELECT w2 FROM it3) + f.f3 * (SELECT w3 FROM it3)
+                    AS BIGINT) AS margin
+        FROM f
+        WHERE f.doc_id < 200
+    )
+    ORDER BY doc_id
+    """,
+    doc="Scoring face of the trained perceptron: the doc_id<200 slice "
+    "under the iteration-3 weights — exact integer margin, predicted "
+    "label (ties predict -1, the training rule's convention), and "
+    "correctness flag, all certified against the oracle's re-derived "
+    "trajectory. Production shape: training emits 4 ints; scoring is "
+    "a pure codegen projection over the corpus — the same "
+    "shuffle-free row-wise filter quality_classifier_score runs with "
+    "published weights. time_build: scoring embeds the 3-pass fit.",
+    time_build=True,
+)
+def quality_perceptron_scores_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.perceptron import (
+        perceptron_features,
+        perceptron_scores,
+        perceptron_train,
+    )
+
+    feats = perceptron_features(_docs(spark, sf_dir))
+    hist = perceptron_train(feats, n_iters=3)
+    w = [hist[-1][k] for k in ("w_bias", "w_swr", "w_atl", "w_ttr")]
+    return perceptron_scores(
+        feats.filter(F.col("doc_id") < 200), w
+    ).orderBy("doc_id")

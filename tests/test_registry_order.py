@@ -23,6 +23,11 @@ from data_integration_pipelines_spark.plans import _RISK_ORDER, REGISTRY
 # stale tail — VERDICT r10 task 1).
 _NEVER_DRIVER_VERIFIED = {
     # new in r11
+    "quality_perceptron_train",
+    "quality_perceptron_scores",
+    "shard_shuffle_manifest",
+    "corpus_distinct_ngrams",
+    "corpus_distinct_ngrams_approx",
     "ngram_lm_perplexity_perlang",
     "ccnet_ppl_buckets_perlang",
     "ccnet_funnel_perlang",
