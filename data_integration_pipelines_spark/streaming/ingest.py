@@ -374,6 +374,42 @@ def streaming_ngram_lm_scores(
     )
 
 
+def streaming_perceptron_scores(
+    stream_docs: DataFrame,
+    weights: list[int],
+    out_path: str,
+    checkpoint_path: str,
+):
+    """Streaming face of the trained quality filter
+    (operators/perceptron.py): the perceptron is fitted ONCE on the
+    standing corpus, then the crawl feed is scored micro-batch by
+    micro-batch against the PINNED weights into the versioned score
+    log — the production deployment of the learned
+    reference-vs-crawl gate, same shape as the DSIR and ngram-LM
+    scoring faces.
+
+    The cheapest pin in the module: the model is FOUR INTEGERS, passed
+    by value and substituted into the margin expression as literals —
+    no snapshot materialization, no broadcast, nothing to release. A
+    document's (margin, predicted) is an exact integer dot product of
+    (document, weights) only — never batchmates — so stream==batch is
+    bit-exact under any feed partitioning and redelivery is safe under
+    the versioned log's batch_id idempotence."""
+    from ..operators.perceptron import perceptron_features, perceptron_scores
+
+    w = [int(x) for x in weights]
+
+    def classify_fn(batch_df: DataFrame) -> DataFrame:
+        return perceptron_scores(perceptron_features(batch_df), w)
+
+    def release_fn() -> None:
+        pass  # weights are plain ints: nothing staged, nothing owned
+
+    return _versioned_drain(
+        stream_docs, out_path, checkpoint_path, classify_fn, release_fn
+    )
+
+
 def streaming_shard_assign(
     stream_docs: DataFrame,
     out_path: str,

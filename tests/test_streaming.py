@@ -1399,3 +1399,55 @@ def test_streaming_shard_assign_matches_batch(spark, sf_small, tmp_path):
     )
     q2.awaitTermination(180)
     assert by_id(spark.read.parquet(out).collect()) == want
+
+def test_streaming_perceptron_scores_match_batch(spark, sf_small, tmp_path):
+    """Perceptron scoring drained as micro-batches against the pinned
+    4-int weights == one-shot batch scoring: a doc's margin is an exact
+    integer dot product of (doc, weights) only, so feed partitioning
+    changes nothing; redelivery never doubles a row
+    (streaming/ingest.streaming_perceptron_scores)."""
+    from data_integration_pipelines_spark.operators.perceptron import (
+        perceptron_features,
+        perceptron_scores,
+        perceptron_train,
+    )
+    from data_integration_pipelines_spark.streaming.ingest import (
+        read_staged_docs_stream,
+        streaming_perceptron_scores,
+    )
+
+    docs = load_table(spark, sf_small, "documents")
+    corpus = docs.filter(F.col("doc_id") % 10 < 8)
+    feed = docs.filter(F.col("doc_id") % 10 >= 8)
+    hist = perceptron_train(perceptron_features(corpus), n_iters=3)
+    w = [hist[-1][k] for k in ("w_bias", "w_swr", "w_atl", "w_ttr")]
+
+    staging = str(tmp_path / "staged")
+    out = str(tmp_path / "scores")
+    feed.filter(F.col("doc_id") % 20 >= 10).write.mode("overwrite").parquet(staging)
+    feed.filter(F.col("doc_id") % 20 < 10).write.mode("append").parquet(staging)
+
+    q = streaming_perceptron_scores(
+        read_staged_docs_stream(spark, staging, max_files_per_trigger=1),
+        w,
+        out_path=out,
+        checkpoint_path=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(180)
+
+    def by_id(rows):
+        return {r.doc_id: (r.margin, r.predicted, r.correct) for r in rows}
+
+    got = by_id(spark.read.parquet(out).collect())
+    want = by_id(perceptron_scores(perceptron_features(feed), w).collect())
+    assert got == want and len(got) == feed.count()
+
+    # same-lineage restart: completed batch partitions skip, no dupes
+    q2 = streaming_perceptron_scores(
+        read_staged_docs_stream(spark, staging, max_files_per_trigger=1),
+        w,
+        out_path=out,
+        checkpoint_path=str(tmp_path / "ckpt"),
+    )
+    q2.awaitTermination(180)
+    assert by_id(spark.read.parquet(out).collect()) == want
