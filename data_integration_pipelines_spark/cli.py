@@ -458,6 +458,58 @@ def cmd_export_shards(args) -> int:
     return 0
 
 
+def cmd_quality_train(args) -> int:
+    """Train the quality classifier and ship the trainer's handoff —
+    the batch-job face of quality_perceptron_train: per-iteration
+    training history as CSV (miss counts + integer weights, the
+    oracle-certified trajectory), the final weights as JSON (what a
+    production scorer substitutes for quality_classifier_score's
+    published literals), and the whole corpus scored under them as
+    parquet (exact margins, predictions, correctness)."""
+    from .catalog import load_table
+    from .operators.perceptron import (
+        perceptron_features,
+        perceptron_history_df,
+        perceptron_scores,
+        perceptron_train,
+    )
+    from .sources.sinks import write_csv
+
+    spark = _session(args)
+    feats = perceptron_features(load_table(spark, args.sf_dir, "documents"))
+    hist = perceptron_train(feats, n_iters=args.iters)
+    write_csv(
+        perceptron_history_df(spark, hist),
+        _out(args, "quality_train_history.csv"),
+        single_file=True,
+    )
+    w = [hist[-1][k] for k in ("w_bias", "w_swr", "w_atl", "w_ttr")]
+    with open(_out(args, "quality_weights.json"), "w") as fh:
+        json.dump(
+            {
+                "features": ["bias", "swr_e4", "atl_e4", "ttr_e4"],
+                "weights": w,
+                "iters": args.iters,
+                "final_n_miss": hist[-1]["n_miss"],
+            },
+            fh,
+            indent=2,
+        )
+    scored = perceptron_scores(feats, w)
+    scored.write.mode("overwrite").parquet(_out(args, "quality_scored"))
+    n_correct = scored.filter(F.col("correct")).count()
+    print(
+        json.dumps(
+            {
+                "weights": w,
+                "final_n_miss": hist[-1]["n_miss"],
+                "n_correct": n_correct,
+            }
+        )
+    )
+    return 0
+
+
 def cmd_export_shuffled(args) -> int:
     """Seeded global-shuffle export — the training-order face of
     shard_shuffle_manifest: the corpus written as N shards whose
@@ -821,6 +873,15 @@ def build_parser() -> argparse.ArgumentParser:
     sp.set_defaults(fn=cmd_export_shards)
 
     sp = sub.add_parser(
+        "quality-train",
+        help="train the perceptron quality classifier; write history, "
+        "weights and the scored corpus",
+    )
+    sp.add_argument("--iters", type=int, default=3)
+    common(sp)
+    sp.set_defaults(fn=cmd_quality_train)
+
+    sp = sub.add_parser(
         "export-shuffled",
         help="write the corpus as N shards in seeded md5 shuffle order",
     )
@@ -956,6 +1017,7 @@ def main(argv: list[str] | None = None) -> int:
         "curate",
         "export-shards",
         "export-shuffled",
+        "quality-train",
         "zorder",
         "split",
         "ingest",

@@ -459,3 +459,29 @@ class TestExportSplits:
                 ",".join(str(i) for i in sorted(ids)).encode()
             ).hexdigest()
             assert cells[cell] == (len(ids), digest), cell
+
+
+class TestQualityTrain:
+    def test_quality_train_artifacts(self, spark, tmp_path, capsys):
+        """The trainer's handoff: CSV history (oracle-certified
+        trajectory shape), JSON weights, scored parquet — and the
+        three agree with each other."""
+        import json as _json
+
+        out = _run(tmp_path, "quality-train", "--iters", "3")
+        hist = _csv_rows(os.path.join(out, "quality_train_history.csv"))
+        assert [int(r["iter"]) for r in hist] == [1, 2, 3]
+        weights = _json.load(open(os.path.join(out, "quality_weights.json")))
+        last = hist[-1]
+        assert weights["weights"] == [
+            int(last["w_bias"]),
+            int(last["w_swr"]),
+            int(last["w_atl"]),
+            int(last["w_ttr"]),
+        ]
+        assert weights["final_n_miss"] == int(last["n_miss"])
+        scored = spark.read.parquet(os.path.join(out, "quality_scored"))
+        assert scored.count() == 500
+        # iteration 1 misses everything (w=0 start); training improved
+        assert int(hist[0]["n_miss"]) == 500
+        assert weights["final_n_miss"] < 500
