@@ -215,8 +215,78 @@ def _probe_segment_frequency(
     return row
 
 
+def _probe_perceptron(spark, base: str, scaled: str, work: str) -> dict:
+    """Fixed feed, perceptron trained on 1x vs Kx corpus — the
+    strongest flatness claim in the tier: the pinned model is FOUR
+    INTEGERS, so per-batch cost is (batch, 4 literals) only."""
+    from data_integration_pipelines_spark.operators.perceptron import (
+        perceptron_features,
+        perceptron_train,
+    )
+    from data_integration_pipelines_spark.streaming.ingest import (
+        read_staged_docs_stream,
+        streaming_perceptron_scores,
+    )
+
+    feed = load_table(spark, base, "documents").filter(
+        F.col("doc_id") % 10 >= 8
+    )
+    staging = os.path.join(work, "perc_feed")
+    _stage(feed, staging)
+    row: dict = {}
+    for tag, sf in (("base", base), ("x", scaled)):
+        hist = perceptron_train(
+            perceptron_features(load_table(spark, sf, "documents")), n_iters=3
+        )
+        w = [hist[-1][k] for k in ("w_bias", "w_swr", "w_atl", "w_ttr")]
+        q = streaming_perceptron_scores(
+            read_staged_docs_stream(spark, staging, max_files_per_trigger=1),
+            w,
+            out_path=os.path.join(work, f"perc_out_{tag}"),
+            checkpoint_path=os.path.join(work, f"perc_ckpt_{tag}"),
+        )
+        row[f"{tag}_s"] = _drain(q)
+    row["growth"] = round(row["x_s"] / row["base_s"], 2)
+    row["claim"] = (
+        "fixed feed vs Kx-corpus-trained weights: flat (model is 4 ints "
+        "substituted as literals — nothing staged, nothing broadcast)"
+    )
+    return row
+
+
+def _probe_shard_assign(spark, base: str, scaled: str, work: str) -> dict:
+    """Feed 1x vs Kx through the stateless shuffle-shard assignment —
+    feed-bound by design (map-only, no state, no model)."""
+    from data_integration_pipelines_spark.streaming.ingest import (
+        read_staged_docs_stream,
+        streaming_shard_assign,
+    )
+
+    row: dict = {}
+    for tag, sf in (("base", base), ("x", scaled)):
+        docs = load_table(spark, sf, "documents")
+        staging = os.path.join(work, f"shard_feed_{tag}")
+        _stage(docs, staging)
+        out = os.path.join(work, f"shard_out_{tag}")
+        q = streaming_shard_assign(
+            read_staged_docs_stream(spark, staging, max_files_per_trigger=1),
+            out_path=out,
+            checkpoint_path=os.path.join(work, f"shard_ckpt_{tag}"),
+        )
+        row[f"{tag}_s"] = _drain(q)
+        row[f"feed_docs_{tag}"] = docs.count()
+    row["growth"] = round(row["x_s"] / row["base_s"], 2)
+    row["claim"] = (
+        "Kx feed: wall tracks feed size only (stateless map — shard and "
+        "order key are pure functions of (id, seed))"
+    )
+    return row
+
+
 _FACES = {
     "streaming_dsir_scores": _probe_dsir,
+    "streaming_perceptron_scores": _probe_perceptron,
+    "streaming_shard_assign": _probe_shard_assign,
     "streaming_ngram_lm_scores": _probe_ngram_lm,
     "streaming_embedding_verdicts": _probe_embedding,
     "streaming_segment_frequency": lambda s, b, x, w: _probe_segment_frequency(
