@@ -41,7 +41,10 @@ _RISK_ORDER = [
     # shard manifest, the corpus distinct-n diversity metric, the
     # per-language LM family (CCNet's actual per-lang construction),
     # the registered at-scale ppl-bucket route, the leakage-safe split
-    # manifest
+    # manifest; the Gopher repetition battery + gate (Rae et al. 2021
+    # Table A1, late-r11)
+    "gopher_repetition_filter",
+    "gopher_repetition_signals",
     "quality_perceptron_train",
     "quality_perceptron_scores",
     "shard_shuffle_manifest",
