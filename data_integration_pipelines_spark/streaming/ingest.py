@@ -445,6 +445,38 @@ def streaming_shard_assign(
     )
 
 
+def streaming_gopher_gate(
+    stream_docs: DataFrame,
+    out_path: str,
+    checkpoint_path: str,
+):
+    """Streaming face of the Gopher repetition gate
+    (operators/gopher.py): the crawl feed drains through the
+    published-threshold repetition filter micro-batch by micro-batch
+    into the versioned verdict log — the document-level reject stage
+    running at ingest time, before anything downstream pays for a doc
+    that Table A1 would drop.
+
+    Stateless by construction: every signal (dup-line fractions,
+    top/dup n-gram char fractions) is a pure function of the single
+    document — the within-batch groupBys are all doc_id-keyed, so a
+    document's verdict never depends on batchmates, feed partitioning,
+    or arrival order, and stream==batch is exact. No model to pin, no
+    state to fold, nothing to release: per-batch cost is the batch's
+    own ~9T-occurrence gram scan, flat in corpus size."""
+    from ..operators.gopher import gopher_filter_frame, gopher_signals_frame
+
+    def classify_fn(batch_df: DataFrame) -> DataFrame:
+        return gopher_filter_frame(gopher_signals_frame(batch_df))
+
+    def release_fn() -> None:
+        pass  # stateless: nothing staged, nothing drain-owned
+
+    return _versioned_drain(
+        stream_docs, out_path, checkpoint_path, classify_fn, release_fn
+    )
+
+
 def streaming_segment_frequency(
     stream_docs: DataFrame,
     out_path: str,

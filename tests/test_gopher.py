@@ -6,10 +6,8 @@ parametrized sweep in test_queries_oracle.py)."""
 
 from __future__ import annotations
 
-from pyspark.sql import functions as F
-
 from data_integration_pipelines_spark.plans import REGISTRY
-from data_integration_pipelines_spark.plans.queries_text import (
+from data_integration_pipelines_spark.operators.gopher import (
     GOPHER_RULES,
     gopher_filter_frame,
     gopher_signals_frame,

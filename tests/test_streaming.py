@@ -1451,3 +1451,41 @@ def test_streaming_perceptron_scores_match_batch(spark, sf_small, tmp_path):
     )
     q2.awaitTermination(180)
     assert by_id(spark.read.parquet(out).collect()) == want
+
+
+def test_streaming_gopher_gate_matches_batch(spark, sf_small, tmp_path):
+    """Gopher repetition verdicts drained as micro-batches == one-shot
+    batch gating: every signal is a pure per-document function (all
+    within-batch groupBys are doc_id-keyed), so feed partitioning and
+    arrival order change nothing (streaming/ingest.streaming_gopher_gate)."""
+    from pyspark.sql import functions as F
+
+    from data_integration_pipelines_spark.catalog import load_table
+    from data_integration_pipelines_spark.operators.gopher import (
+        gopher_filter_frame,
+        gopher_signals_frame,
+    )
+    from data_integration_pipelines_spark.streaming.ingest import (
+        read_staged_docs_stream,
+        streaming_gopher_gate,
+    )
+
+    feed = load_table(spark, sf_small, "documents").select("doc_id", "text")
+    staging = str(tmp_path / "staged")
+    out = str(tmp_path / "verdicts")
+    feed.filter(F.col("doc_id") % 2 == 0).write.mode("overwrite").parquet(staging)
+    feed.filter(F.col("doc_id") % 2 == 1).write.mode("append").parquet(staging)
+
+    q = streaming_gopher_gate(
+        read_staged_docs_stream(spark, staging, max_files_per_trigger=1),
+        out_path=out,
+        checkpoint_path=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(180)
+
+    def by_id(rows):
+        return {r.doc_id: (r.n_fails, r.keep, r.fail_rules) for r in rows}
+
+    got = by_id(spark.read.parquet(out).collect())
+    want = by_id(gopher_filter_frame(gopher_signals_frame(feed)).collect())
+    assert got == want and len(got) == feed.count()
