@@ -510,6 +510,45 @@ def cmd_quality_train(args) -> int:
     return 0
 
 
+def cmd_gopher_filter(args) -> int:
+    """Gopher repetition gate as a batch job (operators/gopher.py —
+    Rae et al. 2021 Table A1): score every document's repetition
+    signals, apply the published cutoffs, write the full verdict table
+    as parquet plus a summary JSON line (kept/rejected counts and the
+    per-rule failure histogram). The registered queries certify the
+    same signals/verdicts against DuckDB on the derived corpus; this
+    face runs the gate over the raw documents table as-is."""
+    from .catalog import load_table
+    from .operators.gopher import gopher_filter_frame, gopher_signals_frame
+
+    spark = _session(args)
+    docs = load_table(spark, args.sf_dir, "documents").select("doc_id", "text")
+    verdicts = gopher_filter_frame(gopher_signals_frame(docs))
+    verdicts.write.mode("overwrite").parquet(_out(args, "gopher_verdicts"))
+    agg = verdicts.groupBy("keep").count().collect()
+    counts = {("kept" if r.keep else "rejected"): r["count"] for r in agg}
+    hist = {
+        r.rule: r["count"]
+        for r in (
+            verdicts.filter(~F.col("keep"))
+            .select(F.explode(F.split("fail_rules", ",")).alias("rule"))
+            .groupBy("rule")
+            .count()
+            .collect()
+        )
+    }
+    print(
+        json.dumps(
+            {
+                "kept": counts.get("kept", 0),
+                "rejected": counts.get("rejected", 0),
+                "fail_rule_histogram": dict(sorted(hist.items())),
+            }
+        )
+    )
+    return 0
+
+
 def cmd_export_shuffled(args) -> int:
     """Seeded global-shuffle export — the training-order face of
     shard_shuffle_manifest: the corpus written as N shards whose
@@ -882,6 +921,13 @@ def build_parser() -> argparse.ArgumentParser:
     sp.set_defaults(fn=cmd_quality_train)
 
     sp = sub.add_parser(
+        "gopher-filter",
+        help="apply the Gopher repetition gate; write verdicts + summary",
+    )
+    common(sp)
+    sp.set_defaults(fn=cmd_gopher_filter)
+
+    sp = sub.add_parser(
         "export-shuffled",
         help="write the corpus as N shards in seeded md5 shuffle order",
     )
@@ -1018,6 +1064,7 @@ def main(argv: list[str] | None = None) -> int:
         "export-shards",
         "export-shuffled",
         "quality-train",
+        "gopher-filter",
         "zorder",
         "split",
         "ingest",

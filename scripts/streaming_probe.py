@@ -283,8 +283,38 @@ def _probe_shard_assign(spark, base: str, scaled: str, work: str) -> dict:
     return row
 
 
+def _probe_gopher_gate(spark, base: str, scaled: str, work: str) -> dict:
+    """Feed 1x vs Kx through the stateless Gopher repetition gate —
+    feed-bound by design (per-doc pure signals, no state, no model)."""
+    from data_integration_pipelines_spark.streaming.ingest import (
+        read_staged_docs_stream,
+        streaming_gopher_gate,
+    )
+
+    row: dict = {}
+    for tag, sf in (("base", base), ("x", scaled)):
+        docs = load_table(spark, sf, "documents").select("doc_id", "text")
+        staging = os.path.join(work, f"gopher_feed_{tag}")
+        _stage(docs, staging)
+        out = os.path.join(work, f"gopher_out_{tag}")
+        q = streaming_gopher_gate(
+            read_staged_docs_stream(spark, staging, max_files_per_trigger=1),
+            out_path=out,
+            checkpoint_path=os.path.join(work, f"gopher_ckpt_{tag}"),
+        )
+        row[f"{tag}_s"] = _drain(q)
+        row[f"feed_docs_{tag}"] = docs.count()
+    row["growth"] = round(row["x_s"] / row["base_s"], 2)
+    row["claim"] = (
+        "Kx feed: wall tracks feed size only (every signal is a pure "
+        "per-doc function; within-batch groupBys are doc_id-keyed)"
+    )
+    return row
+
+
 _FACES = {
     "streaming_dsir_scores": _probe_dsir,
+    "streaming_gopher_gate": _probe_gopher_gate,
     "streaming_perceptron_scores": _probe_perceptron,
     "streaming_shard_assign": _probe_shard_assign,
     "streaming_ngram_lm_scores": _probe_ngram_lm,

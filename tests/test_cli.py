@@ -485,3 +485,44 @@ class TestQualityTrain:
         # iteration 1 misses everything (w=0 start); training improved
         assert int(hist[0]["n_miss"]) == 500
         assert weights["final_n_miss"] < 500
+
+
+class TestGopherFilterCLI:
+    def test_gopher_filter_artifacts(self, spark, tmp_path, capsys):
+        """The repetition gate's batch-job face: verdict parquet agrees
+        with the operator frames, and the printed summary's counts and
+        per-rule histogram agree with the verdict table."""
+        import json as _json
+
+        from pyspark.sql import functions as F
+
+        from data_integration_pipelines_spark.catalog import load_table
+        from data_integration_pipelines_spark.operators.gopher import (
+            gopher_filter_frame,
+            gopher_signals_frame,
+        )
+
+        out = _run(tmp_path, "gopher-filter")
+        summary = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        verdicts = spark.read.parquet(os.path.join(out, "gopher_verdicts"))
+        kept = verdicts.filter(F.col("keep")).count()
+        assert summary["kept"] == kept
+        assert summary["rejected"] == verdicts.count() - kept
+        # histogram totals = sum of per-doc fail counts
+        n_fail_sum = (
+            verdicts.agg(F.sum("n_fails").alias("s")).collect()[0].s or 0
+        )
+        assert sum(summary["fail_rule_histogram"].values()) == n_fail_sum
+        # parquet verdicts == operator frames run directly
+        docs = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+            "doc_id", "text"
+        )
+        want = {
+            r.doc_id: (r.n_fails, r.keep, r.fail_rules)
+            for r in gopher_filter_frame(gopher_signals_frame(docs)).collect()
+        }
+        got = {
+            r.doc_id: (r.n_fails, r.keep, r.fail_rules)
+            for r in verdicts.collect()
+        }
+        assert got == want
