@@ -341,3 +341,13 @@ def test_probed_near_dup_capped_default_plan_shape(plans):
     # cap is pinned by the capped ORACLE instead)
     assert "__pop" in plans["exact_then_near_dup"]
     assert "__pop" in plans["dedup_consensus"]
+
+
+def test_gopher_signals_single_explode(plans):
+    # The Gopher battery's scale claim (operators/gopher.py): all nine
+    # gram streams build ARRAY-SIDE and explode ONCE into a single
+    # combiner-friendly (doc_id, n, gram) aggregate — 9 per-n explodes
+    # (or worse, 9 per-n shuffles) would multiply the corpus-scan cost.
+    for name in ("gopher_repetition_signals", "gopher_repetition_filter"):
+        p = plans[name]
+        assert p.count("Generate explode") == 1, name
