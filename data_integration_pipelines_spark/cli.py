@@ -511,19 +511,28 @@ def cmd_quality_train(args) -> int:
 
 
 def cmd_gopher_filter(args) -> int:
-    """Gopher repetition gate as a batch job (operators/gopher.py —
-    Rae et al. 2021 Table A1): score every document's repetition
-    signals, apply the published cutoffs, write the full verdict table
-    as parquet plus a summary JSON line (kept/rejected counts and the
-    per-rule failure histogram). The registered queries certify the
-    same signals/verdicts against DuckDB on the derived corpus; this
-    face runs the gate over the raw documents table as-is."""
+    """Gopher quality gate as a batch job (operators/gopher.py —
+    Rae et al. 2021 Table A1): score every document's signals, apply
+    the published cutoffs, write the full verdict table as parquet
+    plus a summary JSON line (kept/rejected counts and the per-rule
+    failure histogram). ``--full`` runs the COMPLETE filter
+    (repetition + document rules); default is the repetition gate.
+    The registered queries certify the same signals/verdicts against
+    DuckDB on the derived corpora; this face runs the gate over the
+    raw documents table as-is."""
     from .catalog import load_table
-    from .operators.gopher import gopher_filter_frame, gopher_signals_frame
+    from .operators.gopher import (
+        gopher_filter_frame,
+        gopher_full_filter_frame,
+        gopher_signals_frame,
+    )
 
     spark = _session(args)
     docs = load_table(spark, args.sf_dir, "documents").select("doc_id", "text")
-    verdicts = gopher_filter_frame(gopher_signals_frame(docs))
+    if getattr(args, "full", False):
+        verdicts = gopher_full_filter_frame(docs)
+    else:
+        verdicts = gopher_filter_frame(gopher_signals_frame(docs))
     verdicts.write.mode("overwrite").parquet(_out(args, "gopher_verdicts"))
     agg = verdicts.groupBy("keep").count().collect()
     counts = {("kept" if r.keep else "rejected"): r["count"] for r in agg}
@@ -923,6 +932,11 @@ def build_parser() -> argparse.ArgumentParser:
     sp = sub.add_parser(
         "gopher-filter",
         help="apply the Gopher repetition gate; write verdicts + summary",
+    )
+    sp.add_argument(
+        "--full",
+        action="store_true",
+        help="run the complete Table-A1 filter (repetition + document rules)",
     )
     common(sp)
     sp.set_defaults(fn=cmd_gopher_filter)

@@ -188,3 +188,126 @@ def gopher_filter_frame(sig: DataFrame) -> DataFrame:
         (n_fails == 0).alias("keep"),
         F.concat_ws(",", arr).alias("fail_rules"),
     )
+
+
+# --- document-level rules (the non-repetition half of Table A1) -----
+
+#: Gopher's required stop words: a doc must contain at least two.
+GOPHER_STOP_WORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+#: (rule name, reject predicate over the signal columns) — Table A1's
+#: document-level cutoffs, in document order, integer/e4 domain:
+#: word count in [50, 100000]; mean word length in [3, 10] chars;
+#: symbol-to-word ratio (hash or ellipsis) <= 0.1; <=90% of lines
+#: bullet-started; <=30% of lines ellipsis-ended; >=80% of words with
+#: an alphabetic char; >=2 stop words.
+GOPHER_DOC_RULES = (
+    ("word_count", lambda c: (c["n_words"] < 50) | (c["n_words"] > 100_000)),
+    ("mean_word_len",
+     lambda c: (c["mean_word_len_e4"] < 30_000) | (c["mean_word_len_e4"] > 100_000)),
+    ("symbol_ratio",
+     lambda c: (c["hash_ratio_e4"] > 1000) | (c["ellipsis_ratio_e4"] > 1000)),
+    ("bullet_lines", lambda c: c["bullet_line_frac_e4"] > 9000),
+    ("ellipsis_lines", lambda c: c["ellipsis_line_frac_e4"] > 3000),
+    ("alpha_words", lambda c: c["alpha_word_frac_e4"] < 8000),
+    ("stop_words", lambda c: c["n_stop_hits"] < 2),
+)
+
+_BULLET_PREFIXES = ("- ", "• ", "* ")
+
+
+def gopher_doc_rules_frame(docs: DataFrame) -> DataFrame:
+    """Document-level Gopher signals + gate over ``(doc_id, text)``:
+    the non-repetition half of Table A1 (word-count bounds, mean word
+    length, symbol-to-word ratio for '#' and '...', bullet-started and
+    ellipsis-ended line fractions, alphabetic-word fraction, required
+    stop words).
+
+    Pure per-row array/string expressions — ZERO shuffle at any corpus
+    size (the strongest scale shape in the module: a codegen map over
+    the scan). Every count is an exact integer; ratios emit as e4
+    BIGINTs from one IEEE division, so the DuckDB oracle matches by
+    hash."""
+    toks = ws_tokens(F.coalesce(F.col("text"), F.lit("")))
+    lines = F.split(F.coalesce(F.col("text"), F.lit("")), "\n")
+    zero = F.lit(0).cast("long")
+    n_words = F.size(toks).cast("long")
+    n_lines = F.size(lines).cast("long")
+    tok_chars = F.aggregate(toks, zero, lambda a, x: a + F.length(x))
+    n_hash = F.length("text") - F.length(F.replace(F.col("text"), F.lit("#")))
+    n_ell = (
+        F.length("text") - F.length(F.replace(F.col("text"), F.lit("...")))
+    ) / F.lit(3)
+    bullet = F.size(
+        F.filter(
+            lines,
+            lambda l: F.substring(l, 1, 2).isin(*_BULLET_PREFIXES),
+        )
+    ).cast("long")
+    ell_end = F.size(F.filter(lines, lambda l: l.endswith("..."))).cast("long")
+    alpha = F.size(F.filter(toks, lambda x: x.rlike("[A-Za-z]"))).cast("long")
+    stops = F.size(
+        F.filter(
+            F.array(*[F.lit(s) for s in GOPHER_STOP_WORDS]),
+            lambda s: F.array_contains(toks, s),
+        )
+    ).cast("long")
+    sig = docs.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        e4(tok_chars / n_words).alias("mean_word_len_e4"),
+        e4(n_hash / n_words).alias("hash_ratio_e4"),
+        e4(n_ell / n_words).alias("ellipsis_ratio_e4"),
+        e4(bullet / n_lines).alias("bullet_line_frac_e4"),
+        e4(ell_end / n_lines).alias("ellipsis_line_frac_e4"),
+        e4(alpha / n_words).alias("alpha_word_frac_e4"),
+        stops.alias("n_stop_hits"),
+    )
+    cols = {f.name: F.col(f.name) for f in sig.schema.fields}
+    flags = [
+        F.when(pred(cols), F.lit(name)) for name, pred in GOPHER_DOC_RULES
+    ]
+    arr = F.array(*flags)
+    n_fails = F.size(F.filter(arr, lambda x: x.isNotNull()))
+    return sig.select(
+        "*",
+        n_fails.cast("long").alias("n_fails"),
+        (n_fails == 0).alias("keep"),
+        F.concat_ws(",", arr).alias("fail_rules"),
+    )
+
+
+def gopher_full_filter_frame(docs: DataFrame) -> DataFrame:
+    """The COMPLETE Gopher quality filter: repetition rules + document
+    rules over the same ``(doc_id, text)`` corpus, one verdict per doc.
+
+    Plan: the doc-rule half is a shuffle-free per-row map; the
+    repetition half is the single-explode gram battery; the two join
+    doc_id-keyed. ``fail_rules`` lists repetition rules first, then
+    document rules — fixed order across both halves."""
+    rep = gopher_filter_frame(gopher_signals_frame(docs)).select(
+        "doc_id",
+        F.col("n_fails").alias("rep_n_fails"),
+        F.col("fail_rules").alias("rep_fail_rules"),
+    )
+    doc = gopher_doc_rules_frame(docs).select(
+        "doc_id",
+        F.col("n_fails").alias("doc_n_fails"),
+        F.col("fail_rules").alias("doc_fail_rules"),
+    )
+    joined = rep.join(doc, "doc_id")
+    n_fails = (F.col("rep_n_fails") + F.col("doc_n_fails")).cast("long")
+    return joined.select(
+        "doc_id",
+        "rep_n_fails",
+        "doc_n_fails",
+        n_fails.alias("n_fails"),
+        (n_fails == 0).alias("keep"),
+        F.concat_ws(
+            ",",
+            F.filter(
+                F.array(F.col("rep_fail_rules"), F.col("doc_fail_rules")),
+                lambda x: x != "",
+            ),
+        ).alias("fail_rules"),
+    )

@@ -41,8 +41,10 @@ _RISK_ORDER = [
     # shard manifest, the corpus distinct-n diversity metric, the
     # per-language LM family (CCNet's actual per-lang construction),
     # the registered at-scale ppl-bucket route, the leakage-safe split
-    # manifest; the Gopher repetition battery + gate (Rae et al. 2021
-    # Table A1, late-r11)
+    # manifest; the Gopher battery + gates (Rae et al. 2021 Table A1,
+    # late-r11: repetition rules, document rules, the complete filter)
+    "gopher_full_filter",
+    "gopher_document_rules",
     "gopher_repetition_filter",
     "gopher_repetition_signals",
     "quality_perceptron_train",

@@ -2163,9 +2163,11 @@ _REP_CTE = r"""
     )
 """
 
-def _gopher_signals_sql() -> str:
+def _gopher_signals_sql(corpus_cte: str = _REP_CTE) -> str:
     """Oracle body for the signal battery: WITH-chain ending in a
-    ``sig`` CTE (callers append their own final SELECT)."""
+    ``sig`` CTE (callers append their own final SELECT). The corpus
+    CTE must bind the name ``rep``; the full-filter oracle passes the
+    gdoc derivation bound to that name."""
     gram_ctes = ",\n".join(
         "    g{n} AS (\n"
         "        SELECT doc_id, {n} AS n, {expr} AS gram\n"
@@ -2190,7 +2192,7 @@ def _gopher_signals_sql() -> str:
         for n in _GOPHER_TOP_NS + _GOPHER_DUP_NS
     )
     return f"""
-    WITH {_REP_CTE},
+    WITH {corpus_cte},
     toks AS (
         SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM rep
     ),
@@ -2250,28 +2252,30 @@ def _gopher_signals_sql() -> str:
 """
 
 
-def _rep_docs(docs: DataFrame) -> DataFrame:
-    """The derived repetition corpus (see ``_REP_CTE``): body line
-    (duplicated for doc_id%3==0), doubled cookie banner on even
-    doc_ids, templated doc_id%5 footer."""
-    return docs.select(
-        "doc_id",
-        F.concat(
-            F.coalesce(F.col("text"), F.lit("")),
-            F.when(
-                F.col("doc_id") % 3 == 0,
-                F.concat(F.lit("\n"), F.coalesce(F.col("text"), F.lit(""))),
-            ).otherwise(F.lit("")),
-            F.when(
-                F.col("doc_id") % 2 == 0,
-                F.lit("\naccept cookies to continue"
-                      "\naccept cookies to continue"),
-            ).otherwise(F.lit("")),
-            F.lit("\ncopyright "),
-            (F.col("doc_id") % 5).cast("string"),
-            F.lit(" footer"),
-        ).alias("text"),
+def _rep_text_col():
+    """The derived repetition text as a Column (see ``_REP_CTE``):
+    body line (duplicated for doc_id%3==0), doubled cookie banner on
+    even doc_ids, templated doc_id%5 footer."""
+    return F.concat(
+        F.coalesce(F.col("text"), F.lit("")),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.lit("\n"), F.coalesce(F.col("text"), F.lit(""))),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 2 == 0,
+            F.lit("\naccept cookies to continue"
+                  "\naccept cookies to continue"),
+        ).otherwise(F.lit("")),
+        F.lit("\ncopyright "),
+        (F.col("doc_id") % 5).cast("string"),
+        F.lit(" footer"),
     )
+
+
+def _rep_docs(docs: DataFrame) -> DataFrame:
+    """The derived repetition corpus (see ``_REP_CTE``)."""
+    return docs.select("doc_id", _rep_text_col().alias("text"))
 
 
 def _gopher_filter_sql() -> str:
@@ -2340,3 +2344,221 @@ def gopher_repetition_filter_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gopher_filter_frame(
         gopher_signals_frame(_rep_docs(_docs(spark, sf_dir)))
     ).orderBy("doc_id")
+
+
+# --- Gopher document-level rules + the complete Table-A1 filter -----
+#
+# The non-repetition half of Gopher's quality heuristics needs a
+# corpus that exercises the failure modes: bullet-dominated docs
+# (doc_id%11 — a nav menu), ellipsis-teaser tails (doc_id%7 — "read
+# more..." links), symbol spam (doc_id%13 — '#' runs), and a prose
+# line carrying the required stop words on odd doc_ids (so the
+# stop-word rule discriminates on a synthetic-vocabulary fixture
+# whose only natural Table-A1 stop word is 'the'). The %11 branch
+# REPLACES the rep layering (a menu page is a menu page); everything
+# else layers onto the repetition derivation.
+
+_BULLET_LINES = [f"- item {i}" for i in range(10)]
+_ELLIPSIS_TAIL = "\nread more...\nsee details...\nclick to expand..."
+_HASH_LINE = "\n" + " ".join(["#"] * 12)
+_PROSE_LINE = "\nnote that the results have to be of use with care"
+
+_REP_EXPR_SQL = r"""coalesce(text, '')
+               || CASE WHEN doc_id % 3 = 0
+                       THEN chr(10) || coalesce(text, '') ELSE '' END
+               || CASE WHEN doc_id % 2 = 0
+                       THEN chr(10) || 'accept cookies to continue'
+                         || chr(10) || 'accept cookies to continue'
+                       ELSE '' END
+               || chr(10) || 'copyright ' || CAST(doc_id % 5 AS VARCHAR)
+               || ' footer'"""
+
+_GDOC_EXPR_SQL = (
+    "CASE WHEN doc_id % 11 = 0 THEN "
+    + " || chr(10) || ".join(f"'{l}'" for l in _BULLET_LINES)
+    + " || chr(10) || coalesce(text, '')\n"
+    "               ELSE " + _REP_EXPR_SQL + "\n"
+    "               || CASE WHEN doc_id % 7 = 0 THEN "
+    + " || ".join(
+        f"chr(10) || '{l}'" for l in _ELLIPSIS_TAIL.strip("\n").split("\n")
+    )
+    + " ELSE '' END\n"
+    "               || CASE WHEN doc_id % 13 = 0 THEN chr(10) || "
+    f"'{_HASH_LINE[1:]}' ELSE '' END\n"
+    "               || CASE WHEN doc_id % 2 = 1 THEN chr(10) || "
+    f"'{_PROSE_LINE[1:]}' ELSE '' END\n"
+    "               END"
+)
+
+_GDOC_CTE = f"""
+    gdoc AS (
+        SELECT doc_id, {_GDOC_EXPR_SQL} AS text
+        FROM documents
+    )
+"""
+
+#: (rule name, SQL reject predicate over the doc-signal columns) —
+#: mirrors operators/gopher.GOPHER_DOC_RULES exactly.
+_DOC_RULES_SQL = (
+    ("word_count", "(n_words < 50 OR n_words > 100000)"),
+    ("mean_word_len",
+     "(mean_word_len_e4 < 30000 OR mean_word_len_e4 > 100000)"),
+    ("symbol_ratio", "(hash_ratio_e4 > 1000 OR ellipsis_ratio_e4 > 1000)"),
+    ("bullet_lines", "bullet_line_frac_e4 > 9000"),
+    ("ellipsis_lines", "ellipsis_line_frac_e4 > 3000"),
+    ("alpha_words", "alpha_word_frac_e4 < 8000"),
+    ("stop_words", "n_stop_hits < 2"),
+)
+
+#: repetition rules as SQL predicates (same thresholds as the gate)
+_REP_RULES_SQL = tuple(
+    (name, f"{col} > {thr}") for name, col, thr in GOPHER_RULES
+)
+
+
+def _fail_sum_sql(rules) -> str:
+    return "\n             + ".join(
+        f"CASE WHEN {p} THEN 1 ELSE 0 END" for _, p in rules
+    )
+
+
+def _fail_names_sql(rules) -> str:
+    return ",\n               ".join(
+        f"CASE WHEN {p} THEN '{n}' END" for n, p in rules
+    )
+
+
+def _doc_sig_sql(corpus: str) -> str:
+    """The ``dsig`` CTE chain: per-row doc-rule signals FROM a
+    (doc_id, text) corpus CTE."""
+    stop_list = ", ".join(f"'{s}'" for s in
+                          ("the", "be", "to", "of", "and", "that",
+                           "have", "with"))
+    return f"""
+    dt AS (
+        SELECT doc_id, text,
+               regexp_split_to_array(trim(text), '\\s+') AS t,
+               string_split(text, chr(10)) AS l
+        FROM {corpus}
+    ),
+    dsig AS (
+        SELECT doc_id,
+           CAST(len(t) AS BIGINT) AS n_words,
+           {e4_sql('list_sum(list_transform(t, x -> length(x))) / len(t)')} AS mean_word_len_e4,
+           {e4_sql("(length(text) - length(replace(text, '#', ''))) / len(t)")} AS hash_ratio_e4,
+           {e4_sql("((length(text) - length(replace(text, '...', ''))) / 3) / len(t)")} AS ellipsis_ratio_e4,
+           {e4_sql("len(list_filter(l, x -> substr(x, 1, 2) IN ('- ', '• ', '* '))) / len(l)")} AS bullet_line_frac_e4,
+           {e4_sql("len(list_filter(l, x -> x LIKE '%...')) / len(l)")} AS ellipsis_line_frac_e4,
+           {e4_sql("len(list_filter(t, x -> regexp_matches(x, '[A-Za-z]'))) / len(t)")} AS alpha_word_frac_e4,
+           CAST(len(list_filter([{stop_list}], s -> list_contains(t, s))) AS BIGINT) AS n_stop_hits
+        FROM dt
+    )
+"""
+
+
+def _gdoc_docs(docs: DataFrame) -> DataFrame:
+    """The derived document-rules corpus (see ``_GDOC_CTE``)."""
+    bullets = F.lit("\n".join(_BULLET_LINES) + "\n")
+    return docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 11 == 0,
+            F.concat(bullets, F.coalesce(F.col("text"), F.lit(""))),
+        )
+        .otherwise(
+            F.concat(
+                _rep_text_col(),
+                F.when(F.col("doc_id") % 7 == 0, F.lit(_ELLIPSIS_TAIL))
+                .otherwise(F.lit("")),
+                F.when(F.col("doc_id") % 13 == 0, F.lit(_HASH_LINE))
+                .otherwise(F.lit("")),
+                F.when(F.col("doc_id") % 2 == 1, F.lit(_PROSE_LINE))
+                .otherwise(F.lit("")),
+            )
+        )
+        .alias("text"),
+    )
+
+
+@register(
+    "gopher_document_rules",
+    lambda: f"""
+    WITH {_GDOC_CTE},
+    {_doc_sig_sql('gdoc')}
+    SELECT doc_id, n_words, mean_word_len_e4, hash_ratio_e4,
+           ellipsis_ratio_e4, bullet_line_frac_e4, ellipsis_line_frac_e4,
+           alpha_word_frac_e4, n_stop_hits,
+           CAST({_fail_sum_sql(_DOC_RULES_SQL)} AS BIGINT) AS n_fails,
+           ({_fail_sum_sql(_DOC_RULES_SQL)}) = 0 AS keep,
+           COALESCE(concat_ws(',',
+               {_fail_names_sql(_DOC_RULES_SQL)}), '') AS fail_rules
+    FROM dsig
+    ORDER BY doc_id
+    """,
+    doc="Gopher DOCUMENT-level rules (Rae et al. 2021 Table A1, the "
+    "non-repetition half): word-count bounds [50,100k], mean word "
+    "length [3,10], '#'/'...'-to-word symbol ratio <=0.1, <=90% "
+    "bullet-started lines, <=30% ellipsis-ended lines, >=80% words "
+    "with an alphabetic char, >=2 required stop words — each signal "
+    "an exact integer or one-division e4, gate in integer space. "
+    "Pure per-row string/array expressions: ZERO shuffle at any "
+    "corpus size (a codegen map over the scan — the strongest scale "
+    "shape in the registry). Derived corpus injects each failure "
+    "mode: %11 menu pages (bullet rule), %7 teaser tails (ellipsis "
+    "rule), %13 symbol spam (symbol + alpha rules), odd-doc prose "
+    "line (stop-word rule discriminates despite the synthetic "
+    "vocabulary).",
+)
+def gopher_document_rules_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.gopher import gopher_doc_rules_frame
+
+    return gopher_doc_rules_frame(_gdoc_docs(_docs(spark, sf_dir))).orderBy(
+        "doc_id"
+    )
+
+
+@register(
+    "gopher_full_filter",
+    lambda: f"""
+    {_gopher_signals_sql(_GDOC_CTE.replace('gdoc AS', 'rep AS'))},
+    {_doc_sig_sql('rep')},
+    rgate AS (
+        SELECT doc_id,
+               CAST({_fail_sum_sql(_REP_RULES_SQL)} AS BIGINT) AS rep_n_fails,
+               COALESCE(concat_ws(',',
+                   {_fail_names_sql(_REP_RULES_SQL)}), '') AS rep_fail_rules
+        FROM sig
+    ),
+    dgate AS (
+        SELECT doc_id,
+               CAST({_fail_sum_sql(_DOC_RULES_SQL)} AS BIGINT) AS doc_n_fails,
+               COALESCE(concat_ws(',',
+                   {_fail_names_sql(_DOC_RULES_SQL)}), '') AS doc_fail_rules
+        FROM dsig
+    )
+    SELECT r.doc_id, r.rep_n_fails, d.doc_n_fails,
+           r.rep_n_fails + d.doc_n_fails AS n_fails,
+           (r.rep_n_fails + d.doc_n_fails) = 0 AS keep,
+           CASE WHEN r.rep_fail_rules = '' THEN d.doc_fail_rules
+                WHEN d.doc_fail_rules = '' THEN r.rep_fail_rules
+                ELSE r.rep_fail_rules || ',' || d.doc_fail_rules END
+               AS fail_rules
+    FROM rgate r JOIN dgate d USING (doc_id)
+    ORDER BY doc_id
+    """,
+    doc="The COMPLETE Gopher Table-A1 quality filter: all 11 "
+    "repetition rules + all 7 document rules over ONE derived corpus "
+    "(the gdoc derivation: repetition layering + menu/teaser/symbol/"
+    "prose injections), one verdict per document with fail_rules "
+    "listing repetition rules first then document rules. Plan: the "
+    "doc-rule half is a shuffle-free per-row map; the repetition half "
+    "is the single-explode gram battery; one doc_id-keyed join "
+    "combines the verdicts. This is the full published filter a "
+    "MassiveText-style pipeline runs between extraction and dedup.",
+)
+def gopher_full_filter_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.gopher import gopher_full_filter_frame
+
+    return gopher_full_filter_frame(_gdoc_docs(_docs(spark, sf_dir))).orderBy(
+        "doc_id"
+    )

@@ -449,24 +449,33 @@ def streaming_gopher_gate(
     stream_docs: DataFrame,
     out_path: str,
     checkpoint_path: str,
+    full: bool = False,
 ):
-    """Streaming face of the Gopher repetition gate
-    (operators/gopher.py): the crawl feed drains through the
-    published-threshold repetition filter micro-batch by micro-batch
-    into the versioned verdict log — the document-level reject stage
-    running at ingest time, before anything downstream pays for a doc
-    that Table A1 would drop.
+    """Streaming face of the Gopher quality gate (operators/gopher.py):
+    the crawl feed drains through the published-threshold filter
+    micro-batch by micro-batch into the versioned verdict log — the
+    document-level reject stage running at ingest time, before anything
+    downstream pays for a doc that Table A1 would drop. ``full=True``
+    runs the COMPLETE filter (repetition + document rules);
+    the default runs the repetition gate alone.
 
     Stateless by construction: every signal (dup-line fractions,
-    top/dup n-gram char fractions) is a pure function of the single
-    document — the within-batch groupBys are all doc_id-keyed, so a
-    document's verdict never depends on batchmates, feed partitioning,
-    or arrival order, and stream==batch is exact. No model to pin, no
-    state to fold, nothing to release: per-batch cost is the batch's
-    own ~9T-occurrence gram scan, flat in corpus size."""
-    from ..operators.gopher import gopher_filter_frame, gopher_signals_frame
+    top/dup n-gram char fractions, the per-row document rules) is a
+    pure function of the single document — the within-batch groupBys
+    are all doc_id-keyed, so a document's verdict never depends on
+    batchmates, feed partitioning, or arrival order, and stream==batch
+    is exact. No model to pin, no state to fold, nothing to release:
+    per-batch cost is the batch's own ~9T-occurrence gram scan, flat
+    in corpus size."""
+    from ..operators.gopher import (
+        gopher_filter_frame,
+        gopher_full_filter_frame,
+        gopher_signals_frame,
+    )
 
     def classify_fn(batch_df: DataFrame) -> DataFrame:
+        if full:
+            return gopher_full_filter_frame(batch_df)
         return gopher_filter_frame(gopher_signals_frame(batch_df))
 
     def release_fn() -> None:

@@ -526,3 +526,14 @@ class TestGopherFilterCLI:
             for r in verdicts.collect()
         }
         assert got == want
+
+    def test_gopher_filter_full_flag(self, spark, tmp_path, capsys):
+        """--full runs the complete Table-A1 filter: verdicts carry
+        the composed rep/doc fail counts."""
+        import json as _json
+
+        out = _run(tmp_path, "gopher-filter", "--full")
+        summary = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        verdicts = spark.read.parquet(os.path.join(out, "gopher_verdicts"))
+        assert {"rep_n_fails", "doc_n_fails"} <= set(verdicts.columns)
+        assert summary["kept"] + summary["rejected"] == verdicts.count()

@@ -129,3 +129,82 @@ class TestFixtureCorpus:
             assert 0 <= r.dup_line_frac_e4 <= 10000
             assert 0 <= r.dup_line_char_frac_e4 <= 10000
             assert r.n_lines >= 2  # body + footer always present
+
+
+def _doc_sig(spark, text: str):
+    from data_integration_pipelines_spark.operators.gopher import (
+        gopher_doc_rules_frame,
+    )
+
+    df = spark.createDataFrame([(0, text)], "doc_id long, text string")
+    return gopher_doc_rules_frame(df).collect()[0]
+
+
+class TestDocRulesHandComputed:
+    def test_line_shape_signals(self, spark):
+        # 4 lines: 2 bullet-started, 1 ellipsis-ended.
+        r = _doc_sig(spark, "- alpha\n- beta\nplain line\nread more...")
+        assert r.bullet_line_frac_e4 == 5000
+        assert r.ellipsis_line_frac_e4 == 2500
+        # the '...' also counts 1 symbol occurrence over 8 words
+        assert r.ellipsis_ratio_e4 == 1250
+        assert not r.keep  # word_count (<50) at minimum
+        assert "word_count" in r.fail_rules
+
+    def test_symbol_and_alpha_signals(self, spark):
+        # 2 hash chars over 3 words; 1 of 3 words lacks an alpha char
+        # (so alpha frac 6667 < 8000 -> alpha_words fails too).
+        r = _doc_sig(spark, "# wordy #")
+        assert r.hash_ratio_e4 == 6667
+        assert r.alpha_word_frac_e4 == 3333
+        assert "symbol_ratio" in r.fail_rules
+        assert "alpha_words" in r.fail_rules
+
+    def test_stop_word_gate(self, spark):
+        base = " ".join(f"w{i}" for i in range(60))
+        # 0 stop hits -> fails; appending a prose line with >=2 -> passes
+        r0 = _doc_sig(spark, base)
+        assert r0.n_stop_hits == 0 and "stop_words" in r0.fail_rules
+        r1 = _doc_sig(spark, base + " note that the results have merit")
+        assert r1.n_stop_hits >= 2 and "stop_words" not in r1.fail_rules
+
+    def test_mean_word_len_bounds(self, spark):
+        from data_integration_pipelines_spark.operators.gopher import (
+            GOPHER_DOC_RULES,
+        )
+
+        names = [n for n, _ in GOPHER_DOC_RULES]
+        assert names == [
+            "word_count", "mean_word_len", "symbol_ratio", "bullet_lines",
+            "ellipsis_lines", "alpha_words", "stop_words",
+        ]
+        # 60 single-char words: mean len 1 < 3 chars
+        r = _doc_sig(spark, " ".join("a" * 1 for _ in range(60)))
+        assert r.mean_word_len_e4 == 10000
+        assert "mean_word_len" in r.fail_rules
+
+
+class TestFullFilter:
+    def test_verdict_composition(self, spark, sf_small):
+        rows = REGISTRY["gopher_full_filter"].fn(spark, sf_small).collect()
+        assert rows
+        for r in rows:
+            assert r.n_fails == r.rep_n_fails + r.doc_n_fails
+            assert r.keep == (r.n_fails == 0)
+            if r.rep_n_fails and r.doc_n_fails:
+                # repetition rules listed first, then document rules
+                names = r.fail_rules.split(",")
+                from data_integration_pipelines_spark.operators.gopher import (
+                    GOPHER_DOC_RULES,
+                    GOPHER_RULES,
+                )
+
+                rep_names = {n for n, _, _ in GOPHER_RULES}
+                k = r.rep_n_fails
+                assert all(n in rep_names for n in names[:k])
+                assert all(n not in rep_names for n in names[k:])
+        # menu pages (%11) always fail the bullet rule
+        eleven = [r for r in rows if r.doc_id % 11 == 0]
+        assert eleven and all("bullet_lines" in r.fail_rules for r in eleven)
+        kept = sum(r.keep for r in rows)
+        assert 0 < kept < len(rows)

@@ -1489,3 +1489,44 @@ def test_streaming_gopher_gate_matches_batch(spark, sf_small, tmp_path):
     got = by_id(spark.read.parquet(out).collect())
     want = by_id(gopher_filter_frame(gopher_signals_frame(feed)).collect())
     assert got == want and len(got) == feed.count()
+
+
+def test_streaming_gopher_gate_full_matches_batch(spark, sf_small, tmp_path):
+    """The COMPLETE Table-A1 filter (repetition + document rules)
+    drained as micro-batches == one-shot batch gating — still a pure
+    per-document function, so the full=True face is stateless too."""
+    from pyspark.sql import functions as F
+
+    from data_integration_pipelines_spark.catalog import load_table
+    from data_integration_pipelines_spark.operators.gopher import (
+        gopher_full_filter_frame,
+    )
+    from data_integration_pipelines_spark.streaming.ingest import (
+        read_staged_docs_stream,
+        streaming_gopher_gate,
+    )
+
+    feed = (
+        load_table(spark, sf_small, "documents")
+        .filter(F.col("doc_id") < 120)
+        .select("doc_id", "text")
+    )
+    staging = str(tmp_path / "staged")
+    out = str(tmp_path / "verdicts")
+    feed.filter(F.col("doc_id") % 2 == 0).write.mode("overwrite").parquet(staging)
+    feed.filter(F.col("doc_id") % 2 == 1).write.mode("append").parquet(staging)
+
+    q = streaming_gopher_gate(
+        read_staged_docs_stream(spark, staging, max_files_per_trigger=1),
+        out_path=out,
+        checkpoint_path=str(tmp_path / "ckpt"),
+        full=True,
+    )
+    q.awaitTermination(180)
+
+    def by_id(rows):
+        return {r.doc_id: (r.n_fails, r.keep, r.fail_rules) for r in rows}
+
+    got = by_id(spark.read.parquet(out).collect())
+    want = by_id(gopher_full_filter_frame(feed).collect())
+    assert got == want and len(got) == feed.count()
