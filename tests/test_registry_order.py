@@ -23,6 +23,10 @@ from data_integration_pipelines_spark.plans import _RISK_ORDER, REGISTRY
 # stale tail — VERDICT r10 task 1).
 _NEVER_DRIVER_VERIFIED = {
     # new in r11
+    "gopher_full_filter",
+    "gopher_document_rules",
+    "gopher_repetition_filter",
+    "gopher_repetition_signals",
     "quality_perceptron_train",
     "quality_perceptron_scores",
     "shard_shuffle_manifest",
