@@ -61,6 +61,12 @@ C_SCALE = 100
 #: update collect must stay driver-trivial at any corpus size
 MAX_CENTROID_CELLS = 1_000_000
 
+#: below this k the regime probe is folded into the seed collect:
+#: pulling k rows before knowing D is bounded by a handful of vectors
+#: (each must fit in an executor row anyway), so the defensive 1-row
+#: probe job would only add a sequential scheduling round-trip
+PROBE_FREE_K = 32
+
 
 def quantize_vec(vec_col: Column, scale: int = Q_SCALE) -> Column:
     """array<float> -> array<long> with components ``round(x * scale)``
@@ -160,28 +166,34 @@ def kmeans_fit(
       (pinned by test; farthest-point reseeding is opt-in via
       :func:`kmeans_fit_table` directly).
     """
-    # the regime probe must run BEFORE the k-row seed collect (which
-    # pulls exactly the k*D cells the cap bounds) — and it needs the
-    # TRUE dim: a modest k with huge-D vectors blows the cap just as
-    # surely as a huge k. One 1-row probe job is the price of never
-    # collecting an unbounded seed.
-    probe = df.select(vec_col).first()
-    if probe is None:
-        raise ValueError("kmeans_fit on an empty DataFrame")
-    if k * len(probe[0]) > MAX_CENTROID_CELLS:
-        # reseed_empty=False: the auto-switch must preserve the driver
-        # loop's drop-out semantics EXACTLY (same function, same
-        # answer, whichever side of the cap k*D lands on); callers who
-        # want reseeding opt in via kmeans_fit_table directly
-        return kmeans_fit_table(
-            df,
-            id_col,
-            vec_col,
-            k,
-            iters,
-            checkpoint_dir=checkpoint_dir,
-            reseed_empty=False,
-        )
+    # The regime decision needs the TRUE dim (a modest k with huge-D
+    # vectors blows the cap just as surely as a huge k). For small k
+    # (<= PROBE_FREE_K rows, i.e. driver memory bounded by a handful of
+    # vectors either way) dim comes out of the seed collect itself —
+    # no separate 1-row probe job, one fewer sequential scheduling
+    # round-trip per fit (r11, guide §1.2: the driver loop is a chain
+    # of blocking jobs, so every job removed is wall time at ANY
+    # scale). Only a large k, where collecting k rows before knowing D
+    # could be genuinely unbounded, pays the defensive probe first.
+    if k > PROBE_FREE_K:
+        probe = df.select(vec_col).first()
+        if probe is None:
+            raise ValueError("kmeans_fit on an empty DataFrame")
+        if k * len(probe[0]) > MAX_CENTROID_CELLS:
+            # reseed_empty=False: the auto-switch must preserve the
+            # driver loop's drop-out semantics EXACTLY (same function,
+            # same answer, whichever side of the cap k*D lands on);
+            # callers who want reseeding opt in via kmeans_fit_table
+            # directly
+            return kmeans_fit_table(
+                df,
+                id_col,
+                vec_col,
+                k,
+                iters,
+                checkpoint_dir=checkpoint_dir,
+                reseed_empty=False,
+            )
 
     qdf = bounded_persist(
         df.select(
@@ -196,6 +208,20 @@ def kmeans_fit(
     if not seed_rows:
         raise ValueError("kmeans_fit on an empty DataFrame")
     dim = len(seed_rows[0]["qvec"])
+    if k * dim > MAX_CENTROID_CELLS:
+        # small-k probe-free path crossed the cell cap after all
+        # (huge-D vectors): delegate to the table path, identical
+        # semantics to the probe-first branch above
+        qdf.unpersist(blocking=False)
+        return kmeans_fit_table(
+            df,
+            id_col,
+            vec_col,
+            k,
+            iters,
+            checkpoint_dir=checkpoint_dir,
+            reseed_empty=False,
+        )
     centroids = [
         (int(r["id"]), [int(v) * C_SCALE for v in r["qvec"]]) for r in seed_rows
     ]

@@ -36,6 +36,7 @@ from pyspark.sql import functions as F
 
 from ..functions.quantize import e4
 from ..functions.text import word_shingles, ws_tokens
+from .dedup import spread
 
 _GOPHER_TOP_NS = (2, 3, 4)
 _GOPHER_DUP_NS = (5, 6, 7, 8, 9, 10)
@@ -66,7 +67,16 @@ def gopher_signals_frame(rep: DataFrame) -> DataFrame:
     Every signal is a pure function of the single document — no
     batchmates, no corpus state — which is what makes the streaming
     face (streaming/ingest.streaming_gopher_gate) exact under any feed
-    partitioning."""
+    partitioning.
+
+    The input is :func:`~..operators.dedup.spread` first: the shingle
+    build is the most expression-dense per-row kernel in the engine
+    (~9 zip_with chains per doc), and a small corpus scanned from an
+    unsplittable single-row-group parquet file would otherwise
+    serialize all of it onto one core (measured 16.5 s -> 2.8 s on
+    local[32] at sf0.1). At real scale the scan already carries >=
+    parallelism partitions and spread is a no-op."""
+    rep = spread(rep)
     ns = _GOPHER_TOP_NS + _GOPHER_DUP_NS
     lines = F.split(F.col("text"), "\n")
     dlines = F.array_distinct(lines)
@@ -227,7 +237,10 @@ def gopher_doc_rules_frame(docs: DataFrame) -> DataFrame:
     size (the strongest scale shape in the module: a codegen map over
     the scan). Every count is an exact integer; ratios emit as e4
     BIGINTs from one IEEE division, so the DuckDB oracle matches by
-    hash."""
+    hash. The input is spread first (see :func:`gopher_signals_frame`)
+    so the per-token regex/array filters parallelize off an
+    unsplittable small scan; no-op at real scale."""
+    docs = spread(docs)
     toks = ws_tokens(F.coalesce(F.col("text"), F.lit("")))
     lines = F.split(F.coalesce(F.col("text"), F.lit("")), "\n")
     zero = F.lit(0).cast("long")
@@ -284,7 +297,10 @@ def gopher_full_filter_frame(docs: DataFrame) -> DataFrame:
     Plan: the doc-rule half is a shuffle-free per-row map; the
     repetition half is the single-explode gram battery; the two join
     doc_id-keyed. ``fail_rules`` lists repetition rules first, then
-    document rules — fixed order across both halves."""
+    document rules — fixed order across both halves. Spread once here
+    so both halves share the fan-out (their own spread calls then
+    no-op on the already-parallel frame)."""
+    docs = spread(docs)
     rep = gopher_filter_frame(gopher_signals_frame(docs)).select(
         "doc_id",
         F.col("n_fails").alias("rep_n_fails"),
