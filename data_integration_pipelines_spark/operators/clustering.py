@@ -50,6 +50,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from .cache import bounded_persist
+from .dedup import spread
 
 #: scale for quantizing embedding components to integers
 Q_SCALE = 10_000
@@ -195,9 +196,16 @@ def kmeans_fit(
                 reseed_empty=False,
             )
 
+    # spread() before the persist: the per-iteration assignment map is
+    # an interpreted HOF loop (O(k*D) per row), and an unsplittable
+    # small scan would serialize every iteration onto one core; no-op
+    # at real scale (r11, guide §2.1)
     qdf = bounded_persist(
-        df.select(
-            F.col(id_col).alias("id"), quantize_vec(F.col(vec_col)).alias("qvec")
+        spread(
+            df.select(
+                F.col(id_col).alias("id"),
+                quantize_vec(F.col(vec_col)).alias("qvec"),
+            )
         )
     )
     # deterministic init: the k smallest ids, centroid scale = Q*C.
@@ -649,7 +657,11 @@ def semdedup_assign(
     kk = auto_k(n) if k == "auto" else int(k)
     if semdedup_route(n, kk, dim, flat_cells) == "flat":
         assigned, _ = kmeans_fit(df, id_col, vec_col, k=kk, iters=iters)
-        return assigned.select("id", "qvec", "cluster")
+        # pooled-persist the assignment: downstream the pairs kernel
+        # reads it three times (size tag + small/big branches) and the
+        # survivors rollup once more — without the pool each consumer
+        # re-runs the interpreted HOF distance map (r11, guide §5.2)
+        return bounded_persist(assigned.select("id", "qvec", "cluster"))
     step = max(1, n // max(4096, 8 * kk))
     # pooled-persist the sample: the seed guard's count and the fit's
     # iterations otherwise each re-pay the full corpus scan + hash
@@ -679,8 +691,12 @@ def semdedup_assign(
     qdf = df.select(
         F.col(id_col).alias("id"), quantize_vec(F.col(vec_col)).alias("qvec")
     )
-    return assigned.select("id", "cluster").join(qdf, "id").select(
-        "id", "qvec", "cluster"
+    # same pooled-persist as the flat branch: one materialization
+    # serves every downstream consumer of the assignment
+    return bounded_persist(
+        assigned.select("id", "cluster").join(qdf, "id").select(
+            "id", "qvec", "cluster"
+        )
     )
 
 
