@@ -44,6 +44,7 @@ surface the way dedup.py extends its exact-match checks.
 from __future__ import annotations
 
 import math
+from contextlib import contextmanager
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -67,6 +68,25 @@ MAX_CENTROID_CELLS = 1_000_000
 #: (each must fit in an executor row anyway), so the defensive 1-row
 #: probe job would only add a sequential scheduling round-trip
 PROBE_FREE_K = 32
+
+
+@contextmanager
+def _no_aqe(spark):
+    """Turn AQE off around a driver loop's bounded in-loop collects,
+    restoring the previous setting on exit. AQE materializes every
+    exchange as its own job — for the loop's k*D-row aggregates that
+    is one extra BLOCKING scheduler round-trip per iteration on the
+    fit's critical path, in exchange for re-planning a shuffle whose
+    size is known and bounded by construction (r11, guide §1.2). The
+    surrounding query (the returned assignment plan, the caller's
+    joins) still runs with AQE: the toggle covers only the collects
+    issued inside the ``with`` block."""
+    prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev)
 
 
 def quantize_vec(vec_col: Column, scale: int = Q_SCALE) -> Column:
@@ -234,25 +254,28 @@ def kmeans_fit(
         (int(r["id"]), [int(v) * C_SCALE for v in r["qvec"]]) for r in seed_rows
     ]
 
-    for _ in range(iters):
-        assigned = assign_clusters(qdf, centroids)
-        # ONE shuffle: partial-agg'd SUM/COUNT per (cluster, pos);
-        # k*D rows back to the driver (bounded by the guard above)
-        sums = (
-            assigned.select("cluster", F.posexplode("qvec").alias("pos", "qv"))
-            .groupBy("cluster", "pos")
-            .agg(F.sum("qv").alias("s"), F.count("*").alias("n"))
-            .collect()
-        )
-        by_cid: dict[int, list[int]] = {}
-        for r in sums:
-            comp = by_cid.setdefault(int(r["cluster"]), [0] * dim)
-            # exact ints in, one IEEE division, half-away round —
-            # bit-identical to the oracle's CAST(ROUND(...) AS BIGINT)
-            comp[int(r["pos"])] = _round_half_away(
-                float(r["s"]) * C_SCALE / int(r["n"])
+    with _no_aqe(df.sparkSession):
+        for _ in range(iters):
+            assigned = assign_clusters(qdf, centroids)
+            # ONE shuffle: partial-agg'd SUM/COUNT per (cluster, pos);
+            # k*D rows back to the driver (bounded by the guard above)
+            sums = (
+                assigned.select(
+                    "cluster", F.posexplode("qvec").alias("pos", "qv")
+                )
+                .groupBy("cluster", "pos")
+                .agg(F.sum("qv").alias("s"), F.count("*").alias("n"))
+                .collect()
             )
-        centroids = sorted(by_cid.items())
+            by_cid: dict[int, list[int]] = {}
+            for r in sums:
+                comp = by_cid.setdefault(int(r["cluster"]), [0] * dim)
+                # exact ints in, one IEEE division, half-away round —
+                # bit-identical to the oracle's CAST(ROUND(..) AS BIGINT)
+                comp[int(r["pos"])] = _round_half_away(
+                    float(r["s"]) * C_SCALE / int(r["n"])
+                )
+            centroids = sorted(by_cid.items())
     # the returned plan still reads qdf — the pooled cache serves the
     # caller's job(s) and is evicted FIFO by later operators
     return assign_clusters(qdf, centroids), centroids
@@ -350,77 +373,81 @@ def kmeans_fit_table(
     prev_cids = [int(r[0]) for r in cent.select("cluster").distinct().collect()]
 
     assign = None
-    for _ in range(iters):
-        # assignment: per-(id, cluster) exact integer distance, then a
-        # struct min — (dist asc, cluster asc), the same tie-break as
-        # assign_clusters' first-index-of-min over cid-ascending arrays
-        term = (F.col("qv") * C_SCALE - F.col("cval")) * (
-            F.col("qv") * C_SCALE - F.col("cval")
-        )
-        dists = (
-            long.join(F.broadcast(cent), "pos")
-            .groupBy("id", "cluster")
-            .agg(F.sum(term).alias("dist"))
-        )
-        assign = dists.groupBy("id").agg(
-            F.min(F.struct("dist", "cluster")).alias("__best")
-        ).select(
-            "id",
-            F.col("__best.cluster").alias("cluster"),
-            F.col("__best.dist").alias("dist"),
-        )
-        # update: join assignments back to the exploded data; exact
-        # integer SUM/COUNT, one IEEE multiply + divide, half-away
-        # round — the driver loop's arithmetic, verbatim
-        new_cent = (
-            assign.select("id", "cluster")
-            .join(long, "id")
-            .groupBy("cluster", "pos")
-            .agg(F.sum("qv").alias("s"), F.count("*").alias("n"))
-            .select(
-                "cluster",
-                "pos",
-                _round_half_away_col(
-                    F.col("s").cast("double") * C_SCALE / F.col("n")
-                ).alias("cval"),
+    # AQE off for the loop's bounded actions (see _no_aqe):
+    # each iteration's convergence collect otherwise pays an
+    # extra blocking stage-materialization job
+    with _no_aqe(spark):
+        for _ in range(iters):
+            # assignment: per-(id, cluster) exact integer distance, then a
+            # struct min — (dist asc, cluster asc), the same tie-break as
+            # assign_clusters' first-index-of-min over cid-ascending arrays
+            term = (F.col("qv") * C_SCALE - F.col("cval")) * (
+                F.col("qv") * C_SCALE - F.col("cval")
             )
-        )
-        new_cent = _ckpt(new_cent)
-        # one k-bounded action: detects lost clusters AND materializes
-        # the checkpoint (lazy checkpoints only persist when computed)
-        new_cids = {int(r[0]) for r in new_cent.select("cluster").distinct().collect()}
-        lost = sorted(set(prev_cids) - new_cids)
-        if lost and reseed_empty:
-            n_lost = len(lost)
-            # farthest assigned points (dist desc, id asc), one per
-            # lost cid — rank i re-seeds the i-th smallest lost cid
-            far = (
-                assign.orderBy(F.desc("dist"), F.asc("id"))
-                .limit(n_lost)
-                .select(
-                    "id",
-                    F.row_number()
-                    .over(Window.orderBy(F.desc("dist"), F.asc("id")))
-                    .alias("__rk"),
-                )
+            dists = (
+                long.join(F.broadcast(cent), "pos")
+                .groupBy("id", "cluster")
+                .agg(F.sum(term).alias("dist"))
             )
-            lost_sql = ",".join(str(c) for c in lost)
-            reseeded = (
-                far.join(long, "id")
+            assign = dists.groupBy("id").agg(
+                F.min(F.struct("dist", "cluster")).alias("__best")
+            ).select(
+                "id",
+                F.col("__best.cluster").alias("cluster"),
+                F.col("__best.dist").alias("dist"),
+            )
+            # update: join assignments back to the exploded data; exact
+            # integer SUM/COUNT, one IEEE multiply + divide, half-away
+            # round — the driver loop's arithmetic, verbatim
+            new_cent = (
+                assign.select("id", "cluster")
+                .join(long, "id")
+                .groupBy("cluster", "pos")
+                .agg(F.sum("qv").alias("s"), F.count("*").alias("n"))
                 .select(
-                    F.element_at(
-                        F.expr(f"CAST(array({lost_sql}) AS ARRAY<BIGINT>)"),
-                        F.col("__rk"),
-                    ).alias("cluster"),
+                    "cluster",
                     "pos",
-                    (F.col("qv") * C_SCALE).alias("cval"),
+                    _round_half_away_col(
+                        F.col("s").cast("double") * C_SCALE / F.col("n")
+                    ).alias("cval"),
                 )
             )
-            new_cent = _ckpt(new_cent.unionByName(reseeded))
-            new_cent.count()  # materialize the reseeded checkpoint
-            new_cids |= set(lost)
-        cent = new_cent
-        prev_cids = sorted(new_cids)
+            new_cent = _ckpt(new_cent)
+            # one k-bounded action: detects lost clusters AND materializes
+            # the checkpoint (lazy checkpoints only persist when computed)
+            new_cids = {int(r[0]) for r in new_cent.select("cluster").distinct().collect()}
+            lost = sorted(set(prev_cids) - new_cids)
+            if lost and reseed_empty:
+                n_lost = len(lost)
+                # farthest assigned points (dist desc, id asc), one per
+                # lost cid — rank i re-seeds the i-th smallest lost cid
+                far = (
+                    assign.orderBy(F.desc("dist"), F.asc("id"))
+                    .limit(n_lost)
+                    .select(
+                        "id",
+                        F.row_number()
+                        .over(Window.orderBy(F.desc("dist"), F.asc("id")))
+                        .alias("__rk"),
+                    )
+                )
+                lost_sql = ",".join(str(c) for c in lost)
+                reseeded = (
+                    far.join(long, "id")
+                    .select(
+                        F.element_at(
+                            F.expr(f"CAST(array({lost_sql}) AS ARRAY<BIGINT>)"),
+                            F.col("__rk"),
+                        ).alias("cluster"),
+                        "pos",
+                        (F.col("qv") * C_SCALE).alias("cval"),
+                    )
+                )
+                new_cent = _ckpt(new_cent.unionByName(reseeded))
+                new_cent.count()  # materialize the reseeded checkpoint
+                new_cids |= set(lost)
+            cent = new_cent
+            prev_cids = sorted(new_cids)
 
     # final assignment against the final centroids, carrying qvec to
     # mirror kmeans_fit's (id, qvec, cluster, dist) contract
