@@ -42,9 +42,13 @@ a distributed trainer needs a total order.)
 
 from __future__ import annotations
 
+from collections import Counter
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+from .dedup import spread
 
 # End-of-word sentinel (Sennrich et al. convention): lets a merge
 # distinguish word-final subwords ("est</w>") from word-internal ones
@@ -95,13 +99,64 @@ def word_frequency_table(
     """(word, freq) over whitespace-split text — the single corpus-scale
     pass of BPE training. One shuffle (groupBy word), map-side combined."""
     return (
-        docs.select(
+        # spread: the split+explode map side otherwise serializes on an
+        # unsplittable single-row-group scan (no-op at real scale)
+        spread(docs.select(text_col))
+        .select(
             F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("word")
         )
         .filter(F.col("word") != "")
         .groupBy("word")
         .agg(F.count("*").alias("freq"))
     )
+
+
+#: Driver-route guard for :func:`bpe_train`: total CHAR-TOKEN CELLS
+#: (sum over distinct words of len(word)+1) the driver loop may hold.
+#: Below it, the per-merge pair count is a sub-second Python fold and
+#: the 3-jobs-per-merge distributed loop is pure scheduler latency;
+#: above it (real corpora: ~10M distinct words at web scale), the
+#: vocab-sized distributed loop runs exactly as before. 2^18 cells is
+#: a few MB of driver tuples and <= ~0.3 s/merge of Counter work.
+MAX_DRIVER_VOCAB_CELLS = 262_144
+
+
+def _driver_train(
+    rows: list, n_merges: int, min_freq: int
+) -> list[tuple]:
+    """The merge loop of :func:`bpe_train` on a collected (word, freq)
+    list — bit-identical semantics to the distributed loop (same
+    greedy left-to-right merge, same (pair_freq DESC, left ASC,
+    right ASC) argmax; the parity of both against this exact algorithm
+    is pinned by tests/test_bpe.ref_bpe_train)."""
+    vocab = [(tuple(w) + (EOW,), f) for w, f in rows]
+    merges: list[tuple] = []
+    for rank in range(n_merges):
+        pc: Counter = Counter()
+        for toks, f in vocab:
+            for p in zip(toks, toks[1:]):
+                pc[p] += f
+        if not pc:
+            break
+        (a, b), freq = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        if freq < min_freq:
+            break
+        merges.append((rank, a, b, a + b, int(freq)))
+        new_vocab = []
+        for toks, f in vocab:
+            out: list[str] = []
+            i = 0
+            n = len(toks)
+            while i < n:
+                if i + 1 < n and toks[i] == a and toks[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(toks[i])
+                    i += 1
+            new_vocab.append((tuple(out), f))
+        vocab = new_vocab
+    return merges
 
 
 MERGE_SCHEMA = T.StructType(
@@ -135,9 +190,26 @@ def bpe_train(
     growth changes only the one word_frequency_table shuffle.
     """
     spark = docs.sparkSession
+    wf = word_frequency_table(docs, text_col)
+    # Route on vocab size (the kmeans_fit auto-switch convention): the
+    # loop's working set is the DISTINCT-WORD table, so when its total
+    # char-token cells fit the driver guard, collecting it once and
+    # folding the merges in Python replaces ~3 scheduler round-trips
+    # per merge with zero — the corpus is still touched exactly once,
+    # by the word_frequency_table shuffle above (guide §1.2: fix the
+    # algorithm, not the config). Real corpora blow the guard and take
+    # the distributed loop below, unchanged.
+    wf = wf.localCheckpoint(eager=False)
+    cells = wf.agg(
+        F.coalesce(F.sum(F.length("word") + 1), F.lit(0)).alias("cells")
+    ).collect()[0]["cells"]
+    if cells <= MAX_DRIVER_VOCAB_CELLS:
+        rows = [(r["word"], r["freq"]) for r in wf.collect()]
+        return spark.createDataFrame(
+            _driver_train(rows, n_merges, min_freq), MERGE_SCHEMA
+        )
     vocab = (
-        word_frequency_table(docs, text_col)
-        .select(_char_tokens(F.col("word")).alias("tokens"), "freq")
+        wf.select(_char_tokens(F.col("word")).alias("tokens"), "freq")
         # corpus-scale lineage ends here; the loop below must not
         # re-trigger the corpus scan per merge
         .localCheckpoint(eager=False)

@@ -18,11 +18,33 @@ bounds memory, never correctness. ``release_cached`` drops everything
 from __future__ import annotations
 
 from collections import deque
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame
 
 _POOL: deque[DataFrame] = deque()
 _DEFAULT_CAP = 8
+
+
+@contextmanager
+def no_aqe(spark):
+    """Turn AQE off around a driver loop's bounded in-loop actions,
+    restoring the previous setting on exit. AQE materializes every
+    exchange as its own job — for a loop whose per-iteration action is
+    an aggregate over a table that is bounded by construction (k*D
+    centroid cells, a vocab-sized pair table) that is one extra
+    BLOCKING scheduler round-trip per iteration on the loop's critical
+    path, in exchange for re-planning a shuffle whose size is already
+    known and tiny (guide §1.2). Queries built outside the ``with``
+    block still run with AQE: the toggle covers only the actions issued
+    inside it. Do NOT use around corpus-scale shuffles — those want
+    AQE's coalescing and skew handling."""
+    prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev)
 
 
 def bounded_persist(df: DataFrame, cap: int = _DEFAULT_CAP) -> DataFrame:

@@ -44,13 +44,12 @@ surface the way dedup.py extends its exact-match checks.
 from __future__ import annotations
 
 import math
-from contextlib import contextmanager
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from .cache import bounded_persist
+from .cache import bounded_persist, no_aqe as _no_aqe
 from .dedup import spread
 
 #: scale for quantizing embedding components to integers
@@ -68,25 +67,6 @@ MAX_CENTROID_CELLS = 1_000_000
 #: (each must fit in an executor row anyway), so the defensive 1-row
 #: probe job would only add a sequential scheduling round-trip
 PROBE_FREE_K = 32
-
-
-@contextmanager
-def _no_aqe(spark):
-    """Turn AQE off around a driver loop's bounded in-loop collects,
-    restoring the previous setting on exit. AQE materializes every
-    exchange as its own job — for the loop's k*D-row aggregates that
-    is one extra BLOCKING scheduler round-trip per iteration on the
-    fit's critical path, in exchange for re-planning a shuffle whose
-    size is known and bounded by construction (r11, guide §1.2). The
-    surrounding query (the returned assignment plan, the caller's
-    joins) still runs with AQE: the toggle covers only the collects
-    issued inside the ``with`` block."""
-    prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
-    try:
-        yield
-    finally:
-        spark.conf.set("spark.sql.adaptive.enabled", prev)
 
 
 def quantize_vec(vec_col: Column, scale: int = Q_SCALE) -> Column:

@@ -135,6 +135,21 @@ def test_bpe_train_matches_reference_on_real_documents(spark):
     assert got == want
 
 
+def test_bpe_train_distributed_route_matches_reference(spark, monkeypatch):
+    # r11: small vocabs auto-route to a driver-side merge loop; force
+    # the DISTRIBUTED loop (cap = 0 cells) so its parity against the
+    # reference — and against the driver route — stays pinned
+    from data_integration_pipelines_spark.operators import bpe as bpe_mod
+
+    docs = spark.createDataFrame([(t,) for t in CORPUS], "text string")
+    via_driver = [tuple(r) for r in bpe_train(docs, n_merges=12).collect()]
+    monkeypatch.setattr(bpe_mod, "MAX_DRIVER_VOCAB_CELLS", 0)
+    via_cluster = [tuple(r) for r in bpe_train(docs, n_merges=12).collect()]
+    want, _ = ref_bpe_train(CORPUS, n_merges=12)
+    assert via_cluster == want
+    assert via_driver == via_cluster
+
+
 def test_bpe_train_deterministic_across_partitionings(spark):
     docs = spark.createDataFrame([(t,) for t in CORPUS], "text string")
     a = [tuple(r) for r in bpe_train(docs.repartition(7), n_merges=8).collect()]
