@@ -47,22 +47,76 @@ def _gopher_sig_col(n: int) -> str:
             else f"dup_{n}gram_char_frac_e4")
 
 
+def _charsum(arr: Column) -> Column:
+    """Total char length of an array of strings (0 for empty)."""
+    zero = F.lit(0).cast("long")
+    return F.aggregate(arr, zero, lambda a, x: a + F.length(x))
+
+
+def _dup_gram_mass(grams: Column) -> Column:
+    """Duplicate-gram char mass of ONE document's gram stream:
+    sum over repeated grams of (count-1) x char length — identically
+    charsum(all grams) - charsum(distinct grams), three native array
+    ops, no sort, no shuffle."""
+    return _charsum(grams) - _charsum(F.array_distinct(grams))
+
+
+def _run_starts(sg: Column) -> Column:
+    """0-based positions where a run starts in a SORTED string array:
+    i == 0 or sg[i] != sg[i-1]. ``sg`` MUST be a plain column
+    reference, not an expression tree — it is captured inside HOF
+    lambdas, where a non-trivial expression would be re-evaluated per
+    element (an O(len^2) trap)."""
+    return F.filter(
+        F.transform(sg, lambda x, i: i),
+        lambda i: (i == F.lit(0))
+        | (F.element_at(sg, i + 1) != F.element_at(sg, i)),
+    )
+
+
+def _top_gram_mass(sg: Column, starts: Column) -> Column:
+    """Top-gram char mass from a SORTED gram array and its run-start
+    positions: occurrences x char length of the most frequent gram,
+    count ties broken by the lexicographically largest gram — exactly
+    ``max(struct(c, gram))`` (in ascending order an equal-count run
+    later in the array carries the larger gram, and ``array_max`` on
+    (c, g) structs compares c first). Empty stream -> 0. Like
+    :func:`_run_starts`, both inputs must be plain column refs."""
+    zero = F.lit(0).cast("long")
+    ends = F.concat(
+        F.slice(starts, 2, F.greatest(F.size(starts) - 1, F.lit(0))),
+        F.array(F.size(sg)),
+    )
+    runs = F.zip_with(
+        starts,
+        ends,
+        lambda s, e: F.struct(
+            (e - s).cast("long").alias("c"),
+            F.element_at(sg, s + 1).alias("g"),
+        ),
+    )
+    m = F.array_max(runs)
+    return F.when(F.size(sg) == 0, zero).otherwise(
+        m["c"] * F.length(m["g"])
+    )
+
+
 def gopher_signals_frame(rep: DataFrame) -> DataFrame:
     """Per-document Gopher repetition signals over a ``(doc_id, text)``
     frame (multi-line text).
 
-    Plan shape (the 100 TB story): line stats are pure per-row array
-    expressions — zero shuffle. The n-gram side builds all nine gram
-    streams array-side (``word_shingles``, zip_with of shifted slices)
-    and explodes ONCE into a (doc_id, n, gram) stream of ~9T rows for
-    a T-token corpus, then: one combiner-friendly groupBy on
-    (doc_id, n, gram) — partial counts collapse duplicates map-side —
-    one doc_id,n reduction (max-struct top + summed dup mass, both
-    partial-agg friendly), one doc_id pivot, and one doc_id-keyed join
-    back to the per-row stats. Every aggregation is associative; no
-    window, no driver loop, nothing sized by vocabulary on any single
-    node. Per-row cost is linear in doc length (the shingle arrays are
-    slices, not materialized cross-products).
+    Plan shape (the 100 TB story): EVERY signal — line stats and all
+    nine n-gram stats — is a pure per-row array expression, so the
+    whole frame is a single shuffle-free map over the scan. The six
+    dup-gram masses are charsum(grams) - charsum(distinct grams)
+    (:func:`_dup_gram_mass`, no sort); the three top-gram masses sort
+    their gram stream and take an ``array_max`` over run-length structs
+    (:func:`_top_gram_mass`); per-row cost is O(L log L) in the doc's
+    token count and nothing is sized by corpus or vocabulary anywhere.
+    (Through r10 this exploded a (doc_id, n, gram) stream — ~9T rows
+    for a T-token corpus — through two groupBys, a pivot and a join;
+    the gram stats are per-document functions, so that entire
+    4-exchange corpus-scale shuffle was removable, r11 guide §2.4.)
 
     Every signal is a pure function of the single document — no
     batchmates, no corpus state — which is what makes the streaming
@@ -80,70 +134,65 @@ def gopher_signals_frame(rep: DataFrame) -> DataFrame:
     ns = _GOPHER_TOP_NS + _GOPHER_DUP_NS
     lines = F.split(F.col("text"), "\n")
     dlines = F.array_distinct(lines)
-    zero = F.lit(0).cast("long")
-
-    def charsum(arr: Column) -> Column:
-        return F.aggregate(arr, zero, lambda a, x: a + F.length(x))
 
     base = rep.select(
         "doc_id",
         F.length("text").cast("long").alias("total_chars"),
         F.size(lines).cast("long").alias("n_lines"),
-        charsum(lines).alias("line_chars"),
+        _charsum(lines).alias("line_chars"),
         F.size(dlines).cast("long").alias("n_distinct_lines"),
-        charsum(dlines).alias("distinct_line_chars"),
+        _charsum(dlines).alias("distinct_line_chars"),
         ws_tokens(F.col("text")).alias("toks"),
     )
 
-    def _tag(n: int):
-        # NB: a closure factory, not a default-arg lambda — F.transform
-        # dispatches on lambda ARITY, so `lambda g, n=n` would be called
-        # as (element, index) and bind n to the position index.
-        return lambda g: F.struct(F.lit(n).alias("n"), g.alias("gram"))
-
-    occ = base.select(
+    keep = [
         "doc_id",
-        F.explode(
-            F.flatten(
-                F.array(*[
-                    F.transform(word_shingles(F.col("toks"), n), _tag(n))
-                    for n in ns
-                ])
-            )
-        ).alias("o"),
-    ).select("doc_id", F.col("o.n").alias("n"), F.col("o.gram").alias("gram"))
-    pern = (
-        occ.groupBy("doc_id", "n", "gram")
-        .agg(F.count("*").alias("c"))
-        .groupBy("doc_id", "n")
-        .agg(
-            F.max(F.struct(F.col("c"), F.col("gram"))).alias("top"),
-            F.sum(
-                F.when(
-                    F.col("c") > 1, (F.col("c") - 1) * F.length("gram")
-                ).otherwise(F.lit(0))
-            ).alias("dup_mass"),
-        )
-        .select(
-            "doc_id",
-            "n",
-            (F.col("top.c") * F.length(F.col("top.gram"))).alias("top_mass"),
-            "dup_mass",
-        )
-    )
-    piv = pern.groupBy("doc_id").agg(
+        "n_lines",
+        "total_chars",
+        "line_chars",
+        "n_distinct_lines",
+        "distinct_line_chars",
+    ]
+    # Four projection layers so every multiply-referenced or
+    # HOF-captured intermediate (the gram arrays, the sorted arrays,
+    # their run-start index arrays) is a PLAIN column reference where
+    # it is consumed — an expression tree in those positions would be
+    # re-evaluated per reference (or, inside a lambda, per element:
+    # the O(len^2) trap _run_starts documents).
+    grams = base.select(
+        *keep,
         *[
-            F.max(
-                F.when(
-                    F.col("n") == n,
-                    F.col("top_mass") if n in _GOPHER_TOP_NS else F.col("dup_mass"),
-                )
-            ).alias(f"m{n}")
-            for n in ns
-        ]
+            word_shingles(F.col("toks"), n).alias(f"g{n}")
+            for n in _GOPHER_TOP_NS + _GOPHER_DUP_NS
+        ],
     )
-    sig = base.drop("toks").join(piv, "doc_id", "left")
-    return sig.select(
+    sorted_grams = grams.select(
+        *keep,
+        *[
+            F.array_sort(F.col(f"g{n}")).alias(f"sg{n}")
+            for n in _GOPHER_TOP_NS
+        ],
+        *[
+            _dup_gram_mass(F.col(f"g{n}")).alias(f"m{n}")
+            for n in _GOPHER_DUP_NS
+        ],
+    )
+    with_starts = sorted_grams.select(
+        "*",
+        *[
+            _run_starts(F.col(f"sg{n}")).alias(f"st{n}")
+            for n in _GOPHER_TOP_NS
+        ],
+    )
+    masses = with_starts.select(
+        *keep,
+        *[
+            _top_gram_mass(F.col(f"sg{n}"), F.col(f"st{n}")).alias(f"m{n}")
+            for n in _GOPHER_TOP_NS
+        ],
+        *[F.col(f"m{n}") for n in _GOPHER_DUP_NS],
+    )
+    return masses.select(
         "doc_id",
         "n_lines",
         "total_chars",
@@ -155,9 +204,9 @@ def gopher_signals_frame(rep: DataFrame) -> DataFrame:
             / F.col("line_chars")
         ).alias("dup_line_char_frac_e4"),
         *[
-            e4(
-                F.coalesce(F.col(f"m{n}"), F.lit(0)) / F.col("total_chars")
-            ).alias(_gopher_sig_col(n))
+            e4(F.col(f"m{n}") / F.col("total_chars")).alias(
+                _gopher_sig_col(n)
+            )
             for n in ns
         ],
     )

@@ -621,49 +621,46 @@ def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     def fmt_ts(c):
         return F.date_format(c, "yyyy-MM-dd HH:mm:ss")
 
-    one = li.agg(
-        F.count("*").alias("n_rows"),
-        (F.count("*") - F.count("l_quantity")).alias("qty_nulls"),
-        F.countDistinct("l_quantity").alias("qty_distinct"),
-        F.min("l_quantity").cast("string").alias("qty_min"),
-        F.max("l_quantity").cast("string").alias("qty_max"),
-        (F.count("*") - F.count("l_returnflag")).alias("rf_nulls"),
-        F.countDistinct("l_returnflag").alias("rf_distinct"),
-        F.min("l_returnflag").alias("rf_min"),
-        F.max("l_returnflag").alias("rf_max"),
-        (F.count("*") - F.count("l_shipdate")).alias("sd_nulls"),
-        F.countDistinct("l_shipdate").alias("sd_distinct"),
-        fmt_ts(F.min("l_shipdate")).alias("sd_min"),
-        fmt_ts(F.max("l_shipdate")).alias("sd_max"),
-    )
-    rows = one.select(
-        F.explode(
-            F.array(
-                F.struct(
-                    F.lit("l_quantity").alias("col"),
-                    F.col("n_rows"),
-                    F.col("qty_nulls").alias("n_nulls"),
-                    F.col("qty_distinct").alias("n_distinct"),
-                    F.col("qty_min").alias("min_val"),
-                    F.col("qty_max").alias("max_val"),
-                ),
-                F.struct(
-                    F.lit("l_returnflag").alias("col"),
-                    F.col("n_rows"),
-                    F.col("rf_nulls").alias("n_nulls"),
-                    F.col("rf_distinct").alias("n_distinct"),
-                    F.col("rf_min").alias("min_val"),
-                    F.col("rf_max").alias("max_val"),
-                ),
-                F.struct(
-                    F.lit("l_shipdate").alias("col"),
-                    F.col("n_rows"),
-                    F.col("sd_nulls").alias("n_nulls"),
-                    F.col("sd_distinct").alias("n_distinct"),
-                    F.col("sd_min").alias("min_val"),
-                    F.col("sd_max").alias("max_val"),
-                ),
+    # One branch per profiled column, each a TWO-LEVEL hash
+    # aggregation: groupBy(value) with map-side partial aggregation
+    # shuffles only the column's DISTINCT values, then a 1-row fold
+    # reads counts and min/max off the group keys. The previous
+    # all-in-one agg with three COUNT(DISTINCT)s planned as an
+    # Expand(x4) of every row into a SortAggregate — 4x the rows
+    # through a per-partition sort, and 4x the shuffle bytes (r11,
+    # guide §2.3/§2.4). Values are bit-identical: countDistinct ==
+    # count of non-null group keys; min/max skip nulls on both routes
+    # and are formatted AFTER aggregating, on the native type.
+    def profile(col: str, fmt=None):
+        mn, mx = F.min(col), F.max(col)
+        if fmt is not None:
+            mn, mx = fmt(mn), fmt(mx)
+        return (
+            li.groupBy(col)
+            .agg(F.count("*").alias("__n"))
+            .agg(
+                F.coalesce(F.sum("__n"), F.lit(0)).alias("n_rows"),
+                F.coalesce(
+                    F.sum(F.when(F.col(col).isNull(), F.col("__n"))),
+                    F.lit(0),
+                ).alias("n_nulls"),
+                F.count(col).alias("n_distinct"),
+                mn.cast("string").alias("min_val"),
+                mx.cast("string").alias("max_val"),
             )
-        ).alias("p")
-    ).select("p.*")
+            .select(
+                F.lit(col).alias("col"),
+                "n_rows",
+                "n_nulls",
+                "n_distinct",
+                "min_val",
+                "max_val",
+            )
+        )
+
+    rows = (
+        profile("l_quantity")
+        .unionByName(profile("l_returnflag"))
+        .unionByName(profile("l_shipdate", fmt=fmt_ts))
+    )
     return rows.orderBy("col")

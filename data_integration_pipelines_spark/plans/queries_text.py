@@ -2320,9 +2320,15 @@ def _gopher_filter_sql() -> str:
     "numerators, one IEEE division).",
 )
 def gopher_repetition_signals_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return gopher_signals_frame(_rep_docs(_docs(spark, sf_dir))).orderBy(
-        "doc_id"
-    )
+    from ..operators.cache import bounded_persist
+
+    # persist before the presentation sort: the signal battery is a
+    # SHUFFLE-FREE heavy map, so a bare orderBy would execute it twice
+    # (the range partitioner's sampling job re-runs the whole child
+    # when there is no shuffle to reuse, r11 guide §2.4); persisted,
+    # the map runs once and only the small signal rows sort
+    sig = bounded_persist(gopher_signals_frame(_rep_docs(_docs(spark, sf_dir))))
+    return sig.orderBy("doc_id")
 
 
 @register(
@@ -2341,9 +2347,15 @@ def gopher_repetition_signals_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     "document-level reject stage CCNet's line dedup does not cover.",
 )
 def gopher_repetition_filter_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return gopher_filter_frame(
-        gopher_signals_frame(_rep_docs(_docs(spark, sf_dir)))
-    ).orderBy("doc_id")
+    from ..operators.cache import bounded_persist
+
+    # persist before the sort — see gopher_repetition_signals_q
+    gate = bounded_persist(
+        gopher_filter_frame(
+            gopher_signals_frame(_rep_docs(_docs(spark, sf_dir)))
+        )
+    )
+    return gate.orderBy("doc_id")
 
 
 # --- Gopher document-level rules + the complete Table-A1 filter -----
@@ -2510,11 +2522,14 @@ def _gdoc_docs(docs: DataFrame) -> DataFrame:
     "vocabulary).",
 )
 def gopher_document_rules_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.cache import bounded_persist
     from ..operators.gopher import gopher_doc_rules_frame
 
-    return gopher_doc_rules_frame(_gdoc_docs(_docs(spark, sf_dir))).orderBy(
-        "doc_id"
+    # persist before the sort — see gopher_repetition_signals_q
+    rules = bounded_persist(
+        gopher_doc_rules_frame(_gdoc_docs(_docs(spark, sf_dir)))
     )
+    return rules.orderBy("doc_id")
 
 
 @register(
@@ -2557,8 +2572,11 @@ def gopher_document_rules_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     "MassiveText-style pipeline runs between extraction and dedup.",
 )
 def gopher_full_filter_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.cache import bounded_persist
     from ..operators.gopher import gopher_full_filter_frame
 
-    return gopher_full_filter_frame(_gdoc_docs(_docs(spark, sf_dir))).orderBy(
-        "doc_id"
+    # persist before the sort — see gopher_repetition_signals_q
+    full = bounded_persist(
+        gopher_full_filter_frame(_gdoc_docs(_docs(spark, sf_dir)))
     )
+    return full.orderBy("doc_id")

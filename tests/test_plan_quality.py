@@ -343,11 +343,20 @@ def test_probed_near_dup_capped_default_plan_shape(plans):
     assert "__pop" in plans["dedup_consensus"]
 
 
-def test_gopher_signals_single_explode(plans):
-    # The Gopher battery's scale claim (operators/gopher.py): all nine
-    # gram streams build ARRAY-SIDE and explode ONCE into a single
-    # combiner-friendly (doc_id, n, gram) aggregate — 9 per-n explodes
-    # (or worse, 9 per-n shuffles) would multiply the corpus-scan cost.
+def test_gopher_signals_shuffle_free(plans):
+    # The Gopher battery's scale claim (operators/gopher.py, r11): every
+    # repetition signal is a pure per-row array expression — NO explode
+    # and NO shuffle anywhere in the signal computation (through r10 the
+    # gram streams exploded into a corpus-scale (doc_id, n, gram)
+    # aggregate; the stats are per-document functions, so that whole
+    # 4-exchange subtree was removable). The only Exchange allowed in
+    # the registered plans is the presentation sort's range partitioning
+    # over the persisted signal rows.
+    # (spread()'s round-robin fan-out off a single-partition scan is
+    # also an Exchange — allowed: it carries no aggregation semantics
+    # and is a no-op at real scale.)
     for name in ("gopher_repetition_signals", "gopher_repetition_filter"):
         p = plans[name]
-        assert p.count("Generate explode") == 1, name
+        assert p.count("Generate explode") == 0, name
+        assert "hashpartitioning" not in p, name
+        assert "rangepartitioning" in p, name
