@@ -56,6 +56,22 @@ def bounded_persist(df: DataFrame, cap: int = _DEFAULT_CAP) -> DataFrame:
     return handle
 
 
+def presented(df: DataFrame, *order_cols) -> DataFrame:
+    """Pool-persist ``df`` and apply the presentation ``orderBy``.
+
+    For a query whose lineage up to the final global sort is
+    SHUFFLE-FREE (a heavy per-row kernel: codec mapInPandas, pandas-UDF
+    scoring, HOF-dense text maps), a bare ``orderBy`` executes the
+    whole map TWICE — the range partitioner's sampling job re-runs the
+    child because there is no shuffle or cached intermediate to reuse.
+    Persisting the (small, post-kernel) rows first makes the kernel run
+    once: the sample and the sort both read the pooled cache (r11,
+    guide §2.4 "an orderBy used only to make output deterministic").
+    Use only where the pre-sort subtree is expensive; for trivial
+    projections the persist costs more than the re-run."""
+    return bounded_persist(df).orderBy(*order_cols)
+
+
 def release_cached() -> int:
     """Unpersist every pooled table; returns how many were released."""
     n = 0

@@ -1228,12 +1228,22 @@ def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", toks.alias("toks"), F.explode(starts).alias("s")
     ).filter(F.size("toks") > 0)
     window_txt = F.concat_ws(" ", F.slice(F.col("toks"), F.col("s") + 1, chunk))
-    return exploded.select(
+    from ..operators.cache import presented
+
+    # presented(): shuffle-free chunking map — a bare orderBy runs it
+    # twice via range-partition sampling (see operators/cache.py)
+    return presented(
+        exploded.select(
+            "doc_id",
+            (F.col("s") / stride).cast("int").alias("chunk_idx"),
+            F.least(F.lit(chunk), F.size("toks") - F.col("s"))
+            .cast("int")
+            .alias("n_tokens"),
+            F.md5(window_txt).alias("chunk_md5"),
+        ),
         "doc_id",
-        (F.col("s") / stride).cast("int").alias("chunk_idx"),
-        F.least(F.lit(chunk), F.size("toks") - F.col("s")).cast("int").alias("n_tokens"),
-        F.md5(window_txt).alias("chunk_md5"),
-    ).orderBy("doc_id", "chunk_idx")
+        "chunk_idx",
+    )
 
 
 @register(

@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from ..functions.quantize import e4_sql
+from ..operators.cache import presented
 from ..operators.multimodal import (
     extract_audio_features,
     extract_image_features,
@@ -106,8 +107,12 @@ def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def frame_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     assets = _assets(spark, sf_dir, 200)
-    return sample_frames(assets, every_n_bytes=4, max_frames=8).orderBy(
-        "id", "frame_idx"
+    # presented(): the decode kernel is shuffle-free — a bare orderBy
+    # would run it twice (range-partition sampling); same below
+    return presented(
+        sample_frames(assets, every_n_bytes=4, max_frames=8),
+        "id",
+        "frame_idx",
     )
 
 
@@ -130,7 +135,9 @@ def image_resize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     assets = _assets(spark, sf_dir, 200)
     # deterministic=True: the oracle recomputes the FAKE digest, so the
     # hash must not depend on whether the container has PIL
-    return resize_images(assets, target=(32, 32), deterministic=True).orderBy("id")
+    return presented(
+        resize_images(assets, target=(32, 32), deterministic=True), "id"
+    )
 
 
 @register(
@@ -173,7 +180,7 @@ def image_resize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def audio_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     assets = _assets(spark, sf_dir, 200)
-    return extract_audio_features(assets, deterministic=True).orderBy("id")
+    return presented(extract_audio_features(assets, deterministic=True), "id")
 
 
 @register(
@@ -235,14 +242,17 @@ def wav_native_audio_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     encoded = seeds.mapInPandas(encode, schema="id bigint, content binary")
     feats = extract_audio_features(encoded)
-    return feats.select(
+    return presented(
+        feats.select(
+            "id",
+            "sample_rate",
+            "n_samples",
+            e4(F.col("rms")).alias("rms_e4"),
+            "decoded",
+            "format",
+        ),
         "id",
-        "sample_rate",
-        "n_samples",
-        e4(F.col("rms")).alias("rms_e4"),
-        "decoded",
-        "format",
-    ).orderBy("id")
+    )
 
 
 @register(
@@ -307,14 +317,17 @@ def flac_native_audio_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     encoded = seeds.mapInPandas(encode, schema="id bigint, content binary")
     feats = extract_audio_features(encoded)
-    return feats.select(
+    return presented(
+        feats.select(
+            "id",
+            "sample_rate",
+            "n_samples",
+            e4(F.col("rms")).alias("rms_e4"),
+            "decoded",
+            "format",
+        ),
         "id",
-        "sample_rate",
-        "n_samples",
-        e4(F.col("rms")).alias("rms_e4"),
-        "decoded",
-        "format",
-    ).orderBy("id")
+    )
 
 
 @register(
@@ -374,7 +387,7 @@ def flac_native_audio_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def image_decode_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     assets = _assets(spark, sf_dir, 200)
-    return extract_image_features(assets, crc_domain="hex").orderBy("id")
+    return presented(extract_image_features(assets, crc_domain="hex"), "id")
 
 
 @register(
@@ -437,7 +450,7 @@ def png_decode_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     encoded = pix.mapInPandas(encode, schema="id bigint, content binary")
     from ..operators.multimodal import extract_image_features
 
-    return extract_image_features(encoded, crc_domain="hex").orderBy("id")
+    return presented(extract_image_features(encoded, crc_domain="hex"), "id")
 
 
 @register(
@@ -483,7 +496,7 @@ def jpeg_decode_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("content"),
     )
-    return extract_image_features(assets, crc_domain="hex").orderBy("id")
+    return presented(extract_image_features(assets, crc_domain="hex"), "id")
 
 
 @register(
@@ -561,13 +574,16 @@ def jpeg_native_decode_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     encoded = grays.mapInPandas(encode, schema="id bigint, content binary")
     feats = extract_image_features(encoded, crc_domain="hex")
-    return feats.select(
+    return presented(
+        feats.select(
+            "id",
+            "width",
+            "height",
+            "n_channels",
+            e4(F.col("mean_intensity")).alias("mean_intensity_e4"),
+            "feature_crc",
+            "decoded",
+            "format",
+        ),
         "id",
-        "width",
-        "height",
-        "n_channels",
-        e4(F.col("mean_intensity")).alias("mean_intensity_e4"),
-        "feature_crc",
-        "decoded",
-        "format",
-    ).orderBy("id")
+    )

@@ -444,7 +444,11 @@ def char_ngram_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("s_queryish") >= F.col("s_sparkish"), "queryish")
         .otherwise("sparkish")
     )
-    return scored.withColumn("predicted", predicted).orderBy("doc_id")
+    from ..operators.cache import presented
+
+    # presented(): shuffle-free trigram scoring — a bare orderBy runs
+    # it twice via range-partition sampling (see operators/cache.py)
+    return presented(scored.withColumn("predicted", predicted), "doc_id")
 
 
 @register(
@@ -813,21 +817,24 @@ def cms_token_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def quality_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.text import quality_features, quality_logit
+    from ..operators.cache import presented
 
     docs = _docs(spark, sf_dir)
     toks = ws_tokens(F.col("text"))
     feats = quality_features(toks)
     z = quality_logit(toks)
     return (
-        docs.select(
+        presented(
+            docs.select(
+                "doc_id",
+                e4(feats["swr"]).alias("stopword_ratio_e4"),
+                e4(feats["atl"]).alias("avg_token_len_e4"),
+                e4(feats["ttr"]).alias("type_token_ratio_e4"),
+                e4(z).alias("score_e4"),
+                (z >= F.lit(0.0)).alias("keep"),
+            ),
             "doc_id",
-            e4(feats["swr"]).alias("stopword_ratio_e4"),
-            e4(feats["atl"]).alias("avg_token_len_e4"),
-            e4(feats["ttr"]).alias("type_token_ratio_e4"),
-            e4(z).alias("score_e4"),
-            (z >= F.lit(0.0)).alias("keep"),
         )
-        .orderBy("doc_id")
     )
 
 
@@ -1194,13 +1201,20 @@ def bpe_encode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         (r["left"], r["right"])
         for r in bpe_train(docs, n_merges=16).collect()
     ]
+    from ..operators.cache import presented
+
     enc = bpe_encode(docs, merges)
-    return enc.select(
+    # presented(): the encode pandas UDF is shuffle-free — a bare
+    # orderBy would run it twice (range-partition sampling)
+    return presented(
+        enc.select(
+            "doc_id",
+            F.size("bpe_tokens").alias("n_bpe_tokens"),
+            F.size(ws_tokens(F.col("text"))).alias("n_ws_tokens"),
+            F.md5(F.array_join("bpe_tokens", " ")).alias("tokens_md5"),
+        ),
         "doc_id",
-        F.size("bpe_tokens").alias("n_bpe_tokens"),
-        F.size(ws_tokens(F.col("text"))).alias("n_ws_tokens"),
-        F.md5(F.array_join("bpe_tokens", " ")).alias("tokens_md5"),
-    ).orderBy("doc_id")
+    )
 
 
 _SEG_CTE = r"""
@@ -2112,9 +2126,11 @@ def quality_perceptron_scores_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     feats = perceptron_features(_docs(spark, sf_dir))
     hist = perceptron_train(feats, n_iters=3)
     w = [hist[-1][k] for k in ("w_bias", "w_swr", "w_atl", "w_ttr")]
-    return perceptron_scores(
-        feats.filter(F.col("doc_id") < 200), w
-    ).orderBy("doc_id")
+    from ..operators.cache import presented
+
+    return presented(
+        perceptron_scores(feats.filter(F.col("doc_id") < 200), w), "doc_id"
+    )
 
 
 # --- Gopher repetition quality rules (Rae et al. 2021) --------------

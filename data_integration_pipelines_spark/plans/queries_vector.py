@@ -168,8 +168,15 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 def embedding_near_dup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import embedding_near_dup_pairs
 
+    from ..operators.cache import presented
+
     emb = load_table(spark, sf_dir, "embeddings")
-    return embedding_near_dup_pairs(emb, threshold=0.35).orderBy("id_a", "id_b")
+    # presented(): the pair emitter's final distance filter is heavy and
+    # shuffle-free past its persisted candidate join — a bare orderBy
+    # re-runs it via range-partition sampling
+    return presented(
+        embedding_near_dup_pairs(emb, threshold=0.35), "id_a", "id_b"
+    )
 
 
 def _multiprobe_oracle(n_planes: int = 8, max_hamming: int = 1) -> str:

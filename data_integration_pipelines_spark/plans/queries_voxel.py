@@ -69,9 +69,15 @@ _ORACLE_IDX = """
     "region_comparison.py:81-105).",
 )
 def voxel_region_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.cache import presented
+
     pts = _points(spark, sf_dir, 300)
     labeled = lookup_regions(pts, _volume(), make_affine(_SPACING, _ORIGIN))
-    return labeled.select("point_id", "x", "y", "z", "region_id").orderBy("point_id")
+    # presented(): the voxel-lookup kernel is shuffle-free — a bare
+    # orderBy would run it twice (range-partition sampling)
+    return presented(
+        labeled.select("point_id", "x", "y", "z", "region_id"), "point_id"
+    )
 
 
 @register(
