@@ -19,6 +19,70 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+#: Hop tables at or under this row count run the closure on the driver
+#: (collect once, Python BFS, one Arrow createDataFrame back) — the
+#: working set is the ontology itself, so per-hop Spark jobs are pure
+#: scheduler latency. Two longs per row: a few tens of MB at the cap.
+DRIVER_EDGE_ROWS = 250_000
+
+#: Hop tables above the driver cap but at or under this row count are
+#: broadcast into the distributed loop's per-hop join; larger graphs
+#: keep the planner-chosen shuffle join.
+BROADCAST_HOP_ROWS = 1_000_000
+
+
+def _driver_closure(
+    edges: DataFrame, up: DataFrame, max_iterations: int
+) -> DataFrame:
+    """Driver-side semi-naive closure over a collected hop table —
+    bit-identical semantics to the distributed loop (multiset row
+    semantics of the iterated join, same depth numbering, same
+    non-convergence error)."""
+    from collections import defaultdict
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    up_map: dict = defaultdict(list)
+    direct_rows: list[tuple] = []
+    for r in up.collect():
+        c, p = r["_c"], r["_p"]
+        up_map[c].append(p)
+        direct_rows.append((c, p, 1))
+    rows = list(direct_rows)
+    frontier = direct_rows
+    for _ in range(max_iterations):
+        nxt = [
+            (n, p, d + 1)
+            for (n, a, d) in frontier
+            for p in up_map.get(a, ())
+        ]
+        if not nxt:
+            break
+        rows.extend(nxt)
+        frontier = nxt
+    else:
+        raise RuntimeError(
+            f"closure did not converge in {max_iterations} iterations (cycle?)"
+        )
+    schema = T.StructType(
+        [
+            T.StructField("node", up.schema["_c"].dataType, True),
+            T.StructField("ancestor", up.schema["_p"].dataType, True),
+            T.StructField("depth", T.IntegerType(), False),
+        ]
+    )
+    if rows:
+        node_c, anc_c, dep_c = zip(*rows)
+    else:
+        node_c, anc_c, dep_c = (), (), ()
+    # columnar build: pd.DataFrame over three sequences is ~an order of
+    # magnitude cheaper than row-tuple ingestion at closure sizes
+    pdf = pd.DataFrame(
+        {"node": node_c, "ancestor": anc_c, "depth": dep_c}
+    )
+    return edges.sparkSession.createDataFrame(pdf, schema)
+
 
 def transitive_closure(
     edges: DataFrame,
@@ -31,6 +95,15 @@ def transitive_closure(
     ``edges`` holds direct links (depth 1). Output columns:
     ``node``, ``ancestor``, ``depth`` (>=1; direct parents have depth 1,
     so direct-vs-transitive reachability stays distinguishable).
+
+    Loop cost (r11, guide §1.2/§3.1): the static hop table is
+    checkpointed ONCE (the loop must not re-scan the source per hop)
+    and — when it is ontology-sized — broadcast, so each hop is a
+    single shuffle-free job: map over the cached frontier, broadcast
+    hash join, lazy checkpoint whose ``count()`` both materializes it
+    and answers the fixpoint test. (Previously every hop paid an eager
+    checkpoint job PLUS a separate isEmpty job over a shuffle join
+    that re-read the source.)
     """
     direct = edges.select(
         F.col(child_col).alias("node"),
@@ -40,17 +113,30 @@ def transitive_closure(
 
     up = direct.select(
         F.col("node").alias("_c"), F.col("ancestor").alias("_p")
-    )  # static hop table
+    ).localCheckpoint(eager=False)  # static hop table, materialized once
+    n_edges = up.count()
+    if n_edges <= DRIVER_EDGE_ROWS:
+        # Driver route (the kmeans_fit/bpe_train auto-switch
+        # convention): the hop table IS the whole working set and it is
+        # ontology-sized, so ~tree-depth sequential Spark jobs — each a
+        # scheduler round-trip over a few thousand cached rows — are
+        # pure latency. Collect the pairs once, run the identical
+        # semi-naive extension in Python (same multiset semantics: one
+        # output row per (frontier row x matching hop edge), same
+        # cycle guard), and hand back ONE Arrow-built DataFrame.
+        return _driver_closure(edges, up, max_iterations)
+    hop = F.broadcast(up) if n_edges <= BROADCAST_HOP_ROWS else up
     closure = direct
     frontier = direct
     for _ in range(max_iterations):
         # extend the newest paths by one hop (semi-naive: only frontier joins)
         nxt = (
-            frontier.join(up, frontier.ancestor == up._c)
+            frontier.join(hop, frontier.ancestor == up._c)
             .select(frontier.node, up._p.alias("ancestor"), (frontier.depth + 1).alias("depth"))
         )
-        nxt = nxt.localCheckpoint(eager=True)
-        if nxt.isEmpty():
+        # one action: materializes the lazy checkpoint AND tests fixpoint
+        nxt = nxt.localCheckpoint(eager=False)
+        if nxt.count() == 0:
             break
         closure = closure.unionByName(nxt)
         frontier = nxt

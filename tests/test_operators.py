@@ -96,6 +96,37 @@ class TestClosure:
         with pytest.raises(RuntimeError, match="did not converge"):
             transitive_closure(edges, max_iterations=5)
 
+    def test_distributed_route_matches_driver_route(self, spark, monkeypatch):
+        # r11: small hop tables auto-route to a driver-side BFS; force
+        # the DISTRIBUTED loop (cap = 0) and pin parity — including the
+        # multiset row semantics of a multi-parent DAG (two paths to
+        # the same ancestor = two rows on both routes)
+        from data_integration_pipelines_spark.operators import closure as cl
+
+        edges = spark.createDataFrame(
+            # diamond DAG (4 has parents 2 and 3, both under 1) + chain
+            [(2, 1), (3, 1), (4, 2), (4, 3), (5, 4)],
+            ["child", "parent"],
+        )
+        via_driver = sorted(
+            map(tuple, transitive_closure(edges).collect())
+        )
+        monkeypatch.setattr(cl, "DRIVER_EDGE_ROWS", 0)
+        via_cluster = sorted(
+            map(tuple, transitive_closure(edges).collect())
+        )
+        assert via_driver == via_cluster
+        # the diamond contributes TWO (4, 1, 2) rows — one per path
+        assert via_driver.count((4, 1, 2)) == 2
+
+    def test_cycle_raises_distributed(self, spark, monkeypatch):
+        from data_integration_pipelines_spark.operators import closure as cl
+
+        monkeypatch.setattr(cl, "DRIVER_EDGE_ROWS", 0)
+        edges = spark.createDataFrame([(1, 2), (2, 1)], ["child", "parent"])
+        with pytest.raises(RuntimeError, match="did not converge"):
+            transitive_closure(edges, max_iterations=5)
+
     def test_siblings(self, spark):
         edges = spark.createDataFrame([(1, 0), (2, 0), (3, 0), (4, 9)], ["child", "parent"])
         pairs = {(r.a, r.b) for r in siblings(edges).collect()}
