@@ -27,7 +27,7 @@ _DEFAULT_CAP = 8
 
 
 @contextmanager
-def no_aqe(spark):
+def no_aqe(spark, shuffle_partitions: int | None = None):
     """Turn AQE off around a driver loop's bounded in-loop actions,
     restoring the previous setting on exit. AQE materializes every
     exchange as its own job — for a loop whose per-iteration action is
@@ -38,13 +38,26 @@ def no_aqe(spark):
     known and tiny (guide §1.2). Queries built outside the ``with``
     block still run with AQE: the toggle covers only the actions issued
     inside it. Do NOT use around corpus-scale shuffles — those want
-    AQE's coalescing and skew handling."""
+    AQE's coalescing and skew handling.
+
+    ``shuffle_partitions``: optionally pin the in-loop shuffle width
+    too (restored on exit). ONLY pass this when the shuffled data is
+    bounded by the operator's own guard (e.g. the k*D centroid update
+    the loop collects to the driver anyway) — then a tiny fixed width
+    is correct at every scale, and it removes the per-iteration cost of
+    launching default-width reduce waves over a few hundred rows
+    (measured 0.35 -> 0.23 s/iteration at k*D = 512 on local[32])."""
     prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
+    if shuffle_partitions is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
     try:
         yield
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", prev)
+        if shuffle_partitions is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
 
 
 def bounded_persist(df: DataFrame, cap: int = _DEFAULT_CAP) -> DataFrame:

@@ -233,8 +233,24 @@ def kmeans_fit(
     centroids = [
         (int(r["id"]), [int(v) * C_SCALE for v in r["qvec"]]) for r in seed_rows
     ]
+    # Right-size the loop's map side (the CC _rightsized convention):
+    # spread() fans the interpreted assignment map to full parallelism,
+    # but below ~1k rows/partition task-launch overhead dominates the
+    # per-task work and every sequential iteration pays it (measured
+    # 0.53 -> 0.27 s/iteration at 2k rows on local[32]). The count is
+    # one cheap job against the just-materialized cache; at real scale
+    # rows/partition is far above the floor and this is a no-op.
+    n_rows = qdf.count()
+    target = max(1, min(qdf.rdd.getNumPartitions(), n_rows // 1024 + 1))
+    if target < qdf.rdd.getNumPartitions():
+        qdf = qdf.coalesce(target)
 
-    with _no_aqe(df.sparkSession):
+    # shuffle_partitions=1 is safe ONLY because the loop's single
+    # shuffle is the (cluster, pos) aggregate — k*D rows, bounded by
+    # the MAX_CENTROID_CELLS guard above and collected to the driver
+    # regardless. The table path's loop must NOT take this pin: its
+    # shuffles are N*k-sized.
+    with _no_aqe(df.sparkSession, shuffle_partitions=1):
         for _ in range(iters):
             assigned = assign_clusters(qdf, centroids)
             # ONE shuffle: partial-agg'd SUM/COUNT per (cluster, pos);
