@@ -34,6 +34,12 @@ from ..functions.text import (
 from ..functions.quantize import e4
 from .cache import bounded_persist
 
+#: Distinct candidate-pair edge sets at or under this row count resolve
+#: to components on the driver (collect once, Python union-find, one
+#: Arrow createDataFrame back) — matching closure.DRIVER_EDGE_ROWS.
+#: Two longs per edge: a few MB at the cap.
+DRIVER_CC_EDGE_ROWS = 250_000
+
 
 def relative_doc_freq_cap(n_docs: int, fraction: float = 0.01, floor: int = 64) -> int:
     """Stop-shingle df cap that scales with the corpus: a shingle
@@ -513,6 +519,50 @@ def simhash_hamming_pairs(
     )
 
 
+def _driver_cc(edges: DataFrame) -> DataFrame:
+    """Driver-side union-find over a collected (u, v) edge set —
+    bit-identical output contract to the distributed star loop:
+    ``(id, cluster_id)`` for every node appearing in any edge, with
+    ``cluster_id`` = the component's minimum member id. Attaching the
+    larger root under the smaller keeps every root the minimum of its
+    merged set, so the final root IS the min member (same ordering
+    semantics as Spark's min/least for longs and binary strings)."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    parent: dict = {}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]  # path halving
+            x = parent[x]
+        return x
+
+    for r in edges.collect():
+        u, v = r["u"], r["v"]
+        if u not in parent:
+            parent[u] = u
+        if v not in parent:
+            parent[v] = v
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            if ru < rv:
+                parent[rv] = ru
+            else:
+                parent[ru] = rv
+    ids = list(parent)
+    roots = [find(x) for x in ids]
+    dtype = edges.schema["u"].dataType
+    schema = T.StructType(
+        [
+            T.StructField("id", dtype, True),
+            T.StructField("cluster_id", dtype, True),
+        ]
+    )
+    pdf = pd.DataFrame({"id": ids, "cluster_id": roots})
+    return edges.sparkSession.createDataFrame(pdf, schema)
+
+
 def connected_components(
     pairs: DataFrame,
     id_a: str = "id_a",
@@ -551,6 +601,17 @@ def connected_components(
     1000-executor job. The reliable mode survives executor loss at the
     cost of a distributed-FS write per round; pass an HDFS/S3 path on a
     real cluster.
+
+    Routing (r11, the kmeans_fit/bpe_train/transitive_closure
+    auto-switch convention): when the DISTINCT edge set is at or under
+    :data:`DRIVER_CC_EDGE_ROWS`, the pair graph is candidate-pair-sized
+    (the banded/blocked generators upstream emit near-dup candidates,
+    not the corpus), so the O(log^2 n) star rounds — each ~4 shuffles
+    plus a signature action over a few thousand cached rows — are pure
+    scheduler latency. Collect the edges once, run union-find with
+    min-id roots in Python (same component semantics, same min-member
+    cluster_id), and hand back ONE Arrow-built DataFrame. Graphs above
+    the cap keep the distributed star loop — that is the 100 TB path.
     """
     if checkpoint_dir is not None:
         pairs.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
@@ -615,6 +676,8 @@ def connected_components(
         return relink.union(own).distinct()
 
     sig = _signature(edges)
+    if sig[0] <= DRIVER_CC_EDGE_ROWS:
+        return _driver_cc(edges)
     edges = _rightsized(edges, sig[0])
     for _ in range(max_iter):
         edges = _ckpt(_small_star(_large_star(edges)))

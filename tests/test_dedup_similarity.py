@@ -299,6 +299,32 @@ class TestConnectedComponents:
                 continue
             assert self._run(spark, pairs) == _union_find_clusters(pairs)
 
+    def test_distributed_star_loop_matches_driver_route(self, spark, monkeypatch):
+        # Small graphs auto-route to driver union-find; force the
+        # distributed star loop (the 100 TB path) and pin route parity
+        # on chains, hubs, duplicates and a random graph.
+        import random
+
+        from data_integration_pipelines_spark.operators import dedup
+
+        rng = random.Random(7)
+        cases = [
+            [(1, 2), (2, 3), (3, 4)],
+            [(10, 1), (10, 2), (10, 3), (7, 8)],
+            [(2, 1), (1, 2), (2, 3), (3, 2)],
+            [
+                (rng.randint(0, 30), rng.randint(0, 30))
+                for _ in range(50)
+            ],
+        ]
+        for pairs in cases:
+            pairs = [(a, b) for a, b in pairs if a != b]
+            driver_got = self._run(spark, pairs)
+            monkeypatch.setattr(dedup, "DRIVER_CC_EDGE_ROWS", 0)
+            dist_got = self._run(spark, pairs)
+            monkeypatch.undo()
+            assert dist_got == driver_got == _union_find_clusters(pairs)
+
 
 class TestEdgeCases:
     """Degenerate inputs the fixtures never produce: empty corpora,
