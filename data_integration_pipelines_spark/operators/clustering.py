@@ -210,9 +210,22 @@ def kmeans_fit(
     )
     # deterministic init: the k smallest ids, centroid scale = Q*C.
     # ONE bounded job (TakeOrderedAndProject): the global sort scans
-    # everything, so it doubles as the cache-materialization pass and
-    # dim falls out of the seed rows for free.
-    seed_rows = qdf.orderBy("id").limit(k).collect()
+    # everything, so it doubles as the cache-materialization pass, dim
+    # falls out of the seed rows for free, and an Observation riding
+    # the same scan yields the exact row count (TakeOrderedAndProject
+    # reads every partition fully to get its per-partition top-k, so
+    # every row passes the CollectMetrics node) — the right-sizing
+    # count below costs zero extra jobs (r11, guide §1.2: the fit is a
+    # chain of blocking jobs; one fewer dispatch per fit at ANY scale).
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    seed_rows = (
+        qdf.observe(obs, F.count(F.lit(1)).alias("n"))
+        .orderBy("id")
+        .limit(k)
+        .collect()
+    )
     if not seed_rows:
         raise ValueError("kmeans_fit on an empty DataFrame")
     dim = len(seed_rows[0]["qvec"])
@@ -237,10 +250,10 @@ def kmeans_fit(
     # spread() fans the interpreted assignment map to full parallelism,
     # but below ~1k rows/partition task-launch overhead dominates the
     # per-task work and every sequential iteration pays it (measured
-    # 0.53 -> 0.27 s/iteration at 2k rows on local[32]). The count is
-    # one cheap job against the just-materialized cache; at real scale
-    # rows/partition is far above the floor and this is a no-op.
-    n_rows = qdf.count()
+    # 0.53 -> 0.27 s/iteration at 2k rows on local[32]). The count rode
+    # the seed job's Observation above; at real scale rows/partition is
+    # far above the floor and the coalesce is a no-op.
+    n_rows = int(obs.get["n"])
     target = max(1, min(qdf.rdd.getNumPartitions(), n_rows // 1024 + 1))
     if target < qdf.rdd.getNumPartitions():
         qdf = qdf.coalesce(target)
