@@ -379,13 +379,32 @@ def kmeans_fit_table(
             (F.col("qv") * C_SCALE).alias("cval"),
         )
     )
-    prev_cids = [int(r[0]) for r in cent.select("cluster").distinct().collect()]
+    # The per-iteration distinct-collect exists ONLY to drive the
+    # reseed control flow (and it is what forces one blocking job per
+    # iteration). With reseed_empty=False the loop has no driver-side
+    # decision to make, so it builds the full iteration chain LAZILY:
+    # each centroid table stays a lazy localCheckpoint that the
+    # caller's first action materializes in sequence (every broadcast
+    # of cent_i is its own build job, so the iterations still execute
+    # in order and each checkpoint caches + truncates lineage on first
+    # compute). That removes iters+1 blocking scheduler round-trips
+    # per fit and lets the N*k-sized assignment/update shuffles run
+    # under the caller's AQE instead of the loop's no-AQE pin — the
+    # right setting for corpus-scale shuffles (r11, guide §1.2, §2.2).
+    prev_cids = (
+        [int(r[0]) for r in cent.select("cluster").distinct().collect()]
+        if reseed_empty
+        else []
+    )
 
     assign = None
-    # AQE off for the loop's bounded actions (see _no_aqe):
-    # each iteration's convergence collect otherwise pays an
-    # extra blocking stage-materialization job
-    with _no_aqe(spark):
+    # AQE off for the reseed path's bounded in-loop actions (see
+    # _no_aqe): each iteration's convergence collect otherwise pays an
+    # extra blocking stage-materialization job. The lazy path has no
+    # in-loop actions, so it keeps the session's AQE untouched.
+    from contextlib import nullcontext
+
+    with _no_aqe(spark) if reseed_empty else nullcontext():
         for _ in range(iters):
             # assignment: per-(id, cluster) exact integer distance, then a
             # struct min — (dist asc, cluster asc), the same tie-break as
@@ -422,6 +441,11 @@ def kmeans_fit_table(
                 )
             )
             new_cent = _ckpt(new_cent)
+            if not reseed_empty:
+                # lazy path: no driver decision needed — the caller's
+                # first action materializes the chain in order
+                cent = new_cent
+                continue
             # one k-bounded action: detects lost clusters AND materializes
             # the checkpoint (lazy checkpoints only persist when computed)
             new_cids = {int(r[0]) for r in new_cent.select("cluster").distinct().collect()}

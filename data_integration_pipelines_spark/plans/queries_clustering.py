@@ -301,6 +301,7 @@ def semdedup_survivors_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     time_build=True,
 )
 def semdedup_survivors_auto_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.cache import bounded_persist
     from ..operators.clustering import auto_k, kmeans_fit_table
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -308,6 +309,12 @@ def semdedup_survivors_auto_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     # reseed_empty=False: shares the driver-loop oracle's inner-join
     # drop-out semantics (the kmeans_clusters_table precedent)
     assigned, _ = kmeans_fit_table(emb, k=k, iters=_ITERS, reseed_empty=False)
+    # pooled-persist the assignment: semdedup_survivors traverses it
+    # four times (size tag, small/big kernel branches, the flagged
+    # rollup) and each traversal would otherwise re-run the whole
+    # centroid-table fit chain (r11 — the semdedup_assign front-door
+    # persist, applied to this direct-call twin)
+    assigned = bounded_persist(assigned.select("id", "qvec", "cluster"))
     return (
         semdedup_survivors(assigned, _SEMDEDUP_THRESHOLD)
         .select("cluster", "n_members", "n_removed", "n_kept")
@@ -477,9 +484,17 @@ def semdedup_survivors_pivoted(spark: SparkSession, sf_dir: str) -> DataFrame:
     qdf = emb.select(
         F.col("vec_id").alias("id"), quantize_vec(F.col("embedding")).alias("qvec")
     )
+    from ..operators.cache import bounded_persist
+
+    # pooled-persist: semdedup_survivors traverses its input four
+    # times; without this each traversal re-runs the pivoted probe
+    # assignment (r11 — the semdedup_assign front-door persist,
+    # applied to this direct-composition query)
     return (
-        semdedup_survivors(assigned.select("id", "cluster").join(qdf, "id"),
-                           _SEMDEDUP_THRESHOLD)
+        semdedup_survivors(
+            bounded_persist(assigned.select("id", "cluster").join(qdf, "id")),
+            _SEMDEDUP_THRESHOLD,
+        )
         .select("cluster", "n_members", "n_removed", "n_kept")
         .orderBy("cluster")
     )
