@@ -67,6 +67,7 @@ from pyspark.sql import functions as F
 
 from ..functions.quantize import quantized
 from ..functions.text import ws_tokens
+from .cache import bounded_persist
 from .dsir import token_bucket_col as _bucket  # same md5-domain rule
 
 __all__ = [
@@ -145,10 +146,22 @@ def ngram_lm_fit(
     """
     a = float(ALPHA)
     keys = list(key_cols)
-    ctx = fit_events.groupBy(*keys, "b1").agg(F.count("*").alias("c1"))
-    pairs = fit_events.groupBy(*keys, "b1", "b12").agg(
-        F.count("*").alias("c12")
+    # ONE pass over the event stream: aggregate to the bounded
+    # (b1, b12) pair table and pool-persist it, then derive the
+    # context totals FROM it (c1 = sum of c12 over the context — the
+    # identical integer, every observed b1 has at least one observed
+    # pair bucket). Before r11 ctx and pairs each aggregated
+    # fit_events, and the two model broadcasts each re-ran the
+    # tokenize+explode subtree — three passes over the fit corpus per
+    # scoring query; now the corpus is read once and everything else
+    # aggregates the <= ctx_buckets*pair_buckets-row cache (guide
+    # §2.3 "aggregate before you shuffle", §5 persist-on-reuse).
+    pairs = bounded_persist(
+        fit_events.groupBy(*keys, "b1", "b12").agg(
+            F.count("*").alias("c12")
+        )
     )
+    ctx = pairs.groupBy(*keys, "b1").agg(F.sum("c12").alias("c1"))
     pair_model = (
         pairs.join(ctx, [*keys, "b1"])
         .select(
