@@ -161,17 +161,43 @@ def rank_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def stats_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
+    # The median rides percentile's FREQUENCY form off a (group, value)
+    # pre-aggregate instead of sitting inside the main agg: the UDAF's
+    # per-row buffer accumulation runs map-side partial-agg'd through
+    # the codegen'd hash aggregate and the exchange carries one row per
+    # distinct (group, value) — bit-identical interpolation (verified),
+    # float moments untouched (their summation order is unchanged).
+    # The join-back is a 3-row broadcast. (r11, guide §2.3 — the
+    # with_quartile_bin frequency-form precedent.)
+    main = li.groupBy("l_returnflag").agg(
+        F.min("l_extendedprice").alias("min_price"),
+        F.max("l_extendedprice").alias("max_price"),
+        e4(F.avg("l_extendedprice")).alias("mean_price_e4"),
+        e4(F.stddev_samp("l_extendedprice")).alias("std_price_e4"),
+        F.round(F.sum(F.col("l_extendedprice").cast("decimal(18,6)")), 2)
+        .cast("double")
+        .alias("sum_price"),
+    )
+    freq = (
+        li.where(F.col("l_extendedprice").isNotNull())
+        .groupBy("l_returnflag", "l_extendedprice")
+        .agg(F.count("*").alias("__n"))
+    )
+    med = freq.groupBy("l_returnflag").agg(
+        e4(F.expr("percentile(l_extendedprice, 0.5, __n)")).alias(
+            "median_price_e4"
+        )
+    )
     return (
-        li.groupBy("l_returnflag")
-        .agg(
-            F.min("l_extendedprice").alias("min_price"),
-            F.max("l_extendedprice").alias("max_price"),
-            e4(F.avg("l_extendedprice")).alias("mean_price_e4"),
-            e4(F.stddev_samp("l_extendedprice")).alias("std_price_e4"),
-            e4(F.expr("percentile(l_extendedprice, 0.5)")).alias("median_price_e4"),
-            F.round(F.sum(F.col("l_extendedprice").cast("decimal(18,6)")), 2)
-            .cast("double")
-            .alias("sum_price"),
+        main.join(F.broadcast(med), "l_returnflag")
+        .select(
+            "l_returnflag",
+            "min_price",
+            "max_price",
+            "mean_price_e4",
+            "std_price_e4",
+            "median_price_e4",
+            "sum_price",
         )
         .orderBy("l_returnflag")
     )
