@@ -6,10 +6,11 @@ stratified sampling, IVF-style coarse quantizers).
 Spark-first shape (the textbook distributed Lloyd's):
 
 - **Assignment is a map-only stage**: the k centroids (k x D numbers)
-  are collected to the driver and inlined as literal arrays, so each
-  iteration's argmin is a pure whole-stage-codegen expression tree
-  (``zip_with`` + ``aggregate`` folds) — no join, no shuffle, no
-  Python. At 1000 executors this scales embarrassingly: every task
+  are collected to the driver and shipped in the kernel closure, so
+  each iteration's argmin is one vectorized NumPy int64 pass per Arrow
+  batch (r12, guide §4.2; the whole-stage-codegen expression twin
+  survives as :func:`assign_clusters_exprs`, parity-pinned) — no join,
+  no shuffle. At 1000 executors this scales embarrassingly: every task
   scores its rows against the same tiny centroid table.
 - **The update step is ONE partial-aggregated shuffle per iteration**
   (``posexplode`` -> groupBy (cluster, pos) -> SUM/COUNT), producing
@@ -44,6 +45,9 @@ surface the way dedup.py extends its exact-match checks.
 from __future__ import annotations
 
 import math
+from typing import Iterator
+
+import pandas as pd
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -98,17 +102,90 @@ def assign_clusters(
 ) -> DataFrame:
     """Append (cluster, dist) for the nearest centroid. ``centroids``
     is a cid-ascending list of (cid, components); ties on exact integer
-    distance break to the LOWEST cid (``array_position`` returns the
-    first index of the min), mirroring the oracle's
+    distance break to the LOWEST cid, mirroring the oracle's
     ``ROW_NUMBER() OVER (ORDER BY dist, cid)``.
 
-    The k distances come from ONE ``transform`` lambda over a nested
+    Vectorized Arrow kernel (r12, guide §4.2): the per-row argmin is a
+    NumPy int64 difference/square/accumulate over whole Arrow batches —
+    ONLY ``qvec_col`` crosses the Python boundary (every other column
+    stays JVM-side; guide §4.1), the centroid matrix is built once per
+    task from the closure (k*D <= MAX_CENTROID_CELLS cells, a few MB at
+    the cap), and ``np.argmin`` returns the FIRST index of the minimum
+    — over a cid-ascending matrix that is exactly the lowest-cid
+    tie-break. All arithmetic stays in int64 (differences <= ~2e6 per
+    component, squares <= ~4e12, sums exact in 64-bit like the JVM
+    longs of the expression twin), so the result is bit-identical to
+    :func:`assign_clusters_exprs` — pinned by test on tie fixtures.
+
+    The interpreted-HOF expression twin this replaced evaluated an
+    O(k*D) lambda chain PER ROW inside the JVM interpreter — at scale
+    the assignment map IS the fit's cost, and one NumPy pass per batch
+    beats per-row interpreted folds by orders of magnitude; it survives
+    as :func:`assign_clusters_exprs` (parity pin + plan-only paths)."""
+    import numpy as np
+
+    cids_np = np.array([int(cid) for cid, _ in centroids], dtype=np.int64)
+    cents_np = np.array(
+        [[int(v) for v in c] for _, c in centroids], dtype=np.int64
+    )
+
+    @F.pandas_udf("struct<cluster: bigint, dist: bigint>")
+    def _nearest(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        # (iterator form, guide §4.5 — the centroid matrix builds once
+        # per task; StructType batches yield as pd.DataFrame)
+        k = len(cids_np)
+        for s in batches:
+            n = len(s)
+            if n == 0:
+                yield pd.DataFrame(
+                    {
+                        "cluster": np.empty(0, dtype=np.int64),
+                        "dist": np.empty(0, dtype=np.int64),
+                    }
+                )
+                continue
+            x = np.asarray(s.to_list(), dtype=np.int64) * C_SCALE
+            d = np.empty((n, k), dtype=np.int64)
+            for j in range(k):
+                diff = x - cents_np[j]
+                # exact int64 accumulation — same overflow contract as
+                # the JVM-long expression twin
+                d[:, j] = np.einsum("ij,ij->i", diff, diff)
+            idx = d.argmin(axis=1)  # first min == lowest cid
+            yield pd.DataFrame(
+                {"cluster": cids_np[idx], "dist": d[np.arange(n), idx]}
+            )
+
+    # asNondeterministic (guide §4.4): extracting .cluster and .dist
+    # from the one struct result otherwise lets CollapseProject inline
+    # the UDF into BOTH references — two stacked ArrowEvalPython nodes,
+    # every row scored twice (measured in the r12 plan dump). The
+    # kernel is pure, but the marker is the supported way to forbid
+    # duplication; no filter ever needs to push through this projection.
+    _nearest = _nearest.asNondeterministic()
+
+    with_nc = qdf.withColumn("__nc", _nearest(F.col(qvec_col)))
+    return with_nc.select(
+        "*",
+        F.col("__nc.cluster").alias("cluster"),
+        F.col("__nc.dist").alias("dist"),
+    ).drop("__nc")
+
+
+def assign_clusters_exprs(
+    qdf: DataFrame, centroids: list[tuple[int, list[int]]], qvec_col: str = "qvec"
+) -> DataFrame:
+    """JVM-expression twin of :func:`assign_clusters` (the pre-r12
+    default, retained as the parity pin for the Arrow kernel): the k
+    distances come from ONE ``transform`` lambda over a nested
     array<array<long>> centroid literal — a single compiled loop body
     instead of k unrolled folds, so the generated code (and its JIT
     cost, re-paid every iteration because the literals change) is
     O(k*D) data but O(D) code. The literal itself is built as one SQL
     string (one parser call) — k*D individual ``F.lit`` columns cost
-    ~1s of driver round-trips per iteration before any job runs."""
+    ~1s of driver round-trips per iteration before any job runs.
+    Ties on exact integer distance break to the LOWEST cid
+    (``array_position`` returns the first index of the min)."""
     cents_sql = ",".join(
         "array(" + ",".join(str(int(v)) for v in c) + ")" for _, c in centroids
     )
@@ -197,7 +274,7 @@ def kmeans_fit(
             )
 
     # spread() before the persist: the per-iteration assignment map is
-    # an interpreted HOF loop (O(k*D) per row), and an unsplittable
+    # a heavy batch kernel (O(k*D) per row), and an unsplittable
     # small scan would serialize every iteration onto one core; no-op
     # at real scale (r11, guide §2.1)
     qdf = bounded_persist(
@@ -709,11 +786,18 @@ def semdedup_assign(
     independent; a loud guard still verifies the sample can seed all
     ``kk`` clusters before fitting (an empty/undershot sample would
     otherwise surface as kmeans_fit_table's opaque seed error)."""
-    n = df.count()
-    probe = df.select(vec_col).first()
-    if probe is None:
+    # ONE routing job: the row count and the dim probe ride the same
+    # aggregate (r12, guide §1.2 — the front door is a chain of
+    # blocking jobs, so the separate .first() probe was a pure
+    # scheduler round-trip; the count's full scan dominates either way
+    # and F.first here only needs any one vector's length)
+    route_row = df.agg(
+        F.count(F.lit(1)).alias("n"), F.first(F.col(vec_col)).alias("v")
+    ).first()
+    n = int(route_row["n"])
+    if n == 0 or route_row["v"] is None:
         raise ValueError("semdedup_assign on an empty DataFrame")
-    dim = len(probe[0])
+    dim = len(route_row["v"])
     kk = auto_k(n) if k == "auto" else int(k)
     if semdedup_route(n, kk, dim, flat_cells) == "flat":
         assigned, _ = kmeans_fit(df, id_col, vec_col, k=kk, iters=iters)

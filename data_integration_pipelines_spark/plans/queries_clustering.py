@@ -540,12 +540,21 @@ def semdedup_survivors_pivoted(spark: SparkSession, sf_dir: str) -> DataFrame:
 def cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
+    from ..operators.cache import bounded_persist
+
     emb = load_table(spark, sf_dir, "embeddings")
     assigned, _ = kmeans_fit(emb, k=_K, iters=_ITERS)
     cl = assigned.select("id", "cluster").join(
         emb.select(F.col("vec_id").alias("id"), "label"), "id"
     )
-    counts = cl.groupBy("cluster", "label").agg(F.count("*").alias("n"))
+    # pool-persist the (cluster, label) census: BOTH consumers below
+    # (the majority window and the size rollup) read it, and without
+    # the persist each re-executes the whole assignment kernel + label
+    # join subtree — the plan showed two complete copies (r12, guide
+    # §5 persist-on-reuse; k x labels rows, trivially bounded)
+    counts = bounded_persist(
+        cl.groupBy("cluster", "label").agg(F.count("*").alias("n"))
+    )
     w = Window.partitionBy("cluster").orderBy(F.desc("n"), "label")
     best = (
         counts.withColumn("rn", F.row_number().over(w))

@@ -58,6 +58,55 @@ def test_assign_tie_breaks_to_lowest_cid(spark):
     assert out["dist"] == 500 * 500
 
 
+def test_assign_arrow_kernel_matches_expression_twin(spark, embeddings):
+    """The r12 vectorized Arrow assignment (NumPy int64 kernel) must be
+    bit-identical to the JVM expression twin on real fixture vectors —
+    same cluster, same exact integer distance — and its plan must carry
+    the ArrowEvalPython stage that replaced the interpreted HOF chain."""
+    from data_integration_pipelines_spark.operators.clustering import (
+        C_SCALE,
+        assign_clusters_exprs,
+    )
+
+    qdf = embeddings.select(
+        F.col("vec_id").alias("id"),
+        quantize_vec(F.col("embedding")).alias("qvec"),
+    )
+    seed = qdf.orderBy("id").limit(5).collect()
+    cents = [(int(r["id"]), [int(v) * C_SCALE for v in r["qvec"]]) for r in seed]
+    got_df = assign_clusters(qdf, cents)
+    got = {r["id"]: (r["cluster"], r["dist"]) for r in got_df.collect()}
+    want = {
+        r["id"]: (r["cluster"], r["dist"])
+        for r in assign_clusters_exprs(qdf, cents).collect()
+    }
+    assert got == want and len(got) == embeddings.count()
+    plan = got_df._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" in plan, plan[:2000]
+
+
+def test_assign_arrow_kernel_tie_breaks_on_duplicate_centroids(spark):
+    """Exact-distance ties (duplicate centroid components under
+    different cids) must break to the LOWEST cid in the Arrow kernel —
+    np.argmin's first-min over the cid-ascending matrix, the same rule
+    as the expression twin and the oracle's ROW_NUMBER order."""
+    from data_integration_pipelines_spark.operators.clustering import (
+        assign_clusters_exprs,
+    )
+
+    qdf = spark.createDataFrame(
+        [Row(id=i, qvec=[i * 7 % 13, -i * 3 % 11]) for i in range(50)]
+    )
+    cents = [(3, [100, 0]), (7, [100, 0]), (9, [0, 100])]  # 3 & 7 identical
+    got = {r["id"]: (r["cluster"], r["dist"]) for r in assign_clusters(qdf, cents).collect()}
+    want = {
+        r["id"]: (r["cluster"], r["dist"])
+        for r in assign_clusters_exprs(qdf, cents).collect()
+    }
+    assert got == want
+    assert all(c != 7 for c, _ in got.values())  # ties never pick the larger cid
+
+
 def test_quantize_vec_rounds_half_away(spark):
     df = spark.createDataFrame([Row(v=[0.00005, -0.00005, 0.12344])])
     got = df.select(quantize_vec(F.col("v")).alias("q")).first()["q"]

@@ -78,6 +78,8 @@ def test_python_stages_only_where_declared(plans):
         "audio_features",
         "voxel_region_lookup",
         "voxel_region_histogram",
+        "kmeans_clusters",  # vectorized Arrow assignment kernel (r12)
+        "cluster_purity",  # same assignment kernel under the label join
         "semdedup_pairs",  # per-cluster gram-matrix kernel (BLAS per group)
         "semdedup_survivors",  # builds on the same pair kernel
         "semdedup_survivors_auto_k",  # same pair kernel at auto-k sizing
