@@ -101,9 +101,15 @@ def _top_gram_mass(sg: Column, starts: Column) -> Column:
     )
 
 
-def gopher_signals_frame(rep: DataFrame) -> DataFrame:
+def gopher_signals_frame(
+    rep: DataFrame, _carry: tuple[str, ...] = ()
+) -> DataFrame:
     """Per-document Gopher repetition signals over a ``(doc_id, text)``
-    frame (multi-line text).
+    frame (multi-line text). ``_carry`` threads extra input columns
+    through every projection layer unchanged (appended after the
+    signal columns) — the fused full-filter path carries ``text`` so
+    the document-rule half can compute on the SAME per-row chain
+    instead of re-deriving the corpus and joining (r12, guide §2.4).
 
     Plan shape (the 100 TB story): EVERY signal — line stats and all
     nine n-gram stats — is a pure per-row array expression, so the
@@ -143,6 +149,7 @@ def gopher_signals_frame(rep: DataFrame) -> DataFrame:
         F.size(dlines).cast("long").alias("n_distinct_lines"),
         _charsum(dlines).alias("distinct_line_chars"),
         ws_tokens(F.col("text")).alias("toks"),
+        *_carry,
     )
 
     keep = [
@@ -152,6 +159,7 @@ def gopher_signals_frame(rep: DataFrame) -> DataFrame:
         "line_chars",
         "n_distinct_lines",
         "distinct_line_chars",
+        *_carry,
     ]
     # Four projection layers so every multiply-referenced or
     # HOF-captured intermediate (the gram arrays, the sorted arrays,
@@ -209,6 +217,7 @@ def gopher_signals_frame(rep: DataFrame) -> DataFrame:
             )
             for n in ns
         ],
+        *_carry,
     )
 
 
@@ -229,11 +238,11 @@ GOPHER_RULES = (
 )
 
 
-def gopher_filter_frame(sig: DataFrame) -> DataFrame:
+def gopher_filter_frame(sig: DataFrame, _carry: tuple[str, ...] = ()) -> DataFrame:
     """Threshold gate over :func:`gopher_signals_frame` output: keep
     flag, fail count, and the comma-joined failing rule names (fixed
     rule order). Pure codegen projection — the signals frame carries
-    all the cost."""
+    all the cost. ``_carry`` as in :func:`gopher_signals_frame`."""
     flags = [
         F.when(F.col(col) > F.lit(thr), F.lit(name))
         for name, col, thr in GOPHER_RULES
@@ -246,6 +255,7 @@ def gopher_filter_frame(sig: DataFrame) -> DataFrame:
         n_fails.cast("long").alias("n_fails"),
         (n_fails == 0).alias("keep"),
         F.concat_ws(",", arr).alias("fail_rules"),
+        *_carry,
     )
 
 
@@ -275,7 +285,9 @@ GOPHER_DOC_RULES = (
 _BULLET_PREFIXES = ("- ", "• ", "* ")
 
 
-def gopher_doc_rules_frame(docs: DataFrame) -> DataFrame:
+def gopher_doc_rules_frame(
+    docs: DataFrame, _carry: tuple[str, ...] = ()
+) -> DataFrame:
     """Document-level Gopher signals + gate over ``(doc_id, text)``:
     the non-repetition half of Table A1 (word-count bounds, mean word
     length, symbol-to-word ratio for '#' and '...', bullet-started and
@@ -324,6 +336,7 @@ def gopher_doc_rules_frame(docs: DataFrame) -> DataFrame:
         e4(ell_end / n_lines).alias("ellipsis_line_frac_e4"),
         e4(alpha / n_words).alias("alpha_word_frac_e4"),
         stops.alias("n_stop_hits"),
+        *_carry,
     )
     cols = {f.name: F.col(f.name) for f in sig.schema.fields}
     flags = [
@@ -343,26 +356,36 @@ def gopher_full_filter_frame(docs: DataFrame) -> DataFrame:
     """The COMPLETE Gopher quality filter: repetition rules + document
     rules over the same ``(doc_id, text)`` corpus, one verdict per doc.
 
-    Plan: the doc-rule half is a shuffle-free per-row map; the
-    repetition half is the single-explode gram battery; the two join
-    doc_id-keyed. ``fail_rules`` lists repetition rules first, then
-    document rules — fixed order across both halves. Spread once here
-    so both halves share the fan-out (their own spread calls then
-    no-op on the already-parallel frame)."""
+    Plan (r12, guide §2.4): BOTH halves are pure per-row functions of
+    the same document, so the whole filter is ONE fused shuffle-free
+    projection chain — the repetition gate's layers carry ``text``
+    through (``_carry``) and the document-rule signals compute on the
+    SAME rows, where through r11 the halves re-derived the corpus
+    independently and met in a doc_id-keyed join (2 hash Exchanges +
+    a sort-merge join of two full corpus maps, at ANY scale).
+    ``fail_rules`` lists repetition rules first, then document rules —
+    fixed order across both halves. Spread once here; the halves' own
+    spread calls no-op on the already-parallel frame."""
     docs = spread(docs)
-    rep = gopher_filter_frame(gopher_signals_frame(docs)).select(
+    rep = gopher_filter_frame(
+        gopher_signals_frame(docs, _carry=("text",)), _carry=("text",)
+    ).select(
         "doc_id",
+        "text",
         F.col("n_fails").alias("rep_n_fails"),
         F.col("fail_rules").alias("rep_fail_rules"),
     )
-    doc = gopher_doc_rules_frame(docs).select(
+    fused = gopher_doc_rules_frame(
+        rep, _carry=("rep_n_fails", "rep_fail_rules")
+    ).select(
         "doc_id",
+        "rep_n_fails",
+        "rep_fail_rules",
         F.col("n_fails").alias("doc_n_fails"),
         F.col("fail_rules").alias("doc_fail_rules"),
     )
-    joined = rep.join(doc, "doc_id")
     n_fails = (F.col("rep_n_fails") + F.col("doc_n_fails")).cast("long")
-    return joined.select(
+    return fused.select(
         "doc_id",
         "rep_n_fails",
         "doc_n_fails",

@@ -357,8 +357,18 @@ def test_gopher_signals_shuffle_free(plans):
     # (spread()'s round-robin fan-out off a single-partition scan is
     # also an Exchange — allowed: it carries no aggregation semantics
     # and is a no-op at real scale.)
-    for name in ("gopher_repetition_signals", "gopher_repetition_filter"):
+    # gopher_full_filter joined its two per-row halves on doc_id
+    # through r11 (2 hash Exchanges + a join of two full corpus maps);
+    # r12 fuses them into one projection chain, so the whole battery —
+    # signals, both gates, the complete filter — is shuffle-free.
+    for name in (
+        "gopher_repetition_signals",
+        "gopher_repetition_filter",
+        "gopher_document_rules",
+        "gopher_full_filter",
+    ):
         p = plans[name]
         assert p.count("Generate explode") == 0, name
         assert "hashpartitioning" not in p, name
         assert "rangepartitioning" in p, name
+        assert "Join" not in p, name
