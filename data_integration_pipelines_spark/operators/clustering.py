@@ -952,9 +952,13 @@ def semdedup_pairs(
     # k rows — always broadcast-sized, never a data-scaled shuffle
     tagged = assigned.join(F.broadcast(sizes), "cluster")
     small = tagged.filter(F.col("__csz") <= max_block).drop("__csz")
-    big = tagged.filter(F.col("__csz") > max_block).drop("__csz")
+    # keep __csz on the big branch: the blocked kernel derives its
+    # block count from it instead of re-aggregating cluster sizes over
+    # the corpus and joining them back a second time (r12, guide §2.3
+    # — one fewer corpus aggregate + join at any scale)
+    big = tagged.filter(F.col("__csz") > max_block)
     return _pairs_unblocked(small, threshold, qvec_col).unionByName(
-        semdedup_pairs_blocked(big, threshold, max_block, qvec_col)
+        semdedup_pairs_blocked(big, threshold, max_block, qvec_col, size_col="__csz")
     )
 
 
@@ -963,6 +967,7 @@ def semdedup_pairs_blocked(
     threshold: float,
     max_block: int,
     qvec_col: str = "qvec",
+    size_col: str | None = None,
 ) -> DataFrame:
     """EXACTLY ``semdedup_pairs``, with per-task memory bounded for
     skewed clusters: a duplicate-heavy corpus can concentrate far more
@@ -979,16 +984,28 @@ def semdedup_pairs_blocked(
     identical to the unblocked kernel; compute stays inherently
     quadratic in cluster size (that is SemDeDup's semantics), only
     MEMORY is capped. Replication factor per row = its cluster's block
-    count (ceil(n/max_block))."""
+    count (ceil(n/max_block)).
+
+    ``size_col``: name of a per-row cluster-size column ALREADY on
+    ``assigned`` (the auto-split front door tags one to route rows) —
+    the block count then derives per row and the kernel skips its own
+    corpus-wide size aggregate + join-back (r12, guide §2.3)."""
     import numpy as np
-    import pandas as pd
     from pyspark.sql.window import Window
 
-    sizes = assigned.groupBy("cluster").agg(F.count("*").alias("__n"))
-    nb = F.greatest(F.ceil(F.col("__n") / max_block), F.lit(1)).cast("int")
-    rows = assigned.select("cluster", "id", qvec_col).join(
-        sizes.select("cluster", nb.alias("__nb")), "cluster"
-    )
+    if size_col is not None:
+        nb_direct = F.greatest(
+            F.ceil(F.col(size_col) / max_block), F.lit(1)
+        ).cast("int")
+        rows = assigned.select(
+            "cluster", "id", qvec_col, nb_direct.alias("__nb")
+        )
+    else:
+        sizes = assigned.groupBy("cluster").agg(F.count("*").alias("__n"))
+        nb = F.greatest(F.ceil(F.col("__n") / max_block), F.lit(1)).cast("int")
+        rows = assigned.select("cluster", "id", qvec_col).join(
+            sizes.select("cluster", nb.alias("__nb")), "cluster"
+        )
     rank = F.row_number().over(Window.partitionBy("cluster").orderBy("id")) - 1
     blk = F.floor(rank / max_block).cast("int")
     block_pairs = F.array_distinct(

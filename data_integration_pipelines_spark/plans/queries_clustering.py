@@ -236,12 +236,19 @@ def kmeans_clusters_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     time_build=True,
 )
 def semdedup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.cache import presented
     from ..operators.clustering import semdedup_assign
 
     emb = load_table(spark, sf_dir, "embeddings")
     assigned = semdedup_assign(emb, k="auto", iters=_ITERS)
-    return semdedup_pairs(assigned, _SEMDEDUP_THRESHOLD).orderBy(
-        "cluster", "id_a", "id_b"
+    # presented(): the gram kernel sits in the reduce stage of its
+    # groupBy exchange, so a bare presentation orderBy re-runs it in
+    # the range partitioner's sampling job (only stages BEFORE the
+    # exchange reuse shuffle files); persisting the pair rows runs the
+    # kernel once (r12 — the r11 presented() convention, which only
+    # covered shuffle-FREE kernels)
+    return presented(
+        semdedup_pairs(assigned, _SEMDEDUP_THRESHOLD), "cluster", "id_a", "id_b"
     )
 
 

@@ -188,8 +188,13 @@ def stats_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
             "median_price_e4"
         )
     )
+    # LEFT join (ADVICE r11): a group whose l_extendedprice is entirely
+    # NULL has no row in the non-null frequency pre-aggregate; an inner
+    # join would silently drop the whole group, where the original
+    # single-aggregate form emitted it with a NULL median. Left keeps
+    # the original semantics (no-op on this non-null fixture column).
     return (
-        main.join(F.broadcast(med), "l_returnflag")
+        main.join(F.broadcast(med), "l_returnflag", "left")
         .select(
             "l_returnflag",
             "min_price",
