@@ -30,6 +30,29 @@ DRIVER_EDGE_ROWS = 250_000
 #: keep the planner-chosen shuffle join.
 BROADCAST_HOP_ROWS = 1_000_000
 
+#: Self-augmented closures at or under this row count are rebuilt as a
+#: driver-LOCAL relation inside :func:`first_common_ancestor`, which
+#: stops the closure being built and shipped in full twice (r12, guide
+#: §3.1). Two mechanisms, both requiring a LocalRelation leaf (an RDD
+#: scan — localCheckpoint — never canonicalizes equal, and filters on
+#: it run per task):
+#:
+#: - when the pair side carries inferable join-key constraints, the
+#:   optimizer FOLDS them into each side's LocalRelation at plan time
+#:   (ConvertToLocalRelation), so each broadcast ships only the rows
+#:   its probe can match — measured 579 + 1353 rows shipped vs
+#:   2 x 2307 on the region_agreement fixture shape;
+#: - otherwise the two exchanges canonicalize identically and the
+#:   second join plans a ReusedExchange (one build, one send).
+#:
+#: The cap is ONTOLOGY-sized (the operator's documented regime), not
+#: broadcast-sized: the local relation is re-optimized per execution
+#: (the constraint fold walks its rows on the driver at plan time), so
+#: a degenerate closure far above ontology scale — region_agreement's
+#: 280k-row binary-heap fixture — measured ~1 s/run of planning cost
+#: against a ~0.1 s broadcast saving and keeps the checkpoint leaf.
+FCA_LOCAL_ROWS = 65_536
+
 
 def _driver_closure(
     edges: DataFrame, up: DataFrame, max_iterations: int
@@ -181,8 +204,10 @@ def first_common_ancestor(
 
     Scale: the closure is ontology-sized (thousands of rows after the
     self-augmentation), so both ancestor sides broadcast — the pair
-    side streams through two broadcast joins and one hash aggregate on
-    the pair key with no full shuffle of the closure.
+    side streams through two broadcast hash joins and one hash
+    aggregate on the pair key with no full shuffle of the closure, and
+    below FCA_LOCAL_ROWS the two joins share ONE BroadcastExchange
+    (built and shipped once, ReusedExchange on the second join — r12).
     """
     nodes = (
         closure.select("node")
@@ -194,28 +219,35 @@ def first_common_ancestor(
     )
     # Materialize once: the closure arrives as a union of per-iteration
     # checkpoints; without this the double broadcast below replicates
-    # that whole lineage into every task binary.
-    full = (
-        closure.select("node", "ancestor", "depth")
-        .unionByName(self_rows)
-        .localCheckpoint(eager=True)
+    # that whole lineage into every task binary. Ontology-sized
+    # closures rebuild as ONE driver-local relation so both broadcast
+    # joins share a single BroadcastExchange (see FCA_LOCAL_ROWS);
+    # bigger closures keep the checkpoint leaf (two sends, one build).
+    full_plan = closure.select("node", "ancestor", "depth").unionByName(
+        self_rows
     )
-    la = full.select(
-        F.col("node").alias("_ln"),
-        F.col("ancestor").alias("_anc"),
-        F.col("depth").alias("_da"),
-    )
-    rb = full.select(
-        F.col("node").alias("_rn"),
-        F.col("ancestor").alias("_anc_r"),
-        F.col("depth").alias("_db"),
-    )
-    joined = (
-        pairs.join(F.broadcast(la), pairs[left_col] == la["_ln"])
-        .join(
-            F.broadcast(rb),
-            (pairs[right_col] == rb["_rn"]) & (F.col("_anc") == F.col("_anc_r")),
+    full = full_plan.localCheckpoint(eager=True)
+    n_full = full.count()
+    if n_full <= FCA_LOCAL_ROWS:
+        full = closure.sparkSession.createDataFrame(
+            full.toPandas(), schema=full_plan.schema
         )
+    la = full.alias("__fca_l")
+    rb = full.alias("__fca_r")
+    # Join 2 keys ONLY on the node: the ancestor match is expressed as
+    # the <=/>= pair so the planner keeps it a residual condition
+    # instead of folding it into the build keys — both joins then hash
+    # the SAME relation on the SAME key list and the exchange is
+    # reusable. The residual scans the probed node's ancestor list
+    # (bounded by tree depth) instead of a direct (node, ancestor)
+    # lookup — the price of building/shipping the closure once.
+    joined = pairs.join(
+        F.broadcast(la), pairs[left_col] == F.col("__fca_l.node")
+    ).join(
+        F.broadcast(rb),
+        (pairs[right_col] == F.col("__fca_r.node"))
+        & (F.col("__fca_l.ancestor") <= F.col("__fca_r.ancestor"))
+        & (F.col("__fca_l.ancestor") >= F.col("__fca_r.ancestor")),
     )
     other_cols = [c for c in pairs.columns if c not in (left_col, right_col)]
     # single min over (depth_a, depth_b, ancestor): on a tree the depth
@@ -226,7 +258,15 @@ def first_common_ancestor(
     # output row (set semantics).
     return (
         joined.groupBy(left_col, right_col, *other_cols)
-        .agg(F.min(F.struct("_da", "_db", "_anc")).alias("_best"))
+        .agg(
+            F.min(
+                F.struct(
+                    F.col("__fca_l.depth").alias("_da"),
+                    F.col("__fca_r.depth").alias("_db"),
+                    F.col("__fca_l.ancestor").alias("_anc"),
+                )
+            ).alias("_best")
+        )
         .select(
             left_col,
             right_col,

@@ -53,7 +53,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from .cache import bounded_persist, no_aqe as _no_aqe
+from .cache import bounded_persist, loop_session as _loop_session
 from .dedup import spread
 
 #: scale for quantizing embedding components to integers
@@ -335,14 +335,26 @@ def kmeans_fit(
     if target < qdf.rdd.getNumPartitions():
         qdf = qdf.coalesce(target)
 
-    # shuffle_partitions=1 is safe ONLY because the loop's single
-    # shuffle is the (cluster, pos) aggregate — k*D rows, bounded by
-    # the MAX_CENTROID_CELLS guard above and collected to the driver
-    # regardless. The table path's loop must NOT take this pin: its
-    # shuffles are N*k-sized.
-    with _no_aqe(df.sparkSession, shuffle_partitions=1):
+    # The in-loop collects run on an ISOLATED session clone with AQE
+    # off and shuffle_partitions pinned to 1 (r12, VERDICT r11 #7: the
+    # old session-conf toggle could strip AQE from queries planned
+    # concurrently on other driver threads). The pin is safe ONLY
+    # because the loop's single shuffle is the (cluster, pos) aggregate
+    # — k*D rows, bounded by the MAX_CENTROID_CELLS guard above and
+    # collected to the driver regardless. The table path's loop must
+    # NOT take this pin: its shuffles are N*k-sized. The clone shares
+    # the CacheManager, so a global_temp view of the pooled qdf cache
+    # serves the loop without recompute.
+    import uuid
+
+    spark = df.sparkSession
+    loop = _loop_session(spark, shuffle_partitions=1)
+    view = f"__kmfit_{uuid.uuid4().hex}"
+    qdf.createOrReplaceGlobalTempView(view)
+    try:
+        qloop = loop.table(f"global_temp.{view}")
         for _ in range(iters):
-            assigned = assign_clusters(qdf, centroids)
+            assigned = assign_clusters(qloop, centroids)
             # ONE shuffle: partial-agg'd SUM/COUNT per (cluster, pos);
             # k*D rows back to the driver (bounded by the guard above)
             sums = (
@@ -362,6 +374,8 @@ def kmeans_fit(
                     float(r["s"]) * C_SCALE / int(r["n"])
                 )
             centroids = sorted(by_cid.items())
+    finally:
+        spark.catalog.dropGlobalTempView(view)
     # the returned plan still reads qdf — the pooled cache serves the
     # caller's job(s) and is evicted FIFO by later operators
     return assign_clusters(qdf, centroids), centroids
@@ -475,89 +489,91 @@ def kmeans_fit_table(
     )
 
     assign = None
-    # AQE off for the reseed path's bounded in-loop actions (see
-    # _no_aqe): each iteration's convergence collect otherwise pays an
-    # extra blocking stage-materialization job. The lazy path has no
-    # in-loop actions, so it keeps the session's AQE untouched.
-    from contextlib import nullcontext
-
-    with _no_aqe(spark) if reseed_empty else nullcontext():
-        for _ in range(iters):
-            # assignment: per-(id, cluster) exact integer distance, then a
-            # struct min — (dist asc, cluster asc), the same tie-break as
-            # assign_clusters' first-index-of-min over cid-ascending arrays
-            term = (F.col("qv") * C_SCALE - F.col("cval")) * (
-                F.col("qv") * C_SCALE - F.col("cval")
+    # The reseed path's per-iteration distinct-collects run under the
+    # session's own AQE since r12: the old no_aqe toggle mutated the
+    # SESSION conf (thread-unsafe, VERDICT r11 #7), and this path's
+    # in-loop frames derive from per-iteration joins that cannot ride
+    # a pre-built global_temp view the way the driver loop's cached
+    # qdf can. Cost: one extra stage-materialization job per reseed
+    # iteration on a path no registered query takes (every caller
+    # passes reseed_empty=False); the lazy no-reseed path has no
+    # in-loop actions at all.
+    for _ in range(iters):
+        # assignment: per-(id, cluster) exact integer distance, then a
+        # struct min — (dist asc, cluster asc), the same tie-break as
+        # assign_clusters' first-index-of-min over cid-ascending arrays
+        term = (F.col("qv") * C_SCALE - F.col("cval")) * (
+            F.col("qv") * C_SCALE - F.col("cval")
+        )
+        dists = (
+            long.join(F.broadcast(cent), "pos")
+            .groupBy("id", "cluster")
+            .agg(F.sum(term).alias("dist"))
+        )
+        assign = dists.groupBy("id").agg(
+            F.min(F.struct("dist", "cluster")).alias("__best")
+        ).select(
+            "id",
+            F.col("__best.cluster").alias("cluster"),
+            F.col("__best.dist").alias("dist"),
+        )
+        # update: join assignments back to the exploded data; exact
+        # integer SUM/COUNT, one IEEE multiply + divide, half-away
+        # round — the driver loop's arithmetic, verbatim
+        new_cent = (
+            assign.select("id", "cluster")
+            .join(long, "id")
+            .groupBy("cluster", "pos")
+            .agg(F.sum("qv").alias("s"), F.count("*").alias("n"))
+            .select(
+                "cluster",
+                "pos",
+                _round_half_away_col(
+                    F.col("s").cast("double") * C_SCALE / F.col("n")
+                ).alias("cval"),
             )
-            dists = (
-                long.join(F.broadcast(cent), "pos")
-                .groupBy("id", "cluster")
-                .agg(F.sum(term).alias("dist"))
-            )
-            assign = dists.groupBy("id").agg(
-                F.min(F.struct("dist", "cluster")).alias("__best")
-            ).select(
-                "id",
-                F.col("__best.cluster").alias("cluster"),
-                F.col("__best.dist").alias("dist"),
-            )
-            # update: join assignments back to the exploded data; exact
-            # integer SUM/COUNT, one IEEE multiply + divide, half-away
-            # round — the driver loop's arithmetic, verbatim
-            new_cent = (
-                assign.select("id", "cluster")
-                .join(long, "id")
-                .groupBy("cluster", "pos")
-                .agg(F.sum("qv").alias("s"), F.count("*").alias("n"))
-                .select(
-                    "cluster",
-                    "pos",
-                    _round_half_away_col(
-                        F.col("s").cast("double") * C_SCALE / F.col("n")
-                    ).alias("cval"),
-                )
-            )
-            new_cent = _ckpt(new_cent)
-            if not reseed_empty:
-                # lazy path: no driver decision needed — the caller's
-                # first action materializes the chain in order
-                cent = new_cent
-                continue
-            # one k-bounded action: detects lost clusters AND materializes
-            # the checkpoint (lazy checkpoints only persist when computed)
-            new_cids = {int(r[0]) for r in new_cent.select("cluster").distinct().collect()}
-            lost = sorted(set(prev_cids) - new_cids)
-            if lost and reseed_empty:
-                n_lost = len(lost)
-                # farthest assigned points (dist desc, id asc), one per
-                # lost cid — rank i re-seeds the i-th smallest lost cid
-                far = (
-                    assign.orderBy(F.desc("dist"), F.asc("id"))
-                    .limit(n_lost)
-                    .select(
-                        "id",
-                        F.row_number()
-                        .over(Window.orderBy(F.desc("dist"), F.asc("id")))
-                        .alias("__rk"),
-                    )
-                )
-                lost_sql = ",".join(str(c) for c in lost)
-                reseeded = (
-                    far.join(long, "id")
-                    .select(
-                        F.element_at(
-                            F.expr(f"CAST(array({lost_sql}) AS ARRAY<BIGINT>)"),
-                            F.col("__rk"),
-                        ).alias("cluster"),
-                        "pos",
-                        (F.col("qv") * C_SCALE).alias("cval"),
-                    )
-                )
-                new_cent = _ckpt(new_cent.unionByName(reseeded))
-                new_cent.count()  # materialize the reseeded checkpoint
-                new_cids |= set(lost)
+        )
+        new_cent = _ckpt(new_cent)
+        if not reseed_empty:
+            # lazy path: no driver decision needed — the caller's
+            # first action materializes the chain in order
             cent = new_cent
-            prev_cids = sorted(new_cids)
+            continue
+        # one k-bounded action: detects lost clusters AND materializes
+        # the checkpoint (lazy checkpoints only persist when computed)
+        new_cids = {int(r[0]) for r in new_cent.select("cluster").distinct().collect()}
+        lost = sorted(set(prev_cids) - new_cids)
+        if lost and reseed_empty:
+            n_lost = len(lost)
+            # farthest assigned points (dist desc, id asc), one per
+            # lost cid — rank i re-seeds the i-th smallest lost cid
+            far = (
+                assign.orderBy(F.desc("dist"), F.asc("id"))
+                .limit(n_lost)
+                .select(
+                    "id",
+                    F.row_number()
+                    .over(Window.orderBy(F.desc("dist"), F.asc("id")))
+                    .alias("__rk"),
+                )
+            )
+            lost_sql = ",".join(str(c) for c in lost)
+            reseeded = (
+                far.join(long, "id")
+                .select(
+                    F.element_at(
+                        F.expr(f"CAST(array({lost_sql}) AS ARRAY<BIGINT>)"),
+                        F.col("__rk"),
+                    ).alias("cluster"),
+                    "pos",
+                    (F.col("qv") * C_SCALE).alias("cval"),
+                )
+            )
+            new_cent = _ckpt(new_cent.unionByName(reseeded))
+            new_cent.count()  # materialize the reseeded checkpoint
+            new_cids |= set(lost)
+        cent = new_cent
+        prev_cids = sorted(new_cids)
 
     # final assignment against the final centroids, carrying qvec to
     # mirror kmeans_fit's (id, qvec, cluster, dist) contract

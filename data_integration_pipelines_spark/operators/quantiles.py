@@ -46,13 +46,64 @@ def with_quartile_bin(
     cuts, so letting NULLs fall through the ``<`` comparisons into the
     ELSE branch would silently inflate p75_100 on NULL-heavy columns
     and falsify the rank-mass certificate. The certificate checks the
-    four quartile bins against the NON-NULL total."""
+    four quartile bins against the NON-NULL total.
+
+    Routing cost (r12, guide §1.2): ``auto`` still routes on the TRUE
+    row count vs ``threshold`` (identical cuts to the r7-r11 form in
+    every case), but no longer pays a dedicated count job when the
+    plan's zero-job size estimate says the table is big: the count
+    then RIDES the approx sketch aggregate, so the at-scale regime
+    makes ONE corpus pass total (sketch + count fused) instead of a
+    count wave followed by a sketch wave. A wrong estimate only costs
+    an extra pass, never a different route: estimate-small but truly
+    big -> the cheap count probe routes to the sketch pass (two
+    passes, exactly the old behavior); estimate-big but truly small ->
+    the sketch is discarded and the exact cuts run (affordable by
+    definition of the small regime)."""
     if method not in ("auto", "exact", "approx"):
         raise ValueError(f"unknown quantile method {method!r}")
+    vcol = f"`{value_col}`"
     if method == "auto":
-        method = (
-            "exact" if spark.table(view).count() <= threshold else "approx"
+        # zero-job estimate: optimizer plan statistics (file bytes for
+        # a parquet-backed view). 8 bytes/row at the threshold is a
+        # deliberately generous bytes floor — tables under it are
+        # near-certainly in the exact regime, so they keep the cheap
+        # count probe and skip the sketch work entirely.
+        est_bytes = int(
+            spark.table(view)
+            ._jdf.queryExecution()
+            .optimizedPlan()
+            .stats()
+            .sizeInBytes()
         )
+        if est_bytes <= threshold * 8:
+            method = (
+                "exact" if spark.table(view).count() <= threshold else "approx"
+            )
+        else:
+            probe_df = spark.sql(
+                f"SELECT approx_percentile({vcol}, array(0.25, 0.50, 0.75), "
+                f"{accuracy}) AS qa, count(*) AS n FROM {view}"
+            )
+            probe = probe_df.first()
+            if int(probe["n"]) > threshold:
+                # at-scale route, cuts already in hand: rebuild them as
+                # a one-row LOCAL relation carrying the probe's exact
+                # values AND column type (no literal round-trip), read
+                # by the shared tail as a scalar subquery — same cut
+                # values the approx branch's subquery would produce,
+                # zero additional corpus passes.
+                from pyspark.sql import types as T
+
+                cuts_view = f"{view}__qcuts"
+                spark.createDataFrame(
+                    [(probe["qa"],)],
+                    schema=T.StructType(
+                        [T.StructField("qa", probe_df.schema["qa"].dataType)]
+                    ),
+                ).createOrReplaceTempView(cuts_view)
+                return _binned(spark, view, vcol, f"SELECT qa FROM {cuts_view}")
+            method = "exact"
     # ONE aggregate call with the percentage ARRAY: three separate
     # percentile(col, p) calls each buffer (and, exact-path, sort) the
     # full non-null column independently — 3x the aggregation state and
@@ -73,21 +124,31 @@ def with_quartile_bin(
         # duplicate mass at any scale.
         q = (
             f"SELECT percentile(__v, array(0.25, 0.50, 0.75), __n) "
-            f"FROM (SELECT {value_col} AS __v, count(*) AS __n "
-            f"FROM {view} WHERE {value_col} IS NOT NULL "
-            f"GROUP BY {value_col})"
+            f"FROM (SELECT {vcol} AS __v, count(*) AS __n "
+            f"FROM {view} WHERE {vcol} IS NOT NULL "
+            f"GROUP BY {vcol})"
         )
     else:
         q = (
-            f"SELECT approx_percentile({value_col}, "
+            f"SELECT approx_percentile({vcol}, "
             f"array(0.25, 0.50, 0.75), {accuracy}) FROM {view}"
         )
+    return _binned(spark, view, vcol, q)
+
+
+def _binned(spark: SparkSession, view: str, vcol: str, q: str) -> DataFrame:
+    """Shared tail: every row of ``view`` binned against the cut array
+    produced by the scalar subquery ``q`` — folded in as a LATERAL
+    scalar subquery, never a join node (a 1-row broadcast crossJoin
+    would plan a BroadcastNestedLoopJoin, which the plan gate forbids).
+    ``vcol`` arrives backtick-quoted (ADVICE r11: identifiers needing
+    quoting broke the handwritten SQL)."""
     return spark.sql(
         f"""
-        SELECT *, CASE WHEN {value_col} IS NULL THEN 'null'
-                       WHEN {value_col} < qa[0] THEN 'p00_25'
-                       WHEN {value_col} < qa[1] THEN 'p25_50'
-                       WHEN {value_col} < qa[2] THEN 'p50_75'
+        SELECT *, CASE WHEN {vcol} IS NULL THEN 'null'
+                       WHEN {vcol} < qa[0] THEN 'p00_25'
+                       WHEN {vcol} < qa[1] THEN 'p25_50'
+                       WHEN {vcol} < qa[2] THEN 'p50_75'
                        ELSE 'p75_100' END AS bin
         FROM {view},
              LATERAL (SELECT ({q}) AS qa)

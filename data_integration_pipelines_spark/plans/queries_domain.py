@@ -272,7 +272,8 @@ def sibling_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "node), so the FCA depth pair encodes every agreement class. Tree = "
     "binary-heap parent pointers over part keys; observed-vs-declared "
     "pairs are a deterministic shuffle of the keys so all five classes "
-    "occur. Scale: closure is ontology-sized and broadcast twice; the "
+    "occur. Scale: closure is ontology-sized and broadcast ONCE (one "
+    "BroadcastExchange, reused by the second ancestor join — r12); the "
     "pair side streams with one hash aggregate on the pair key.",
 )
 def region_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:

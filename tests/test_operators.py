@@ -157,6 +157,36 @@ class TestClosure:
             (0, 6): (0, 0, 2),  # root vs leaf
         }
 
+    def test_fca_local_route_parity_and_single_broadcast_build(
+        self, spark, monkeypatch
+    ):
+        """r12: ontology-sized closures rebuild as a LocalRelation
+        inside first_common_ancestor so the two broadcast joins either
+        share one exchange (ReusedExchange) or ship constraint-pruned
+        subsets — and the rows must be identical to the checkpoint
+        (forced above-cap) path."""
+        from data_integration_pipelines_spark.operators import closure as cl
+
+        edges = spark.range(1, 500).select(
+            F.col("id").alias("child"), F.floor((F.col("id") - 1) / 2).alias("parent")
+        )
+        closure = transitive_closure(edges)
+        pairs = spark.range(1, 60).select(
+            F.col("id").alias("a"), ((F.col("id") * 13) % 120).alias("b")
+        )
+        local_df = first_common_ancestor(closure, pairs)
+        local_df.collect()
+        plan = local_df._jdf.queryExecution().executedPlan().toString()
+        assert "LocalTableScan" in plan, plan[:2000]
+        # one build reused, or two constraint-pruned local sends — never
+        # two full RDD-leaf broadcasts
+        assert "ReusedExchange" in plan or plan.count("LocalTableScan") >= 2
+        want = sorted(map(tuple, local_df.collect()))
+        monkeypatch.setattr(cl, "FCA_LOCAL_ROWS", 0)
+        ckpt_df = first_common_ancestor(closure, pairs)
+        assert sorted(map(tuple, ckpt_df.collect())) == want
+        assert "LocalTableScan" not in ckpt_df._jdf.queryExecution().executedPlan().toString()
+
     def test_agreement_classes(self, spark):
         df = spark.createDataFrame(
             [(0, 0), (0, 2), (2, 0), (1, 1), (2, 2)], ["da", "db"]
@@ -749,6 +779,41 @@ class TestTwoLevelRunningOffsets:
             assert rs[-1].tok_end == sum(r.v for r in rs)
 
 
+def test_loop_session_isolates_aqe_from_base_session(spark):
+    """r12 (VERDICT r11 #7): the k-means driver loop's AQE-off +
+    pinned-shuffle-width setting lives on an ISOLATED session clone —
+    the base session's conf is never mutated, so a query planned
+    concurrently (guide §2.6 overlapping jobs) keeps AQE; the clone is
+    memoized and shares the cache manager (a persisted base-session
+    frame serves it through a global_temp view)."""
+    from data_integration_pipelines_spark.operators.cache import loop_session
+
+    base_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    loop = loop_session(spark, shuffle_partitions=1)
+    assert loop.conf.get("spark.sql.adaptive.enabled") == "false"
+    assert loop.conf.get("spark.sql.shuffle.partitions") == "1"
+    # base session untouched while the loop session exists
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+    assert spark.conf.get("spark.sql.shuffle.partitions") == base_sp
+    # a query planned on the base session keeps AQE
+    df = spark.range(100).groupBy((F.col("id") % 5).alias("k")).count()
+    assert "AdaptiveSparkPlan" in df._jdf.queryExecution().executedPlan().toString()
+    # memoized: one SessionState per loop shape
+    assert loop_session(spark, shuffle_partitions=1) is loop
+    # shared cache: the clone's plan over a global_temp view of a
+    # persisted base frame reads the InMemoryRelation, not a recompute
+    cached = spark.range(1000).select((F.col("id") * 2).alias("v")).persist()
+    cached.count()
+    cached.createOrReplaceGlobalTempView("__loop_sess_test")
+    try:
+        got = loop.table("global_temp.__loop_sess_test")
+        assert "InMemory" in got._jdf.queryExecution().executedPlan().toString()
+        assert got.count() == 1000
+    finally:
+        spark.catalog.dropGlobalTempView("__loop_sess_test")
+        cached.unpersist()
+
+
 class TestQuartileBins:
     """Auto-switching equi-depth cuts (operators/quantiles, r7)."""
 
@@ -783,6 +848,33 @@ class TestQuartileBins:
         assert len(cert) == 4
         assert all(r.mass_within_1pct_rank for r in cert)
         assert all(r.n_total == 100000 for r in cert)
+
+    def test_auto_big_route_fuses_count_into_sketch_pass(self, spark):
+        """r12: when the plan-size estimate says 'big', auto routes in
+        ONE aggregate pass (sketch + count(*) fused) instead of a count
+        wave followed by a sketch wave, and the cuts are identical to
+        the explicit approx method (single-partition view, so the GK
+        sketch build is deterministic across the two calls)."""
+        from data_integration_pipelines_spark.operators.quantiles import (
+            with_quartile_bin,
+        )
+
+        spark.range(2000).repartition(1).select(
+            (F.col("id") * 37 % 997).cast("double").alias("v")
+        ).createOrReplaceTempView("qb_t5")
+        sc = spark.sparkContext
+        tracker = sc.statusTracker()
+        sc.setJobGroup("qb-route", "qb-route")
+        binned = with_quartile_bin(spark, "qb_t5", "v", "auto", threshold=10)
+        sc.setJobGroup(None, None)
+        # the fused probe is the ONLY corpus action at build time (AQE
+        # may split it into <=2 stage jobs; the old router paid a count
+        # job AND deferred the sketch to a second pass)
+        assert len(tracker.getJobIdsForGroup("qb-route")) <= 2
+        appr = with_quartile_bin(spark, "qb_t5", "v", "approx")
+        assert {r.v: r.bin for r in binned.collect()} == {
+            r.v: r.bin for r in appr.collect()
+        }
 
     def test_unknown_method_rejected(self, spark):
         import pytest as _pytest
